@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Medallion.{davg, dsum}
+
+/** Analytics headliners: scan-heavy aggregate, join-heavy ranked query,
+  * multi-way dimensional rollup, as-of join, and per-user window stats.
+  * These are the bench workhorses and exercise the core relational
+  * operator set (scan → filter → project → hash-agg → broadcast/shuffle
+  * join → window → sort).
+  */
+object Analytics {
+
+  /** Full-scan pricing summary (TPC-H Q1 shape). One pass over
+    * lineitem; partial aggregation reduces each partition to ≤ a few
+    * groups before the single tiny shuffle. At 100 TB this is scan
+    * bound, which is the right bottleneck.
+    */
+  def q1PricingSummary(li: DataFrame): DataFrame = li
+    .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+    .groupBy(col("l_returnflag").as("return_flag"),
+      col("l_linestatus").as("line_status"))
+    .agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_base_price"),
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6))).cast("double")
+        .as("sum_disc_price"),
+      // charge carries 6 decimal places (2dp × 2dp × 2dp); aggregating at
+      // scale 4 would round per-row and hit half-tie divergence vs DuckDB
+      sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax")))
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6))).cast("double")
+        .as("sum_charge"),
+      davg(col("l_quantity")).as("avg_qty"),
+      davg(col("l_extendedprice")).as("avg_price"),
+      davg(col("l_discount")).as("avg_disc"),
+      count(lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(CAST(l_quantity AS DECIMAL(18,4))) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(CAST(l_extendedprice AS DECIMAL(18,4))) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(CAST(l_discount AS DECIMAL(18,4))) AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
+  /** Ranked revenue per order for open orders (TPC-H Q3 shape).
+    * customer is broadcast; lineitem shuffles once on order_id.
+    */
+  def q3TopOrders(customer: DataFrame, orders: DataFrame,
+      li: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    orders.filter(col("o_orderstatus") === "O")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey").as("order_id"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority").as("order_priority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .filter(col("revenue") > 0)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority AS order_priority,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+       GROUP BY 1, 2, 3
+       HAVING CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) > 0
+       ORDER BY order_id"""
+
+  /** Multi-way dimensional rollup (TPC-H Q5 shape): revenue by nation
+    * where customer and supplier share the nation. All dims broadcast;
+    * the only shuffles are lineitem⋈orders on orderkey and the final
+    * tiny agg.
+    */
+  def q5RegionRevenue(customer: DataFrame, orders: DataFrame, li: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    orders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(trim(col("r_name")).as("region_name"),
+        trim(col("n_name")).as("nation_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
+  val q5Sql: String =
+    """SELECT trim(r_name) AS region_name, trim(n_name) AS nation_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_count
+       FROM orders
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
+  /** As-of join: attach to every event the most recent signup event
+    * (same user, ts <= event ts). Composed Spark-first: union the two
+    * streams tagged, one window pass per user ordered by time — a
+    * single shuffle on user_id, no range join / no crossJoin. This is
+    * the scalable shape for "join each fact to latest-prior dim state".
+    */
+  def eventsAsOf(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"),
+        col("event_id").as("signup_event_id"))
+    val facts = events.select("event_id", "user_id", "ts", "event_type", "value")
+    // union-tag trick: signups carry their id, facts carry null; the
+    // running last_value over (user, time) is the as-of match.
+    val tagged = facts
+      .withColumn("signup_event_id", lit(null).cast("long"))
+      .withColumn("is_fact", lit(1))
+      .unionByName(signups.select(
+        col("signup_event_id").as("event_id"), col("user_id"),
+        col("signup_ts").as("ts"),
+        lit("signup_marker").as("event_type"),
+        lit(null).cast("double").as("value"),
+        col("signup_event_id"), lit(0).as("is_fact")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_fact"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("asof_signup_id",
+        last(col("signup_event_id"), ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("asof_signup_id"))
+  }
+
+  val eventsAsOfSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value,
+         s.event_id AS asof_signup_id
+       FROM events e
+       ASOF LEFT JOIN (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+       ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+       ORDER BY e.event_id"""
+
+  /** Per-user lifetime stats via window + agg: first/last event, counts,
+    * exact-decimal value totals. Single shuffle on user_id.
+    */
+  def eventsUserStats(events: DataFrame): DataFrame = events
+    .groupBy(col("user_id"))
+    .agg(
+      count(lit(1)).as("event_count"),
+      countDistinct(col("event_type")).as("distinct_event_types"),
+      min(col("event_id")).as("first_event_id"),
+      max(col("event_id")).as("last_event_id"),
+      dsum(col("value")).as("total_value"),
+      davg(col("value")).as("avg_value"),
+      count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
+      dsum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(null))).as("purchase_value"))
+
+  val eventsUserStatsSql: String =
+    """SELECT user_id,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT event_type) AS distinct_event_types,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         / COUNT(CAST(value AS DECIMAL(18,4))) AS avg_value,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+         AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) =>
+      q1PricingSummary(Tables.lineitem(s, d))
+        .orderBy(col("return_flag"), col("line_status"))),
+    "q3_top_orders" -> ((s, d) =>
+      q3TopOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d)).orderBy(col("order_id"))),
+    "q5_region_revenue" -> ((s, d) =>
+      q5RegionRevenue(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d)).orderBy(col("region_name"), col("nation_name"))),
+    "events_asof_join" -> ((s, d) =>
+      eventsAsOf(Tables.events(s, d)).orderBy(col("event_id"))),
+    "events_user_stats" -> ((s, d) =>
+      eventsUserStats(Tables.events(s, d)).orderBy(col("user_id"))))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_top_orders" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "events_asof_join" -> eventsAsOfSql,
+    "events_user_stats" -> eventsUserStatsSql)
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Reads graft.Verify output (parquet per query + oracle_sql.json), runs
+each oracle in DuckDB over the same source parquet tables, and compares:
+columns sorted by name, rows sorted by all columns, exact value match.
+
+Usage: python3 tools/local_verify.py [sfDir] [verifyOut]
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pq = f"{out}/{name}"
+        if not glob.glob(f"{pq}/*.parquet"):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: query error {e}"); n_fail += 1; continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            print(f"FAIL {name}: cols spark={gc} oracle={ec}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}"); n_fail += 1; continue
+        g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+        e = exp[ec].sort_values(by=ec, kind="mergesort").reset_index(drop=True)
+        bad = []
+        for c in gc:
+            gv, ev = g[c], e[c]
+            try:
+                eq = (gv == ev) | (gv.isna() & ev.isna())
+            except Exception:
+                eq = gv.astype(str) == ev.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                bad.append(f"{c}[row{i}]: spark={gv[i]!r} oracle={ev[i]!r}")
+        if bad:
+            print(f"FAIL {name}: {len(bad)} col diffs; first: {bad[0]}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
