@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Gold, Medallion}
+import graft.functions.Masking
+import graft.operators.{Analytics, Cdc, Gold, Medallion, Quality}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -13,11 +14,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Medallion.queries ++ Gold.queries ++ Analytics.queries
+    Medallion.queries ++ Gold.queries ++ Analytics.queries ++
+      Cdc.queries ++ Quality.queries ++ Masking.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Medallion.oracles ++ Gold.oracles ++ Analytics.oracles
+    Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
+      Cdc.oracles ++ Quality.oracles ++ Masking.oracles
 }

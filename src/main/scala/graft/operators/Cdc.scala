@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** CDC / slowly-changing-dimension operators.
+  *
+  * The reference processes change feeds with Databricks `AUTO CDC INTO …
+  * KEYS … SEQUENCE BY … STORED AS SCD TYPE 1|2`
+  * (ref /root/reference/src/pipelines/cdc/cdc_customers_silver.sql:55-90).
+  * Spark-first re-expression: SCD resolution is a single window pass per
+  * key ordered by the sequence — one shuffle on the key, no
+  * driver-side state, linear at any scale. AQE handles key skew.
+  *
+  * The change feed here is the `events` table: key = user_id,
+  * sequence = event_id (monotone), operation derived from event_type
+  * (signup→INSERT, error→DELETE, else UPDATE).
+  */
+object Cdc {
+
+  /** Staging: validated, normalized change feed
+    * (ref cdc_customers_silver.sql:12-37 staging pattern).
+    */
+  def stage(events: DataFrame): DataFrame = events
+    .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+      col("event_type").isNotNull && col("value").isNotNull)
+    .select(
+      col("event_id").as("sequence_number"),
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as("operation"),
+      col("user_id").as("key_id"),
+      col("value"),
+      col("props"))
+
+  val stageSql: String =
+    """SELECT event_id AS sequence_number,
+       CASE WHEN event_type = 'signup' THEN 'INSERT'
+            WHEN event_type = 'error' THEN 'DELETE'
+            ELSE 'UPDATE' END AS operation,
+       user_id AS key_id,
+       value, props
+       FROM events
+       WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+         AND event_type IS NOT NULL AND value IS NOT NULL
+       ORDER BY sequence_number"""
+
+  /** SCD Type 1: current state per key. Latest change wins; a DELETE as
+    * the latest change removes the key
+    * (ref cdc_customers_silver.sql:55-66 STORED AS SCD TYPE 1).
+    */
+  def scd1Current(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key_id")).orderBy(col("sequence_number").desc)
+    stage(events)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= "DELETE")
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+  }
+
+  val scd1Sql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg)
+       SELECT key_id, value, props, sequence_number AS last_sequence
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** SCD Type 2: full history with validity ranges. Every INSERT/UPDATE
+    * opens a version; the next change of any kind closes it; DELETE only
+    * closes (ref cdc_customers_silver.sql:69-90 STORED AS SCD TYPE 2;
+    * generated __START_AT/__END_AT/__IS_CURRENT).
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key_id")).orderBy(col("sequence_number"))
+    stage(events)
+      .withColumn("__end_at", lead(col("sequence_number"), 1).over(w))
+      .filter(col("operation") =!= "DELETE")
+      .select(
+        col("key_id"), col("value"), col("props"),
+        col("operation"),
+        col("sequence_number").as("__start_at"),
+        col("__end_at"),
+        col("__end_at").isNull.as("__is_current"))
+  }
+
+  val scd2Sql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       versioned AS (
+         SELECT *, lead(sequence_number, 1) OVER (PARTITION BY key_id
+           ORDER BY sequence_number) AS __end_at
+         FROM stg)
+       SELECT key_id, value, props, operation,
+         sequence_number AS __start_at, __end_at,
+         __end_at IS NULL AS __is_current
+       FROM versioned
+       WHERE operation <> 'DELETE'
+       ORDER BY key_id, __start_at"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stage" -> ((s, d) =>
+      stage(Tables.events(s, d)).orderBy(col("sequence_number"))),
+    "cdc_scd1_current" -> ((s, d) =>
+      scd1Current(Tables.events(s, d)).orderBy(col("key_id"))),
+    "cdc_scd2_history" -> ((s, d) =>
+      scd2History(Tables.events(s, d)).orderBy(col("key_id"), col("__start_at"))))
+
+  def oracles: Map[String, String] = Map(
+    "cdc_stage" -> stageSql,
+    "cdc_scd1_current" -> scd1Sql,
+    "cdc_scd2_history" -> scd2Sql)
+}
