@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Masking
-import graft.operators.{Analytics, Cdc, Gold, Medallion, Quality}
+import graft.operators.{Analytics, Cdc, Dedup, Gold, Medallion, Multimodal,
+  Quality, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -15,12 +16,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Medallion.queries ++ Gold.queries ++ Analytics.queries ++
-      Cdc.queries ++ Quality.queries ++ Masking.queries
+      Cdc.queries ++ Quality.queries ++ Masking.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
-      Cdc.oracles ++ Quality.oracles ++ Masking.oracles
+      Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * n-gram Jaccard (blocked), MinHash+LSH, SimHash, and embedding-cosine
+  * near-dup detection.
+  *
+  * Scale posture: nothing here is O(n²) on the corpus. Pair generation
+  * always goes through a blocking key (LSH band, SimHash band, label,
+  * or (lang, length-bucket)) expressed as a shuffle join on that key —
+  * the candidate set is linear-ish in practice, and every stage is a
+  * plain DataFrame op (no driver-side loops, no collect).
+  */
+object Dedup {
+
+  /** Lowercase + collapse whitespace: the canonical text for hashing. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), " +", " ")
+
+  // =========================================================================
+  // Exact dedup: hash-groupBy on normalized content
+  // =========================================================================
+  /** One row per distinct content: md5 key, keeper (min doc_id),
+    * duplicate count. Single shuffle on the 128-bit key.
+    */
+  def exact(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), md5(normText(col("text"))).as("content_key"))
+    .groupBy(col("content_key"))
+    .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  val exactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_key,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+       FROM documents
+       GROUP BY 1
+       ORDER BY content_key"""
+
+  // =========================================================================
+  // N-gram Jaccard near-dup pairs with blocking
+  // =========================================================================
+  /** Distinct word n-grams of already-normalized text. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    if (n == 1) array_distinct(toks)
+    else
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Near-dup pairs by n-gram Jaccard within (lang, token-bucket)
+    * blocks. The self-join runs on the block key only — no crossJoin.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      ngrams(normText(col("text")), n).as("grams"),
+      (size(split(normText(col("text")), " ")) / 10).cast("int").as("len_bucket"))
+    val a = base.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val b = base.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lang"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH base AS (
+         SELECT doc_id, lang,
+           list_distinct(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS grams,
+           CAST(len(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) // 10 AS INT) AS len_bucket
+         FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard,
+         a.lang
+       FROM base a
+       JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  // =========================================================================
+  // MinHash + LSH near-dup detection
+  // =========================================================================
+  /** Deterministic affine permutations over a Mersenne prime. */
+  // 31-bit Mersenne prime: a·h + b stays well under Long.MaxValue (no
+  // overflow under ANSI mode) while keeping a universal-hash family.
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private def perms(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = math.abs(i * 0x9e3779b97f4a7c15L + 0x85ebca6bL) % (MinhashPrime - 1) + 1
+      val b = math.abs(i * -0x4d4d3a7a2d82b4b1L + 0x27d4eb2fL) % MinhashPrime
+      (a, b)
+    }
+
+  /** MinHash signatures: explode shingles → k min-aggregations in one
+    * groupBy (map-side combine carries k longs per doc per task).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(ngrams(normText(col("text")), n)).as("sh"))
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinhashPrime)))
+    val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"sig_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs + exact Jaccard verification.
+    * bands×rows must equal k. Candidates come from a self-join on
+    * (band_idx, band_hash); verification joins the precomputed shingle
+    * sets and filters on true Jaccard.
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 1, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.95): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, n, k)
+    val banded = sigs.select(col("doc_id") +: (0 until bands).map { bIdx =>
+      hash((bIdx * rows until (bIdx + 1) * rows).map(i => col(s"sig_$i")): _*)
+        .as(s"band_$bIdx")
+    }: _*)
+    val exploded = banded.select(col("doc_id"),
+      explode(array((0 until bands).map(bIdx =>
+        struct(lit(bIdx).as("band_idx"), col(s"band_$bIdx").as("band_hash"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+    val cands = exploded.as("x").join(exploded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val grams = docs.select(col("doc_id"),
+      ngrams(normText(col("text")), n).as("grams"))
+    cands
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // =========================================================================
+  // SimHash near-dup detection
+  // =========================================================================
+  /** 64-bit SimHash per doc: explode tokens, 64 conditional sums in one
+    * aggregation (sign of each bit-weighted sum), assemble the long.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(normText(col("text")), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val aggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val bits = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    bits.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming, candidates from
+    * 4×16-bit band collisions (pigeonhole: ≤3 differing bits ⇒ at least
+    * one band identical).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = simhash(docs)
+    val banded = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(bIdx =>
+        struct(lit(bIdx).as("band_idx"),
+          shiftright(col("simhash"), bIdx * 16).bitwiseAND(0xffffL)
+            .as("band_val"))): _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx"), col("band.band_val"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // =========================================================================
+  // Embedding-cosine near-dup pairs
+  // =========================================================================
+  /** Double-precision cosine with a deterministic left-fold — bitwise
+    * reproducible across engines (see Similarity.cosine).
+    */
+  def embeddingPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    base.as("a").join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  val embeddingPairsSql: String =
+    """WITH base AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       FROM base a
+       JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+       ORDER BY vec_a, vec_b"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      exact(Tables.documents(s, d)).orderBy(col("content_key"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramJaccard(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      minhashLsh(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_embedding" -> ((s, d) =>
+      embeddingPairs(Tables.embeddings(s, d)).orderBy(col("vec_a"), col("vec_b"))))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_embedding" -> embeddingPairsSql)
+}

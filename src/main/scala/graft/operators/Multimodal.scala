@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fnv1a64
+
+/** Multimodal column plumbing: opaque binary payloads with typed
+  * metadata, batch decode / feature extraction via mapPartitions.
+  *
+  * The Spark-side shape is real — BinaryType columns, typed Encoders,
+  * per-partition batch iteration (the distributed analogue of an
+  * Arrow-batched pandas UDF), deterministic partitioning — while the
+  * actual media decode is STUBBED (this container has no image/audio
+  * codecs): `decodeStub` derives metadata and a feature vector
+  * deterministically from the payload bytes. Swapping in a real codec
+  * changes only the body of `decodeStub`; every schema/partition/batch
+  * contract stays identical.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String,
+      payload: Array[Byte])
+
+  final case class MediaMeta(
+      doc_id: Long, media_type: String, byte_len: Long, content_hash: Long,
+      width: Int, height: Int, n_frames: Int, feature: Array[Float])
+
+  /** Attach a synthetic binary payload per document (stand-in for an
+    * image/audio blob column; real pipelines read these from parquet
+    * binary columns directly).
+    */
+  def withPayload(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+    encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
+    * A real implementation would decode the codec here (e.g. JPEG
+    * headers, PCM frames) — per-partition, streaming, no driver data.
+    */
+  private def decodeStub(r: MediaRow): MediaMeta = {
+    val h = Fnv1a64.hashBytes(r.payload)
+    val w = 64 + (math.floorMod(h, 1024L)).toInt
+    val ht = 64 + (math.floorMod(h >>> 10, 1024L)).toInt
+    val frames = r.media_type match {
+      case "video" => 1 + (math.floorMod(h >>> 20, 240L)).toInt
+      case _       => 1
+    }
+    val feature = Array.tabulate(8) { i =>
+      // deterministic fake embedding from hash bits (STUB — replace with
+      // a real feature extractor)
+      val bits = (h >>> (i * 8)) & 0xffL
+      (bits.toFloat / 255.0f) * 2.0f - 1.0f
+    }
+    MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong, h, w, ht,
+      frames, feature)
+  }
+
+  /** Batch decode: one pass per partition, constant memory, typed out. */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** End-to-end pipeline: payload → partition-batch decode → per-type
+    * rollup of sizes and dims. rows-only check (decode is stubbed);
+    * invariants covered in ScalaTest.
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = withPayload(Tables.documents(spark, dir)).as[MediaRow]
+    decodeAll(media).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("byte_len")).as("total_bytes"),
+        min(col("width")).as("min_width"),
+        max(col("width")).as("max_width"),
+        max(col("n_frames")).as("max_frames"),
+        countDistinct(col("content_hash")).as("distinct_contents"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_pipeline" -> ((s, d) => pipeline(s, d).orderBy(col("media_type"))))
+
+  def oracles: Map[String, String] = Map.empty
+}

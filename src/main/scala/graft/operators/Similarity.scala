@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — probes broadcast against
+  *    the corpus, per-probe window ranking. The baseline, and correct
+  *    at any scale when the probe set is small (cost = |probes|·|corpus|
+  *    distributed over the corpus partitions — the corpus is never
+  *    collected or shuffled).
+  *  - [[lshTopK]]: sign-LSH bucketed ANN — deterministic ±1 hyperplanes
+  *    hash each vector to a bucket; candidate search touches only
+  *    colliding buckets. The 100 TB path: bucket count scales the
+  *    candidate set down by 2^planes, and everything remains a
+  *    key-equality shuffle join.
+  */
+object Similarity {
+
+  /** Double-precision cosine as a strict left fold — identical result
+    * at any partitioning, bitwise reproducible against a single-threaded
+    * engine folding the same way (verified vs DuckDB list_dot_product).
+    * Inputs must already be array<double>.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each probe (probe = vec_id % 50 == 0). */
+  def bruteForceTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val probes = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val scored = base.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pv"), col("v")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  val bruteForceTopKSql: String =
+    """WITH base AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       probes AS (
+         SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id % 50 = 0),
+       scored AS (
+         SELECT p.probe_id, b.vec_id AS neighbor_id,
+           list_dot_product(p.pv, b.v)
+             / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+         FROM base b JOIN probes p ON b.vec_id <> p.probe_id),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         FROM scored)
+       SELECT probe_id, rank, neighbor_id, cosine
+       FROM ranked WHERE rank <= 5
+       ORDER BY probe_id, rank"""
+
+  /** Deterministic ±1 hyperplane component for (plane, dim). */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(xxhash64(lit(plane), dim).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
+
+  /** Sign-LSH bucket id from `planes` hyperplanes (plane ids offset by
+    * `tableIdx` so each table draws an independent family).
+    * dot(v, h_p) = Σ_i v[i]·sign(p,i), one fold per plane.
+    */
+  def lshBucket(v: Column, planes: Int, tableIdx: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeSign(tableIdx * planes + p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Multi-table bucketed ANN: `tables` independent sign-LSH tables of
+    * `planes` bits; a candidate is any vector sharing a bucket with the
+    * probe in ANY table (union via the exploded (table, bucket) key,
+    * then distinct). Recall dials up with `tables`, candidate cost
+    * down with `planes` — all as key-equality joins, no crossJoin.
+    * Recall is tested against [[bruteForceTopK]] in ScalaTest (not
+    * SQL-oracle-able).
+    */
+  def lshTopK(emb: DataFrame, k: Int = 5, planes: Int = 4,
+      tables: Int = 8): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bucketed = base.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), lshBucket(col("v"), planes, t).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val probes = bucketed.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("tbl"), col("bucket"))
+    val cands = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("pv"), col("v"))
+      .dropDuplicates("probe_id", "neighbor_id")
+    val scored = cands.select(col("probe_id"), col("neighbor_id"),
+      cosine(col("pv"), col("v")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> ((s, d) =>
+      bruteForceTopK(Tables.embeddings(s, d))
+        .orderBy(col("probe_id"), col("rank"))),
+    "ann_lsh_topk" -> ((s, d) =>
+      lshTopK(Tables.embeddings(s, d)).orderBy(col("probe_id"), col("rank"))))
+
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> bruteForceTopKSql)
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fingerprint
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, and document fingerprinting.
+  * All are single-pass, per-row, codegen-friendly column expressions —
+  * no UDFs, no shuffle; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** BPE-ish subword segmentation: letter runs, single digits,
+    * punctuation runs — the shape (not the vocab) of a byte-pair
+    * tokenizer's pretokenizer.
+    */
+  def bpeIshCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"), lit(0)))
+      .cast("long")
+
+  // language markers: count of DISTINCT marker words present (set
+  // semantics — deterministic across engines, no regex dialect risk)
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(array_intersect(toks, array(markers.map(lit): _*))).cast("long")
+
+  /** Heuristic language ID: argmax of marker-set hits with a fixed
+    * priority order for ties ('und' when nothing matches).
+    */
+  def textLangId(docs: DataFrame): DataFrame = {
+    val t = docs.withColumn("toks", tokens(col("text")))
+    val scored = langMarkers.foldLeft(t) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang", langScore(col("toks"), markers))
+    }
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce(greatest(_, _))
+    val predicted = langMarkers.foldRight(lit("und"): Column) {
+      case ((lang, _), elseC) =>
+        when(col(s"score_$lang") === best && best > 0, lang).otherwise(elseC)
+    }
+    // first-listed lang wins ties because `when` chains evaluate in order
+    val outCols = Seq(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      predicted.as("predicted_lang"),
+      (predicted === col("lang")).as("is_correct")) ++
+      langMarkers.map { case (l, _) => col(s"score_$l") }
+    scored.select(outCols: _*)
+  }
+
+  val textLangIdSql: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_intersect(toks, [$lst])) AS BIGINT) AS score_$l"
+    }.mkString(",\n           ")
+    val bestExpr = langMarkers.map { case (l, _) => s"score_$l" }
+      .reduce((a, b) => s"greatest($a, $b)")
+    val predExpr = langMarkers.foldRight("'und'") { case ((l, _), e) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $e END"
+    }
+    s"""WITH t AS (
+         SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+         FROM documents),
+       s AS (
+         SELECT doc_id, lang,
+           $scores
+         FROM t),
+       b AS (SELECT *, $bestExpr AS best FROM s)
+       SELECT doc_id, lang AS labeled_lang,
+         $predExpr AS predicted_lang,
+         ($predExpr) = lang AS is_correct,
+         score_en, score_de, score_es, score_fr, score_zh
+       FROM b
+       ORDER BY doc_id"""
+  }
+
+  /** Token statistics per document. */
+  def textTokens(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    length(col("text")).cast("long").as("n_chars"),
+    size(tokens(col("text"))).cast("long").as("ws_tokens"),
+    size(array_distinct(tokens(col("text")))).cast("long").as("distinct_tokens"),
+    bpeIshCount(col("text")).as("bpe_ish_tokens"),
+    (length(col("text")).cast("double") /
+      size(tokens(col("text"))).cast("double")).as("chars_per_token"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS BIGINT)
+         AS distinct_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+'))
+         AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(text) AS DOUBLE)
+         / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+         AS chars_per_token
+       FROM documents
+       ORDER BY doc_id"""
+
+  /** Quality scoring: length, repetition, stopword density, punctuation
+    * — the standard cheap filters for pretraining corpora.
+    */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val stopHits = langScore(toks, langMarkers.head._2).cast("double")
+    val punct = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val repetition = lit(1.0) - nDistinct / nTok
+    val stopRatio = stopHits / lit(5.0)
+    val punctRatio = punct / nChars
+    val lengthOk = (nChars >= 100 && nChars <= 4000).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      repetition.as("repetition"),
+      stopRatio.as("stopword_score"),
+      punctRatio.as("punct_ratio"),
+      lengthOk.as("length_ok"),
+      (lengthOk * lit(0.25) + (lit(1.0) - repetition) * lit(0.35) +
+        stopRatio * lit(0.25) + (lit(1.0) - punctRatio) * lit(0.15))
+        .as("quality_score"))
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+         SELECT doc_id, text,
+           string_split_regex(trim(text), ' +') AS toks,
+           CAST(length(text) AS DOUBLE) AS n_chars
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+           CAST(len(list_intersect(toks, ['the','and','of','is','to'])) AS DOUBLE) AS stop_hits,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+           n_chars
+         FROM t)
+       SELECT doc_id,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         1.0 - n_distinct / n_tok AS repetition,
+         stop_hits / 5.0 AS stopword_score,
+         punct / n_chars AS punct_ratio,
+         CAST(n_chars >= 100 AND n_chars <= 4000 AS DOUBLE) AS length_ok,
+         CAST(n_chars >= 100 AND n_chars <= 4000 AS DOUBLE) * 0.25
+           + (1.0 - (1.0 - n_distinct / n_tok)) * 0.35
+           + (stop_hits / 5.0) * 0.25
+           + (1.0 - punct / n_chars) * 0.15 AS quality_score
+       FROM m
+       ORDER BY doc_id"""
+
+  /** Rolling-hash fingerprints via the native [[Fingerprint]] Catalyst
+    * expression (FNV-1a 64): whole-doc fingerprint plus a fingerprint of
+    * the normalized (lowercased, space-collapsed) text. Not
+    * SQL-oracle-able (DuckDB lacks the hash); covered by ScalaTest.
+    */
+  def textFingerprint(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.select(
+      col("doc_id"),
+      Fingerprint.fnv1a64(s, col("text")).as("fingerprint"),
+      Fingerprint.fnv1a64(s, regexp_replace(lower(col("text")), " +", " "))
+        .as("normalized_fingerprint"))
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> ((s, d) =>
+      textLangId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_tokens" -> ((s, d) =>
+      textTokens(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, d) =>
+      textQuality(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, d) =>
+      textFingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))))
+
+  def oracles: Map[String, String] = Map(
+    "text_langid" -> textLangIdSql,
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql)
+}

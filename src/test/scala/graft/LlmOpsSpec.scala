@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Fnv1a64
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("fnv1a64 matches the FNV-1a reference vectors") {
+    // public FNV test vectors (http://www.isthe.com/chongo/tech/comp/fnv/)
+    assert(Fnv1a64.hashBytes("".getBytes("UTF-8")) == 0xcbf29ce484222325L)
+    assert(Fnv1a64.hashBytes("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    assert(Fnv1a64.hashBytes("foobar".getBytes("UTF-8")) == 0x85944171f73967e8L)
+  }
+
+  test("text_fingerprint native expression equals the scala impl") {
+    val rows = TextAnalysis.textFingerprint(Tables.documents(spark, sf))
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select(col("text"), col("fingerprint")).limit(20).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == Fnv1a64.hashBytes(r.getString(0).getBytes("UTF-8")))
+    }
+  }
+
+  test("minhash LSH finds all exact-duplicate token sets (jaccard 1.0)") {
+    val docs = Tables.documents(spark, sf)
+    val truth = Dedup.ngramJaccard(docs, n = 1, threshold = 1.0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashLsh(docs, threshold = 1.0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical token sets ⇒ identical signatures ⇒ all bands collide
+    val missedWithinBlock = (truth -- found)
+    assert(missedWithinBlock.isEmpty,
+      s"LSH missed ${missedWithinBlock.size} exact-set dups")
+  }
+
+  test("simhash is order-invariant and hamming-0 on permuted tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),
+      (3L, "totally different words here entirely now")).toDF("doc_id", "text")
+    val sims = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+  }
+
+  test("lsh ANN recall@5 vs brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb).select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb).select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall too low: $recall") // 6 planes, 64 buckets
+  }
+
+  test("multimodal decode is deterministic and schema-stable") {
+    val out = Multimodal.pipeline(spark, sf)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSet == Set("image", "audio", "video"))
+    val again = Multimodal.pipeline(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("dedup_exact keeps one keeper per distinct content") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.select(Dedup.normText(col("text"))).distinct().count()
+    assert(Dedup.exact(docs).count() == n)
+  }
+}
