@@ -18,7 +18,7 @@ object SparkEntry {
     Medallion.queries ++ Gold.queries ++ Analytics.queries ++
       Cdc.queries ++ Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +27,5 @@ object SparkEntry {
     Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ graft.streaming.EventStreams.oracles
 }

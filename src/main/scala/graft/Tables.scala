@@ -35,10 +35,13 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: double division of ~1e18 longs loses the
+    // low bits and can land one microsecond off
     load(s, d, "events")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
       .withColumn("ts_utc",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.col("ts_us")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,203 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.Medallion.dsum
+
+/** Structured-Streaming operators over the events feed — the engine
+  * analogue of the reference's streaming tables (`CREATE OR REFRESH
+  * STREAMING TABLE … FROM STREAM read_files(…)`,
+  * ref /root/reference/src/pipelines/bronze/orders.sql:10-27).
+  *
+  * Scale notes: the windowed aggregation is watermark-ready (bounded
+  * state on an unbounded feed); sessionization keeps one small state
+  * object per active user key and emits sessions on gap timeout —
+  * state size is O(active users), not O(events).
+  */
+object EventStreams {
+
+  val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Hourly windowed aggregation, run as a REAL streaming query: file
+    * source → groupBy(window) → memory sink, processed to completion.
+    * Complete output mode ⇒ result equals the batch aggregation, so the
+    * same DuckDB oracle applies. (In production this would run in
+    * append mode with `withWatermark("ts_utc", "1 hour")` bounding
+    * state; complete mode here lets the finite fixture flush every
+    * window.)
+    */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
+    val queryName = s"stream_windowed_agg_${System.identityHashCode(spark)}"
+    val src = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  val windowedAggSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min in µs
+
+  /** Batch sessionization via gap windows: a new session starts after a
+    * >30 min silence. Single shuffle on user_id; the running sum over
+    * the gap flags is the session index. Works in the exact microsecond
+    * domain (`ts_us`) for cross-engine parity.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"),
+        ((max(col("ts_us")) - min(col("ts_us"))).cast("double") / lit(1.0e6))
+          .as("duration_sec"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+         SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       sessions AS (
+         SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+           ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         FROM flagged)
+       SELECT user_id, session_idx,
+         MIN(event_id) AS first_event_id,
+         MAX(event_id) AS last_event_id,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value,
+         CAST(MAX(tsu) - MIN(tsu) AS DOUBLE) / 1000000.0 AS duration_sec
+       FROM sessions
+       GROUP BY user_id, session_idx
+       ORDER BY user_id, session_idx"""
+
+  // ---- stateful streaming sessionizer -------------------------------------
+  final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+  final case class SessionState(startId: Long, lastId: Long, lastTs: Long,
+      minTs: Long, n: Long, value: Double, idx: Long)
+  final case class SessionOut(user_id: Long, session_idx: Long,
+      first_event_id: Long, last_event_id: Long, n_events: Long,
+      duration_sec: Double)
+
+  /** Streaming sessionizer: one state object per user, sessions emitted
+    * when the gap closes them. Used with MemoryStream in tests; the
+    * same function serves a production `readStream`.
+    *
+    * Note: within a micro-batch, events for a key arrive as an
+    * iterator — sorted here because cross-batch order is only
+    * guaranteed per batch (fine for bounded fixtures and for
+    * watermark-ordered feeds).
+    */
+  def sessionizeStreaming(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+          var open = state.getOption.flatMap(_.headOption)
+          var closed = List.empty[SessionOut]
+          var nextIdx = open.map(_.idx).getOrElse(0L)
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts - s.lastTs <= SessionGapNs =>
+                open = Some(s.copy(lastId = e.event_id, lastTs = e.ts,
+                  n = s.n + 1, value = s.value + e.value))
+              case Some(s) =>
+                closed ::= SessionOut(userId, s.idx, s.startId, s.lastId,
+                  s.n, ((s.lastTs - s.minTs) / 1000000000L).toDouble)
+                nextIdx = s.idx + 1
+                open = Some(SessionState(e.event_id, e.event_id, e.ts, e.ts,
+                  1L, e.value, nextIdx))
+              case None =>
+                nextIdx += 1
+                open = Some(SessionState(e.event_id, e.event_id, e.ts, e.ts,
+                  1L, e.value, nextIdx))
+            }
+          }
+          state.update(open.toList)
+          closed.reverseIterator
+      }
+  }
+
+  /** Flush helper for bounded fixtures: emit still-open sessions. */
+  def openSessions(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+      var out = List.empty[SessionOut]
+      var cur = List.empty[Ev]
+      var idx = 0L
+      def close(): Unit = if (cur.nonEmpty) {
+        idx += 1
+        val s = cur.reverse
+        out ::= SessionOut(userId, idx, s.head.event_id, s.last.event_id,
+          s.size.toLong, ((s.last.ts - s.head.ts) / 1000000000L).toDouble)
+      }
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e.ts - cur.head.ts > SessionGapNs) close()
+        cur = e :: cur
+      }
+      close()
+      out.reverseIterator
+    }
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_agg" -> ((s, d) =>
+      windowedAgg(s, d).orderBy(col("window_start"), col("event_type"))),
+    "stream_sessionize" -> ((s, d) =>
+      sessionizeBatch(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_idx"))))
+
+  def oracles: Map[String, String] = Map(
+    "stream_windowed_agg" -> windowedAggSql,
+    "stream_sessionize" -> sessionizeSql)
+}
