@@ -60,14 +60,16 @@ object Analytics {
        ORDER BY 1, 2"""
 
   /** Ranked revenue per order for open orders (TPC-H Q3 shape).
-    * customer is broadcast; lineitem shuffles once on order_id.
+    * Joins are unhinted: AQE broadcasts the filtered customer side when
+    * it is small and falls back to shuffle joins at scale; lineitem
+    * shuffles once on order_id.
     */
   def q3TopOrders(customer: DataFrame, orders: DataFrame,
       li: DataFrame): DataFrame = {
     val cust = customer.filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     orders.filter(col("o_orderstatus") === "O")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // AQE broadcasts when small; customer scales with SF
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey").as("order_id"),
         to_date(col("o_orderdate")).as("order_date"),
@@ -90,16 +92,17 @@ object Analytics {
        ORDER BY order_id"""
 
   /** Multi-way dimensional rollup (TPC-H Q5 shape): revenue by nation
-    * where customer and supplier share the nation. All dims broadcast;
-    * the only shuffles are lineitem⋈orders on orderkey and the final
-    * tiny agg.
+    * where customer and supplier share the nation. Only the constant-
+    * size dims (nation, region) are broadcast-hinted; supplier and
+    * customer scale with SF, so their join strategy is left to
+    * statistics + AQE.
     */
   def q5RegionRevenue(customer: DataFrame, orders: DataFrame, li: DataFrame,
       supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
     orders
       .join(li, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey") &&
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

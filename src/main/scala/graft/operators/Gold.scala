@@ -16,7 +16,8 @@ import Medallion.{davg, dsum}
   * silver fact (partial aggregation combines map-side, so the shuffle
   * carries one row per group per task, not raw rows). The month-over-
   * month LAG windows run over the *aggregated* output (tiny), never the
-  * fact. Dimension joins are broadcast.
+  * fact. Constant-size dims (nation, region) are broadcast-hinted;
+  * SF-scaling dims (part, supplier) are left to statistics + AQE.
   */
 object Gold {
 
@@ -132,7 +133,7 @@ object Gold {
       .select("product_id", "category", "size_category")
     val base = sl
       .join(so, Seq("order_id"))
-      .join(broadcast(sp), Seq("product_id"), "left")
+      .join(sp, Seq("product_id"), "left") // part scales with SF — AQE decides
       .select(
         col("order_month"),
         coalesce(col("category"), lit("uncategorized")).as("product_category"),
@@ -290,7 +291,7 @@ object Gold {
     val sellers = Medallion.silverSellers(supplier, nation, region)
       .select("seller_id", "seller_name", "nation_name", "seller_region")
     sl.join(so, Seq("order_id"))
-      .join(broadcast(sellers), Seq("seller_id"))
+      .join(sellers, Seq("seller_id")) // supplier scales with SF — AQE decides
       .groupBy(col("order_date"), col("seller_id"), col("seller_name"),
         col("nation_name"), col("seller_region"))
       .agg(

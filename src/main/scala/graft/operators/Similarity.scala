@@ -27,22 +27,31 @@ object Similarity {
     * engine folding the same way (verified vs DuckDB list_dot_product).
     * Inputs must already be array<double>.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** Cosine from a precomputed dot and norms — use on pair-join paths so
+    * each vector's norm is folded once per vector, not once per pair.
+    */
+  def cosinePre(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
 
   private def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
   /** Exact top-k cosine neighbors for each probe (probe = vec_id % 50 == 0). */
   def bruteForceTopK(emb: DataFrame, k: Int = 5): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val probes = base.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
     val scored = base.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("pv"), col("v")).as("cosine"))
+        cosinePre(dot(col("pv"), col("v")), col("pnrm"), col("nrm"))
+          .as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -96,21 +105,23 @@ object Similarity {
   def lshTopK(emb: DataFrame, k: Int = 5, planes: Int = 4,
       tables: Int = 8): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bucketed = base.select(col("vec_id"), col("v"),
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val bucketed = base.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), lshBucket(col("v"), planes, t).as("bucket"))): _*))
         .as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
     val probes = bucketed.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("tbl"), col("bucket"))
+        col("nrm").as("pnrm"), col("tbl"), col("bucket"))
     val cands = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("pv"), col("v"))
+        col("pv"), col("v"), col("pnrm"), col("nrm"))
       .dropDuplicates("probe_id", "neighbor_id")
     val scored = cands.select(col("probe_id"), col("neighbor_id"),
-      cosine(col("pv"), col("v")).as("cosine"))
+      cosinePre(dot(col("pv"), col("v")), col("pnrm"), col("nrm"))
+        .as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
