@@ -41,6 +41,26 @@ object Medallion {
   def davg(c: Column): Column = dsum(c) / count(c.cast(DecimalType(18, 4)))
 
   // =========================================================================
+  // bronze_ingest — ref src/pipelines/bronze/orders.sql (audit-column
+  // pattern; the CSV/Auto-Loader reader itself lives in sources.CsvIngest)
+  // =========================================================================
+  /** Raw ingest with the reference's audit-column pattern. The
+    * reference stamps `_source_file` / `_ingested_at`
+    * (bronze/orders.sql:14-17); here the deterministic equivalents are
+    * the source table tag and a content key (wall-clock audit stamps
+    * are excluded from compared output by design).
+    */
+  def bronzeIngest(o: DataFrame, sourceTable: String): DataFrame = o
+    .withColumn("_source_table", lit(sourceTable))
+    .withColumn("_row_key", md5(col("o_orderkey").cast("string")))
+
+  val bronzeIngestSql: String =
+    """SELECT *, 'orders' AS _source_table,
+       md5(CAST(o_orderkey AS VARCHAR)) AS _row_key
+       FROM orders
+       ORDER BY o_orderkey"""
+
+  // =========================================================================
   // silver_lineitem — ref src/pipelines/silver/order_items.sql
   // =========================================================================
   def silverLineitem(li: DataFrame): DataFrame = li
@@ -390,6 +410,8 @@ object Medallion {
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bronze_ingest" -> ((s, d) =>
+      bronzeIngest(Tables.orders(s, d), "orders").orderBy(col("o_orderkey"))),
     "silver_lineitem" -> ((s, d) =>
       silverLineitem(Tables.lineitem(s, d))
         .orderBy(col("order_id"), col("line_number"))),
@@ -411,6 +433,7 @@ object Medallion {
         .orderBy(col("order_id"))))
 
   def oracles: Map[String, String] = Map(
+    "bronze_ingest" -> bronzeIngestSql,
     "silver_lineitem" -> silverLineitemSql,
     "silver_orders" -> silverOrdersSql,
     "silver_customers" -> silverCustomersSql,
