@@ -1,0 +1,89 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.{Cdc, Gold, Medallion}
+import graft.sources.LakeWriter
+
+/** Declarative pipeline DAG — the engine analogue of the reference's
+  * DLT pipeline (tables declare dependencies, the runtime orders and
+  * materializes them; ref /root/reference/resources/olist_pipeline.yml,
+  * docs/ORCHESTRATION_GUIDE.md).
+  *
+  * Tables are built in topological order; each result registers as a
+  * temp view so downstream builders can read it, and optionally lands
+  * as parquet under `lakeDir/<layer>/<name>`. Builders are lazy
+  * DataFrames, so Catalyst still fuses across table boundaries when a
+  * table is not persisted.
+  */
+object Pipeline {
+
+  final case class TableDef(
+      name: String,
+      layer: String,
+      deps: Seq[String],
+      build: (SparkSession, Map[String, DataFrame]) => DataFrame)
+
+  final class CycleException(names: Seq[String])
+    extends RuntimeException(s"dependency cycle among: ${names.mkString(", ")}")
+
+  /** Topological order (stable: insertion order among ready nodes). */
+  def topoSort(defs: Seq[TableDef]): Seq[TableDef] = {
+    val byName = defs.map(d => d.name -> d).toMap
+    val done = mutable.LinkedHashSet.empty[String]
+    val visiting = mutable.Set.empty[String]
+    def visit(d: TableDef): Unit = {
+      if (done.contains(d.name)) return
+      if (!visiting.add(d.name)) throw new CycleException(visiting.toSeq)
+      d.deps.foreach(dep => byName.get(dep).foreach(visit))
+      visiting.remove(d.name)
+      done.add(d.name)
+    }
+    defs.foreach(visit)
+    done.toSeq.map(byName)
+  }
+
+  /** Run the DAG; returns every materialized table by name.
+    * @param lakeDir when set, each table also lands as parquet
+    */
+  def run(spark: SparkSession, defs: Seq[TableDef],
+      lakeDir: Option[String] = None): Map[String, DataFrame] = {
+    val results = mutable.LinkedHashMap.empty[String, DataFrame]
+    topoSort(defs).foreach { d =>
+      val df = d.build(spark, results.toMap)
+      lakeDir.foreach { dir =>
+        df.write.mode("overwrite").parquet(s"$dir/${d.layer}/${d.name}")
+      }
+      results += d.name -> df
+    }
+    results.toMap
+  }
+
+  /** The full medallion DAG over the testdata schema — the engine's
+    * equivalent of the reference's main pipeline (bronze → silver →
+    * gold) plus the CDC flow.
+    */
+  def medallion(sfDir: String): Seq[TableDef] = Seq(
+    TableDef("silver_orders", "silver", Nil,
+      (s, _) => Medallion.silverOrders(Tables.orders(s, sfDir))),
+    TableDef("silver_lineitem", "silver", Nil,
+      (s, _) => Medallion.silverLineitem(Tables.lineitem(s, sfDir))),
+    TableDef("silver_customers", "silver", Nil,
+      (s, _) => Medallion.silverCustomers(Tables.customer(s, sfDir),
+        Tables.nation(s, sfDir), Tables.region(s, sfDir))),
+    TableDef("silver_orders_enriched", "silver",
+      Seq("silver_orders", "silver_lineitem"),
+      (s, _) => Medallion.silverOrdersEnriched(Tables.orders(s, sfDir),
+        Tables.lineitem(s, sfDir))),
+    TableDef("gold_daily_orders", "gold", Seq("silver_orders_enriched"),
+      (_, t) => Gold.dailyOrders(t("silver_orders_enriched"))),
+    TableDef("gold_monthly_orders", "gold", Seq("silver_orders_enriched"),
+      (_, t) => Gold.monthlyOrders(t("silver_orders_enriched"))),
+    TableDef("scd1_current", "cdc", Nil,
+      (s, _) => Cdc.scd1Current(Tables.events(s, sfDir))),
+    TableDef("scd2_history", "cdc", Nil,
+      (s, _) => Cdc.scd2History(Tables.events(s, sfDir))))
+}
