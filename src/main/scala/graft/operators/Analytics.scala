@@ -200,8 +200,80 @@ object Analytics {
        GROUP BY user_id
        ORDER BY user_id"""
 
+  /** Funnel analysis: signup → later click → later purchase, per user,
+    * rolled up to one row. Two window passes on the single user_id
+    * shuffle (conditional mins over ns-exact timestamps), then a global
+    * aggregate.
+    */
+  def eventsFunnel(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("signup_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("signup_ts"), col("ts"))).over(byUser))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("click_ts"), col("ts"))).over(byUser))
+    staged.groupBy(col("user_id"))
+      .agg(
+        max(col("signup_ts").isNotNull).as("did_signup"),
+        max(col("click_ts").isNotNull).as("did_click_after_signup"),
+        max(col("purchase_ts").isNotNull).as("did_full_funnel"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("did_signup"), 1)).as("n_signup"),
+        count(when(col("did_click_after_signup"), 1)).as("n_signup_click"),
+        count(when(col("did_full_funnel"), 1)).as("n_full_funnel"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH staged AS (
+         SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id) AS signup_ts,
+           ts, event_type
+         FROM events),
+       staged2 AS (
+         SELECT user_id, signup_ts, ts, event_type,
+           MIN(CASE WHEN event_type = 'click' AND ts >= signup_ts THEN ts END)
+             OVER (PARTITION BY user_id) AS click_ts
+         FROM staged),
+       staged3 AS (
+         SELECT user_id, signup_ts, click_ts,
+           MIN(CASE WHEN event_type = 'purchase' AND ts >= click_ts THEN ts END)
+             OVER (PARTITION BY user_id) AS purchase_ts
+         FROM staged2),
+       per_user AS (
+         SELECT user_id,
+           MAX(signup_ts IS NOT NULL) AS did_signup,
+           MAX(click_ts IS NOT NULL) AS did_click_after_signup,
+           MAX(purchase_ts IS NOT NULL) AS did_full_funnel
+         FROM staged3
+         GROUP BY user_id)
+       SELECT COUNT(*) AS n_users,
+         COUNT(CASE WHEN did_signup THEN 1 END) AS n_signup,
+         COUNT(CASE WHEN did_click_after_signup THEN 1 END) AS n_signup_click,
+         COUNT(CASE WHEN did_full_funnel THEN 1 END) AS n_full_funnel
+       FROM per_user"""
+
+  /** Approximate distinct users per event type (HyperLogLog++) — the
+    * sketch path for 100 TB cardinalities. Not oracle-able (DuckDB's
+    * approx sketch differs); the error bound vs the exact count is
+    * asserted in ScalaTest.
+    */
+  def eventsApproxUsers(events: DataFrame): DataFrame = events
+    .groupBy(col("event_type"))
+    .agg(
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+      count(lit(1)).as("n_events"))
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> ((s, d) => eventsFunnel(Tables.events(s, d))),
+    "events_approx_users" -> ((s, d) =>
+      eventsApproxUsers(Tables.events(s, d)).orderBy(col("event_type"))),
     "q1_pricing_summary" -> ((s, d) =>
       q1PricingSummary(Tables.lineitem(s, d))
         .orderBy(col("return_flag"), col("line_status"))),
@@ -218,6 +290,7 @@ object Analytics {
       eventsUserStats(Tables.events(s, d)).orderBy(col("user_id"))))
 
   def oracles: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,

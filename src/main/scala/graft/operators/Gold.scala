@@ -349,8 +349,53 @@ object Gold {
          sellers.nation_name, sellers.seller_region
        ORDER BY so.order_date, sl.seller_id"""
 
+  // =========================================================================
+  // gold_revenue_7d_ma — trailing moving average over the daily rollup
+  // (the MoM-comparison pattern of gold/monthly_orders.sql:50-52 at a
+  // finer grain)
+  // =========================================================================
+  /** 7-row trailing window over the daily aggregate. The frame sum runs
+    * over DECIMAL so the sliding reduction is exact (bit-identical at
+    * any frame evaluation order); the window input is the already-tiny
+    * daily rollup, never the fact.
+    */
+  def revenue7dMa(enriched: DataFrame): DataFrame = {
+    val daily = dailyOrders(enriched)
+      .select(col("order_date"), col("total_orders"), col("total_revenue"))
+    val w = Window.orderBy(col("order_date")).rowsBetween(-6, 0)
+    daily
+      .withColumn("revenue_7d_ma",
+        sum(col("total_revenue").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w))
+      .withColumn("orders_7d_ma",
+        sum(col("total_orders")).over(w).cast("double")
+          / count(lit(1)).over(w))
+  }
+
+  val revenue7dMaSql: String =
+    s"""WITH enr AS (${Medallion.silverOrdersEnrichedBodySql}),
+       daily AS (
+         SELECT order_date,
+           COUNT(*) AS total_orders,
+           CAST(SUM(CAST(items_total_value AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+         FROM enr
+         WHERE order_date IS NOT NULL
+         GROUP BY order_date)
+       SELECT order_date, total_orders, total_revenue,
+         CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS revenue_7d_ma,
+         CAST(SUM(total_orders) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS orders_7d_ma
+       FROM daily
+       WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       ORDER BY order_date"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_revenue_7d_ma" -> ((s, d) =>
+      revenue7dMa(Medallion.silverOrdersEnriched(
+        Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy(col("order_date"))),
     "gold_daily_orders" -> ((s, d) =>
       dailyOrders(Medallion.silverOrdersEnriched(
         Tables.orders(s, d), Tables.lineitem(s, d)))
@@ -373,6 +418,7 @@ object Gold {
         .orderBy(col("order_date"), col("seller_id"))))
 
   def oracles: Map[String, String] = Map(
+    "gold_revenue_7d_ma" -> revenue7dMaSql,
     "gold_daily_orders" -> dailyOrdersSql,
     "gold_monthly_orders" -> monthlyOrdersSql,
     "gold_category_performance" -> categoryPerformanceSql,

@@ -66,6 +66,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("approx_count_distinct is within the HLL error bound") {
+    import org.apache.spark.sql.functions.countDistinct
+    val events = Tables.events(spark, sf)
+    val approx = operators.Analytics.eventsApproxUsers(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1,
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
   test("dedup_exact keeps one keeper per distinct content") {
     val docs = Tables.documents(spark, sf)
     val n = docs.select(Dedup.normText(col("text"))).distinct().count()
