@@ -26,12 +26,19 @@ object LakeWriter {
     * dynamic-partition overwrite (only touched partitions replaced —
     * the idempotent-backfill behavior lakehouse pipelines rely on).
     */
+  /** @param clusterCols optional within-partition sort (the zOrderCols /
+    *        CLUSTER BY analog, ref bronze/orders.sql:15): clusters rows
+    *        so parquet row-group min/max stats prune point lookups
+    */
   def writePartitioned(df: DataFrame, path: String,
-      partitionCols: Seq[String], filesPerPartition: Int = 1): Unit = {
+      partitionCols: Seq[String], clusterCols: Seq[String] = Nil): Unit = {
     df.sparkSession.conf
       .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.repartition(partitionCols.map(col): _*)
-      .write
+    val repart = df.repartition(partitionCols.map(col): _*)
+    val clustered =
+      if (clusterCols.isEmpty) repart
+      else repart.sortWithinPartitions(clusterCols.map(col): _*)
+    clustered.write
       .partitionBy(partitionCols: _*)
       .mode(SaveMode.Overwrite)
       .parquet(path)

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Medallion
+import graft.sources.CsvIngest
+
+/** The reference's silver layer runs as STREAMING TABLEs over the CSV
+  * feed (silver/orders.sql:10 `FROM STREAM(bronze_orders)`). The same
+  * Medallion builders here are stateless column programs, so they apply
+  * unchanged to a streaming DataFrame — this spec drives CSV →
+  * streaming silver → memory sink end-to-end and checks parity with
+  * the batch result.
+  */
+class StreamingSilverSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("silver orders transform runs on a CSV stream and matches batch") {
+    // stage orders as CSV (the bronze landing-zone format)
+    val dir = Files.createTempDirectory("graft_csv_orders").toString
+    val orders = Tables.orders(spark, sf)
+    orders.withColumn("o_orderdate", date_format(col("o_orderdate"),
+        "yyyy-MM-dd HH:mm:ss"))
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+
+    val schema = new StructType()
+      .add("o_orderkey", LongType).add("o_custkey", LongType)
+      .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
+      .add("o_orderdate", TimestampType).add("o_orderpriority", StringType)
+
+    val stream = CsvIngest.streamCsv(spark, dir, schema)
+      .drop(CsvIngest.RescuedColumn, "_source_file")
+    val silver = Medallion.silverOrders(stream)
+
+    val q = silver.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("silver_orders_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("silver_orders_stream")
+    val batch = Medallion.silverOrders(orders)
+    assert(streamed.count() == batch.count())
+    val s = streamed.orderBy("order_id").collect()
+    val b = batch.orderBy("order_id").collect()
+    s.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+}
