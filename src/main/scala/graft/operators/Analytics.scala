@@ -269,8 +269,67 @@ object Analytics {
       approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
       count(lit(1)).as("n_events"))
 
+  /** Multi-dimensional subtotals: revenue by (region, nation) with
+    * ROLLUP — region subtotals and a grand total in one aggregation
+    * pass (grouping-sets expansion happens map-side, still a single
+    * shuffle).
+    */
+  def revenueRollup(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val cust = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), trim(col("n_name")).as("nation_name"),
+        trim(col("r_name")).as("region_name"))
+    orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .rollup(col("region_name"), col("nation_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        grouping_id().as("grouping_level"))
+  }
+
+  val revenueRollupSql: String =
+    """SELECT trim(r_name) AS region_name, trim(n_name) AS nation_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(trim(r_name)) * 2 + GROUPING(trim(n_name)) AS BIGINT)
+         AS grouping_level
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (trim(r_name), trim(n_name))
+       ORDER BY grouping_level, region_name, nation_name"""
+
+  /** Wide pivot: per-user event-type value totals as columns (explicit
+    * value list ⇒ stable schema, single aggregation pass).
+    */
+  def eventsPivot(events: DataFrame): DataFrame = events
+    .groupBy(col("user_id"))
+    .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+    .agg(sum(col("value").cast("decimal(18,4)")).cast("double"))
+    .na.fill(0.0)
+
+  val eventsPivotSql: String =
+    """SELECT user_id,
+       COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS click,
+       COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS error,
+       COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS purchase,
+       COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS signup,
+       COALESCE(CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS view
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_rollup" -> ((s, d) =>
+      revenueRollup(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))
+        .orderBy(col("grouping_level"), col("region_name"), col("nation_name"))),
+    "events_pivot" -> ((s, d) =>
+      eventsPivot(Tables.events(s, d)).orderBy(col("user_id"))),
     "events_funnel" -> ((s, d) => eventsFunnel(Tables.events(s, d))),
     "events_approx_users" -> ((s, d) =>
       eventsApproxUsers(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -290,6 +349,8 @@ object Analytics {
       eventsUserStats(Tables.events(s, d)).orderBy(col("user_id"))))
 
   def oracles: Map[String, String] = Map(
+    "revenue_rollup" -> revenueRollupSql,
+    "events_pivot" -> eventsPivotSql,
     "events_funnel" -> eventsFunnelSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
