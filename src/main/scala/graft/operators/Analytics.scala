@@ -269,6 +269,37 @@ object Analytics {
       approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
       count(lit(1)).as("n_events"))
 
+  /** Semi/anti join coverage: customers WITH any open order (EXISTS →
+    * left_semi) and customers WITHOUT any order at all (NOT EXISTS →
+    * left_anti). Both are single-shuffle joins that never materialize
+    * the probe side's payload.
+    */
+  def customerOrderPresence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val openOrders = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val anyOrders = orders.select(col("o_custkey"))
+    val withOpen = customer
+      .join(openOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("customer_id"),
+        lit("has_open_order").as("presence"))
+    val withoutAny = customer
+      .join(anyOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("customer_id"),
+        lit("no_orders").as("presence"))
+    withOpen.unionByName(withoutAny)
+  }
+
+  val customerOrderPresenceSql: String =
+    """SELECT c_custkey AS customer_id, 'has_open_order' AS presence
+       FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+       UNION ALL
+       SELECT c_custkey, 'no_orders'
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       ORDER BY presence, customer_id"""
+
   /** Multi-dimensional subtotals: revenue by (region, nation) with
     * ROLLUP — region subtotals and a grand total in one aggregation
     * pass (grouping-sets expansion happens map-side, still a single
@@ -324,6 +355,9 @@ object Analytics {
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_order_presence" -> ((s, d) =>
+      customerOrderPresence(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("presence"), col("customer_id"))),
     "revenue_rollup" -> ((s, d) =>
       revenueRollup(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))
@@ -349,6 +383,7 @@ object Analytics {
       eventsUserStats(Tables.events(s, d)).orderBy(col("user_id"))))
 
   def oracles: Map[String, String] = Map(
+    "customer_order_presence" -> customerOrderPresenceSql,
     "revenue_rollup" -> revenueRollupSql,
     "events_pivot" -> eventsPivotSql,
     "events_funnel" -> eventsFunnelSql,
