@@ -55,6 +55,11 @@ object Dedup {
 
   /** Near-dup pairs by n-gram Jaccard within (lang, token-bucket)
     * blocks. The self-join runs on the block key only — no crossJoin.
+    *
+    * Scale note: this is the EXACT verifier; within-block cost is
+    * O(m²) in the block size, so at 100 TB it serves as the
+    * verification stage behind [[minhashLsh]] (linear candidate
+    * generation), not as the primary pair generator.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
@@ -215,6 +220,10 @@ object Dedup {
   // =========================================================================
   /** Double-precision cosine with a deterministic left-fold — bitwise
     * reproducible across engines (see Similarity.cosine).
+    *
+    * Scale note: label-blocked exact pairing is O(m²) per label; at
+    * 100 TB the linear path is [[Similarity.lshTopK]]'s bucketing with
+    * this as the in-bucket verifier.
     */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
     val base = emb.select(col("vec_id"), col("label"),

@@ -177,8 +177,39 @@ object TextAnalysis {
         .as("normalized_fingerprint"))
   }
 
+  /** PII scrubbing for pretraining corpora: redact email-shaped and
+    * phone-shaped spans (same regex dialect subset in Java regex and
+    * RE2, so the oracle matches byte-for-byte). Pure per-row codegen'd
+    * expressions — runs at scan speed.
+    */
+  def textPiiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      scrubbed.as("scrubbed_text"),
+      (scrubbed =!= col("text")).as("was_scrubbed"))
+  }
+
+  val textPiiScrubSql: String =
+    """SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') <> text AS was_scrubbed
+       FROM documents
+       ORDER BY doc_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> ((s, d) =>
+      textPiiScrub(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_langid" -> ((s, d) =>
       textLangId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_tokens" -> ((s, d) =>
@@ -189,6 +220,7 @@ object TextAnalysis {
       textFingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   def oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangIdSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql)
