@@ -269,6 +269,30 @@ object Analytics {
       approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
       count(lit(1)).as("n_events"))
 
+  /** Exact quantiles of order value per status (sort-based
+    * `percentile` with linear interpolation — matches DuckDB's
+    * quantile_cont bit-for-bit on the same doubles).
+    */
+  def orderPriceQuantiles(orders: DataFrame): DataFrame = orders
+    .groupBy(col("o_orderstatus").as("order_status"))
+    .agg(
+      count(lit(1)).as("n_orders"),
+      percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+      percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+      percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+      percentile(col("o_totalprice"), lit(0.95)).as("p95"))
+
+  val orderPriceQuantilesSql: String =
+    """SELECT o_orderstatus AS order_status,
+       COUNT(*) AS n_orders,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       quantile_cont(o_totalprice, 0.95) AS p95
+       FROM orders
+       GROUP BY 1
+       ORDER BY 1"""
+
   /** Semi/anti join coverage: customers WITH any open order (EXISTS →
     * left_semi) and customers WITHOUT any order at all (NOT EXISTS →
     * left_anti). Both are single-shuffle joins that never materialize
@@ -358,6 +382,8 @@ object Analytics {
     "customer_order_presence" -> ((s, d) =>
       customerOrderPresence(Tables.customer(s, d), Tables.orders(s, d))
         .orderBy(col("presence"), col("customer_id"))),
+    "order_price_quantiles" -> ((s, d) =>
+      orderPriceQuantiles(Tables.orders(s, d)).orderBy(col("order_status"))),
     "revenue_rollup" -> ((s, d) =>
       revenueRollup(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))
@@ -384,6 +410,7 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "customer_order_presence" -> customerOrderPresenceSql,
+    "order_price_quantiles" -> orderPriceQuantilesSql,
     "revenue_rollup" -> revenueRollupSql,
     "events_pivot" -> eventsPivotSql,
     "events_funnel" -> eventsFunnelSql,
