@@ -119,6 +119,41 @@ object Cdc {
        WHERE operation <> 'DELETE'
        ORDER BY key_id, __start_at"""
 
+  // =========================================================================
+  // Generic AUTO CDC (ref docs/CDC_GUIDE.md: `AUTO CDC INTO target
+  // FROM stream(source) KEYS (…) SEQUENCE BY … STORED AS SCD TYPE 1|2`)
+  // =========================================================================
+  sealed trait ScdType
+  case object ScdType1 extends ScdType
+  case object ScdType2 extends ScdType
+
+  /** Apply a validated change feed to produce the target state —
+    * arbitrary key columns, sequence column, and operation column (op
+    * values INSERT/UPDATE/DELETE). Handles out-of-order arrival (the
+    * sequence, not arrival order, decides), delete-then-reinsert
+    * (SCD2 opens a fresh version), and per-key resolution in one
+    * window pass.
+    */
+  def applyChanges(feed: DataFrame, keys: Seq[String], seqCol: String,
+      opCol: String, scd: ScdType): DataFrame = {
+    val keyCols = keys.map(col)
+    scd match {
+      case ScdType1 =>
+        val w = Window.partitionBy(keyCols: _*).orderBy(col(seqCol).desc)
+        feed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col(opCol) =!= "DELETE")
+          .drop("__rn", opCol)
+      case ScdType2 =>
+        val w = Window.partitionBy(keyCols: _*).orderBy(col(seqCol))
+        feed
+          .withColumn("__start_at", col(seqCol))
+          .withColumn("__end_at", lead(col(seqCol), 1).over(w))
+          .filter(col(opCol) =!= "DELETE")
+          .withColumn("__is_current", col("__end_at").isNull)
+          .drop(opCol)
+    }
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stage" -> ((s, d) =>

@@ -56,8 +56,11 @@ object LakeWriter {
     val tagged = updates.withColumn("_is_update", lit(1))
     val all = if (existing == null) tagged
       else existing.unionByName(tagged, allowMissingColumns = true)
+    // sequence outranks provenance: a late-arriving update with an older
+    // sequence must NOT overwrite newer table state; updates win only on
+    // sequence ties
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_is_update").desc, col(seqCol).desc)
+      .orderBy(col(seqCol).desc, col("_is_update").desc)
     val merged = all
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

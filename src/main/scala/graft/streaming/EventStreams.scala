@@ -189,6 +189,37 @@ object EventStreams {
     }
   }
 
+  /** Streaming AUTO CDC SCD1: per-microbatch MERGE into the lake table —
+    * the engine analogue of `CREATE FLOW … AS AUTO CDC INTO target …
+    * STORED AS SCD TYPE 1` (ref cdc_customers_silver.sql:55-66). Each
+    * batch resolves its own keys (window) then upserts, so the table
+    * converges to the same state as the batch SCD1 regardless of how
+    * the feed is chopped into batches.
+    *
+    * @param feed streaming frame with key/seq/op columns
+    */
+  def streamingScd1(feed: DataFrame, path: String, keys: Seq[String],
+      seqCol: String, opCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // resolve within the batch first (latest per key), keep DELETE
+        // markers so the upsert can drop those keys
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+        val resolved = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .withColumn("_deleted", col(opCol) === "DELETE")
+          .drop(opCol)
+        graft.sources.LakeWriter.upsert(spark, path, resolved, keys, seqCol)
+        ()
+      }
+      .start()
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> ((s, d) =>
