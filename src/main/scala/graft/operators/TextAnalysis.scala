@@ -206,8 +206,27 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** Deterministic train/val/test split by content hash (fnv1a64 of the
+    * normalized text, not doc_id, so the split survives re-ingestion
+    * with different ids — the standard trick for stable corpus splits).
+    * 90/5/5. Not SQL-oracle-able (DuckDB lacks the hash); determinism
+    * and proportions are asserted in ScalaTest.
+    */
+  def corpusSplit(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val bucket = pmod(
+      Fingerprint.fnv1a64(s, regexp_replace(lower(trim(col("text"))), " +", " ")),
+      lit(100L))
+    docs.select(
+      col("doc_id"), col("lang"),
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        .as("split"))
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split" -> ((s, d) =>
+      corpusSplit(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_pii_scrub" -> ((s, d) =>
       textPiiScrub(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_langid" -> ((s, d) =>

@@ -80,6 +80,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus split is deterministic with sane proportions") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = TextAnalysis.corpusSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = TextAnalysis.corpusSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2)
+    val n = s1.size.toDouble
+    val train = s1.values.count(_ == "train") / n
+    assert(train > 0.8 && train < 0.97, s"train fraction $train")
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("dedup_exact keeps one keeper per distinct content") {
     val docs = Tables.documents(spark, sf)
     val n = docs.select(Dedup.normText(col("text"))).distinct().count()
