@@ -83,8 +83,46 @@ object Multimodal {
         countDistinct(col("content_hash")).as("distinct_contents"))
   }
 
+  /** Resize stage: recompute target dimensions preserving aspect ratio
+    * (pure metadata math here — a real codec would transform pixels in
+    * the same per-partition pass).
+    */
+  def resizeMeta(meta: Dataset[MediaMeta], maxDim: Int): Dataset[MediaMeta] = {
+    import meta.sparkSession.implicits._
+    meta.mapPartitions(_.map { m =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+      m.copy(width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt))
+    })
+  }
+
+  final case class Frame(doc_id: Long, frame_index: Int, frame_hash: Long)
+
+  /** Frame sampling: one output row per sampled frame (every `rate`-th),
+    * video rows only — the explode pattern a video pipeline uses to fan
+    * frames out to per-frame feature extraction.
+    */
+  def frameSample(meta: Dataset[MediaMeta], rate: Int): Dataset[Frame] = {
+    import meta.sparkSession.implicits._
+    meta.filter(_.media_type == "video").flatMap { m =>
+      (0 until m.n_frames by rate).map { i =>
+        // STUB frame decode: hash-derived stand-in for the frame bytes
+        Frame(m.doc_id, i, m.content_hash ^ (i.toLong * Fnv1a64.Prime))
+      }
+    }
+  }
+
+  /** Sampled frames for every video payload (rows-only check). */
+  def frames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = withPayload(Tables.documents(spark, dir)).as[MediaRow]
+    frameSample(resizeMeta(decodeAll(media), maxDim = 512), rate = 30).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_pipeline" -> ((s, d) => pipeline(s, d).orderBy(col("media_type"))))
+    "multimodal_pipeline" -> ((s, d) => pipeline(s, d).orderBy(col("media_type"))),
+    "multimodal_frames" -> ((s, d) =>
+      frames(s, d).orderBy(col("doc_id"), col("frame_index"))))
 
   def oracles: Map[String, String] = Map.empty
 }

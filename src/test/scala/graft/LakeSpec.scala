@@ -50,6 +50,18 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("partition filters prune partitions at the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t4"
+    val df = (1 to 100).map(i => (i, s"2024-01-${i % 4 + 1}")).toDF("id", "d")
+    LakeWriter.writePartitioned(df, dir, Seq("d"), clusterCols = Seq("id"))
+    val q = spark.read.parquet(dir).filter(col("d") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("2024-01-02"), s"partition filter not pushed:\n$scan")
+    assert(q.count() == df.filter(col("d") === "2024-01-02").count())
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sf)
     val direct = li.groupBy(col("l_suppkey"))

@@ -58,6 +58,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall too low: $recall") // 6 planes, 64 buckets
   }
 
+  test("multimodal resize preserves aspect and frame sampling respects rate") {
+    import spark.implicits._
+    val media = Multimodal.withPayload(Tables.documents(spark, sf))
+      .as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeAll(media)
+    val resized = Multimodal.resizeMeta(decoded, maxDim = 256).collect()
+    assert(resized.forall(m => m.width <= 256 && m.height <= 256))
+    val frames = Multimodal.frameSample(decoded, rate = 30).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_index % 30 == 0))
+    val byDoc = frames.groupBy(_.doc_id)
+    val nf = decoded.filter(_.media_type == "video").collect()
+      .map(m => m.doc_id -> m.n_frames).toMap
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == (nf(id) + 29) / 30)
+    }
+  }
+
   test("multimodal decode is deterministic and schema-stable") {
     val out = Multimodal.pipeline(spark, sf)
     val rows = out.collect()
