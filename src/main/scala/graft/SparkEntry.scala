@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Masking
-import graft.operators.{Analytics, Cdc, Dedup, Gold, Medallion, Multimodal,
-  Quality, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Cdc, Dedup, Gold, Ivf, Medallion,
+  Multimodal, Quality, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
     Medallion.queries ++ Gold.queries ++ Analytics.queries ++
       Cdc.queries ++ Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ graft.streaming.EventStreams.queries
+      Multimodal.queries ++ Ivf.queries ++
+      graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

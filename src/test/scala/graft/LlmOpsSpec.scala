@@ -58,6 +58,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall too low: $recall") // 6 planes, 64 buckets
   }
 
+  test("ivf ANN is deterministic with recall above the LSH path") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb).select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = operators.Ivf.ivfTopK(emb).select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = operators.Ivf.ivfTopK(emb).select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1 == ivf2, "IVF result not deterministic")
+    val recall = (exact & ivf1).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("multimodal resize preserves aspect and frame sampling respects rate") {
     import spark.implicits._
     val media = Multimodal.withPayload(Tables.documents(spark, sf))
