@@ -16,9 +16,13 @@ import graft.operators.Medallion
   */
 object Masking {
 
-  /** "Joao Silva" → "J*** Silva" (ref pii_masking.sql:26-37). */
+  /** "Joao Silva" → "J*** Silva"; single-token names (no surname to
+    * show) mask to "J***" — the reference's shape (pii_masking.sql:
+    * 26-37) would leak the whole value through its last-word fallback.
+    */
   def maskName(name: Column): Column =
     when(name.isNull, lit(null).cast("string"))
+      .when(!name.contains(" "), concat(substring(name, 1, 1), lit("***")))
       .otherwise(concat(substring(name, 1, 1), lit("*** "),
         regexp_extract(name, "[^ ]*$", 0)))
 
@@ -94,6 +98,8 @@ object Masking {
            AND length(trim(c_name)) > 0 AND c_nationkey IS NOT NULL)
        SELECT customer_id,
          CASE WHEN customer_name IS NULL THEN NULL
+           WHEN NOT contains(customer_name, ' ')
+             THEN substring(customer_name, 1, 1) || '***'
            ELSE substring(customer_name, 1, 1) || '*** '
              || regexp_extract(customer_name, '[^ ]*$') END AS customer_name,
          CASE WHEN customer_email IS NULL THEN NULL

@@ -21,8 +21,18 @@ class TopKAggregator(k: Int)
   private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
     xs.sortBy { case (v, tag) => (-v, tag) }.take(k)
 
+  // buffer is kept sorted; per-row cost is O(k) insert, not O(k log k)
+  // re-sort — this runs once per input row on the map side
   override def reduce(buf: List[(Double, Long)],
-      in: (Double, Long)): List[(Double, Long)] = trim(in :: buf)
+      in: (Double, Long)): List[(Double, Long)] = {
+    if (buf.length >= k) {
+      val last = buf.last
+      if (in._1 < last._1 || (in._1 == last._1 && in._2 >= last._2)) return buf
+    }
+    val (before, after) = buf.span(x =>
+      x._1 > in._1 || (x._1 == in._1 && x._2 < in._2))
+    (before ::: in :: after).take(k)
+  }
 
   override def merge(a: List[(Double, Long)],
       b: List[(Double, Long)]): List[(Double, Long)] = trim(a ++ b)

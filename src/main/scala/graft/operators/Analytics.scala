@@ -21,7 +21,10 @@ object Analytics {
     * bound, which is the right bottleneck.
     */
   def q1PricingSummary(li: DataFrame): DataFrame = li
-    .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+    // strict < next-day midnight: includes ALL of 1998-09-02 even for
+    // non-midnight timestamps, matches the oracle exactly, and stays a
+    // plain timestamp comparison (pushed to the parquet scan)
+    .filter(col("l_shipdate") < lit("1998-09-03").cast("date"))
     .groupBy(col("l_returnflag").as("return_flag"),
       col("l_linestatus").as("line_status"))
     .agg(
@@ -55,7 +58,7 @@ object Analytics {
          / COUNT(CAST(l_discount AS DECIMAL(18,4))) AS avg_disc,
        COUNT(*) AS count_order
        FROM lineitem
-       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
        GROUP BY 1, 2
        ORDER BY 1, 2"""
 

@@ -82,7 +82,9 @@ object Ivf {
     val centroids = kmeans(emb, nlist)
     val bc = spark.sparkContext.broadcast(centroids)
 
-    val base = toVec(emb).as[(Long, Array[Double])]
+    // cache: assignment and probe fan-out both scan this (kmeans manages
+    // its own cached copy); left cached for the returned lazy plan
+    val base = toVec(emb).as[(Long, Array[Double])].cache()
     val assigned = base.mapPartitions(_.map { case (id, v) =>
       (id, v, argminCentroid(v, bc.value))
     }).toDF("vec_id", "v", "cluster")

@@ -28,18 +28,22 @@ object Pipeline {
       build: (SparkSession, Map[String, DataFrame]) => DataFrame)
 
   final class CycleException(names: Seq[String])
-    extends RuntimeException(s"dependency cycle among: ${names.mkString(", ")}")
+    extends RuntimeException(s"dependency cycle along: ${names.mkString(" -> ")}")
 
   /** Topological order (stable: insertion order among ready nodes). */
   def topoSort(defs: Seq[TableDef]): Seq[TableDef] = {
     val byName = defs.map(d => d.name -> d).toMap
     val done = mutable.LinkedHashSet.empty[String]
-    val visiting = mutable.Set.empty[String]
+    // path is the actual DFS chain, so a cycle reports in walk order
+    val path = mutable.ArrayBuffer.empty[String]
     def visit(d: TableDef): Unit = {
       if (done.contains(d.name)) return
-      if (!visiting.add(d.name)) throw new CycleException(visiting.toSeq)
+      if (path.contains(d.name))
+        throw new CycleException(
+          (path.dropWhile(_ != d.name) :+ d.name).toSeq)
+      path += d.name
       d.deps.foreach(dep => byName.get(dep).foreach(visit))
-      visiting.remove(d.name)
+      path.remove(path.length - 1)
       done.add(d.name)
     }
     defs.foreach(visit)
@@ -57,6 +61,7 @@ object Pipeline {
       lakeDir.foreach { dir =>
         df.write.mode("overwrite").parquet(s"$dir/${d.layer}/${d.name}")
       }
+      df.createOrReplaceTempView(d.name) // downstream `spark.table(name)` works
       results += d.name -> df
     }
     results.toMap

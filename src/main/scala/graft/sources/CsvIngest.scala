@@ -25,18 +25,24 @@ object CsvIngest {
 
   val RescuedColumn = "_rescued_data"
 
-  /** Batch CSV ingest with rescued-data semantics and audit columns. */
+  /** Batch CSV ingest with rescued-data semantics and audit columns.
+    * Without an explicit schema, the schema is inferred first and then
+    * the data is re-read WITH the rescued column — Spark only populates
+    * `columnNameOfCorruptRecord` when the column is present in the
+    * schema, so a plain inferSchema read would silently null malformed
+    * rows instead of rescuing them.
+    */
   def readCsv(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame = {
-    val reader = spark.read
+    val resolved = schema.getOrElse(
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path).schema)
+    spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", RescuedColumn)
-    val withSchema = schema match {
-      case Some(s) => reader.schema(s.add(RescuedColumn, "string"))
-      case None    => reader.option("inferSchema", "true")
-    }
-    withSchema.csv(path)
+      .schema(resolved.add(RescuedColumn, "string"))
+      .csv(path)
       .select(col("*"), col("_metadata.file_path").as("_source_file"),
         col("_metadata.file_modification_time").as("_file_modified_at"))
   }

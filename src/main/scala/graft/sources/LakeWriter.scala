@@ -46,7 +46,13 @@ object LakeWriter {
 
   /** MERGE-style upsert: rows in `updates` replace same-key rows in the
     * table; unmatched keys append. Deletes: pass a `_deleted` boolean
-    * in `updates`. Last-writer-wins within `updates` by `seqCol`.
+    * in `updates`. Last-writer-wins by `seqCol`.
+    *
+    * Deleted keys persist as TOMBSTONE rows (`_deleted = true`) rather
+    * than being physically removed — otherwise a late-arriving update
+    * with an older sequence would resurrect a deleted key on the next
+    * merge. [[read]] filters tombstones; [[compact]] can purge them
+    * once late data can no longer arrive.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], seqCol: String): Unit = {
@@ -54,8 +60,10 @@ object LakeWriter {
       try spark.read.parquet(path).withColumn("_is_update", lit(0))
       catch { case _: Exception => null } // first write: no table yet
     val tagged = updates.withColumn("_is_update", lit(1))
-    val all = if (existing == null) tagged
+    val all0 = if (existing == null) tagged
       else existing.unionByName(tagged, allowMissingColumns = true)
+    val all = if (all0.columns.contains("_deleted")) all0
+      else all0.withColumn("_deleted", lit(false))
     // sequence outranks provenance: a late-arriving update with an older
     // sequence must NOT overwrite newer table state; updates win only on
     // sequence ties
@@ -65,17 +73,25 @@ object LakeWriter {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_is_update")
-    val deleted = if (merged.columns.contains("_deleted"))
-      merged.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-    else merged
+      .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
     // parquet has no transaction log: stage then swap via temp suffix
     val tmp = path + "_staged"
-    deleted.write.mode(SaveMode.Overwrite).parquet(tmp)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Read an upsert-maintained table: live rows only (tombstones
+    * filtered, marker column dropped).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("_deleted"))
+      df.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else df
   }
 
   /** OPTIMIZE analogue: rewrite a table directory to `targetFiles`. */

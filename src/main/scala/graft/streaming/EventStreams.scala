@@ -56,7 +56,13 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    // detach the result from the session-scoped memory sink and clean up
+    // (repeated calls would otherwise leak a temp view + checkpoint each)
+    val out = spark.table(queryName).cache()
+    out.count()
+    spark.catalog.dropTempView(queryName)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    out
   }
 
   val windowedAggSql: String =
@@ -151,7 +157,7 @@ object EventStreams {
                   n = s.n + 1, value = s.value + e.value))
               case Some(s) =>
                 closed ::= SessionOut(userId, s.idx, s.startId, s.lastId,
-                  s.n, ((s.lastTs - s.minTs) / 1000000000L).toDouble)
+                  s.n, (s.lastTs - s.minTs).toDouble / 1.0e9)
                 nextIdx = s.idx + 1
                 open = Some(SessionState(e.event_id, e.event_id, e.ts, e.ts,
                   1L, e.value, nextIdx))
@@ -178,7 +184,7 @@ object EventStreams {
         idx += 1
         val s = cur.reverse
         out ::= SessionOut(userId, idx, s.head.event_id, s.last.event_id,
-          s.size.toLong, ((s.last.ts - s.head.ts) / 1000000000L).toDouble)
+          s.size.toLong, (s.last.ts - s.head.ts).toDouble / 1.0e9)
       }
       sorted.foreach { e =>
         if (cur.nonEmpty && e.ts - cur.head.ts > SessionGapNs) close()

@@ -65,7 +65,7 @@ class AutoCdcSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.read.parquet(path)
+    val streamed = sources.LakeWriter.read(spark, path)
       .orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
     assert(streamed.toSeq == Seq((1L, "a3"), (2L, "b3")))

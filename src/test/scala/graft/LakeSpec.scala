@@ -35,9 +35,16 @@ class LakeSpec extends AnyFunSuite {
     val upd = Seq((2L, "b2", 2L, false), (3L, "c", 2L, true), (4L, "d", 2L, false))
       .toDF("id", "payload", "seq", "_deleted")
     LakeWriter.upsert(spark, dir, upd, Seq("id"), "seq")
-    val out = spark.read.parquet(dir).orderBy("id").collect()
+    val out = LakeWriter.read(spark, dir).orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
     assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // tombstone semantics: a late update with an OLDER sequence must not
+    // resurrect the deleted key
+    val late = Seq((3L, "c-late", 1L, false)).toDF("id", "payload", "seq", "_deleted")
+    LakeWriter.upsert(spark, dir, late, Seq("id"), "seq")
+    val ids = LakeWriter.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L), "late stale update resurrected a deleted key")
   }
 
   test("compact reduces file count") {
