@@ -133,7 +133,10 @@ object Medallion {
       lower(trim(substring(col("o_orderpriority"), 3, 20)))
         .as("priority_label"),
       (substring(col("o_orderpriority"), 1, 1).cast("int") <= 2)
-        .as("is_high_priority"))
+        .as("is_high_priority"),
+      // time dim (ref orders_enriched.sql:96-99); Spark dayofweek is
+      // 1=Sunday, DuckDB's is 0=Sunday — oracle adds 1
+      dayofweek(col("o_orderdate")).cast("int").as("order_dow"))
 
   val silverOrdersSql: String =
     """SELECT o_orderkey AS order_id,
@@ -147,7 +150,8 @@ object Medallion {
        CAST(year(o_orderdate) AS BIGINT) AS order_year,
        CAST(substring(o_orderpriority, 1, 1) AS INT) AS priority_code,
        lower(trim(substring(o_orderpriority, 3, 20))) AS priority_label,
-       CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2 AS is_high_priority
+       CAST(substring(o_orderpriority, 1, 1) AS INT) <= 2 AS is_high_priority,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow
        FROM orders
        WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
          AND o_orderstatus IN ('O','F','P') AND o_orderdate IS NOT NULL
