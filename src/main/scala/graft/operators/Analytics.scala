@@ -272,6 +272,34 @@ object Analytics {
       approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
       count(lit(1)).as("n_events"))
 
+  /** Rank-function family over event values within each type: rank,
+    * dense_rank, percent_rank, ntile — top 20 per type via the rank
+    * filter (optimized to WindowGroupLimit: partial top-k before the
+    * shuffle).
+    */
+  def eventsValueRanks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("int"))
+      .filter(col("rnk") <= 20)
+  }
+
+  val eventsValueRanksSql: String =
+    """WITH ranked AS (
+         SELECT event_id, event_type, value,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+           percent_rank() OVER w AS pct_rank,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+       SELECT * FROM ranked WHERE rnk <= 20
+       ORDER BY event_type, rnk, event_id"""
+
   /** Exact quantiles of order value per status (sort-based
     * `percentile` with linear interpolation — matches DuckDB's
     * quantile_cont bit-for-bit on the same doubles).
@@ -387,6 +415,9 @@ object Analytics {
         .orderBy(col("presence"), col("customer_id"))),
     "order_price_quantiles" -> ((s, d) =>
       orderPriceQuantiles(Tables.orders(s, d)).orderBy(col("order_status"))),
+    "events_value_ranks" -> ((s, d) =>
+      eventsValueRanks(Tables.events(s, d))
+        .orderBy(col("event_type"), col("rnk"), col("event_id"))),
     "revenue_rollup" -> ((s, d) =>
       revenueRollup(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))
@@ -414,6 +445,7 @@ object Analytics {
   def oracles: Map[String, String] = Map(
     "customer_order_presence" -> customerOrderPresenceSql,
     "order_price_quantiles" -> orderPriceQuantilesSql,
+    "events_value_ranks" -> eventsValueRanksSql,
     "revenue_rollup" -> revenueRollupSql,
     "events_pivot" -> eventsPivotSql,
     "events_funnel" -> eventsFunnelSql,

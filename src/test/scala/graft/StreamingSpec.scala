@@ -24,6 +24,26 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming dropDuplicates removes cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("event_id", "value")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream_out").start()
+    try {
+      mem.addData(Seq((1L, 1.0), (2L, 2.0), (1L, 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, 2.0), (3L, 3.0))) // dup arrives in a LATER batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+    spark.catalog.dropTempView("dedup_stream_out")
+  }
+
   test("stateful streaming sessionizer agrees with batch gap windows") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
