@@ -23,6 +23,19 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only queries (no oracle): flag empty/missing output
+    for d in sorted(os.listdir(out)):
+        full = os.path.join(out, d)
+        if not os.path.isdir(full) or d in oracle:
+            continue
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{full}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {d} (rows-only): unreadable {e}"); n_fail += 1; continue
+        if n == 0:
+            print(f"FAIL {d} (rows-only): 0 rows"); n_fail += 1
+        else:
+            print(f"PASS {d} (rows-only, {n} rows)"); n_pass += 1
     for name, sql in sorted(oracle.items()):
         pq = f"{out}/{name}"
         if not glob.glob(f"{pq}/*.parquet"):
