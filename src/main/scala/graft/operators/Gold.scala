@@ -390,8 +390,46 @@ object Gold {
        WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
        ORDER BY order_date"""
 
+  // =========================================================================
+  // gold_customer_ltv — customer lifetime metrics (the customer-grain
+  // analytics the reference's gold layer implies via unique_customers /
+  // revenue_per_customer, materialized per customer)
+  // =========================================================================
+  def customerLtv(enriched: DataFrame): DataFrame = enriched
+    .groupBy(col("customer_id"))
+    .agg(
+      count(lit(1)).as("lifetime_orders"),
+      dsum(col("items_total_value")).as("lifetime_value"),
+      davg(col("items_total_value")).as("avg_order_value"),
+      min(col("order_date")).as("first_order_date"),
+      max(col("order_date")).as("last_order_date"),
+      datediff(max(col("order_date")), min(col("order_date"))).cast("long")
+        .as("tenure_days"),
+      count(when(col("is_fulfilled"), 1)).as("fulfilled_orders"),
+      max(col("is_high_priority")).as("ever_high_priority"))
+
+  val customerLtvSql: String =
+    s"""WITH enr AS (${Medallion.silverOrdersEnrichedBodySql})
+       SELECT customer_id,
+         COUNT(*) AS lifetime_orders,
+         CAST(SUM(CAST(items_total_value AS DECIMAL(18,4))) AS DOUBLE) AS lifetime_value,
+         CAST(SUM(CAST(items_total_value AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(CAST(items_total_value AS DECIMAL(18,4))) AS avg_order_value,
+         MIN(order_date) AS first_order_date,
+         MAX(order_date) AS last_order_date,
+         datediff('day', MIN(order_date), MAX(order_date)) AS tenure_days,
+         COUNT(CASE WHEN is_fulfilled THEN 1 END) AS fulfilled_orders,
+         MAX(is_high_priority) AS ever_high_priority
+       FROM enr
+       GROUP BY customer_id
+       ORDER BY customer_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_customer_ltv" -> ((s, d) =>
+      customerLtv(Medallion.silverOrdersEnriched(
+        Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy(col("customer_id"))),
     "gold_revenue_7d_ma" -> ((s, d) =>
       revenue7dMa(Medallion.silverOrdersEnriched(
         Tables.orders(s, d), Tables.lineitem(s, d)))
@@ -418,6 +456,7 @@ object Gold {
         .orderBy(col("order_date"), col("seller_id"))))
 
   def oracles: Map[String, String] = Map(
+    "gold_customer_ltv" -> customerLtvSql,
     "gold_revenue_7d_ma" -> revenue7dMaSql,
     "gold_daily_orders" -> dailyOrdersSql,
     "gold_monthly_orders" -> monthlyOrdersSql,
