@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.Fnv1a64
+import graft.functions.{Fnv1a64, HashSample}
 
 /** SparkSessionExtensions entry point: registers graft's native
-  * expressions so SQL users (`SELECT fnv1a64(text) FROM docs`) and the
+  * expressions so SQL users (`SELECT fnv1a64(text) FROM docs`,
+  * `SELECT lang, hash_sample(text, 3) FROM docs GROUP BY lang`) and the
   * Column API share one codegen'd implementation.
   *
   * Wire up with:
@@ -22,5 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
       (children: Seq[Expression]) => Fnv1a64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hash_sample"),
+      new ExpressionInfo(classOf[HashSample].getName, "hash_sample"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"hash_sample k must be a literal, got $other")
+        }
+        HashSample(children.head, k).toAggregateExpression()
+      }))
   }
 }

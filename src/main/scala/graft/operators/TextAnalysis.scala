@@ -223,8 +223,32 @@ object TextAnalysis {
         .as("split"))
   }
 
+  /** Deterministic k-sample of documents per language via the native
+    * `hash_sample` TypedImperativeAggregate (k-min-hash sampling —
+    * partition-order independent, k-bounded partials). rows-only
+    * (DuckDB lacks the hash); invariants in ScalaTest.
+    */
+  def docsSamplePerLang(docs: DataFrame, k: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    // fallback registration for sessions built without GraftExtensions
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_sample",
+      exprs => graft.functions.HashSample(
+        exprs.head,
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.toString.toInt).toAggregateExpression(),
+      "built-in")
+    docs.createOrReplaceTempView("graft_docs_sample_in")
+    s.sql(
+      s"""SELECT lang, hash_sample(CAST(doc_id AS STRING), $k) AS sample_ids,
+         COUNT(*) AS group_size
+         FROM graft_docs_sample_in GROUP BY lang""")
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_sample_per_lang" -> ((s, d) =>
+      docsSamplePerLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "corpus_split" -> ((s, d) =>
       corpusSplit(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_pii_scrub" -> ((s, d) =>

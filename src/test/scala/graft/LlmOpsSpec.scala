@@ -111,6 +111,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash_sample is deterministic, bounded, and a subset of the group") {
+    val docs = Tables.documents(spark, sf)
+    def run(parts: Int): Map[String, Seq[String]] =
+      TextAnalysis.docsSamplePerLang(docs.repartition(parts)).collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val a = run(1)
+    val b = run(16)
+    assert(a == b, "sample depends on partitioning")
+    val sizes = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = docs.select(col("lang"), col("doc_id").cast("string"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    a.foreach { case (lang, sample) =>
+      assert(sample.size == math.min(3, sizes(lang)))
+      assert(sample.toSet.subsetOf(ids(lang)))
+    }
+    // SQL path through GraftExtensions
+    docs.createOrReplaceTempView("docs_ext_test")
+    val viaSql = spark.sql(
+      "SELECT lang, hash_sample(CAST(doc_id AS STRING), 3) s FROM docs_ext_test GROUP BY lang")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == a)
+  }
+
   test("corpus split is deterministic with sane proportions") {
     val docs = Tables.documents(spark, sf)
     val s1 = TextAnalysis.corpusSplit(docs).collect()
