@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HashSample(children.head, k).toAggregateExpression()
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
   }
 }

@@ -154,8 +154,57 @@ object Cdc {
     }
   }
 
+  /** Point-in-time lookup: every change event joined to the SCD2
+    * version valid at its sequence, through the custom
+    * [[graft.plans.PointInIntervalJoinExec]] operator (single
+    * co-partitioned streaming merge — no per-key version blow-up).
+    */
+  def pointInTime(spark: SparkSession, events: DataFrame): DataFrame = {
+    val versions = scd2History(events)
+      .select(col("key_id"), col("value").as("version_value"),
+        col("__start_at"), col("__end_at"))
+    val points = stage(events)
+      .select(col("key_id").as("p_key"), col("sequence_number"))
+    graft.plans.PointInInterval.join(spark, points, versions,
+        leftKey = "p_key", rightKey = "key_id", pointCol = "sequence_number",
+        startCol = "__start_at", endCol = "__end_at")
+      .select(col("p_key").as("key_id"), col("sequence_number"),
+        col("__start_at").as("version_start"), col("version_value"))
+  }
+
+  val pointInTimeSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       versions AS (
+         SELECT key_id, value AS version_value,
+           sequence_number AS __start_at,
+           lead(sequence_number, 1) OVER (PARTITION BY key_id
+             ORDER BY sequence_number) AS __end_at
+         FROM stg),
+       live AS (SELECT v.* FROM versions v
+         JOIN stg s ON v.key_id = s.key_id
+           AND v.__start_at = s.sequence_number
+         WHERE s.operation <> 'DELETE')
+       SELECT p.key_id, p.sequence_number,
+         v.__start_at AS version_start, v.version_value
+       FROM stg p
+       JOIN live v ON p.key_id = v.key_id
+         AND p.sequence_number >= v.__start_at
+         AND (v.__end_at IS NULL OR p.sequence_number < v.__end_at)
+       ORDER BY p.key_id, p.sequence_number"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_point_in_time" -> ((s, d) =>
+      pointInTime(s, Tables.events(s, d))
+        .orderBy(col("key_id"), col("sequence_number"))),
     "cdc_stage" -> ((s, d) =>
       stage(Tables.events(s, d)).orderBy(col("sequence_number"))),
     "cdc_scd1_current" -> ((s, d) =>
@@ -164,6 +213,7 @@ object Cdc {
       scd2History(Tables.events(s, d)).orderBy(col("key_id"), col("__start_at"))))
 
   def oracles: Map[String, String] = Map(
+    "cdc_point_in_time" -> pointInTimeSql,
     "cdc_stage" -> stageSql,
     "cdc_scd1_current" -> scd1Sql,
     "cdc_scd2_history" -> scd2Sql)

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftDatasetFactory, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences,
+  Expression, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Point-in-interval join — the custom whole-operator path
+  * (LogicalPlan → Strategy → SparkPlan, injected via
+  * [[graft.GraftExtensions]]).
+  *
+  * Semantics: for each left row, emit it joined to the right row with
+  * the same key whose [start, end) interval contains the left row's
+  * point (end NULL = open). Intervals are assumed non-overlapping per
+  * key — exactly what [[graft.operators.Cdc.scd2History]] produces —
+  * so each left row matches at most one version ("which SCD2 version
+  * was valid when this event happened").
+  *
+  * Why a custom operator: Catalyst plans the equivalent
+  * `l JOIN r ON l.k = r.k AND p >= s AND (e IS NULL OR p < e)` as an
+  * equi-join that materializes EVERY version per key before the range
+  * residual filters them. This exec co-partitions and co-sorts both
+  * sides (Spark inserts the exchanges/sorts from
+  * requiredChildDistribution/Ordering) and streams a two-pointer merge:
+  * one pass, one candidate version held per key, no per-key version
+  * blow-up — the shape that survives keys with deep histories at
+  * 100 TB.
+  */
+case class PointInIntervalJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    point: Expression, start: Expression, end: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): PointInIntervalJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class PointInIntervalJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    point: Expression, start: Expression, end: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // Spark's EnsureRequirements inserts the hash exchanges + sorts
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(point, org.apache.spark.sql.catalyst.expressions.Ascending)) ::
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(start, org.apache.spark.sql.catalyst.expressions.Ascending)) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lPoint = BindReferences.bindReference(point, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rStart = BindReferences.bindReference(start, right.output)
+    val rEnd = BindReferences.bindReference(end, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val ptOrd = TypeUtils.getInterpretedOrdering(point.dataType)
+      .asInstanceOf[Ordering[Any]]
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      var curKey: Any = null
+      var curStart: Any = null
+      var curEnd: Any = null
+      var curRow: InternalRow = null
+      val joined = new JoinedRow
+
+      lIter.flatMap { lRow =>
+        val k = lKey.eval(lRow)
+        val p = lPoint.eval(lRow)
+        if (k == null || p == null) Iterator.empty
+        else {
+          // advance right to the last interval with key <= k, start <= p
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rKey.eval(head)
+            val cmp = if (hk == null) -1 else keyOrd.compare(hk, k)
+            val take =
+              if (cmp < 0) true
+              else if (cmp > 0) false
+              else {
+                val hs = rStart.eval(head)
+                hs != null && ptOrd.compare(hs, p) <= 0
+              }
+            if (take) {
+              val r = rBuf.next().copy() // unsafe rows are reused: copy
+              curKey = rKey.eval(r); curStart = rStart.eval(r)
+              curEnd = rEnd.eval(r); curRow = r
+            } else continue = false
+          }
+          val matches = curRow != null && curKey != null &&
+            keyOrd.compare(curKey, k) == 0 &&
+            curStart != null && ptOrd.compare(curStart, p) <= 0 &&
+            (curEnd == null || ptOrd.compare(p, curEnd) < 0)
+          if (matches) Iterator.single[InternalRow](joined(lRow, curRow))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): PointInIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object PointInIntervalStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case PointInIntervalJoin(l, r, lk, rk, p, s, e) =>
+      PointInIntervalJoinExec(lk, rk, p, s, e, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level API. */
+object PointInInterval {
+  def join(spark: SparkSession, left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, pointCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    GraftDatasetFactory.ofRows(spark, PointInIntervalJoin(
+      lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, pointCol), attr(rPlan, startCol), attr(rPlan, endCol)))
+  }
+}
