@@ -15,9 +15,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must NOT be reported as a (fast) success: -1 marks it
-      name -> (try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 })
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      spark.catalog.clearCache() // per-query isolation: no cache carryover
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -63,10 +63,13 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
+    // both sides of the self-join read this: cache, or the whole
+    // tokenize/ngram pipeline runs twice
     val base = docs.select(
       col("doc_id"), col("lang"),
       ngrams(normText(col("text")), n).as("grams"),
       (size(split(normText(col("text")), " ")) / 10).cast("int").as("len_bucket"))
+      .cache()
     val a = base.select(col("lang"), col("len_bucket"),
       col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val b = base.select(col("lang"), col("len_bucket"),
@@ -145,11 +148,14 @@ object Dedup {
       hash((bIdx * rows until (bIdx + 1) * rows).map(i => col(s"sig_$i")): _*)
         .as(s"band_$bIdx")
     }: _*)
+    // self-joined below: cache, or the signature pipeline (explode +
+    // k min-aggs) runs once per join side
     val exploded = banded.select(col("doc_id"),
       explode(array((0 until bands).map(bIdx =>
         struct(lit(bIdx).as("band_idx"), col(s"band_$bIdx").as("band_hash"))): _*))
         .as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+      .cache()
     val cands = exploded.as("x").join(exploded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
@@ -157,7 +163,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val grams = docs.select(col("doc_id"),
-      ngrams(normText(col("text")), n).as("grams"))
+      ngrams(normText(col("text")), n).as("grams")).cache()
     cands
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
@@ -202,6 +208,7 @@ object Dedup {
             .as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_idx"), col("band.band_val"))
+      .cache() // self-joined: avoid recomputing the 64-sum simhash per side
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -229,6 +236,7 @@ object Dedup {
     val base = emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .cache() // self-joined: fold each vector's norm once
     base.as("a").join(base.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

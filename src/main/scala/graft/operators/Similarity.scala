@@ -111,6 +111,7 @@ object Similarity {
         struct(lit(t).as("tbl"), lshBucket(col("v"), planes, t).as("bucket"))): _*))
         .as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
+      .cache() // probes filter + corpus join both read this
     val probes = bucketed.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("tbl"), col("bucket"))
