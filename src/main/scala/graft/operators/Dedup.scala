@@ -101,6 +101,53 @@ object Dedup {
        ORDER BY doc_a, doc_b"""
 
   // =========================================================================
+  // Edit-distance (Levenshtein) fuzzy matching with length blocking
+  // =========================================================================
+  /** Fuzzy string self-match: pairs of distinct names within edit
+    * distance `maxDist`, blocked by length bucket so only plausible
+    * pairs are compared (an edit distance ≤ d implies a length gap ≤ d,
+    * so comparing adjacent buckets of width ≥ d keeps recall exact while
+    * the join stays a key-equality shuffle).
+    */
+  def fuzzyNamePairs(names: DataFrame, nameCol: String,
+      maxDist: Int = 4): DataFrame = {
+    val bucketW = math.max(maxDist, 4)
+    val base = names.select(lower(trim(col(nameCol))).as("name")).distinct()
+      .withColumn("len_bucket", (length(col("name")) / bucketW).cast("int"))
+      .cache()
+    // compare within a bucket and against the next bucket (covers all
+    // pairs whose length gap <= bucketW)
+    val a = base.select(col("name").as("name_a"),
+      col("len_bucket"), explode(array(col("len_bucket"),
+        col("len_bucket") + 1)).as("probe_bucket"))
+    val b = base.select(col("name").as("name_b"),
+      col("len_bucket").as("probe_bucket"))
+    a.join(b, Seq("probe_bucket"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_distance",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_distance") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("edit_distance"))
+      .distinct()
+  }
+
+  val fuzzyNamePairsSql: String =
+    """WITH base AS (
+         SELECT DISTINCT lower(trim(p_name)) AS name FROM part),
+       bucketed AS (
+         SELECT name, CAST(length(name) // 4 AS INT) AS len_bucket FROM base),
+       a AS (
+         SELECT name AS name_a, probe_bucket
+         FROM bucketed, UNNEST([len_bucket, len_bucket + 1]) AS t(probe_bucket)),
+       b AS (SELECT name AS name_b, len_bucket AS probe_bucket FROM bucketed)
+       SELECT DISTINCT a.name_a, b.name_b,
+         CAST(levenshtein(a.name_a, b.name_b) AS BIGINT) AS edit_distance
+       FROM a JOIN b ON a.probe_bucket = b.probe_bucket
+       WHERE a.name_a < b.name_b
+         AND levenshtein(a.name_a, b.name_b) <= 4
+       ORDER BY name_a, name_b"""
+
+  // =========================================================================
   // MinHash + LSH near-dup detection
   // =========================================================================
   /** Deterministic affine permutations over a Mersenne prime. */
@@ -265,6 +312,9 @@ object Dedup {
       exact(Tables.documents(s, d)).orderBy(col("content_key"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "fuzzy_name_pairs" -> ((s, d) =>
+      fuzzyNamePairs(Tables.part(s, d), "p_name")
+        .orderBy(col("name_a"), col("name_b"))),
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashLsh(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, d) =>
@@ -275,5 +325,6 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "fuzzy_name_pairs" -> fuzzyNamePairsSql,
     "dedup_embedding" -> embeddingPairsSql)
 }
