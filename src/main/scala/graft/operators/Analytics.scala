@@ -300,6 +300,54 @@ object Analytics {
        SELECT * FROM ranked WHERE rnk <= 20
        ORDER BY event_type, rnk, event_id"""
 
+  /** Cheapest product per category (TPC-H Q2's correlated-min shape).
+    * Expressed as a window min rather than a correlated scalar
+    * subquery — the rewrite Catalyst would want anyway: one shuffle on
+    * the group key, no per-row subquery re-execution.
+    */
+  def cheapestPerCategory(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("category"))
+    Medallion.silverProducts(part)
+      .withColumn("min_price", min(col("retail_price")).over(w))
+      .filter(col("retail_price") === col("min_price"))
+      .select(col("category"), col("product_id"), col("retail_price"))
+  }
+
+  val cheapestPerCategorySql: String =
+    """WITH sp AS (
+         SELECT p_partkey AS product_id, lower(trim(p_type)) AS category,
+           p_retailprice AS retail_price
+         FROM part
+         WHERE p_partkey IS NOT NULL AND (p_size IS NULL OR p_size >= 0))
+       SELECT category, product_id, retail_price
+       FROM sp
+       WHERE retail_price = (SELECT MIN(retail_price) FROM sp s2
+                             WHERE s2.category = sp.category)
+       ORDER BY category, product_id"""
+
+  /** Set operations: market segments present among customers of BOTH
+    * probe nations (INTERSECT) and those exclusive to the first
+    * (EXCEPT), tagged and unioned.
+    */
+  def segmentSetOps(customer: DataFrame): DataFrame = {
+    val segA = customer.filter(col("c_nationkey") === 1)
+      .select(lower(trim(col("c_mktsegment"))).as("mktsegment"))
+    val segB = customer.filter(col("c_nationkey") === 2)
+      .select(lower(trim(col("c_mktsegment"))).as("mktsegment"))
+    segA.intersect(segB).withColumn("set_op", lit("in_both"))
+      .unionByName(segA.except(segB).withColumn("set_op", lit("only_first")))
+  }
+
+  val segmentSetOpsSql: String =
+    """WITH a AS (SELECT lower(trim(c_mktsegment)) AS mktsegment
+                  FROM customer WHERE c_nationkey = 1),
+         b AS (SELECT lower(trim(c_mktsegment)) AS mktsegment
+                  FROM customer WHERE c_nationkey = 2)
+       SELECT mktsegment, 'in_both' AS set_op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+       UNION ALL
+       SELECT mktsegment, 'only_first' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+       ORDER BY set_op, mktsegment"""
+
   /** Exact quantiles of order value per status (sort-based
     * `percentile` with linear interpolation — matches DuckDB's
     * quantile_cont bit-for-bit on the same doubles).
@@ -418,6 +466,12 @@ object Analytics {
     "events_value_ranks" -> ((s, d) =>
       eventsValueRanks(Tables.events(s, d))
         .orderBy(col("event_type"), col("rnk"), col("event_id"))),
+    "cheapest_per_category" -> ((s, d) =>
+      cheapestPerCategory(Tables.part(s, d))
+        .orderBy(col("category"), col("product_id"))),
+    "segment_set_ops" -> ((s, d) =>
+      segmentSetOps(Tables.customer(s, d))
+        .orderBy(col("set_op"), col("mktsegment"))),
     "revenue_rollup" -> ((s, d) =>
       revenueRollup(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))
@@ -446,6 +500,8 @@ object Analytics {
     "customer_order_presence" -> customerOrderPresenceSql,
     "order_price_quantiles" -> orderPriceQuantilesSql,
     "events_value_ranks" -> eventsValueRanksSql,
+    "cheapest_per_category" -> cheapestPerCategorySql,
+    "segment_set_ops" -> segmentSetOpsSql,
     "revenue_rollup" -> revenueRollupSql,
     "events_pivot" -> eventsPivotSql,
     "events_funnel" -> eventsFunnelSql,
