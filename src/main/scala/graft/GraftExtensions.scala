@@ -27,11 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hash_sample"),
       new ExpressionInfo(classOf[HashSample].getName, "hash_sample"),
       (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"hash_sample(col, k) takes 2 arguments, got ${children.length}")
         val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
           case other => throw new IllegalArgumentException(
-            s"hash_sample k must be a literal, got $other")
+            s"hash_sample k must be a non-null literal, got $other")
         }
         HashSample(children.head, k).toAggregateExpression()
       }))

@@ -11,9 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic per-group uniform sample of k strings, as a
   * `TypedImperativeAggregate`: keeps the k elements with the smallest
-  * xxhash64 — equivalent in distribution to a uniform k-sample but
-  * reproducible at any partitioning / retry (no RNG state), which
-  * Spark's `reservoir`-less aggregate set and nondeterministic
+  * (xxhash64, value) — equivalent in distribution to a uniform k-sample
+  * but reproducible at any partitioning / retry (no RNG state; the
+  * value tie-break makes even 64-bit hash collisions order-independent),
+  * which Spark's reservoir-less aggregate set and nondeterministic
   * TABLESAMPLE cannot give.
   *
   * Buffer is a bounded size-k heap → partial aggregation ships k
@@ -27,12 +28,14 @@ case class HashSample(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, String)]] {
 
+  require(k > 0, s"hash_sample k must be positive, got $k")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  // max-heap on hash: the root is the largest hash, evicted first
-  private def ord: Ordering[(Long, String)] = Ordering.by(_._1)
+  // max-heap on (hash, value): the root is the largest, evicted first
+  private def ord: Ordering[(Long, String)] = Ordering.Tuple2[Long, String]
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, String)] =
     mutable.PriorityQueue.empty[(Long, String)](ord)
@@ -40,18 +43,17 @@ case class HashSample(
   private def insert(buf: mutable.PriorityQueue[(Long, String)],
       h: Long, v: String): Unit = {
     if (buf.size < k) buf.enqueue((h, v))
-    else if (h < buf.head._1) { buf.dequeue(); buf.enqueue((h, v)) }
+    else if (ord.compare((h, v), buf.head) < 0) { buf.dequeue(); buf.enqueue((h, v)) }
   }
 
   override def update(buf: mutable.PriorityQueue[(Long, String)],
       input: InternalRow): mutable.PriorityQueue[(Long, String)] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      insert(buf, org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        v.asInstanceOf[UTF8String].getBaseObject,
-        v.asInstanceOf[UTF8String].getBaseOffset,
-        v.asInstanceOf[UTF8String].numBytes, 42).toLong, s)
+      val u = v.asInstanceOf[UTF8String]
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(u, org.apache.spark.sql.types.StringType, 42L)
+      insert(buf, h, u.toString)
     }
     buf
   }

@@ -274,8 +274,11 @@ object Analytics {
 
   /** Rank-function family over event values within each type: rank,
     * dense_rank, percent_rank, ntile — top 20 per type via the rank
-    * filter (optimized to WindowGroupLimit: partial top-k before the
-    * shuffle).
+    * filter. Note: percent_rank/ntile are size-based window functions
+    * needing the full partition, so this window does NOT get the
+    * WindowGroupLimit partial-top-k rewrite (the rank-only ANN windows
+    * do); the full per-type partition is window-processed here by
+    * design.
     */
   def eventsValueRanks(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type"))

@@ -14,6 +14,13 @@ import graft.Tables
   * or (lang, length-bucket)) expressed as a shuffle join on that key —
   * the candidate set is linear-ish in practice, and every stage is a
   * plain DataFrame op (no driver-side loops, no collect).
+  *
+  * Caching: pair-generation operators `.cache()` their self-join input
+  * so the upstream tokenize/signature pipeline materializes once per
+  * query, not once per join side. The cache lives until the session
+  * clears it (Bench/Verify call `spark.catalog.clearCache()` between
+  * queries); long-lived sessions composing many of these operators
+  * should do the same.
   */
 object Dedup {
 
@@ -115,11 +122,13 @@ object Dedup {
     val base = names.select(lower(trim(col(nameCol))).as("name")).distinct()
       .withColumn("len_bucket", (length(col("name")) / bucketW).cast("int"))
       .cache()
-    // compare within a bucket and against the next bucket (covers all
-    // pairs whose length gap <= bucketW)
+    // probe down, same, AND up: the name_a < name_b output filter is
+    // independent of which side holds the longer name, so probing only
+    // upward would drop pairs whose lexicographically smaller member is
+    // the longer one; distinct() dedups the doubled matches
     val a = base.select(col("name").as("name_a"),
-      col("len_bucket"), explode(array(col("len_bucket"),
-        col("len_bucket") + 1)).as("probe_bucket"))
+      col("len_bucket"), explode(array(col("len_bucket") - 1,
+        col("len_bucket"), col("len_bucket") + 1)).as("probe_bucket"))
     val b = base.select(col("name").as("name_b"),
       col("len_bucket").as("probe_bucket"))
     a.join(b, Seq("probe_bucket"))
@@ -138,7 +147,7 @@ object Dedup {
          SELECT name, CAST(length(name) // 4 AS INT) AS len_bucket FROM base),
        a AS (
          SELECT name AS name_a, probe_bucket
-         FROM bucketed, UNNEST([len_bucket, len_bucket + 1]) AS t(probe_bucket)),
+         FROM bucketed, UNNEST([len_bucket - 1, len_bucket, len_bucket + 1]) AS t(probe_bucket)),
        b AS (SELECT name AS name_b, len_bucket AS probe_bucket FROM bucketed)
        SELECT DISTINCT a.name_a, b.name_b,
          CAST(levenshtein(a.name_a, b.name_b) AS BIGINT) AS edit_distance

@@ -231,6 +231,7 @@ object TextAnalysis {
   def docsSamplePerLang(docs: DataFrame, k: Int = 3): DataFrame = {
     val s = docs.sparkSession
     // fallback registration for sessions built without GraftExtensions
+    // (idempotent: always registers the same definition)
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash_sample",
       exprs => graft.functions.HashSample(
@@ -238,11 +239,16 @@ object TextAnalysis {
         exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
           .value.toString.toInt).toAggregateExpression(),
       "built-in")
-    docs.createOrReplaceTempView("graft_docs_sample_in")
-    s.sql(
+    // unique per-call view name: the fixed-name alternative races across
+    // threads sharing a session; SQL analyzes eagerly, so dropping the
+    // view afterwards does not invalidate the returned plan
+    val view = s"graft_docs_sample_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    docs.createOrReplaceTempView(view)
+    try s.sql(
       s"""SELECT lang, hash_sample(CAST(doc_id AS STRING), $k) AS sample_ids,
          COUNT(*) AS group_size
-         FROM graft_docs_sample_in GROUP BY lang""")
+         FROM $view GROUP BY lang""")
+    finally s.catalog.dropTempView(view)
   }
 
   // ---- registry ------------------------------------------------------------

@@ -79,36 +79,42 @@ case class PointInIntervalJoinExec(
       var curEnd: Any = null
       var curRow: InternalRow = null
       val joined = new JoinedRow
+      // downstream operators (sort/shuffle/collect) require UnsafeRow
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(output, output)
 
       lIter.flatMap { lRow =>
         val k = lKey.eval(lRow)
         val p = lPoint.eval(lRow)
         if (k == null || p == null) Iterator.empty
         else {
-          // advance right to the last interval with key <= k, start <= p
+          // advance right to the last interval with key <= k, start <= p;
+          // rows with NULL key/start are unusable versions: consume and
+          // skip (they must not wedge the merge)
           var continue = true
           while (continue && rBuf.hasNext) {
             val head = rBuf.head
             val hk = rKey.eval(head)
-            val cmp = if (hk == null) -1 else keyOrd.compare(hk, k)
-            val take =
-              if (cmp < 0) true
-              else if (cmp > 0) false
+            if (hk == null) { rBuf.next() }
+            else {
+              val cmp = keyOrd.compare(hk, k)
+              if (cmp > 0) continue = false
               else {
                 val hs = rStart.eval(head)
-                hs != null && ptOrd.compare(hs, p) <= 0
+                if (hs == null) { rBuf.next() } // skip, keep cur
+                else if (cmp < 0 || ptOrd.compare(hs, p) <= 0) {
+                  val r = rBuf.next().copy() // unsafe rows are reused: copy
+                  curKey = hk; curStart = hs
+                  curEnd = rEnd.eval(r); curRow = r
+                } else continue = false
               }
-            if (take) {
-              val r = rBuf.next().copy() // unsafe rows are reused: copy
-              curKey = rKey.eval(r); curStart = rStart.eval(r)
-              curEnd = rEnd.eval(r); curRow = r
-            } else continue = false
+            }
           }
           val matches = curRow != null && curKey != null &&
             keyOrd.compare(curKey, k) == 0 &&
             curStart != null && ptOrd.compare(curStart, p) <= 0 &&
             (curEnd == null || ptOrd.compare(p, curEnd) < 0)
-          if (matches) Iterator.single[InternalRow](joined(lRow, curRow))
+          if (matches) Iterator.single[InternalRow](toUnsafe(joined(lRow, curRow)))
           else Iterator.empty
         }
       }
@@ -138,9 +144,20 @@ object PointInInterval {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    GraftDatasetFactory.ofRows(spark, PointInIntervalJoin(
-      lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, pointCol), attr(rPlan, startCol), attr(rPlan, endCol)))
+    // fail fast in the driver on contracts the exec depends on: runtime
+    // ordering casts would otherwise surface as executor CCEs, and
+    // duplicate exprIds (self-join without aliasing) make downstream
+    // resolution ambiguous
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (pt, st, en) =
+      (attr(lPlan, pointCol), attr(rPlan, startCol), attr(rPlan, endCol))
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(pt.dataType == st.dataType && st.dataType == en.dataType,
+      s"point/start/end types differ: ${pt.dataType}/${st.dataType}/${en.dataType}")
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "left and right share attributes — alias one side before joining")
+    GraftDatasetFactory.ofRows(spark,
+      PointInIntervalJoin(lPlan, rPlan, lk, rk, pt, st, en))
   }
 }

@@ -42,22 +42,30 @@ class PointInIntervalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("handles keys with empty version lists and open intervals") {
+  test("handles empty version lists, open intervals, and null starts") {
     import spark.implicits._
     val versions = Seq(
-      (1L, 10L, Some(20L), "v1"), (1L, 20L, None, "v2"),
-      (3L, 5L, Some(6L), "x1")).toDF("key_id", "__start_at", "__end_at", "payload")
-      .select(col("key_id"), col("__start_at"),
+      (1L, Some(10L), Some(20L), "v1"), (1L, Some(20L), None, "v2"),
+      (3L, Some(5L), Some(6L), "x1"),
+      (4L, None, None, "broken"), (4L, Some(1L), None, "v4"))
+      .toDF("key_id", "__start_at", "__end_at", "payload")
+      .select(col("key_id"), col("__start_at").cast("long").as("__start_at"),
         col("__end_at").cast("long").as("__end_at"), col("payload"))
     val points = Seq((1L, 5L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 99L),
-      (2L, 10L), (3L, 6L)).toDF("p_key", "p")
-    val out = PointInInterval.join(spark, points, versions,
+      (2L, 10L), (3L, 6L), (4L, 2L)).toDF("p_key", "p")
+    val joined = PointInInterval.join(spark, points, versions,
       "p_key", "key_id", "p", "__start_at", "__end_at")
+    // direct collect with NO projection on top: the exec must emit
+    // UnsafeRow (regression for the JoinedRow leak)
+    val raw = joined.collect()
+    assert(raw.length == 5)
+    val out = joined
       .select(col("p_key"), col("p"), col("payload"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(out == Set(
       (1L, 10L, "v1"), (1L, 19L, "v1"), // inside closed interval
-      (1L, 20L, "v2"), (1L, 99L, "v2"))) // boundary + open interval
+      (1L, 20L, "v2"), (1L, 99L, "v2"), // boundary + open interval
+      (4L, 2L, "v4"))) // null-start version row must not wedge the key
     // p=5 before first version, key 2 unknown, key 3 point at exclusive end: no match
   }
 }
