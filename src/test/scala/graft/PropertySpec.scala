@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Fnv1a64
+import graft.operators.{Cdc, Dedup}
+
+/** Property-based invariants over randomized inputs (small generator
+  * sizes — each case spins Spark jobs). Raw ScalaCheck generators with
+  * fixed seeds: deterministic cases, no scalatestplus bridge needed.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** n deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[T](g: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta")
+
+  test("fnv1a64 expression equals the reference implementation on arbitrary strings") {
+    import spark.implicits._
+    forAll(Gen.listOfN(6, Gen.asciiPrintableStr.map(_.take(40)))) { strs =>
+      whenever(strs.nonEmpty) {
+        val got = strs.toDF("s")
+          .select(graft.functions.Fingerprint.fnv1a64(spark, col("s")))
+          .collect().map(_.getLong(0)).toSeq
+        val want = strs.map(s => Fnv1a64.hashBytes(s.getBytes("UTF-8")))
+        assert(got == want)
+      }
+    }
+  }
+
+  test("simhash is invariant under any permutation of tokens") {
+    import spark.implicits._
+    forAll(Gen.zip(Gen.listOfN(10, word), Gen.long)) { case (toks, seed) =>
+      whenever(toks.nonEmpty) {
+        val shuffled = new scala.util.Random(seed).shuffle(toks)
+        val df = Seq((1L, toks.mkString(" ")), (2L, shuffled.mkString(" ")))
+          .toDF("doc_id", "text")
+        val sims = Dedup.simhash(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(sims(1L) == sims(2L))
+      }
+    }
+  }
+
+  test("SCD2 versions always tile: one current per surviving key, ends meet next starts") {
+    import spark.implicits._
+    val opGen = Gen.frequency(3 -> "INSERT", 4 -> "UPDATE", 2 -> "DELETE")
+    val feedGen = Gen.listOfN(15, for {
+      key <- Gen.choose(1L, 3L)
+      op <- opGen
+      payload <- word
+    } yield (key, op, payload))
+    forAll(feedGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val feed = rows.zipWithIndex.map { case ((k, op, pl), i) =>
+          (k, i.toLong, op, pl)
+        }.toDF("id", "seq", "op", "payload")
+        val hist = Cdc.applyChanges(feed, Seq("id"), "seq", "op", Cdc.ScdType2)
+          .collect()
+          .map(r => (r.getAs[Long]("id"), r.getAs[Long]("__start_at"),
+            Option(r.getAs[java.lang.Long]("__end_at")).map(_.toLong),
+            r.getAs[Boolean]("__is_current")))
+        hist.groupBy(_._1).foreach { case (_, vs) =>
+          // at most one open (current) version per key
+          assert(vs.count(_._3.isEmpty) <= 1)
+          assert(vs.forall(v => v._4 == v._3.isEmpty))
+          // sorted versions never overlap
+          val sorted = vs.sortBy(_._2)
+          sorted.sliding(2).foreach {
+            case Array(a, b) => assert(a._3.forall(_ <= b._2))
+            case _ =>
+          }
+        }
+        // SCD1 equals the last non-deleted state derivable by hand
+        val scd1 = Cdc.applyChanges(feed, Seq("id"), "seq", "op", Cdc.ScdType1)
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+        val expected = rows.zipWithIndex
+          .groupBy(_._1._1)
+          .flatMap { case (k, rs) =>
+            val last = rs.maxBy(_._2)._1
+            if (last._2 == "DELETE") None else Some(k -> last._3)
+          }
+        assert(scd1 == expected)
+      }
+    }
+  }
+
+  test("ngram jaccard is symmetric-free and bounded in [0,1]") {
+    import spark.implicits._
+    forAll(Gen.listOfN(6, Gen.listOfN(8, word))) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.zipWithIndex
+          .map { case (ws, i) => (i.toLong, "xx", ws.mkString(" ")) }
+          .toDF("doc_id", "lang", "text")
+        val pairs = Dedup.ngramJaccard(df, threshold = 0.0).collect()
+        pairs.foreach { r =>
+          val j = r.getAs[Double]("jaccard")
+          assert(j >= 0.0 && j <= 1.0)
+          assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+        }
+      }
+    }
+  }
+}
