@@ -10,8 +10,12 @@ object Bench {
       .withExtensions(new GraftExtensions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen paths once so timings reflect steady state
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // warm the JVM/codegen paths once so timings reflect steady state —
+    // against the benchmark's own data dir, and loudly if it fails
+    // (a silently-skipped warm-up skews the first timed query)
+    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed (timings may be skewed): $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must NOT be reported as a (fast) success: -1 marks it

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped caching for operators whose plans read an expensive
+  * intermediate from several places (self-joins, probe+corpus fan-outs).
+  *
+  * `Dataset.cache()` registers the plan in the session's CacheManager,
+  * which holds a strong reference until an explicit `unpersist`/
+  * `clearCache()` — a long-lived session composing many operators would
+  * accumulate cached plans without bound. [[withCached]] instead:
+  *
+  *  1. persists the inputs (MEMORY_AND_DISK) only while the operator
+  *     body builds AND materializes its result,
+  *  2. materializes the result via `localCheckpoint(eager = true)` —
+  *     result partitions live in executor block storage and are released
+  *     automatically by the ContextCleaner once the returned frame
+  *     becomes unreachable (RDD-level storage is GC-managed; CacheManager
+  *     entries are not),
+  *  3. unpersists the inputs before returning.
+  *
+  * Trade-off: the checkpointed result has no lineage, so losing an
+  * executor loses its partitions (acceptable: operator outputs here are
+  * pair/top-k sets, orders of magnitude smaller than their inputs, and
+  * the driver re-runs the query on failure).
+  */
+object Caching {
+
+  /** Persist `inputs` for the duration of `f`, eagerly materialize `f`'s
+    * result, then release the inputs. See object doc for the lifecycle.
+    */
+  def withCached(inputs: Dataset[_]*)(f: => DataFrame): DataFrame = {
+    inputs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    try f.localCheckpoint(eager = true)
+    finally inputs.foreach(_.unpersist(blocking = false))
+  }
+}

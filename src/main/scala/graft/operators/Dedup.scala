@@ -15,12 +15,12 @@ import graft.Tables
   * the candidate set is linear-ish in practice, and every stage is a
   * plain DataFrame op (no driver-side loops, no collect).
   *
-  * Caching: pair-generation operators `.cache()` their self-join input
-  * so the upstream tokenize/signature pipeline materializes once per
-  * query, not once per join side. The cache lives until the session
-  * clears it (Bench/Verify call `spark.catalog.clearCache()` between
-  * queries); long-lived sessions composing many of these operators
-  * should do the same.
+  * Caching: pair-generation operators persist their self-join input via
+  * [[graft.Caching.withCached]] so the upstream tokenize/signature
+  * pipeline materializes once per query, not once per join side; the
+  * input cache is released before the operator returns and the
+  * materialized result is GC-managed, so long-lived sessions composing
+  * many of these operators see no unbounded cache growth.
   */
 object Dedup {
 
@@ -70,24 +70,25 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
-    // both sides of the self-join read this: cache, or the whole
-    // tokenize/ngram pipeline runs twice
+    // both sides of the self-join read this: persist for the join, or
+    // the whole tokenize/ngram pipeline runs twice
     val base = docs.select(
       col("doc_id"), col("lang"),
       ngrams(normText(col("text")), n).as("grams"),
       (size(split(normText(col("text")), " ")) / 10).cast("int").as("len_bucket"))
-      .cache()
     val a = base.select(col("lang"), col("len_bucket"),
       col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val b = base.select(col("lang"), col("len_bucket"),
       col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    a.join(b, Seq("lang", "len_bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lang"))
+    graft.Caching.withCached(base) {
+      a.join(b, Seq("lang", "len_bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+            size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lang"))
+    }
   }
 
   val ngramJaccardSql: String =
@@ -121,7 +122,6 @@ object Dedup {
     val bucketW = math.max(maxDist, 4)
     val base = names.select(lower(trim(col(nameCol))).as("name")).distinct()
       .withColumn("len_bucket", (length(col("name")) / bucketW).cast("int"))
-      .cache()
     // probe down, same, AND up: the name_a < name_b output filter is
     // independent of which side holds the longer name, so probing only
     // upward would drop pairs whose lexicographically smaller member is
@@ -131,13 +131,15 @@ object Dedup {
         col("len_bucket"), col("len_bucket") + 1)).as("probe_bucket"))
     val b = base.select(col("name").as("name_b"),
       col("len_bucket").as("probe_bucket"))
-    a.join(b, Seq("probe_bucket"))
-      .filter(col("name_a") < col("name_b"))
-      .withColumn("edit_distance",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("edit_distance") <= maxDist)
-      .select(col("name_a"), col("name_b"), col("edit_distance"))
-      .distinct()
+    graft.Caching.withCached(base) {
+      a.join(b, Seq("probe_bucket"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("edit_distance",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("edit_distance") <= maxDist)
+        .select(col("name_a"), col("name_b"), col("edit_distance"))
+        .distinct()
+    }
   }
 
   val fuzzyNamePairsSql: String =
@@ -204,30 +206,31 @@ object Dedup {
       hash((bIdx * rows until (bIdx + 1) * rows).map(i => col(s"sig_$i")): _*)
         .as(s"band_$bIdx")
     }: _*)
-    // self-joined below: cache, or the signature pipeline (explode +
+    // self-joined below: persist, or the signature pipeline (explode +
     // k min-aggs) runs once per join side
     val exploded = banded.select(col("doc_id"),
       explode(array((0 until bands).map(bIdx =>
         struct(lit(bIdx).as("band_idx"), col(s"band_$bIdx").as("band_hash"))): _*))
         .as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-      .cache()
-    val cands = exploded.as("x").join(exploded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     val grams = docs.select(col("doc_id"),
-      ngrams(normText(col("text")), n).as("grams")).cache()
-    cands
-      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      ngrams(normText(col("text")), n).as("grams"))
+    graft.Caching.withCached(exploded, grams) {
+      val cands = exploded.as("x").join(exploded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
+        .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+            size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
   }
 
   // =========================================================================
@@ -264,18 +267,20 @@ object Dedup {
             .as("band_val"))): _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_idx"), col("band.band_val"))
-      .cache() // self-joined: avoid recomputing the 64-sum simhash per side
-    banded.as("x").join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_val") === col("y.band_val") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // self-joined: persist, or the 64-sum simhash recomputes per side
+    graft.Caching.withCached(banded) {
+      banded.as("x").join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
   }
 
   // =========================================================================
@@ -292,14 +297,16 @@ object Dedup {
     val base = emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-      .cache() // self-joined: fold each vector's norm once
-    base.as("a").join(base.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        Similarity.cosinePre(Similarity.dot(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    // self-joined: persist so each vector's norm folds once
+    graft.Caching.withCached(base) {
+      base.as("a").join(base.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"),
+          Similarity.cosinePre(Similarity.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 
   val embeddingPairsSql: String =

@@ -59,7 +59,7 @@ object Gold {
          CAST(SUM(CAST(items_freight AS DECIMAL(18,4))) AS DOUBLE) AS freight_revenue,
          CAST(SUM(CAST(items_total_value AS DECIMAL(18,4))) AS DOUBLE)
            / COUNT(CAST(items_total_value AS DECIMAL(18,4))) AS avg_order_value,
-         SUM(item_count) AS total_items,
+         CAST(SUM(item_count) AS BIGINT) AS total_items,
          CAST(SUM(item_count) AS DOUBLE) / COUNT(*) AS avg_items_per_order,
          COUNT(DISTINCT customer_id) AS unique_customers,
          COUNT(CASE WHEN is_fulfilled THEN 1 END) * 100.0 / COUNT(*) AS fulfilled_rate,

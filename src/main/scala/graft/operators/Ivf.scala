@@ -82,35 +82,38 @@ object Ivf {
     val centroids = kmeans(emb, nlist)
     val bc = spark.sparkContext.broadcast(centroids)
 
-    // cache: assignment and probe fan-out both scan this (kmeans manages
-    // its own cached copy); left cached for the returned lazy plan
-    val base = toVec(emb).as[(Long, Array[Double])].cache()
-    val assigned = base.mapPartitions(_.map { case (id, v) =>
-      (id, v, argminCentroid(v, bc.value))
-    }).toDF("vec_id", "v", "cluster")
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    // persist: assignment and probe fan-out both scan this (kmeans
+    // manages its own persisted copy); released once the top-k result
+    // materializes inside withCached
+    val base = toVec(emb).as[(Long, Array[Double])]
+    graft.Caching.withCached(base) {
+      val assigned = base.mapPartitions(_.map { case (id, v) =>
+        (id, v, argminCentroid(v, bc.value))
+      }).toDF("vec_id", "v", "cluster")
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
 
-    // each probe fans out to its nprobe nearest lists
-    val probeLists = base.filter(_._1 % 50 == 0).mapPartitions(_.flatMap {
-      case (id, v) =>
-        bc.value.indices
-          .map(c => (c, sqDist(v, bc.value(c))))
-          .sortBy { case (c, d) => (d, c) }
-          .take(nprobe)
-          .map { case (c, _) => (id, v, c) }
-    }).toDF("probe_id", "pv", "cluster")
-      .withColumn("pnrm", sqrt(Similarity.dot(col("pv"), col("pv"))))
+      // each probe fans out to its nprobe nearest lists
+      val probeLists = base.filter(_._1 % 50 == 0).mapPartitions(_.flatMap {
+        case (id, v) =>
+          bc.value.indices
+            .map(c => (c, sqDist(v, bc.value(c))))
+            .sortBy { case (c, d) => (d, c) }
+            .take(nprobe)
+            .map { case (c, _) => (id, v, c) }
+      }).toDF("probe_id", "pv", "cluster")
+        .withColumn("pnrm", sqrt(Similarity.dot(col("pv"), col("pv"))))
 
-    val scored = assigned.join(broadcast(probeLists), Seq("cluster"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Similarity.cosinePre(Similarity.dot(col("pv"), col("v")),
-          col("pnrm"), col("nrm")).as("cosine"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      val scored = assigned.join(broadcast(probeLists), Seq("cluster"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          Similarity.cosinePre(Similarity.dot(col("pv"), col("v")),
+            col("pnrm"), col("nrm")).as("cosine"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

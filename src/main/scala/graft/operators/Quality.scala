@@ -30,7 +30,13 @@ object Quality {
   }
 
   final case class Expectation(name: String, predicate: Column,
-      action: Action = Action.Drop)
+      action: Action = Action.Drop) {
+    // rule names are spliced into selectExpr by metrics(): restrict to
+    // identifier characters so arbitrary caller input cannot break (or
+    // inject into) the generated SQL
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"expectation name must match [A-Za-z0-9_]+, got: '$name'")
+  }
 
   final class ExpectationViolation(msg: String) extends RuntimeException(msg)
 

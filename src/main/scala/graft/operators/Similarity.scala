@@ -111,23 +111,25 @@ object Similarity {
         struct(lit(t).as("tbl"), lshBucket(col("v"), planes, t).as("bucket"))): _*))
         .as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
-      .cache() // probes filter + corpus join both read this
-    val probes = bucketed.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("tbl"), col("bucket"))
-    val cands = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        col("pv"), col("v"), col("pnrm"), col("nrm"))
-      .dropDuplicates("probe_id", "neighbor_id")
-    val scored = cands.select(col("probe_id"), col("neighbor_id"),
-      cosinePre(dot(col("pv"), col("v")), col("pnrm"), col("nrm"))
-        .as("cosine"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    // probes filter + corpus join both read this: persist for the query
+    graft.Caching.withCached(bucketed) {
+      val probes = bucketed.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nrm").as("pnrm"), col("tbl"), col("bucket"))
+      val cands = bucketed.join(broadcast(probes), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("pv"), col("v"), col("pnrm"), col("nrm"))
+        .dropDuplicates("probe_id", "neighbor_id")
+      val scored = cands.select(col("probe_id"), col("neighbor_id"),
+        cosinePre(dot(col("pv"), col("v")), col("pnrm"), col("nrm"))
+          .as("cosine"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    }
   }
 
   // ---- registry ------------------------------------------------------------

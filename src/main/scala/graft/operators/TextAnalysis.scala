@@ -253,8 +253,15 @@ object TextAnalysis {
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // sample_ids emitted as a sorted CSV string, not ARRAY<STRING>: the
+    // driver's compare sorts/hashes output values and cannot handle
+    // nested types (observed r1: pandas "unhashable type" crash)
     "docs_sample_per_lang" -> ((s, d) =>
-      docsSamplePerLang(Tables.documents(s, d)).orderBy(col("lang"))),
+      docsSamplePerLang(Tables.documents(s, d))
+        .select(col("lang"),
+          array_join(sort_array(col("sample_ids")), ",").as("sample_ids"),
+          col("group_size"))
+        .orderBy(col("lang"))),
     "corpus_split" -> ((s, d) =>
       corpusSplit(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_pii_scrub" -> ((s, d) =>

@@ -134,11 +134,43 @@ object PointInIntervalStrategy extends SparkStrategy {
   }
 }
 
-/** DataFrame-level API. */
+/** DataFrame-level API.
+  *
+  * DATA CONTRACT — non-overlapping intervals per key: for each key, the
+  * right side's [start, end) intervals must not overlap (what
+  * [[graft.operators.Cdc.scd2History]] produces). The merge keeps ONE
+  * candidate version per key, so each left row joins AT MOST ONE right
+  * row — the last-starting containing interval. With overlapping
+  * intervals this silently diverges from the equivalent range-join SQL,
+  * which would emit every containing interval. Set `checkOverlap = true`
+  * (debug; adds one pass over the right side) to fail fast instead.
+  */
 object PointInInterval {
+
+  /** Throws if any key has an interval starting before the previous
+    * interval's end (sorted by start; open end = ∞). One window pass.
+    */
+  def assertNonOverlapping(intervals: DataFrame, keyCol: String,
+      startCol: String, endCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol))
+    val bad = intervals
+      .withColumn("__prev_end", lag(col(endCol), 1).over(w))
+      .withColumn("__prev_start", lag(col(startCol), 1).over(w))
+      .filter(col("__prev_start").isNotNull &&
+        (col("__prev_end").isNull || col(startCol) < col("__prev_end")))
+      .limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"PointInInterval: overlapping [$startCol, $endCol) intervals per " +
+        s"$keyCol — each left row would match only the last-starting one")
+  }
+
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, pointCol: String,
-      startCol: String, endCol: String): DataFrame = {
+      startCol: String, endCol: String,
+      checkOverlap: Boolean = false): DataFrame = {
+    if (checkOverlap) assertNonOverlapping(right, rightKey, startCol, endCol)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =

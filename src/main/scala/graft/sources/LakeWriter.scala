@@ -56,9 +56,15 @@ object LakeWriter {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], seqCol: String): Unit = {
+    val fs = fileSystem(spark)
+    recoverIfCrashed(fs, path)
+    // first write is detected by existence, not by exception: a transient
+    // IO error / corrupt footer on an EXISTING table must propagate, or
+    // the merge would silently rebuild the table from updates alone
     val existing =
-      try spark.read.parquet(path).withColumn("_is_update", lit(0))
-      catch { case _: Exception => null } // first write: no table yet
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.parquet(path).withColumn("_is_update", lit(0))
+      else null // first write: no table yet
     val tagged = updates.withColumn("_is_update", lit(1))
     val all0 = if (existing == null) tagged
       else existing.unionByName(tagged, allowMissingColumns = true)
@@ -74,20 +80,52 @@ object LakeWriter {
       .filter(col("_rn") === 1)
       .drop("_rn", "_is_update")
       .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
-    // parquet has no transaction log: stage then swap via temp suffix
+    // parquet has no transaction log: stage then swap (crash-safe)
     val tmp = path + "_staged"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    swapIn(fs, path, tmp)
+  }
+
+  private def fileSystem(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** If a prior swap crashed between moving the live table aside and
+    * moving the staged table in, the data survives at `path + "_old"` —
+    * restore it before reading.
+    */
+  private def recoverIfCrashed(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"swap recovery: cannot restore $old")
+  }
+
+  /** Crash-safe directory swap: move the live table aside, move the
+    * staged one in, then drop the backup — at every intermediate point a
+    * full copy of the table exists on disk (at `path` or `path_old`),
+    * unlike delete-then-rename which has a window with no live table.
+    */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      staged: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(old, true) // stale backup from an earlier completed swap
+    val hadPrev = fs.exists(dst)
+    if (hadPrev && !fs.rename(dst, old))
+      throw new java.io.IOException(s"swap: cannot move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), dst)) {
+      if (hadPrev) fs.rename(old, dst) // roll back to the prior table
+      throw new java.io.IOException(s"swap: cannot move $staged into place")
+    }
+    fs.delete(old, true)
   }
 
   /** Read an upsert-maintained table: live rows only (tombstones
     * filtered, marker column dropped).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    recoverIfCrashed(fileSystem(spark), path)
     val df = spark.read.parquet(path)
     if (df.columns.contains("_deleted"))
       df.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
@@ -96,13 +134,11 @@ object LakeWriter {
 
   /** OPTIMIZE analogue: rewrite a table directory to `targetFiles`. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val fs = fileSystem(spark)
+    recoverIfCrashed(fs, path)
     val df = spark.read.parquet(path)
     val tmp = path + "_compacted"
     df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapIn(fs, path, tmp)
   }
 }

@@ -57,9 +57,10 @@ object EventStreams {
       .start()
     try q.processAllAvailable() finally q.stop()
     // detach the result from the session-scoped memory sink and clean up
-    // (repeated calls would otherwise leak a temp view + checkpoint each)
-    val out = spark.table(queryName).cache()
-    out.count()
+    // (repeated calls would otherwise leak a temp view + checkpoint
+    // each); localCheckpoint materializes eagerly and is GC-released,
+    // unlike cache() which would pin a CacheManager entry forever
+    val out = spark.table(queryName).localCheckpoint(eager = true)
     spark.catalog.dropTempView(queryName)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
     out
@@ -110,8 +111,9 @@ object EventStreams {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
        sessions AS (
-         SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-           ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+           ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
          FROM flagged)
        SELECT user_id, session_idx,
          MIN(event_id) AS first_event_id,

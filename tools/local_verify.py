@@ -50,6 +50,13 @@ def main():
             print(f"FAIL {name}: cols spark={gc} oracle={ec}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}"); n_fail += 1; continue
+        # dtype parity: the driver hashes values, so int64 vs float64
+        # (e.g. DuckDB SUM(BIGINT)→HUGEINT→float64) fails even when == passes
+        dt = [c for c in gc if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            c = dt[0]
+            print(f"FAIL {name}: dtype {c} spark={got[c].dtype} "
+                  f"oracle={exp[c].dtype}"); n_fail += 1; continue
         g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
         e = exp[ec].sort_values(by=ec, kind="mergesort").reset_index(drop=True)
         bad = []
