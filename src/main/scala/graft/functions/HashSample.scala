@@ -11,11 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic per-group uniform sample of k strings, as a
   * `TypedImperativeAggregate`: keeps the k elements with the smallest
-  * (xxhash64, value) — equivalent in distribution to a uniform k-sample
+  * (fnv1a64, value) — equivalent in distribution to a uniform k-sample
   * but reproducible at any partitioning / retry (no RNG state; the
   * value tie-break makes even 64-bit hash collisions order-independent),
   * which Spark's reservoir-less aggregate set and nondeterministic
-  * TABLESAMPLE cannot give.
+  * TABLESAMPLE cannot give. FNV-1a (not xxhash64) as the ordering hash
+  * so an external SQL engine can reproduce the selection exactly — the
+  * DuckDB oracle for `docs_sample_per_lang` re-derives it with a
+  * list_reduce fold over the value's UTF-8 bytes.
   *
   * Buffer is a bounded size-k heap → partial aggregation ships k
   * (hash, value) pairs per group per task regardless of group size.
@@ -51,8 +54,7 @@ case class HashSample(
     val v = child.eval(input)
     if (v != null) {
       val u = v.asInstanceOf[UTF8String]
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(u, org.apache.spark.sql.types.StringType, 42L)
+      val h = Fnv1a64.hashBytes(u.getBytes)
       insert(buf, h, u.toString)
     }
     buf

@@ -176,11 +176,16 @@ object Dedup {
     * groupBy (map-side combine carries k longs per doc per task; one
     * shuffle total). k separate agg columns codegen larger but execute
     * faster than any exploded-position alternative (measured 4-6x).
+    *
+    * Shingle hash is the native codegen'd `fnv1a64` (not xxhash64) so the
+    * DuckDB oracle can re-derive signatures bit-exactly.
     */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(ngrams(normText(col("text")), n)).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinhashPrime)))
+      .withColumn("h",
+        pmod(graft.functions.Fingerprint.fnv1a64(docs.sparkSession, col("sh")),
+          lit(MinhashPrime)))
     val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"sig_$i")
     }
@@ -202,8 +207,12 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(docs, n, k)
+    // band key = fnv1a64 of the comma-joined signature slice (not
+    // murmur3 `hash`): same compact bucket key, but oracle-reproducible
     val banded = sigs.select(col("doc_id") +: (0 until bands).map { bIdx =>
-      hash((bIdx * rows until (bIdx + 1) * rows).map(i => col(s"sig_$i")): _*)
+      graft.functions.Fingerprint.fnv1a64(docs.sparkSession,
+        concat_ws(",", (bIdx * rows until (bIdx + 1) * rows)
+          .map(i => col(s"sig_$i")): _*))
         .as(s"band_$bIdx")
     }: _*)
     // self-joined below: persist, or the signature pipeline (explode +
@@ -238,11 +247,13 @@ object Dedup {
   // =========================================================================
   /** 64-bit SimHash per doc: explode tokens, 64 conditional sums in one
     * aggregation (sign of each bit-weighted sum), assemble the long.
+    * Token hash is the native `fnv1a64` so the oracle can mirror it.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(normText(col("text")), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        graft.functions.Fingerprint.fnv1a64(docs.sparkSession, col("tok")))
     val aggs = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"b$j")
@@ -322,6 +333,117 @@ object Dedup {
            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
        ORDER BY vec_a, vec_b"""
 
+  // ---- DuckDB oracles for the hash-based paths -----------------------------
+  // Both re-derive the native fnv1a64 via OracleFnv's HUGEINT fold, so
+  // the full pipeline (shingle hash → signatures → bands → candidate
+  // join → verify) is reproduced exactly, constants included.
+
+  /** Oracle for `dedup_minhash_lsh` with the registered defaults
+    * (n=1, k=32, bands=2, threshold=0.95). Signature permutation
+    * constants are inlined from [[perms]] so both engines use the same
+    * affine maps.
+    */
+  val minhashLshSql: String = {
+    val p = MinhashPrime
+    val k = 32; val bands = 2; val rws = k / bands
+    val sigAggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $p) AS sig_$i"
+    }.mkString(",\n           ")
+    val bandSelects = (0 until bands).map { bIdx =>
+      val cols = (bIdx * rws until (bIdx + 1) * rws).map(i => s"sig_$i")
+        .mkString(", ")
+      s"""SELECT doc_id, $bIdx AS band_idx,
+            ${OracleFnv.ofText(s"concat_ws(',', $cols)")} AS band_hash
+          FROM sig"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH base AS (
+         SELECT doc_id,
+           list_distinct(string_split(
+             regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS grams
+         FROM documents),
+       sh AS (SELECT doc_id, unnest(grams) AS sh FROM base),
+       hv AS (SELECT doc_id,
+           ((${OracleFnv.ofText("sh")} % $p) + $p) % $p AS h
+         FROM sh),
+       sig AS (
+         SELECT doc_id,
+           $sigAggs
+         FROM hv GROUP BY doc_id),
+       bh AS ($bandSelects),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bh x JOIN bh y
+           ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id),
+       scored AS (
+         SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE)
+             AS jaccard
+         FROM cand c
+         JOIN base ga ON ga.doc_id = c.doc_a
+         JOIN base gb ON gb.doc_id = c.doc_b)
+       SELECT doc_a, doc_b, jaccard FROM scored
+       WHERE jaccard >= 0.95
+       ORDER BY doc_a, doc_b"""
+  }
+
+  /** Oracle for `dedup_simhash` with the registered default
+    * (maxHamming=3, 4×16-bit bands). Bit extraction runs in the unsigned
+    * domain (two's-complement reinterpretation) since DuckDB has no
+    * arithmetic shift on BIGINT.
+    */
+  val simhashPairsSql: String = {
+    val two64 = "18446744073709551616"
+    def pow2(j: Int): String = java.math.BigInteger.TWO.pow(j).toString
+    val bitAggs = (0 until 64).map { j =>
+      s"SUM(CASE WHEN (u // ${pow2(j)}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n           ")
+    val assemble = (0 until 64).map { j =>
+      s"CASE WHEN b$j > 0 THEN CAST(${pow2(j)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString("\n             + ")
+    val bandSelects = (0 until 4).map { bIdx =>
+      s"""SELECT doc_id, simhash,
+            $bIdx AS band_idx,
+            CAST(((CASE WHEN simhash < 0
+                        THEN CAST(simhash AS HUGEINT) + $two64
+                        ELSE CAST(simhash AS HUGEINT) END)
+                  // ${pow2(bIdx * 16)}) % 65536 AS BIGINT) AS band_val
+          FROM sims"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH toks AS (
+         SELECT doc_id,
+           unnest(string_split(
+             regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok
+         FROM documents),
+       tf AS (SELECT doc_id, ${OracleFnv.ofText("tok")} AS f FROM toks),
+       tu AS (SELECT doc_id,
+           CASE WHEN f < 0 THEN CAST(f AS HUGEINT) + $two64
+                ELSE CAST(f AS HUGEINT) END AS u
+         FROM tf),
+       bits AS (
+         SELECT doc_id,
+           $bitAggs
+         FROM tu GROUP BY doc_id),
+       us AS (
+         SELECT doc_id,
+           $assemble AS uv
+         FROM bits),
+       sims AS (SELECT doc_id, ${OracleFnv.signed("uv")} AS simhash FROM us),
+       banded AS ($bandSelects),
+       pairs AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           x.simhash AS sim_a, y.simhash AS sim_b
+         FROM banded x JOIN banded y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+         CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+       FROM pairs
+       WHERE bit_count(xor(sim_a, sim_b)) <= 3
+       ORDER BY doc_a, doc_b"""
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
@@ -342,5 +464,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,
-    "dedup_embedding" -> embeddingPairsSql)
+    "dedup_embedding" -> embeddingPairsSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashPairsSql)
 }

@@ -165,8 +165,9 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprints via the native [[Fingerprint]] Catalyst
     * expression (FNV-1a 64): whole-doc fingerprint plus a fingerprint of
-    * the normalized (lowercased, space-collapsed) text. Not
-    * SQL-oracle-able (DuckDB lacks the hash); covered by ScalaTest.
+    * the normalized (lowercased, space-collapsed) text. Oracle-verified:
+    * DuckDB reproduces the hash bit-exactly via a HUGEINT list_reduce
+    * fold over the string's UTF-8 bytes (see [[fnvFoldSql]]).
     */
   def textFingerprint(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -209,8 +210,8 @@ object TextAnalysis {
   /** Deterministic train/val/test split by content hash (fnv1a64 of the
     * normalized text, not doc_id, so the split survives re-ingestion
     * with different ids — the standard trick for stable corpus splits).
-    * 90/5/5. Not SQL-oracle-able (DuckDB lacks the hash); determinism
-    * and proportions are asserted in ScalaTest.
+    * 90/5/5. Oracle-verified via the DuckDB FNV fold; proportions and
+    * determinism additionally asserted in ScalaTest.
     */
   def corpusSplit(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -225,8 +226,10 @@ object TextAnalysis {
 
   /** Deterministic k-sample of documents per language via the native
     * `hash_sample` TypedImperativeAggregate (k-min-hash sampling —
-    * partition-order independent, k-bounded partials). rows-only
-    * (DuckDB lacks the hash); invariants in ScalaTest.
+    * partition-order independent, k-bounded partials). Oracle-verified:
+    * the ordering hash is FNV-1a 64, which DuckDB re-derives exactly, so
+    * the oracle is a row_number-over-(hash, value) window; invariants
+    * (determinism, bound, subset) additionally in ScalaTest.
     */
   def docsSamplePerLang(docs: DataFrame, k: Int = 3): DataFrame = {
     val s = docs.sparkSession
@@ -275,9 +278,67 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, d) =>
       textFingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
+  // ---- DuckDB FNV-1a 64 mirror (shared fragments in OracleFnv) -------------
+  private def fnvFoldSql(hexCol: String): String = OracleFnv.fold(hexCol)
+  private def fnvSignedSql(h: String): String = OracleFnv.signed(h)
+
+  val textFingerprintSql: String =
+    s"""WITH x AS (
+          SELECT doc_id,
+            hex(encode(text)) AS hx1,
+            hex(encode(regexp_replace(lower(text), ' +', ' ', 'g'))) AS hx2
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+            ${fnvFoldSql("hx1")} AS h1,
+            ${fnvFoldSql("hx2")} AS h2
+          FROM x)
+        SELECT doc_id,
+          ${fnvSignedSql("h1")} AS fingerprint,
+          ${fnvSignedSql("h2")} AS normalized_fingerprint
+        FROM f
+        ORDER BY doc_id"""
+
+  val corpusSplitSql: String =
+    s"""WITH n AS (
+          SELECT doc_id, lang,
+            hex(encode(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS hx
+          FROM documents),
+        f AS (SELECT doc_id, lang, ${fnvFoldSql("hx")} AS h FROM n),
+        s AS (
+          SELECT doc_id, lang,
+            ((${fnvSignedSql("h")} % 100) + 100) % 100 AS bucket
+          FROM f)
+        SELECT doc_id, lang,
+          CASE WHEN bucket < 90 THEN 'train'
+               WHEN bucket < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM s
+        ORDER BY doc_id"""
+
+  val docsSamplePerLangSql: String =
+    s"""WITH d AS (
+          SELECT lang, CAST(doc_id AS VARCHAR) AS id FROM documents),
+        x AS (SELECT lang, id, hex(encode(id)) AS hx FROM d),
+        f AS (SELECT lang, id, ${fnvSignedSql(fnvFoldSql("hx"))} AS fp FROM x),
+        r AS (
+          SELECT lang, id,
+            row_number() OVER (PARTITION BY lang ORDER BY fp, id) AS rn
+          FROM f)
+        SELECT lang,
+          array_to_string(list_sort(list(id) FILTER (WHERE rn <= 3)), ',')
+            AS sample_ids,
+          CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM r
+        GROUP BY lang
+        ORDER BY lang"""
+
   def oracles: Map[String, String] = Map(
     "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangIdSql,
     "text_tokens" -> textTokensSql,
-    "text_quality" -> textQualitySql)
+    "text_quality" -> textQualitySql,
+    "text_fingerprint" -> textFingerprintSql,
+    "corpus_split" -> corpusSplitSql,
+    "docs_sample_per_lang" -> docsSamplePerLangSql)
 }
