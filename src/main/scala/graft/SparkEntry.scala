@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Masking
-import graft.operators.{Analytics, Cdc, Dedup, Gold, Ivf, Medallion,
-  Multimodal, Quality, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Cdc, Clusters, Decontaminate, Dedup,
+  Gold, Ivf, Medallion, Multimodal, Quality, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -19,6 +19,7 @@ object SparkEntry {
       Cdc.queries ++ Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Ivf.queries ++
+      Decontaminate.queries ++ Clusters.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
     Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ graft.streaming.EventStreams.oracles
+      Multimodal.oracles ++ Decontaminate.oracles ++ Clusters.oracles ++
+      graft.streaming.EventStreams.oracles
 }

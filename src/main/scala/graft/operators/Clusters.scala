@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Duplicate-cluster assignment: connected components over near-dup
+  * pairs, so "keep one doc per duplicate group" works even when
+  * duplicates chain (A~B, B~C, A!~C — one cluster, one keeper).
+  *
+  * Algorithm: iterative min-label propagation (each node takes the
+  * minimum label among itself and its neighbors) run to fixpoint — the
+  * dataframe form of GraphX/Pregel connected components. Convergence is
+  * bounded by the component diameter; near-dup clusters are shallow
+  * (stars/cliques), so a handful of rounds suffice. The fixpoint is
+  * unique regardless of execution order, hence deterministic and
+  * oracle-verifiable via a recursive CTE.
+  *
+  * Scale posture (100 TB): each round is one shuffle join on node id of
+  * the edge list against the label map — no collect, no driver-side
+  * graph. Lineage is truncated per round with `localCheckpoint`
+  * (ContextCleaner GC-manages the materialized RDDs). For adversarial
+  * long-path graphs, swap the per-round neighbor step for the
+  * large-star/small-star rounds of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SOCC '14) — same join shape,
+  * O(log n) rounds; the propagation loop below is the right trade for
+  * the shallow components dedup actually produces.
+  */
+object Clusters {
+
+  /** Generic connected components: `edges` (srcCol, dstCol) undirected,
+    * `nodes` one row per vertex id. Returns (node, cluster_id) where
+    * cluster_id = min node id reachable. Singletons keep their own id.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, maxIters: Int = 30): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // both directions once; reused every round — materialize
+    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(nodeCol).as("node"), col(nodeCol).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNbr = adj.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.union(viaNbr)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+
+  /** Cluster assignment for every document from n-gram-Jaccard near-dup
+    * edges: (doc_id, cluster_id, cluster_size).
+    */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.ngramJaccard(docs, 1, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs, "doc_a", "doc_b",
+      docs.select(col("doc_id")), "doc_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE (min reachable label),
+    * over the same ngram-Jaccard ≥ 0.8 edges as the Spark path.
+    */
+  val dupClustersSql: String = {
+    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    s"""WITH RECURSIVE base AS (
+         SELECT doc_id,
+           list_distinct(string_split($norm, ' ')) AS grams,
+           CAST(len(string_split($norm, ' ')) // 10 AS INT) AS len_bucket,
+           lang
+         FROM documents),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM base a
+         JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+             >= 0.8),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM p
+         UNION ALL SELECT doc_b, doc_a FROM p),
+       reach(node, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+       comp AS (
+         SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         FROM reach GROUP BY node)
+       SELECT doc_id, cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+       FROM comp
+       ORDER BY doc_id"""
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> ((s, d) =>
+      dupClusters(Tables.documents(s, d)).orderBy(col("doc_id"))))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dupClustersSql)
+}

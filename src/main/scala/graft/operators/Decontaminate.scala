@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Benchmark decontamination for LLM training corpora: detect eval-set
+  * text leaking into the training set via shared word n-grams — the
+  * standard check run before training (cf. GPT-2/GPT-3 appendix-style
+  * 8-gram overlap, here 3-grams against the synthetic corpus).
+  *
+  * The eval set is the deterministic `test` slice of
+  * [[TextAnalysis.corpusSplit]], so the whole pipeline is reproducible
+  * end-to-end and DuckDB-oracle-verified.
+  *
+  * Scale posture (100 TB): the eval side is a few thousand docs — its
+  * exploded n-gram set broadcasts; the train side streams through the
+  * join at scan speed with no shuffle of the corpus itself (the
+  * gram-key shuffle moves only (gram, id) pairs, and a
+  * document-frequency pre-filter caps hot-gram fan-out; here df ≤
+  * `maxGramDf` train docs). Nothing is O(n²): candidate pairs exist
+  * only where an n-gram actually collides.
+  */
+object Decontaminate {
+
+  /** (test_id, train_id, overlap, containment) for eval docs whose
+    * distinct n-grams appear in a train doc with containment ≥
+    * `minContainment` (containment = |shared| / |test grams| — the
+    * right asymmetry: a short eval doc fully inside a long train doc
+    * is contamination even though Jaccard is low).
+    *
+    * `maxGramDf` drops n-grams present in more than that many train
+    * docs before pairing — boilerplate grams (headers, licenses)
+    * otherwise create quadratic candidate blowup; dropped grams can
+    * only lower containment, so this trades bounded recall for a
+    * linear candidate set, the same knob production decontamination
+    * uses.
+    */
+  def contamination(docs: DataFrame, n: Int = 3,
+      minContainment: Double = 0.5, maxGramDf: Int = 1000): DataFrame = {
+    val split = TextAnalysis.corpusSplit(docs).select(col("doc_id"), col("split"))
+    val grams = docs.join(split, "doc_id").select(
+      col("doc_id"), col("split"),
+      Dedup.ngrams(Dedup.normText(col("text")), n).as("grams"))
+    graft.Caching.withCached(grams) {
+      val te = grams.filter(col("split") === "test").select(
+        col("doc_id").as("test_id"), explode(col("grams")).as("gram"),
+        size(col("grams")).as("n_test"))
+      val tr = grams.filter(col("split") === "train").select(
+        col("doc_id").as("train_id"), explode(col("grams")).as("gram"))
+      val rare = tr.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxGramDf).select("gram")
+      te.join(rare, "gram")
+        .join(tr, "gram")
+        .groupBy(col("test_id"), col("train_id"))
+        .agg(count(lit(1)).as("overlap"), first(col("n_test")).as("n_test"))
+        .withColumn("containment",
+          col("overlap").cast("double") / col("n_test").cast("double"))
+        .filter(col("containment") >= minContainment)
+        .select(col("test_id"), col("train_id"), col("overlap"),
+          col("containment"))
+    }
+  }
+
+  /** Oracle with the registered defaults (n=3, containment ≥ 0.5,
+    * maxGramDf=1000); reuses the FNV fold for the split hash.
+    */
+  val contaminationSql: String = {
+    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    s"""WITH nrm AS (
+         SELECT doc_id, hex(encode($norm)) AS hx,
+           string_split($norm, ' ') AS toks
+         FROM documents),
+       sp AS (
+         SELECT doc_id, toks,
+           ((${OracleFnv.signed(OracleFnv.fold("hx"))} % 100) + 100) % 100
+             AS bucket
+         FROM nrm),
+       g AS (
+         SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+         FROM sp),
+       te AS (
+         SELECT doc_id AS test_id, unnest(grams) AS gram,
+           len(grams) AS n_test
+         FROM g WHERE split = 'test'),
+       tr AS (
+         SELECT doc_id AS train_id, unnest(grams) AS gram
+         FROM g WHERE split = 'train'),
+       rare AS (
+         SELECT gram FROM tr GROUP BY gram HAVING COUNT(*) <= 1000),
+       ov AS (
+         SELECT test_id, train_id,
+           CAST(COUNT(*) AS BIGINT) AS overlap,
+           ANY_VALUE(n_test) AS n_test
+         FROM te JOIN rare USING (gram) JOIN tr USING (gram)
+         GROUP BY test_id, train_id)
+       SELECT test_id, train_id, overlap,
+         CAST(overlap AS DOUBLE) / CAST(n_test AS DOUBLE) AS containment
+       FROM ov
+       WHERE CAST(overlap AS DOUBLE) / CAST(n_test AS DOUBLE) >= 0.5
+       ORDER BY test_id, train_id"""
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate_ngram" -> ((s, d) =>
+      contamination(Tables.documents(s, d))
+        .orderBy(col("test_id"), col("train_id"))))
+
+  def oracles: Map[String, String] = Map(
+    "decontaminate_ngram" -> contaminationSql)
+}

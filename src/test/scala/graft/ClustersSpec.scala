@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Clusters, Decontaminate}
+
+class ClustersSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("connected components labels a known graph correctly") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {5,6} (pair), {7} (singleton)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val nodes = (1L to 7L).toDF("id")
+    val got = Clusters.connectedComponents(edges, "a", "b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("cluster assignment is a valid partition refinement of dup pairs") {
+    val docs = Tables.documents(spark, sf)
+    val comp = Clusters.dupClusters(docs)
+    val byDoc = comp.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc labeled exactly once
+    assert(byDoc.size == docs.count())
+    // each edge's endpoints share a cluster
+    val pairs = graft.operators.Dedup.ngramJaccard(docs, 1, 0.8)
+      .select("doc_a", "doc_b").collect()
+    pairs.foreach { r =>
+      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
+        s"edge (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+    }
+    // cluster_id is the min member id (canonical labeling)
+    val members = byDoc.groupBy(_._2).view.mapValues(_.keys.min)
+    members.foreach { case (cid, minId) => assert(cid == minId) }
+  }
+
+  test("decontamination: containment bounded and split-consistent") {
+    val docs = Tables.documents(spark, sf)
+    val hits = Decontaminate.contamination(docs).collect()
+    assert(hits.nonEmpty, "expected contamination in the synthetic corpus")
+    val split = graft.operators.TextAnalysis.corpusSplit(docs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { r =>
+      val (te, tr) = (r.getLong(0), r.getLong(1))
+      assert(split(te) == "test" && split(tr) == "train")
+      val c = r.getDouble(3)
+      assert(c >= 0.5 && c <= 1.0, s"containment $c out of range")
+      assert(r.getLong(2) >= 1)
+    }
+  }
+}
