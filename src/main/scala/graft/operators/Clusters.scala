@@ -39,22 +39,39 @@ object Clusters {
     // both directions once; reused every round — materialize
     val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col(nodeCol).as("node"), col(nodeCol).as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
+    // only edge endpoints participate in propagation (a node with no
+    // edges can never change labels); singletons are appended after
+    var labels = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    // convergence check: labels only ever decrease, so the exact label
+    // sum is strictly monotone until the fixpoint — one scan-only agg
+    // per round instead of a shuffle join against the previous round.
+    // decimal(38,0): exact at any node-id magnitude / row count.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val viaNbr = adj.join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("lbl"))
-      val next = labels.union(viaNbr)
+    var converged = prevSum == null // empty edge set: nothing to do
+    // two propagation hops per materialized round: labels reach 2-hop
+    // neighbors before each checkpoint, halving the number of Spark
+    // jobs for a given diameter (round cost is dominated by per-job
+    // overhead at small label-map sizes, not data volume)
+    def hop(l: DataFrame): DataFrame =
+      l.union(adj.join(l.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("lbl")))
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev")).count()
+    while (!converged && iter < maxIters) {
+      val next = hop(hop(labels)).localCheckpoint()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
-    labels.select(col("node"), col("lbl").as("cluster_id"))
+    val singles = nodes.select(col(nodeCol).as("node"))
+      .join(labels, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("lbl"))
+    labels.union(singles).select(col("node"), col("lbl").as("cluster_id"))
   }
 
   /** Cluster assignment for every document from n-gram-Jaccard near-dup

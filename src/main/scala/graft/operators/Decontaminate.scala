@@ -51,7 +51,9 @@ object Decontaminate {
         col("doc_id").as("train_id"), explode(col("grams")).as("gram"))
       val rare = tr.groupBy("gram").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxGramDf).select("gram")
-      te.join(rare, "gram")
+      // eval sets are tiny relative to the corpus: broadcast the
+      // exploded test grams so the train side never shuffles its grams
+      broadcast(te.join(rare, "gram"))
         .join(tr, "gram")
         .groupBy(col("test_id"), col("train_id"))
         .agg(count(lit(1)).as("overlap"), first(col("n_test")).as("n_test"))
