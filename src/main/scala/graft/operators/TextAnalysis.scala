@@ -254,6 +254,66 @@ object TextAnalysis {
     finally s.catalog.dropTempView(view)
   }
 
+  /** Corpus vocabulary statistics: per-token document frequency and
+    * collection frequency over whitespace tokens of the normalized
+    * text — the df/cf table behind tokenizer-vocab builds and
+    * df-based quality filters. One explode + one groupBy: map-side
+    * combine keeps the shuffle at vocabulary size, not corpus size.
+    */
+  def corpusVocab(docs: DataFrame, minDf: Int = 5): DataFrame = docs
+    .select(col("doc_id"),
+      explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+    .groupBy(col("tok"))
+    .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+    .filter(col("df") >= minDf)
+
+  val corpusVocabSql: String =
+    """SELECT tok,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+       FROM (SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok
+             FROM documents)
+       GROUP BY tok
+       HAVING COUNT(DISTINCT doc_id) >= 5
+       ORDER BY tok"""
+
+  /** Deterministic sequence packing: assign docs to fixed-token-budget
+    * packs by running token count within a language, in doc_id order —
+    * the batch-shape step before writing training shards. A single
+    * window (one shuffle + sort per lang partition); no driver loop.
+    * Greedy bin packing would need per-bin state; the running-sum form
+    * is the order-preserving variant production packers use when shard
+    * order must be stable.
+    */
+  def packDocs(docs: DataFrame, budgetTokens: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"tokens_before div $budgetTokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
+  }
+
+  val packDocsSql: String =
+    """WITH t AS (
+         SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS tokens_before
+         FROM t)
+       SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id
+       FROM c
+       ORDER BY doc_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // sample_ids emitted as a sorted CSV string, not ARRAY<STRING>: the
@@ -276,7 +336,11 @@ object TextAnalysis {
     "text_quality" -> ((s, d) =>
       textQuality(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
-      textFingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      textFingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "corpus_vocab" -> ((s, d) =>
+      corpusVocab(Tables.documents(s, d)).orderBy(col("tok"))),
+    "corpus_pack" -> ((s, d) =>
+      packDocs(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   // ---- DuckDB FNV-1a 64 mirror (shared fragments in OracleFnv) -------------
   private def fnvFoldSql(hexCol: String): String = OracleFnv.fold(hexCol)
@@ -340,5 +404,7 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
     "corpus_split" -> corpusSplitSql,
-    "docs_sample_per_lang" -> docsSamplePerLangSql)
+    "docs_sample_per_lang" -> docsSamplePerLangSql,
+    "corpus_vocab" -> corpusVocabSql,
+    "corpus_pack" -> packDocsSql)
 }

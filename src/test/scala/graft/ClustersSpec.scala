@@ -38,6 +38,31 @@ class ClustersSpec extends AnyFunSuite {
     members.foreach { case (cid, minId) => assert(cid == minId) }
   }
 
+  test("corpus packing: packs respect the token budget modulo one doc") {
+    val docs = Tables.documents(spark, sf)
+    val packed = graft.operators.TextAnalysis.packDocs(docs, 2048)
+    val perPack = packed.groupBy("lang", "pack_id")
+      .agg(sum("n_tokens").as("total"), max("n_tokens").as("biggest"))
+      .collect()
+    perPack.foreach { r =>
+      // running-sum packing: a pack overflows by at most one doc's tail
+      assert(r.getLong(2) < 2048 + r.getLong(3),
+        s"pack ${r.get(1)} total ${r.getLong(2)} exceeds budget+doc")
+    }
+    assert(packed.count() == docs.count())
+  }
+
+  test("corpus vocab: df bounded by corpus size and by cf") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val vocab = graft.operators.TextAnalysis.corpusVocab(docs).collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { r =>
+      val (df, cf) = (r.getLong(1), r.getLong(2))
+      assert(df >= 5 && df <= n && cf >= df)
+    }
+  }
+
   test("decontamination: containment bounded and split-consistent") {
     val docs = Tables.documents(spark, sf)
     val hits = Decontaminate.contamination(docs).collect()
