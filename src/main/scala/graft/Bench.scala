@@ -24,6 +24,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       spark.catalog.clearCache() // per-query isolation: no cache carryover
+      Caching.releaseAll(spark) // incl. localCheckpoint block storage
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -30,9 +30,36 @@ object Caching {
   /** Persist `inputs` for the duration of `f`, eagerly materialize `f`'s
     * result, then release the inputs. See object doc for the lifecycle.
     */
+  /** `-Dgraft.caching.disable=true` turns [[withCached]] into a pure
+    * passthrough (no persist, no checkpoint): plan-inspection tools
+    * ([[graft.PlanAudit]]) set it so they audit the operator's FULL
+    * plan rather than a post-checkpoint stub. Never set it for real
+    * runs — self-join inputs would recompute once per reference.
+    */
+  private def disabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.caching.disable")
+
   def withCached(inputs: Dataset[_]*)(f: => DataFrame): DataFrame = {
-    inputs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-    try f.localCheckpoint(eager = true)
-    finally inputs.foreach(_.unpersist(blocking = false))
+    if (disabled) f
+    else {
+      inputs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+      try f.localCheckpoint(eager = true)
+      finally inputs.foreach(_.unpersist(blocking = false))
+    }
   }
+
+  /** Deterministically release every persisted RDD in the session —
+    * including localCheckpoint block storage, which neither
+    * `clearCache()` nor anything short of a driver GC touches
+    * (ContextCleaner frees checkpoint blocks only after the RDD
+    * reference is collected; the periodic fallback GC defaults to
+    * 30 min). Batch harnesses (Bench/Verify) call this between queries
+    * so materialized outputs never accumulate across the run. Only safe
+    * once the prior query's output is fully consumed: a localCheckpoint
+    * has no lineage, so unpersisting one that is still needed loses the
+    * data.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 }

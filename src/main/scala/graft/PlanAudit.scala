@@ -21,6 +21,9 @@ object PlanAudit {
         s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
+    // audit the FULL operator plans: withCached normally checkpoints,
+    // which would hide everything upstream behind an ExistingRDD stub
+    System.setProperty("graft.caching.disable", "true")
     val spark = GraftSession.local(8)
     // simple-mode FileScan metadata truncates at 100 chars by default,
     // which cuts off PushedFilters/ReadSchema — the point of the dump

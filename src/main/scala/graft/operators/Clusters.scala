@@ -68,6 +68,13 @@ object Clusters {
       labels = next
       iter += 1
     }
+    // exiting un-converged would silently emit multiple labels for one
+    // true component (keep-one-per-cluster then retains duplicates) —
+    // fail fast; callers with adversarial long-path graphs should raise
+    // maxIters or switch to the large-star/small-star rounds
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIters rounds " +
+        s"(2 hops each) — component diameter exceeds ${2 * maxIters}")
     val singles = nodes.select(col(nodeCol).as("node"))
       .join(labels, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("lbl"))
@@ -83,34 +90,23 @@ object Clusters {
     val comp = connectedComponents(pairs, "doc_a", "doc_b",
       docs.select(col("doc_id")), "doc_id")
       .select(col("node").as("doc_id"), col("cluster_id"))
-    val sizes = comp.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "cluster_id")
+    // window count, not aggregate+join: comp's tail (anti-join + union)
+    // is un-materialized and would re-execute once per consumer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    comp.withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   /** Oracle: transitive closure by recursive CTE (min reachable label),
-    * over the same ngram-Jaccard ≥ 0.8 edges as the Spark path.
+    * over [[Dedup.ngramPairCtesSql]] — the same edge definition the
+    * `dedup_ngram_jaccard` oracle uses, so the two cannot drift.
     */
   val dupClustersSql: String = {
-    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
-    s"""WITH RECURSIVE base AS (
-         SELECT doc_id,
-           list_distinct(string_split($norm, ' ')) AS grams,
-           CAST(len(string_split($norm, ' ')) // 10 AS INT) AS len_bucket,
-           lang
-         FROM documents),
-       p AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM base a
-         JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-           AND a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
-             >= 0.8),
+    s"""WITH RECURSIVE ${Dedup.ngramPairCtesSql},
        edges AS (
-         SELECT doc_a AS a, doc_b AS b FROM p
-         UNION ALL SELECT doc_b, doc_a FROM p),
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
        reach(node, lbl) AS (
          SELECT doc_id, doc_id FROM documents
          UNION

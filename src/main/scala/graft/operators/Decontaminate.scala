@@ -66,26 +66,17 @@ object Decontaminate {
   }
 
   /** Oracle with the registered defaults (n=3, containment ≥ 0.5,
-    * maxGramDf=1000); reuses the FNV fold for the split hash.
+    * maxGramDf=1000); the split comes from [[TextAnalysis.splitCtesSql]]
+    * — the same definition the `corpus_split` oracle uses, so the two
+    * cannot drift.
     */
   val contaminationSql: String = {
-    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
-    s"""WITH nrm AS (
-         SELECT doc_id, hex(encode($norm)) AS hx,
-           string_split($norm, ' ') AS toks
-         FROM documents),
-       sp AS (
-         SELECT doc_id, toks,
-           ((${OracleFnv.signed(OracleFnv.fold("hx"))} % 100) + 100) % 100
-             AS bucket
-         FROM nrm),
+    s"""WITH ${TextAnalysis.splitCtesSql},
        g AS (
-         SELECT doc_id,
-           CASE WHEN bucket < 90 THEN 'train'
-                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         SELECT doc_id, split,
            list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
              i -> array_to_string(toks[i:i+2], ' '))) AS grams
-         FROM sp),
+         FROM split_docs),
        te AS (
          SELECT doc_id AS test_id, unnest(grams) AS gram,
            len(grams) AS n_test

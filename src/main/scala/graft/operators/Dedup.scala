@@ -91,21 +91,32 @@ object Dedup {
     }
   }
 
-  val ngramJaccardSql: String =
-    """WITH base AS (
+  /** Shared oracle CTEs `base` (blocked gram sets) and `pairs`
+    * (thresholded unigram-Jaccard matches) — the single definition of
+    * the blocking + threshold rule, reused by [[ngramJaccardSql]] and
+    * [[Clusters.dupClustersSql]] so the two oracles cannot drift.
+    */
+  val ngramPairCtesSql: String =
+    """base AS (
          SELECT doc_id, lang,
            list_distinct(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS grams,
            CAST(len(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) // 10 AS INT) AS len_bucket
-         FROM documents)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-           / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard,
-         a.lang
-       FROM base a
-       JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-         AND a.doc_id < b.doc_id
-       WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-           / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8
+         FROM documents),
+       pairs AS (
+         SELECT * FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+               AS jaccard,
+             a.lang
+           FROM base a
+           JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.8)"""
+
+  val ngramJaccardSql: String =
+    s"""WITH $ngramPairCtesSql
+       SELECT doc_a, doc_b, jaccard, lang FROM pairs
        ORDER BY doc_a, doc_b"""
 
   // =========================================================================

@@ -28,8 +28,11 @@ private[operators] object OracleFnv {
                THEN $h - CAST(18446744073709551616 AS HUGEINT)
                ELSE $h END AS BIGINT)"""
 
-  /** Signed fnv1a64 of a VARCHAR expression, via a scalar subquery so the
-    * fold input is evaluated once (DuckDB inlines the expression text).
+  /** Signed fnv1a64 of a VARCHAR expression. NOTE: `textExpr` is
+    * inlined textually several times (length + per-byte substr), so
+    * single evaluation is up to DuckDB's common-subexpression handling
+    * — precompute expensive expressions in a CTE column and pass the
+    * column name here.
     */
   def ofText(textExpr: String): String =
     signed(fold(s"hex(encode($textExpr))"))

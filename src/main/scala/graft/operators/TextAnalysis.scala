@@ -363,21 +363,34 @@ object TextAnalysis {
         FROM f
         ORDER BY doc_id"""
 
-  val corpusSplitSql: String =
-    s"""WITH n AS (
+  /** Shared oracle CTEs ending in `split_docs(doc_id, lang, toks,
+    * split)` — the single definition of the content-hash 90/5/5 split,
+    * reused by [[corpusSplitSql]] and [[Decontaminate.contaminationSql]]
+    * so the two oracles cannot drift.
+    */
+  val splitCtesSql: String = {
+    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    s"""split_nrm AS (
           SELECT doc_id, lang,
-            hex(encode(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))) AS hx
+            string_split($norm, ' ') AS toks,
+            hex(encode($norm)) AS hx
           FROM documents),
-        f AS (SELECT doc_id, lang, ${fnvFoldSql("hx")} AS h FROM n),
-        s AS (
-          SELECT doc_id, lang,
-            ((${fnvSignedSql("h")} % 100) + 100) % 100 AS bucket
-          FROM f)
-        SELECT doc_id, lang,
-          CASE WHEN bucket < 90 THEN 'train'
-               WHEN bucket < 95 THEN 'val'
-               ELSE 'test' END AS split
-        FROM s
+        split_f AS (
+          SELECT doc_id, lang, toks, ${fnvFoldSql("hx")} AS h
+          FROM split_nrm),
+        split_docs AS (
+          SELECT doc_id, lang, toks,
+            CASE WHEN bucket < 90 THEN 'train'
+                 WHEN bucket < 95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang, toks,
+                  ((${fnvSignedSql("h")} % 100) + 100) % 100 AS bucket
+                FROM split_f))"""
+  }
+
+  val corpusSplitSql: String =
+    s"""WITH $splitCtesSql
+        SELECT doc_id, lang, split FROM split_docs
         ORDER BY doc_id"""
 
   val docsSamplePerLangSql: String =

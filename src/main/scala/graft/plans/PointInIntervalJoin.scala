@@ -155,10 +155,13 @@ object PointInInterval {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(col(keyCol)).orderBy(col(startCol))
+    // previous-row existence must be tested independently of startCol
+    // nullability (lag of a constant), or a NULL-start first interval
+    // hides the check for its successor
     val bad = intervals
       .withColumn("__prev_end", lag(col(endCol), 1).over(w))
-      .withColumn("__prev_start", lag(col(startCol), 1).over(w))
-      .filter(col("__prev_start").isNotNull &&
+      .withColumn("__has_prev", lag(lit(1), 1).over(w))
+      .filter(col("__has_prev").isNotNull &&
         (col("__prev_end").isNull || col(startCol) < col("__prev_end")))
       .limit(1).count()
     if (bad > 0) throw new IllegalArgumentException(

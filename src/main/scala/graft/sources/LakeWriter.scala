@@ -123,10 +123,22 @@ object LakeWriter {
 
   /** Read an upsert-maintained table: live rows only (tombstones
     * filtered, marker column dropped).
+    *
+    * Side-effect free: a reader must never rename directories, or it
+    * races a writer mid-[[swapIn]] (restoring `_old` between the
+    * writer's two renames strands the staged data). If a crashed swap
+    * left no live dir, serve the `_old` backup read-only; the next
+    * WRITE repairs the layout via [[recoverIfCrashed]]. Writers are
+    * assumed single-threaded per table (parquet dirs have no log).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    recoverIfCrashed(fileSystem(spark), path)
-    val df = spark.read.parquet(path)
+    val fs = fileSystem(spark)
+    val src =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) path
+      else if (fs.exists(new org.apache.hadoop.fs.Path(path + "_old")))
+        path + "_old"
+      else path // fail with the normal missing-path error
+    val df = spark.read.parquet(src)
     if (df.columns.contains("_deleted"))
       df.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
     else df
