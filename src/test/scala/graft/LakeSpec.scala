@@ -47,6 +47,27 @@ class LakeSpec extends AnyFunSuite {
     assert(!ids.contains(3L), "late stale update resurrected a deleted key")
   }
 
+  test("crashed swap: read serves the backup without mutating; write repairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t2c"
+    val base = Seq((1L, "a", 1L)).toDF("id", "payload", "seq")
+    LakeWriter.upsert(spark, dir, base, Seq("id"), "seq")
+    // simulate a crash between moving the live dir aside and moving the
+    // staged dir in: only path_old exists
+    val f = new java.io.File(dir)
+    val old = new java.io.File(dir + "_old")
+    assert(f.renameTo(old))
+    // a reader must serve the backup and must NOT rename anything
+    // (renaming would race a concurrent writer mid-swap)
+    assert(LakeWriter.read(spark, dir).count() == 1)
+    assert(old.exists() && !f.exists(), "read() mutated the directory layout")
+    // the next write repairs the layout and applies its merge
+    val upd = Seq((2L, "b", 2L)).toDF("id", "payload", "seq")
+    LakeWriter.upsert(spark, dir, upd, Seq("id"), "seq")
+    assert(f.exists())
+    assert(LakeWriter.read(spark, dir).count() == 2)
+  }
+
   test("compact reduces file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lake").toString + "/t3"
