@@ -459,6 +459,43 @@ object Analytics {
        GROUP BY user_id
        ORDER BY user_id"""
 
+  /** Top-k event values per type via the bounded-buffer typed
+    * [[graft.functions.TopKAggregator]]: the shuffle carries k rows per
+    * group per task regardless of group size — the scale path for
+    * "top-N per key" when a full window sort of the fact table is the
+    * thing to avoid. Output exploded to rows (rank, value, id) with the
+    * aggregator's (value DESC, id ASC) tie-break, which the oracle
+    * mirrors as a row_number window.
+    */
+  def eventsTopK(events: DataFrame, k: Int = 5): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.TopKAggregator(k).toColumn
+    events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.name("topk"))
+      .toDF("event_type", "topk")
+      .select(col("event_type"), posexplode(col("topk")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._1").as("value"), col("col._2").as("event_id"))
+  }
+
+  val eventsTopKSql: String =
+    """SELECT event_type, CAST(rn AS BIGINT) AS rnk, value, event_id
+       FROM (SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS rn
+             FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL
+               AND event_id IS NOT NULL)
+       WHERE rn <= 5
+       ORDER BY event_type, rnk"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "customer_order_presence" -> ((s, d) =>
@@ -497,7 +534,9 @@ object Analytics {
     "events_asof_join" -> ((s, d) =>
       eventsAsOf(Tables.events(s, d)).orderBy(col("event_id"))),
     "events_user_stats" -> ((s, d) =>
-      eventsUserStats(Tables.events(s, d)).orderBy(col("user_id"))))
+      eventsUserStats(Tables.events(s, d)).orderBy(col("user_id"))),
+    "events_topk_values" -> ((s, d) =>
+      eventsTopK(Tables.events(s, d)).orderBy(col("event_type"), col("rnk"))))
 
   def oracles: Map[String, String] = Map(
     "customer_order_presence" -> customerOrderPresenceSql,
@@ -512,5 +551,6 @@ object Analytics {
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
     "events_asof_join" -> eventsAsOfSql,
-    "events_user_stats" -> eventsUserStatsSql)
+    "events_user_stats" -> eventsUserStatsSql,
+    "events_topk_values" -> eventsTopKSql)
 }
