@@ -412,6 +412,89 @@ object Medallion {
   val silverOrdersEnrichedSql: String =
     silverOrdersEnrichedBodySql + "\n       ORDER BY 1"
 
+  /** Payments-silver analog over the events feed (ref silver/
+    * order_payments.sql:9-56): domain-validated rows with a per-key
+    * payment sequential (row_number — the one shuffle), normalized
+    * type, derived category map, and an exact decimal(10,2) value.
+    * user_id stands in for order_id, event_type for payment_type.
+    */
+  def silverPayments(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("value") >= 0 &&
+        col("event_type").isin("click", "error", "purchase", "signup", "view"))
+      .withColumn("payment_sequential", row_number().over(w))
+      .select(
+        col("event_id"), col("user_id"), col("payment_sequential"),
+        col("event_type").as("payment_type"),
+        when(col("event_type") === "purchase", "revenue")
+          .when(col("event_type") === "signup", "acquisition")
+          .when(col("event_type").isin("click", "view"), "engagement")
+          .otherwise("ops").as("payment_category"),
+        col("value").cast(DecimalType(10, 2)).cast("double")
+          .as("payment_value"))
+  }
+
+  val silverPaymentsSql: String =
+    """SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT)
+         AS payment_sequential,
+       event_type AS payment_type,
+       CASE WHEN event_type = 'purchase' THEN 'revenue'
+            WHEN event_type = 'signup' THEN 'acquisition'
+            WHEN event_type IN ('click', 'view') THEN 'engagement'
+            ELSE 'ops' END AS payment_category,
+       CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS payment_value
+       FROM events
+       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+         AND value IS NOT NULL AND value >= 0
+         AND event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+       ORDER BY event_id"""
+
+  /** Reviews-silver analog over the events feed (ref silver/
+    * order_reviews.sql:9-63): a validated 1-5 score (synthesized
+    * deterministically from the id — the feed has no rating column),
+    * the reference's sentiment CASE-map, a response-time day count
+    * (days since the user's previous event, via one lag window — the
+    * answer-minus-creation DATEDIFF analog, computed in the µs domain
+    * since the feed timestamps are nanos), and a has_comment flag from
+    * the props payload.
+    */
+  def silverReviews(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+      .withColumn("score", (pmod(col("event_id"), lit(5)) + 1).cast("int"))
+      .withColumn("day_idx", expr("(ts div 1000) div 86400000000"))
+      .withColumn("prev_day_idx", lag(col("day_idx"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("score"),
+        when(col("score") >= 4, "positive")
+          .when(col("score") === 3, "neutral")
+          .otherwise("negative").as("sentiment"),
+        (col("day_idx") - col("prev_day_idx")).cast("long")
+          .as("response_days"),
+        (col("props").isNotNull && length(trim(col("props"))) > 0)
+          .as("has_comment"))
+  }
+
+  val silverReviewsSql: String =
+    """SELECT event_id, user_id,
+       CAST(event_id % 5 + 1 AS INT) AS score,
+       CASE WHEN event_id % 5 + 1 >= 4 THEN 'positive'
+            WHEN event_id % 5 + 1 = 3 THEN 'neutral'
+            ELSE 'negative' END AS sentiment,
+       CAST(epoch_us(ts) // 86400000000
+         - lag(epoch_us(ts) // 86400000000, 1)
+             OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+         AS response_days,
+       (props IS NOT NULL AND length(trim(props)) > 0) AS has_comment
+       FROM events
+       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+       ORDER BY event_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bronze_ingest" -> ((s, d) =>
@@ -434,7 +517,11 @@ object Medallion {
         Tables.region(s, d)).orderBy(col("nation_id"), col("mktsegment"))),
     "silver_orders_enriched" -> ((s, d) =>
       silverOrdersEnriched(Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy(col("order_id"))))
+        .orderBy(col("order_id"))),
+    "silver_payments" -> ((s, d) =>
+      silverPayments(Tables.events(s, d)).orderBy(col("event_id"))),
+    "silver_reviews" -> ((s, d) =>
+      silverReviews(Tables.events(s, d)).orderBy(col("event_id"))))
 
   def oracles: Map[String, String] = Map(
     "bronze_ingest" -> bronzeIngestSql,
@@ -444,5 +531,7 @@ object Medallion {
     "silver_products" -> silverProductsSql,
     "silver_sellers" -> silverSellersSql,
     "silver_geolocation" -> silverGeolocationSql,
-    "silver_orders_enriched" -> silverOrdersEnrichedSql)
+    "silver_orders_enriched" -> silverOrdersEnrichedSql,
+    "silver_payments" -> silverPaymentsSql,
+    "silver_reviews" -> silverReviewsSql)
 }
