@@ -60,6 +60,19 @@ object Dedup {
           i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
+  /** Distinct n-gram FNV-1a hashes: set-similarity math (intersect /
+    * union / Jaccard) over long arrays instead of string arrays —
+    * element hashing is the hot cost of a pair comparison, and a
+    * specialized long hash set beats per-element UTF-8 hashing ~2-3x.
+    * A 64-bit collision merges the same two grams in BOTH engines (the
+    * oracle re-derives the identical hash), so comparisons stay exact.
+    */
+  def hashedNgrams(s: SparkSession, text: Column, n: Int): Column = {
+    graft.functions.Fingerprint.register(s)
+    array_distinct(transform(ngrams(text, n),
+      g => call_function("fnv1a64", g)))
+  }
+
   /** Near-dup pairs by n-gram Jaccard within (lang, token-bucket)
     * blocks. The self-join runs on the block key only — no crossJoin.
     *
@@ -74,7 +87,7 @@ object Dedup {
     // the whole tokenize/ngram pipeline runs twice
     val base = docs.select(
       col("doc_id"), col("lang"),
-      ngrams(normText(col("text")), n).as("grams"),
+      hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"),
       (size(split(normText(col("text")), " ")) / 10).cast("int").as("len_bucket"))
     val a = base.select(col("lang"), col("len_bucket"),
       col("doc_id").as("doc_a"), col("grams").as("grams_a"))
@@ -96,10 +109,18 @@ object Dedup {
     * the blocking + threshold rule, reused by [[ngramJaccardSql]] and
     * [[Clusters.dupClustersSql]] so the two oracles cannot drift.
     */
+  /** Oracle mirror of [[hashedNgrams]] for unigrams: distinct token
+    * FNV hashes (nested lambda — fold per token).
+    */
+  private def hashedUnigramsSql(normExpr: String): String =
+    s"""list_distinct(list_transform(
+          list_distinct(string_split($normExpr, ' ')),
+          g -> ${OracleFnv.ofText("g")}))"""
+
   val ngramPairCtesSql: String =
-    """base AS (
+    s"""base AS (
          SELECT doc_id, lang,
-           list_distinct(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS grams,
+           ${hashedUnigramsSql("regexp_replace(lower(trim(text)), ' +', ' ', 'g')")} AS grams,
            CAST(len(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) // 10 AS INT) AS len_bucket
          FROM documents),
        pairs AS (
@@ -234,7 +255,7 @@ object Dedup {
         .as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
     val grams = docs.select(col("doc_id"),
-      ngrams(normText(col("text")), n).as("grams"))
+      hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"))
     graft.Caching.withCached(exploded, grams) {
       val cands = exploded.as("x").join(exploded.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
@@ -367,12 +388,17 @@ object Dedup {
             ${OracleFnv.ofText(s"concat_ws(',', $cols)")} AS band_hash
           FROM sig"""
     }.mkString("\n         UNION ALL\n         ")
-    s"""WITH base AS (
+    s"""WITH toks AS (
          SELECT doc_id,
            list_distinct(string_split(
-             regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS grams
+             regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok_set
          FROM documents),
-       sh AS (SELECT doc_id, unnest(grams) AS sh FROM base),
+       base AS (
+         SELECT doc_id,
+           list_distinct(list_transform(tok_set,
+             g -> ${OracleFnv.ofText("g")})) AS grams
+         FROM toks),
+       sh AS (SELECT doc_id, unnest(tok_set) AS sh FROM toks),
        hv AS (SELECT doc_id,
            ((${OracleFnv.ofText("sh")} % $p) + $p) % $p AS h
          FROM sh),
