@@ -40,9 +40,14 @@ object Decontaminate {
   def contamination(docs: DataFrame, n: Int = 3,
       minContainment: Double = 0.5, maxGramDf: Int = 1000): DataFrame = {
     val split = TextAnalysis.corpusSplit(docs).select(col("doc_id"), col("split"))
+    // hashed n-grams: the overlap join keys on a long, not a ~20-char
+    // string — cheaper shuffle and probe; the oracle re-derives the
+    // identical hash so counts stay exact (collisions merge identically
+    // in both engines)
     val grams = docs.join(split, "doc_id").select(
       col("doc_id"), col("split"),
-      Dedup.ngrams(Dedup.normText(col("text")), n).as("grams"))
+      Dedup.hashedNgrams(docs.sparkSession,
+        Dedup.normText(col("text")), n).as("grams"))
     graft.Caching.withCached(grams) {
       val te = grams.filter(col("split") === "test").select(
         col("doc_id").as("test_id"), explode(col("grams")).as("gram"),
@@ -74,8 +79,10 @@ object Decontaminate {
     s"""WITH ${TextAnalysis.splitCtesSql},
        g AS (
          SELECT doc_id, split,
-           list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
-             i -> array_to_string(toks[i:i+2], ' '))) AS grams
+           list_distinct(list_transform(
+             list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))),
+             s -> ${OracleFnv.ofText("s")})) AS grams
          FROM split_docs),
        te AS (
          SELECT doc_id AS test_id, unnest(grams) AS gram,
