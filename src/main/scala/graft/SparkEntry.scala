@@ -20,6 +20,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Ivf.queries ++
       Decontaminate.queries ++ Clusters.queries ++
+      graft.operators.Skew.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ Decontaminate.oracles ++ Clusters.oracles ++
+      graft.operators.Skew.oracles ++
       graft.streaming.EventStreams.oracles
 }

@@ -35,4 +35,41 @@ object Skew {
       .groupBy(keys: _*)
       .agg(merges.head, merges.tail: _*)
   }
+
+  /** Registered demonstration: revenue per return flag (3 hot keys over
+    * the whole fact table — the textbook skewed aggregation) via the
+    * salted two-phase plan. Decimal partials keep the two-level sum
+    * exactly equal to the single-level oracle aggregate.
+    */
+  def lineitemSaltedAgg(li: DataFrame): DataFrame = saltedAgg(
+    li,
+    keys = Seq(col("l_returnflag")),
+    saltBuckets = 32,
+    partials = Seq(
+      sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("s"),
+      count(lit(1)).as("c")),
+    merges = Seq(
+      sum(col("s")).cast("double").as("total_price"),
+      sum(col("c")).as("cnt")))
+    .select(col("l_returnflag").as("return_flag"), col("total_price"),
+      col("cnt"))
+
+  val lineitemSaltedAggSql: String =
+    """SELECT l_returnflag AS return_flag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS cnt
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY return_flag"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("lineitem_salted_agg" -> ((s, d) =>
+      lineitemSaltedAgg(graft.Tables.lineitem(s, d))
+        .orderBy(col("return_flag"))))
+
+  def oracles: Map[String, String] =
+    Map("lineitem_salted_agg" -> lineitemSaltedAggSql)
 }
