@@ -21,6 +21,7 @@ object SparkEntry {
       Multimodal.queries ++ Ivf.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
+      graft.sources.CsvIngest.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
+      graft.sources.CsvIngest.oracles ++
       graft.streaming.EventStreams.oracles
 }
