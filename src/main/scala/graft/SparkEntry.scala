@@ -22,6 +22,7 @@ object SparkEntry {
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
       graft.sources.CsvIngest.queries ++
+      graft.sources.LakeWriter.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       Multimodal.oracles ++ Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
       graft.sources.CsvIngest.oracles ++
+      graft.sources.LakeWriter.oracles ++
       graft.streaming.EventStreams.oracles
 }

@@ -153,4 +153,93 @@ object LakeWriter {
     df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
     swapIn(fs, path, tmp)
   }
+
+  // ---- registered end-to-end sink demonstrations ---------------------------
+
+  private def tmpTable(sfDir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lake_${tag}_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+
+  /** Partitioned-write round trip: orders → hive-partitioned lake table
+    * (partitioned by status, clustered by date within partitions) →
+    * read back. The oracle is the source table itself: a lossless sink
+    * is exactly what the write path must prove. Partition columns come
+    * back as strings (hive dir values), so the status is written
+    * pre-stringified and compared as such.
+    */
+  def partitionedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = tmpTable(sfDir, "part")
+    val src = graft.Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderdate").as("order_date"),
+      col("o_orderstatus").as("order_status"))
+    writePartitioned(src, path, Seq("order_status"), Seq("order_date"))
+    spark.read.parquet(path)
+      .select(col("order_id"), col("customer_id"), col("total_price"),
+        col("order_date"), col("order_status"))
+  }
+
+  val partitionedRoundTripSql: String =
+    """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       o_totalprice AS total_price, o_orderdate AS order_date,
+       o_orderstatus AS order_status
+       FROM orders
+       ORDER BY order_id"""
+
+  /** MERGE-upsert lifecycle in the gate: seed the table with 90% of the
+    * keys, then apply one deterministic change batch — inserts (the
+    * missing keys, status NEW), updates (every 7th key, status UPD,
+    * newer sequence), deletes (every 13th seeded key, newest sequence,
+    * overriding any update). Re-running is idempotent (same batches,
+    * same sequences), so the oracle is a pure CASE/WHERE over the
+    * source table.
+    */
+  def upsertLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = tmpTable(sfDir, "upsert")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"))
+    val seeded = orders.filter(col("order_id") % 10 =!= 0)
+      .withColumn("seq", lit(1L))
+    upsert(spark, path, seeded, Seq("order_id"), "seq")
+    val inserts = orders.filter(col("order_id") % 10 === 0)
+      .withColumn("status", lit("NEW")).withColumn("seq", lit(2L))
+      .withColumn("_deleted", lit(false))
+    val updates = orders
+      .filter(col("order_id") % 10 =!= 0 && col("order_id") % 7 === 0)
+      .withColumn("status", lit("UPD")).withColumn("seq", lit(2L))
+      .withColumn("_deleted", lit(false))
+    val deletes = orders
+      .filter(col("order_id") % 10 =!= 0 && col("order_id") % 13 === 0)
+      .withColumn("seq", lit(3L)).withColumn("_deleted", lit(true))
+    upsert(spark, path, inserts.unionByName(updates).unionByName(deletes),
+      Seq("order_id"), "seq")
+    read(spark, path).select(col("order_id"), col("status"), col("seq"))
+  }
+
+  val upsertLifecycleSql: String =
+    """SELECT o_orderkey AS order_id,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'NEW'
+            WHEN o_orderkey % 7 = 0 THEN 'UPD'
+            ELSE o_orderstatus END AS status,
+       CAST(CASE WHEN o_orderkey % 10 = 0 OR o_orderkey % 7 = 0 THEN 2
+            ELSE 1 END AS BIGINT) AS seq
+       FROM orders
+       WHERE NOT (o_orderkey % 10 != 0 AND o_orderkey % 13 = 0)
+       ORDER BY order_id"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_partitioned_roundtrip" -> ((s, d) =>
+      partitionedRoundTrip(s, d).orderBy(org.apache.spark.sql.functions.col("order_id"))),
+    "lake_upsert_lifecycle" -> ((s, d) =>
+      upsertLifecycle(s, d).orderBy(org.apache.spark.sql.functions.col("order_id"))))
+
+  def oracles: Map[String, String] = Map(
+    "lake_partitioned_roundtrip" -> partitionedRoundTripSql,
+    "lake_upsert_lifecycle" -> upsertLifecycleSql)
 }
