@@ -23,6 +23,7 @@ object SparkEntry {
       graft.operators.Skew.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.LakeWriter.queries ++
+      graft.sources.Bucketed.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.operators.Skew.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.LakeWriter.oracles ++
+      graft.sources.Bucketed.oracles ++
       graft.streaming.EventStreams.oracles
 }
