@@ -12,10 +12,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths once so timings reflect steady state —
     // against the benchmark's own data dir, and loudly if it fails
-    // (a silently-skipped warm-up skews the first timed query)
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up failed (timings may be skewed): $e") }
+    // (a silently-skipped warm-up skews the first timed query). Two
+    // warm-ups: scan/agg paths (q1) and the set-similarity paths
+    // (fnv + long-array intersect codegen shared by the dedup family,
+    // which otherwise pay JIT inside their timed run).
+    Seq("q1_pricing_summary", "dedup_ngram_jaccard").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $w failed (timings may be skewed): $e") }
+    }
+    spark.catalog.clearCache()
+    Caching.releaseAll(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must NOT be reported as a (fast) success: -1 marks it
