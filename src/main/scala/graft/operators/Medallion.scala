@@ -468,7 +468,9 @@ object Medallion {
     events
       .filter(col("event_id").isNotNull && col("user_id").isNotNull)
       .withColumn("score", (pmod(col("event_id"), lit(5)) + 1).cast("int"))
-      .withColumn("day_idx", expr("(ts div 1000) div 86400000000"))
+      // ts_us comes from Tables.events — the single home of the
+      // ns→µs parity rule
+      .withColumn("day_idx", expr("ts_us div 86400000000"))
       .withColumn("prev_day_idx", lag(col("day_idx"), 1).over(w))
       .select(col("event_id"), col("user_id"), col("score"),
         when(col("score") >= 4, "positive")

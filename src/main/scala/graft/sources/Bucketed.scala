@@ -15,17 +15,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bucketed {
 
-  private def tag(sfDir: String, name: String): String =
-    s"graft_${name}_" + java.lang.Integer.toHexString(sfDir.hashCode)
-
-  /** Write both fact tables bucketed on the order key (idempotent per
-    * sf dir), then run the revenue-by-status join over the bucketed
-    * tables — exchange-free on both sides.
+  /** Write both fact tables bucketed on the order key (fresh paths and
+    * table names per invocation — see [[Scratch]]), then run the
+    * revenue-by-status join over the bucketed tables — exchange-free
+    * on both sides.
     */
   def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
-    val (liT, oT) = (tag(sfDir, "li_b"), tag(sfDir, "o_b"))
+    val wh = Scratch.dir("buckets")
+    val run = wh.substring(wh.lastIndexOf('_') + 1)
+    val (liT, oT) = (s"graft_li_b_$run", s"graft_o_b_$run")
     graft.Tables.lineitem(spark, sfDir).write
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/$liT").mode("overwrite").saveAsTable(liT)

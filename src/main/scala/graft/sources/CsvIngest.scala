@@ -64,35 +64,29 @@ object CsvIngest {
       .select(col("*"), col("_metadata.file_path").as("_source_file"))
 
   /** End-to-end registered demonstration of the rescued-data ingest:
-    * materialize the orders table as a CSV fixture (once per sf dir,
-    * plus one deliberately malformed line), re-ingest it through
-    * [[readCsv]] with an explicit schema, and emit the parsed rows with
-    * a `was_rescued` flag — the malformed line must surface as a
-    * rescued all-NULL row, never be silently dropped. Oracle: the
-    * original parquet UNION ALL the one rescued row.
+    * materialize the orders table as a CSV fixture (fresh per
+    * invocation — see [[Scratch]] — plus one deliberately malformed
+    * line), re-ingest it through [[readCsv]] with an explicit schema,
+    * and emit the parsed rows with a `was_rescued` flag — the
+    * malformed line must surface as a rescued all-NULL row, never be
+    * silently dropped. Oracle: the original parquet UNION ALL the one
+    * rescued row.
     */
   def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
-    if (!new java.io.File(s"$fixture/_SUCCESS").exists()) {
-      val orders = graft.Tables.orders(spark, sfDir)
-      val asCsv = orders.select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_orderpriority"))
-      val staged = fixture + "_staged"
-      asCsv.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(staged)
-      // one malformed line (string where LONG expected): the rescue case
-      Files.write(Paths.get(staged, "malformed.csv"),
-        ("o_orderkey,o_custkey,o_orderstatus,o_orderdate,o_orderpriority\n" +
-          "not_a_key,not_a_customer,X,9999-99-99,BAD\n")
-          .getBytes("UTF-8"))
-      new java.io.File(fixture).delete()
-      if (!new java.io.File(staged).renameTo(new java.io.File(fixture)))
-        throw new java.io.IOException(s"cannot publish CSV fixture $fixture")
-    }
+    val fixture = Scratch.dir("csv")
+    val orders = graft.Tables.orders(spark, sfDir)
+    val asCsv = orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+      col("o_orderpriority"))
+    asCsv.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(fixture)
+    // one malformed line (string where LONG expected): the rescue case
+    Files.write(Paths.get(fixture, "malformed.csv"),
+      ("o_orderkey,o_custkey,o_orderstatus,o_orderdate,o_orderpriority\n" +
+        "not_a_key,not_a_customer,X,9999-99-99,BAD\n")
+        .getBytes("UTF-8"))
     val schema = StructType(Seq(
       StructField("order_id", LongType), StructField("customer_id", LongType),
       StructField("order_status", StringType),

@@ -156,20 +156,18 @@ object LakeWriter {
 
   // ---- registered end-to-end sink demonstrations ---------------------------
 
-  private def tmpTable(sfDir: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_lake_${tag}_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
-
   /** Partitioned-write round trip: orders → hive-partitioned lake table
     * (partitioned by status, clustered by date within partitions) →
     * read back. The oracle is the source table itself: a lossless sink
     * is exactly what the write path must prove. Partition columns come
     * back as strings (hive dir values), so the status is written
-    * pre-stringified and compared as such.
+    * pre-stringified and compared as such. Fresh path per invocation
+    * ([[Scratch]]): a reused path would keep partitions absent from
+    * regenerated source data.
     */
   def partitionedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val path = tmpTable(sfDir, "part")
+    val path = Scratch.dir("lake_part")
     val src = graft.Tables.orders(spark, sfDir).select(
       col("o_orderkey").as("order_id"),
       col("o_custkey").as("customer_id"),
@@ -193,13 +191,14 @@ object LakeWriter {
     * keys, then apply one deterministic change batch — inserts (the
     * missing keys, status NEW), updates (every 7th key, status UPD,
     * newer sequence), deletes (every 13th seeded key, newest sequence,
-    * overriding any update). Re-running is idempotent (same batches,
-    * same sequences), so the oracle is a pure CASE/WHERE over the
-    * source table.
+    * overriding any update). Fresh table per invocation ([[Scratch]]):
+    * merging into a table left by a previous round's data would keep
+    * keys the regenerated source no longer has. The oracle is a pure
+    * CASE/WHERE over the source table.
     */
   def upsertLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = tmpTable(sfDir, "upsert")
+    val path = Scratch.dir("lake_upsert")
     val orders = graft.Tables.orders(spark, sfDir)
       .select(col("o_orderkey").as("order_id"),
         col("o_orderstatus").as("status"))
