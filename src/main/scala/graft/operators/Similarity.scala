@@ -138,8 +138,48 @@ object Similarity {
       bruteForceTopK(Tables.embeddings(s, d))
         .orderBy(col("probe_id"), col("rank"))),
     "ann_lsh_topk" -> ((s, d) =>
-      lshTopK(Tables.embeddings(s, d)).orderBy(col("probe_id"), col("rank"))))
+      lshTopK(Tables.embeddings(s, d)).orderBy(col("probe_id"), col("rank"))),
+    "ann_recall_bounds" -> ((s, d) =>
+      recallBounds(Tables.embeddings(s, d)).orderBy(col("variant"))))
+
+  /** Recall floors of the approximate paths vs the exact baseline,
+    * verified IN the oracle gate: the approximate neighbor lists
+    * themselves are not SQL-expressible, but "recall@k against brute
+    * force stays above the floor" is a deterministic boolean the
+    * oracle can assert (the floors match the ScalaTest bounds: LSH ≥
+    * 0.2 with the default 4-plane/8-table config, IVF ≥ 0.3 with
+    * nlist=16/nprobe=4).
+    */
+  def recallBounds(emb: DataFrame, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val exact = bruteForceTopK(emb, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    graft.Caching.withCached(exact) {
+      val nExact = exact.count().toDouble
+      val nProbes = exact.select(col("probe_id")).distinct().count()
+      def recallOf(approx: DataFrame): Double =
+        exact.join(approx.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id")).count() / nExact
+      val lsh = recallOf(lshTopK(emb, k))
+      val ivf = recallOf(Ivf.ivfTopK(emb, k))
+      Seq(("ivf", nProbes, ivf >= 0.3), ("lsh", nProbes, lsh >= 0.2))
+        .toDF("variant", "n_probes", "recall_ok")
+    }
+  }
+
+  val recallBoundsSql: String =
+    """SELECT 'ivf' AS variant,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 50 = 0)
+         AS n_probes,
+       true AS recall_ok
+       UNION ALL
+       SELECT 'lsh',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 50 = 0),
+       true
+       ORDER BY variant"""
 
   def oracles: Map[String, String] = Map(
-    "ann_bruteforce_topk" -> bruteForceTopKSql)
+    "ann_bruteforce_topk" -> bruteForceTopKSql,
+    "ann_recall_bounds" -> recallBoundsSql)
 }
