@@ -124,5 +124,59 @@ object Multimodal {
     "multimodal_frames" -> ((s, d) =>
       frames(s, d).orderBy(col("doc_id"), col("frame_index"))))
 
-  def oracles: Map[String, String] = Map.empty
+  // ---- DuckDB oracles ------------------------------------------------------
+  // The decode is a stub, but a DETERMINISTIC one: every derived value
+  // is pure arithmetic over fnv1a64(payload), which OracleFnv
+  // re-derives bit-exactly — so the full pipeline (payload → decode →
+  // rollup / frame fan-out) is oracle-verified even though the codec
+  // itself is fake. Swapping in a real codec would demote these to
+  // rows-only checks; the plumbing contract stays gate-verified now.
+
+  /** Shared CTEs: per-doc media_type + unsigned/signed hash of the
+    * payload bytes (u for the >>> shifts, h for content_hash).
+    */
+  private val mediaCtesSql: String =
+    s"""mhash AS (
+         SELECT doc_id,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+             AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           ${OracleFnv.fold("hex(encode(text))")} AS u
+         FROM documents),
+       mmeta AS (
+         SELECT doc_id, media_type, byte_len,
+           ${OracleFnv.signed("u")} AS content_hash,
+           CAST(64 + ((${OracleFnv.signed("u")} % 1024) + 1024) % 1024
+             AS INT) AS width,
+           CAST(CASE WHEN media_type = 'video'
+                THEN 1 + (u // 1048576) % 240 ELSE 1 END AS INT) AS n_frames
+         FROM mhash)"""
+
+  val pipelineSql: String =
+    s"""WITH $mediaCtesSql
+       SELECT media_type,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+         MIN(width) AS min_width,
+         MAX(width) AS max_width,
+         MAX(n_frames) AS max_frames,
+         CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS distinct_contents
+       FROM mmeta
+       GROUP BY media_type
+       ORDER BY media_type"""
+
+  val framesSql: String =
+    s"""WITH $mediaCtesSql
+       SELECT doc_id,
+         CAST(unnest(range(0, n_frames, 30)) AS INT) AS frame_index,
+         xor(content_hash,
+           CAST(unnest(range(0, n_frames, 30)) AS BIGINT) * 1099511628211)
+           AS frame_hash
+       FROM mmeta
+       WHERE media_type = 'video'
+       ORDER BY doc_id, frame_index"""
+
+  def oracles: Map[String, String] = Map(
+    "multimodal_pipeline" -> pipelineSql,
+    "multimodal_frames" -> framesSql)
 }
