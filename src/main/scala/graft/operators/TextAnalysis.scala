@@ -314,6 +314,50 @@ object TextAnalysis {
        FROM c
        ORDER BY doc_id"""
 
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline actually runs, as ONE declarative plan: keep a document
+    * iff it is (a) the keeper of its exact-duplicate group (min doc_id
+    * per normalized-content hash), (b) within the length gate, and
+    * (c) in the train split. Each stage is an operator verified on its
+    * own elsewhere in the gate; this query verifies their composition.
+    * One aggregation (dedup groups) + one broadcast-able join back —
+    * the whole filter runs at scan speed otherwise.
+    */
+  def corpusClean(docs: DataFrame): DataFrame = {
+    val norm = Dedup.normText(col("text"))
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      md5(norm).as("content_key"))
+    val keepers = keyed.groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val split = corpusSplit(docs).select(col("doc_id"), col("split"))
+    keyed.join(keepers, Seq("content_key", "doc_id")) // semi: keeper rows
+      .join(split, "doc_id")
+      .filter(col("n_chars") >= 100 && col("n_chars") <= 4000 &&
+        col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("split"))
+  }
+
+  // lazy: splitCtesSql is declared later in the object, and a plain
+  // val would interpolate its uninitialized (null) value
+  lazy val corpusCleanSql: String =
+    s"""WITH $splitCtesSql,
+        keyed AS (
+          SELECT doc_id, lang,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+              AS content_key
+          FROM documents),
+        keepers AS (
+          SELECT content_key, MIN(doc_id) AS doc_id
+          FROM keyed GROUP BY content_key)
+        SELECT k.doc_id, k.lang, k.n_chars, s.split
+        FROM keyed k
+        JOIN keepers USING (content_key, doc_id)
+        JOIN split_docs s ON s.doc_id = k.doc_id
+        WHERE k.n_chars >= 100 AND k.n_chars <= 4000 AND s.split = 'train'
+        ORDER BY k.doc_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // sample_ids emitted as a sorted CSV string, not ARRAY<STRING>: the
@@ -340,7 +384,9 @@ object TextAnalysis {
     "corpus_vocab" -> ((s, d) =>
       corpusVocab(Tables.documents(s, d)).orderBy(col("tok"))),
     "corpus_pack" -> ((s, d) =>
-      packDocs(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      packDocs(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "corpus_clean" -> ((s, d) =>
+      corpusClean(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   // ---- DuckDB FNV-1a 64 mirror (shared fragments in OracleFnv) -------------
   private def fnvFoldSql(hexCol: String): String = OracleFnv.fold(hexCol)
@@ -419,5 +465,6 @@ object TextAnalysis {
     "corpus_split" -> corpusSplitSql,
     "docs_sample_per_lang" -> docsSamplePerLangSql,
     "corpus_vocab" -> corpusVocabSql,
-    "corpus_pack" -> packDocsSql)
+    "corpus_pack" -> packDocsSql,
+    "corpus_clean" -> corpusCleanSql)
 }
