@@ -261,11 +261,6 @@ object Analytics {
          COUNT(CASE WHEN did_full_funnel THEN 1 END) AS n_full_funnel
        FROM per_user"""
 
-  /** Approximate distinct users per event type (HyperLogLog++) — the
-    * sketch path for 100 TB cardinalities. Not oracle-able (DuckDB's
-    * approx sketch differs); the error bound vs the exact count is
-    * asserted in ScalaTest.
-    */
   /** HyperLogLog++ distinct sketch, oracle-gated via its error bound:
     * the sketch value itself is engine-specific, but "within 10% of the
     * exact count at rsd=0.02" is a deterministic boolean the oracle can
@@ -279,8 +274,11 @@ object Analytics {
       approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
       count(lit(1)).as("n_events"))
     .select(col("event_type"), col("exact_users"), col("n_events"),
-      (abs(col("approx") - col("exact_users")).cast("double") /
-        col("exact_users").cast("double") <= 0.10)
+      // all-NULL-user groups give exact=0: no meaningful bound, but the
+      // oracle emits true — avoid a NULL from the 0-division
+      when(col("exact_users") === 0, lit(true))
+        .otherwise(abs(col("approx") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= 0.10)
         .as("approx_within_10pct"))
 
   val eventsApproxUsersSql: String =

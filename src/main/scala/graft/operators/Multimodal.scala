@@ -136,21 +136,27 @@ object Multimodal {
     * payload bytes (u for the >>> shifts, h for content_hash).
     */
   private val mediaCtesSql: String =
-    s"""mhash AS (
+    s"""mhx AS (
          SELECT doc_id,
            (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
              AS media_type,
            octet_length(encode(text)) AS byte_len,
-           ${OracleFnv.fold("hex(encode(text))")} AS u
+           hex(encode(text)) AS hx
          FROM documents),
-       mmeta AS (
+       mhash AS (
          SELECT doc_id, media_type, byte_len,
-           ${OracleFnv.signed("u")} AS content_hash,
-           CAST(64 + ((${OracleFnv.signed("u")} % 1024) + 1024) % 1024
-             AS INT) AS width,
+           ${OracleFnv.fold("hx")} AS u
+         FROM mhx),
+       msigned AS (
+         SELECT doc_id, media_type, byte_len, u,
+           ${OracleFnv.signed("u")} AS content_hash
+         FROM mhash),
+       mmeta AS (
+         SELECT doc_id, media_type, byte_len, content_hash,
+           CAST(64 + ((content_hash % 1024) + 1024) % 1024 AS INT) AS width,
            CAST(CASE WHEN media_type = 'video'
                 THEN 1 + (u // 1048576) % 240 ELSE 1 END AS INT) AS n_frames
-         FROM mhash)"""
+         FROM msigned)"""
 
   val pipelineSql: String =
     s"""WITH $mediaCtesSql

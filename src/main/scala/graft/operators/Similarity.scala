@@ -158,26 +158,26 @@ object Similarity {
     graft.Caching.withCached(exact) {
       val nExact = exact.count().toDouble
       val nProbes = exact.select(col("probe_id")).distinct().count()
-      def recallOf(approx: DataFrame): Double =
-        exact.join(approx.select(col("probe_id"), col("neighbor_id")),
-          Seq("probe_id", "neighbor_id")).count() / nExact
-      val lsh = recallOf(lshTopK(emb, k))
-      val ivf = recallOf(Ivf.ivfTopK(emb, k))
-      Seq(("ivf", nProbes, ivf >= 0.3), ("lsh", nProbes, lsh >= 0.2))
+      // empty probe set: no recall to bound — emit true like the oracle
+      // rather than NaN >= floor (false) with a misleading gate failure
+      def recallOk(approx: DataFrame, floor: Double): Boolean =
+        nExact == 0 ||
+          exact.join(approx.select(col("probe_id"), col("neighbor_id")),
+            Seq("probe_id", "neighbor_id")).count() / nExact >= floor
+      val lsh = recallOk(lshTopK(emb, k), 0.2)
+      val ivf = recallOk(Ivf.ivfTopK(emb, k), 0.3)
+      Seq(("ivf", nProbes, ivf), ("lsh", nProbes, lsh))
         .toDF("variant", "n_probes", "recall_ok")
     }
   }
 
   val recallBoundsSql: String =
-    """SELECT 'ivf' AS variant,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 50 = 0)
-         AS n_probes,
-       true AS recall_ok
-       UNION ALL
-       SELECT 'lsh',
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 50 = 0),
-       true
-       ORDER BY variant"""
+    """WITH np AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_probes
+         FROM embeddings WHERE vec_id % 50 = 0)
+       SELECT v.variant, np.n_probes, true AS recall_ok
+       FROM (VALUES ('ivf'), ('lsh')) v(variant), np
+       ORDER BY v.variant"""
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> bruteForceTopKSql,

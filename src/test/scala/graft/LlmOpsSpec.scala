@@ -98,17 +98,23 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct is within the HLL error bound") {
-    import org.apache.spark.sql.functions.countDistinct
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
     val events = Tables.events(spark, sf)
-    val approx = operators.Analytics.eventsApproxUsers(events)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = events.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("u"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k) - e).toDouble / e < 0.1,
-        s"$k: approx=${approx(k)} exact=$e")
+    // test the RAW sketch against exact counts (the registered query
+    // only exposes the bounded flag, so reading it back here would be
+    // exact-vs-exact and vacuous)
+    val both = events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(both.nonEmpty)
+    both.foreach { case (k, a, e) =>
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx=$a exact=$e")
     }
+    // and the registered query's flag must agree
+    val flags = operators.Analytics.eventsApproxUsers(events)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(flags.values.forall(identity), s"bound flag false: $flags")
   }
 
   test("hash_sample is deterministic, bounded, and a subset of the group") {
