@@ -63,6 +63,26 @@ class ClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_clean: composition invariants hold") {
+    val docs = Tables.documents(spark, sf)
+    val cleaned = graft.operators.TextAnalysis.corpusClean(docs).collect()
+    assert(cleaned.nonEmpty)
+    val ids = cleaned.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate keepers emitted")
+    // every kept doc is in the train split and inside the length gate
+    cleaned.foreach { r =>
+      assert(r.getString(3) == "train")
+      val n = r.getLong(2)
+      assert(n >= 100 && n <= 4000, s"doc ${r.getLong(0)} len $n outside gate")
+    }
+    // keeper property: no kept doc shares normalized content with a
+    // smaller doc_id (it IS the minimum of its dup group)
+    val keyOf = graft.operators.Dedup.exact(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // content_key -> keeper
+    assert(keyOf.values.toSet.intersect(ids.toSet).size == ids.length,
+      "a non-keeper survived cleaning")
+  }
+
   test("decontamination: containment bounded and split-consistent") {
     val docs = Tables.documents(spark, sf)
     val hits = Decontaminate.contamination(docs).collect()
