@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HashSample(children.head, k).toAggregateExpression()
       }))
     ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }
 }
