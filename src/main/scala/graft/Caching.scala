@@ -58,8 +58,13 @@ object Caching {
     * once the prior query's output is fully consumed: a localCheckpoint
     * has no lineage, so unpersisting one that is still needed loses the
     * data.
+    *
+    * `blocking = true` waits for block removal before returning — timed
+    * harnesses (Bench) use it so asynchronous block-manager cleanup from
+    * one query cannot bleed into the next query's measured region.
     */
-  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def releaseAll(spark: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Unit =
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking))
 }

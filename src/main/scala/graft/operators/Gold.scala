@@ -427,19 +427,19 @@ object Gold {
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gold_customer_ltv" -> ((s, d) =>
-      customerLtv(Medallion.silverOrdersEnriched(
+      customerLtv(Medallion.silverOrdersEnrichedItems(
         Tables.orders(s, d), Tables.lineitem(s, d)))
         .orderBy(col("customer_id"))),
     "gold_revenue_7d_ma" -> ((s, d) =>
-      revenue7dMa(Medallion.silverOrdersEnriched(
+      revenue7dMa(Medallion.silverOrdersEnrichedItems(
         Tables.orders(s, d), Tables.lineitem(s, d)))
         .orderBy(col("order_date"))),
     "gold_daily_orders" -> ((s, d) =>
-      dailyOrders(Medallion.silverOrdersEnriched(
+      dailyOrders(Medallion.silverOrdersEnrichedItems(
         Tables.orders(s, d), Tables.lineitem(s, d)))
         .orderBy(col("order_date"))),
     "gold_monthly_orders" -> ((s, d) =>
-      monthlyOrders(Medallion.silverOrdersEnriched(
+      monthlyOrders(Medallion.silverOrdersEnrichedItems(
         Tables.orders(s, d), Tables.lineitem(s, d)))
         .orderBy(col("order_month"))),
     "gold_category_performance" -> ((s, d) =>

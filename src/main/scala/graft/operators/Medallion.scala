@@ -313,7 +313,16 @@ object Medallion {
   // =========================================================================
   // silver_orders_enriched — ref src/pipelines/silver/orders_enriched.sql
   // =========================================================================
-  def silverOrdersEnriched(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  /** Items-only projection of the enriched view, consumed by the gold
+    * builders. The reference materializes silver_orders_enriched once
+    * and gold reads the stored view; this engine inlines the view into
+    * each gold plan, so gold deliberately composes only the item
+    * aggregate it actually reads — Catalyst cannot prove a LEFT JOIN
+    * against the payments/reviews aggregates row-preserving, so keeping
+    * them out of the gold plans is the inline equivalent of column
+    * pruning on the materialized view.
+    */
+  def silverOrdersEnrichedItems(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val so = silverOrders(orders)
     val sl = silverLineitem(lineitem)
     // per-order aggregate: partial-agg friendly single shuffle on order_id
@@ -348,6 +357,49 @@ object Medallion {
         (col("order_status") === "open").as("is_open"),
         datediff(col("last_ship_date"), col("order_date")).cast("long")
           .as("days_to_last_ship"))
+  }
+
+  /** Full denormalized enriched view: orders LEFT JOIN **three**
+    * per-order aggregates — items, payments, reviews — mirroring
+    * /root/reference/src/pipelines/silver/orders_enriched.sql:15-46
+    * (order_items_agg / order_payments_agg / order_reviews_agg) plus
+    * the quarter/hour time dims (orders_enriched.sql:98-101). The
+    * payments/reviews silver analogs are keyed by the events feed's
+    * user_id, which stands in for order_id (see [[silverPayments]]);
+    * max(payment_sequential) stands in for max(payment_installments).
+    * order_hour is a faithful constant 0 — the source order timestamps
+    * are date-grain, and HOUR() of a midnight timestamp is 0.
+    *
+    * Scale: three independent partial-agg-friendly shuffles (one per
+    * aggregate, each on its own key) feeding sort-merge LEFT joins on
+    * order_id; no aggregate sees unreduced fact rows post-shuffle.
+    */
+  def silverOrdersEnriched(orders: DataFrame, lineitem: DataFrame,
+      events: DataFrame): DataFrame = {
+    val paymentsAgg = silverPayments(events)
+      .groupBy(col("user_id").as("pay_order_id")).agg(
+      count(lit(1)).as("payment_count"),
+      dsum(col("payment_value")).as("total_payment_value"),
+      max(col("payment_sequential")).cast("int").as("max_installments"),
+      array_join(sort_array(collect_set(col("payment_type"))), ",")
+        .as("payment_types"))
+    val reviewsAgg = silverReviews(events)
+      .groupBy(col("user_id").as("rev_order_id")).agg(
+      max(col("score")).as("review_score"),
+      max(col("sentiment")).as("review_sentiment"),
+      max(col("has_comment")).as("has_review_comment"))
+    silverOrdersEnrichedItems(orders, lineitem)
+      .join(paymentsAgg, col("order_id") === col("pay_order_id"), "left")
+      .join(reviewsAgg, col("order_id") === col("rev_order_id"), "left")
+      .drop("pay_order_id", "rev_order_id")
+      .withColumn("payment_count", coalesce(col("payment_count"), lit(0L)))
+      .withColumn("total_payment_value",
+        coalesce(col("total_payment_value"), lit(0.0)))
+      .withColumn("max_installments", coalesce(col("max_installments"), lit(0)))
+      .withColumn("has_review_comment",
+        coalesce(col("has_review_comment"), lit(false)))
+      .withColumn("order_quarter", date_trunc("quarter", col("order_date")))
+      .withColumn("order_hour", hour(col("order_date")).cast("int"))
   }
 
   /** Enriched-view SQL body (no ORDER BY) — reusable as a CTE by gold oracles. */
@@ -409,8 +461,59 @@ object Medallion {
          datediff('day', so.order_date, agg.last_ship_date) AS days_to_last_ship
        FROM so LEFT JOIN agg ON so.order_id = agg.order_id"""
 
+  /** Full enriched-view oracle: items body + payments/reviews aggregate
+    * CTEs + quarter/hour dims. DuckDB date_trunc on DATE returns DATE,
+    * so the quarter dim casts through TIMESTAMP to match Spark's
+    * timestamp-typed date_trunc (parity rule SURVEY §3.4).
+    */
+  val silverOrdersEnrichedFullBodySql: String =
+    s"""WITH enr AS ($silverOrdersEnrichedBodySql),
+       sp AS (
+         SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT)
+             AS payment_sequential,
+           event_type AS payment_type,
+           CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS payment_value
+         FROM events
+         WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+           AND value IS NOT NULL AND value >= 0
+           AND event_type IN ('click', 'error', 'purchase', 'signup', 'view')),
+       pa AS (
+         SELECT user_id,
+           COUNT(*) AS payment_count,
+           CAST(SUM(CAST(payment_value AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_payment_value,
+           CAST(MAX(payment_sequential) AS INT) AS max_installments,
+           array_to_string(list_sort(list_distinct(list(payment_type))), ',')
+             AS payment_types
+         FROM sp GROUP BY user_id),
+       ra AS (
+         SELECT user_id,
+           CAST(MAX(event_id % 5 + 1) AS INT) AS review_score,
+           MAX(CASE WHEN event_id % 5 + 1 >= 4 THEN 'positive'
+                    WHEN event_id % 5 + 1 = 3 THEN 'neutral'
+                    ELSE 'negative' END) AS review_sentiment,
+           bool_or(props IS NOT NULL AND length(trim(props)) > 0)
+             AS has_review_comment
+         FROM events
+         WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY user_id)
+       SELECT enr.*,
+         COALESCE(pa.payment_count, 0) AS payment_count,
+         COALESCE(pa.total_payment_value, 0.0) AS total_payment_value,
+         COALESCE(pa.max_installments, 0) AS max_installments,
+         pa.payment_types,
+         ra.review_score,
+         ra.review_sentiment,
+         COALESCE(ra.has_review_comment, FALSE) AS has_review_comment,
+         date_trunc('quarter', CAST(enr.order_date AS TIMESTAMP)) AS order_quarter,
+         CAST(hour(CAST(enr.order_date AS TIMESTAMP)) AS INT) AS order_hour
+       FROM enr
+       LEFT JOIN pa ON enr.order_id = pa.user_id
+       LEFT JOIN ra ON enr.order_id = ra.user_id"""
+
   val silverOrdersEnrichedSql: String =
-    silverOrdersEnrichedBodySql + "\n       ORDER BY 1"
+    silverOrdersEnrichedFullBodySql + "\n       ORDER BY 1"
 
   /** Payments-silver analog over the events feed (ref silver/
     * order_payments.sql:9-56): domain-validated rows with a per-key
@@ -518,8 +621,8 @@ object Medallion {
       silverGeolocation(Tables.customer(s, d), Tables.nation(s, d),
         Tables.region(s, d)).orderBy(col("nation_id"), col("mktsegment"))),
     "silver_orders_enriched" -> ((s, d) =>
-      silverOrdersEnriched(Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy(col("order_id"))),
+      silverOrdersEnriched(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.events(s, d)).orderBy(col("order_id"))),
     "silver_payments" -> ((s, d) =>
       silverPayments(Tables.events(s, d)).orderBy(col("event_id"))),
     "silver_reviews" -> ((s, d) =>

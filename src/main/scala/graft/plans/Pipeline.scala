@@ -82,7 +82,7 @@ object Pipeline {
     TableDef("silver_orders_enriched", "silver",
       Seq("silver_orders", "silver_lineitem"),
       (s, _) => Medallion.silverOrdersEnriched(Tables.orders(s, sfDir),
-        Tables.lineitem(s, sfDir))),
+        Tables.lineitem(s, sfDir), Tables.events(s, sfDir))),
     TableDef("gold_daily_orders", "gold", Seq("silver_orders_enriched"),
       (_, t) => Gold.dailyOrders(t("silver_orders_enriched"))),
     TableDef("gold_monthly_orders", "gold", Seq("silver_orders_enriched"),
