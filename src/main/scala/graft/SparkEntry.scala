@@ -24,6 +24,7 @@ object SparkEntry {
       graft.sources.CsvIngest.queries ++
       graft.sources.LakeWriter.queries ++
       graft.sources.Bucketed.queries ++
+      graft.sources.CatalogSetup.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,10 +34,12 @@ object SparkEntry {
     Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ Decontaminate.oracles ++ Clusters.oracles ++
+      Multimodal.oracles ++ Ivf.oracles ++
+      Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.LakeWriter.oracles ++
       graft.sources.Bucketed.oracles ++
+      graft.sources.CatalogSetup.oracles ++
       graft.streaming.EventStreams.oracles
 }

@@ -116,10 +116,89 @@ object Ivf {
     }
   }
 
+  /** Full DuckDB oracle for `ann_ivf_topk` with the registered defaults
+    * (k=5, nlist=16, nprobe=4, 5 Lloyd iterations): the deterministic
+    * k-means is unrolled as one CTE block per iteration. Exact-parity
+    * mechanics: squared distances fold sequentially via
+    * `list_dot_product` of the element-wise difference (bit-equal to
+    * [[sqDist]]'s running loop — double addition order matches);
+    * centroid means use the same DECIMAL(30,12) exact sums; all argmin
+    * ties break on the lower cluster index, mirroring the strict `<` in
+    * [[argminCentroid]] via `ORDER BY dist, cluster`; empty clusters
+    * keep their previous centroid via the COALESCE in `cent_i`.
+    */
+  val ivfTopKSql: String = {
+    val nlist = 16; val nprobe = 4; val k = 5; val iters = 5
+    def sqdist(v: String, c: String): String = {
+      val d = s"list_transform(generate_series(1, len($v)), j -> $v[j] - $c[j])"
+      s"list_dot_product($d, $d)"
+    }
+    val head = Seq(
+      "vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)",
+      """dims AS (SELECT vec_id, u.j - 1 AS dim, v[u.j] AS x
+         FROM vec, UNNEST(generate_series(1, len(v))) AS u(j))""",
+      s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT $nlist))""")
+    val iterCtes = (1 to iters).flatMap { i =>
+      Seq(
+        s"""assign$i AS (
+           SELECT vec_id, cluster FROM (
+             SELECT v.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqdist("v.v", "c.c")}, c.cluster) AS rn
+             FROM vec v CROSS JOIN cent${i - 1} c)
+           WHERE rn = 1)""",
+        s"""means$i AS (
+           SELECT a.cluster, d.dim,
+             CAST(SUM(CAST(d.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS x
+           FROM assign$i a JOIN dims d USING (vec_id)
+           GROUP BY a.cluster, d.dim)""",
+        s"""newc$i AS (
+           SELECT cluster, list(x ORDER BY dim) AS c FROM means$i GROUP BY cluster)""",
+        s"""cent$i AS (
+           SELECT p.cluster, COALESCE(n.c, p.c) AS c
+           FROM cent${i - 1} p LEFT JOIN newc$i n USING (cluster))""")
+    }
+    val tail = Seq(
+      s"""assignf AS (
+         SELECT vec_id, cluster FROM (
+           SELECT v.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY ${sqdist("v.v", "c.c")}, c.cluster) AS rn
+           FROM vec v CROSS JOIN cent$iters c)
+         WHERE rn = 1)""",
+      s"""probe_lists AS (
+         SELECT probe_id, cluster FROM (
+           SELECT p.vec_id AS probe_id, c.cluster,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY ${sqdist("p.v", "c.c")}, c.cluster) AS rn
+           FROM vec p CROSS JOIN cent$iters c
+           WHERE p.vec_id % 50 = 0)
+         WHERE rn <= $nprobe)""",
+      """scored AS (
+         SELECT pl.probe_id, a.vec_id AS neighbor_id,
+           list_dot_product(pv.v, nv.v)
+             / (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(nv.v, nv.v)))
+             AS cosine
+         FROM probe_lists pl
+         JOIN assignf a USING (cluster)
+         JOIN vec pv ON pv.vec_id = pl.probe_id
+         JOIN vec nv ON nv.vec_id = a.vec_id
+         WHERE a.vec_id != pl.probe_id)""")
+    (head ++ iterCtes ++ tail).mkString("WITH ", ",\n       ", "") +
+      s"""
+       SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+         SELECT probe_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored)
+       WHERE rank <= $k
+       ORDER BY probe_id, rank"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> ((s, d) =>
       ivfTopK(graft.Tables.embeddings(s, d))
         .orderBy(col("probe_id"), col("rank"))))
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map("ann_ivf_topk" -> ivfTopKSql)
 }

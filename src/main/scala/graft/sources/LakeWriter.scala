@@ -53,37 +53,115 @@ object LakeWriter {
     * with an older sequence would resurrect a deleted key on the next
     * merge. [[read]] filters tombstones; [[compact]] can purge them
     * once late data can no longer arrive.
+    *
+    * **Partition-pruned merge** (the 100×-scale path): the table is laid
+    * out as `numBuckets` hash-bucket hive partitions on the merge key
+    * (`gbucket=N`). A merge (i) computes the bucket set its updates
+    * touch, (ii) reads ONLY those partitions (partition pruning at the
+    * scan — untouched buckets contribute zero IO), (iii) rewrites only
+    * those bucket directories. A merge touching one key rewrites
+    * 1/numBuckets of the table instead of all of it; untouched buckets'
+    * files are left byte-identical (proven in LakeSpec). The bucket-id
+    * collect is ≤ numBuckets ints of metadata, not data.
+    *
+    * Crash contract: touched buckets swap one at a time via
+    * backup-rename (live → `path_bak/gbucket=N`, staged in, backups
+    * dropped last). A crash mid-swap loses nothing: the next write's
+    * [[recoverBucketSwap]] restores any bucket whose live dir is
+    * missing, and re-running the same merge is idempotent (per-key
+    * max-sequence is a no-op on already-merged buckets).
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], seqCol: String): Unit = {
+      keyCols: Seq[String], seqCol: String, numBuckets: Int = 16): Unit = {
     val fs = fileSystem(spark)
     recoverIfCrashed(fs, path)
+    recoverBucketSwap(fs, path)
     // first write is detected by existence, not by exception: a transient
     // IO error / corrupt footer on an EXISTING table must propagate, or
     // the merge would silently rebuild the table from updates alone
-    val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.parquet(path).withColumn("_is_update", lit(0))
-      else null // first write: no table yet
-    val tagged = updates.withColumn("_is_update", lit(1))
-    val all0 = if (existing == null) tagged
-      else existing.unionByName(tagged, allowMissingColumns = true)
-    val all = if (all0.columns.contains("_deleted")) all0
-      else all0.withColumn("_deleted", lit(false))
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    val tagged0 = updates.withColumn("_is_update", lit(1))
+    val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
+      else tagged0.withColumn("_deleted", lit(false)))
+      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
     // sequence outranks provenance: a late-arriving update with an older
     // sequence must NOT overwrite newer table state; updates win only on
     // sequence ties
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc, col("_is_update").desc)
-    val merged = all
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_is_update")
-      .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
-    // parquet has no transaction log: stage then swap (crash-safe)
-    val tmp = path + "_staged"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    swapIn(fs, path, tmp)
+    def merge(all: DataFrame): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(seqCol).desc, col("_is_update").desc)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_is_update")
+        .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
+    }
+    if (!exists) {
+      val tmp = path + "_staged"
+      merge(tagged).write.partitionBy("gbucket")
+        .mode(SaveMode.Overwrite).parquet(tmp)
+      swapIn(fs, path, tmp)
+    } else {
+      val touched = tagged.select(col("gbucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq // ≤ numBuckets ints
+      val existing = spark.read.parquet(path)
+        .filter(col("gbucket").isin(touched: _*)) // partition pruning
+        .withColumn("_is_update", lit(0))
+      val withDel =
+        if (existing.columns.contains("_deleted")) existing
+        else existing.withColumn("_deleted", lit(false))
+      val stage = path + "_stage"
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      merge(withDel.unionByName(tagged, allowMissingColumns = true))
+        .write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+      swapBuckets(fs, path, stage, touched)
+    }
+  }
+
+  /** Swap the touched bucket directories into the live table one at a
+    * time, each with a backup rename — at every point each bucket's
+    * data exists either live or under `path_bak`.
+    */
+  private def swapBuckets(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      stage: String, touched: Seq[Int]): Unit = {
+    val bak = path + "_bak"
+    fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bak))
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/gbucket=$b")
+      val stg = new org.apache.hadoop.fs.Path(s"$stage/gbucket=$b")
+      val bkP = new org.apache.hadoop.fs.Path(s"$bak/gbucket=$b")
+      val hadLive = fs.exists(live)
+      if (hadLive && !fs.rename(live, bkP))
+        throw new java.io.IOException(s"bucket swap: cannot move $live aside")
+      // a touched bucket always stages rows (tombstones are retained),
+      // but guard: restore the backup rather than leave the bucket gone
+      if (!fs.exists(stg) || !fs.rename(stg, live)) {
+        if (hadLive) fs.rename(bkP, live)
+        throw new java.io.IOException(s"bucket swap: cannot move $stg into place")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(bak), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Bucket-level crash recovery: restore any backed-up bucket whose
+    * live dir is missing (crash between the two renames), then clear
+    * leftover backup/stage dirs. Fully-swapped buckets keep their new
+    * data — re-running the interrupted merge is a per-bucket no-op.
+    */
+  private def recoverBucketSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val bak = new org.apache.hadoop.fs.Path(path + "_bak")
+    if (fs.exists(bak)) {
+      fs.listStatus(bak).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(path + "/" + st.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"bucket swap recovery: cannot restore ${st.getPath}")
+      }
+      fs.delete(bak, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path + "_stage"), true)
   }
 
   private def fileSystem(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
@@ -138,19 +216,34 @@ object LakeWriter {
       else if (fs.exists(new org.apache.hadoop.fs.Path(path + "_old")))
         path + "_old"
       else path // fail with the normal missing-path error
-    val df = spark.read.parquet(src)
+    val df0 = spark.read.parquet(src)
+    val df = if (df0.columns.contains("gbucket")) df0.drop("gbucket") else df0
     if (df.columns.contains("_deleted"))
       df.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
     else df
   }
 
-  /** OPTIMIZE analogue: rewrite a table directory to `targetFiles`. */
+  /** OPTIMIZE analogue: rewrite a table directory to `targetFiles`.
+    * Hive-partitioned tables (incl. the upsert bucket layout) keep
+    * their partitioning: rows are hashed back into `targetFiles` tasks
+    * on the partition keys and written `partitionBy`, compacting each
+    * partition without flattening the directory structure a subsequent
+    * pruned merge depends on.
+    */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
     val fs = fileSystem(spark)
     recoverIfCrashed(fs, path)
+    recoverBucketSwap(fs, path)
+    val partCols = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.contains("=")).map(_.split("=")(0)).distinct.toSeq
     val df = spark.read.parquet(path)
     val tmp = path + "_compacted"
-    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    if (partCols.isEmpty)
+      df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    else
+      df.repartition(targetFiles, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(tmp)
     swapIn(fs, path, tmp)
   }
 
@@ -231,14 +324,50 @@ object LakeWriter {
        WHERE NOT (o_orderkey % 10 != 0 AND o_orderkey % 13 = 0)
        ORDER BY order_id"""
 
+  /** Compaction (OPTIMIZE analog) in the gate: write an intentionally
+    * fragmented table (one file per shuffle task), [[compact]] it, read
+    * back. The oracle is the source projection — compaction must be a
+    * pure layout change. The file-count require() makes the query fail
+    * loudly in the gate if compact ever stops compacting, so data
+    * equality alone can't mask a no-op.
+    */
+  def compactRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = Scratch.dir("lake_compact")
+    val src = graft.Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("order_id"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("total_price"))
+    src.repartition(32).write.mode(SaveMode.Overwrite).parquet(path)
+    val before = dataFileCount(spark, path)
+    compact(spark, path, targetFiles = 2)
+    val after = dataFileCount(spark, path)
+    require(after < before && after <= 2,
+      s"compact was a no-op: $before files -> $after")
+    spark.read.parquet(path)
+  }
+
+  private def dataFileCount(spark: SparkSession, path: String): Int =
+    fileSystem(spark).listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.startsWith("part-"))
+
+  val compactRoundTripSql: String =
+    """SELECT o_orderkey AS order_id, o_orderstatus AS status,
+       o_totalprice AS total_price
+       FROM orders
+       ORDER BY order_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_partitioned_roundtrip" -> ((s, d) =>
       partitionedRoundTrip(s, d).orderBy(org.apache.spark.sql.functions.col("order_id"))),
     "lake_upsert_lifecycle" -> ((s, d) =>
-      upsertLifecycle(s, d).orderBy(org.apache.spark.sql.functions.col("order_id"))))
+      upsertLifecycle(s, d).orderBy(org.apache.spark.sql.functions.col("order_id"))),
+    "lake_compact_roundtrip" -> ((s, d) =>
+      compactRoundTrip(s, d).orderBy(org.apache.spark.sql.functions.col("order_id"))))
 
   def oracles: Map[String, String] = Map(
     "lake_partitioned_roundtrip" -> partitionedRoundTripSql,
-    "lake_upsert_lifecycle" -> upsertLifecycleSql)
+    "lake_upsert_lifecycle" -> upsertLifecycleSql,
+    "lake_compact_roundtrip" -> compactRoundTripSql)
 }

@@ -68,6 +68,64 @@ class LakeSpec extends AnyFunSuite {
     assert(LakeWriter.read(spark, dir).count() == 2)
   }
 
+  test("pruned merge rewrites only touched buckets; untouched are byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t5"
+    val base = (1L to 200L).map(i => (i, s"p$i", 1L)).toDF("id", "payload", "seq")
+    LakeWriter.upsert(spark, dir, base, Seq("id"), "seq", numBuckets = 8)
+    def snapshot(): Map[String, Seq[Byte]] = {
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("gbucket=")).flatMap { d =>
+          d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+            (d.getName + "/" + f.getName) ->
+              java.nio.file.Files.readAllBytes(f.toPath).toSeq
+          }
+        }.toMap
+    }
+    val before = snapshot()
+    assert(before.keys.map(_.split("/")(0)).toSet.size > 1,
+      "seed did not spread keys over multiple buckets")
+    LakeWriter.upsert(spark, dir,
+      Seq((7L, "p7-new", 2L)).toDF("id", "payload", "seq"),
+      Seq("id"), "seq", numBuckets = 8)
+    val after = snapshot()
+    // a file is "changed" if its name vanished or its bytes differ; a
+    // single-key merge must confine every change to that key's bucket
+    val changedBuckets = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .map(_.split("/")(0))
+    assert(changedBuckets.nonEmpty, "merge rewrote nothing")
+    assert(changedBuckets.size == 1,
+      s"single-key merge touched multiple buckets: $changedBuckets")
+    val out = LakeWriter.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
+    assert(out.length == 200 && out.contains((7L, "p7-new")))
+    // the merge-side read prunes partitions at the scan
+    val pruned = spark.read.parquet(dir)
+      .filter(col("gbucket").isin(changedBuckets.head.split("=")(1).toInt))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("gbucket"),
+      s"bucket filter not pushed to partition pruning:\n$plan")
+  }
+
+  test("compact preserves the bucket layout of an upsert table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t6"
+    val base = (1L to 100L).map(i => (i, s"p$i", 1L)).toDF("id", "payload", "seq")
+    LakeWriter.upsert(spark, dir, base, Seq("id"), "seq", numBuckets = 4)
+    LakeWriter.compact(spark, dir, 2)
+    val buckets = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("gbucket=")).map(_.getName).toSet
+    assert(buckets.size == 4, s"compact flattened the bucket layout: $buckets")
+    assert(LakeWriter.read(spark, dir).count() == 100)
+    // a post-compact merge still works against the compacted layout
+    LakeWriter.upsert(spark, dir,
+      Seq((5L, "p5-new", 2L)).toDF("id", "payload", "seq"),
+      Seq("id"), "seq", numBuckets = 4)
+    val out = LakeWriter.read(spark, dir).filter(col("id") === 5L).head()
+    assert(out.getAs[String]("payload") == "p5-new")
+  }
+
   test("compact reduces file count") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lake").toString + "/t3"
