@@ -77,19 +77,28 @@ object Similarity {
        FROM ranked WHERE rank <= 5
        ORDER BY probe_id, rank"""
 
-  /** Deterministic ±1 hyperplane component for (plane, dim). */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(xxhash64(lit(plane), dim).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)
+  /** Deterministic ±1 hyperplane row for one plane: component i is the
+    * low bit of fnv1a64("<planeId>,<i>"). Derived once in the DRIVER —
+    * it is a pure function of the constants (planes×dim doubles,
+    * kilobytes of model state, like IVF's centroids) — and embedded as
+    * a literal array, so the per-row work is one fold per plane with no
+    * per-element hashing. The DuckDB oracle re-derives the identical
+    * matrix from the same strings via the OracleFnv HUGEINT fold.
+    */
+  private[operators] def planeSigns(planeId: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val h = graft.functions.Fnv1a64.hashBytes(s"$planeId,$i".getBytes("UTF-8"))
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
 
   /** Sign-LSH bucket id from `planes` hyperplanes (plane ids offset by
     * `tableIdx` so each table draws an independent family).
     * dot(v, h_p) = Σ_i v[i]·sign(p,i), one fold per plane.
     */
-  def lshBucket(v: Column, planes: Int, tableIdx: Int): Column =
+  def lshBucket(v: Column, planes: Int, tableIdx: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeSign(tableIdx * planes + p, i)),
+      val sv = typedlit(planeSigns(tableIdx * planes + p, dim))
+      val proj = aggregate(zip_with(v, sv, (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
@@ -99,16 +108,20 @@ object Similarity {
     * probe in ANY table (union via the exploded (table, bucket) key,
     * then distinct). Recall dials up with `tables`, candidate cost
     * down with `planes` — all as key-equality joins, no crossJoin.
-    * Recall is tested against [[bruteForceTopK]] in ScalaTest (not
-    * SQL-oracle-able).
+    * Fully deterministic (literal hyperplanes, fold-exact cosines), so
+    * the neighbor lists carry a complete DuckDB oracle; recall floors
+    * vs [[bruteForceTopK]] are additionally asserted in the gate.
     */
   def lshTopK(emb: DataFrame, k: Int = 5, planes: Int = 4,
       tables: Int = 8): DataFrame = {
+    // embedding width: one-row metadata probe (array width is not part
+    // of the parquet schema), needed to materialize the literal planes
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val bucketed = base.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), lshBucket(col("v"), planes, t).as("bucket"))): _*))
+        struct(lit(t).as("tbl"), lshBucket(col("v"), planes, t, dim).as("bucket"))): _*))
         .as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"), col("tb.tbl"), col("tb.bucket"))
     // probes filter + corpus join both read this: persist for the query
@@ -130,6 +143,57 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
     }
+  }
+
+  /** Full DuckDB oracle for `ann_lsh_topk` with the registered defaults
+    * (k=5, planes=4, tables=8). The `signs` CTE re-derives the literal
+    * hyperplane matrix from the same `"<planeId>,<dim>"` strings via the
+    * OracleFnv HUGEINT fold (low bit = sign); projections and cosines
+    * go through `list_dot_product`, bit-equal to the Spark side's
+    * sequential `aggregate(zip_with(...))` folds.
+    */
+  val lshTopKSql: String = {
+    val planes = 4; val tables = 8; val k = 5
+    val planeStr =
+      s"CAST(tp.tbl * $planes + tp.p AS VARCHAR) || ',' || CAST(j - 1 AS VARCHAR)"
+    s"""WITH vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       dimn AS (SELECT max(len(v)) AS n FROM vec),
+       tp AS (SELECT t.tbl, p.p
+              FROM UNNEST(generate_series(0, ${tables - 1})) t(tbl),
+                   UNNEST(generate_series(0, ${planes - 1})) p(p)),
+       signs AS (
+         SELECT tp.tbl, tp.p,
+           list_transform(generate_series(1, (SELECT n FROM dimn)),
+             j -> CASE WHEN ${OracleFnv.fold(s"hex(encode($planeStr))")} % 2 = 1
+                       THEN 1.0 ELSE -1.0 END) AS sv
+         FROM tp),
+       projs AS (
+         SELECT v.vec_id, s.tbl, s.p,
+           list_dot_product(v.v, s.sv) AS proj
+         FROM vec v CROSS JOIN signs s),
+       buckets AS (
+         SELECT vec_id, tbl,
+           CAST(SUM(CASE WHEN proj > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         FROM projs GROUP BY vec_id, tbl),
+       cands AS (
+         SELECT DISTINCT pb.vec_id AS probe_id, b.vec_id AS neighbor_id
+         FROM buckets b
+         JOIN buckets pb ON b.tbl = pb.tbl AND b.bucket = pb.bucket
+         WHERE pb.vec_id % 50 = 0 AND b.vec_id != pb.vec_id),
+       scored AS (
+         SELECT c.probe_id, c.neighbor_id,
+           list_dot_product(pv.v, nv.v)
+             / (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(nv.v, nv.v))) AS cosine
+         FROM cands c
+         JOIN vec pv ON pv.vec_id = c.probe_id
+         JOIN vec nv ON nv.vec_id = c.neighbor_id),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         FROM scored)
+       SELECT probe_id, rank, neighbor_id, cosine
+       FROM ranked WHERE rank <= $k
+       ORDER BY probe_id, rank"""
   }
 
   // ---- registry ------------------------------------------------------------
@@ -181,5 +245,6 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> bruteForceTopKSql,
+    "ann_lsh_topk" -> lshTopKSql,
     "ann_recall_bounds" -> recallBoundsSql)
 }
