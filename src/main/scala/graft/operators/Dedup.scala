@@ -352,6 +352,68 @@ object Dedup {
     }
   }
 
+  /** Embedding near-dup pairs at scale: sign-LSH bucket blocking +
+    * exact-cosine verify — the label-free LINEAR candidate generator
+    * that fronts [[embeddingPairs]]'s exact in-block verifier at 100 TB
+    * (cost = corpus × bucket occupancy, never all-pairs; every step is
+    * a key-equality join). Candidate dedup carries ids only; vectors
+    * and norms join back from the cached base afterward, so the
+    * distinct shuffle moves 16 bytes per candidate, not 2×dim doubles.
+    * Deterministic (literal fnv-derived hyperplanes, fold-exact
+    * cosines) → full DuckDB oracle.
+    */
+  def embeddingLshPairs(emb: DataFrame, threshold: Double = 0.35,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val bucketed = base.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col("v"), planes, t, dim).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    graft.Caching.withCached(base, bucketed) {
+      val cands = bucketed.as("a").join(bucketed.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cands
+        .join(base.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na")), Seq("vec_a"))
+        .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Similarity.cosinePre(Similarity.dot(col("va"), col("vb")),
+            col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
+  }
+
+  /** Oracle for `dedup_embedding_lsh` (threshold=0.35, planes=4,
+    * tables=8) — bucket CTEs shared with the ann_lsh_topk oracle.
+    */
+  val embeddingLshPairsSql: String =
+    s"""WITH ${Similarity.signBucketCtesSql(4, 8)},
+       cands AS (
+         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM buckets a
+         JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id),
+       scored AS (
+         SELECT c.vec_a, c.vec_b,
+           list_dot_product(va.v, vb.v)
+             / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))
+             AS cosine
+         FROM cands c
+         JOIN vec va ON va.vec_id = c.vec_a
+         JOIN vec vb ON vb.vec_id = c.vec_b)
+       SELECT vec_a, vec_b, cosine FROM scored
+       WHERE cosine >= 0.35
+       ORDER BY vec_a, vec_b"""
+
   val embeddingPairsSql: String =
     """WITH base AS (
          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -495,13 +557,17 @@ object Dedup {
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding" -> ((s, d) =>
-      embeddingPairs(Tables.embeddings(s, d)).orderBy(col("vec_a"), col("vec_b"))))
+      embeddingPairs(Tables.embeddings(s, d)).orderBy(col("vec_a"), col("vec_b"))),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      embeddingLshPairs(Tables.embeddings(s, d))
+        .orderBy(col("vec_a"), col("vec_b"))))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "fuzzy_name_pairs" -> fuzzyNamePairsSql,
     "dedup_embedding" -> embeddingPairsSql,
+    "dedup_embedding_lsh" -> embeddingLshPairsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashPairsSql)
 }

@@ -145,18 +145,19 @@ object Similarity {
     }
   }
 
-  /** Full DuckDB oracle for `ann_lsh_topk` with the registered defaults
-    * (k=5, planes=4, tables=8). The `signs` CTE re-derives the literal
-    * hyperplane matrix from the same `"<planeId>,<dim>"` strings via the
-    * OracleFnv HUGEINT fold (low bit = sign); projections and cosines
-    * go through `list_dot_product`, bit-equal to the Spark side's
-    * sequential `aggregate(zip_with(...))` folds.
+  /** Shared oracle CTE block (`vec` → `buckets`): re-derives the sign-LSH
+    * bucket assignment for every vector. The `signs` CTE rebuilds the
+    * literal hyperplane matrix from the same `"<planeId>,<dim>"` strings
+    * via the OracleFnv HUGEINT fold (low bit = sign); projections go
+    * through `list_dot_product`, bit-equal to the Spark side's
+    * sequential `aggregate(zip_with(...))` folds. Shared by
+    * [[lshTopKSql]] and [[Dedup.embeddingLshPairsSql]] so the two LSH
+    * oracles cannot drift.
     */
-  val lshTopKSql: String = {
-    val planes = 4; val tables = 8; val k = 5
+  private[operators] def signBucketCtesSql(planes: Int, tables: Int): String = {
     val planeStr =
       s"CAST(tp.tbl * $planes + tp.p AS VARCHAR) || ',' || CAST(j - 1 AS VARCHAR)"
-    s"""WITH vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        dimn AS (SELECT max(len(v)) AS n FROM vec),
        tp AS (SELECT t.tbl, p.p
               FROM UNNEST(generate_series(0, ${tables - 1})) t(tbl),
@@ -174,7 +175,15 @@ object Similarity {
        buckets AS (
          SELECT vec_id, tbl,
            CAST(SUM(CASE WHEN proj > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         FROM projs GROUP BY vec_id, tbl),
+         FROM projs GROUP BY vec_id, tbl)"""
+  }
+
+  /** Full DuckDB oracle for `ann_lsh_topk` with the registered defaults
+    * (k=5, planes=4, tables=8) — bucket CTEs from [[signBucketCtesSql]].
+    */
+  val lshTopKSql: String = {
+    val planes = 4; val tables = 8; val k = 5
+    s"""WITH ${signBucketCtesSql(planes, tables)},
        cands AS (
          SELECT DISTINCT pb.vec_id AS probe_id, b.vec_id AS neighbor_id
          FROM buckets b

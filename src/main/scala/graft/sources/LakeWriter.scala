@@ -103,7 +103,11 @@ object LakeWriter {
     } else {
       val touched = tagged.select(col("gbucket")).distinct()
         .collect().map(_.getInt(0)).sorted.toSeq // ≤ numBuckets ints
-      val existing = spark.read.parquet(path)
+      // mergeSchema: bucket-pruned rewrites make schema evolution
+      // per-bucket (a merge adding a column rewrites only its buckets),
+      // so the union schema lives in the footers, not any single file —
+      // the log-less equivalent of a table format's schema registry
+      val existing = spark.read.option("mergeSchema", "true").parquet(path)
         .filter(col("gbucket").isin(touched: _*)) // partition pruning
         .withColumn("_is_update", lit(0))
       val withDel =
@@ -216,7 +220,9 @@ object LakeWriter {
       else if (fs.exists(new org.apache.hadoop.fs.Path(path + "_old")))
         path + "_old"
       else path // fail with the normal missing-path error
-    val df0 = spark.read.parquet(src)
+    // mergeSchema for the same reason as the merge-side read: partial
+    // bucket rewrites mean no single footer holds the evolved schema
+    val df0 = spark.read.option("mergeSchema", "true").parquet(src)
     val df = if (df0.columns.contains("gbucket")) df0.drop("gbucket") else df0
     if (df.columns.contains("_deleted"))
       df.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")

@@ -108,6 +108,22 @@ class LakeSpec extends AnyFunSuite {
       s"bucket filter not pushed to partition pruning:\n$plan")
   }
 
+  test("upsert evolves schema: new column appears, old rows read as null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lake").toString + "/t7"
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "seq")
+    LakeWriter.upsert(spark, dir, base, Seq("id"), "seq")
+    // updates carry a column the table has never seen
+    val upd = Seq((2L, "b2", 2L, "extra2"), (3L, "c", 2L, "extra3"))
+      .toDF("id", "payload", "seq", "note")
+    LakeWriter.upsert(spark, dir, upd, Seq("id"), "seq")
+    val out = LakeWriter.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        Option(r.getAs[String]("note"))))
+    assert(out.toSeq == Seq((1L, "a", None), (2L, "b2", Some("extra2")),
+      (3L, "c", Some("extra3"))))
+  }
+
   test("compact preserves the bucket layout of an upsert table") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lake").toString + "/t6"

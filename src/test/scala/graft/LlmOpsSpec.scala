@@ -58,6 +58,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall too low: $recall") // 6 planes, 64 buckets
   }
 
+  test("embedding LSH pairs: precise, decent recall vs exact pairs, no cartesian") {
+    val emb = Tables.embeddings(spark, sf)
+    val threshold = 0.35
+    val lsh = operators.Dedup.embeddingLshPairs(emb, threshold)
+    // precision is exact by construction (candidates are verified) — check it
+    val rows = lsh.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cosine") >= threshold))
+    // recall vs ALL exact pairs (label-free ground truth, tiny at test SF)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val exact = base.as("a").join(base.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got.subsetOf(exact), "LSH pair outside the exact pair set")
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"embedding LSH recall too low: $recall")
+    // the operator itself must never plan an all-pairs join
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"embedding LSH planned a cartesian product:\n$plan")
+  }
+
   test("ivf ANN is deterministic with recall above the LSH path") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.bruteForceTopK(emb).select("probe_id", "neighbor_id")
