@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fnv1a64, HashSample}
+import graft.functions.{Fnv1a64, HashSample, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions so SQL users (`SELECT fnv1a64(text) FROM docs`,
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HashSample(children.head, k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }

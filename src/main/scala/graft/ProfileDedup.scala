@@ -48,6 +48,12 @@ object ProfileDedup {
     time("simhash (64 sums)")(operators.Dedup.simhash(docs).count())
     time("full simhash_pairs")(operators.Dedup.simhashPairs(docs).count())
     time("full simhash_pairs (2nd)")(operators.Dedup.simhashPairs(docs).count())
+    println("== vector paths (native vec_dot) ==")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    time("ann_bruteforce_topk")(operators.Similarity.bruteForceTopK(emb).count())
+    time("ann_lsh_topk")(operators.Similarity.lshTopK(emb).count())
+    time("dedup_embedding_lsh")(operators.Dedup.embeddingLshPairs(emb).count())
+    time("dedup_embedding_lsh (2nd)")(operators.Dedup.embeddingLshPairs(emb).count())
     spark.stop()
   }
 }

@@ -22,13 +22,19 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Double-precision cosine as a strict left fold — identical result
+  /** Double-precision dot as a strict left fold — identical result
     * at any partitioning, bitwise reproducible against a single-threaded
     * engine folding the same way (verified vs DuckDB list_dot_product).
     * Inputs must already be array<double>.
+    *
+    * Backed by the native codegen'd [[graft.functions.VecDot]]
+    * expression (registered session-wide by GraftExtensions): the
+    * equivalent `aggregate(zip_with(_*_), 0.0, _+_)` column algebra
+    * evaluates its lambdas interpreted, which dominated the runtime on
+    * million-candidate verify joins; the native fold is the same
+    * operation sequence inside whole-stage codegen.
     */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -98,8 +104,7 @@ object Similarity {
   def lshBucket(v: Column, planes: Int, tableIdx: Int, dim: Int): Column =
     (0 until planes).map { p =>
       val sv = typedlit(planeSigns(tableIdx * planes + p, dim))
-      val proj = aggregate(zip_with(v, sv, (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, sv)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
 

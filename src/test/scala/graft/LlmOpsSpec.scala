@@ -58,6 +58,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall too low: $recall") // 6 planes, 64 buckets
   }
 
+  test("vec_dot equals the interpreted column fold bit-for-bit") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v")).limit(50)
+    val both = base.select(
+      call_function("vec_dot", col("v"), col("v")).as("native"),
+      aggregate(zip_with(col("v"), col("v"), (p, q) => p * q),
+        lit(0.0), (acc, x) => acc + x).as("folded"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != folded ${r.getDouble(1)}")
+    }
+    // null semantics: mismatched lengths and null elements → null
+    val edge = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
+      (None: Option[Seq[Double]], Some(Seq(1.0)))).toDF("a", "b")
+      .select(call_function("vec_dot", col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+    // SQL path through GraftExtensions
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) == 11.0)
+  }
+
   test("embedding LSH pairs: precise, decent recall vs exact pairs, no cartesian") {
     val emb = Tables.embeddings(spark, sf)
     val threshold = 0.35
