@@ -477,6 +477,34 @@ object Analytics {
        GROUP BY user_id
        ORDER BY user_id"""
 
+  /** Wide→long melt: unpivot the per-user per-type revenue matrix back
+    * to (user_id, event_type, type_value) rows via `Dataset.unpivot`
+    * (Spark's melt — the inverse of [[eventsPivot]]). Zero-filled before
+    * the melt, so every user emits all five types and the oracle is a
+    * plain user × type expansion. One shuffle (the pivot's groupBy);
+    * the melt itself is a narrow projection.
+    */
+  def eventsUnpivot(events: DataFrame): DataFrame =
+    eventsPivot(events).unpivot(
+      ids = Array(col("user_id")),
+      values = Array(col("click"), col("error"), col("purchase"),
+        col("signup"), col("view")),
+      variableColumnName = "event_type",
+      valueColumnName = "type_value")
+
+  val eventsUnpivotSql: String =
+    s"""WITH wide AS (${eventsPivotSql.replace("ORDER BY user_id", "")}),
+       long AS (
+         SELECT user_id, t.event_type,
+           CASE t.event_type
+             WHEN 'click' THEN click WHEN 'error' THEN error
+             WHEN 'purchase' THEN purchase WHEN 'signup' THEN signup
+             ELSE view END AS type_value
+         FROM wide, (VALUES ('click'),('error'),('purchase'),('signup'),('view'))
+           t(event_type))
+       SELECT user_id, event_type, type_value FROM long
+       ORDER BY user_id, event_type"""
+
   /** Top-k event values per type via the bounded-buffer typed
     * [[graft.functions.TopKAggregator]]: the shuffle carries k rows per
     * group per task regardless of group size — the scale path for
@@ -536,6 +564,9 @@ object Analytics {
         .orderBy(col("grouping_level"), col("region_name"), col("nation_name"))),
     "events_pivot" -> ((s, d) =>
       eventsPivot(Tables.events(s, d)).orderBy(col("user_id"))),
+    "events_unpivot" -> ((s, d) =>
+      eventsUnpivot(Tables.events(s, d))
+        .orderBy(col("user_id"), col("event_type"))),
     "events_funnel" -> ((s, d) => eventsFunnel(Tables.events(s, d))),
     "events_approx_users" -> ((s, d) =>
       eventsApproxUsers(Tables.events(s, d)).orderBy(col("event_type"))),
@@ -564,6 +595,7 @@ object Analytics {
     "segment_set_ops" -> segmentSetOpsSql,
     "revenue_rollup" -> revenueRollupSql,
     "events_pivot" -> eventsPivotSql,
+    "events_unpivot" -> eventsUnpivotSql,
     "events_funnel" -> eventsFunnelSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,

@@ -358,8 +358,49 @@ object TextAnalysis {
         WHERE k.n_chars >= 100 AND k.n_chars <= 4000 AND s.split = 'train'
         ORDER BY k.doc_id"""
 
+  /** Deterministic source-mix sampling — the pretraining "data mixing"
+    * step: each source contributes a hash-gated fraction of its docs
+    * (weight 1.0 = keep all, 0.25 = keep ~quarter). The gate is
+    * u(doc) < w(source) with u = fnv1a64("mix:"+doc_id) scaled to
+    * [0, 1), so the sample is exactly reproducible (no RNG, no
+    * sampleBy), a doc's fate is stable as the corpus grows, and raising
+    * a weight only ADDS docs (nested samples — the property mix tuning
+    * relies on). Scan-only: one filter, no shuffle.
+    */
+  def mixSample(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double): DataFrame = {
+    val wMap = typedlit(weights)
+    docs
+      .withColumn("__u",
+        pmod(graft.functions.Fingerprint.fnv1a64(docs.sparkSession,
+          concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L))
+          .cast("double") / 1000000.0)
+      .filter(col("__u") < coalesce(element_at(wMap, col("source")),
+        lit(defaultWeight)))
+      .drop("__u")
+  }
+
+  /** Registered mix: boost src1 down-weighted tiers mirrored in SQL. */
+  val MixWeights: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.35, "src2" -> 0.75, "src3" -> 0.1)
+  val MixDefault: Double = 0.5
+
+  val mixSampleSql: String = {
+    val cases = MixWeights.toSeq.sorted
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    s"""SELECT doc_id, source, lang, n_chars FROM documents
+       WHERE CAST(((${OracleFnv.ofText("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+                   + 1000000) % 1000000 AS DOUBLE) / 1000000.0
+             < CASE source $cases ELSE $MixDefault END
+       ORDER BY doc_id"""
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix_sample" -> ((s, d) =>
+      mixSample(Tables.documents(s, d), MixWeights, MixDefault)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     // sample_ids emitted as a sorted CSV string, not ARRAY<STRING>: the
     // driver's compare sorts/hashes output values and cannot handle
     // nested types (observed r1: pandas "unhashable type" crash)
@@ -457,6 +498,7 @@ object TextAnalysis {
         ORDER BY lang"""
 
   def oracles: Map[String, String] = Map(
+    "corpus_mix_sample" -> mixSampleSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangIdSql,
     "text_tokens" -> textTokensSql,

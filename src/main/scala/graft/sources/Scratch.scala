@@ -10,7 +10,7 @@ package graft.sources
   * writer races in one stroke; the cost is one extra small write per
   * invocation, and /tmp is ephemeral per host.
   */
-private[sources] object Scratch {
+private[graft] object Scratch {
   def dir(tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       java.util.UUID.randomUUID.toString.replace("-", "")

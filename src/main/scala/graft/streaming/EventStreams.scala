@@ -228,15 +228,79 @@ object EventStreams {
       .start()
   }
 
+  /** End-to-end streaming medallion in one query — the engine analogue
+    * of a DLT gold materialized view refreshed from a streaming table
+    * (ref gold/daily_orders.sql over streaming bronze): file-source
+    * stream → validated transform (silver payments domain) → daily
+    * revenue aggregation → foreachBatch DYNAMIC-PARTITION-OVERWRITE
+    * into a partitioned gold lake table (each refresh rewrites only the
+    * days it recomputed — the incremental-refresh shape) → read the
+    * table back. Complete output mode on the bounded fixture makes the
+    * final table equal the batch aggregation, so a plain SQL oracle
+    * applies. The partition value is written pre-stringified (hive dir
+    * values are strings) and parsed back to DATE on read.
+    */
+  def streamGoldDaily(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = Files.createTempDirectory("graft_sgold_ckpt").toString
+    val path = graft.sources.Scratch.dir("stream_gold")
+    val src = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("value") >= 0 &&
+        col("event_type").isin("click", "error", "purchase", "signup", "view"))
+      .withColumn("day_str", to_date(col("ts_utc")).cast("string"))
+      .withColumn("payment_category",
+        when(col("event_type") === "purchase", "revenue")
+          .when(col("event_type") === "signup", "acquisition")
+          .when(col("event_type").isin("click", "view"), "engagement")
+          .otherwise("ops"))
+      .groupBy(col("day_str"), col("payment_category"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.LakeWriter.writePartitioned(batch, path, Seq("day_str"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    spark.read.parquet(path)
+      .select(to_date(col("day_str")).as("day"), col("payment_category"),
+        col("n_events"), col("total_value"))
+  }
+
+  val streamGoldDailySql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CASE WHEN event_type = 'purchase' THEN 'revenue'
+            WHEN event_type = 'signup' THEN 'acquisition'
+            WHEN event_type IN ('click', 'view') THEN 'engagement'
+            ELSE 'ops' END AS payment_category,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events
+       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+         AND value IS NOT NULL AND value >= 0
+         AND event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> ((s, d) =>
       windowedAgg(s, d).orderBy(col("window_start"), col("event_type"))),
     "stream_sessionize" -> ((s, d) =>
       sessionizeBatch(Tables.events(s, d))
-        .orderBy(col("user_id"), col("session_idx"))))
+        .orderBy(col("user_id"), col("session_idx"))),
+    "stream_gold_daily" -> ((s, d) =>
+      streamGoldDaily(s, d).orderBy(col("day"), col("payment_category"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
-    "stream_sessionize" -> sessionizeSql)
+    "stream_sessionize" -> sessionizeSql,
+    "stream_gold_daily" -> streamGoldDailySql)
 }
