@@ -289,6 +289,57 @@ object EventStreams {
        GROUP BY 1, 2
        ORDER BY 1, 2"""
 
+  /** Streaming CDC apply — the engine analogue of the reference's
+    * `AUTO CDC INTO … KEYS … SEQUENCE BY … STORED AS SCD TYPE 1` run as
+    * a STREAM (ref cdc_customers_silver.sql:55-66 applies the change
+    * feed continuously, not as a batch window pass): the staged change
+    * feed is split into microbatches that arrive in ARBITRARY sequence
+    * order, each batch is merged into a lake table via the
+    * partition-pruned [[graft.sources.LakeWriter.upsert]], and the
+    * final table must equal the batch SCD1 resolution.
+    *
+    * This is the convergence proof for the sink's CDC semantics:
+    * per-key max-sequence merge + delete tombstones make the result
+    * independent of batch boundaries and batch ORDER — a late batch
+    * carrying older sequences cannot overwrite newer state, and a
+    * DELETE arriving before the INSERT it supersedes is resolved by
+    * sequence, not arrival. The oracle is the batch SCD1 SQL, so the
+    * equivalence is hash-checked, not just row-counted.
+    *
+    * Scale shape: state lives in the bucketed table, not the stream
+    * (no streaming state store at all); each merge reads/rewrites only
+    * the hash buckets its batch touches. At 100 TB the bucket count
+    * scales with the table so a microbatch touching u keys rewrites
+    * ≤ min(u, numBuckets) buckets, never the full table.
+    */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft_cdcapply_ckpt").toString
+    val feed = graft.sources.Scratch.dir("cdc_feed")
+    val table = graft.sources.Scratch.dir("cdc_applied")
+    // stage once in batch, then re-serve it as a file stream: 8 feed
+    // files ≈ 8 microbatches; hash repartition scatters each key's
+    // changes across batches, exercising the out-of-order path
+    val staged = graft.operators.Cdc.stage(Tables.events(spark, dir))
+    staged.repartition(8).write.parquet(feed)
+    val q = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.LakeWriter.upsert(spark, table,
+          batch.withColumn("_deleted", col("operation") === "DELETE")
+            .drop("operation"),
+          keyCols = Seq("key_id"), seqCol = "sequence_number")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    graft.sources.LakeWriter.read(spark, table)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> ((s, d) =>
@@ -297,10 +348,13 @@ object EventStreams {
       sessionizeBatch(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_idx"))),
     "stream_gold_daily" -> ((s, d) =>
-      streamGoldDaily(s, d).orderBy(col("day"), col("payment_category"))))
+      streamGoldDaily(s, d).orderBy(col("day"), col("payment_category"))),
+    "stream_cdc_apply" -> ((s, d) =>
+      streamCdcApply(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
     "stream_sessionize" -> sessionizeSql,
-    "stream_gold_daily" -> streamGoldDailySql)
+    "stream_gold_daily" -> streamGoldDailySql,
+    "stream_cdc_apply" -> graft.operators.Cdc.scd1Sql)
 }

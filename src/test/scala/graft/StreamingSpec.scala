@@ -24,6 +24,15 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming CDC apply converges to the batch SCD1 state") {
+    val applied = EventStreams.streamCdcApply(spark, sf)
+      .orderBy("key_id").collect()
+    val batch = operators.Cdc.scd1Current(Tables.events(spark, sf))
+      .orderBy("key_id").collect()
+    assert(applied.length == batch.length)
+    applied.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("streaming dropDuplicates removes cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
