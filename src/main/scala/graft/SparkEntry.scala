@@ -25,6 +25,7 @@ object SparkEntry {
       graft.sources.LakeWriter.queries ++
       graft.sources.Bucketed.queries ++
       graft.sources.CatalogSetup.queries ++
+      graft.sources.StatsSkipping.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.sources.LakeWriter.oracles ++
       graft.sources.Bucketed.oracles ++
       graft.sources.CatalogSetup.oracles ++
+      graft.sources.StatsSkipping.oracles ++
       graft.streaming.EventStreams.oracles
 }

@@ -186,6 +186,27 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("stats-pruned read skips files yet equals the full-scan filter") {
+    import graft.sources.StatsSkipping
+    val path = graft.sources.Scratch.dir("stats_spec")
+    StatsSkipping.writeClustered(Tables.lineitem(spark, sf), path,
+      "l_shipdate", numFiles = 8)
+    val (kept, total) = StatsSkipping.selectFiles(spark, path,
+      StatsSkipping.Lo, StatsSkipping.Hi)
+    // a ~6-month window over a ~7-year clustered domain must prune
+    assert(total == 8, s"expected 8 manifest entries, got $total")
+    assert(kept.nonEmpty && kept.size < total,
+      s"no pruning: kept ${kept.size} of $total")
+    val pruned = StatsSkipping.prunedRead(spark, path, "l_shipdate",
+      StatsSkipping.Lo, StatsSkipping.Hi)
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val full = spark.read.parquet(path)
+      .filter(col("l_shipdate") >= lit(StatsSkipping.Lo).cast("timestamp") &&
+        col("l_shipdate") <= lit(StatsSkipping.Hi).cast("timestamp"))
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(pruned.length == full.length && pruned.sameElements(full))
+  }
+
   test("fnv1a64 is callable from SQL via GraftExtensions") {
     val r = spark.sql("SELECT fnv1a64('foobar') AS h").head()
     assert(r.getLong(0) == 0x85944171f73967e8L)
