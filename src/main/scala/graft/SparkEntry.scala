@@ -26,6 +26,7 @@ object SparkEntry {
       graft.sources.Bucketed.queries ++
       graft.sources.CatalogSetup.queries ++
       graft.sources.StatsSkipping.queries ++
+      graft.sources.VersionedLake.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.sources.Bucketed.oracles ++
       graft.sources.CatalogSetup.oracles ++
       graft.sources.StatsSkipping.oracles ++
+      graft.sources.VersionedLake.oracles ++
       graft.streaming.EventStreams.oracles
 }

@@ -1,0 +1,246 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log-structured versioned table — the engine-side analogue of the
+  * Delta protocol the reference's tables live on (every reference table
+  * is `USING DELTA` with history/time-travel supplied by the platform;
+  * ref /root/reference/docs/ARCHITECTURE.md, src/setup/
+  * unity_catalog_setup.py registers Delta locations):
+  *
+  *  - data files are IMMUTABLE; a merge writes new files for the hash
+  *    buckets it touches and never modifies or deletes existing ones;
+  *  - each commit is one manifest under `_log/` listing every live file
+  *    of that version; writing the manifest (create temp + atomic
+  *    rename) IS the commit point — a crash at any earlier moment
+  *    leaves only unreferenced orphan files and the previous version
+  *    fully intact (no swap window at all, unlike a rewrite-in-place
+  *    layout);
+  *  - reads resolve a manifest (latest or an explicit version — time
+  *    travel) and scan exactly the files it lists;
+  *  - [[vacuum]] deletes files no manifest ≥ the retention floor
+  *    references, and drops the older manifests.
+  *
+  * Scale shape: a merge reads only touched buckets' live files (the
+  * manifest makes bucket→file resolution O(#files) metadata, no
+  * directory listing), writes only touched buckets, and commits O(1)
+  * files. The manifest is a full snapshot (O(#files) lines), so readers
+  * never replay a log chain. Same merge semantics as
+  * [[LakeWriter.upsert]]: last-writer-wins by sequence, DELETE
+  * tombstones retained so late-arriving older changes cannot resurrect
+  * a deleted key; readers filter tombstones.
+  */
+object VersionedLake {
+
+  private val LogDir = "_log"
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(path: String, v: Int): Path =
+    new Path(f"$path/$LogDir/v$v%06d.txt")
+
+  /** Committed versions, ascending (empty → table does not exist). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val dir = new Path(s"$path/$LogDir")
+    val f = fs(spark)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
+      .sorted.toSeq
+  }
+
+  /** Live data files (relative to `path`) at `version`. */
+  private def manifestFiles(spark: SparkSession, path: String,
+      version: Int): Seq[String] = {
+    val in = fs(spark).open(manifestPath(path, version))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Atomic commit: write the full file list to a temp manifest, then
+    * rename into the log. The rename is the moment the version exists.
+    */
+  private def commit(spark: SparkSession, path: String, version: Int,
+      files: Seq[String]): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(s"$path/$LogDir"))
+    val tmp = new Path(s"$path/$LogDir/.v$version.tmp")
+    val out = f.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(path, version)))
+      throw new java.io.IOException(s"commit of version $version failed")
+  }
+
+  /** MERGE-style upsert committing a new version. Same contract as
+    * [[LakeWriter.upsert]] (keys + sequence, `_deleted` for deletes),
+    * but immutable-file/log-structured: untouched buckets' files carry
+    * over into the new manifest by reference, not by rewrite.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], seqCol: String, numBuckets: Int = 16): Unit = {
+    val f = fs(spark)
+    val vs = versions(spark, path)
+    val tagged0 = updates.withColumn("_is_update", lit(1))
+    val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
+      else tagged0.withColumn("_deleted", lit(false)))
+      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+    def resolve(all: DataFrame): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(seqCol).desc, col("_is_update").desc)
+      all.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_is_update")
+        .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
+    }
+    val prior: Seq[String] = vs.lastOption
+      .map(v => manifestFiles(spark, path, v)).getOrElse(Seq.empty)
+    val touched: Seq[Int] =
+      if (prior.isEmpty) Seq.empty // first commit: nothing to merge with
+      else tagged.select(col("gbucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq // ≤ numBuckets ints
+    val (carried, replaced) = prior.partition { rel =>
+      val b = rel.split("/")(0).stripPrefix("gbucket=").toInt
+      !touched.contains(b)
+    }
+    val existing =
+      if (replaced.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(replaced.map(r => s"$path/$r"): _*)
+        .withColumn("_is_update", lit(0)))
+    val merged = existing match {
+      case None => resolve(tagged)
+      case Some(ex) =>
+        val withDel = if (ex.columns.contains("_deleted")) ex
+          else ex.withColumn("_deleted", lit(false))
+        resolve(withDel.unionByName(tagged, allowMissingColumns = true))
+    }
+    // stage new bucket files, then adopt them under immutable
+    // version-tagged names; staging never touches live data
+    val version = vs.lastOption.getOrElse(0) + 1
+    val stage = path + s"_stage_v$version"
+    merged.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    val adopted = scala.collection.mutable.ArrayBuffer[String]()
+    f.listStatus(new Path(stage)).filter(_.isDirectory).foreach { d =>
+      val bucketDir = d.getPath.getName // gbucket=N
+      f.mkdirs(new Path(s"$path/$bucketDir"))
+      f.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (s, i) =>
+          val rel = f"$bucketDir/v$version%06d-$i%04d.parquet"
+          if (!f.rename(s.getPath, new Path(s"$path/$rel")))
+            throw new java.io.IOException(s"cannot adopt $rel")
+          adopted += rel
+        }
+    }
+    f.delete(new Path(stage), true)
+    commit(spark, path, version, carried ++ adopted)
+  }
+
+  /** Snapshot read — latest version, or time travel to `asOfVersion`.
+    * Tombstones filtered; bucket/bookkeeping columns dropped.
+    */
+  def read(spark: SparkSession, path: String,
+      asOfVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOfVersion.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs (vacuumed or never committed)")
+    val files = manifestFiles(spark, path, v)
+    val df0 = spark.read.option("mergeSchema", "true")
+      .option("basePath", path)
+      .parquet(files.map(r => s"$path/$r"): _*)
+      .drop("gbucket")
+    if (df0.columns.contains("_deleted"))
+      df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else df0
+  }
+
+  /** Retention: keep `retainLast` newest versions; delete every data
+    * file referenced ONLY by older manifests (plus crash-orphaned files
+    * no manifest references at all), then drop the old manifests.
+    */
+  def vacuum(spark: SparkSession, path: String, retainLast: Int): Unit = {
+    val f = fs(spark)
+    val vs = versions(spark, path)
+    val keep = vs.takeRight(math.max(retainLast, 1))
+    val live: Set[String] =
+      keep.flatMap(v => manifestFiles(spark, path, v)).toSet
+    f.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
+      .foreach { d =>
+        f.listStatus(d.getPath).filter(_.isFile).foreach { s =>
+          val rel = s"${d.getPath.getName}/${s.getPath.getName}"
+          if (!live.contains(rel)) f.delete(s.getPath, false)
+        }
+      }
+    vs.filterNot(keep.contains).foreach(v =>
+      f.delete(manifestPath(path, v), false))
+  }
+
+  // ---- registered end-to-end demonstration ---------------------------------
+
+  /** Three sequence-ranged merges into a versioned table, then TIME
+    * TRAVEL to version 2: the result must equal the batch SCD1 state
+    * over only the first two thirds of the change feed — history is
+    * reconstructed from retained immutable files, not recomputed. The
+    * thresholds are integer arithmetic on max(sequence) so the oracle
+    * derives them identically.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    val batches = Seq(
+      staged.filter(col("sequence_number") <= t1),
+      staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2),
+      staged.filter(col("sequence_number") > t2))
+    batches.foreach { b =>
+      upsert(spark, path,
+        b.withColumn("_deleted", col("operation") === "DELETE")
+          .drop("operation"),
+        keyCols = Seq("key_id"), seqCol = "sequence_number")
+    }
+    read(spark, path, asOfVersion = Some(2))
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+  }
+
+  val timeTravelSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) * 2 // 3 AS t2 FROM stg),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t2)
+       SELECT key_id, value, props, sequence_number AS last_sequence
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_time_travel" -> ((s, d) =>
+      timeTravel(s, d).orderBy(col("key_id"))))
+
+  def oracles: Map[String, String] = Map(
+    "lake_time_travel" -> timeTravelSql)
+}

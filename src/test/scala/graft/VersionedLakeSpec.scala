@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedLake
+
+class VersionedLakeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def state(path: String, v: Option[Int]) =
+    VersionedLake.read(spark, path, v)
+      .select("k", "x", "seq").orderBy("k").collect().toSeq
+
+  test("versioned upsert: time travel, immutable carry-over, vacuum") {
+    val path = graft.sources.Scratch.dir("vlake_spec")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+    // v1: three keys
+    VersionedLake.upsert(spark,
+      path, Seq((1L, "a", 10L), (2L, "b", 11L), (3L, "c", 12L))
+        .toDF("k", "x", "seq"), Seq("k"), "seq", numBuckets = 4)
+    // v2: update k=1, delete k=2
+    VersionedLake.upsert(spark,
+      path, Seq((1L, "a2", 20L, false), (2L, "b", 21L, true))
+        .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq", numBuckets = 4)
+    // v3: late-arriving OLDER change for k=1 must not win; new k=4
+    VersionedLake.upsert(spark,
+      path, Seq((1L, "stale", 15L), (4L, "d", 30L))
+        .toDF("k", "x", "seq"), Seq("k"), "seq", numBuckets = 4)
+
+    assert(VersionedLake.versions(spark, path) == Seq(1, 2, 3))
+    assert(state(path, Some(1)) ==
+      Seq(Row3(1L, "a", 10L), Row3(2L, "b", 11L), Row3(3L, "c", 12L)))
+    assert(state(path, Some(2)) ==
+      Seq(Row3(1L, "a2", 20L), Row3(3L, "c", 12L)))
+    assert(state(path, None) ==
+      Seq(Row3(1L, "a2", 20L), Row3(3L, "c", 12L), Row3(4L, "d", 30L)))
+
+    // immutability: v1's files still exist untouched after later merges
+    val v1Files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("gbucket="))
+      .flatMap(b => fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$b")).map(_.getPath.getName))
+      .count(_.startsWith("v000001-"))
+    assert(v1Files > 0, "v1 data files were rewritten or removed")
+
+    // crash orphan: an adopted-but-never-committed file is vacuumable
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/gbucket=0/v000099-0000.parquet")
+    fs.create(orphan, true).close()
+
+    VersionedLake.vacuum(spark, path, retainLast = 1)
+    assert(VersionedLake.versions(spark, path) == Seq(3))
+    assert(!fs.exists(orphan), "orphan survived vacuum")
+    assert(state(path, None) ==
+      Seq(Row3(1L, "a2", 20L), Row3(3L, "c", 12L), Row3(4L, "d", 30L)))
+    intercept[IllegalArgumentException] {
+      VersionedLake.read(spark, path, Some(1))
+    }
+  }
+
+  private def Row3(k: Long, x: String, s: Long) =
+    org.apache.spark.sql.Row(k, x, s)
+}
