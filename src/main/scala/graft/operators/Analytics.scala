@@ -290,6 +290,45 @@ object Analytics {
        GROUP BY event_type
        ORDER BY event_type"""
 
+  /** Quantile SKETCH with a verified error bound — the scale path for
+    * percentiles: [[orderPriceQuantiles]] is exact (full sort per
+    * group); `percentile_approx` (Greenwald-Khanna) is mergeable
+    * partial state of bounded size, the only form that works on a
+    * 100 TB stream. The sketch's contract — rank error ≤ n/accuracy —
+    * is ASSERTED per group by ranking the sketch's answer against the
+    * actual data (same bound-oracle pattern as [[eventsApproxUsers]]
+    * and the ANN recall floors: the approximate value itself is not
+    * portable across engines, but its guarantee is checkable exactly).
+    */
+  def priceQuantilesSketch(lineitem: DataFrame): DataFrame = {
+    val acc = 1000
+    val sk = lineitem.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(acc)).as("ap"),
+        count(lit(1)).as("n"))
+    lineitem
+      .join(broadcast(sk), "l_returnflag") // 3 sketch rows: broadcast
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_extendedprice") <= col("ap")(0), 1L).otherwise(0L))
+          .as("rank50"),
+        sum(when(col("l_extendedprice") <= col("ap")(1), 1L).otherwise(0L))
+          .as("rank95"),
+        max(col("n")).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("rank50") - col("n") / 2) <= col("n") / acc + 1)
+          .as("p50_within_bound"),
+        (abs(col("rank95") - col("n") * 19 / 20) <= col("n") / acc + 1)
+          .as("p95_within_bound"))
+  }
+
+  val priceQuantilesSketchSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       true AS p50_within_bound, true AS p95_within_bound
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
+
   /** Rank-function family over event values within each type: rank,
     * dense_rank, percent_rank, ntile — top 20 per type via the rank
     * filter. Note: percent_rank/ntile are size-based window functions
@@ -568,6 +607,9 @@ object Analytics {
       eventsUnpivot(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))),
     "events_funnel" -> ((s, d) => eventsFunnel(Tables.events(s, d))),
+    "order_quantiles_sketch" -> ((s, d) =>
+      priceQuantilesSketch(Tables.lineitem(s, d))
+        .orderBy(col("l_returnflag"))),
     "events_approx_users" -> ((s, d) =>
       eventsApproxUsers(Tables.events(s, d)).orderBy(col("event_type"))),
     "q1_pricing_summary" -> ((s, d) =>
@@ -597,6 +639,7 @@ object Analytics {
     "events_pivot" -> eventsPivotSql,
     "events_unpivot" -> eventsUnpivotSql,
     "events_funnel" -> eventsFunnelSql,
+    "order_quantiles_sketch" -> priceQuantilesSketchSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,

@@ -279,6 +279,55 @@ object TextAnalysis {
        HAVING COUNT(DISTINCT doc_id) >= 5
        ORDER BY tok"""
 
+  /** Rare-token document scoring — the tf·idf-family quality signal
+    * pretraining filters use (documents dominated by ultra-common
+    * tokens score low; documents carrying rare vocabulary score high).
+    * The idf is the RATIONAL form scaled to integers,
+    * `idf(t) = (N · 10^6) div df(t)`, so the whole computation stays in
+    * exact BIGINT arithmetic — no transcendental log whose last-ulp
+    * differences between runtimes would break hash parity, and no
+    * float reduction at all.
+    *
+    * Plan shape: explode → (doc,tok) tf agg → tok df agg → sort-merge
+    * join on tok (the vocab is corpus-sized at 100 TB — never assume it
+    * broadcasts) → per-doc sum. All four shuffles are linear in the
+    * token stream; the one-row corpus total joins by broadcast.
+    */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val total = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(total)) // one row: the corpus size
+      .withColumn("idf_scaled", expr("n_docs * 1000000L div df"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_scaled")).as("rarity_score"),
+        sum(col("tf")).as("n_toks"))
+  }
+
+  val rarityScoreSql: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           unnest(string_split(
+             regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok
+         FROM documents),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       total AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+       SELECT tf.doc_id,
+         CAST(SUM(tf.tf * ((t.n_docs * 1000000) // dfreq.df)) AS BIGINT)
+           AS rarity_score,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_toks
+       FROM tf
+       JOIN dfreq ON tf.tok = dfreq.tok
+       CROSS JOIN total t
+       GROUP BY tf.doc_id
+       ORDER BY tf.doc_id"""
+
   /** Deterministic sequence packing: assign docs to fixed-token-budget
     * packs by running token count within a language, in doc_id order —
     * the batch-shape step before writing training shards. A single
@@ -397,6 +446,8 @@ object TextAnalysis {
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rarity_score" -> ((s, d) =>
+      rarityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "corpus_mix_sample" -> ((s, d) =>
       mixSample(Tables.documents(s, d), MixWeights, MixDefault)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -498,6 +549,7 @@ object TextAnalysis {
         ORDER BY lang"""
 
   def oracles: Map[String, String] = Map(
+    "text_rarity_score" -> rarityScoreSql,
     "corpus_mix_sample" -> mixSampleSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangIdSql,
