@@ -64,12 +64,68 @@ object Skew {
        GROUP BY l_returnflag
        ORDER BY return_flag"""
 
+  /** Salted JOIN — the aggregation's sibling for skewed JOIN keys when
+    * neither side broadcasts: the big side gets a salt in
+    * [0, saltBuckets), the small side is replicated once per salt
+    * value, and the join key becomes (key, salt) — a hot key's rows
+    * spread over `saltBuckets` tasks instead of hammering one. Cost is
+    * deliberate: small side × saltBuckets rows shuffled. Prefer AQE's
+    * skew-join splitting when it fires; salting is the explicit fallback
+    * for stable production plans and for engines/stages AQE can't
+    * rewrite (e.g. under a required child distribution).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column,
+      smallKey: Column, saltBuckets: Int): DataFrame = {
+    val bigS = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets.toLong)))
+    val smallS = small.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    // hint forces the shuffle join this operator exists for; without it
+    // a small dim would broadcast and the salt would be dead weight
+    bigS.join(smallS.hint("merge"),
+      bigKey === smallKey && bigS("_salt") === smallS("_salt"))
+      .drop("_salt")
+  }
+
+  /** Registered demonstration: lineitem ⋈ supplier on the (skew-prone)
+    * supplier key via the salted shuffle join, then revenue per nation.
+    * The oracle is the plain join — salting must be invisible in the
+    * result.
+    */
+  def lineitemSaltedJoin(li: DataFrame, supplier: DataFrame): DataFrame =
+    saltedJoin(
+      li.select(col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+      supplier.select(col("s_suppkey"), col("s_nationkey")),
+      col("l_suppkey"), col("s_suppkey"), saltBuckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(Medallion.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val lineitemSaltedJoinSql: String =
+    """SELECT s_nationkey,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+         AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_nationkey
+       ORDER BY s_nationkey"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("lineitem_salted_agg" -> ((s, d) =>
-      lineitemSaltedAgg(graft.Tables.lineitem(s, d))
-        .orderBy(col("return_flag"))))
+    Map(
+      "lineitem_salted_agg" -> ((s, d) =>
+        lineitemSaltedAgg(graft.Tables.lineitem(s, d))
+          .orderBy(col("return_flag"))),
+      "lineitem_salted_join" -> ((s, d) =>
+        lineitemSaltedJoin(graft.Tables.lineitem(s, d),
+          graft.Tables.supplier(s, d))
+          .orderBy(col("s_nationkey"))))
 
   def oracles: Map[String, String] =
-    Map("lineitem_salted_agg" -> lineitemSaltedAggSql)
+    Map(
+      "lineitem_salted_agg" -> lineitemSaltedAggSql,
+      "lineitem_salted_join" -> lineitemSaltedJoinSql)
 }
