@@ -27,6 +27,7 @@ object SparkEntry {
       graft.sources.CatalogSetup.queries ++
       graft.sources.StatsSkipping.queries ++
       graft.sources.VersionedLake.queries ++
+      graft.sources.ZOrder.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.sources.CatalogSetup.oracles ++
       graft.sources.StatsSkipping.oracles ++
       graft.sources.VersionedLake.oracles ++
+      graft.sources.ZOrder.oracles ++
       graft.streaming.EventStreams.oracles
 }

@@ -33,51 +33,64 @@ object StatsSkipping {
 
   val StatsDir = "_graft_stats"
 
-  /** Range-cluster `df` on `statsCol` into ~`numFiles` files and write
-    * the per-file min/max manifest alongside.
+  /** Cluster `df` by `clusterExpr` into ~`numFiles` files and write a
+    * per-file manifest carrying min/max for EVERY column in
+    * `statsCols`. The cluster expression need not be a stored column —
+    * a Z-value ([[ZOrder.interleave16]]) clusters on two dimensions at
+    * once without persisting the curve key.
     */
-  def writeClustered(df: DataFrame, path: String, statsCol: String,
-      numFiles: Int): Unit = {
-    df.repartitionByRange(numFiles, col(statsCol))
+  def writeClustered(df: DataFrame, path: String, statsCols: Seq[String],
+      clusterExpr: org.apache.spark.sql.Column, numFiles: Int): Unit = {
+    df.repartitionByRange(numFiles, clusterExpr)
       .write.mode(SaveMode.Overwrite).parquet(path)
     val spark = df.sparkSession
     // one row per written file; _metadata.file_path is exposed by the
-    // parquet source without reading data columns beyond statsCol
+    // parquet source without reading data columns beyond statsCols
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
     spark.read.parquet(path)
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
-        count(lit(1)).as("n_rows"))
+      .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$StatsDir")
   }
 
-  /** (files kept, total files) for a `[lo, hi]` window on the stats
-    * column — the planning step. The collect is manifest metadata
-    * (≤ #files short strings), never table data.
+  /** Single-column convenience: range-cluster on the stats column. */
+  def writeClustered(df: DataFrame, path: String, statsCol: String,
+      numFiles: Int): Unit =
+    writeClustered(df, path, Seq(statsCol), col(statsCol), numFiles)
+
+  /** (files kept, total files) for a `[lo, hi]` window on any column
+    * the manifest carries — the planning step. Bound literals are cast
+    * to the manifest's own type for the comparison. The collect is
+    * manifest metadata (≤ #files short strings), never table data.
     */
-  def selectFiles(spark: SparkSession, path: String, lo: String,
-      hi: String): (Seq[String], Long) = {
+  def selectFiles(spark: SparkSession, path: String, statsCol: String,
+      lo: String, hi: String): (Seq[String], Long) = {
     val manifest = spark.read.parquet(s"$path/$StatsDir")
+    val t = manifest.schema(s"min_$statsCol").dataType
     val total = manifest.count()
     val kept = manifest
-      .filter(col("max_v") >= lit(lo).cast("timestamp") &&
-        col("min_v") <= lit(hi).cast("timestamp"))
+      .filter(col(s"max_$statsCol") >= lit(lo).cast(t) &&
+        col(s"min_$statsCol") <= lit(hi).cast(t))
       .select(col("file")).collect().map(_.getString(0)).toSeq
     (kept, total)
   }
 
-  /** Manifest-pruned scan of `[lo, hi]` on the clustered column: only
+  /** Manifest-pruned scan of `[lo, hi]` on a stats column: only
     * intersecting files are opened, and the row predicate is re-applied
     * so the result equals a full scan + filter exactly.
     */
   def prunedRead(spark: SparkSession, path: String, statsCol: String,
       lo: String, hi: String): DataFrame = {
-    val (files, _) = selectFiles(spark, path, lo, hi)
+    val (files, _) = selectFiles(spark, path, statsCol, lo, hi)
     val src =
       if (files.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(files: _*)
-    src.filter(col(statsCol) >= lit(lo).cast("timestamp") &&
-      col(statsCol) <= lit(hi).cast("timestamp"))
+    val t = src.schema(statsCol).dataType
+    src.filter(col(statsCol) >= lit(lo).cast(t) &&
+      col(statsCol) <= lit(hi).cast(t))
   }
 
   // ---- registered end-to-end demonstration ---------------------------------

@@ -192,7 +192,7 @@ class LakeSpec extends AnyFunSuite {
     StatsSkipping.writeClustered(Tables.lineitem(spark, sf), path,
       "l_shipdate", numFiles = 8)
     val (kept, total) = StatsSkipping.selectFiles(spark, path,
-      StatsSkipping.Lo, StatsSkipping.Hi)
+      "l_shipdate", StatsSkipping.Lo, StatsSkipping.Hi)
     // a ~6-month window over a ~7-year clustered domain must prune
     assert(total == 8, s"expected 8 manifest entries, got $total")
     assert(kept.nonEmpty && kept.size < total,
@@ -205,6 +205,29 @@ class LakeSpec extends AnyFunSuite {
         col("l_shipdate") <= lit(StatsSkipping.Hi).cast("timestamp"))
       .orderBy("l_orderkey", "l_linenumber").collect()
     assert(pruned.length == full.length && pruned.sameElements(full))
+  }
+
+  test("z-order layout prunes files on BOTH clustered dimensions") {
+    import graft.sources.{StatsSkipping, ZOrder}
+    val path = graft.sources.Scratch.dir("zorder_spec")
+    ZOrder.writeZOrdered(Tables.lineitem(spark, sf), path,
+      "l_shipdate", "l_extendedprice", numFiles = 16)
+    val (keptDate, total) = StatsSkipping.selectFiles(spark, path,
+      "l_shipdate", "1995-01-01 00:00:00", "1995-06-30 23:59:59")
+    val (keptPrice, _) = StatsSkipping.selectFiles(spark, path,
+      "l_extendedprice", ZOrder.PriceLo, ZOrder.PriceHi)
+    assert(total == 16, s"expected 16 manifest entries, got $total")
+    assert(keptDate.nonEmpty && keptDate.size < total,
+      s"date predicate pruned nothing: ${keptDate.size}/$total")
+    assert(keptPrice.nonEmpty && keptPrice.size < total,
+      s"price predicate pruned nothing: ${keptPrice.size}/$total")
+    // pruned read equals full-scan filter on the non-leading dimension
+    val pruned = StatsSkipping.prunedRead(spark, path, "l_extendedprice",
+      ZOrder.PriceLo, ZOrder.PriceHi).count()
+    val full = spark.read.parquet(path)
+      .filter(col("l_extendedprice") >= ZOrder.PriceLo.toDouble &&
+        col("l_extendedprice") <= ZOrder.PriceHi.toDouble).count()
+    assert(pruned == full)
   }
 
   test("fnv1a64 is callable from SQL via GraftExtensions") {
