@@ -76,6 +76,22 @@ object Quality {
         coalesce(col("violated"), lit(0L)).as("violated"))
   }
 
+  /** Quarantine route — the other half of DROP ROW: the dropped rows
+    * land in an auditable side output annotated with WHICH rules they
+    * violated (sorted CSV, not an array — the driver compare can't hash
+    * nested types). `enforce` ∪ `quarantine` partitions the input: every
+    * row is in exactly one of the two frames when the same drop-rule set
+    * is applied to both. One filter pass each; no extra shuffle.
+    */
+  def quarantine(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    val dropRules = rules.filter(_.action != Action.Fail)
+    val tags = array(dropRules.map(r =>
+      when(!coalesce(r.predicate, lit(false)), lit(r.name))): _*)
+    df.withColumn("violated_rules",
+      concat_ws(",", array_sort(filter(tags, x => x.isNotNull))))
+      .filter(col("violated_rules") =!= "")
+  }
+
   // ---- the reference's constraint sets over the testdata tables -----------
   def lineitemRules: Seq[Expectation] = Seq(
     Expectation("valid_order_id", col("l_orderkey").isNotNull),
@@ -165,9 +181,63 @@ object Quality {
        ORDER BY table_name, rule_name"""
 
   // ---- registry ------------------------------------------------------------
+  /** Registered quarantine demo. The driver's testdata is clean by
+    * design, so the query injects DETERMINISTIC dirt first — a
+    * hash-selected ~2% of orders get a NULL status, ~1% a negated
+    * total — with the identical mutation mirrored in the oracle; the
+    * quarantine route then captures exactly those rows with their
+    * violated-rule lists. The mechanism under test is the routing and
+    * annotation, not the dirt.
+    */
+  def dqQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fingerprint.fnv1a64
+    val o = Tables.orders(spark, dir)
+    val h1 = pmod(fnv1a64(spark,
+      concat(lit("dq:"), col("o_orderkey").cast("string"))), lit(50L))
+    val h2 = pmod(fnv1a64(spark,
+      concat(lit("dq2:"), col("o_orderkey").cast("string"))), lit(97L))
+    val dirty = o
+      .withColumn("o_orderstatus",
+        when(h1 === 0, lit(null).cast("string")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(h2 === 0, -col("o_totalprice")).otherwise(col("o_totalprice")))
+    quarantine(dirty, Seq(
+      Expectation("valid_status", col("o_orderstatus").isin("O", "F", "P")),
+      Expectation("valid_total", col("o_totalprice") >= 0)))
+      .select(col("o_orderkey"), col("violated_rules"))
+  }
+
+  val dqQuarantineSql: String = {
+    val h1 = OracleFnv.ofText("'dq:' || CAST(o_orderkey AS VARCHAR)")
+    val h2 = OracleFnv.ofText("'dq2:' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH dirty AS (
+         SELECT o_orderkey,
+           CASE WHEN (($h1 % 50) + 50) % 50 = 0 THEN NULL
+                ELSE o_orderstatus END AS st,
+           CASE WHEN (($h2 % 97) + 97) % 97 = 0 THEN -o_totalprice
+                ELSE o_totalprice END AS tp
+         FROM orders),
+       q AS (
+         SELECT o_orderkey,
+           array_to_string(list_sort(list_filter([
+             CASE WHEN NOT coalesce(st IN ('O', 'F', 'P'), false)
+                  THEN 'valid_status' END,
+             CASE WHEN NOT coalesce(tp >= 0, false)
+                  THEN 'valid_total' END], x -> x IS NOT NULL)), ',')
+             AS violated_rules
+         FROM dirty)
+       SELECT o_orderkey, violated_rules FROM q
+       WHERE violated_rules <> ''
+       ORDER BY o_orderkey"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_metrics" -> ((s, d) =>
-      dqMetrics(s, d).orderBy(col("table_name"), col("rule_name"))))
+      dqMetrics(s, d).orderBy(col("table_name"), col("rule_name"))),
+    "dq_quarantine" -> ((s, d) =>
+      dqQuarantine(s, d).orderBy(col("o_orderkey"))))
 
-  def oracles: Map[String, String] = Map("dq_metrics" -> dqMetricsSql)
+  def oracles: Map[String, String] = Map(
+    "dq_metrics" -> dqMetricsSql,
+    "dq_quarantine" -> dqQuarantineSql)
 }

@@ -279,6 +279,62 @@ object TextAnalysis {
        HAVING COUNT(DISTINCT doc_id) >= 5
        ORDER BY tok"""
 
+  /** Overlapping token-window chunking — the sharding step for context
+    * windows (RAG indexing / long-doc pretraining): each document's
+    * token stream becomes windows of `ChunkSize` tokens starting every
+    * `ChunkStride` (so consecutive chunks overlap by size − stride).
+    * One explode over a `sequence()` of window starts — fan-out is
+    * ceil(len/stride) rows per doc, no shuffle at all until a consumer
+    * aggregates. Chunks are emitted as (count, fingerprint), not text:
+    * the fingerprint proves content parity in the gate without shipping
+    * megabytes of repeated text through the compare.
+    */
+  def chunkDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"(size(toks) - 1) div $ChunkStride"))).as("chunk_idx"))
+      .withColumn("ctoks",
+        slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        Fingerprint.fnv1a64(s, concat_ws(" ", col("ctoks"))).as("chunk_fp"))
+  }
+
+  // window sized to the fixture's 10-99-token docs so multi-chunk
+  // overlap is actually exercised; production contexts use e.g. 256/192
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  val chunkDocsSql: String = {
+    s"""WITH t AS (
+         SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')
+             AS toks
+         FROM documents),
+       c AS (
+         SELECT doc_id, toks,
+           unnest(range(0, ((len(toks) - 1) // $ChunkStride) + 1)) AS chunk_idx
+         FROM t),
+       s AS (
+         SELECT doc_id, chunk_idx,
+           list_slice(toks, chunk_idx * $ChunkStride + 1,
+             chunk_idx * $ChunkStride + $ChunkSize) AS ctoks
+         FROM c),
+       x AS (
+         SELECT doc_id, chunk_idx, len(ctoks) AS n_tokens,
+           array_to_string(ctoks, ' ') AS ctext
+         FROM s)
+       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         ${OracleFnv.ofText("ctext")} AS chunk_fp
+       FROM x
+       ORDER BY doc_id, chunk_idx"""
+  }
+
   /** Rare-token document scoring — the tf·idf-family quality signal
     * pretraining filters use (documents dominated by ultra-common
     * tokens score low; documents carrying rare vocabulary score high).
@@ -446,6 +502,9 @@ object TextAnalysis {
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chunks" -> ((s, d) =>
+      chunkDocs(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "text_rarity_score" -> ((s, d) =>
       rarityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "corpus_mix_sample" -> ((s, d) =>
@@ -549,6 +608,7 @@ object TextAnalysis {
         ORDER BY lang"""
 
   def oracles: Map[String, String] = Map(
+    "corpus_chunks" -> chunkDocsSql,
     "text_rarity_score" -> rarityScoreSql,
     "corpus_mix_sample" -> mixSampleSql,
     "text_pii_scrub" -> textPiiScrubSql,
