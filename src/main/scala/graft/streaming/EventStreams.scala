@@ -289,6 +289,89 @@ object EventStreams {
        GROUP BY 1, 2
        ORDER BY 1, 2"""
 
+  /** Incremental materialized-view maintenance — the scale-correct
+    * alternative to [[streamGoldDaily]]'s complete-mode refresh (whose
+    * in-memory aggregation state grows with the key space forever): each
+    * microbatch computes only its DELTA aggregate, then additively
+    * merges it into the gold table by rewriting ONLY the day partitions
+    * the batch touched (read touched days + union delta + re-aggregate
+    * + dynamic-partition overwrite). State lives in the table, not the
+    * stream — per batch the work is O(delta + touched partitions),
+    * independent of table history. This is the DLT materialized-view
+    * incremental-refresh shape (ref gold/daily_orders.sql refreshed
+    * from a streaming source). A stream-static broadcast join enriches
+    * each event with its customer segment before aggregating.
+    *
+    * Exactness: partial sums are kept as DECIMAL in the table and only
+    * cast to double on the final read — additive double merges would
+    * diverge from the batch oracle. The touched-day collect is
+    * partition metadata (distinct days per batch), same class as the
+    * upsert bucket set.
+    */
+  def streamIncrGold(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft_incr_ckpt").toString
+    val feed = graft.sources.Scratch.dir("incr_feed")
+    val path = graft.sources.Scratch.dir("incr_gold")
+    val ev = Tables.events(spark, dir)
+    ev.repartition(6).write.parquet(feed) // 6 feed files ≈ 6 microbatches
+    val feedSchema = spark.read.parquet(feed).schema
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val fsys = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch
+          .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+            col("value").isNotNull && col("value") >= 0)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .withColumn("day_str", to_date(col("ts_utc")).cast("string"))
+          .groupBy(col("day_str"), col("c_mktsegment"))
+          .agg(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("sum_dec"),
+            count(lit(1)).as("n_events"))
+        val days = delta.select(col("day_str")).distinct()
+          .collect().map(_.getString(0)).toSeq // partition METADATA only
+        val merged =
+          if (!fsys.exists(new org.apache.hadoop.fs.Path(path))) delta
+          else spark.read.parquet(path)
+            .filter(col("day_str").isin(days: _*)) // partition pruning
+            .unionByName(delta, allowMissingColumns = false)
+            .groupBy(col("day_str"), col("c_mktsegment"))
+            .agg(sum(col("sum_dec")).as("sum_dec"),
+              sum(col("n_events")).as("n_events"))
+        // pin the stored decimal type: sum() widens precision per merge
+        // round, and mixed per-file decimal schemas break later reads
+        graft.sources.LakeWriter.writePartitioned(
+          merged.withColumn("sum_dec",
+            col("sum_dec").cast(org.apache.spark.sql.types.DecimalType(30, 4))),
+          path, Seq("day_str"))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    spark.read.parquet(path)
+      .select(to_date(col("day_str")).as("day"),
+        col("c_mktsegment"), col("n_events"),
+        col("sum_dec").cast("double").as("total_value"))
+  }
+
+  val streamIncrGoldSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events
+       JOIN customer ON user_id = c_custkey
+       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+         AND value IS NOT NULL AND value >= 0
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
   /** Streaming CDC apply — the engine analogue of the reference's
     * `AUTO CDC INTO … KEYS … SEQUENCE BY … STORED AS SCD TYPE 1` run as
     * a STREAM (ref cdc_customers_silver.sql:55-66 applies the change
@@ -350,11 +433,14 @@ object EventStreams {
     "stream_gold_daily" -> ((s, d) =>
       streamGoldDaily(s, d).orderBy(col("day"), col("payment_category"))),
     "stream_cdc_apply" -> ((s, d) =>
-      streamCdcApply(s, d).orderBy(col("key_id"))))
+      streamCdcApply(s, d).orderBy(col("key_id"))),
+    "stream_incr_gold" -> ((s, d) =>
+      streamIncrGold(s, d).orderBy(col("day"), col("c_mktsegment"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_gold_daily" -> streamGoldDailySql,
-    "stream_cdc_apply" -> graft.operators.Cdc.scd1Sql)
+    "stream_cdc_apply" -> graft.operators.Cdc.scd1Sql,
+    "stream_incr_gold" -> streamIncrGoldSql)
 }
