@@ -423,6 +423,47 @@ object EventStreams {
         col("sequence_number").as("last_sequence"))
   }
 
+  /** Cross-batch streaming deduplication, end-to-end: the feed is
+    * re-served with ~10% hash-selected duplicate rows scattered across
+    * microbatches, `dropDuplicates(event_id)` removes them across batch
+    * boundaries (state = seen-key set; in production bounded with
+    * `withWatermark` + event-time key), and the appended sink must
+    * equal the original table exactly. This is the streaming half of
+    * exactly-once ingest: at-least-once delivery upstream + keyed
+    * dedup = effectively-once in the sink (the reference gets this
+    * from Auto Loader / DLT streaming-table semantics,
+    * ref bronze/orders.sql:10-27).
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val feed = graft.sources.Scratch.dir("dedup_feed")
+    val out = graft.sources.Scratch.dir("dedup_out")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dups = ev.filter(pmod(graft.functions.Fingerprint.fnv1a64(spark,
+      concat(lit("dup:"), col("event_id").cast("string"))), lit(10L)) === 0)
+    ev.unionByName(dups).repartition(5).write.parquet(feed)
+    val feedSchema = spark.read.parquet(feed).schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .dropDuplicates("event_id")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    spark.read.parquet(out)
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, event_type, value
+       FROM events
+       ORDER BY event_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> ((s, d) =>
@@ -435,12 +476,15 @@ object EventStreams {
     "stream_cdc_apply" -> ((s, d) =>
       streamCdcApply(s, d).orderBy(col("key_id"))),
     "stream_incr_gold" -> ((s, d) =>
-      streamIncrGold(s, d).orderBy(col("day"), col("c_mktsegment"))))
+      streamIncrGold(s, d).orderBy(col("day"), col("c_mktsegment"))),
+    "stream_dedup" -> ((s, d) =>
+      streamDedup(s, d).orderBy(col("event_id"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_gold_daily" -> streamGoldDailySql,
     "stream_cdc_apply" -> graft.operators.Cdc.scd1Sql,
-    "stream_incr_gold" -> streamIncrGoldSql)
+    "stream_incr_gold" -> streamIncrGoldSql,
+    "stream_dedup" -> streamDedupSql)
 }
