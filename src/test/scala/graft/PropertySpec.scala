@@ -97,6 +97,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("z-order interleave16 matches a bit-by-bit reference and is injective") {
+    import spark.implicits._
+    def ref(a: Int, b: Int): Int =
+      (0 until 16).map(i => (((a >> i) & 1) << (2 * i)) |
+        (((b >> i) & 1) << (2 * i + 1))).reduce(_ | _)
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0, 65535), Gen.choose(0, 65535)))) {
+      pts =>
+        val got = pts.toDF("a", "b")
+          .select(graft.sources.ZOrder.interleave16(col("a"), col("b")))
+          .collect().map(_.getInt(0)).toSeq
+        assert(got == pts.map { case (a, b) => ref(a, b) })
+        // injectivity on distinct inputs
+        assert(pts.distinct.size == pts.distinct.map((ref _).tupled).distinct.size)
+    }
+  }
+
+  test("chunking covers every token with stride-spaced starts") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.{ChunkSize, ChunkStride}
+    forAll(Gen.choose(1, 130)) { n =>
+      val df = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = graft.operators.TextAnalysis.chunkDocs(df)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_tokens")))
+      // expected: starts at 0, stride, 2*stride … while start < n
+      val expStarts = (0 until n by ChunkStride)
+      assert(chunks.map(_._1).toSeq == expStarts.indices.map(_.toLong))
+      // every chunk except possibly the last is exactly min(size, remaining)
+      chunks.zip(expStarts).foreach { case ((_, len), start) =>
+        assert(len == math.min(ChunkSize, n - start))
+      }
+      // coverage: last chunk reaches the final token
+      val (lastIdx, lastLen) = chunks.last
+      assert(lastIdx * ChunkStride + lastLen == n)
+    }
+  }
+
+  test("mix sampling is nested: raising weights only adds documents") {
+    val docs = Tables.documents(spark, sf)
+    val lo = Map("src0" -> 0.2, "src1" -> 0.05)
+    val hi = Map("src0" -> 0.9, "src1" -> 0.5)
+    val idsLo = graft.operators.TextAnalysis.mixSample(docs, lo, 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val idsHi = graft.operators.TextAnalysis.mixSample(docs, hi, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsLo.nonEmpty && idsLo.size < idsHi.size)
+    assert(idsLo.subsetOf(idsHi), "lower-weight sample must nest in higher")
+  }
+
   test("ngram jaccard is symmetric-free and bounded in [0,1]") {
     import spark.implicits._
     forAll(Gen.listOfN(6, Gen.listOfN(8, word))) { docs =>
