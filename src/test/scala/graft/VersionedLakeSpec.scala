@@ -64,4 +64,24 @@ class VersionedLakeSpec extends AnyFunSuite {
 
   private def Row3(k: Long, x: String, s: Long) =
     org.apache.spark.sql.Row(k, x, s)
+
+  test("versioned upsert evolves schema: later columns null-backfill on read") {
+    val path = graft.sources.Scratch.dir("vlake_evo")
+    VersionedLake.upsert(spark,
+      path, Seq((1L, "a", 10L)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    // v2 adds a column the v1 files don't have
+    VersionedLake.upsert(spark,
+      path, Seq((2L, "b", 20L, "extra")).toDF("k", "x", "seq", "note"),
+      Seq("k"), "seq", numBuckets = 2)
+    val latest = VersionedLake.read(spark, path)
+      .select("k", "x", "seq", "note").orderBy("k").collect()
+    assert(latest.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      Option(r.getString(3)))).toSeq ==
+      Seq((1L, "a", 10L, None), (2L, "b", 20L, Some("extra"))))
+    // time travel to v1 serves the original shape (no `note` column)
+    val v1 = VersionedLake.read(spark, path, Some(1))
+    assert(!v1.columns.contains("note"))
+    assert(v1.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
