@@ -313,7 +313,7 @@ object EventStreams {
     val feed = graft.sources.Scratch.dir("incr_feed")
     val path = graft.sources.Scratch.dir("incr_gold")
     val ev = Tables.events(spark, dir)
-    ev.repartition(6).write.parquet(feed) // 6 feed files ≈ 6 microbatches
+    ev.repartition(3).write.parquet(feed) // 3 feed files ≈ 3 microbatches
     val feedSchema = spark.read.parquet(feed).schema
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -399,11 +399,11 @@ object EventStreams {
     val checkpoint = Files.createTempDirectory("graft_cdcapply_ckpt").toString
     val feed = graft.sources.Scratch.dir("cdc_feed")
     val table = graft.sources.Scratch.dir("cdc_applied")
-    // stage once in batch, then re-serve it as a file stream: 8 feed
-    // files ≈ 8 microbatches; hash repartition scatters each key's
+    // stage once in batch, then re-serve it as a file stream: 4 feed
+    // files ≈ 4 microbatches; hash repartition scatters each key's
     // changes across batches, exercising the out-of-order path
     val staged = graft.operators.Cdc.stage(Tables.events(spark, dir))
-    staged.repartition(8).write.parquet(feed)
+    staged.repartition(4).write.parquet(feed)
     val q = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", 1).parquet(feed)
       .writeStream
@@ -425,7 +425,7 @@ object EventStreams {
 
   /** Cross-batch streaming deduplication, end-to-end: the feed is
     * re-served with ~10% hash-selected duplicate rows scattered across
-    * microbatches, `dropDuplicates(event_id)` removes them across batch
+    * three microbatches, `dropDuplicates(event_id)` removes them across batch
     * boundaries (state = seen-key set; in production bounded with
     * `withWatermark` + event-time key), and the appended sink must
     * equal the original table exactly. This is the streaming half of
@@ -442,7 +442,7 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val dups = ev.filter(pmod(graft.functions.Fingerprint.fnv1a64(spark,
       concat(lit("dup:"), col("event_id").cast("string"))), lit(10L)) === 0)
-    ev.unionByName(dups).repartition(5).write.parquet(feed)
+    ev.unionByName(dups).repartition(3).write.parquet(feed)
     val feedSchema = spark.read.parquet(feed).schema
     val q = spark.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", 1).parquet(feed)
