@@ -313,7 +313,11 @@ object EventStreams {
     val feed = graft.sources.Scratch.dir("incr_feed")
     val path = graft.sources.Scratch.dir("incr_gold")
     val ev = Tables.events(spark, dir)
-    ev.repartition(3).write.parquet(feed) // 3 feed files ≈ 3 microbatches
+    // time-ranged feed files: streams arrive roughly time-ordered, so
+    // each microbatch touches a contiguous slice of day partitions —
+    // the locality the partition-pruned refresh is designed around
+    // (contrast streamCdcApply, which hash-scatters on purpose)
+    ev.repartitionByRange(3, col("ts_utc")).write.parquet(feed)
     val feedSchema = spark.read.parquet(feed).schema
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
