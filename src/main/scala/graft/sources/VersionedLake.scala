@@ -211,6 +211,9 @@ object VersionedLake {
           .drop("operation"),
         keyCols = Seq("key_id"), seqCol = "sequence_number")
     }
+    // retention inside the verified path: v1-only files are deleted,
+    // and v2 must still reconstruct exactly from what vacuum retained
+    vacuum(spark, path, retainLast = 2)
     read(spark, path, asOfVersion = Some(2))
       .select(col("key_id"), col("value"), col("props"),
         col("sequence_number").as("last_sequence"))
