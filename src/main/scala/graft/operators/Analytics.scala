@@ -329,6 +329,52 @@ object Analytics {
        GROUP BY l_returnflag
        ORDER BY l_returnflag"""
 
+  /** Range join by GRID BUCKETING — the scalable re-expression of the
+    * theta join `fact.v BETWEEN band.lo AND band.hi`: each band row is
+    * exploded to the fixed-width grid cells it covers, facts compute
+    * their cell in O(1), and the join becomes a plain equi-join on the
+    * cell followed by the exact bound filter. A band table of ANY size
+    * then joins with a shuffle/broadcast hash join instead of the
+    * BroadcastNestedLoopJoin Spark falls back to for interval
+    * predicates (which is quadratic work and requires one side to fit
+    * in memory). Fan-out = ceil(width/grid) cells per band — bounded
+    * and chosen, not data-dependent.
+    */
+  def priceBandJoin(li: DataFrame): DataFrame = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    val cells = PriceBands.toDF("band_name", "lo", "hi")
+      .withColumn("cell", explode(sequence(
+        expr(s"lo div $BandGrid"), expr(s"(hi - 1) div $BandGrid"))))
+    val facts = li.withColumn("cell",
+      expr(s"CAST(floor(l_extendedprice / $BandGrid.0) AS BIGINT)"))
+    facts.join(cells,
+      facts("cell") === cells("cell") &&
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band_name"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  // non-uniform bands covering the l_extendedprice domain; grid = gcd-ish
+  val BandGrid = 2000
+  val PriceBands: Seq[(String, Long, Long)] = Seq(
+    ("p0_2k", 0L, 2000L), ("p2k_10k", 2000L, 10000L),
+    ("p10k_30k", 10000L, 30000L), ("p30k_60k", 30000L, 60000L),
+    ("p60k_120k", 60000L, 120000L))
+
+  val priceBandJoinSql: String = {
+    val vals = PriceBands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }
+      .mkString(", ")
+    s"""SELECT band_name, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       FROM lineitem
+       JOIN (VALUES $vals) b(band_name, lo, hi)
+         ON l_extendedprice >= lo AND l_extendedprice < hi
+       GROUP BY band_name
+       ORDER BY band_name"""
+  }
+
   /** Rank-function family over event values within each type: rank,
     * dense_rank, percent_rank, ntile — top 20 per type via the rank
     * filter. Note: percent_rank/ntile are size-based window functions
@@ -607,6 +653,8 @@ object Analytics {
       eventsUnpivot(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))),
     "events_funnel" -> ((s, d) => eventsFunnel(Tables.events(s, d))),
+    "price_band_join" -> ((s, d) =>
+      priceBandJoin(Tables.lineitem(s, d)).orderBy(col("band_name"))),
     "order_quantiles_sketch" -> ((s, d) =>
       priceQuantilesSketch(Tables.lineitem(s, d))
         .orderBy(col("l_returnflag"))),
@@ -639,6 +687,7 @@ object Analytics {
     "events_pivot" -> eventsPivotSql,
     "events_unpivot" -> eventsUnpivotSql,
     "events_funnel" -> eventsFunnelSql,
+    "price_band_join" -> priceBandJoinSql,
     "order_quantiles_sketch" -> priceQuantilesSketchSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
