@@ -26,6 +26,7 @@ object Bench {
       .withExtensions(new GraftExtensions))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Scratch.sweep() // reclaim stale sink-demo dirs
 
     def release(): Unit = {
       spark.catalog.clearCache()

@@ -14,6 +14,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    graft.sources.Scratch.sweep() // reclaim stale sink-demo dirs
     // Optional local-iteration filter: GRAFT_VERIFY_ONLY=q1,q2 runs a
     // subset (driver sets nothing → full run).
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
