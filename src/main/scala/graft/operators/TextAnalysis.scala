@@ -463,6 +463,41 @@ object TextAnalysis {
         WHERE k.n_chars >= 100 AND k.n_chars <= 4000 AND s.split = 'train'
         ORDER BY k.doc_id"""
 
+  /** JSONL corpus export — the interchange step at the end of a
+    * training-data pipeline: the cleaned corpus is sharded as
+    * lang-partitioned JSON-lines files (the format tokenizer/training
+    * jobs consume) and read back; the registered output carries the
+    * FNV fingerprint of each round-tripped text, so the oracle proves
+    * the export is byte-lossless through JSON escaping/encoding, not
+    * just row-complete. One shuffle (partition clustering); export IO
+    * is the dominant cost by design.
+    */
+  def corpusExportJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = graft.sources.Scratch.dir("jsonl")
+    docs.join(corpusClean(docs).select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(col("lang")) // one writer task per shard partition
+      .write.partitionBy("lang").json(path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema).json(path)
+      .select(col("doc_id"), col("lang"),
+        Fingerprint.fnv1a64(spark, col("text")).as("text_fp"))
+  }
+
+  lazy val corpusExportJsonlSql: String =
+    s"""WITH cleaned AS ($corpusCleanSql)
+       SELECT d.doc_id, d.lang, ${OracleFnv.ofText("d.text")} AS text_fp
+       FROM documents d
+       JOIN cleaned c ON d.doc_id = c.doc_id
+       ORDER BY d.doc_id"""
+
   /** Deterministic source-mix sampling — the pretraining "data mixing"
     * step: each source contributes a hash-gated fraction of its docs
     * (weight 1.0 = keep all, 0.25 = keep ~quarter). The gate is
@@ -507,6 +542,8 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("chunk_idx"))),
     "text_rarity_score" -> ((s, d) =>
       rarityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "corpus_export_jsonl" -> ((s, d) =>
+      corpusExportJsonl(s, d).orderBy(col("doc_id"))),
     "corpus_mix_sample" -> ((s, d) =>
       mixSample(Tables.documents(s, d), MixWeights, MixDefault)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -610,6 +647,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "corpus_chunks" -> chunkDocsSql,
     "text_rarity_score" -> rarityScoreSql,
+    "corpus_export_jsonl" -> corpusExportJsonlSql,
     "corpus_mix_sample" -> mixSampleSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangIdSql,
