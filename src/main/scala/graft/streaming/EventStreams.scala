@@ -427,6 +427,69 @@ object EventStreams {
         col("sequence_number").as("last_sequence"))
   }
 
+  /** The PRODUCTION form of the windowed aggregation: `withWatermark` +
+    * APPEND mode, where a window is emitted exactly once — when the
+    * watermark passes its end — and its state is then dropped. Unlike
+    * [[windowedAgg]]'s complete mode (state = every window ever seen,
+    * unbounded on an unbounded feed), state here is O(windows inside
+    * the watermark horizon): the shape that survives an unbounded
+    * 100 TB feed. The bounded fixture needs one trick: a single
+    * SENTINEL event far past the data's time domain, served strictly
+    * last (explicit mtime ordering of the feed files), advances the
+    * watermark beyond every real window so append mode flushes them
+    * all; the sentinel's own (still-open) window is excluded by a time
+    * bound the oracle shares.
+    */
+  def windowedAppend(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft_wapp_ckpt").toString
+    val feed = graft.sources.Scratch.dir("wapp_feed")
+    val out = graft.sources.Scratch.dir("wapp_out")
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_utc"), col("event_type"), col("value"))
+    // One file ⇒ one microbatch for all real data: the watermark only
+    // advances AFTER that batch, so no real event can be late-dropped
+    // regardless of intra-feed ordering. (Multi-file would process in
+    // mtime order — arbitrary within a write — and a file containing
+    // older events processed after a newer one would lose rows.)
+    ev.coalesce(1).write.parquet(s"$feed/batch0")
+    val sentinelTs = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    Seq((-1L, sentinelTs, "sentinel", 0.0))
+      .toDF("event_id", "ts_utc", "event_type", "value")
+      .coalesce(1).write.parquet(s"$feed/batch1")
+    // file-source order is by modification time: force the sentinel last
+    val fsDir = new java.io.File(feed)
+    new java.io.File(fsDir, "batch1").listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() + 600000))
+    val feedSchema = spark.read.parquet(s"$feed/batch0").schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/*")
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    spark.read.parquet(out)
+      .filter(col("window_start") < lit("2099-01-01").cast("timestamp"))
+  }
+
+  val windowedAppendSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
   /** Cross-batch streaming deduplication, end-to-end: the feed is
     * re-served with ~10% hash-selected duplicate rows scattered across
     * three microbatches, `dropDuplicates(event_id)` removes them across batch
@@ -482,7 +545,9 @@ object EventStreams {
     "stream_incr_gold" -> ((s, d) =>
       streamIncrGold(s, d).orderBy(col("day"), col("c_mktsegment"))),
     "stream_dedup" -> ((s, d) =>
-      streamDedup(s, d).orderBy(col("event_id"))))
+      streamDedup(s, d).orderBy(col("event_id"))),
+    "stream_windowed_append" -> ((s, d) =>
+      windowedAppend(s, d).orderBy(col("window_start"), col("event_type"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
@@ -490,5 +555,6 @@ object EventStreams {
     "stream_gold_daily" -> streamGoldDailySql,
     "stream_cdc_apply" -> graft.operators.Cdc.scd1Sql,
     "stream_incr_gold" -> streamIncrGoldSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_windowed_append" -> windowedAppendSql)
 }

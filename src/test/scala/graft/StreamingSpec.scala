@@ -24,6 +24,19 @@ class StreamingSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream_windowed_append flushes every real window exactly once") {
+    val streamed = EventStreams.windowedAppend(spark, sf)
+      .orderBy("window_start", "event_type").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts_utc")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        operators.Medallion.dsum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length) // no drops, no dup emission
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("streaming CDC apply converges to the batch SCD1 state") {
     val applied = EventStreams.streamCdcApply(spark, sf)
       .orderBy("key_id").collect()
