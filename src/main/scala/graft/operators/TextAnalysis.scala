@@ -254,6 +254,102 @@ object TextAnalysis {
     finally s.catalog.dropTempView(view)
   }
 
+  /** Corpus report card: per (source, lang) doc counts, exact token and
+    * char totals, and distinct-content counts (the dedup-pressure
+    * signal) — the gold-layer rollup a data curator reads before
+    * deciding mixture weights. One groupBy with map-side combine; the
+    * distinct count shuffles md5 digests (32 bytes/doc), never the
+    * texts themselves. At 100 TB the exact distinct becomes the HLL
+    * sketch ([[graft.operators.Analytics]] events_approx_users shows
+    * that pattern); everything else stays as-is.
+    */
+  def corpusSourceStats(docs: DataFrame): DataFrame = docs
+    .groupBy(col("source"), col("lang"))
+    .agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      countDistinct(md5(col("text"))).cast("long").as("distinct_texts"),
+      sum(size(tokens(col("text")))).cast("long").as("total_ws_tokens"),
+      sum(length(col("text"))).cast("long").as("total_chars"),
+      max(length(col("text"))).cast("long").as("max_chars"))
+    .withColumn("dup_ratio", lit(1.0) -
+      col("distinct_texts").cast("double") / col("n_docs").cast("double"))
+    .withColumn("avg_tokens",
+      col("total_ws_tokens").cast("double") / col("n_docs").cast("double"))
+
+  val corpusSourceStatsSql: String =
+    """SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+       CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+         AS total_ws_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_ratio,
+       CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+       FROM documents
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
+  /** Duplicate-bigram repetition stats — the n-gram tier of the
+    * Gopher/RefinedWeb repetition rules (duplicated n-gram fraction and
+    * most-common-n-gram share), one level above [[textQuality]]'s
+    * distinct-WORD ratio: a doc that alternates two phrases has near-1
+    * word diversity but pathological bigram repetition. Shape is
+    * explode → (doc, gram) count → per-doc agg: map-side combine keeps
+    * the shuffle at Σ distinct grams, and nothing is quadratic in doc
+    * length, so the plan survives book-length documents. Ratios are
+    * per-row double division of exact BIGINTs — deterministic on both
+    * engines (only double *reductions* diverge).
+    */
+  def ngramRepetition(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2) // sequence(0,-1) would DESCEND
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i + 1]))")).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).cast("long").as("n_distinct_bigrams"),
+        max(col("c")).cast("long").as("top_bigram_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .cast("long").as("dup_bigram_tokens"))
+      .withColumn("dup_fraction",
+        col("dup_bigram_tokens").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("top_share",
+        col("top_bigram_count").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  val ngramRepetitionSql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(
+           regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS t
+         FROM documents),
+       grams AS (
+         SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1])) AS gram
+         FROM toks WHERE len(t) >= 2),
+       counts AS (
+         SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+       SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_bigram_tokens,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS dup_fraction,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+       FROM counts
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+
   /** Corpus vocabulary statistics: per-token document frequency and
     * collection frequency over whitespace tokens of the normalized
     * text — the df/cf table behind tokenizer-vocab builds and
@@ -569,6 +665,11 @@ object TextAnalysis {
       textQuality(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
       textFingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_ngram_repetition" -> ((s, d) =>
+      ngramRepetition(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "corpus_source_stats" -> ((s, d) =>
+      corpusSourceStats(Tables.documents(s, d))
+        .orderBy(col("source"), col("lang"))),
     "corpus_vocab" -> ((s, d) =>
       corpusVocab(Tables.documents(s, d)).orderBy(col("tok"))),
     "corpus_pack" -> ((s, d) =>
@@ -656,6 +757,8 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "corpus_split" -> corpusSplitSql,
     "docs_sample_per_lang" -> docsSamplePerLangSql,
+    "text_ngram_repetition" -> ngramRepetitionSql,
+    "corpus_source_stats" -> corpusSourceStatsSql,
     "corpus_vocab" -> corpusVocabSql,
     "corpus_pack" -> packDocsSql,
     "corpus_clean" -> corpusCleanSql)

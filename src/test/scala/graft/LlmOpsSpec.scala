@@ -197,6 +197,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaSql == a)
   }
 
+  test("ngram repetition stats are exact on a crafted doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),   // bigrams: "a b"×2, "b a", "b c"
+      (2L, "x y z"),       // all distinct
+      (3L, "w"))           // <2 tokens → no bigram row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(docs)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_bigrams") == 4 &&
+      r1.getAs[Long]("n_distinct_bigrams") == 3 &&
+      r1.getAs[Long]("top_bigram_count") == 2 &&
+      r1.getAs[Long]("dup_bigram_tokens") == 2 &&
+      r1.getAs[Double]("dup_fraction") == 0.5 &&
+      r1.getAs[Double]("top_share") == 0.5)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_bigrams") == 2 &&
+      r2.getAs[Long]("dup_bigram_tokens") == 0 &&
+      r2.getAs[Double]("dup_fraction") == 0.0)
+  }
+
+  test("corpus source stats count dedup pressure exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "web", "en"),
+      (2L, "alpha beta", "web", "en"),  // exact dup of 1
+      (3L, "gamma", "web", "en"),
+      (4L, "delta epsilon zeta", "books", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.corpusSourceStats(docs)
+      .orderBy("source", "lang").collect()
+    assert(out.length == 2)
+    val books = out(0)
+    assert(books.getAs[Long]("n_docs") == 1 &&
+      books.getAs[Long]("total_ws_tokens") == 3 &&
+      books.getAs[Double]("dup_ratio") == 0.0)
+    val web = out(1)
+    assert(web.getAs[Long]("n_docs") == 3 &&
+      web.getAs[Long]("distinct_texts") == 2 &&
+      web.getAs[Long]("total_ws_tokens") == 5 &&
+      web.getAs[Double]("dup_ratio") == (1.0 - 2.0 / 3.0))
+  }
+
   test("corpus split is deterministic with sane proportions") {
     val docs = Tables.documents(spark, sf)
     val s1 = TextAnalysis.corpusSplit(docs).collect()
