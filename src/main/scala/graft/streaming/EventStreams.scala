@@ -490,6 +490,63 @@ object EventStreams {
        GROUP BY 1, 2
        ORDER BY 1, 2"""
 
+  /** Stream-stream interval join — click→purchase attribution where
+    * BOTH sides are unbounded streams: each purchase joins every click
+    * by the same user in the preceding hour. This is the shape batch
+    * engines can't run on live data; Spark keeps both sides' recent
+    * rows in join state and the `withWatermark` + time-range condition
+    * lets it EVICT state older than the interval, so memory is
+    * O(events per user-hour), not O(stream). Matches emit as soon as
+    * both rows have arrived (append mode, no sentinel needed — inner
+    * join emission is match-driven, not watermark-gated). The join
+    * condition runs in the microsecond domain on both engines (Spark
+    * µs timestamps vs the oracle's `epoch_us`), and the output carries
+    * ids only, so no timestamp-precision parity risk.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft_ssj_ckpt").toString
+    val feed = graft.sources.Scratch.dir("ssj_feed")
+    val queryName = s"stream_ssj_${System.identityHashCode(spark)}"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_utc"), col("user_id"), col("event_type"))
+      // only the two joined types can ever match — push the filter into
+      // the feed itself so each side scans 40% of the events, not 100%
+      .filter(col("event_type").isin("click", "purchase"))
+    ev.coalesce(1).write.parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    def side(t: String, idAs: String, tsAs: String, userAs: String) =
+      spark.readStream.schema(schema).parquet(feed)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("ts_utc").as(tsAs),
+          col("user_id").as(userAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "click_id", "click_ts", "user_id")
+    val buys = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    val joined = clicks.join(buys,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(queryName).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(queryName)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    out
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+       ORDER BY 1, 2"""
+
   /** Cross-batch streaming deduplication, end-to-end: the feed is
     * re-served with ~10% hash-selected duplicate rows scattered across
     * three microbatches, `dropDuplicates(event_id)` removes them across batch
@@ -547,7 +604,9 @@ object EventStreams {
     "stream_dedup" -> ((s, d) =>
       streamDedup(s, d).orderBy(col("event_id"))),
     "stream_windowed_append" -> ((s, d) =>
-      windowedAppend(s, d).orderBy(col("window_start"), col("event_type"))))
+      windowedAppend(s, d).orderBy(col("window_start"), col("event_type"))),
+    "stream_stream_join" -> ((s, d) =>
+      streamStreamJoin(s, d).orderBy(col("click_id"), col("purchase_id"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
@@ -556,5 +615,6 @@ object EventStreams {
     "stream_cdc_apply" -> graft.operators.Cdc.scd1Sql,
     "stream_incr_gold" -> streamIncrGoldSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_windowed_append" -> windowedAppendSql)
+    "stream_windowed_append" -> windowedAppendSql,
+    "stream_stream_join" -> streamStreamJoinSql)
 }

@@ -66,6 +66,37 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView("dedup_stream_out")
   }
 
+  test("stream-stream interval join matches across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("click_id", "click_ts", "user_id")
+      .withWatermark("click_ts", "1 hour")
+    val b = buys.toDF().toDF("purchase_id", "purchase_ts", "p_user")
+      .withWatermark("purchase_ts", "1 hour")
+    val j = c.join(b, col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+    val q = j.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_spec_out").start()
+    try {
+      val t = (s: String) => java.sql.Timestamp.valueOf(s)
+      clicks.addData((1L, t("2024-01-01 10:00:00"), 7L))
+      q.processAllAvailable() // click arrives a batch BEFORE any purchase
+      buys.addData(
+        (100L, t("2024-01-01 10:30:00"), 7L),  // in window → match
+        (101L, t("2024-01-01 12:00:00"), 7L),  // past window → no match
+        (102L, t("2024-01-01 10:30:00"), 8L))  // other user → no match
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_spec_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 100L)))
+    spark.catalog.dropTempView("ssj_spec_out")
+  }
+
   test("stateful streaming sessionizer agrees with batch gap windows") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
