@@ -240,10 +240,64 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** Schema evolution through the versioned upsert, gate-verified: the
+    * second merge batch carries a column (`note`) the first never had.
+    * Touched buckets rewrite with the union schema (null where the
+    * winning row predates the column); untouched buckets keep their
+    * old-schema files byte-identical, and the snapshot read reconciles
+    * the two via parquet schema merge — the log-less equivalent of a
+    * table format's ADD COLUMN, no table rewrite. A key's winner has
+    * `note` iff its last change arrived in the evolved batch, which the
+    * oracle derives from the same integer sequence cutoff.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_evo")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    val b1 = staged.filter(col("sequence_number") <= t1)
+    val b2 = staged.filter(col("sequence_number") > t1)
+      .withColumn("note", concat(lit("v2:"), col("key_id").cast("string")))
+    Seq(b1, b2).foreach { b =>
+      upsert(spark, path,
+        b.withColumn("_deleted", col("operation") === "DELETE")
+          .drop("operation"),
+        keyCols = Seq("key_id"), seqCol = "sequence_number")
+    }
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"), col("note"))
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         CASE WHEN sequence_number > (SELECT t1 FROM cutoff)
+              THEN 'v2:' || CAST(key_id AS VARCHAR) END AS note
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_time_travel" -> ((s, d) =>
-      timeTravel(s, d).orderBy(col("key_id"))))
+      timeTravel(s, d).orderBy(col("key_id"))),
+    "lake_schema_evolution" -> ((s, d) =>
+      schemaEvolution(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
-    "lake_time_travel" -> timeTravelSql)
+    "lake_time_travel" -> timeTravelSql,
+    "lake_schema_evolution" -> schemaEvolutionSql)
 }
