@@ -440,7 +440,10 @@ object EventStreams {
     * all; the sentinel's own (still-open) window is excluded by a time
     * bound the oracle shares.
     */
-  def windowedAppend(spark: SparkSession, dir: String): DataFrame = {
+  def windowedAppend(spark0: SparkSession, dir: String): DataFrame = {
+    // scoped state parallelism — see [[streamStreamJoin]]
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val checkpoint = Files.createTempDirectory("graft_wapp_ckpt").toString
     val feed = graft.sources.Scratch.dir("wapp_feed")
     val out = graft.sources.Scratch.dir("wapp_out")
@@ -503,7 +506,16 @@ object EventStreams {
     * µs timestamps vs the oracle's `epoch_us`), and the output carries
     * ids only, so no timestamp-precision parity risk.
     */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(spark0: SparkSession, dir: String): DataFrame = {
+    // Stream-stream joins keep FOUR state stores per shuffle partition;
+    // at 32 partitions that is 128 store commits (delta file + metadata)
+    // per microbatch — pure fixed overhead at demo scale. A cloned
+    // session scopes a smaller state parallelism to THIS query without
+    // touching the caller's conf (on a real cluster you would size this
+    // to executor count; state partition count is fixed at the first
+    // batch by this setting).
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val checkpoint = Files.createTempDirectory("graft_ssj_ckpt").toString
     val feed = graft.sources.Scratch.dir("ssj_feed")
     val queryName = s"stream_ssj_${System.identityHashCode(spark)}"
@@ -558,7 +570,11 @@ object EventStreams {
     * from Auto Loader / DLT streaming-table semantics,
     * ref bronze/orders.sql:10-27).
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark0: SparkSession, dir: String): DataFrame = {
+    // scoped state parallelism — see [[streamStreamJoin]]; dedup keeps
+    // one key store per partition across THREE microbatches here
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val checkpoint = Files.createTempDirectory("graft_sdedup_ckpt").toString
     val feed = graft.sources.Scratch.dir("dedup_feed")
     val out = graft.sources.Scratch.dir("dedup_out")
