@@ -542,6 +542,59 @@ object Analytics {
        GROUP BY ROLLUP (trim(r_name), trim(n_name))
        ORDER BY grouping_level, region_name, nation_name"""
 
+  /** Hopping (sliding) window aggregation: 2-hour windows every hour,
+    * so each event lands in exactly TWO overlapping windows — the
+    * window shape behind moving-average dashboards and streaming
+    * sliding aggs. Spark's `window(ts, "2 hours", "1 hour")` explodes
+    * each row to its covering windows before the agg; fan-out is
+    * len/slide (2×), then map-side combine — the shuffle carries
+    * O(windows), not O(events × 2). The oracle derives the same two
+    * epoch-aligned starts per event from integer hour truncation.
+    */
+  def eventsSlidingWindow(events: DataFrame): DataFrame = events
+    .groupBy(window(col("ts_utc"), "2 hours", "1 hour").as("w"),
+      col("event_type"))
+    .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    .select(col("w.start").as("window_start"), col("event_type"),
+      col("n_events"), col("total_value"))
+
+  val eventsSlidingWindowSql: String =
+    """WITH g AS (
+         SELECT date_trunc('hour', ts) - to_hours(i) AS window_start,
+           event_type, value
+         FROM events, unnest([0, 1]) AS t(i))
+       SELECT window_start, event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM g
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
+  /** Fixed-width value histogram (the width_bucket dashboard shape):
+    * one narrow shuffle on ~10 bucket keys with map-side combine, so
+    * the reduce side is O(buckets) regardless of input size. Bucket
+    * assignment is per-row `floor(value / w) * w` — identical IEEE
+    * expression on both engines, and the result is an exact integer
+    * double, so DuckDB's round-half-even cast and Spark's truncating
+    * cast agree.
+    */
+  def eventsHistogram(events: DataFrame, width: Int = 50): DataFrame = events
+    .filter(col("value").isNotNull)
+    .withColumn("bucket_lo",
+      (floor(col("value") / lit(width)) * lit(width)).cast("long"))
+    .groupBy(col("bucket_lo"))
+    .agg(
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("bucket_value"))
+
+  val eventsHistogramSql: String =
+    """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS bucket_value
+       FROM events
+       WHERE value IS NOT NULL
+       GROUP BY 1
+       ORDER BY 1"""
+
   /** Wide pivot: per-user event-type value totals as columns (explicit
     * value list ⇒ stable schema, single aggregation pass).
     */
@@ -649,6 +702,11 @@ object Analytics {
         .orderBy(col("grouping_level"), col("region_name"), col("nation_name"))),
     "events_pivot" -> ((s, d) =>
       eventsPivot(Tables.events(s, d)).orderBy(col("user_id"))),
+    "events_histogram" -> ((s, d) =>
+      eventsHistogram(Tables.events(s, d)).orderBy(col("bucket_lo"))),
+    "events_sliding_window" -> ((s, d) =>
+      eventsSlidingWindow(Tables.events(s, d))
+        .orderBy(col("window_start"), col("event_type"))),
     "events_unpivot" -> ((s, d) =>
       eventsUnpivot(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))),
@@ -685,6 +743,8 @@ object Analytics {
     "segment_set_ops" -> segmentSetOpsSql,
     "revenue_rollup" -> revenueRollupSql,
     "events_pivot" -> eventsPivotSql,
+    "events_histogram" -> eventsHistogramSql,
+    "events_sliding_window" -> eventsSlidingWindowSql,
     "events_unpivot" -> eventsUnpivotSql,
     "events_funnel" -> eventsFunnelSql,
     "price_band_join" -> priceBandJoinSql,
