@@ -350,6 +350,59 @@ object TextAnalysis {
        GROUP BY doc_id
        ORDER BY doc_id"""
 
+  /** Vocabulary encoding — the tokenize→ids step before packing: rank
+    * the corpus vocabulary by collection frequency (ties broken by
+    * token text, so the id assignment is a deterministic total order)
+    * and rewrite each document as its token-id sequence. The id window
+    * runs over VOCABULARY rows (frequency-ranked id tables are
+    * vocab-sized even at 100 TB, and the single-partition window is the
+    * standard price of a global ranking); the corpus-sized work — the
+    * explode and the token→id join — broadcasts the vocab and never
+    * shuffles the corpus. Ids are emitted as a '-'-joined string:
+    * array output would break the driver's row-hash compare, and the
+    * join proves content parity without shipping arrays.
+    */
+  def corpusEncode(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(Dedup.normText(col("text")), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cf"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cf").desc, col("tok"))))
+    toks.join(broadcast(vocab.select(col("tok"), col("id"))), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        concat_ws("-",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast("string"))).as("ids_csv"))
+  }
+
+  val corpusEncodeSql: String =
+    """WITH docs_n AS (
+         SELECT doc_id, string_split(
+           regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS toks
+         FROM documents),
+       freq AS (
+         SELECT tok, COUNT(*) AS cf
+         FROM (SELECT unnest(toks) AS tok FROM docs_n)
+         GROUP BY tok),
+       vocab AS (
+         SELECT tok, row_number() OVER (ORDER BY cf DESC, tok) AS id
+         FROM freq),
+       pos AS (
+         SELECT doc_id, i AS pos, toks[i] AS tok
+         FROM docs_n, unnest(generate_series(1, len(toks))) AS g(i)),
+       enc AS (
+         SELECT p.doc_id, p.pos, v.id FROM pos p JOIN vocab v USING (tok))
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         string_agg(CAST(id AS VARCHAR), '-' ORDER BY pos) AS ids_csv
+       FROM enc
+       GROUP BY doc_id
+       ORDER BY doc_id"""
+
   /** Corpus vocabulary statistics: per-token document frequency and
     * collection frequency over whitespace tokens of the normalized
     * text — the df/cf table behind tokenizer-vocab builds and
@@ -672,6 +725,8 @@ object TextAnalysis {
         .orderBy(col("source"), col("lang"))),
     "corpus_vocab" -> ((s, d) =>
       corpusVocab(Tables.documents(s, d)).orderBy(col("tok"))),
+    "corpus_encode" -> ((s, d) =>
+      corpusEncode(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "corpus_pack" -> ((s, d) =>
       packDocs(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "corpus_clean" -> ((s, d) =>
@@ -760,6 +815,7 @@ object TextAnalysis {
     "text_ngram_repetition" -> ngramRepetitionSql,
     "corpus_source_stats" -> corpusSourceStatsSql,
     "corpus_vocab" -> corpusVocabSql,
+    "corpus_encode" -> corpusEncodeSql,
     "corpus_pack" -> packDocsSql,
     "corpus_clean" -> corpusCleanSql)
 }

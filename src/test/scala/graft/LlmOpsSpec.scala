@@ -242,6 +242,16 @@ class LlmOpsSpec extends AnyFunSuite {
       web.getAs[Double]("dup_ratio") == (1.0 - 2.0 / 3.0))
   }
 
+  test("corpus encode assigns frequency-ranked ids in document order") {
+    import spark.implicits._
+    // cf: b=3 (id 1), a=2 (id 2), c=1 (id 3)
+    val docs = Seq((1L, "b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusEncode(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("ids_csv") == "1-2-1")
+    assert(out(1).getAs[String]("ids_csv") == "2-1-3")
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(3L, 3L))
+  }
+
   test("corpus split is deterministic with sane proportions") {
     val docs = Tables.documents(spark, sf)
     val s1 = TextAnalysis.corpusSplit(docs).collect()
