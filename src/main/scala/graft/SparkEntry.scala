@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Masking
 import graft.operators.{Analytics, Cdc, Clusters, Decontaminate, Dedup,
-  Gold, Ivf, Medallion, Multimodal, Quality, Similarity, TextAnalysis}
+  Gold, Insights, Ivf, Medallion, Multimodal, Quality, Similarity,
+  TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -16,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Medallion.queries ++ Gold.queries ++ Analytics.queries ++
+      Insights.queries ++
       Cdc.queries ++ Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Ivf.queries ++
@@ -35,6 +37,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
+      Insights.oracles ++
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++

@@ -1,0 +1,324 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import Medallion.dsum
+
+/** Business-insight analytics built on the medallion outputs: cohort
+  * retention, RFM customer segmentation, dataset profiling, and
+  * statistical anomaly flagging. These are the "gold consumer" queries a
+  * lakehouse user layers on top of the reference's KPI views
+  * (ref: docs/ARCHITECTURE.md gold-consumption section; the reference
+  * leaves them to BI tools — here they are first-class operators).
+  *
+  * Determinism: every float in compared output either derives from an
+  * exact decimal sum (SURVEY §3.1) or is a fixed IEEE expression over
+  * such sums, evaluated in the same operation order by both engines.
+  */
+object Insights {
+
+  // =========================================================================
+  // Cohort retention: signup-week cohorts × weeks-since activity
+  // =========================================================================
+  /** Weekly cohort retention over the events stream. A user's cohort is
+    * the week of their first event; each (cohort, weeks_since) cell
+    * counts the distinct users active that many weeks later, with the
+    * rate normalized by the week-0 cohort size.
+    *
+    * Scale: two shuffles — a per-user window (min over the user's rows,
+    * map-side-combinable via the groupBy rewrite Catalyst applies to
+    * min-over-partition) and the cohort-cell countDistinct. The final
+    * window runs over O(cohorts × weeks) result rows, not events.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        date_trunc("week", col("ts_utc")).as("activity_week"))
+      .withColumn("cohort_week", min(col("activity_week")).over(byUser))
+    val cells = staged
+      .groupBy(col("cohort_week"),
+        (datediff(col("activity_week"), col("cohort_week")) / 7)
+          .cast("int").as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("weeks_since") === 0, col("active_users"))).over(byCohort))
+      .select(col("cohort_week"), col("weeks_since"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention_rate"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH staged AS (
+         SELECT user_id, date_trunc('week', ts) AS activity_week,
+           MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+         FROM events
+         WHERE user_id IS NOT NULL),
+       cells AS (
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) // 7 AS INT) AS weeks_since,
+           COUNT(DISTINCT user_id) AS active_users
+         FROM staged
+         GROUP BY 1, 2),
+       sized AS (
+         SELECT cohort_week, weeks_since, active_users,
+           MAX(CASE WHEN weeks_since = 0 THEN active_users END)
+             OVER (PARTITION BY cohort_week) AS cohort_size
+         FROM cells)
+       SELECT cohort_week, weeks_since, active_users, cohort_size,
+         CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+           AS retention_rate
+       FROM sized
+       ORDER BY cohort_week, weeks_since"""
+
+  // =========================================================================
+  // RFM segmentation: recency / frequency / monetary quartiles
+  // =========================================================================
+  /** Snapshot date for recency: just after the last order in the corpus
+    * (orders span 1995-01-01..2001-08-01). A constant, like Q1's cutoff
+    * — recency against a moving `max(date)` would make the output
+    * time-dependent and force an extra global pass.
+    */
+  val RfmAnchor = "2001-09-01"
+
+  /** RFM segmentation: per-customer recency/frequency/monetary rolled
+    * into quartile scores (4 = best) and a coarse segment label. The
+    * quartile windows order by (metric, customer_id) so ties break
+    * deterministically.
+    *
+    * Scale note: ntile over all customers is a global sort. At 100 TB
+    * the cutpoints would come from `percentile_approx` (mergeable
+    * sketch, no global sort) and the scores from a broadcast range
+    * lookup; exact ntile is used here for the oracle-exact contract.
+    */
+  def customerRfm(orders: DataFrame): DataFrame = {
+    val per = orders
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(
+        datediff(lit(RfmAnchor).cast("date"), max(to_date(col("o_orderdate"))))
+          .cast("int").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val r = Window.orderBy(col("recency_days").desc, col("customer_id"))
+    val f = Window.orderBy(col("frequency").asc, col("customer_id"))
+    val m = Window.orderBy(col("monetary").asc, col("customer_id"))
+    per
+      .withColumn("r_score", ntile(4).over(r))
+      .withColumn("f_score", ntile(4).over(f))
+      .withColumn("m_score", ntile(4).over(m))
+      .withColumn("segment",
+        when(col("r_score") === 4 && col("f_score") === 4 &&
+          col("m_score") === 4, "champion")
+          .when(col("r_score") === 1, "at_risk")
+          .when(col("f_score") === 4, "loyal")
+          .when(col("m_score") === 4, "big_spender")
+          .otherwise("regular"))
+  }
+
+  val customerRfmSql: String =
+    s"""WITH per AS (
+         SELECT o_custkey AS customer_id,
+           CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+             DATE '$RfmAnchor') AS INT) AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+         FROM orders
+         GROUP BY 1),
+       scored AS (
+         SELECT *,
+           CAST(NTILE(4) OVER (ORDER BY recency_days DESC, customer_id) AS INT) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency ASC, customer_id) AS INT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary ASC, customer_id) AS INT) AS m_score
+         FROM per)
+       SELECT customer_id, recency_days, frequency, monetary,
+         r_score, f_score, m_score,
+         CASE
+           WHEN r_score = 4 AND f_score = 4 AND m_score = 4 THEN 'champion'
+           WHEN r_score = 1 THEN 'at_risk'
+           WHEN f_score = 4 THEN 'loyal'
+           WHEN m_score = 4 THEN 'big_spender'
+           ELSE 'regular'
+         END AS segment
+       FROM scored
+       ORDER BY customer_id"""
+
+  // =========================================================================
+  // Table profiler: per-column stats in one scan
+  // =========================================================================
+  /** Dataset profile of the orders table: one row per column with null
+    * count, exact distinct count, and min/max rendered to strings
+    * (numerics via DECIMAL(18,4) so both engines format identically).
+    * All metrics aggregate in a single pass (Catalyst expands the
+    * multi-distinct into one multi-phase aggregate); the stack() unpivot
+    * runs on the one result row.
+    */
+  def tableProfile(orders: DataFrame): DataFrame = {
+    val agg = orders.agg(
+      count(lit(1)).as("n_rows"),
+      // per column: nulls, distincts, min/max as strings
+      sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("nul_o_orderkey"),
+      countDistinct(col("o_orderkey")).as("dst_o_orderkey"),
+      min(col("o_orderkey")).cast("string").as("min_o_orderkey"),
+      max(col("o_orderkey")).cast("string").as("max_o_orderkey"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("nul_o_custkey"),
+      countDistinct(col("o_custkey")).as("dst_o_custkey"),
+      min(col("o_custkey")).cast("string").as("min_o_custkey"),
+      max(col("o_custkey")).cast("string").as("max_o_custkey"),
+      sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).as("nul_o_orderstatus"),
+      countDistinct(col("o_orderstatus")).as("dst_o_orderstatus"),
+      min(col("o_orderstatus")).as("min_o_orderstatus"),
+      max(col("o_orderstatus")).as("max_o_orderstatus"),
+      sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("nul_o_totalprice"),
+      countDistinct(col("o_totalprice")).as("dst_o_totalprice"),
+      min(col("o_totalprice").cast(DecimalType(18, 4))).cast("string")
+        .as("min_o_totalprice"),
+      max(col("o_totalprice").cast(DecimalType(18, 4))).cast("string")
+        .as("max_o_totalprice"),
+      sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("nul_o_orderdate"),
+      countDistinct(col("o_orderdate")).as("dst_o_orderdate"),
+      min(to_date(col("o_orderdate"))).cast("string").as("min_o_orderdate"),
+      max(to_date(col("o_orderdate"))).cast("string").as("max_o_orderdate"),
+      sum(when(col("o_orderpriority").isNull, 1).otherwise(0)).as("nul_o_orderpriority"),
+      countDistinct(col("o_orderpriority")).as("dst_o_orderpriority"),
+      min(col("o_orderpriority")).as("min_o_orderpriority"),
+      max(col("o_orderpriority")).as("max_o_orderpriority"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val stackArgs = cols.map(c =>
+      s"'$c', nul_$c, dst_$c, min_$c, max_$c").mkString(", ")
+    agg.selectExpr("n_rows",
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_value, max_value)")
+      .select(col("column_name"), col("n_rows"),
+        col("n_nulls").cast("long").as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
+  val tableProfileSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def minMax(c: String): (String, String) = c match {
+      case "o_totalprice" =>
+        (s"CAST(MIN(CAST($c AS DECIMAL(18,4))) AS VARCHAR)",
+          s"CAST(MAX(CAST($c AS DECIMAL(18,4))) AS VARCHAR)")
+      case "o_orderdate" =>
+        (s"CAST(MIN(CAST($c AS DATE)) AS VARCHAR)",
+          s"CAST(MAX(CAST($c AS DATE)) AS VARCHAR)")
+      case "o_orderkey" | "o_custkey" =>
+        (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+      case _ => (s"MIN($c)", s"MAX($c)")
+    }
+    val branches = cols.map { c =>
+      val (mn, mx) = minMax(c)
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          COUNT(DISTINCT $c) AS n_distinct,
+          $mn AS min_value, $mx AS max_value
+        FROM orders"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""SELECT * FROM ($branches)
+       ORDER BY column_name"""
+  }
+
+  // =========================================================================
+  // Statistical anomaly detection: z-scores from exact decimal moments
+  // =========================================================================
+  /** Daily-revenue anomaly flags: population z-score of each day's
+    * revenue against the whole series, from DECIMAL-exact Σx and Σx²
+    * (order-independent) with the float math done once per row in a
+    * fixed expression order — bitwise identical across engines.
+    *
+    * Scale: the groupBy reduces events to O(days) rows; the whole-frame
+    * window runs over that reduced series only, so the single-partition
+    * stage is bounded by the calendar, not the data.
+    */
+  def dailyAnomalies(orders: DataFrame, zThreshold: Double = 2.5): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(18, 4)).as("rev_d"))
+    val all = Window.partitionBy()  // O(days) rows by construction
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s1", sum(col("rev_d")).over(all).cast(DecimalType(28, 4)))
+      .withColumn("s2", sum((col("rev_d") * col("rev_d"))
+        .cast(DecimalType(38, 8))).over(all).cast(DecimalType(38, 8)))
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val mean = s1D / nD
+    val variance = (s2D - s1D * s1D / nD) / nD
+    stats
+      .withColumn("mean_rev", mean)
+      .withColumn("sd_rev", sqrt(variance))
+      .withColumn("z_score",
+        when(col("sd_rev") > 0,
+          (col("rev_d").cast("double") - col("mean_rev")) / col("sd_rev"))
+          .otherwise(lit(0.0)))
+      .select(col("day"), col("rev_d").cast("double").as("revenue"),
+        col("mean_rev"), col("z_score"),
+        (abs(col("z_score")) > zThreshold).as("is_anomaly"))
+  }
+
+  val dailyAnomaliesSql: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev_d
+         FROM orders
+         GROUP BY 1),
+       stats AS (
+         SELECT day, rev_d,
+           COUNT(*) OVER () AS n,
+           CAST(SUM(rev_d) OVER () AS DECIMAL(28,4)) AS s1,
+           -- 19+19 = width-38 product: stays exact without tripping
+           -- DuckDB's same-width multiplication overflow
+           CAST(SUM(CAST(rev_d AS DECIMAL(19,4)) * CAST(rev_d AS DECIMAL(19,4)))
+             OVER () AS DECIMAL(38,8)) AS s2
+         FROM daily),
+       scored AS (
+         -- decimal→double goes via VARCHAR: DuckDB's direct conversion
+         -- double-rounds wide decimals (int128→double, then descale);
+         -- the string path is correctly rounded, matching Spark's
+         -- BigDecimal.doubleValue
+         SELECT day, rev_d,
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_rev,
+           sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd_rev
+         FROM stats)
+       SELECT day, CAST(rev_d AS DOUBLE) AS revenue, mean_rev,
+         CASE WHEN sd_rev > 0
+           THEN (CAST(rev_d AS DOUBLE) - mean_rev) / sd_rev
+           ELSE 0.0 END AS z_score,
+         CASE WHEN sd_rev > 0
+           THEN abs((CAST(rev_d AS DOUBLE) - mean_rev) / sd_rev) > 2.5
+           ELSE false END AS is_anomaly
+       FROM scored
+       ORDER BY day"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cohort_retention" -> ((s, d) =>
+      cohortRetention(Tables.events(s, d))
+        .orderBy(col("cohort_week"), col("weeks_since"))),
+    "customer_rfm" -> ((s, d) =>
+      customerRfm(Tables.orders(s, d)).orderBy(col("customer_id"))),
+    "table_profile" -> ((s, d) =>
+      tableProfile(Tables.orders(s, d)).orderBy(col("column_name"))),
+    "daily_anomalies" -> ((s, d) =>
+      dailyAnomalies(Tables.orders(s, d)).orderBy(col("day"))))
+
+  def oracles: Map[String, String] = Map(
+    "cohort_retention" -> cohortRetentionSql,
+    "customer_rfm" -> customerRfmSql,
+    "table_profile" -> tableProfileSql,
+    "daily_anomalies" -> dailyAnomaliesSql)
+}
