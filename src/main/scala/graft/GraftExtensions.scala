@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fnv1a64, HashSample, VecDot}
+import graft.functions.{BloomBuildAgg, BloomMightContain, Fnv1a64,
+  HashSample, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions so SQL users (`SELECT fnv1a64(text) FROM docs`,
@@ -42,6 +43,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"bloom_build(key, numBits) takes 2 arguments, got ${children.length}")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"bloom_build numBits must be a non-null literal, got $other")
+        }
+        BloomBuildAgg(children.head, bits).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
   }

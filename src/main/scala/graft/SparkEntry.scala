@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Medallion.queries ++ Gold.queries ++ Analytics.queries ++
-      Insights.queries ++
+      Insights.queries ++ graft.operators.BloomJoin.queries ++
       Cdc.queries ++ Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Ivf.queries ++
@@ -37,7 +37,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
-      Insights.oracles ++
+      Insights.oracles ++ graft.operators.BloomJoin.oracles ++
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++
