@@ -235,25 +235,31 @@ object Dedup {
     * with moderately-similar docs this keeps the candidate set linear
     * instead of quadratic.
     */
-  def minhashLsh(docs: DataFrame, n: Int = 1, k: Int = 32, bands: Int = 2,
-      threshold: Double = 0.95): DataFrame = {
+  /** (doc_id, band_idx, band_hash) table — the LSH index artifact. Band
+    * key = fnv1a64 of the comma-joined signature slice (not murmur3
+    * `hash`): same compact bucket key, but oracle-reproducible.
+    */
+  def bandedSignatures(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(docs, n, k)
-    // band key = fnv1a64 of the comma-joined signature slice (not
-    // murmur3 `hash`): same compact bucket key, but oracle-reproducible
     val banded = sigs.select(col("doc_id") +: (0 until bands).map { bIdx =>
       graft.functions.Fingerprint.fnv1a64(docs.sparkSession,
         concat_ws(",", (bIdx * rows until (bIdx + 1) * rows)
           .map(i => col(s"sig_$i")): _*))
         .as(s"band_$bIdx")
     }: _*)
-    // self-joined below: persist, or the signature pipeline (explode +
-    // k min-aggs) runs once per join side
-    val exploded = banded.select(col("doc_id"),
+    banded.select(col("doc_id"),
       explode(array((0 until bands).map(bIdx =>
         struct(lit(bIdx).as("band_idx"), col(s"band_$bIdx").as("band_hash"))): _*))
         .as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int = 1, k: Int = 32, bands: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    // self-joined below: persist, or the signature pipeline (explode +
+    // k min-aggs) runs once per join side
+    val exploded = bandedSignatures(docs, n, k, bands)
     val grams = docs.select(col("doc_id"),
       hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"))
     graft.Caching.withCached(exploded, grams) {
@@ -272,6 +278,108 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
+  }
+
+  // =========================================================================
+  // Incremental dedup: new batch vs a stored LSH index
+  // =========================================================================
+  /** Daily-ingest dedup shape: a NEW batch of documents is deduped
+    * against the existing corpus WITHOUT re-pairing the corpus with
+    * itself. The corpus's band table ([[bandedSignatures]]) is the
+    * stored index artifact; only batch-vs-index and batch-vs-earlier-
+    * batch candidates are generated, so per-ingest cost is
+    * O(batch + collisions), never O(corpus²) — the property that makes
+    * continuous 100 TB ingest affordable.
+    *
+    * Membership is derived from the same content-hash bucket as
+    * `corpus_split` (pmod(fnv1a64(norm text), 100)): buckets ≥
+    * `batchBucketMin` play the newly-arrived batch. One row per batch
+    * doc: `is_dup`, the smallest matching `dup_of`, and that pair's
+    * verified Jaccard.
+    */
+  def incrementalDedup(docs: DataFrame, n: Int = 1, k: Int = 32,
+      bands: Int = 2, threshold: Double = 0.95,
+      batchBucketMin: Int = 80): DataFrame = {
+    val s = docs.sparkSession
+    val buckets = docs.select(col("doc_id"),
+      pmod(graft.functions.Fingerprint.fnv1a64(s, normText(col("text"))),
+        lit(100L)).as("bucket"))
+    val bandTable = bandedSignatures(docs, n, k, bands)
+      .join(buckets, Seq("doc_id"))
+    val grams = docs.select(col("doc_id"),
+      hashedNgrams(s, normText(col("text")), n).as("grams"))
+    graft.Caching.withCached(bandTable, grams) {
+      val newSide = bandTable.filter(col("bucket") >= batchBucketMin)
+        .select(col("doc_id").as("new_doc"), col("band_idx"), col("band_hash"))
+      val cands = newSide.join(bandTable
+            .select(col("doc_id").as("other_doc"), col("band_idx"),
+              col("band_hash"), col("bucket").as("other_bucket")),
+          Seq("band_idx", "band_hash"))
+        .filter(col("other_bucket") < batchBucketMin ||
+          col("other_doc") < col("new_doc"))
+        .select(col("new_doc"), col("other_doc"))
+        .distinct()
+      val verified = cands
+        .join(grams.select(col("doc_id").as("new_doc"), col("grams").as("grams_a")),
+          Seq("new_doc"))
+        .join(grams.select(col("doc_id").as("other_doc"), col("grams").as("grams_b")),
+          Seq("other_doc"))
+        .withColumn("jaccard",
+          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+            size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        // min(struct) picks the smallest other_doc and carries ITS
+        // jaccard (other_doc is unique per pair, so no tie ambiguity)
+        .groupBy(col("new_doc"))
+        .agg(min(struct(col("other_doc"), col("jaccard"))).as("best"))
+        .select(col("new_doc"), col("best.other_doc").as("dup_of"),
+          col("best.jaccard").as("dup_jaccard"))
+      buckets.filter(col("bucket") >= batchBucketMin)
+        .select(col("doc_id"))
+        .join(verified, col("doc_id") === col("new_doc"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+          col("dup_of"), col("dup_jaccard"))
+    }
+  }
+
+  /** Oracle for `dedup_incremental` (defaults: n=1, k=32, bands=2,
+    * threshold=0.95, batch = content buckets ≥ 80).
+    */
+  val incrementalDedupSql: String = {
+    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    s"""WITH ${minhashIndexCtesSql(32, 2)},
+       split AS (
+         SELECT doc_id,
+           ((${OracleFnv.ofText(norm)} % 100) + 100) % 100 AS bucket
+         FROM documents),
+       cand AS (
+         SELECT DISTINCT b.doc_id AS new_doc, i.doc_id AS other_doc
+         FROM bh b
+         JOIN bh i ON b.band_idx = i.band_idx AND b.band_hash = i.band_hash
+         JOIN split sb ON sb.doc_id = b.doc_id
+         JOIN split si ON si.doc_id = i.doc_id
+         WHERE sb.bucket >= 80
+           AND (si.bucket < 80 OR i.doc_id < b.doc_id)),
+       verified AS (
+         SELECT c.new_doc,
+           MIN(c.other_doc) AS dup_of,
+           min_by(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE),
+             c.other_doc) AS dup_jaccard
+         FROM cand c
+         JOIN base ga ON ga.doc_id = c.new_doc
+         JOIN base gb ON gb.doc_id = c.other_doc
+         WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE)
+             >= 0.95
+         GROUP BY c.new_doc)
+       SELECT s.doc_id,
+         v.dup_of IS NOT NULL AS is_dup,
+         v.dup_of, v.dup_jaccard
+       FROM split s
+       LEFT JOIN verified v ON v.new_doc = s.doc_id
+       WHERE s.bucket >= 80
+       ORDER BY s.doc_id"""
   }
 
   // =========================================================================
@@ -437,9 +545,15 @@ object Dedup {
     * constants are inlined from [[perms]] so both engines use the same
     * affine maps.
     */
-  val minhashLshSql: String = {
+  /** Shared oracle CTEs `toks`→`base`→`sh`→`hv`→`sig`→`bh`: tokenize,
+    * gram-hash, minhash signatures, and the banded index table — the
+    * single definition of the signature pipeline, reused by
+    * [[minhashLshSql]] and [[incrementalDedupSql]] so the two oracles
+    * cannot drift.
+    */
+  private def minhashIndexCtesSql(k: Int, bands: Int): String = {
     val p = MinhashPrime
-    val k = 32; val bands = 2; val rws = k / bands
+    val rws = k / bands
     val sigAggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
       s"MIN((h * $a + $b) % $p) AS sig_$i"
     }.mkString(",\n           ")
@@ -450,7 +564,7 @@ object Dedup {
             ${OracleFnv.ofText(s"concat_ws(',', $cols)")} AS band_hash
           FROM sig"""
     }.mkString("\n         UNION ALL\n         ")
-    s"""WITH toks AS (
+    s"""toks AS (
          SELECT doc_id,
            list_distinct(string_split(
              regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok_set
@@ -468,7 +582,11 @@ object Dedup {
          SELECT doc_id,
            $sigAggs
          FROM hv GROUP BY doc_id),
-       bh AS ($bandSelects),
+       bh AS ($bandSelects)"""
+  }
+
+  val minhashLshSql: String = {
+    s"""WITH ${minhashIndexCtesSql(32, 2)},
        cand AS (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bh x JOIN bh y
@@ -554,6 +672,8 @@ object Dedup {
         .orderBy(col("name_a"), col("name_b"))),
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashLsh(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_incremental" -> ((s, d) =>
+      incrementalDedup(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_embedding" -> ((s, d) =>
@@ -569,5 +689,6 @@ object Dedup {
     "dedup_embedding" -> embeddingPairsSql,
     "dedup_embedding_lsh" -> embeddingLshPairsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_incremental" -> incrementalDedupSql,
     "dedup_simhash" -> simhashPairsSql)
 }

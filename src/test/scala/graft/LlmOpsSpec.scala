@@ -270,4 +270,35 @@ class LlmOpsSpec extends AnyFunSuite {
     val n = docs.select(Dedup.normText(col("text"))).distinct().count()
     assert(Dedup.exact(docs).count() == n)
   }
+
+  test("incremental dedup agrees with the full-corpus LSH pairs") {
+    val docs = Tables.documents(spark, sf)
+    val bucketOf = docs.select(col("doc_id"),
+      pmod(graft.functions.Fingerprint.fnv1a64(spark,
+        Dedup.normText(col("text"))), lit(100L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inBatch = (id: Long) => bucketOf(id) >= 80
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // doc_a < doc_b
+    val inc = Dedup.incrementalDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // every batch doc appears exactly once
+    assert(inc.keySet == bucketOf.keySet.filter(inBatch))
+    // a batch doc is dup iff some full-corpus pair links it to an index
+    // doc or an earlier batch doc
+    val expectDup = inc.keysIterator.map { id =>
+      id -> pairs.exists { case (a, b) =>
+        (b == id && (!inBatch(a) || a < id)) || (a == id && !inBatch(b))
+      }
+    }.toMap
+    inc.foreach { case (id, dupOf) =>
+      assert(dupOf.isDefined == expectDup(id),
+        s"doc $id: incremental=${dupOf.isDefined} full=${expectDup(id)}")
+      dupOf.foreach { o =>
+        val p = (math.min(id, o), math.max(id, o))
+        assert(pairs.contains(p), s"pair $p not in full LSH output")
+      }
+    }
+  }
 }
