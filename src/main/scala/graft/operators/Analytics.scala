@@ -542,6 +542,82 @@ object Analytics {
        GROUP BY ROLLUP (trim(r_name), trim(n_name))
        ORDER BY grouping_level, region_name, nation_name"""
 
+  /** CUBE over (status, priority): all four grouping-set combinations
+    * in one pass — Catalyst expands the cube to grouping sets and the
+    * partial aggregation still combines map-side, so the shuffle
+    * carries one row per (set × group), not per input row.
+    */
+  def ordersCube(orders: DataFrame): DataFrame = orders
+    .select(col("o_orderstatus").as("order_status"),
+      col("o_orderpriority").as("order_priority"), col("o_totalprice"))
+    .cube(col("order_status"), col("order_priority"))
+    .agg(
+      count(lit(1)).as("n_orders"),
+      dsum(col("o_totalprice")).as("revenue"),
+      grouping_id().as("grouping_level"))
+
+  val ordersCubeSql: String =
+    """SELECT o_orderstatus AS order_status, o_orderpriority AS order_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS grouping_level
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY grouping_level, order_status, order_priority"""
+
+  /** Mergeable-sketch rollup — the lakehouse pattern for distincts at
+    * 100 TB: per-(type, day) HLL sketches are bounded partial state a
+    * gold table can STORE, and any coarser rollup unions the sketches
+    * instead of rescanning the raw events. The estimate itself is
+    * engine-specific, so (as with [[eventsApproxUsers]]) the compared
+    * output carries exact counts plus asserted bounds: the merged
+    * estimate lands within 5% of the true distinct, and per-day exact
+    * counts cover the total (every user is active on ≥1 day).
+    */
+  def eventsSketchRollup(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts_utc")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+        countDistinct(col("user_id")).as("daily_exact"))
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"),
+        sum(col("daily_exact")).as("sum_daily_exact"),
+        count(lit(1)).as("n_days"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        col("sum_daily_exact"),
+        (col("sum_daily_exact") >= col("exact_users")).as("daily_covers_total"),
+        when(col("exact_users") === 0, lit(true))
+          .otherwise(abs(col("est") - col("exact_users").cast("double")) /
+            col("exact_users").cast("double") <= 0.05)
+          .as("merged_within_5pct"))
+  }
+
+  val eventsSketchRollupSql: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS daily_exact
+         FROM events
+         GROUP BY 1, 2),
+       totals AS (
+         SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+         FROM events
+         GROUP BY 1)
+       SELECT d.event_type, t.exact_users,
+         COUNT(*) AS n_days,
+         CAST(SUM(d.daily_exact) AS BIGINT) AS sum_daily_exact,
+         CAST(SUM(d.daily_exact) AS BIGINT) >= t.exact_users AS daily_covers_total,
+         true AS merged_within_5pct
+       FROM daily d
+       JOIN totals t ON d.event_type = t.event_type
+       GROUP BY d.event_type, t.exact_users
+       ORDER BY d.event_type"""
+
   /** Hopping (sliding) window aggregation: 2-hour windows every hour,
     * so each event lands in exactly TWO overlapping windows — the
     * window shape behind moving-average dashboards and streaming
@@ -700,6 +776,12 @@ object Analytics {
       revenueRollup(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))
         .orderBy(col("grouping_level"), col("region_name"), col("nation_name"))),
+    "orders_cube" -> ((s, d) =>
+      ordersCube(Tables.orders(s, d))
+        .orderBy(col("grouping_level"), col("order_status"),
+          col("order_priority"))),
+    "events_sketch_rollup" -> ((s, d) =>
+      eventsSketchRollup(Tables.events(s, d)).orderBy(col("event_type"))),
     "events_pivot" -> ((s, d) =>
       eventsPivot(Tables.events(s, d)).orderBy(col("user_id"))),
     "events_histogram" -> ((s, d) =>
@@ -742,6 +824,8 @@ object Analytics {
     "cheapest_per_category" -> cheapestPerCategorySql,
     "segment_set_ops" -> segmentSetOpsSql,
     "revenue_rollup" -> revenueRollupSql,
+    "orders_cube" -> ordersCubeSql,
+    "events_sketch_rollup" -> eventsSketchRollupSql,
     "events_pivot" -> eventsPivotSql,
     "events_histogram" -> eventsHistogramSql,
     "events_sliding_window" -> eventsSlidingWindowSql,

@@ -291,13 +291,98 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** CHANGE DATA FEED analog: the row-level diff between two committed
+    * versions, reconstructed purely from retained snapshots — what a
+    * downstream incremental consumer reads instead of the full table
+    * (ref docs/CDC_GUIDE.md positions Delta CDF the same way). Two
+    * sequence-ranged merges create v1 and v2; the diff is a full-outer
+    * join of the snapshot reads on the key, classifying each changed
+    * key as insert / update / delete. A key's winning sequence number
+    * changes iff its visible row changed, so the seq comparison is the
+    * exact change predicate — no column-by-column compare.
+    *
+    * Scale: both snapshots are bucket-partitioned by the same key hash,
+    * so at scale the join shuffles neither side more than once and a
+    * bucket-aware reader could co-locate it entirely.
+    */
+  def versionDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_cdf")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    val batches = Seq(
+      staged.filter(col("sequence_number") <= t1),
+      staged.filter(col("sequence_number") > t1))
+    batches.foreach { b =>
+      upsert(spark, path,
+        b.withColumn("_deleted", col("operation") === "DELETE")
+          .drop("operation"),
+        keyCols = Seq("key_id"), seqCol = "sequence_number")
+    }
+    val v1 = read(spark, path, asOfVersion = Some(1))
+      .select(col("key_id"), col("value").as("old_value"),
+        col("sequence_number").as("old_sequence"))
+    val v2 = read(spark, path, asOfVersion = Some(2))
+      .select(col("key_id"), col("value").as("new_value"),
+        col("sequence_number").as("new_sequence"))
+    v1.join(v2, Seq("key_id"), "full_outer")
+      .filter(col("old_sequence").isNull || col("new_sequence").isNull ||
+        col("old_sequence") =!= col("new_sequence"))
+      .select(col("key_id"),
+        when(col("old_sequence").isNull, "insert")
+          .when(col("new_sequence").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("old_value"), col("new_value"),
+        col("old_sequence"), col("new_sequence"))
+  }
+
+  val versionDiffSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
+       r1 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1),
+       v1 AS (
+         SELECT key_id, value AS old_value, sequence_number AS old_sequence
+         FROM r1 WHERE rn = 1 AND operation <> 'DELETE'),
+       r2 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s),
+       v2 AS (
+         SELECT key_id, value AS new_value, sequence_number AS new_sequence
+         FROM r2 WHERE rn = 1 AND operation <> 'DELETE')
+       SELECT COALESCE(v1.key_id, v2.key_id) AS key_id,
+         CASE WHEN v1.old_sequence IS NULL THEN 'insert'
+              WHEN v2.new_sequence IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         v1.old_value, v2.new_value, v1.old_sequence, v2.new_sequence
+       FROM v1
+       FULL JOIN v2 ON v1.key_id = v2.key_id
+       WHERE v1.old_sequence IS NULL OR v2.new_sequence IS NULL
+          OR v1.old_sequence <> v2.new_sequence
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_time_travel" -> ((s, d) =>
       timeTravel(s, d).orderBy(col("key_id"))),
     "lake_schema_evolution" -> ((s, d) =>
-      schemaEvolution(s, d).orderBy(col("key_id"))))
+      schemaEvolution(s, d).orderBy(col("key_id"))),
+    "lake_version_diff" -> ((s, d) =>
+      versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
     "lake_time_travel" -> timeTravelSql,
-    "lake_schema_evolution" -> schemaEvolutionSql)
+    "lake_schema_evolution" -> schemaEvolutionSql,
+    "lake_version_diff" -> versionDiffSql)
 }

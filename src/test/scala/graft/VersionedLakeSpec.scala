@@ -84,4 +84,37 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(!v1.columns.contains("note"))
     assert(v1.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("version diff applied to v1 reproduces v2 exactly") {
+    val diff = VersionedLake.versionDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(diff.nonEmpty)
+    // change types partition the changed keys
+    assert(diff.map(_._1).distinct.size == diff.size, "duplicate key in diff")
+    // rebuild v2's visible state from v1 + diff and compare (the diff's
+    // scratch dir is per-invocation, so recompute the snapshots from
+    // the same staged feed shape instead of reusing its path)
+    val staged = graft.operators.Cdc.stage(Tables.events(spark, sf))
+    val maxSeq = staged.agg(org.apache.spark.sql.functions.max(
+      col("sequence_number"))).head().getLong(0)
+    def scd1(upTo: Long): Map[Long, Double] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key_id"))
+        .orderBy(col("sequence_number").desc)
+      staged.filter(col("sequence_number") <= upTo)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1 && col("operation") =!= "DELETE")
+        .select(col("key_id"), col("value"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val s1 = scd1(maxSeq / 2)
+    val s2 = scd1(maxSeq)
+    val rebuilt = diff.foldLeft(s1) {
+      case (acc, (k, "delete", _)) => acc - k
+      case (acc, (k, _, Some(v))) => acc.updated(k, v)
+      case (acc, (k, t, None)) => fail(s"$t of $k carries no new value")
+    }
+    assert(rebuilt == s2, "v1 + diff != v2")
+  }
 }
