@@ -98,13 +98,14 @@ object Clusters {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
-  /** Oracle: transitive closure by recursive CTE (min reachable label),
-    * over [[Dedup.ngramPairCtesSql]] — the same edge definition the
-    * `dedup_ngram_jaccard` oracle uses, so the two cannot drift.
+  /** Shared oracle CTEs `edges`→`reach`→`comp`→`sized`: transitive
+    * closure by recursive CTE (min reachable label) over
+    * [[Dedup.ngramPairCtesSql]] — the same edge definition the
+    * `dedup_ngram_jaccard` oracle uses, so the oracles cannot drift.
+    * Callers prepend `WITH RECURSIVE` and the pair CTEs.
     */
-  val dupClustersSql: String = {
-    s"""WITH RECURSIVE ${Dedup.ngramPairCtesSql},
-       edges AS (
+  val componentCtesSql: String =
+    """edges AS (
          SELECT doc_a AS a, doc_b AS b FROM pairs
          UNION ALL SELECT doc_b, doc_a FROM pairs),
        reach(node, lbl) AS (
@@ -113,19 +114,69 @@ object Clusters {
          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
        comp AS (
          SELECT node AS doc_id, MIN(lbl) AS cluster_id
-         FROM reach GROUP BY node)
-       SELECT doc_id, cluster_id,
-         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-           AS cluster_size
-       FROM comp
+         FROM reach GROUP BY node),
+       sized AS (
+         SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+         FROM comp)"""
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.ngramPairCtesSql},
+       $componentCtesSql
+       SELECT doc_id, cluster_id, cluster_size
+       FROM sized
        ORDER BY doc_id"""
+
+  /** The production decision dedup exists for: which document SURVIVES
+    * each duplicate cluster. Keeper = highest [[TextAnalysis.textQuality]]
+    * score (doc_id tiebreak) per cluster — a rank-1 window over the
+    * cluster assignment joined with per-doc quality, so the selection
+    * composes two already-verified operators in one declarative plan
+    * (no extra shuffle beyond the cluster window's).
+    */
+  def canonicalDocs(docs: DataFrame): DataFrame = {
+    val clusters = dupClusters(docs)
+    val quality = TextAnalysis.textQuality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), (col("rn") === 1).as("is_keeper"))
   }
+
+  /** Oracle for `dedup_canonical`: component CTEs + the quality-score
+    * CTEs, keeper by the same rank-1 window. (`quality_score` is a
+    * fixed per-row float expression, bit-identical across engines —
+    * the `text_quality` oracle already proves it — so ordering by it
+    * is deterministic.)
+    */
+  val canonicalDocsSql: String =
+    s"""WITH RECURSIVE ${Dedup.ngramPairCtesSql},
+       $componentCtesSql,
+       ${TextAnalysis.textQualityCtesSql},
+       ranked AS (
+         SELECT s.doc_id, s.cluster_id, s.cluster_size, q.quality_score,
+           row_number() OVER (PARTITION BY s.cluster_id
+             ORDER BY q.quality_score DESC, s.doc_id) AS rn
+         FROM sized s
+         JOIN quality q ON q.doc_id = s.doc_id)
+       SELECT doc_id, cluster_id, cluster_size, quality_score,
+         rn = 1 AS is_keeper
+       FROM ranked
+       ORDER BY doc_id"""
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> ((s, d) =>
-      dupClusters(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      dupClusters(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_canonical" -> ((s, d) =>
+      canonicalDocs(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   def oracles: Map[String, String] = Map(
-    "dedup_clusters" -> dupClustersSql)
+    "dedup_clusters" -> dupClustersSql,
+    "dedup_canonical" -> canonicalDocsSql)
 }

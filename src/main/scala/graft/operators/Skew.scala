@@ -113,6 +113,57 @@ object Skew {
        GROUP BY s_nationkey
        ORDER BY s_nationkey"""
 
+  /** Skew DIAGNOSIS — the report that tells you whether the two salted
+    * paths above are needed at all: the per-key row-count distribution
+    * of a prospective shuffle key, plus the top hot keys. One
+    * key-hashed aggregation produces the counts; the stats reduce
+    * O(keys) rows (exact interpolated percentiles like
+    * `order_price_quantiles`), and the hot-key list is a rank-window
+    * top-5 — bounded output no matter how many keys exist. skew_ratio =
+    * max/mean is the number to alarm on (a uniform key space sits near
+    * 1; hot keys push it to the salt-or-AQE regime).
+    */
+  def keySkewStats(events: DataFrame): DataFrame = {
+    val counts = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("user_id"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_per_key"),
+        percentile(col("cnt"), lit(0.5)).as("p50_per_key"),
+        percentile(col("cnt"), lit(0.99)).as("p99_per_key"),
+        (max(col("cnt")).cast("double") * count(lit(1)).cast("double") /
+          sum(col("cnt")).cast("double")).as("skew_ratio"),
+        array_join(transform(sort_array(collect_list(
+          when(col("rank") <= 5, struct(col("rank"), col("user_id"))))),
+          s => s.getField("user_id").cast("string")), ",").as("top_keys"))
+  }
+
+  val keySkewStatsSql: String =
+    """WITH counts AS (
+         SELECT user_id, COUNT(*) AS cnt
+         FROM events
+         WHERE user_id IS NOT NULL
+         GROUP BY user_id),
+       ranked AS (
+         SELECT *, row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+         FROM counts)
+       SELECT COUNT(*) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         MAX(cnt) AS max_per_key,
+         quantile_cont(cnt, 0.5) AS p50_per_key,
+         quantile_cont(cnt, 0.99) AS p99_per_key,
+         CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+           / CAST(SUM(cnt) AS DOUBLE) AS skew_ratio,
+         array_to_string(list_transform(
+           list_sort(list([rank, user_id]) FILTER (rank <= 5)),
+           x -> CAST(x[2] AS VARCHAR)), ',') AS top_keys
+       FROM ranked"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map(
@@ -122,10 +173,13 @@ object Skew {
       "lineitem_salted_join" -> ((s, d) =>
         lineitemSaltedJoin(graft.Tables.lineitem(s, d),
           graft.Tables.supplier(s, d))
-          .orderBy(col("s_nationkey"))))
+          .orderBy(col("s_nationkey"))),
+      "events_key_skew" -> ((s, d) =>
+        keySkewStats(graft.Tables.events(s, d))))
 
   def oracles: Map[String, String] =
     Map(
       "lineitem_salted_agg" -> lineitemSaltedAggSql,
-      "lineitem_salted_join" -> lineitemSaltedJoinSql)
+      "lineitem_salted_join" -> lineitemSaltedJoinSql,
+      "events_key_skew" -> keySkewStatsSql)
 }

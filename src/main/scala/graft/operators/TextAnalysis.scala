@@ -136,8 +136,12 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
-  val textQualitySql: String =
-    """WITH t AS (
+  /** Shared oracle CTEs `t`→`m`→`quality` (per-doc quality metrics) —
+    * the single definition of the score, reused by [[textQualitySql]]
+    * and [[Clusters.canonicalDocsSql]] so the two cannot drift.
+    */
+  val textQualityCtesSql: String =
+    """t AS (
          SELECT doc_id, text,
            string_split_regex(trim(text), ' +') AS toks,
            CAST(length(text) AS DOUBLE) AS n_chars
@@ -149,18 +153,25 @@ object TextAnalysis {
            CAST(len(list_intersect(toks, ['the','and','of','is','to'])) AS DOUBLE) AS stop_hits,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
            n_chars
-         FROM t)
-       SELECT doc_id,
-         CAST(n_tok AS BIGINT) AS n_tokens,
-         1.0 - n_distinct / n_tok AS repetition,
-         stop_hits / 5.0 AS stopword_score,
-         punct / n_chars AS punct_ratio,
-         CAST(n_chars >= 100 AND n_chars <= 4000 AS DOUBLE) AS length_ok,
-         CAST(n_chars >= 100 AND n_chars <= 4000 AS DOUBLE) * 0.25
-           + (1.0 - (1.0 - n_distinct / n_tok)) * 0.35
-           + (stop_hits / 5.0) * 0.25
-           + (1.0 - punct / n_chars) * 0.15 AS quality_score
-       FROM m
+         FROM t),
+       quality AS (
+         SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           1.0 - n_distinct / n_tok AS repetition,
+           stop_hits / 5.0 AS stopword_score,
+           punct / n_chars AS punct_ratio,
+           CAST(n_chars >= 100 AND n_chars <= 4000 AS DOUBLE) AS length_ok,
+           CAST(n_chars >= 100 AND n_chars <= 4000 AS DOUBLE) * 0.25
+             + (1.0 - (1.0 - n_distinct / n_tok)) * 0.35
+             + (stop_hits / 5.0) * 0.25
+             + (1.0 - punct / n_chars) * 0.15 AS quality_score
+         FROM m)"""
+
+  val textQualitySql: String =
+    s"""WITH $textQualityCtesSql
+       SELECT doc_id, n_tokens, repetition, stopword_score, punct_ratio,
+         length_ok, quality_score
+       FROM quality
        ORDER BY doc_id"""
 
   /** Rolling-hash fingerprints via the native [[Fingerprint]] Catalyst
@@ -427,6 +438,55 @@ object TextAnalysis {
        GROUP BY tok
        HAVING COUNT(DISTINCT doc_id) >= 5
        ORDER BY tok"""
+
+  /** Inverted index with BOUNDED posting lists: token → document
+    * frequency + the `maxPostings` smallest doc_ids (and a has_more
+    * flag) — the search/debug sidecar of a dedup pipeline ("which docs
+    * contain this token"). The cap is enforced with a rank window
+    * BEFORE collect_list, so per-token aggregation state is
+    * O(maxPostings) regardless of how hot the token is — the unbounded
+    * collect-then-slice shape would OOM on stopwords at 100 TB.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Int = 3,
+      maxPostings: Int = 20): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(array_distinct(split(Dedup.normText(col("text")), " ")))
+        .as("token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id"))
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") <= maxPostings,
+            col("doc_id")))),
+          _.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"), col("postings"),
+        (col("df") > maxPostings).as("has_more"))
+  }
+
+  val invertedIndexSql: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           unnest(list_distinct(string_split(
+             regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '))) AS token
+         FROM documents),
+       ranked AS (
+         SELECT token, doc_id,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+         FROM tok)
+       SELECT token,
+         COUNT(*) AS df,
+         array_to_string(list_sort(list(doc_id) FILTER (rn <= 20)), ',')
+           AS postings,
+         COUNT(*) > 20 AS has_more
+       FROM ranked
+       GROUP BY token
+       HAVING COUNT(*) >= 3
+       ORDER BY token"""
 
   /** Overlapping token-window chunking — the sharding step for context
     * windows (RAG indexing / long-doc pretraining): each document's
@@ -725,6 +785,8 @@ object TextAnalysis {
         .orderBy(col("source"), col("lang"))),
     "corpus_vocab" -> ((s, d) =>
       corpusVocab(Tables.documents(s, d)).orderBy(col("tok"))),
+    "docs_inverted_index" -> ((s, d) =>
+      invertedIndex(Tables.documents(s, d)).orderBy(col("token"))),
     "corpus_encode" -> ((s, d) =>
       corpusEncode(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "corpus_pack" -> ((s, d) =>
@@ -815,6 +877,7 @@ object TextAnalysis {
     "text_ngram_repetition" -> ngramRepetitionSql,
     "corpus_source_stats" -> corpusSourceStatsSql,
     "corpus_vocab" -> corpusVocabSql,
+    "docs_inverted_index" -> invertedIndexSql,
     "corpus_encode" -> corpusEncodeSql,
     "corpus_pack" -> packDocsSql,
     "corpus_clean" -> corpusCleanSql)

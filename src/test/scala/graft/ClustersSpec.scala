@@ -98,4 +98,21 @@ class ClustersSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 1)
     }
   }
+
+  test("canonical selection keeps exactly the best-quality doc per cluster") {
+    val rows = graft.operators.Clusters.canonicalDocs(
+      Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("is_keeper"))
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      val bestQ = members.map(_.getAs[Double]("quality_score")).max
+      assert(keepers.head.getAs[Double]("quality_score") == bestQ)
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+    // keepers cover every cluster; discarded docs only exist in size>1 clusters
+    rows.filter(r => !r.getAs[Boolean]("is_keeper"))
+      .foreach(r => assert(r.getAs[Long]("cluster_size") > 1))
+  }
 }
