@@ -20,6 +20,7 @@ object SparkEntry {
       Insights.queries ++ graft.operators.BloomJoin.queries ++
       Cdc.queries ++ Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      graft.operators.Bpe.queries ++
       Multimodal.queries ++ Ivf.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       Insights.oracles ++ graft.operators.BloomJoin.oracles ++
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      graft.operators.Bpe.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
