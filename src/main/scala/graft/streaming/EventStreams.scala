@@ -604,6 +604,108 @@ object EventStreams {
        FROM events
        ORDER BY event_id"""
 
+  /** Late-data DROP semantics, pinned down empirically: Spark filters
+    * an input row as late iff its event time trails the PREVIOUS
+    * batch's eviction watermark (the watermark lags one batch — a row
+    * arriving in the same batch that evicts its window still merges
+    * into the state, and a never-evicted window admits stragglers).
+    * So a fixture that wants a guaranteed drop must put TWO batches
+    * between the on-time data and the late data:
+    *
+    *  - batch 0: the even-event_id half of January (no eviction yet —
+    *    the watermark is still at epoch);
+    *  - batch 1: an "advance" row at Mar 1 — processed under batch 0's
+    *    watermark, it evicts and emits (almost all) even windows;
+    *  - batch 2: a second advance row at Mar 2 — after it, the
+    *    LATE-filter watermark for the next batch is Mar 1 − 1h, weeks
+    *    past every January timestamp (no boundary ambiguity), and the
+    *    remaining even windows have been evicted;
+    *  - batch 3: the odd half arrives. Every odd row trails the filter
+    *    watermark by > 4 weeks against a 1h allowed lateness — all of
+    *    them MUST drop;
+    *  - batch 4: a year-2100 sentinel flushes the advance windows
+    *    (filtered from the result, as are the advance rows).
+    *
+    * The compared output is therefore the hourly aggregate of ONLY the
+    * even half — exactly what the oracle computes with an event_id
+    * parity filter. An engine that failed to drop the late half would
+    * emit extra or fatter windows and hash-mismatch. The spec
+    * additionally asserts the numRowsDroppedByWatermark metric equals
+    * the distinct late (window, type) group count (the state operator
+    * sees partial-aggregated rows) — the drops are observed, not
+    * assumed.
+    */
+  def lateDrop(spark0: SparkSession, dir: String): DataFrame =
+    lateDropWithMetrics(spark0, dir)._1
+
+  /** [[lateDrop]] plus (rowsDroppedByWatermark, lateRowCount) from the
+    * stream's progress metrics, for spec assertions.
+    */
+  def lateDropWithMetrics(spark0: SparkSession,
+      dir: String): (DataFrame, Long, Long) = {
+    // scoped state parallelism — see [[streamStreamJoin]]
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val checkpoint = Files.createTempDirectory("graft_late_ckpt").toString
+    val feed = graft.sources.Scratch.dir("late_feed")
+    val out = graft.sources.Scratch.dir("late_out")
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_utc"), col("event_type"), col("value"))
+    val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    val oddCount = odd.count()
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .coalesce(1).write.parquet(s"$feed/batch0")
+    def oneRow(id: Long, ts: String, tpe: String, b: String): Unit =
+      Seq((id, java.sql.Timestamp.valueOf(ts), tpe, 0.0))
+        .toDF("event_id", "ts_utc", "event_type", "value")
+        .coalesce(1).write.parquet(s"$feed/$b")
+    oneRow(-2L, "2024-03-01 00:00:00", "advance", "batch1")
+    oneRow(-3L, "2024-03-02 00:00:00", "advance", "batch2")
+    odd.coalesce(1).write.parquet(s"$feed/batch3")
+    oneRow(-1L, "2100-01-01 00:00:00", "sentinel", "batch4")
+    // file-source order is by modification time: evens → advance ×2 →
+    // late odds → sentinel, so the lateness relationship is fixed
+    val now = System.currentTimeMillis()
+    (0 to 4).foreach { i =>
+      new java.io.File(new java.io.File(feed), s"batch$i").listFiles()
+        .foreach(f => f.setLastModified(now + i * 600000L))
+    }
+    val feedSchema = spark.read.parquet(s"$feed/batch0").schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/*")
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dropped = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    (spark.read.parquet(out)
+      .filter(col("window_start") < lit("2099-01-01").cast("timestamp") &&
+        col("event_type") =!= "advance"),
+      dropped, oddCount)
+  }
+
+  val lateDropSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events
+       WHERE event_id % 2 = 0
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> ((s, d) =>
@@ -622,7 +724,9 @@ object EventStreams {
     "stream_windowed_append" -> ((s, d) =>
       windowedAppend(s, d).orderBy(col("window_start"), col("event_type"))),
     "stream_stream_join" -> ((s, d) =>
-      streamStreamJoin(s, d).orderBy(col("click_id"), col("purchase_id"))))
+      streamStreamJoin(s, d).orderBy(col("click_id"), col("purchase_id"))),
+    "stream_late_drop" -> ((s, d) =>
+      lateDrop(s, d).orderBy(col("window_start"), col("event_type"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
@@ -632,5 +736,6 @@ object EventStreams {
     "stream_incr_gold" -> streamIncrGoldSql,
     "stream_dedup" -> streamDedupSql,
     "stream_windowed_append" -> windowedAppendSql,
-    "stream_stream_join" -> streamStreamJoinSql)
+    "stream_stream_join" -> streamStreamJoinSql,
+    "stream_late_drop" -> lateDropSql)
 }

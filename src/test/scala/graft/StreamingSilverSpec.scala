@@ -48,4 +48,33 @@ class StreamingSilverSpec extends AnyFunSuite {
     val b = batch.orderBy("order_id").collect()
     s.zip(b).foreach { case (x, y) => assert(x == y) }
   }
+
+  test("fully-late rows are dropped, and the drops are observed in metrics") {
+    val (gold, dropped, oddCount) =
+      graft.streaming.EventStreams.lateDropWithMetrics(spark, sf)
+    assert(oddCount > 0)
+    // every odd (late) row was dropped by the watermark — per the
+    // engine's own metric. The metric counts what reaches the state
+    // operator: PARTIAL-aggregated rows, i.e. one per distinct late
+    // (window, type) group, not per input row.
+    val oddGroups = Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(date_trunc("hour", col("ts_utc")), col("event_type"))
+      .distinct().count()
+    assert(dropped == oddGroups,
+      s"dropped=$dropped expected=$oddGroups groups (of $oddCount rows)")
+    // and the sink equals the even-half batch aggregate exactly
+    val evenTruth = Tables.events(spark, sf)
+      .filter(pmod(col("event_id"), lit(2)) === 0)
+      .groupBy(date_trunc("hour", col("ts_utc")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val joined = gold.select(col("window_start"), col("event_type"),
+        col("n_events"))
+      .join(evenTruth.withColumnRenamed("n_events", "expected"),
+        Seq("window_start", "event_type"), "full_outer")
+    assert(joined.filter(col("n_events").isNull || col("expected").isNull ||
+      col("n_events") =!= col("expected")).count() == 0,
+      "sink diverges from the even-half batch aggregate")
+  }
 }
