@@ -157,11 +157,70 @@ object Bpe {
        ORDER BY round"""
   }
 
+  /** Post-merge vocabulary — the ENCODE side of the trained tokenizer:
+    * re-train the merges (deterministic, same argmax path) and report
+    * the corpus token distribution AFTER applying them: one row per
+    * surviving token with its weighted frequency and whether it is a
+    * learned merge product. The composition proves the merge table
+    * round-trips: training and encoding agree on the final token
+    * stream.
+    */
+  def bpeVocab(docs: DataFrame, rounds: Int = Rounds,
+      minCount: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("w"))
+    var toks = charTokens(words).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to rounds).foreach { _ =>
+      val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val best = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(byWord))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt"))
+        .agg(sum(col("w")).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+        .head()
+      learned += (best.getString(0) + best.getString(1))
+      toks = applyMerge(toks, best.getString(0), best.getString(1))
+        .localCheckpoint()
+    }
+    toks.groupBy(col("tok"))
+      .agg(sum(col("w")).as("token_count"))
+      .filter(col("token_count") >= minCount)
+      .select(col("tok").as("token"), col("token_count"),
+        col("token").isin(learned.toSeq: _*).as("is_merged"))
+  }
+
+  /** Oracle for `corpus_bpe_vocab`: the training CTEs' FINAL token
+    * table (t{rounds+1}) aggregated — shared verbatim with
+    * [[bpeMergesSql]]'s round unrolling so encode cannot drift from
+    * training.
+    */
+  def bpeVocabSql(rounds: Int = Rounds, minCount: Int = 50): String = {
+    val full = bpeMergesSql(rounds)
+    // reuse everything up to the final token CTE; swap the tail SELECT
+    val body = full.substring(0, full.lastIndexOf("SELECT * FROM ("))
+    val merged = (1 to rounds)
+      .map(i => s"SELECT l || r AS m FROM b$i").mkString(" UNION ALL ")
+    s"""${body}SELECT tok AS token,
+         CAST(SUM(w) AS BIGINT) AS token_count,
+         tok IN (SELECT m FROM ($merged)) AS is_merged
+       FROM t${rounds + 1}
+       GROUP BY tok
+       HAVING SUM(w) >= $minCount
+       ORDER BY token"""
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_bpe_merges" -> ((s, d) =>
-      bpeMerges(Tables.documents(s, d)).orderBy(col("round"))))
+      bpeMerges(Tables.documents(s, d)).orderBy(col("round"))),
+    "corpus_bpe_vocab" -> ((s, d) =>
+      bpeVocab(Tables.documents(s, d)).orderBy(col("token"))))
 
   def oracles: Map[String, String] = Map(
-    "corpus_bpe_merges" -> bpeMergesSql())
+    "corpus_bpe_merges" -> bpeMergesSql(),
+    "corpus_bpe_vocab" -> bpeVocabSql())
 }
