@@ -33,7 +33,6 @@ object BloomJoin {
     * with the lineitem side bloom-pruned before the join.
     */
   def bloomPrunedRevenue(orders: DataFrame, li: DataFrame): DataFrame = {
-    val spark = orders.sparkSession
     val hot = orders.filter(col("o_totalprice") > PriceCutoff)
       .select(col("o_orderkey"), col("o_orderpriority"))
     val bloom = hot.agg(

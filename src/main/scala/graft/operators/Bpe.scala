@@ -68,11 +68,14 @@ object Bpe {
     merged
   }
 
-  /** Train `rounds` merges; returns (round, left, right, merged,
-    * pair_count) — the learned merge table, one row per round.
+  /** The shared training loop: runs `rounds` greedy rounds and returns
+    * the final token table plus the learned merge rows. Stops early if
+    * a round finds no adjacent pair at all (merge-exhausted corpus) —
+    * the oracle's LIMIT-1 CTE goes empty for that round and its apply
+    * is the identity, so both sides agree on the truncated table.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val spark = docs.sparkSession
+  private def train(docs: DataFrame,
+      rounds: Int): (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val words = docs
       .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -81,28 +84,46 @@ object Bpe {
     // by Caching.releaseAll / GC like the Clusters propagation rounds
     var toks = charTokens(words).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var exhausted = false
     (1 to rounds).foreach { round =>
-      val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
-      val best = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(byWord))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("tok"), col("nxt"))
-        .agg(sum(col("w")).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
-        .head() // model state: the argmax pair of this round
-      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((round, l, r, l + r, cnt))
-      toks = applyMerge(toks, l, r).localCheckpoint()
+      if (!exhausted) {
+        val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+        val best = toks
+          .withColumn("nxt", lead(col("tok"), 1).over(byWord))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("tok"), col("nxt"))
+          .agg(sum(col("w")).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+          .take(1) // model state: the argmax pair of this round
+        best.headOption match {
+          case None => exhausted = true
+          case Some(b) =>
+            val (l, r, cnt) = (b.getString(0), b.getString(1), b.getLong(2))
+            merges += ((round, l, r, l + r, cnt))
+            toks = applyMerge(toks, l, r).localCheckpoint()
+        }
+      }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "left", "right", "merged", "pair_count")
+    (toks, merges.toSeq)
   }
 
-  /** Oracle: the `rounds` training rounds unrolled as window-SQL CTEs —
-    * same pair counts, same deterministic argmax, same islands-parity
-    * merge application.
+  /** Train `rounds` merges; returns (round, left, right, merged,
+    * pair_count) — the learned merge table, one row per round.
     */
-  def bpeMergesSql(rounds: Int = Rounds): String = {
+  def bpeMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, rounds)._2
+      .toDF("round", "left", "right", "merged", "pair_count")
+  }
+
+  /** Shared WITH-prefix of the BPE oracles: the `rounds` training
+    * rounds unrolled as window-SQL CTEs — pair counts, deterministic
+    * argmax (b$i), islands-parity merge application, and the next
+    * round's token table (t${i+1}). Composed by [[bpeMergesSql]] and
+    * [[bpeVocabSql]] so encode cannot drift from training.
+    */
+  private def trainingCtesSql(rounds: Int): String = {
     val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
     def roundCtes(i: Int): String =
       s"""p$i AS (
@@ -140,9 +161,6 @@ object Bpe {
                ELSE tok END AS tok
            FROM k$i
            WHERE merge_here OR NOT consumed)"""
-    val unions = (1 to rounds).map(i =>
-      s"SELECT $i AS round, l AS \"left\", r AS \"right\", l || r AS merged, cnt AS pair_count FROM b$i")
-      .mkString("\n       UNION ALL\n       ")
     s"""WITH words AS (
          SELECT word, COUNT(*) AS w
          FROM (SELECT unnest(string_split($norm, ' ')) AS word FROM documents)
@@ -151,7 +169,14 @@ object Bpe {
        t1 AS (
          SELECT word, w, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS tok
          FROM words, unnest(range(1, length(word) + 1)) AS u(i)),
-       ${(1 to rounds).map(roundCtes).mkString(",\n       ")}
+       ${(1 to rounds).map(roundCtes).mkString(",\n       ")}"""
+  }
+
+  def bpeMergesSql(rounds: Int = Rounds): String = {
+    val unions = (1 to rounds).map(i =>
+      s"SELECT $i AS round, l AS \"left\", r AS \"right\", l || r AS merged, cnt AS pair_count FROM b$i")
+      .mkString("\n       UNION ALL\n       ")
+    s"""${trainingCtesSql(rounds)}
        SELECT * FROM (
        $unions)
        ORDER BY round"""
@@ -167,25 +192,8 @@ object Bpe {
     */
   def bpeVocab(docs: DataFrame, rounds: Int = Rounds,
       minCount: Int = 50): DataFrame = {
-    val words = docs
-      .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("w"))
-    var toks = charTokens(words).localCheckpoint()
-    val learned = scala.collection.mutable.ArrayBuffer[String]()
-    (1 to rounds).foreach { _ =>
-      val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
-      val best = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(byWord))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("tok"), col("nxt"))
-        .agg(sum(col("w")).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
-        .head()
-      learned += (best.getString(0) + best.getString(1))
-      toks = applyMerge(toks, best.getString(0), best.getString(1))
-        .localCheckpoint()
-    }
+    val (toks, merges) = train(docs, rounds)
+    val learned = merges.map(_._4)
     toks.groupBy(col("tok"))
       .agg(sum(col("w")).as("token_count"))
       .filter(col("token_count") >= minCount)
@@ -199,12 +207,10 @@ object Bpe {
     * training.
     */
   def bpeVocabSql(rounds: Int = Rounds, minCount: Int = 50): String = {
-    val full = bpeMergesSql(rounds)
-    // reuse everything up to the final token CTE; swap the tail SELECT
-    val body = full.substring(0, full.lastIndexOf("SELECT * FROM ("))
     val merged = (1 to rounds)
       .map(i => s"SELECT l || r AS m FROM b$i").mkString(" UNION ALL ")
-    s"""${body}SELECT tok AS token,
+    s"""${trainingCtesSql(rounds)}
+       SELECT tok AS token,
          CAST(SUM(w) AS BIGINT) AS token_count,
          tok IN (SELECT m FROM ($merged)) AS is_merged
        FROM t${rounds + 1}

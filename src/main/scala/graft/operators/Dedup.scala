@@ -308,7 +308,9 @@ object Dedup {
       .join(buckets, Seq("doc_id"))
     val grams = docs.select(col("doc_id"),
       hashedNgrams(s, normText(col("text")), n).as("grams"))
-    graft.Caching.withCached(bandTable, grams) {
+    // buckets is read twice (inside bandTable and for the final batch
+    // membership) — cache it, or the corpus is re-hashed per use
+    graft.Caching.withCached(bandTable, grams, buckets) {
       val newSide = bandTable.filter(col("bucket") >= batchBucketMin)
         .select(col("doc_id").as("new_doc"), col("band_idx"), col("band_hash"))
       val cands = newSide.join(bandTable

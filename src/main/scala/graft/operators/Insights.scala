@@ -255,7 +255,10 @@ object Insights {
     val s1D = col("s1").cast("double")
     val s2D = col("s2").cast("double")
     val mean = s1D / nD
-    val variance = (s2D - s1D * s1D / nD) / nD
+    // greatest(·, 0): the cancellation form can land a few ulps below
+    // zero on a near-constant series — sqrt would be NaN here and a
+    // hard error in DuckDB
+    val variance = greatest((s2D - s1D * s1D / nD) / nD, lit(0.0))
     stats
       .withColumn("mean_rev", mean)
       .withColumn("sd_rev", sqrt(variance))
@@ -290,9 +293,9 @@ object Insights {
          -- BigDecimal.doubleValue
          SELECT day, rev_d,
            CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_rev,
-           sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+           sqrt(greatest((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
                - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
-               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd_rev
+               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS sd_rev
          FROM stats)
        SELECT day, CAST(rev_d AS DOUBLE) AS revenue, mean_rev,
          CASE WHEN sd_rev > 0

@@ -61,8 +61,10 @@ class StreamingSilverSpec extends AnyFunSuite {
       .filter(pmod(col("event_id"), lit(2)) === 1)
       .select(date_trunc("hour", col("ts_utc")), col("event_type"))
       .distinct().count()
-    assert(dropped == oddGroups,
-      s"dropped=$dropped expected=$oddGroups groups (of $oddCount rows)")
+    // one partial per group per MAP PARTITION reaches the state op, so
+    // [groups, rows] brackets the metric at any file-split granularity
+    assert(dropped >= oddGroups && dropped <= oddCount,
+      s"dropped=$dropped outside [$oddGroups, $oddCount]")
     // and the sink equals the even-half batch aggregate exactly
     val evenTruth = Tables.events(spark, sf)
       .filter(pmod(col("event_id"), lit(2)) === 0)
