@@ -542,6 +542,127 @@ object Analytics {
        GROUP BY ROLLUP (trim(r_name), trim(n_name))
        ORDER BY grouping_level, region_name, nation_name"""
 
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    * order-less customers land in the zero bucket, then a histogram of
+    * the per-customer counts. Two aggregations, both map-side
+    * combinable; the second one's input is already O(customers).
+    */
+  def customerOrderHistogram(customer: DataFrame,
+      orders: DataFrame): DataFrame = customer
+    .join(orders, col("c_custkey") === col("o_custkey"), "left")
+    .groupBy(col("c_custkey"))
+    .agg(count(col("o_orderkey")).as("order_count"))
+    .groupBy(col("order_count"))
+    .agg(count(lit(1)).as("customer_count"))
+
+  val customerOrderHistogramSql: String =
+    """SELECT order_count, COUNT(*) AS customer_count
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS order_count
+             FROM customer
+             LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+       GROUP BY order_count
+       ORDER BY order_count"""
+
+  /** Solo-late-supplier analysis (TPC-H Q21 shape, adapted to the
+    * columns this schema has): for multi-supplier orders, find the
+    * supplier who was the ONLY one to ship late (> 90 days after the
+    * order date) and count such orders per supplier. The classic
+    * formulation is EXISTS + NOT EXISTS self-joins; one grouped pass
+    * over the order's lines (distinct-supplier counts + the
+    * conditional max) replaces both correlated subqueries — lineitem
+    * shuffles once on order key instead of three times.
+    */
+  def supplierLateSolo(orders: DataFrame, li: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perOrder = li
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_suppliers"),
+        max(when(late, col("l_suppkey"))).as("late_supplier"))
+      .filter(col("n_suppliers") > 1 && col("n_late_suppliers") === 1)
+    perOrder
+      .groupBy(col("late_supplier").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"),
+        trim(col("s_name")).as("supplier_name"))), Seq("s_suppkey"))
+  }
+
+  val supplierLateSoloSql: String =
+    """WITH per_order AS (
+         SELECT o_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             THEN l_suppkey END) AS n_late_suppliers,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             THEN l_suppkey END) AS late_supplier
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey)
+       SELECT late_supplier AS s_suppkey,
+         COUNT(*) AS numwait,
+         trim(s_name) AS supplier_name
+       FROM per_order
+       JOIN supplier ON s_suppkey = late_supplier
+       WHERE n_suppliers > 1 AND n_late_suppliers = 1
+       GROUP BY late_supplier, trim(s_name)
+       ORDER BY s_suppkey"""
+
+  /** Per-user behavioral diversity — Simpson's index 1 − Σp² over the
+    * FIXED, enumerated type set (0 = all activity one type, → 0.8 =
+    * uniform over five). Each term is a fixed expression over exact
+    * integer counts and the five-term sum is written in one syntactic
+    * order, so both engines run the same IEEE ops left-to-right and the
+    * doubles compare bit-exactly. Shannon entropy was tried first and
+    * REJECTED: `ln` is not correctly-rounded and Math.log vs DuckDB's
+    * libm drift by 1 ulp on real inputs — only +,−,×,÷,sqrt are safe in
+    * compared float output (SURVEY §3).
+    */
+  def eventsUserDiversity(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = count(lit(1)).as("total") +:
+      types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    val counts = events
+      .filter(col("user_id").isNotNull && col("event_type").isin(types: _*))
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val term = (t: String) => {
+      val p = col(s"n_$t").cast("double") / col("total").cast("double")
+      p * p
+    }
+    val outCols = Seq(col("user_id"), col("total").as("n_events")) ++
+      types.map(t => col(s"n_$t")) :+
+      (lit(1.0) - types.map(term).reduce(_ + _)).as("simpson_diversity")
+    counts.select(outCols: _*)
+  }
+
+  val eventsUserDiversitySql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cnts = types.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t")
+      .mkString(",\n         ")
+    val terms = types.map(t =>
+      s"""(CAST(n_$t AS DOUBLE) / CAST(n_events AS DOUBLE))
+            * (CAST(n_$t AS DOUBLE) / CAST(n_events AS DOUBLE))""")
+      .mkString("\n         + ")
+    s"""WITH counts AS (
+         SELECT user_id, COUNT(*) AS n_events,
+         $cnts
+         FROM events
+         WHERE user_id IS NOT NULL
+           AND event_type IN ('click','error','purchase','signup','view')
+         GROUP BY user_id)
+       SELECT user_id, n_events, n_click, n_error, n_purchase, n_signup, n_view,
+         1.0 - ($terms) AS simpson_diversity
+       FROM counts
+       ORDER BY user_id"""
+  }
+
   /** CUBE over (status, priority): all four grouping-set combinations
     * in one pass — Catalyst expands the cube to grouping sets and the
     * partial aggregation still combines map-side, so the shuffle
@@ -780,6 +901,14 @@ object Analytics {
       ordersCube(Tables.orders(s, d))
         .orderBy(col("grouping_level"), col("order_status"),
           col("order_priority"))),
+    "customer_order_histogram" -> ((s, d) =>
+      customerOrderHistogram(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy(col("order_count"))),
+    "supplier_late_solo" -> ((s, d) =>
+      supplierLateSolo(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d)).orderBy(col("s_suppkey"))),
+    "events_user_diversity" -> ((s, d) =>
+      eventsUserDiversity(Tables.events(s, d)).orderBy(col("user_id"))),
     "events_sketch_rollup" -> ((s, d) =>
       eventsSketchRollup(Tables.events(s, d)).orderBy(col("event_type"))),
     "events_pivot" -> ((s, d) =>
@@ -825,6 +954,9 @@ object Analytics {
     "segment_set_ops" -> segmentSetOpsSql,
     "revenue_rollup" -> revenueRollupSql,
     "orders_cube" -> ordersCubeSql,
+    "customer_order_histogram" -> customerOrderHistogramSql,
+    "supplier_late_solo" -> supplierLateSoloSql,
+    "events_user_diversity" -> eventsUserDiversitySql,
     "events_sketch_rollup" -> eventsSketchRollupSql,
     "events_pivot" -> eventsPivotSql,
     "events_histogram" -> eventsHistogramSql,
