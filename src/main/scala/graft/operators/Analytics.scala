@@ -663,6 +663,37 @@ object Analytics {
        ORDER BY user_id"""
   }
 
+  /** Repeat-purchase cadence: the distribution of day-gaps between a
+    * customer's consecutive orders (lag window per customer, then a
+    * global histogram of the gaps). The orderkey tiebreak makes the
+    * sequence deterministic under same-day orders; the gap multiset is
+    * tie-invariant anyway, so both engines agree.
+    */
+  def orderRepeatIntervals(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(to_date(col("o_orderdate")), col("o_orderkey"))
+    orders
+      .withColumn("prev_date", lag(to_date(col("o_orderdate")), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(datediff(to_date(col("o_orderdate")), col("prev_date"))
+        .as("gap_days"))
+      .groupBy(col("gap_days"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  val orderRepeatIntervalsSql: String =
+    """WITH seq AS (
+         SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+         FROM orders)
+       SELECT CAST(date_diff('day', prev_d, d) AS INT) AS gap_days,
+         COUNT(*) AS n_gaps
+       FROM seq
+       WHERE prev_d IS NOT NULL
+       GROUP BY 1
+       ORDER BY 1"""
+
   /** CUBE over (status, priority): all four grouping-set combinations
     * in one pass — Catalyst expands the cube to grouping sets and the
     * partial aggregation still combines map-side, so the shuffle
@@ -904,6 +935,8 @@ object Analytics {
     "customer_order_histogram" -> ((s, d) =>
       customerOrderHistogram(Tables.customer(s, d), Tables.orders(s, d))
         .orderBy(col("order_count"))),
+    "order_repeat_intervals" -> ((s, d) =>
+      orderRepeatIntervals(Tables.orders(s, d)).orderBy(col("gap_days"))),
     "supplier_late_solo" -> ((s, d) =>
       supplierLateSolo(Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d)).orderBy(col("s_suppkey"))),
@@ -955,6 +988,7 @@ object Analytics {
     "revenue_rollup" -> revenueRollupSql,
     "orders_cube" -> ordersCubeSql,
     "customer_order_histogram" -> customerOrderHistogramSql,
+    "order_repeat_intervals" -> orderRepeatIntervalsSql,
     "supplier_late_solo" -> supplierLateSoloSql,
     "events_user_diversity" -> eventsUserDiversitySql,
     "events_sketch_rollup" -> eventsSketchRollupSql,
