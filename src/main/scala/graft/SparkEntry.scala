@@ -21,7 +21,7 @@ object SparkEntry {
       Cdc.queries ++ Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++
-      Multimodal.queries ++ Ivf.queries ++
+      Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
       graft.sources.CsvIngest.queries ++
@@ -42,7 +42,7 @@ object SparkEntry {
       Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++
-      Multimodal.oracles ++ Ivf.oracles ++
+      Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
       graft.sources.CsvIngest.oracles ++

@@ -19,17 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  private def toVec(emb: DataFrame): DataFrame =
+  private[operators] def toVec(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
 
-  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 
-  private def argminCentroid(v: Array[Double],
+  private[operators] def argminCentroid(v: Array[Double],
       cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {
@@ -47,16 +47,40 @@ object Ivf {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = toVec(emb).as[(Long, Array[Double])].cache()
-    var centroids = base.orderBy(col("vec_id")).take(nlist).map(_._2)
+    try kmeansVectors(base, nlist, iters)
+    finally base.unpersist()
+  }
+
+  /** [[kmeans]] over an arbitrary (id, vector) dataset — also serves
+    * [[Pq]]'s per-subspace codebook training. The caller owns caching.
+    */
+  def kmeansVectors(base: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      nlist: Int, iters: Int): Array[Array[Double]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    // first column is the id by construction (works for both named
+    // (vec_id, v) frames and tuple-encoded (_1, _2) datasets)
+    var centroids = base.orderBy(col(base.columns.head)).take(nlist).map(_._2)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val assigned = base.mapPartitions(_.map { case (_, v) =>
         (argminCentroid(v, bc.value), v)
       }).toDF("cluster", "v")
+      // decimal(36,33): Spark's double→decimal cast quantizes the
+      // SHORTEST string repr (Double.toString, ≤17 significant digits),
+      // which scale 33 holds exactly — no rounding, so no HALF_UP (here)
+      // vs HALF_EVEN (DuckDB) tie-breaking can bite. A rounding scale
+      // like 12 diverges two ways on real data: exact ties on values
+      // whose expansion terminates at digit 13 (0.1983642578125-style
+      // quantized floats), and shortest-repr vs exact-binary-expansion
+      // disagreements in the rounded digits. The oracle mirrors by
+      // casting ITS shortest repr (double→VARCHAR→DECIMAL(36,33)); the
+      // sums are then identical decimals and the mean below is the
+      // correctly rounded double on both sides
       val sums = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("x").cast("decimal(30,12)")).as("s"),
+        .agg(sum(col("x").cast("decimal(36,33)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
@@ -68,7 +92,6 @@ object Ivf {
       }
       centroids = next
     }
-    base.unpersist()
     centroids
   }
 
@@ -127,52 +150,73 @@ object Ivf {
     * [[argminCentroid]] via `ORDER BY dist, cluster`; empty clusters
     * keep their previous centroid via the COALESCE in `cent_i`.
     */
-  val ivfTopKSql: String = {
-    val nlist = 16; val nprobe = 4; val k = 5; val iters = 5
-    def sqdist(v: String, c: String): String = {
-      val d = s"list_transform(generate_series(1, len($v)), j -> $v[j] - $c[j])"
-      s"list_dot_product($d, $d)"
-    }
+  /** Sequential-fold squared distance in DuckDB — bit-equal to
+    * [[sqDist]]'s running loop.
+    */
+  private[operators] def sqdistSql(v: String, c: String): String = {
+    val d = s"list_transform(generate_series(1, len($v)), j -> $v[j] - $c[j])"
+    s"list_dot_product($d, $d)"
+  }
+
+  /** Shared k-means oracle CTE block over a vectors CTE `src`
+    * (vec_id, v): init from the `nlist` lowest vec_ids, `iters` Lloyd
+    * rounds with DECIMAL(36,33) exact sums (exact: see kmeansVectors), lower-cluster tie-breaks,
+    * empty clusters carrying the previous centroid. All CTE names are
+    * prefixed `nm`; the trained centroids land in `${nm}_cent$iters`
+    * (cluster, c). Reused by [[ivfTopKSql]] and [[Pq.ivfPqTopKSql]]'s
+    * per-subspace codebooks so the training rule has one definition.
+    */
+  private[operators] def kmeansCtesSql(nm: String, src: String,
+      nlist: Int, iters: Int): String = {
     val head = Seq(
-      "vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)",
-      """dims AS (SELECT vec_id, u.j - 1 AS dim, v[u.j] AS x
-         FROM vec, UNNEST(generate_series(1, len(v))) AS u(j))""",
-      s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
-         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT $nlist))""")
+      s"""${nm}_dims AS (SELECT vec_id, u.j - 1 AS dim, v[u.j] AS x
+         FROM $src, UNNEST(generate_series(1, len(v))) AS u(j))""",
+      s"""${nm}_cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+         FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $nlist))""")
     val iterCtes = (1 to iters).flatMap { i =>
       Seq(
-        s"""assign$i AS (
+        s"""${nm}_a$i AS (
            SELECT vec_id, cluster FROM (
              SELECT v.vec_id, c.cluster,
                row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${sqdist("v.v", "c.c")}, c.cluster) AS rn
-             FROM vec v CROSS JOIN cent${i - 1} c)
+                 ORDER BY ${sqdistSql("v.v", "c.c")}, c.cluster) AS rn
+             FROM $src v CROSS JOIN ${nm}_cent${i - 1} c)
            WHERE rn = 1)""",
-        s"""means$i AS (
+        s"""${nm}_m$i AS (
            SELECT a.cluster, d.dim,
-             CAST(SUM(CAST(d.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS x
-           FROM assign$i a JOIN dims d USING (vec_id)
+             CAST(CAST(SUM(CAST(CAST(d.x AS VARCHAR) AS DECIMAL(36,33))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS x
+           FROM ${nm}_a$i a JOIN ${nm}_dims d USING (vec_id)
            GROUP BY a.cluster, d.dim)""",
-        s"""newc$i AS (
-           SELECT cluster, list(x ORDER BY dim) AS c FROM means$i GROUP BY cluster)""",
-        s"""cent$i AS (
+        s"""${nm}_n$i AS (
+           SELECT cluster, list(x ORDER BY dim) AS c FROM ${nm}_m$i GROUP BY cluster)""",
+        s"""${nm}_cent$i AS (
            SELECT p.cluster, COALESCE(n.c, p.c) AS c
-           FROM cent${i - 1} p LEFT JOIN newc$i n USING (cluster))""")
+           FROM ${nm}_cent${i - 1} p LEFT JOIN ${nm}_n$i n USING (cluster))""")
     }
+    (head ++ iterCtes).mkString(",\n       ")
+  }
+
+  val ivfTopKSql: String = {
+    val nlist = 16; val nprobe = 4; val k = 5; val iters = 5
+    def sqdist(v: String, c: String): String = sqdistSql(v, c)
+    val head = Seq(
+      "vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)",
+      kmeansCtesSql("km", "vec", nlist, iters))
     val tail = Seq(
       s"""assignf AS (
          SELECT vec_id, cluster FROM (
            SELECT v.vec_id, c.cluster,
              row_number() OVER (PARTITION BY v.vec_id
                ORDER BY ${sqdist("v.v", "c.c")}, c.cluster) AS rn
-           FROM vec v CROSS JOIN cent$iters c)
+           FROM vec v CROSS JOIN km_cent$iters c)
          WHERE rn = 1)""",
       s"""probe_lists AS (
          SELECT probe_id, cluster FROM (
            SELECT p.vec_id AS probe_id, c.cluster,
              row_number() OVER (PARTITION BY p.vec_id
                ORDER BY ${sqdist("p.v", "c.c")}, c.cluster) AS rn
-           FROM vec p CROSS JOIN cent$iters c
+           FROM vec p CROSS JOIN km_cent$iters c
            WHERE p.vec_id % 50 = 0)
          WHERE rn <= $nprobe)""",
       """scored AS (
@@ -185,7 +229,7 @@ object Ivf {
          JOIN vec pv ON pv.vec_id = pl.probe_id
          JOIN vec nv ON nv.vec_id = a.vec_id
          WHERE a.vec_id != pl.probe_id)""")
-    (head ++ iterCtes ++ tail).mkString("WITH ", ",\n       ", "") +
+    (head ++ tail).mkString("WITH ", ",\n       ", "") +
       s"""
        SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
          SELECT probe_id, neighbor_id, cosine,

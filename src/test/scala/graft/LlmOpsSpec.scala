@@ -271,6 +271,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.exact(docs).count() == n)
   }
 
+  test("ivf-pq: 4-byte codes still rank true neighbors near the top") {
+    val emb = Tables.embeddings(spark, sf)
+    val pq = graft.operators.Pq.ivfPqTopK(emb).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(pq.nonEmpty)
+    pq.values.foreach(l => assert(l.size <= graft.operators.Pq.K))
+    // recall@5 of the quantized scores vs exact brute force: PQ throws
+    // away 127/128 of each vector, so demand only a loose floor
+    val exact = graft.operators.Similarity.bruteForceTopK(emb)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSet }
+    val recalls = pq.collect { case (p, l) if exact.contains(p) =>
+      l.count(exact(p)).toDouble / exact(p).size }
+    val mean = recalls.sum / recalls.size
+    // 8-entry codebooks on a ~50-vector fixture are VERY coarse; the
+    // assertion is "signal survives", not quality — exactness is the
+    // oracle's job, quality tuning is Ksub/M sizing at real scale
+    assert(mean > 0.0, s"mean recall@5 $mean — quantization lost everything")
+    // scores are approximations of cosine: all within [-1.5, 1.5]
+    graft.operators.Pq.ivfPqTopK(emb).collect().foreach { r =>
+      val c = r.getDouble(3)
+      assert(c > -1.5 && c < 1.5, s"wild pq score $c")
+    }
+  }
+
   test("incremental dedup agrees with the full-corpus LSH pairs") {
     val docs = Tables.documents(spark, sf)
     val bucketOf = docs.select(col("doc_id"),
