@@ -613,6 +613,65 @@ object Analytics {
        GROUP BY late_supplier, trim(s_name)
        ORDER BY s_suppkey"""
 
+  /** Event-type affinity — the market-basket shape (support and lift
+    * per unordered type pair, over users as baskets). The self-join
+    * runs on the deduplicated (user, type) table — at most 5 rows per
+    * user — so the pair fan-out is O(users·10), and the tiny per-type
+    * count table joins back by broadcast. The single driver-side
+    * `count()` fetches N (one long of model state) to keep lift free of
+    * a 1-row cross join. All ratios are integer-exact counts pushed
+    * into one fixed-order double expression (§3.7-safe).
+    */
+  def eventsTypeAffinity(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val per = events
+      .filter(col("user_id").isNotNull && col("event_type").isin(types: _*))
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = per.select(col("user_id")).distinct().count()
+    val typeCounts = per.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val pairs = per.as("a")
+      .join(per.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+        col("n_type").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+        col("n_type").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        (col("n_both").cast("double") / lit(nUsers.toDouble)).as("support"),
+        ((col("n_both").cast("double") * lit(nUsers.toDouble)) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  val eventsTypeAffinitySql: String =
+    """WITH per AS (
+         SELECT DISTINCT user_id, event_type
+         FROM events
+         WHERE user_id IS NOT NULL
+           AND event_type IN ('click','error','purchase','signup','view')),
+       n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users FROM per),
+       tc AS (SELECT event_type, COUNT(*) AS n_type FROM per GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both
+         FROM per a
+         JOIN per b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT p.type_a, p.type_b, p.n_both, ta.n_type AS n_a, tb.n_type AS n_b,
+         CAST(p.n_both AS DOUBLE) / n.users AS support,
+         (CAST(p.n_both AS DOUBLE) * n.users)
+           / (CAST(ta.n_type AS DOUBLE) * CAST(tb.n_type AS DOUBLE)) AS lift
+       FROM pairs p
+       JOIN tc ta ON ta.event_type = p.type_a
+       JOIN tc tb ON tb.event_type = p.type_b
+       CROSS JOIN n
+       ORDER BY type_a, type_b"""
+
   /** Per-user behavioral diversity — Simpson's index 1 − Σp² over the
     * FIXED, enumerated type set (0 = all activity one type, → 0.8 =
     * uniform over five). Each term is a fixed expression over exact
@@ -942,6 +1001,9 @@ object Analytics {
         Tables.supplier(s, d)).orderBy(col("s_suppkey"))),
     "events_user_diversity" -> ((s, d) =>
       eventsUserDiversity(Tables.events(s, d)).orderBy(col("user_id"))),
+    "events_type_affinity" -> ((s, d) =>
+      eventsTypeAffinity(Tables.events(s, d))
+        .orderBy(col("type_a"), col("type_b"))),
     "events_sketch_rollup" -> ((s, d) =>
       eventsSketchRollup(Tables.events(s, d)).orderBy(col("event_type"))),
     "events_pivot" -> ((s, d) =>
@@ -991,6 +1053,7 @@ object Analytics {
     "order_repeat_intervals" -> orderRepeatIntervalsSql,
     "supplier_late_solo" -> supplierLateSoloSql,
     "events_user_diversity" -> eventsUserDiversitySql,
+    "events_type_affinity" -> eventsTypeAffinitySql,
     "events_sketch_rollup" -> eventsSketchRollupSql,
     "events_pivot" -> eventsPivotSql,
     "events_histogram" -> eventsHistogramSql,
