@@ -604,6 +604,62 @@ object EventStreams {
        FROM events
        ORDER BY event_id"""
 
+  /** Exactly-once across a RESTART: the fault-tolerance contract that
+    * makes streaming ingestion trustworthy. A first query processes
+    * half the feed and is STOPPED (planned maintenance / crash stand-
+    * in); the remaining files — which re-send rows already ingested
+    * before the stop, plus genuinely new ones — arrive while nothing
+    * runs; a SECOND query starts from the same checkpoint. If the
+    * dedup state and source offsets really persist, the pre-restart
+    * duplicates are still recognized and dropped, and the sink holds
+    * every event exactly once — the plain SELECT the oracle runs. The
+    * sink writes one parquet dir per batch id, so a replayed batch
+    * overwrites itself instead of double-appending (idempotent-by-
+    * batchId, the foreachBatch exactly-once recipe).
+    */
+  def checkpointResume(spark0: SparkSession, dir: String): DataFrame = {
+    // scoped state parallelism — see [[streamStreamJoin]]
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val checkpoint = Files.createTempDirectory("graft_resume_ckpt").toString
+    val feed = graft.sources.Scratch.dir("resume_feed")
+    val out = graft.sources.Scratch.dir("resume_out")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val firstHalf = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    firstHalf.coalesce(1).write.parquet(s"$feed/batch0")
+    val feedSchema = spark.read.parquet(s"$feed/batch0").schema
+    def runStream(): Unit = {
+      val q = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/*")
+        .dropDuplicates("event_id")
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(f"$out/v$id%04d")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream() // first life: evens only, then a clean stop
+    // while the stream is DOWN: re-sends of already-ingested evens
+    // (the cross-restart duplicates) mixed with the new odd half
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .unionByName(firstHalf.filter(pmod(col("event_id"), lit(10)) === 0))
+      .coalesce(1).write.parquet(s"$feed/batch1")
+    new java.io.File(new java.io.File(feed), "batch1").listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() + 600000L))
+    runStream() // second life: same checkpoint, restored state
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    spark.read.parquet(s"$out/v*")
+  }
+
+  val checkpointResumeSql: String =
+    """SELECT event_id, user_id, event_type, value
+       FROM events
+       ORDER BY event_id"""
+
   /** Late-data DROP semantics, pinned down empirically: Spark filters
     * an input row as late iff its event time trails the PREVIOUS
     * batch's eviction watermark (the watermark lags one batch — a row
@@ -726,7 +782,9 @@ object EventStreams {
     "stream_stream_join" -> ((s, d) =>
       streamStreamJoin(s, d).orderBy(col("click_id"), col("purchase_id"))),
     "stream_late_drop" -> ((s, d) =>
-      lateDrop(s, d).orderBy(col("window_start"), col("event_type"))))
+      lateDrop(s, d).orderBy(col("window_start"), col("event_type"))),
+    "stream_checkpoint_resume" -> ((s, d) =>
+      checkpointResume(s, d).orderBy(col("event_id"))))
 
   def oracles: Map[String, String] = Map(
     "stream_windowed_agg" -> windowedAggSql,
@@ -737,5 +795,6 @@ object EventStreams {
     "stream_dedup" -> streamDedupSql,
     "stream_windowed_append" -> windowedAppendSql,
     "stream_stream_join" -> streamStreamJoinSql,
-    "stream_late_drop" -> lateDropSql)
+    "stream_late_drop" -> lateDropSql,
+    "stream_checkpoint_resume" -> checkpointResumeSql)
 }
