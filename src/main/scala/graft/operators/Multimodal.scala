@@ -119,10 +119,51 @@ object Multimodal {
     frameSample(resizeMeta(decodeAll(media), maxDim = 512), rate = 30).toDF()
   }
 
+  final case class AudioSegment(doc_id: Long, seg_index: Int,
+      sample_rate: Int, start_sample: Long, win_samples: Long,
+      energy_q: Long)
+
+  /** Audio segmentation: audio payloads fan out to overlapping
+    * fixed-length windows (1 s window, 50% hop) — the sharding step in
+    * front of per-segment feature extraction (VAD, fbank, ASR). The
+    * STUB decode derives sample rate and duration from the payload
+    * hash in the UNSIGNED domain (remainderUnsigned / >>> — mirrored
+    * by the oracle's HUGEINT arithmetic); per-segment quantized energy
+    * stands in for the DSP. Fan-out is 2·seconds − 1 rows per clip, no
+    * shuffle until a consumer aggregates.
+    */
+  def audioSegments(meta: Dataset[MediaMeta]): Dataset[AudioSegment] = {
+    import meta.sparkSession.implicits._
+    meta.filter(_.media_type == "audio").flatMap { m =>
+      val h = m.content_hash
+      val rate = Array(8000, 16000, 44100)(
+        java.lang.Long.remainderUnsigned(h, 3L).toInt)
+      val durS = 1 + java.lang.Long.remainderUnsigned(h >>> 8, 30L).toInt
+      val nSamples = rate.toLong * durS
+      val win = rate.toLong
+      val hop = win / 2
+      val nSegs = ((nSamples - win) / hop + 1).toInt
+      (0 until nSegs).map { i =>
+        AudioSegment(m.doc_id, i, rate, i * hop, win,
+          // STUB energy: quantized hash mix — replace with real DSP
+          math.floorMod(h ^ (i.toLong * Fnv1a64.Prime), 1000000L))
+      }
+    }
+  }
+
+  /** Overlapping 1-second segments for every audio payload. */
+  def segments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = withPayload(Tables.documents(spark, dir)).as[MediaRow]
+    audioSegments(decodeAll(media)).toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline" -> ((s, d) => pipeline(s, d).orderBy(col("media_type"))),
     "multimodal_frames" -> ((s, d) =>
-      frames(s, d).orderBy(col("doc_id"), col("frame_index"))))
+      frames(s, d).orderBy(col("doc_id"), col("frame_index"))),
+    "multimodal_audio_segments" -> ((s, d) =>
+      segments(s, d).orderBy(col("doc_id"), col("seg_index"))))
 
   // ---- DuckDB oracles ------------------------------------------------------
   // The decode is a stub, but a DETERMINISTIC one: every derived value
@@ -182,7 +223,37 @@ object Multimodal {
        WHERE media_type = 'video'
        ORDER BY doc_id, frame_index"""
 
+  /** Oracle for `multimodal_audio_segments`: the stub's unsigned-domain
+    * derivations (u = the HUGEINT fold) and signed-xor energy, with the
+    * window fan-out as a range unnest.
+    */
+  val audioSegmentsSql: String =
+    s"""WITH $mediaCtesSql,
+       audio AS (
+         SELECT doc_id, u, content_hash,
+           ([8000, 16000, 44100])[CAST(u % 3 AS INT) + 1] AS sample_rate,
+           1 + CAST((u // 256) % 30 AS INT) AS dur_s
+         FROM msigned
+         WHERE media_type = 'audio'),
+       segs AS (
+         SELECT doc_id, sample_rate,
+           CAST(sample_rate AS BIGINT) * dur_s AS n_samples,
+           CAST(sample_rate AS BIGINT) AS win,
+           CAST(sample_rate AS BIGINT) // 2 AS hop,
+           content_hash
+         FROM audio)
+       SELECT doc_id,
+         CAST(i AS INT) AS seg_index,
+         sample_rate,
+         CAST(i AS BIGINT) * hop AS start_sample,
+         win AS win_samples,
+         ((xor(content_hash, CAST(i AS BIGINT) * 1099511628211) % 1000000)
+           + 1000000) % 1000000 AS energy_q
+       FROM segs, UNNEST(range(0, (n_samples - win) // hop + 1)) AS t(i)
+       ORDER BY doc_id, seg_index"""
+
   def oracles: Map[String, String] = Map(
     "multimodal_pipeline" -> pipelineSql,
-    "multimodal_frames" -> framesSql)
+    "multimodal_frames" -> framesSql,
+    "multimodal_audio_segments" -> audioSegmentsSql)
 }

@@ -271,6 +271,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.exact(docs).count() == n)
   }
 
+  test("audio segments: contiguous indexes, half-window hops, 1s windows") {
+    val segs = graft.operators.Multimodal.segments(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(segs.nonEmpty)
+    segs.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val rate = sorted.head.getInt(2)
+      assert(Set(8000, 16000, 44100).contains(rate))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i, s"doc $doc indexes not contiguous")
+        assert(r.getLong(3) == i.toLong * rate / 2, s"doc $doc hop wrong")
+        assert(r.getLong(4) == rate.toLong, s"doc $doc window != 1s")
+      }
+      assert(sorted.length % 2 == 1, s"doc $doc: 2*seconds-1 segments expected")
+    }
+  }
+
   test("ivf-pq: 4-byte codes still rank true neighbors near the top") {
     val emb = Tables.embeddings(spark, sf)
     val pq = graft.operators.Pq.ivfPqTopK(emb).collect()
