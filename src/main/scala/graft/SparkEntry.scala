@@ -31,6 +31,7 @@ object SparkEntry {
       graft.sources.StatsSkipping.queries ++
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
+      graft.plans.Pipeline.queries ++
       graft.streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.sources.StatsSkipping.oracles ++
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
+      graft.plans.Pipeline.oracles ++
       graft.streaming.EventStreams.oracles
 }

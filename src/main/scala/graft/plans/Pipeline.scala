@@ -58,11 +58,20 @@ object Pipeline {
     val results = mutable.LinkedHashMap.empty[String, DataFrame]
     topoSort(defs).foreach { d =>
       val df = d.build(spark, results.toMap)
-      lakeDir.foreach { dir =>
-        df.write.mode("overwrite").parquet(s"$dir/${d.layer}/${d.name}")
-      }
-      df.createOrReplaceTempView(d.name) // downstream `spark.table(name)` works
-      results += d.name -> df
+      // when landing, downstream deps read the MATERIALIZED table, not
+      // the lazy plan — DLT semantics, and it keeps a table consumed by
+      // k children from recomputing its pipeline k times
+      val exposed = lakeDir.map { dir =>
+        val path = s"$dir/${d.layer}/${d.name}"
+        // (a landing coalesce was tried and reverted: fewer output
+        // files also collapse the COMPUTE stage's parallelism, which
+        // costs more on the join-heavy tables than the file-commit
+        // overhead saves)
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }.getOrElse(df)
+      exposed.createOrReplaceTempView(d.name) // `spark.table(name)` works
+      results += d.name -> exposed
     }
     results.toMap
   }
@@ -91,4 +100,54 @@ object Pipeline {
       (s, _) => Cdc.scd1Current(Tables.events(s, sfDir))),
     TableDef("scd2_history", "cdc", Nil,
       (s, _) => Cdc.scd2History(Tables.events(s, sfDir))))
+
+  /** Which gate oracle carries each DAG table's definition — the
+    * manifest oracle counts over these, so the DAG run is verified by
+    * the SAME SQL that already verifies each table individually.
+    */
+  private val oracleOf: Map[String, String] = Map(
+    "silver_orders" -> Medallion.oracles("silver_orders"),
+    "silver_lineitem" -> Medallion.oracles("silver_lineitem"),
+    "silver_customers" -> Medallion.oracles("silver_customers"),
+    "silver_orders_enriched" -> Medallion.oracles("silver_orders_enriched"),
+    "gold_daily_orders" -> Gold.oracles("gold_daily_orders"),
+    "gold_monthly_orders" -> Gold.oracles("gold_monthly_orders"),
+    "scd1_current" -> Cdc.oracles("cdc_scd1_current"),
+    "scd2_history" -> Cdc.oracles("cdc_scd2_history"))
+
+  /** Gate entry: run the WHOLE medallion DAG landing every table to a
+    * scratch lake, then read the LANDED parquet back and report the
+    * run manifest (table, layer, row count) — the end-to-end
+    * orchestration check (topo order, cross-table wiring, and the
+    * physical landing all have to work for the counts to match). The
+    * 8 counts that reach the driver are the manifest itself, not data.
+    */
+  def runManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lake = graft.sources.Scratch.dir("pipe_lake")
+    val defs = medallion(sfDir)
+    run(spark, defs, lakeDir = Some(lake))
+    defs.map { d =>
+      val n = spark.read.parquet(s"$lake/${d.layer}/${d.name}").count()
+      (d.name, d.layer, n)
+    }.toDF("table_name", "layer", "n_rows")
+  }
+
+  val runManifestSql: String = {
+    val branches = medallion("unused").map { d =>
+      s"""SELECT '${d.name}' AS table_name, '${d.layer}' AS layer,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM (${oracleOf(d.name)})"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""SELECT * FROM (
+       $branches)
+       ORDER BY table_name"""
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_manifest" -> ((s, d) =>
+      runManifest(s, d).orderBy(org.apache.spark.sql.functions.col("table_name"))))
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_manifest" -> runManifestSql)
 }
