@@ -229,11 +229,14 @@ object Dedup {
     * (band_idx, band_hash); verification joins the precomputed shingle
     * sets and filters on true Jaccard.
     */
-  /** Defaults tuned for high-precision candidate generation: 2 bands of
-    * 16 rows collide almost only for jaccard ≳ 0.9 (P ≈ 0.44 at 0.95,
-    * ≈ 0.003 at 0.7, 1.0 for identical sets) — on a corpus saturated
-    * with moderately-similar docs this keeps the candidate set linear
-    * instead of quadratic.
+  /** Defaults tuned so the S-curve midpoint sits BELOW the verify
+    * threshold: 8 bands of 8 rows put the midpoint at (1/2)^(1/8) ≈
+    * 0.917, giving candidate probability ≈ 0.9998 at the 0.95 verify
+    * threshold (vs ~0.69 for the old 2×16 banding, whose midpoint 0.958
+    * sat above the threshold and silently dropped ~31% of borderline
+    * true near-dups) while staying ≈ 0.07 at jaccard 0.7 — candidates
+    * stay linear and the exact-Jaccard verify absorbs the extras. The
+    * recall floor is asserted in-gate by `dedup_recall_bounds`.
     */
   /** (doc_id, band_idx, band_hash) table — the LSH index artifact. Band
     * key = fnv1a64 of the comma-joined signature slice (not murmur3
@@ -255,7 +258,19 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
 
-  def minhashLsh(docs: DataFrame, n: Int = 1, k: Int = 32, bands: Int = 2,
+  /** Distinct candidate pairs from a banded signature table: self-join
+    * on the (band_idx, band_hash) key — the raw LSH blocking output,
+    * before exact verification.
+    */
+  private def bandCandidates(exploded: DataFrame): DataFrame =
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+  def minhashLsh(docs: DataFrame, n: Int = 1, k: Int = 64, bands: Int = 8,
       threshold: Double = 0.95): DataFrame = {
     // self-joined below: persist, or the signature pipeline (explode +
     // k min-aggs) runs once per join side
@@ -263,12 +278,7 @@ object Dedup {
     val grams = docs.select(col("doc_id"),
       hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"))
     graft.Caching.withCached(exploded, grams) {
-      val cands = exploded.as("x").join(exploded.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cands = bandCandidates(exploded)
       cands
         .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
         .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
@@ -297,8 +307,8 @@ object Dedup {
     * doc: `is_dup`, the smallest matching `dup_of`, and that pair's
     * verified Jaccard.
     */
-  def incrementalDedup(docs: DataFrame, n: Int = 1, k: Int = 32,
-      bands: Int = 2, threshold: Double = 0.95,
+  def incrementalDedup(docs: DataFrame, n: Int = 1, k: Int = 64,
+      bands: Int = 8, threshold: Double = 0.95,
       batchBucketMin: Int = 80): DataFrame = {
     val s = docs.sparkSession
     val buckets = docs.select(col("doc_id"),
@@ -344,12 +354,12 @@ object Dedup {
     }
   }
 
-  /** Oracle for `dedup_incremental` (defaults: n=1, k=32, bands=2,
+  /** Oracle for `dedup_incremental` (defaults: n=1, k=64, bands=8,
     * threshold=0.95, batch = content buckets ≥ 80).
     */
   val incrementalDedupSql: String = {
     val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
-    s"""WITH ${minhashIndexCtesSql(32, 2)},
+    s"""WITH ${minhashIndexCtesSql(64, 8)},
        split AS (
          SELECT doc_id,
            ((${OracleFnv.ofText(norm)} % 100) + 100) % 100 AS bucket
@@ -472,24 +482,48 @@ object Dedup {
     * Deterministic (literal fnv-derived hyperplanes, fold-exact
     * cosines) → full DuckDB oracle.
     */
-  def embeddingLshPairs(emb: DataFrame, threshold: Double = 0.35,
-      planes: Int = 4, tables: Int = 8): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val base = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-    val bucketed = base.select(col("vec_id"),
+  /** Sign-LSH (tbl, bucket) assignment per vector — the blocking key
+    * table shared by [[embeddingLshPairs]] and the recall-bounds gate.
+    */
+  private def embBucketed(base: DataFrame, dim: Int,
+      planes: Int, tables: Int): DataFrame =
+    base.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           Similarity.lshBucket(col("v"), planes, t, dim).as("bucket"))): _*))
         .as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+
+  /** Distinct candidate pairs from the bucket table: any two vectors
+    * sharing a bucket in ANY table, before exact-cosine verification.
+    */
+  private def embCandidates(bucketed: DataFrame): DataFrame =
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+
+  /** Bucket-family shape for [[embeddingLshPairs]] and its recall gate:
+    * 3 planes × 8 tables puts per-table collision probability at the
+    * 0.35-cosine verify threshold at (1−θ/π)³ ≈ 0.23 (θ ≈ 69.8°), so
+    * candidate recall ≈ 1−(1−0.23)⁸ ≈ 0.88 for borderline pairs —
+    * higher for the rest of the truth set. 4 planes × 8 tables measured
+    * 0.54 recall on the sf0.01 truth set; one plane fewer doubles the
+    * bucket occupancy but the exact-cosine verify absorbs it.
+    */
+  private val EmbLshPlanes = 3
+  private val EmbLshTables = 8
+
+  def embeddingLshPairs(emb: DataFrame, threshold: Double = 0.35,
+      planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val bucketed = embBucketed(base, dim, planes, tables)
     graft.Caching.withCached(base, bucketed) {
-      val cands = bucketed.as("a").join(bucketed.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      val cands = embCandidates(bucketed)
       cands
         .join(base.select(col("vec_id").as("vec_a"), col("v").as("va"),
           col("nrm").as("na")), Seq("vec_a"))
@@ -502,11 +536,11 @@ object Dedup {
     }
   }
 
-  /** Oracle for `dedup_embedding_lsh` (threshold=0.35, planes=4,
+  /** Oracle for `dedup_embedding_lsh` (threshold=0.35, planes=3,
     * tables=8) — bucket CTEs shared with the ann_lsh_topk oracle.
     */
   val embeddingLshPairsSql: String =
-    s"""WITH ${Similarity.signBucketCtesSql(4, 8)},
+    s"""WITH ${Similarity.signBucketCtesSql(EmbLshPlanes, EmbLshTables)},
        cands AS (
          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          FROM buckets a
@@ -537,13 +571,85 @@ object Dedup {
            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
        ORDER BY vec_a, vec_b"""
 
+  // =========================================================================
+  // LSH candidate-recall floors, asserted in the gate
+  // =========================================================================
+  /** Candidate-recall floors of the two LSH blocking paths, verified IN
+    * the oracle gate (the discipline [[Similarity.recallBounds]] applies
+    * to ANN): a mis-calibrated banding drops true near-dups SILENTLY —
+    * the verify stage can only score pairs the blocker surfaced, so at
+    * 100 TB the loss is invisible to every downstream check. Truth sets
+    * come from the exact blocked generators at each path's own verify
+    * threshold; recall = fraction of truth pairs surfaced as raw
+    * candidates (pre-verify). Floors: minhash ≥ 0.95 (theory ≈ 0.9998
+    * at jaccard 0.95 with k=64/bands=8), embedding sign-LSH ≥ 0.6
+    * (4 planes × 8 tables at cosine 0.35). `n_truth` is exact on both
+    * engines, so the truth-set size itself is hash-checked; `recall_ok`
+    * is the asserted bound (oracle emits `true` — a violated floor
+    * hash-mismatches the gate).
+    */
+  def dedupRecallBounds(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // minhash: truth = (lang, len-bucket)-blocked exact unigram Jaccard
+    // at the LSH verify threshold; candidates = raw band collisions
+    val truthMh = ngramJaccard(docs, 1, 0.95)
+      .select(col("doc_a"), col("doc_b"))
+    val candMh = bandCandidates(bandedSignatures(docs, 1, 64, 8))
+    // embedding: truth = label-blocked exact cosine pairs; candidates =
+    // label-free sign-LSH bucket collisions
+    val truthEm = embeddingPairs(emb).select(col("vec_a"), col("vec_b"))
+    val embBase = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val candEm = embCandidates(embBucketed(embBase, dim, EmbLshPlanes, EmbLshTables))
+    graft.Caching.withCached(truthMh, truthEm) {
+      def recallRow(tag: String, truth: DataFrame, cand: DataFrame,
+          keys: Seq[String], floor: Double): (Long, Boolean) = {
+        val n = truth.count()
+        val hit = truth.join(cand, keys).count()
+        val recall = if (n == 0) 1.0 else hit.toDouble / n
+        System.err.println(
+          f"[dedup_recall_bounds] $tag truth=$n hit=$hit recall=$recall%.4f floor=$floor")
+        (n, n == 0 || recall >= floor)
+      }
+      val (nMh, mhOk) =
+        recallRow("minhash", truthMh, candMh, Seq("doc_a", "doc_b"), 0.95)
+      val (nEm, emOk) =
+        recallRow("embedding_lsh", truthEm, candEm, Seq("vec_a", "vec_b"), 0.6)
+      Seq(("embedding_lsh", nEm, emOk), ("minhash", nMh, mhOk))
+        .toDF("variant", "n_truth", "recall_ok")
+    }
+  }
+
+  /** Oracle for `dedup_recall_bounds`: exact truth-set sizes (both
+    * engines compute them deterministically) + the asserted `true`.
+    */
+  val dedupRecallBoundsSql: String =
+    s"""WITH $ngramPairCtesSql,
+       mh_truth AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs WHERE jaccard >= 0.95),
+       em_base AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       em_truth AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n
+         FROM em_base a JOIN em_base b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+       SELECT v.variant,
+         CASE v.variant WHEN 'minhash' THEN mh.n ELSE em.n END AS n_truth,
+         true AS recall_ok
+       FROM (VALUES ('embedding_lsh'), ('minhash')) v(variant), mh_truth mh, em_truth em
+       ORDER BY v.variant"""
+
   // ---- DuckDB oracles for the hash-based paths -----------------------------
   // Both re-derive the native fnv1a64 via OracleFnv's HUGEINT fold, so
   // the full pipeline (shingle hash → signatures → bands → candidate
   // join → verify) is reproduced exactly, constants included.
 
   /** Oracle for `dedup_minhash_lsh` with the registered defaults
-    * (n=1, k=32, bands=2, threshold=0.95). Signature permutation
+    * (n=1, k=64, bands=8, threshold=0.95). Signature permutation
     * constants are inlined from [[perms]] so both engines use the same
     * affine maps.
     */
@@ -588,7 +694,7 @@ object Dedup {
   }
 
   val minhashLshSql: String = {
-    s"""WITH ${minhashIndexCtesSql(32, 2)},
+    s"""WITH ${minhashIndexCtesSql(64, 8)},
        cand AS (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bh x JOIN bh y
@@ -682,7 +788,10 @@ object Dedup {
       embeddingPairs(Tables.embeddings(s, d)).orderBy(col("vec_a"), col("vec_b"))),
     "dedup_embedding_lsh" -> ((s, d) =>
       embeddingLshPairs(Tables.embeddings(s, d))
-        .orderBy(col("vec_a"), col("vec_b"))))
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "dedup_recall_bounds" -> ((s, d) =>
+      dedupRecallBounds(Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy(col("variant"))))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -692,5 +801,6 @@ object Dedup {
     "dedup_embedding_lsh" -> embeddingLshPairsSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_incremental" -> incrementalDedupSql,
-    "dedup_simhash" -> simhashPairsSql)
+    "dedup_simhash" -> simhashPairsSql,
+    "dedup_recall_bounds" -> dedupRecallBoundsSql)
 }

@@ -83,18 +83,28 @@ object Similarity {
        FROM ranked WHERE rank <= 5
        ORDER BY probe_id, rank"""
 
-  /** Deterministic ±1 hyperplane row for one plane: component i is the
-    * low bit of fnv1a64("<planeId>,<i>"). Derived once in the DRIVER —
-    * it is a pure function of the constants (planes×dim doubles,
-    * kilobytes of model state, like IVF's centroids) — and embedded as
-    * a literal array, so the per-row work is one fold per plane with no
+  /** Deterministic ±1 hyperplane row for one plane: component i is BIT
+    * 32 of fnv1a64("<planeId>,<i>"). Derived once in the DRIVER — it is
+    * a pure function of the constants (planes×dim doubles, kilobytes of
+    * model state, like IVF's centroids) — and embedded as a literal
+    * array, so the per-row work is one fold per plane with no
     * per-element hashing. The DuckDB oracle re-derives the identical
     * matrix from the same strings via the OracleFnv HUGEINT fold.
+    *
+    * Bit 32, NOT bit 0: FNV-1a's odd-prime multiply preserves the low
+    * bit of `h ^ byte`, so bit 0 of the final hash is just the parity
+    * of the input bytes' low bits — which made every "<planeId>,<i>"
+    * plane the SAME vector up to a global sign flip (sign = parity of
+    * planeId's digits ⊕ parity of i's digits). All tables then hashed
+    * on one effective hyperplane: buckets split the corpus roughly in
+    * half regardless of planes×tables, candidate sets stayed ~50% of
+    * all pairs, and recall at the cosine threshold was coin-flip. A
+    * middle bit gets full avalanche from the multiply's carries.
     */
   private[operators] def planeSigns(planeId: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
       val h = graft.functions.Fnv1a64.hashBytes(s"$planeId,$i".getBytes("UTF-8"))
-      if ((h & 1L) == 1L) 1.0 else -1.0
+      if (((h >>> 32) & 1L) == 1L) 1.0 else -1.0
     }
 
   /** Sign-LSH bucket id from `planes` hyperplanes (plane ids offset by
@@ -170,7 +180,8 @@ object Similarity {
        signs AS (
          SELECT tp.tbl, tp.p,
            list_transform(generate_series(1, (SELECT n FROM dimn)),
-             j -> CASE WHEN ${OracleFnv.fold(s"hex(encode($planeStr))")} % 2 = 1
+             j -> CASE WHEN (${OracleFnv.fold(s"hex(encode($planeStr))")}
+                             // CAST(4294967296 AS HUGEINT)) % 2 = 1
                        THEN 1.0 ELSE -1.0 END) AS sv
          FROM tp),
        projs AS (
