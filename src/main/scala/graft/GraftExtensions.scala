@@ -50,13 +50,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length != 2)
           throw new IllegalArgumentException(
             s"bloom_build(key, numBits) takes 2 arguments, got ${children.length}")
+        // typed literal match + range check: numBits sizes a per-group
+        // aggregation buffer (numBits/8 bytes per partial state), so an
+        // unbounded or non-integral SQL argument must fail analysis
+        // with a clear message, not NumberFormatException or an OOM
         val bits = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-              if v != null => v.toString.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+            v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            v
           case other => throw new IllegalArgumentException(
-            s"bloom_build numBits must be a non-null literal, got $other")
+            s"bloom_build numBits must be a non-null integer literal, got $other")
         }
-        BloomBuildAgg(children.head, bits).toAggregateExpression()
+        if (bits < 64 || bits > (1L << 30) || bits % 8 != 0)
+          throw new IllegalArgumentException(
+            s"bloom_build numBits must be a multiple of 8 in [64, 2^30] " +
+              s"(${bits / 8} bytes of aggregation state per group), got $bits")
+        BloomBuildAgg(children.head, bits.toInt).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_contains"),

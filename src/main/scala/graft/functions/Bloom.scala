@@ -140,3 +140,43 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def prettyName: String = "bloom_contains"
 }
+
+/** `bloom_contains` over a BROADCAST filter — the large-filter path.
+  * [[BloomMightContain]] with a `lit(bytes)` bloom embeds the bit array
+  * in the plan as a Literal, which serializes into every task binary:
+  * fine at 128 KB, a plan-bloat scale-killer at the ~120 MB a 100M-key
+  * filter needs. This variant holds a `Broadcast` handle instead — the
+  * task closure carries only the handle, executors fetch the bits once
+  * via the block manager, and codegen caches `.value()` in a per-task
+  * field so the hot probe loop touches a local byte[].
+  */
+case class BloomContainsBcast(
+    bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_bcast(key BIGINT): got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(key: Any): Any =
+    GraftBloom.mightContain(bloom.value, key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom, bcCls)
+    val bits = ctx.addMutableState("byte[]", "bloomBits",
+      v => s"$v = (byte[]) $bcRef.value();")
+    defineCodeGen(ctx, ev, k =>
+      s"graft.functions.GraftBloom.mightContain($bits, $k)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomContainsBcast = copy(child = newChild)
+
+  override def prettyName: String = "bloom_contains_bcast"
+}

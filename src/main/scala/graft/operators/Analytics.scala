@@ -627,25 +627,29 @@ object Analytics {
     val per = events
       .filter(col("user_id").isNotNull && col("event_type").isin(types: _*))
       .select(col("user_id"), col("event_type")).distinct()
-    val nUsers = per.select(col("user_id")).distinct().count()
-    val typeCounts = per.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_type"))
-    val pairs = per.as("a")
-      .join(per.as("b"), col("a.user_id") === col("b.user_id") &&
-        col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
-      .agg(count(lit(1)).as("n_both"))
-    pairs
-      .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
-        col("n_type").as("n_a"))), Seq("type_a"))
-      .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
-        col("n_type").as("n_b"))), Seq("type_b"))
-      .select(col("type_a"), col("type_b"), col("n_both"),
-        col("n_a"), col("n_b"),
-        (col("n_both").cast("double") / lit(nUsers.toDouble)).as("support"),
-        ((col("n_both").cast("double") * lit(nUsers.toDouble)) /
-          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+    // per is read four times (driver count, typeCounts, both self-join
+    // sides): persist it, or the events scan + distinct recomputes per use
+    graft.Caching.withCached(per) {
+      val nUsers = per.select(col("user_id")).distinct().count()
+      val typeCounts = per.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+      val pairs = per.as("a")
+        .join(per.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+          col("n_type").as("n_a"))), Seq("type_a"))
+        .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+          col("n_type").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a"), col("n_b"),
+          (col("n_both").cast("double") / lit(nUsers.toDouble)).as("support"),
+          ((col("n_both").cast("double") * lit(nUsers.toDouble)) /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+    }
   }
 
   val eventsTypeAffinitySql: String =

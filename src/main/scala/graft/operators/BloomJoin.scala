@@ -38,8 +38,14 @@ object BloomJoin {
     val bloom = hot.agg(
       call_function("bloom_build", col("o_orderkey"), lit(NumBits))).head()
       .getAs[Array[Byte]](0)
-    val pruned = li.filter(
-      call_function("bloom_contains", lit(bloom), col("l_orderkey")))
+    // broadcast, not lit(bloom): a Literal serializes the bit array into
+    // every task binary — fine at 128 KB, plan-bloat at the ~120 MB a
+    // 100M-key filter needs. The broadcast handle ships bytes once per
+    // executor via the block manager.
+    val bc = li.sparkSession.sparkContext.broadcast(bloom)
+    val pruned = li.filter(org.apache.spark.sql.GraftDatasetFactory.column(
+      graft.functions.BloomContainsBcast(bc,
+        org.apache.spark.sql.GraftDatasetFactory.expression(col("l_orderkey")))))
     pruned.join(hot, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority").as("order_priority"))
       .agg(

@@ -58,6 +58,18 @@ object Ivf {
       nlist: Int, iters: Int): Array[Array[Double]] = {
     val spark = base.sparkSession
     import spark.implicits._
+    // Domain contract for the exact-decimal reduction below: DECIMAL(36,33)
+    // keeps only 3 integer digits, so a coordinate with |x| >= 1000 casts
+    // to NULL in Spark (silently dropped from the centroid sum, skewing
+    // the means) while DuckDB's mirrored cast raises an error — a
+    // silent-wrong vs hard-fail divergence. Fail loudly on both engines:
+    // one cheap pass over the (caller-cached) input before training.
+    val outOfRange = base.filter(r =>
+      r._2.exists(x => x.isNaN || math.abs(x) >= 1000.0)).take(1)
+    require(outOfRange.isEmpty,
+      s"kmeans input vector id=${outOfRange.headOption.map(_._1).getOrElse(-1L)} " +
+        "has a NaN or |coordinate| >= 1000; the DECIMAL(36,33) exact-sum " +
+        "reduction is only lossless for |x| < 1000")
     // first column is the id by construction (works for both named
     // (vec_id, v) frames and tuple-encoded (_1, _2) datasets)
     var centroids = base.orderBy(col(base.columns.head)).take(nlist).map(_._2)

@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  val M = 4          // subspaces
+  // NOTE: the row shape is specialized to M = 4 — the encode tuple
+  // (c0..c3), the probe LUT columns (lut0..lut3), and the element_at
+  // scoring sum are written out per subspace to stay inside whole-stage
+  // codegen (a seq-typed column would box). Changing M compiles but
+  // breaks encoding/scoring at runtime, so it is pinned here; widen by
+  // generating those columns from M if a different shape is ever needed.
+  val M = 4          // subspaces (pinned — see note above)
   val Ksub = 8       // codes per subspace codebook
   val SubIters = 3   // Lloyd rounds per codebook
   val CoarseNlist = 16
@@ -46,6 +52,7 @@ object Pq {
     val base = Ivf.toVec(emb).as[(Long, Array[Double])]
     graft.Caching.withCached(base) {
       val dim = base.head()._2.length
+      require(M == 4, s"row shape is specialized to M=4 (see pin note), got $M")
       require(dim % M == 0, s"dim $dim not divisible by $M subspaces")
       val sub = dim / M
       val coarse = Ivf.kmeansVectors(base, CoarseNlist, CoarseIters)

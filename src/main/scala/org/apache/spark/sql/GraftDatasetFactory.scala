@@ -11,4 +11,17 @@ import org.apache.spark.sql.classic.ClassicConversions._
 object GraftDatasetFactory {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column over a raw catalyst Expression — needed for expressions that
+    * carry non-Expression state (e.g. a Broadcast handle) and so cannot
+    * be built through the registered-function path.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[column]] (e.g. to use a Column as the child of such
+    * an expression).
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
