@@ -46,7 +46,11 @@ object Bench {
     }
     release()
 
+    // Optional local-iteration filter (driver sets nothing → full run)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val order = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = order.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>

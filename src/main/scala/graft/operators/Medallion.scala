@@ -322,14 +322,18 @@ object Medallion {
     * them out of the gold plans is the inline equivalent of column
     * pruning on the materialized view.
     */
-  def silverOrdersEnrichedItems(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val so = silverOrders(orders)
-    val sl = silverLineitem(lineitem)
+  def silverOrdersEnrichedItems(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    silverOrdersEnrichedItemsFromSilver(silverOrders(orders),
+      silverLineitem(lineitem))
+
+  /** [[silverOrdersEnrichedItems]] over ALREADY-cleansed inputs — the
+    * pipeline DAG path, where silver_orders/silver_lineitem are landed
+    * tables and re-running the cleanse would duplicate work.
+    */
+  def silverOrdersEnrichedItemsFromSilver(so: DataFrame, sl: DataFrame): DataFrame = {
     // per-order aggregate: partial-agg friendly single shuffle on order_id
-    val itemAgg = sl.groupBy(col("order_id")).agg(
+    val mainAgg = sl.groupBy(col("order_id")).agg(
       count(lit(1)).as("item_count"),
-      countDistinct(col("product_id")).as("unique_products"),
-      countDistinct(col("seller_id")).as("unique_sellers"),
       dsum(col("price")).as("items_price"),
       dsum(col("freight_value")).as("items_freight"),
       dsum(col("total_item_value")).as("items_total_value"),
@@ -338,6 +342,22 @@ object Medallion {
       min(col("ship_date")).as("first_ship_date"),
       array_join(sort_array(collect_set(col("return_flag"))), ",")
         .as("return_flags"))
+    // distinct counts as their own two-level aggregations: mixing
+    // countDistinct with the aggregates above plans an Expand (×3 input
+    // blowup through the shuffle, partial aggregation crippled by the
+    // null-gated branches); distinct-then-count is fully map-side
+    // combined on both levels and joins back on the aggregation key
+    // (landing write at sf0.1 local[32]: 8.4s → 4.4s). NULL keys are
+    // filtered to match countDistinct, with the join+coalesce restoring 0.
+    def distinctCount(keyCol: String, as: String) =
+      sl.filter(col(keyCol).isNotNull)
+        .select(col("order_id"), col(keyCol)).distinct()
+        .groupBy(col("order_id")).agg(count(lit(1)).as(as))
+    val itemAgg = mainAgg
+      .join(distinctCount("product_id", "unique_products"),
+        Seq("order_id"), "left")
+      .join(distinctCount("seller_id", "unique_sellers"),
+        Seq("order_id"), "left")
     so.join(itemAgg, Seq("order_id"), "left")
       .select(
         col("order_id"), col("customer_id"), col("order_status"),
@@ -370,25 +390,36 @@ object Medallion {
     * order_hour is a faithful constant 0 — the source order timestamps
     * are date-grain, and HOUR() of a midnight timestamp is 0.
     *
-    * Scale: three independent partial-agg-friendly shuffles (one per
-    * aggregate, each on its own key) feeding sort-merge LEFT joins on
-    * order_id; no aggregate sees unreduced fact rows post-shuffle.
+    * Scale: independent partial-agg-friendly shuffles (one per
+    * aggregate, each on its own key; the items aggregate splits its
+    * distinct counts into their own two-level aggregations rather than
+    * Expand-mixing them — see [[silverOrdersEnrichedItems]]) feeding
+    * sort-merge LEFT joins on order_id; no aggregate sees unreduced
+    * fact rows post-shuffle.
     */
   def silverOrdersEnriched(orders: DataFrame, lineitem: DataFrame,
-      events: DataFrame): DataFrame = {
-    val paymentsAgg = silverPayments(events)
+      events: DataFrame): DataFrame =
+    silverOrdersEnrichedFromSilver(silverOrders(orders),
+      silverLineitem(lineitem), silverPayments(events), silverReviews(events))
+
+  /** [[silverOrdersEnriched]] over ALREADY-cleansed silver inputs — the
+    * pipeline DAG path (downstream of landed silver tables).
+    */
+  def silverOrdersEnrichedFromSilver(so: DataFrame, sl: DataFrame,
+      sp: DataFrame, sr: DataFrame): DataFrame = {
+    val paymentsAgg = sp
       .groupBy(col("user_id").as("pay_order_id")).agg(
       count(lit(1)).as("payment_count"),
       dsum(col("payment_value")).as("total_payment_value"),
       max(col("payment_sequential")).cast("int").as("max_installments"),
       array_join(sort_array(collect_set(col("payment_type"))), ",")
         .as("payment_types"))
-    val reviewsAgg = silverReviews(events)
+    val reviewsAgg = sr
       .groupBy(col("user_id").as("rev_order_id")).agg(
       max(col("score")).as("review_score"),
       max(col("sentiment")).as("review_sentiment"),
       max(col("has_comment")).as("has_review_comment"))
-    silverOrdersEnrichedItems(orders, lineitem)
+    silverOrdersEnrichedItemsFromSilver(so, sl)
       .join(paymentsAgg, col("order_id") === col("pay_order_id"), "left")
       .join(reviewsAgg, col("order_id") === col("rev_order_id"), "left")
       .drop("pay_order_id", "rev_order_id")

@@ -25,11 +25,70 @@ class PipelineSpec extends AnyFunSuite {
   test("medallion pipeline materializes all layers to the lake dir") {
     val lake = Files.createTempDirectory("graft_pipeline").toString
     val out = Pipeline.run(spark, Pipeline.medallion(sf), Some(lake))
-    assert(out.size == 8)
+    assert(out.size == 10)
     val daily = spark.read.parquet(s"$lake/gold/gold_daily_orders")
     assert(daily.count() > 0)
     // landed gold equals the directly-built query
     val direct = SparkEntry.queries("gold_daily_orders")(spark, sf).count()
     assert(daily.count() == direct)
+  }
+
+  // a diamond DAG with an injectable failure:  a → (b, flaky) → d, plus
+  // a fully independent branch e
+  private def flakyDefs(failures: java.util.concurrent.atomic.AtomicInteger) = Seq(
+    Pipeline.TableDef("a", "x", Nil, (s, _) => s.range(3).toDF("id")),
+    Pipeline.TableDef("b", "x", Seq("a"), (_, t) => t("a")),
+    Pipeline.TableDef("flaky", "x", Seq("a"), (s, t) => {
+      if (failures.getAndDecrement() > 0) sys.error("injected build failure")
+      t("a")
+    }),
+    Pipeline.TableDef("d", "x", Seq("b", "flaky"),
+      (_, t) => t("b").union(t("flaky"))),
+    Pipeline.TableDef("e", "y", Nil, (s, _) => s.range(5).toDF("id")))
+
+  test("a table failing twice succeeds under maxRetries=2 and reports attempts") {
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val (out, report) = Pipeline.runWithReport(spark, flakyDefs(failures),
+      policy = Pipeline.RunPolicy(maxRetries = 2))
+    assert(out.size == 5)
+    assert(out("d").count() == 6)
+    val flaky = report.find(_.name == "flaky").get
+    assert(flaky.status == "ok" && flaky.attempts == 3)
+    assert(report.forall(_.status == "ok"))
+  }
+
+  test("continue-on-failure lands independent branches and skips downstream") {
+    val failures = new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
+    val (out, report) = Pipeline.runWithReport(spark, flakyDefs(failures),
+      policy = Pipeline.RunPolicy(maxRetries = 1, continueOnFailure = true))
+    val status = report.map(r => r.name -> r.status).toMap
+    assert(status("flaky") == "failed")
+    assert(status("d") == "skipped") // downstream of the failure
+    assert(status("a") == "ok" && status("b") == "ok" && status("e") == "ok")
+    assert(report.find(_.name == "flaky").get.attempts == 2) // 1 + 1 retry
+    assert(report.find(_.name == "d").get.error.exists(_.contains("flaky")))
+    assert(out.keySet == Set("a", "b", "e")) // failed/skipped not returned
+    assert(out("e").count() == 5)
+    // default policy: the same failure makes run() throw
+    val err = intercept[RuntimeException] {
+      Pipeline.run(spark, flakyDefs(failures))
+    }
+    assert(err.getMessage.contains("flaky"))
+  }
+
+  test("independent branches build concurrently (futures overlap)") {
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    def gauge(s: org.apache.spark.sql.SparkSession) = {
+      val now = active.incrementAndGet()
+      peak.accumulateAndGet(now, math.max)
+      Thread.sleep(150) // hold the slot long enough to observe overlap
+      active.decrementAndGet()
+      s.range(1).toDF("id")
+    }
+    val defs = (1 to 4).map(i =>
+      Pipeline.TableDef(s"t$i", "x", Nil, (s, _) => gauge(s)))
+    Pipeline.run(spark, defs)
+    assert(peak.get() >= 2, s"expected concurrent builds, peak=${peak.get()}")
   }
 }
