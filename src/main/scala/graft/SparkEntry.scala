@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Medallion.queries ++ Gold.queries ++ Analytics.queries ++
       Insights.queries ++ graft.operators.BloomJoin.queries ++
-      Cdc.queries ++ Quality.queries ++ Masking.queries ++
+      Cdc.queries ++ graft.operators.CdcGen.queries ++
+      Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
@@ -40,7 +41,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
       Insights.oracles ++ graft.operators.BloomJoin.oracles ++
-      Cdc.oracles ++ Quality.oracles ++ Masking.oracles ++
+      Cdc.oracles ++ graft.operators.CdcGen.oracles ++
+      Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++

@@ -135,19 +135,36 @@ object Cdc {
     * window pass.
     */
   def applyChanges(feed: DataFrame, keys: Seq[String], seqCol: String,
-      opCol: String, scd: ScdType): DataFrame = {
+      opCol: String, scd: ScdType): DataFrame =
+    applyChangesOrdered(feed, keys, Seq(col(seqCol)), opCol, scd)
+
+  /** [[applyChanges]] with a COMPOSITE resolution order — the tie-break
+    * contract for feeds whose sequence alone is not a total order per
+    * key (same-key same-sequence arrivals: two writers, one coarse
+    * timestamp). `orderCols.head` is the sequence (SCD2 validity
+    * bounds come from it); the remaining columns break ties, applied
+    * descending for SCD1 (latest wins) and ascending for SCD2
+    * (versions open in resolution order). A feed with residual
+    * duplicates under the FULL order is still nondeterministic — the
+    * caller owns supplying a total order.
+    */
+  def applyChangesOrdered(feed: DataFrame, keys: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], opCol: String,
+      scd: ScdType): DataFrame = {
     val keyCols = keys.map(col)
     scd match {
       case ScdType1 =>
-        val w = Window.partitionBy(keyCols: _*).orderBy(col(seqCol).desc)
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(orderCols.map(_.desc): _*)
         feed.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1 && col(opCol) =!= "DELETE")
           .drop("__rn", opCol)
       case ScdType2 =>
-        val w = Window.partitionBy(keyCols: _*).orderBy(col(seqCol))
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(orderCols.map(_.asc): _*)
         feed
-          .withColumn("__start_at", col(seqCol))
-          .withColumn("__end_at", lead(col(seqCol), 1).over(w))
+          .withColumn("__start_at", orderCols.head)
+          .withColumn("__end_at", lead(orderCols.head, 1).over(w))
           .filter(col(opCol) =!= "DELETE")
           .withColumn("__is_current", col("__end_at").isNull)
           .drop(opCol)

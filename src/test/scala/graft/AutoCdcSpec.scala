@@ -70,4 +70,22 @@ class AutoCdcSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload")))
     assert(streamed.toSeq == Seq((1L, "a3"), (2L, "b3")))
   }
+
+  test("generated adversarial feed resolves per the tie-break contract") {
+    val rows = operators.CdcGen.convergence(spark).collect()
+      .map(r => r.getAs[Long]("key_id") ->
+        (r.getAs[Boolean]("is_live"), Option(r.getAs[java.lang.Long]("current_value"))))
+      .toMap
+    assert(rows.size == operators.CdcGen.Keys)
+    // delete-before-insert (k % 11 = 0, reopened by later batches): live
+    assert(rows(11L)._1 && rows(22L)._1)
+    // ends deleted (k % 5 = 0, no tie row): dropped from SCD1
+    assert(!rows(5L)._1 && !rows(10L)._1)
+    // same-sequence tie row wins for k % 7 = 0: value carries the +5000
+    assert(rows(7L)._1 && rows(7L)._2.exists(_ >= 5000L))
+    // k % 35 = 0: the tie UPDATE contends with that batch's DELETE at the
+    // SAME sequence — operation DESC keeps the key alive
+    assert(rows(35L)._1 && rows(35L)._2.exists(_ >= 5000L))
+    assert(rows(0L)._1 && rows(0L)._2.exists(_ >= 5000L))
+  }
 }
