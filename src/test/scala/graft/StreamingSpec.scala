@@ -131,4 +131,40 @@ class StreamingSpec extends AnyFunSuite {
     val users = events.map(_.user_id).distinct.size
     assert(open.size <= users)
   }
+
+  test("append-mode windowed agg state plateaus at the watermark horizon") {
+    // the state-bound claim behind stream_windowed_append: with
+    // withWatermark + APPEND mode, closed windows are EVICTED from the
+    // state store, so state is O(windows inside the horizon) — not
+    // O(all windows ever seen). Observed via
+    // lastProgress.stateOperators.numRowsTotal across 24 microbatches
+    // that each advance event time by one hour.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "2 hours")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+      .agg(sum(col("v")).as("total"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_bound_windows")
+      .start()
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val stateSizes =
+      try (0 until 24).map { h =>
+        mem.addData((new java.sql.Timestamp(base + h * 3600L * 1000), 1.0))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+    // 24 distinct hourly windows entered the stream...
+    val emitted = spark.sql("SELECT count(*) FROM state_bound_windows")
+      .head().getLong(0)
+    assert(emitted >= 20, s"append mode should have flushed most windows: $emitted")
+    // ...but state holds only the ~3 windows inside the 2h horizon
+    // (window end > watermark), PLATEAUING instead of growing with input
+    val warm = stateSizes.drop(6)
+    assert(warm.max <= 6,
+      s"state grew with input instead of plateauing: $stateSizes")
+    assert(stateSizes.last <= 6)
+  }
 }
