@@ -26,6 +26,7 @@ object SparkEntry {
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
       graft.sources.CsvIngest.queries ++
+      graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
       graft.sources.Bucketed.queries ++
       graft.sources.CatalogSetup.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
       graft.sources.CsvIngest.oracles ++
+      graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
       graft.sources.Bucketed.oracles ++
       graft.sources.CatalogSetup.oracles ++
