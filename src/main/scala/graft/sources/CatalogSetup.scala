@@ -22,8 +22,26 @@ import org.apache.spark.sql.functions.col
   */
 object CatalogSetup {
 
-  val BronzeDb = "graft_bronze"
-  val LayerDbs = Seq("graft_bronze", "graft_silver", "graft_gold")
+  /** Environment-parameterized namespace — the `${catalog}` templating
+    * analog (ref unity_catalog_setup.py:23-25 `CATALOG_NAME =
+    * f"olist_{ENVIRONMENT}" if ENVIRONMENT != "prod" else "olist"`;
+    * databricks.yml targets dev/staging/prod). Spark exposes a single
+    * session catalog, so the `catalog.schema` two-level namespace maps
+    * to `<catalog>_<layer>` databases.
+    */
+  final case class CatalogEnv(name: String) {
+    val catalogName: String = if (name == "prod") "graft" else s"graft_$name"
+    def db(layer: String): String = s"${catalogName}_$layer"
+    def layerDbs: Seq[String] = Layers.map(db)
+  }
+
+  val Layers = Seq("bronze", "silver", "gold")
+  val Prod: CatalogEnv = CatalogEnv("prod")
+  val Dev: CatalogEnv = CatalogEnv("dev")
+
+  // back-compat aliases for the default (prod) layout
+  val BronzeDb: String = Prod.db("bronze")
+  val LayerDbs: Seq[String] = Prod.layerDbs
 
   /** The events feed is NOT registered: its TIMESTAMP(NANOS) column
     * needs the ns→µs read convention applied by [[graft.Tables.events]],
@@ -33,18 +51,21 @@ object CatalogSetup {
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
 
   /** Create the layer databases and (re-)register each testdata parquet
-    * file as a named external bronze table pointing at `sfDir`.
+    * file as a named external bronze table pointing at `sfDir`, under
+    * the environment's namespace prefix.
     */
-  def bootstrap(spark: SparkSession, sfDir: String): Unit = {
-    LayerDbs.foreach { db =>
+  def bootstrap(spark: SparkSession, sfDir: String,
+      env: CatalogEnv = Prod): Unit = {
+    env.layerDbs.foreach { db =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     }
+    val bronze = env.db("bronze")
     BronzeTables.foreach { t =>
       // re-register rather than IF NOT EXISTS: the gate may rebind the
       // same session to a different scale-factor dir between queries
-      spark.sql(s"DROP TABLE IF EXISTS $BronzeDb.$t")
+      spark.sql(s"DROP TABLE IF EXISTS $bronze.$t")
       spark.sql(
-        s"CREATE TABLE $BronzeDb.$t USING parquet LOCATION '$sfDir/$t.parquet'")
+        s"CREATE TABLE $bronze.$t USING parquet LOCATION '$sfDir/$t.parquet'")
     }
   }
 
@@ -52,21 +73,35 @@ object CatalogSetup {
     * registered query resolves via the namespace layout and produces
     * byte-identical results to its path-based twin (same oracle SQL).
     */
-  def regionRevenueViaCatalog(spark: SparkSession, sfDir: String): DataFrame = {
-    bootstrap(spark, sfDir)
+  def regionRevenueViaCatalog(spark: SparkSession, sfDir: String,
+      env: CatalogEnv = Prod): DataFrame = {
+    bootstrap(spark, sfDir, env)
+    val bronze = env.db("bronze")
     graft.operators.Analytics.q5RegionRevenue(
-      spark.table(s"$BronzeDb.customer"),
-      spark.table(s"$BronzeDb.orders"),
-      spark.table(s"$BronzeDb.lineitem"),
-      spark.table(s"$BronzeDb.supplier"),
-      spark.table(s"$BronzeDb.nation"),
-      spark.table(s"$BronzeDb.region"))
+      spark.table(s"$bronze.customer"),
+      spark.table(s"$bronze.orders"),
+      spark.table(s"$bronze.lineitem"),
+      spark.table(s"$bronze.supplier"),
+      spark.table(s"$bronze.nation"),
+      spark.table(s"$bronze.region"))
+  }
+
+  /** Gate body: resolve Q5 through BOTH environment layouts and require
+    * them identical — the multi-env switch has to produce the same
+    * semantics from either namespace, differing only in the prefix.
+    */
+  def regionRevenueBothEnvs(spark: SparkSession, sfDir: String): DataFrame = {
+    val prod = regionRevenueViaCatalog(spark, sfDir, Prod)
+    val dev = regionRevenueViaCatalog(spark, sfDir, Dev)
+    require(dev.exceptAll(prod).isEmpty && prod.exceptAll(dev).isEmpty,
+      "dev and prod catalog layouts resolved to different results")
+    prod
   }
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_region_revenue" -> ((s, d) =>
-      regionRevenueViaCatalog(s, d)
+      regionRevenueBothEnvs(s, d)
         .orderBy(col("region_name"), col("nation_name"))))
 
   def oracles: Map[String, String] = Map(
