@@ -81,26 +81,36 @@ object Dedup {
     * verification stage behind [[minhashLsh]] (linear candidate
     * generation), not as the primary pair generator.
     */
-  def ngramJaccard(docs: DataFrame, n: Int = 1,
-      threshold: Double = 0.8): DataFrame = {
-    // both sides of the self-join read this: persist for the join, or
-    // the whole tokenize/ngram pipeline runs twice
-    val base = docs.select(
-      col("doc_id"), col("lang"),
-      hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"),
-      (size(split(normText(col("text")), " ")) / 10).cast("int").as("len_bucket"))
+  /** The blocked gram base (doc_id, lang, grams, len_bucket) shared by
+    * the exact pair generator and [[dedupRecallBounds]].
+    */
+  private def ngramBase(docs: DataFrame, n: Int): DataFrame = docs.select(
+    col("doc_id"), col("lang"),
+    hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"),
+    (size(split(normText(col("text")), " ")) / 10).cast("int").as("len_bucket"))
+
+  /** Blocked exact pairs from a (cached) [[ngramBase]] frame. */
+  private def ngramPairsFromBase(base: DataFrame, threshold: Double): DataFrame = {
     val a = base.select(col("lang"), col("len_bucket"),
       col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val b = base.select(col("lang"), col("len_bucket"),
       col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lang"))
+  }
+
+  def ngramJaccard(docs: DataFrame, n: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    // both sides of the self-join read this: persist for the join, or
+    // the whole tokenize/ngram pipeline runs twice
+    val base = ngramBase(docs, n)
     graft.Caching.withCached(base) {
-      a.join(b, Seq("lang", "len_bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-            size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lang"))
+      ngramPairsFromBase(base, threshold)
     }
   }
 
@@ -212,12 +222,22 @@ object Dedup {
     * Shingle hash is the native codegen'd `fnv1a64` (not xxhash64) so the
     * DuckDB oracle can re-derive signatures bit-exactly.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(ngrams(normText(col("text")), n)).as("sh"))
-      .withColumn("h",
-        pmod(graft.functions.Fingerprint.fnv1a64(docs.sparkSession, col("sh")),
-          lit(MinhashPrime)))
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    minhashSignaturesFromGrams(docs.select(col("doc_id"),
+      hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams")), k)
+
+  /** [[minhashSignatures]] from a precomputed (doc_id, grams) table of
+    * distinct gram FNV hashes — callers that also need the gram sets
+    * for exact verification ([[minhashLsh]], [[incrementalDedup]],
+    * [[dedupRecallBounds]]) tokenize+hash ONCE and share the cached
+    * frame between signature and verify stages. `pmod(fnv, P)` here
+    * equals the historical hash-the-shingle path bit-for-bit (the
+    * oracle's hv CTE), so signatures are unchanged.
+    */
+  def minhashSignaturesFromGrams(grams: DataFrame, k: Int): DataFrame = {
+    val sh = grams
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("h", pmod(col("g"), lit(MinhashPrime)))
     val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"sig_$i")
     }
@@ -242,11 +262,21 @@ object Dedup {
     * key = fnv1a64 of the comma-joined signature slice (not murmur3
     * `hash`): same compact bucket key, but oracle-reproducible.
     */
-  def bandedSignatures(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+  def bandedSignatures(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame =
+    bandedSignaturesFromGrams(docs.sparkSession,
+      docs.select(col("doc_id"),
+        hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams")),
+      k, bands)
+
+  /** [[bandedSignatures]] from a precomputed (doc_id, grams) table —
+    * see [[minhashSignaturesFromGrams]] for the sharing rationale.
+    */
+  def bandedSignaturesFromGrams(s: SparkSession, grams: DataFrame,
+      k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(docs, n, k)
+    val sigs = minhashSignaturesFromGrams(grams, k)
     val banded = sigs.select(col("doc_id") +: (0 until bands).map { bIdx =>
-      graft.functions.Fingerprint.fnv1a64(docs.sparkSession,
+      graft.functions.Fingerprint.fnv1a64(s,
         concat_ws(",", (bIdx * rows until (bIdx + 1) * rows)
           .map(i => col(s"sig_$i")): _*))
         .as(s"band_$bIdx")
@@ -258,26 +288,30 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
 
-  /** Distinct candidate pairs from a banded signature table: self-join
-    * on the (band_idx, band_hash) key — the raw LSH blocking output,
-    * before exact verification.
+  /** Raw band-collision pairs (pre-distinct: one row per shared band)
+    * from a banded signature table — self-join on (band_idx, band_hash).
     */
-  private def bandCandidates(exploded: DataFrame): DataFrame =
+  private def bandCollisions(exploded: DataFrame): DataFrame =
     exploded.as("x").join(exploded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+
+  /** Distinct candidate pairs — the LSH blocking output, before exact
+    * verification.
+    */
+  private def bandCandidates(exploded: DataFrame): DataFrame =
+    bandCollisions(exploded).distinct()
 
   def minhashLsh(docs: DataFrame, n: Int = 1, k: Int = 64, bands: Int = 8,
       threshold: Double = 0.95): DataFrame = {
-    // self-joined below: persist, or the signature pipeline (explode +
-    // k min-aggs) runs once per join side
-    val exploded = bandedSignatures(docs, n, k, bands)
+    // ONE tokenize+hash pass: the cached gram table feeds both the
+    // signature pipeline and the exact-Jaccard verify join sides
     val grams = docs.select(col("doc_id"),
       hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"))
-    graft.Caching.withCached(exploded, grams) {
+    val exploded = bandedSignaturesFromGrams(docs.sparkSession, grams, k, bands)
+    graft.Caching.withCached(grams, exploded) {
       val cands = bandCandidates(exploded)
       cands
         .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
@@ -314,10 +348,10 @@ object Dedup {
     val buckets = docs.select(col("doc_id"),
       pmod(graft.functions.Fingerprint.fnv1a64(s, normText(col("text"))),
         lit(100L)).as("bucket"))
-    val bandTable = bandedSignatures(docs, n, k, bands)
-      .join(buckets, Seq("doc_id"))
     val grams = docs.select(col("doc_id"),
       hashedNgrams(s, normText(col("text")), n).as("grams"))
+    val bandTable = bandedSignaturesFromGrams(s, grams, k, bands)
+      .join(buckets, Seq("doc_id"))
     // buckets is read twice (inside bandTable and for the final batch
     // membership) — cache it, or the corpus is re-hashed per use
     graft.Caching.withCached(bandTable, grams, buckets) {
@@ -456,19 +490,29 @@ object Dedup {
     * 100 TB the linear path is [[Similarity.lshTopK]]'s bucketing with
     * this as the in-bucket verifier.
     */
-  def embeddingPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
-    val base = emb.select(col("vec_id"), col("label"),
+  /** The normalized embedding base (vec_id, label, v, nrm) shared by
+    * the exact pair generator and [[dedupRecallBounds]].
+    */
+  private def embBase(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+
+  /** Label-blocked exact pairs from a (cached) [[embBase]] frame. */
+  private def embPairsFromBase(base: DataFrame, threshold: Double): DataFrame =
+    base.as("a").join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        Similarity.cosinePre(Similarity.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+
+  def embeddingPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val base = embBase(emb)
     // self-joined: persist so each vector's norm folds once
     graft.Caching.withCached(base) {
-      base.as("a").join(base.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"),
-          Similarity.cosinePre(Similarity.dot(col("a.v"), col("b.v")),
-            col("a.nrm"), col("b.nrm")).as("cosine"))
-        .filter(col("cosine") >= threshold)
+      embPairsFromBase(base, threshold)
     }
   }
 
@@ -494,15 +538,20 @@ object Dedup {
         .as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
 
-  /** Distinct candidate pairs from the bucket table: any two vectors
-    * sharing a bucket in ANY table, before exact-cosine verification.
+  /** Raw bucket-collision pairs (pre-distinct: one row per shared
+    * (table, bucket)) from the bucket table.
     */
-  private def embCandidates(bucketed: DataFrame): DataFrame =
+  private def embCollisions(bucketed: DataFrame): DataFrame =
     bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+
+  /** Distinct candidate pairs: any two vectors sharing a bucket in ANY
+    * table, before exact-cosine verification.
+    */
+  private def embCandidates(bucketed: DataFrame): DataFrame =
+    embCollisions(bucketed).distinct()
 
   /** Bucket-family shape for [[embeddingLshPairs]] and its recall gate:
     * 3 planes × 8 tables puts per-table collision probability at the
@@ -591,34 +640,46 @@ object Dedup {
   def dedupRecallBounds(docs: DataFrame, emb: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // minhash: truth = (lang, len-bucket)-blocked exact unigram Jaccard
-    // at the LSH verify threshold; candidates = raw band collisions
-    val truthMh = ngramJaccard(docs, 1, 0.95)
-      .select(col("doc_a"), col("doc_b"))
-    val candMh = bandCandidates(bandedSignatures(docs, 1, 64, 8))
-    // embedding: truth = label-blocked exact cosine pairs; candidates =
-    // label-free sign-LSH bucket collisions
-    val truthEm = embeddingPairs(emb).select(col("vec_a"), col("vec_b"))
-    val embBase = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // ONE tokenize+hash pass and ONE embedding-normalize pass: the
+    // cached bases feed truth generator AND candidate generator on each
+    // side (truth = the exact blocked pairs at each path's verify
+    // threshold; candidates = the raw LSH collisions, pre-verify)
+    val mhBase = ngramBase(docs, 1)
+    val eBase = embBase(emb)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val candEm = embCandidates(embBucketed(embBase, dim, EmbLshPlanes, EmbLshTables))
-    graft.Caching.withCached(truthMh, truthEm) {
-      def recallRow(tag: String, truth: DataFrame, cand: DataFrame,
-          keys: Seq[String], floor: Double): (Long, Boolean) = {
-        val n = truth.count()
-        val hit = truth.join(cand, keys).count()
-        val recall = if (n == 0) 1.0 else hit.toDouble / n
-        System.err.println(
-          f"[dedup_recall_bounds] $tag truth=$n hit=$hit recall=$recall%.4f floor=$floor")
-        (n, n == 0 || recall >= floor)
+    graft.Caching.withCached(mhBase, eBase) {
+      val truthMh = ngramPairsFromBase(mhBase, 0.95)
+        .select(col("doc_a"), col("doc_b"))
+      val collMh = bandCollisions(
+        bandedSignaturesFromGrams(spark, mhBase, 64, 8))
+      val truthEm = embPairsFromBase(eBase, 0.35)
+        .select(col("vec_a"), col("vec_b"))
+      val collEm = embCollisions(
+        embBucketed(eBase, dim, EmbLshPlanes, EmbLshTables))
+      // truth frames are read twice (size + hit join): persist them so
+      // the O(block²) exact joins run once each
+      graft.Caching.withCached(truthMh, truthEm) {
+        // hit = |truth ∩ distinct(collisions)| computed WITHOUT
+        // materializing the distinct candidate set: collisions stream
+        // through a broadcast-hash join against the (small) truth set
+        // and only the matches are deduplicated — no wide shuffle
+        def recallRow(tag: String, truth: DataFrame, coll: DataFrame,
+            keys: Seq[String], floor: Double): (Long, Boolean) = {
+          val n = truth.count()
+          val hit = coll.join(broadcast(truth), keys)
+            .select(keys.map(col): _*).distinct().count()
+          val recall = if (n == 0) 1.0 else hit.toDouble / n
+          System.err.println(
+            f"[dedup_recall_bounds] $tag truth=$n hit=$hit recall=$recall%.4f floor=$floor")
+          (n, n == 0 || recall >= floor)
+        }
+        val (nMh, mhOk) =
+          recallRow("minhash", truthMh, collMh, Seq("doc_a", "doc_b"), 0.95)
+        val (nEm, emOk) =
+          recallRow("embedding_lsh", truthEm, collEm, Seq("vec_a", "vec_b"), 0.6)
+        Seq(("embedding_lsh", nEm, emOk), ("minhash", nMh, mhOk))
+          .toDF("variant", "n_truth", "recall_ok")
       }
-      val (nMh, mhOk) =
-        recallRow("minhash", truthMh, candMh, Seq("doc_a", "doc_b"), 0.95)
-      val (nEm, emOk) =
-        recallRow("embedding_lsh", truthEm, candEm, Seq("vec_a", "vec_b"), 0.6)
-      Seq(("embedding_lsh", nEm, emOk), ("minhash", nMh, mhOk))
-        .toDF("variant", "n_truth", "recall_ok")
     }
   }
 

@@ -93,7 +93,12 @@ object CatalogSetup {
   def regionRevenueBothEnvs(spark: SparkSession, sfDir: String): DataFrame = {
     val prod = regionRevenueViaCatalog(spark, sfDir, Prod)
     val dev = regionRevenueViaCatalog(spark, sfDir, Dev)
-    require(dev.exceptAll(prod).isEmpty && prod.exceptAll(dev).isEmpty,
+    // Q5 output is O(nations) rows: compare the collected sorted rows
+    // driver-side (exceptAll would re-run the full 5-way join per
+    // direction for a 25-row comparison)
+    val sort = Seq(col("region_name"), col("nation_name"))
+    require(dev.orderBy(sort: _*).collect().toSeq ==
+        prod.orderBy(sort: _*).collect().toSeq,
       "dev and prod catalog layouts resolved to different results")
     prod
   }
