@@ -21,7 +21,7 @@ object SparkEntry {
       Cdc.queries ++ graft.operators.CdcGen.queries ++
       Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      graft.operators.Bpe.queries ++
+      graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -45,7 +45,7 @@ object SparkEntry {
       Cdc.oracles ++ graft.operators.CdcGen.oracles ++
       Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      graft.operators.Bpe.oracles ++
+      graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** BM25-style ranked retrieval over the document corpus — the search
+  * half of the inverted-index story ([[TextAnalysis]] builds the index;
+  * this ranks against it). Robertson-Sparck Jones BM25 shape with one
+  * deliberate substitution: the idf is the RATIONAL core
+  * `(N − df + 0.5) / (df + 0.5)` rather than its logarithm — `ln` is
+  * not cross-engine bit-exact (SURVEY §3.7) while `+ − × ÷` are, so
+  * graft-BM25 trades the usual log damping for an exactly-verifiable
+  * score (a monotone per-term transform; rankings differ from textbook
+  * BM25 only in how multi-term scores mix). k1 = 1.2, b = 0.75.
+  *
+  * The "query" is derived from the corpus itself so the whole pipeline
+  * is deterministic: the `QTerms` highest-collection-frequency tokens
+  * among those with df ≤ N/4 (the df cap excludes stopword-like terms),
+  * ties broken lexicographically.
+  *
+  * Determinism details: per-term contributions are pivoted into FIXED
+  * slots (qrank 1..3, each a ≤1-element sum) and added in slot order —
+  * never a float SUM across a group, whose reduction order differs per
+  * partitioning. N and avglen are two driver scalars (model state, like
+  * eventsTypeAffinity's N); both engines derive them from the same
+  * integer counts with one IEEE division.
+  *
+  * Scale posture: one shuffle to (doc, term) counts, one vocab-sized
+  * aggregate for df/cf, a broadcast of `QTerms` rows back onto the tf
+  * table, and a global top-k window over docs that matched ≥1 query
+  * term. The corpus itself never self-joins.
+  */
+object Bm25 {
+
+  val QTerms = 3
+  val TopK = 20
+
+  def bm25TopK(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(Dedup.normText(col("text")), " ")).as("len_d"),
+      explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+    graft.Caching.withCached(toks) {
+      val nDocs = toks.select(col("doc_id")).distinct().count()
+      val totalToks = toks.count()
+      val avgLen = totalToks.toDouble / nDocs.toDouble
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(
+        count(lit(1)).as("tf"), max(col("len_d")).as("len_d"))
+      val dfcf = tf.groupBy(col("tok")).agg(
+        count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val w = Window.orderBy(col("cf").desc, col("tok"))
+      val qt = dfcf.filter(col("df") * 4 <= lit(nDocs))
+        .withColumn("qrank", row_number().over(w))
+        .filter(col("qrank") <= QTerms)
+        .select(col("tok"), col("df"), col("qrank"))
+      val tfD = col("tf").cast("double")
+      val dfD = col("df").cast("double")
+      val lenD = col("len_d").cast("double")
+      val idf = ((lit(nDocs.toDouble) - dfD) + lit(0.5)) / (dfD + lit(0.5))
+      val contrib = idf * (tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (lenD / lit(avgLen))))
+      val slots = tf.join(broadcast(qt), Seq("tok"))
+        .withColumn("contrib", contrib)
+        .groupBy(col("doc_id")).agg(
+          sum(when(col("qrank") === 1, col("contrib"))).as("c1"),
+          sum(when(col("qrank") === 2, col("contrib"))).as("c2"),
+          sum(when(col("qrank") === 3, col("contrib"))).as("c3"),
+          count(lit(1)).as("n_terms"))
+      val score = coalesce(col("c1"), lit(0.0)) +
+        coalesce(col("c2"), lit(0.0)) + coalesce(col("c3"), lit(0.0))
+      val rw = Window.orderBy(col("score").desc, col("doc_id"))
+      slots.withColumn("score", score)
+        .withColumn("rank", row_number().over(rw).cast("int"))
+        .filter(col("rank") <= TopK)
+        .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+    }
+  }
+
+  val bm25TopKSql: String = {
+    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    s"""WITH toks AS (
+         SELECT doc_id,
+           len(string_split($norm, ' ')) AS len_d,
+           unnest(string_split($norm, ' ')) AS tok
+         FROM documents),
+       stats AS (
+         SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total
+         FROM toks),
+       tf AS (
+         SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+           MAX(len_d) AS len_d
+         FROM toks GROUP BY 1, 2),
+       dfcf AS (
+         SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, SUM(tf) AS cf
+         FROM tf GROUP BY tok),
+       qt AS (
+         SELECT tok, df, qrank FROM (
+           SELECT tok, df,
+             row_number() OVER (ORDER BY cf DESC, tok) AS qrank
+           FROM dfcf WHERE df * 4 <= (SELECT n FROM stats))
+         WHERE qrank <= $QTerms),
+       scored AS (
+         SELECT t.doc_id, q.qrank,
+           ((CAST((SELECT n FROM stats) AS DOUBLE) - CAST(q.df AS DOUBLE)) + 0.5)
+             / (CAST(q.df AS DOUBLE) + 0.5)
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+             / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(t.len_d AS DOUBLE)
+                / (CAST((SELECT total FROM stats) AS DOUBLE)
+                   / CAST((SELECT n FROM stats) AS DOUBLE)))))
+             AS contrib
+         FROM tf t JOIN qt q ON q.tok = t.tok),
+       slots AS (
+         SELECT doc_id,
+           SUM(CASE WHEN qrank = 1 THEN contrib END) AS c1,
+           SUM(CASE WHEN qrank = 2 THEN contrib END) AS c2,
+           SUM(CASE WHEN qrank = 3 THEN contrib END) AS c3,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+         FROM scored GROUP BY doc_id),
+       ranked AS (
+         SELECT doc_id,
+           COALESCE(c1, 0.0) + COALESCE(c2, 0.0) + COALESCE(c3, 0.0) AS score,
+           n_terms
+         FROM slots)
+       SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+         doc_id, score, n_terms
+       FROM ranked
+       QUALIFY rank <= $TopK
+       ORDER BY rank"""
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_bm25_topk" -> ((s, d) =>
+      bm25TopK(Tables.documents(s, d)).orderBy(col("rank"))))
+
+  def oracles: Map[String, String] = Map(
+    "docs_bm25_topk" -> bm25TopKSql)
+}

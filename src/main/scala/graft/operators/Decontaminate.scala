@@ -106,12 +106,102 @@ object Decontaminate {
        ORDER BY test_id, train_id"""
   }
 
+  // =========================================================================
+  // Embedding-level (semantic) decontamination
+  // =========================================================================
+  /** The n-gram check's semantic complement: eval-set items whose
+    * MEANING leaks into training (paraphrases, translations, light
+    * rewrites) share no n-grams but sit close in embedding space. For
+    * each eval vector (vec_id % 20 == 0): how many train vectors land
+    * within `threshold` cosine, and the closest such match.
+    *
+    * Scale posture: candidates come from shared sign-LSH buckets (the
+    * [[Dedup.embeddingLshPairs]] family — key-equality joins, linear in
+    * corpus × bucket occupancy, never eval × train), verified by exact
+    * fold-deterministic cosine. Bucket recall for this family is
+    * floored in-gate by `dedup_recall_bounds`.
+    */
+  def embeddingContamination(emb: DataFrame, threshold: Double = 0.35,
+      planes: Int = 3, tables: Int = 8): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val bucketed = base.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col("v"), planes, t, dim).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    graft.Caching.withCached(base, bucketed) {
+      val evalB = bucketed.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eval_id"), col("tbl"), col("bucket"))
+      val trainB = bucketed.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id").as("train_id"), col("tbl"), col("bucket"))
+      val cands = trainB.join(evalB, Seq("tbl", "bucket"))
+        .select(col("eval_id"), col("train_id")).distinct()
+      val scored = cands
+        .join(base.select(col("vec_id").as("eval_id"), col("v").as("ev"),
+          col("nrm").as("en")), Seq("eval_id"))
+        .join(base.select(col("vec_id").as("train_id"), col("v").as("tv"),
+          col("nrm").as("tn")), Seq("train_id"))
+        .select(col("eval_id"),
+          Similarity.cosinePre(Similarity.dot(col("ev"), col("tv")),
+            col("en"), col("tn")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+      val agg = scored.groupBy(col("eval_id")).agg(
+        count(lit(1)).as("n_matches"), max(col("cosine")).as("max_cosine"))
+      base.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eval_id"))
+        .join(agg, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("max_cosine"),
+          col("max_cosine").isNotNull.as("is_contaminated"))
+    }
+  }
+
+  /** Oracle for `decontaminate_embedding` (threshold=0.35, the 3×8
+    * sign-LSH family) — bucket CTEs shared with the other LSH oracles.
+    */
+  val embeddingContaminationSql: String =
+    s"""WITH ${Similarity.signBucketCtesSql(3, 8)},
+       cands AS (
+         SELECT DISTINCT e.vec_id AS eval_id, t.vec_id AS train_id
+         FROM buckets e
+         JOIN buckets t ON e.tbl = t.tbl AND e.bucket = t.bucket
+         WHERE e.vec_id % 20 = 0 AND t.vec_id % 20 <> 0),
+       scored AS (
+         SELECT c.eval_id,
+           list_dot_product(ev.v, tv.v)
+             / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(tv.v, tv.v)))
+             AS cosine
+         FROM cands c
+         JOIN vec ev ON ev.vec_id = c.eval_id
+         JOIN vec tv ON tv.vec_id = c.train_id),
+       agg AS (
+         SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MAX(cosine) AS max_cosine
+         FROM scored WHERE cosine >= 0.35 GROUP BY eval_id)
+       SELECT e.vec_id AS eval_id,
+         COALESCE(a.n_matches, 0) AS n_matches,
+         a.max_cosine,
+         a.max_cosine IS NOT NULL AS is_contaminated
+       FROM vec e
+       LEFT JOIN agg a ON a.eval_id = e.vec_id
+       WHERE e.vec_id % 20 = 0
+       ORDER BY eval_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate_ngram" -> ((s, d) =>
       contamination(Tables.documents(s, d))
-        .orderBy(col("test_id"), col("train_id"))))
+        .orderBy(col("test_id"), col("train_id"))),
+    "decontaminate_embedding" -> ((s, d) =>
+      embeddingContamination(Tables.embeddings(s, d))
+        .orderBy(col("eval_id"))))
 
   def oracles: Map[String, String] = Map(
-    "decontaminate_ngram" -> contaminationSql)
+    "decontaminate_ngram" -> contaminationSql,
+    "decontaminate_embedding" -> embeddingContaminationSql)
 }

@@ -344,4 +344,34 @@ class LlmOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("embedding decontamination covers the eval slice with consistent flags") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = operators.Decontaminate.embeddingContamination(emb).collect()
+    val nEval = emb.filter(col("vec_id") % 20 === 0).count()
+    assert(rows.length == nEval) // one verdict per eval vector, match or not
+    rows.foreach { r =>
+      val evalId = r.getAs[Long]("eval_id")
+      assert(evalId % 20 == 0)
+      val contaminated = r.getAs[Boolean]("is_contaminated")
+      val maxCos = Option(r.getAs[java.lang.Double]("max_cosine"))
+      assert(contaminated == maxCos.isDefined)
+      maxCos.foreach(c => assert(c >= 0.35 && c <= 1.0 + 1e-9))
+      assert(r.getAs[Long]("n_matches") >= (if (contaminated) 1 else 0))
+    }
+  }
+
+  test("bm25 top-k ranks are dense with non-increasing scores") {
+    val out = operators.Bm25.bm25TopK(Tables.documents(spark, sf))
+      .orderBy(col("rank")).collect()
+    assert(out.length == operators.Bm25.TopK)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to operators.Bm25.TopK))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_terms")
+      assert(n >= 1 && n <= operators.Bm25.QTerms)
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+  }
 }
