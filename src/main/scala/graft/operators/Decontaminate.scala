@@ -124,9 +124,12 @@ object Decontaminate {
   def embeddingContamination(emb: DataFrame, threshold: Double = 0.35,
       planes: Int = 3, tables: Int = 8): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // repartition: the bucket self-join's output blow-up must not land
+    // on the scan's partition count (single-file corpus = one task)
     val base = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .repartition(col("vec_id"))
     val bucketed = base.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),

@@ -28,6 +28,19 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), " +", " ")
 
+  /** Exact Jaccard of two DISTINCT gram-hash arrays from the intersect
+    * size alone: |A∪B| = |A| + |B| − |A∩B|, so the union set is never
+    * materialized — one hash-set pass per pair instead of two on the
+    * million-pair verify joins. Identical integers → the division is
+    * the identical double, so every oracle's
+    * `len(list_intersect) / len(list_distinct(list_concat))` mirror
+    * keeps hash-matching.
+    */
+  private def jaccardOf(gramsA: Column, gramsB: Column): Column = {
+    val inter = size(array_intersect(gramsA, gramsB)).cast("double")
+    inter / ((size(gramsA) + size(gramsB)).cast("double") - inter)
+  }
+
   // =========================================================================
   // Exact dedup: hash-groupBy on normalized content
   // =========================================================================
@@ -97,9 +110,7 @@ object Dedup {
       col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     a.join(b, Seq("lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .withColumn("jaccard", jaccardOf(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("lang"))
   }
@@ -230,18 +241,28 @@ object Dedup {
     * distinct gram FNV hashes — callers that also need the gram sets
     * for exact verification ([[minhashLsh]], [[incrementalDedup]],
     * [[dedupRecallBounds]]) tokenize+hash ONCE and share the cached
-    * frame between signature and verify stages. `pmod(fnv, P)` here
-    * equals the historical hash-the-shingle path bit-for-bit (the
-    * oracle's hv CTE), so signatures are unchanged.
+    * frame between signature and verify stages.
+    *
+    * Signatures come from the codegen'd
+    * [[graft.functions.MinhashSigs]] kernel: all k mins in one pass
+    * over the gram array, per row — no explode, no shuffle (the old
+    * explode → k-min-aggregation carried every (doc, gram) pair through
+    * an exchange). Values are bit-identical to the aggregation
+    * formulation and to the oracle's unnest+MIN CTEs.
     */
   def minhashSignaturesFromGrams(grams: DataFrame, k: Int): DataFrame = {
-    val sh = grams
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .withColumn("h", pmod(col("g"), lit(MinhashPrime)))
-    val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"sig_$i")
-    }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val ab = perms(k)
+    val sigsExpr = graft.functions.MinhashSigs(
+      org.apache.spark.sql.GraftDatasetFactory.expression(col("grams")),
+      ab.map(_._1).toArray, ab.map(_._2).toArray)
+    grams
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftDatasetFactory.column(sigsExpr).as("sigs"))
+      // empty gram array → null sigs: the explode formulation produced
+      // no group for such docs, so they must not reach banding either
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** LSH candidate pairs + exact Jaccard verification.
@@ -269,12 +290,44 @@ object Dedup {
       k, bands)
 
   /** [[bandedSignatures]] from a precomputed (doc_id, grams) table —
-    * see [[minhashSignaturesFromGrams]] for the sharing rationale.
+    * see [[minhashSignaturesFromGrams]] for the sharing rationale. The
+    * whole index row (signatures folded into band hashes) comes from
+    * the single-evaluation [[graft.functions.MinhashBands]] kernel;
+    * `posexplode` supplies (band_idx, band_hash) with one kernel run
+    * per document.
     */
   def bandedSignaturesFromGrams(s: SparkSession, grams: DataFrame,
+      k: Int, bands: Int): DataFrame =
+    if (java.lang.Boolean.getBoolean("graft.minhash.aggBanding"))
+      aggBandedSignaturesFromGrams(s, grams, k, bands)
+    else {
+      val ab = perms(k)
+      val bandsExpr = graft.functions.MinhashBands(
+        org.apache.spark.sql.GraftDatasetFactory.expression(col("grams")),
+        ab.map(_._1).toArray, ab.map(_._2).toArray, bands)
+      grams
+        .select(col("doc_id"),
+          org.apache.spark.sql.GraftDatasetFactory.column(bandsExpr).as("bands"))
+        // empty gram array → null bands: the explode+agg formulation
+        // produced no group for such docs — they must not reach banding
+        .filter(col("bands").isNotNull)
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    }
+
+  /** The explode → k-min-aggregation banding formulation, kept for
+    * A/B measurement (`-Dgraft.minhash.aggBanding=true`). Identical
+    * values to the kernel path.
+    */
+  private def aggBandedSignaturesFromGrams(s: SparkSession, grams: DataFrame,
       k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignaturesFromGrams(grams, k)
+    val sh = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("h", pmod(col("g"), lit(MinhashPrime)))
+    val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"sig_$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val banded = sigs.select(col("doc_id") +: (0 until bands).map { bIdx =>
       graft.functions.Fingerprint.fnv1a64(s,
         concat_ws(",", (bIdx * rows until (bIdx + 1) * rows)
@@ -307,18 +360,23 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 1, k: Int = 64, bands: Int = 8,
       threshold: Double = 0.95): DataFrame = {
     // ONE tokenize+hash pass: the cached gram table feeds both the
-    // signature pipeline and the exact-Jaccard verify join sides
+    // signature pipeline and the exact-Jaccard verify join sides.
+    // repartition: the kernel banding keeps the SCAN's partitioning (a
+    // single-file corpus = one partition), and AQE broadcast-joins the
+    // tiny band table — so without this the multi-million-pair
+    // candidate blow-up would land on the scan's task count instead of
+    // spreading across the cluster. One small shuffle of gram arrays
+    // buys full parallelism for candidates + verify.
     val grams = docs.select(col("doc_id"),
       hashedNgrams(docs.sparkSession, normText(col("text")), n).as("grams"))
+      .repartition(col("doc_id"))
     val exploded = bandedSignaturesFromGrams(docs.sparkSession, grams, k, bands)
     graft.Caching.withCached(grams, exploded) {
       val cands = bandCandidates(exploded)
       cands
         .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), Seq("doc_a"))
         .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), Seq("doc_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-            size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+        .withColumn("jaccard", jaccardOf(col("grams_a"), col("grams_b")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
@@ -348,8 +406,10 @@ object Dedup {
     val buckets = docs.select(col("doc_id"),
       pmod(graft.functions.Fingerprint.fnv1a64(s, normText(col("text"))),
         lit(100L)).as("bucket"))
+    // repartition: same single-partition-scan hazard as [[minhashLsh]]
     val grams = docs.select(col("doc_id"),
       hashedNgrams(s, normText(col("text")), n).as("grams"))
+      .repartition(col("doc_id"))
     val bandTable = bandedSignaturesFromGrams(s, grams, k, bands)
       .join(buckets, Seq("doc_id"))
     // buckets is read twice (inside bandTable and for the final batch
@@ -370,9 +430,7 @@ object Dedup {
           Seq("new_doc"))
         .join(grams.select(col("doc_id").as("other_doc"), col("grams").as("grams_b")),
           Seq("other_doc"))
-        .withColumn("jaccard",
-          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-            size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+        .withColumn("jaccard", jaccardOf(col("grams_a"), col("grams_b")))
         .filter(col("jaccard") >= threshold)
         // min(struct) picks the smallest other_doc and carries ITS
         // jaccard (other_doc is unique per pair, so no tie ambiguity)
@@ -567,9 +625,11 @@ object Dedup {
   def embeddingLshPairs(emb: DataFrame, threshold: Double = 0.35,
       planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // repartition: same single-partition-scan hazard as [[minhashLsh]]
     val base = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .repartition(col("vec_id"))
     val bucketed = embBucketed(base, dim, planes, tables)
     graft.Caching.withCached(base, bucketed) {
       val cands = embCandidates(bucketed)
@@ -644,8 +704,9 @@ object Dedup {
     // cached bases feed truth generator AND candidate generator on each
     // side (truth = the exact blocked pairs at each path's verify
     // threshold; candidates = the raw LSH collisions, pre-verify)
-    val mhBase = ngramBase(docs, 1)
-    val eBase = embBase(emb)
+    // repartition: same single-partition-scan hazard as [[minhashLsh]]
+    val mhBase = ngramBase(docs, 1).repartition(col("doc_id"))
+    val eBase = embBase(emb).repartition(col("vec_id"))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     graft.Caching.withCached(mhBase, eBase) {
       val truthMh = ngramPairsFromBase(mhBase, 0.95)
