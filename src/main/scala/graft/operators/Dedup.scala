@@ -118,8 +118,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
     // both sides of the self-join read this: persist for the join, or
-    // the whole tokenize/ngram pipeline runs twice
-    val base = ngramBase(docs, n)
+    // the whole tokenize/ngram pipeline runs twice. repartition: the
+    // self-join's pair blow-up must not inherit the scan's partition
+    // count (single-file corpus = one task) when AQE broadcasts a side
+    val base = ngramBase(docs, n).repartition(col("doc_id"))
     graft.Caching.withCached(base) {
       ngramPairsFromBase(base, threshold)
     }
@@ -173,6 +175,8 @@ object Dedup {
   def fuzzyNamePairs(names: DataFrame, nameCol: String,
       maxDist: Int = 4): DataFrame = {
     val bucketW = math.max(maxDist, 4)
+    // distinct() already spreads base across shuffle partitions, so the
+    // self-join's output parallelism is safe without a repartition
     val base = names.select(lower(trim(col(nameCol))).as("name")).distinct()
       .withColumn("len_bucket", (length(col("name")) / bucketW).cast("int"))
     // probe down, same, AND up: the name_a < name_b output filter is
@@ -567,8 +571,9 @@ object Dedup {
       .filter(col("cosine") >= threshold)
 
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
-    val base = embBase(emb)
-    // self-joined: persist so each vector's norm folds once
+    // self-joined: persist so each vector's norm folds once;
+    // repartition per the single-partition-scan note in [[ngramJaccard]]
+    val base = embBase(emb).repartition(col("vec_id"))
     graft.Caching.withCached(base) {
       embPairsFromBase(base, threshold)
     }

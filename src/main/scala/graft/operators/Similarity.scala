@@ -49,8 +49,13 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each probe (probe = vec_id % 50 == 0). */
   def bruteForceTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+    // repartition: the probe×corpus scoring must not inherit the scan's
+    // partition count (a single-file corpus reads as ONE partition, and
+    // the broadcast join keeps the stream side's partitioning — the
+    // whole dot-product sweep would run in one task)
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .repartition(col("vec_id"))
     val probes = base.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"))
@@ -132,8 +137,10 @@ object Similarity {
     // embedding width: one-row metadata probe (array width is not part
     // of the parquet schema), needed to materialize the literal planes
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // repartition per the single-partition-scan note in [[bruteForceTopK]]
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .repartition(col("vec_id"))
     val bucketed = base.select(col("vec_id"), col("v"), col("nrm"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), lshBucket(col("v"), planes, t, dim).as("bucket"))): _*))
