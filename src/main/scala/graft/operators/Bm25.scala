@@ -39,15 +39,26 @@ object Bm25 {
   val TopK = 20
 
   def bm25TopK(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      size(split(Dedup.normText(col("text")), " ")).as("len_d"),
-      explode(split(Dedup.normText(col("text")), " ")).as("tok"))
-    graft.Caching.withCached(toks) {
-      val nDocs = toks.select(col("doc_id")).distinct().count()
-      val totalToks = toks.count()
+    // project the token array once so the normalize regex runs once per
+    // row, not once for size() and again for the generator input
+    val toks = docs
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("len_d"),
+        explode(col("ts")).as("tok"))
+    // aggregate straight to the (doc, term) table and cache THAT — the
+    // raw exploded token stream is corpus-sized and is never needed
+    // again (the corpus scalars fold out of tf: N = distinct docs,
+    // total tokens = Σ tf), so caching it would materialize the whole
+    // tokenized corpus for one extra scan
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(
+      count(lit(1)).as("tf"), max(col("len_d")).as("len_d"))
+    graft.Caching.withCached(tf) {
+      // one action for both corpus scalars (not two separate jobs)
+      val statsRow = tf.agg(
+        countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("total")).head()
+      val nDocs = statsRow.getLong(0)
+      val totalToks = statsRow.getLong(1)
       val avgLen = totalToks.toDouble / nDocs.toDouble
-      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(
-        count(lit(1)).as("tf"), max(col("len_d")).as("len_d"))
       val dfcf = tf.groupBy(col("tok")).agg(
         count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       val w = Window.orderBy(col("cf").desc, col("tok"))
@@ -70,10 +81,14 @@ object Bm25 {
           count(lit(1)).as("n_terms"))
       val score = coalesce(col("c1"), lit(0.0)) +
         coalesce(col("c2"), lit(0.0)) + coalesce(col("c3"), lit(0.0))
+      // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+      // heads merged on the driver) — a rank window here would shuffle
+      // every matching doc into ONE partition to sort. The row_number
+      // window then runs over ≤ TopK rows.
+      val top = slots.withColumn("score", score)
+        .orderBy(col("score").desc, col("doc_id")).limit(TopK)
       val rw = Window.orderBy(col("score").desc, col("doc_id"))
-      slots.withColumn("score", score)
-        .withColumn("rank", row_number().over(rw).cast("int"))
-        .filter(col("rank") <= TopK)
+      top.withColumn("rank", row_number().over(rw).cast("int"))
         .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
     }
   }
