@@ -22,6 +22,7 @@ object SparkEntry {
       Quality.queries ++ Masking.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
+      graft.operators.SubstringDedup.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
+      graft.operators.SubstringDedup.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++

@@ -361,6 +361,41 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dedup finds shared 15-word spans and only those") {
+    import spark.implicits._
+    val span = (1 to 15).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$span tail one ends here with unique words aa bb cc dd ee"),
+      (2L, s"prefix words totally different here $span"),
+      (3L, (1 to 30).map(i => s"solo$i").mkString(" ")),
+      (4L, "too short to have any gram at all")).toDF("doc_id", "text")
+    val out = operators.SubstringDedup.substringDupStats(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+          r.getAs[Long]("dup_ppm"))).toMap
+    // doc 4 has < K tokens: excluded entirely
+    assert(!out.contains(4L))
+    // docs 1 and 2 share exactly ONE 15-gram (the span itself: every
+    // other window in either doc mixes span and non-span words)
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0)
+    // doc 2 has 20 tokens -> 6 grams; 1 duplicated -> 166666 ppm
+    assert(out(2L)._1 == 6 && out(2L)._3 == 166666L)
+  }
+
+  test("substring dedup: verbatim duplicate docs are 100% covered") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((10L, text), (11L, text)).toDF("doc_id", "text")
+    val out = operators.SubstringDedup.substringDupStats(df).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_grams") == 26)
+      assert(r.getAs[Long]("n_dup_grams") == 26)
+      assert(r.getAs[Long]("dup_ppm") == 1000000L)
+    }
+  }
+
   test("bm25 top-k ranks are dense with non-increasing scores") {
     val out = operators.Bm25.bm25TopK(Tables.documents(spark, sf))
       .orderBy(col("rank")).collect()
