@@ -24,6 +24,7 @@ object SparkEntry {
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
       graft.operators.LmScore.queries ++
+      graft.operators.CorpusFunnel.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
       graft.operators.LmScore.oracles ++
+      graft.operators.CorpusFunnel.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++

@@ -421,6 +421,34 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus funnel: cumulative stages and canonical-among-survivors") {
+    import spark.implicits._
+    val good = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim // 32 toks, all distinct per window? (repeats!)
+    // distinct*2 > total requires mostly-unique tokens: build one
+    val uniq = (1 to 30).map(i => s"word$i").mkString(" ") + " " + "x" * 80
+    val df = Seq(
+      // survives all stages
+      (1L, uniq, "en", uniq.length.toLong),
+      // duplicate of 1 but fails lang: canonical must still keep doc 1
+      (0L, uniq, "fr", uniq.length.toLong),
+      // fails length gate
+      (2L, "short en doc", "en", 12L),
+      // fails repetition (one token repeated)
+      (3L, ("dup " * 60).trim, "en", 239L),
+      // not english
+      (4L, uniq + " autre", "fr", 300L)).toDF("doc_id", "text", "lang", "n_chars")
+    val out = operators.CorpusFunnel.funnel(df)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("tokens"))).toMap
+    assert(out("all")._1 == 5)
+    assert(out("lang_en")._1 == 3)       // docs 1, 2, 3
+    assert(out("len_ok")._1 == 2)        // doc 2 out (12 chars)
+    assert(out("low_repetition")._1 == 1) // doc 3 out
+    // doc 0 shares doc 1's digest but is NOT a survivor; doc 1 is kept
+    assert(out("exact_canonical")._1 == 1)
+    assert(out("exact_canonical")._2 == out("low_repetition")._2)
+  }
+
   test("bm25 top-k ranks are dense with non-increasing scores") {
     val out = operators.Bm25.bm25TopK(Tables.documents(spark, sf))
       .orderBy(col("rank")).collect()
