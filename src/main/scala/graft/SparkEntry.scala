@@ -25,6 +25,7 @@ object SparkEntry {
       graft.operators.SubstringDedup.queries ++
       graft.operators.LmScore.queries ++
       graft.operators.CorpusFunnel.queries ++
+      graft.operators.TpchShapes.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.operators.SubstringDedup.oracles ++
       graft.operators.LmScore.oracles ++
       graft.operators.CorpusFunnel.oracles ++
+      graft.operators.TpchShapes.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
