@@ -26,6 +26,7 @@ object SparkEntry {
       graft.operators.LmScore.queries ++
       graft.operators.CorpusFunnel.queries ++
       graft.operators.TpchShapes.queries ++
+      graft.operators.TpchShapes2.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.operators.LmScore.oracles ++
       graft.operators.CorpusFunnel.oracles ++
       graft.operators.TpchShapes.oracles ++
+      graft.operators.TpchShapes2.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
