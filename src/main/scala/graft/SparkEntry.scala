@@ -20,7 +20,8 @@ object SparkEntry {
       Insights.queries ++ graft.operators.BloomJoin.queries ++
       Cdc.queries ++ graft.operators.CdcGen.queries ++
       Quality.queries ++ Masking.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ graft.operators.PrefixJoin.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
       graft.operators.LmScore.queries ++
@@ -49,7 +50,8 @@ object SparkEntry {
       Insights.oracles ++ graft.operators.BloomJoin.oracles ++
       Cdc.oracles ++ graft.operators.CdcGen.oracles ++
       Quality.oracles ++ Masking.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ graft.operators.PrefixJoin.oracles ++
+      Similarity.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
       graft.operators.LmScore.oracles ++

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtering set-similarity join (the AllPairs/PPJoin candidate
+  * rule; Bayardo et al., "Scaling Up All Pairs Similarity Search",
+  * WWW'07): order every document's token set by one GLOBAL token order
+  * (rarest first), keep only the first `|d| − ⌈t·|d|⌉ + 1` tokens as
+  * the document's prefix, and generate candidates by equi-joining on
+  * prefix tokens. Two sets with Jaccard ≥ t MUST share a prefix token
+  * under any common total order, so — unlike minhash/simhash banding —
+  * candidate generation is COMPLETE: the exact-verify stage loses
+  * nothing, and the oracle can be the brute-force all-pairs join. This
+  * gives the dedup family a third blocking discipline (exact-complete)
+  * beside probabilistic LSH (recall-floored) and length-bucket
+  * blocking (within-block exact).
+  *
+  * Scale: the join key is a RARE token by construction — prefix tokens
+  * are each document's globally rarest, so bucket sizes are bounded by
+  * document frequency of the rarest tail, not by stopword mass. Cost
+  * is Σ_token df_prefix(token)², the AllPairs bound. Everything
+  * shuffles by token or by doc_id; nothing is ever all-pairs. The
+  * prefix length uses integer arithmetic (⌈(4/5)·s⌉ = (4s+4) div 5),
+  * so no float rounding can shorten a prefix and silently lose a pair.
+  *
+  * Reference behavior anchor: same dedup surface as
+  * /root/reference (docs/ARCHITECTURE.md silver dedup stage); the
+  * prefix-filter discipline itself is from the public literature, not
+  * the reference.
+  */
+object PrefixJoin {
+
+  /** Jaccard threshold as an exact rational (4/5 = 0.8), matching
+    * [[Dedup.ngramJaccard]]'s default so the two generators are
+    * comparable.
+    */
+  val ThreshNum = 4L
+  val ThreshDen = 5L
+
+  private def jaccardOf(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / ((size(a) + size(b)).cast("double") - inter)
+  }
+
+  /** All document pairs with unigram Jaccard ≥ 4/5, found via prefix
+    * filtering + exact verify. Result is provably identical to the
+    * brute-force all-pairs join (the oracle).
+    */
+  def prefixFilterPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val base = docs.select(col("doc_id"),
+      Dedup.hashedNgrams(s, Dedup.normText(col("text")), 1).as("grams"))
+      .repartition(col("doc_id"))
+    graft.Caching.withCached(base) {
+      val tok = base.select(col("doc_id"), col("grams"),
+        size(col("grams")).as("set_size"))
+        .select(col("doc_id"), col("set_size"),
+          explode(col("grams")).as("token"))
+      // global document frequency → the one total order all prefixes share
+      val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val ranked = tok.join(df, Seq("token")) // shuffle on token
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("token"))))
+      // p = s − ⌈(num/den)·s⌉ + 1, all-integer so the bound is exact
+      val ceilTs = (lit(ThreshNum) * col("set_size") + lit(ThreshDen - 1))
+        .divide(lit(ThreshDen)).cast("long")
+      val prefix = ranked
+        .filter(col("pos") <= col("set_size") - ceilTs + lit(1L))
+        .select(col("doc_id"), col("token"), col("set_size"))
+      // length pruning (PPJoin): J(A,B) ≥ t ⇒ t·|A| ≤ |B| (and
+      // symmetrically), checked with cross-multiplied integers at join
+      // time — a necessary condition, so completeness is untouched
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.token") === col("b.token") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.set_size") * lit(ThreshDen) >=
+              col("a.set_size") * lit(ThreshNum) &&
+            col("a.set_size") * lit(ThreshDen) >=
+              col("b.set_size") * lit(ThreshNum))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // exact verify on the candidate pairs only
+      cand
+        .join(base.select(col("doc_id").as("doc_a"),
+          col("grams").as("grams_a")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"),
+          col("grams").as("grams_b")), Seq("doc_b"))
+        .withColumn("jaccard", jaccardOf(col("grams_a"), col("grams_b")))
+        .filter(col("jaccard") * lit(ThreshDen.toDouble) >=
+          lit(ThreshNum.toDouble))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+  }
+
+  /** Oracle: brute-force all-pairs Jaccard at the same threshold. The
+    * algorithm's whole claim is completeness — matching this proves it.
+    * The threshold test is the same cross-multiplied form as the Spark
+    * side (j·5 ≥ 4), dodging any 0.8-literal rounding asymmetry.
+    */
+  val prefixPairsSql: String =
+    s"""WITH base AS (
+         SELECT doc_id,
+           list_distinct(list_transform(
+             list_distinct(string_split(
+               regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')),
+             g -> ${OracleFnv.ofText("g")})) AS grams
+         FROM documents)
+       SELECT doc_a, doc_b, jaccard FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+                - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
+             AS jaccard
+         FROM base a JOIN base b ON a.doc_id < b.doc_id)
+       WHERE jaccard * 5.0 >= 4.0
+       ORDER BY doc_a, doc_b"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_filter" -> ((s, d) =>
+      prefixFilterPairs(graft.Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_prefix_filter" -> prefixPairsSql)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, PrefixJoin}
+
+class PrefixJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("prefix filtering equals the brute-force all-pairs join") {
+    val viaPrefix = PrefixJoin.prefixFilterPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = docs.select(col("doc_id"),
+      Dedup.hashedNgrams(spark, Dedup.normText(col("text")), 1).as("grams"))
+    val a = base.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = base.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j",
+        inter / ((size(col("ga")) + size(col("gb"))).cast("double") - inter))
+      .filter(col("j") * 5.0 >= 4.0)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix == brute) // completeness AND no false positives
+    assert(brute.nonEmpty)
+  }
+
+  test("blocked exact generator finds no pair prefix filtering misses") {
+    // the length-bucket generator is a (possibly lossy) blocker; the
+    // prefix filter is complete, so blocked ∩ threshold must be ⊆ prefix
+    val prefix = PrefixJoin.prefixFilterPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.ngramJaccard(docs, n = 1, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(prefix))
+  }
+}
