@@ -28,6 +28,7 @@ object SparkEntry {
       graft.operators.CorpusFunnel.queries ++
       graft.operators.TpchShapes.queries ++
       graft.operators.TpchShapes2.queries ++
+      graft.operators.AnalyticsExt.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       graft.operators.CorpusFunnel.oracles ++
       graft.operators.TpchShapes.oracles ++
       graft.operators.TpchShapes2.oracles ++
+      graft.operators.AnalyticsExt.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
