@@ -21,6 +21,7 @@ object SparkEntry {
       Cdc.queries ++ graft.operators.CdcGen.queries ++
       Quality.queries ++ Masking.queries ++
       Dedup.queries ++ graft.operators.PrefixJoin.queries ++
+      graft.operators.Pagerank.queries ++
       Similarity.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       Cdc.oracles ++ graft.operators.CdcGen.oracles ++
       Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ graft.operators.PrefixJoin.oracles ++
+      graft.operators.Pagerank.oracles ++
       Similarity.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
