@@ -132,6 +132,61 @@ object AnalyticsExt {
         ORDER BY return_flag"""
   }
 
+  // =========================================================================
+  // events_hll_intersection — sketch algebra by inclusion–exclusion
+  // =========================================================================
+  /** HLL sketches union natively but cannot intersect; the standard
+    * workaround is inclusion–exclusion: |A∩B| ≈ |A|+|B|−|A∪B|, each
+    * term an HLL estimate. This computes the click∩purchase audience
+    * that way and ASSERTS the compounded error against the exact
+    * intersection (the [[Analytics.eventsApproxUsers]] bound-oracle
+    * pattern — the estimate itself is engine-specific, its contract is
+    * exactly checkable). Everything derives from ONE per-user
+    * conditional-flag aggregate, so the input shuffles once.
+    */
+  def eventsHllIntersection(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("has_click"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("has_buy"))
+    perUser.agg(
+      sum(col("has_click")).as("exact_click"),
+      sum(col("has_buy")).as("exact_buy"),
+      sum(col("has_click") * col("has_buy")).as("exact_both"),
+      approx_count_distinct(
+        when(col("has_click") === 1L, col("user_id")), rsd = 0.02)
+        .as("hll_click"),
+      approx_count_distinct(
+        when(col("has_buy") === 1L, col("user_id")), rsd = 0.02)
+        .as("hll_buy"),
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("hll_union"))
+      .select(col("exact_click"), col("exact_buy"), col("exact_both"),
+        // three 2%-rsd estimates compound; 15% relative slack is ample
+        when(col("exact_both") === 0, lit(true))
+          .otherwise(
+            abs(col("hll_click") + col("hll_buy") - col("hll_union")
+              - col("exact_both")).cast("double") /
+              col("exact_both").cast("double") <= 0.15)
+          .as("inter_within_15pct"))
+  }
+
+  val eventsHllIntersectionSql: String =
+    """SELECT CAST(SUM(has_click) AS BIGINT) AS exact_click,
+       CAST(SUM(has_buy) AS BIGINT) AS exact_buy,
+       CAST(SUM(has_click * has_buy) AS BIGINT) AS exact_both,
+       true AS inter_within_15pct
+       FROM (SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+             FROM events
+             WHERE user_id IS NOT NULL
+               AND event_type IN ('click', 'purchase')
+             GROUP BY 1)"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_breakdown" -> ((s, d) =>
@@ -142,10 +197,13 @@ object AnalyticsExt {
         .orderBy(col("customer_id"), col("order_id"))),
     "lineitem_price_qty_corr" -> ((s, d) =>
       lineitemPriceQtyCorr(Tables.lineitem(s, d))
-        .orderBy(col("return_flag"))))
+        .orderBy(col("return_flag"))),
+    "events_hll_intersection" -> ((s, d) =>
+      eventsHllIntersection(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
     "events_json_breakdown" -> eventsJsonBreakdownSql,
     "customer_trailing_spend" -> customerTrailingSpendSql,
-    "lineitem_price_qty_corr" -> lineitemPriceQtyCorrSql)
+    "lineitem_price_qty_corr" -> lineitemPriceQtyCorrSql,
+    "events_hll_intersection" -> eventsHllIntersectionSql)
 }

@@ -260,6 +260,29 @@ object TpchShapes2 {
        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
        ORDER BY 1"""
 
+  /** Q6 shape: the forecast-revenue scan-aggregate — three pushable
+    * scan predicates, no join, one exact-decimal conditional sum. The
+    * whole plan is a single WholeStageCodegen span over the pruned
+    * scan; at 100 TB this is the query whose cost IS the IO, so
+    * anything beyond scan+partial-agg would be overhead.
+    */
+  def q6ForecastRevenue(li: DataFrame): DataFrame = li
+    .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+      col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+    .agg(dsum(col("l_extendedprice") * col("l_discount"))
+      .as("forecast_revenue"),
+      count(lit(1)).as("line_count"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS forecast_revenue,
+       COUNT(*) AS line_count
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_region_volume" -> ((s, d) =>
@@ -281,12 +304,15 @@ object TpchShapes2 {
         .orderBy(col("delay_bucket"))),
     "q15_top_supplier" -> ((s, d) =>
       q15TopSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))
-        .orderBy(col("supplier_id"))))
+        .orderBy(col("supplier_id"))),
+    "q6_forecast_revenue" -> ((s, d) =>
+      q6ForecastRevenue(Tables.lineitem(s, d))))
 
   def oracles: Map[String, String] = Map(
     "q7_region_volume" -> q7Sql,
     "q8_market_share" -> q8Sql,
     "q10_returned_customers" -> q10Sql,
     "q12_delay_priority" -> q12Sql,
-    "q15_top_supplier" -> q15Sql)
+    "q15_top_supplier" -> q15Sql,
+    "q6_forecast_revenue" -> q6Sql)
 }
