@@ -42,7 +42,8 @@ object SparkEntry {
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
-      graft.streaming.EventStreams.queries
+      graft.streaming.EventStreams.queries ++
+      graft.streaming.TransformState.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -74,5 +75,6 @@ object SparkEntry {
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
-      graft.streaming.EventStreams.oracles
+      graft.streaming.EventStreams.oracles ++
+      graft.streaming.TransformState.oracles
 }
