@@ -187,6 +187,83 @@ object AnalyticsExt {
                AND event_type IN ('click', 'purchase')
              GROUP BY 1)"""
 
+  // =========================================================================
+  // events_variant_stats — the VARIANT semi-structured type
+  // =========================================================================
+  /** The open VARIANT path through the same payload
+    * [[eventsJsonBreakdown]] parses with a CLOSED struct schema:
+    * `try_parse_json` → binary variant, `variant_get` with a type —
+    * the Spark 4 story for schema-on-read columns where fields are
+    * discovered per query, kept binary (not re-serialized text)
+    * between. Malformed payloads null out via the try_ variant, and
+    * the counts make the parse success rate part of the verified
+    * output.
+    */
+  def eventsVariantStats(events: DataFrame): DataFrame = events
+    .withColumn("v", expr("try_parse_json(props)"))
+    .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+    .groupBy(col("event_type"))
+    .agg(count(lit(1)).as("n_events"),
+      count(col("v")).as("n_parsed"),
+      count(col("k")).as("n_with_k"),
+      min(col("k")).as("min_k"),
+      max(col("k")).as("max_k"),
+      sum(col("k")).as("sum_k"))
+
+  val eventsVariantStatsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+       COUNT(CASE WHEN json_valid(props) THEN 1 END) AS n_parsed,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       FROM events
+       GROUP BY 1 ORDER BY 1"""
+
+  // =========================================================================
+  // events_session_window — declarative session windows (batch form)
+  // =========================================================================
+  /** `session_window(ts, gap)` — the DECLARATIVE session operator (the
+    * same grouping Structured Streaming merges incrementally with
+    * state) — against which [[graft.streaming.EventStreams
+    * .sessionizeBatch]]'s manual gaps-and-islands is the imperative
+    * twin. Output stays in the exact microsecond domain: window bounds
+    * convert via `unix_micros`, never float seconds.
+    */
+  def eventsSessionWindow(events: DataFrame): DataFrame = events
+    .filter(col("user_id").isNotNull)
+    .groupBy(col("user_id"),
+      session_window(col("ts_utc"), "30 minutes").as("w"))
+    .agg(count(lit(1)).as("n_events"),
+      dsum(col("value")).as("session_value"))
+    .select(col("user_id"),
+      unix_micros(col("w.start")).as("start_us"),
+      unix_micros(col("w.end")).as("end_us"),
+      col("n_events"), col("session_value"))
+
+  /** Oracle: gaps-and-islands. session_window's end = last event +
+    * gap, by definition.
+    */
+  val eventsSessionWindowSql: String =
+    """WITH flagged AS (
+         SELECT user_id, value, epoch_us(ts) AS tsu,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM events WHERE user_id IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+       sessions AS (
+         SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+           ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS session_idx
+         FROM flagged)
+       SELECT user_id, MIN(tsu) AS start_us,
+         MAX(tsu) + 1800000000 AS end_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+       FROM sessions
+       GROUP BY user_id, session_idx
+       ORDER BY user_id, start_us"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_breakdown" -> ((s, d) =>
@@ -199,11 +276,18 @@ object AnalyticsExt {
       lineitemPriceQtyCorr(Tables.lineitem(s, d))
         .orderBy(col("return_flag"))),
     "events_hll_intersection" -> ((s, d) =>
-      eventsHllIntersection(Tables.events(s, d))))
+      eventsHllIntersection(Tables.events(s, d))),
+    "events_variant_stats" -> ((s, d) =>
+      eventsVariantStats(Tables.events(s, d)).orderBy(col("event_type"))),
+    "events_session_window" -> ((s, d) =>
+      eventsSessionWindow(Tables.events(s, d))
+        .orderBy(col("user_id"), col("start_us"))))
 
   def oracles: Map[String, String] = Map(
     "events_json_breakdown" -> eventsJsonBreakdownSql,
     "customer_trailing_spend" -> customerTrailingSpendSql,
     "lineitem_price_qty_corr" -> lineitemPriceQtyCorrSql,
-    "events_hll_intersection" -> eventsHllIntersectionSql)
+    "events_hll_intersection" -> eventsHllIntersectionSql,
+    "events_variant_stats" -> eventsVariantStatsSql,
+    "events_session_window" -> eventsSessionWindowSql)
 }
