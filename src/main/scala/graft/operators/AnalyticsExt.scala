@@ -264,6 +264,38 @@ object AnalyticsExt {
        GROUP BY user_id, session_idx
        ORDER BY user_id, start_us"""
 
+  // =========================================================================
+  // orders_grouping_sets — custom grouping sets (neither rollup nor cube)
+  // =========================================================================
+  /** Explicit GROUPING SETS ((status), (priority), ()) — two
+    * independent one-dimension rollups plus the grand total in ONE
+    * pass, a set combination neither `rollup` nor `cube` expresses
+    * (cube would add the unwanted (status, priority) cell).
+    * `grouping_id` disambiguates a real NULL group key from a
+    * superaggregate row. Planned as a single Expand + aggregation —
+    * one shuffle regardless of set count.
+    */
+  def ordersGroupingSets(orders: DataFrame): DataFrame = orders
+    .groupingSets(
+      Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+      col("o_orderstatus"), col("o_orderpriority"))
+    .agg(grouping_id().as("gid"),
+      count(lit(1)).as("n_orders"),
+      dsum(col("o_totalprice")).as("total_price"))
+    .select(col("o_orderstatus").as("order_status"),
+      col("o_orderpriority").as("order_priority"),
+      col("gid"), col("n_orders"), col("total_price"))
+
+  val ordersGroupingSetsSql: String =
+    """SELECT o_orderstatus AS order_status,
+       o_orderpriority AS order_priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY gid, order_status, order_priority"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_breakdown" -> ((s, d) =>
@@ -281,7 +313,10 @@ object AnalyticsExt {
       eventsVariantStats(Tables.events(s, d)).orderBy(col("event_type"))),
     "events_session_window" -> ((s, d) =>
       eventsSessionWindow(Tables.events(s, d))
-        .orderBy(col("user_id"), col("start_us"))))
+        .orderBy(col("user_id"), col("start_us"))),
+    "orders_grouping_sets" -> ((s, d) =>
+      ordersGroupingSets(Tables.orders(s, d))
+        .orderBy(col("gid"), col("order_status"), col("order_priority"))))
 
   def oracles: Map[String, String] = Map(
     "events_json_breakdown" -> eventsJsonBreakdownSql,
@@ -289,5 +324,6 @@ object AnalyticsExt {
     "lineitem_price_qty_corr" -> lineitemPriceQtyCorrSql,
     "events_hll_intersection" -> eventsHllIntersectionSql,
     "events_variant_stats" -> eventsVariantStatsSql,
-    "events_session_window" -> eventsSessionWindowSql)
+    "events_session_window" -> eventsSessionWindowSql,
+    "orders_grouping_sets" -> ordersGroupingSetsSql)
 }
