@@ -296,6 +296,51 @@ object AnalyticsExt {
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        ORDER BY gid, order_status, order_priority"""
 
+  // =========================================================================
+  // events_cms_topk — count-min sketch frequency estimation
+  // =========================================================================
+  /** The third sketch family beside HLL (distinct) and Greenwald-Khanna
+    * (quantiles): count-min for FREQUENCY. The sketch builds with the
+    * built-in mergeable `count_min_sketch` aggregate — bounded memory
+    * per partial, one reduce — and only the 10 probe answers cross to
+    * the driver (model state, the [[Ivf]] centroid discipline; the
+    * probe uses Spark's own CountMinSketch deserializer). Two CMS
+    * contracts are asserted in-gate per key: never-underestimate
+    * (structural) and overestimate ≤ ε·N (holds w.p. ≥ the configured
+    * confidence; at this ε the slack is ~0.1% of N).
+    */
+  def eventsCmsTopk(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val eps = 0.001
+    val conf = 0.99
+    val keyed = events.filter(col("user_id").isNotNull)
+    val exact = keyed.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = keyed.count()
+    val sketchBytes = keyed
+      .agg(count_min_sketch(col("user_id"), lit(eps), lit(conf), lit(42))
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val slack = (eps * total).ceil.toLong
+    exact.toSeq.map { case (uid, ex) =>
+      val est = sketch.estimateCount(uid)
+      (uid, ex, est >= ex, est <= ex + slack)
+    }.toDF("user_id", "exact_n", "never_under", "within_eps_n")
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  val eventsCmsTopkSql: String =
+    """SELECT user_id, exact_n, true AS never_under, true AS within_eps_n
+       FROM (SELECT user_id, COUNT(*) AS exact_n
+             FROM events WHERE user_id IS NOT NULL
+             GROUP BY 1
+             ORDER BY exact_n DESC, user_id LIMIT 10)
+       ORDER BY exact_n DESC, user_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_breakdown" -> ((s, d) =>
@@ -316,7 +361,9 @@ object AnalyticsExt {
         .orderBy(col("user_id"), col("start_us"))),
     "orders_grouping_sets" -> ((s, d) =>
       ordersGroupingSets(Tables.orders(s, d))
-        .orderBy(col("gid"), col("order_status"), col("order_priority"))))
+        .orderBy(col("gid"), col("order_status"), col("order_priority"))),
+    "events_cms_topk" -> ((s, d) =>
+      eventsCmsTopk(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
     "events_json_breakdown" -> eventsJsonBreakdownSql,
@@ -325,5 +372,6 @@ object AnalyticsExt {
     "events_hll_intersection" -> eventsHllIntersectionSql,
     "events_variant_stats" -> eventsVariantStatsSql,
     "events_session_window" -> eventsSessionWindowSql,
-    "orders_grouping_sets" -> ordersGroupingSetsSql)
+    "orders_grouping_sets" -> ordersGroupingSetsSql,
+    "events_cms_topk" -> eventsCmsTopkSql)
 }

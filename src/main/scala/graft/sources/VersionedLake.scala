@@ -373,7 +373,81 @@ object VersionedLake {
           OR v1.old_sequence <> v2.new_sequence
        ORDER BY key_id"""
 
+  /** VACUUM lifecycle made visible as its own gate row (retention also
+    * runs inside [[timeTravel]], but there only the retained read is
+    * checked): three merges commit v1..v3, `vacuum(retainLast = 1)`
+    * drops v1/v2, and the report proves (a) exactly v3 remains
+    * readable, (b) its row count equals the full-feed SCD1 state, and
+    * (c) the DISK holds precisely the retained manifest's files — no
+    * orphan survived, no live file was deleted. The physical-state
+    * boolean is computable only engine-side; the oracle pins it true,
+    * the availability/row columns exactly.
+    */
+  def vacuumLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = Scratch.dir("vlake_vac")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    Seq(
+      staged.filter(col("sequence_number") <= t1),
+      staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2),
+      staged.filter(col("sequence_number") > t2))
+      .foreach { b =>
+        upsert(spark, path,
+          b.withColumn("_deleted", col("operation") === "DELETE")
+            .drop("operation"),
+          keyCols = Seq("key_id"), seqCol = "sequence_number")
+      }
+    vacuum(spark, path, retainLast = 1)
+    val remaining = versions(spark, path)
+    val live = remaining.flatMap(v => manifestFiles(spark, path, v)).toSet
+    val f = fs(spark)
+    val onDisk = f.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
+      .flatMap(d => f.listStatus(d.getPath).filter(_.isFile)
+        .map(s => s"${d.getPath.getName}/${s.getPath.getName}"))
+      .toSet
+    val diskMatches = onDisk == live
+    (1 to 3).map { v =>
+      val available = remaining.contains(v)
+      val rows: Option[Long] =
+        if (available) Some(read(spark, path, Some(v)).count()) else None
+      (v, available, rows, diskMatches)
+    }.toDF("version", "available", "n_rows", "disk_matches_manifest")
+  }
+
+  val vacuumLifecycleSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s),
+       final_rows AS (
+         SELECT COUNT(*) AS n FROM ranked
+         WHERE rn = 1 AND operation <> 'DELETE')
+       SELECT * FROM (
+         SELECT 1 AS version, false AS available,
+           CAST(NULL AS BIGINT) AS n_rows, true AS disk_matches_manifest
+         UNION ALL
+         SELECT 2, false, CAST(NULL AS BIGINT), true
+         UNION ALL
+         SELECT 3, true, (SELECT n FROM final_rows), true)
+       ORDER BY version"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_vacuum_lifecycle" -> ((s, d) =>
+      vacuumLifecycle(s, d).orderBy(col("version"))),
     "lake_time_travel" -> ((s, d) =>
       timeTravel(s, d).orderBy(col("key_id"))),
     "lake_schema_evolution" -> ((s, d) =>
@@ -382,6 +456,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_vacuum_lifecycle" -> vacuumLifecycleSql,
     "lake_time_travel" -> timeTravelSql,
     "lake_schema_evolution" -> schemaEvolutionSql,
     "lake_version_diff" -> versionDiffSql)
