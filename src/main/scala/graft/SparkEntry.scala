@@ -37,6 +37,7 @@ object SparkEntry {
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
       graft.sources.Bucketed.queries ++
+      graft.sources.Dpp.queries ++
       graft.sources.CatalogSetup.queries ++
       graft.sources.StatsSkipping.queries ++
       graft.sources.VersionedLake.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
       graft.sources.Bucketed.oracles ++
+      graft.sources.Dpp.oracles ++
       graft.sources.CatalogSetup.oracles ++
       graft.sources.StatsSkipping.oracles ++
       graft.sources.VersionedLake.oracles ++

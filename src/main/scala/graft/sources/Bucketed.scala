@@ -46,11 +46,42 @@ object Bucketed {
        GROUP BY o_orderstatus
        ORDER BY order_status"""
 
+  /** Exchange-free AGGREGATION on a bucketed table: the scan already
+    * satisfies the hash distribution the groupBy needs, so the plan is
+    * scan → final aggregate, no shuffle at all (asserted plan-level in
+    * BucketingSpec). At 100 TB this is the difference between a
+    * per-key rollup that moves the whole fact and one that moves
+    * nothing — the write-once bucket layout amortizes across every
+    * subsequent keyed aggregation and join.
+    */
+  def bucketedAggOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = Scratch.dir("buckets_agg")
+    val run = wh.substring(wh.lastIndexOf('_') + 1)
+    val oT = s"graft_o_ba_$run"
+    graft.Tables.orders(spark, sfDir).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/$oT").mode("overwrite").saveAsTable(oT)
+    spark.table(oT)
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast("double").as("total_spend"))
+  }
+
+  val bucketedAggOrdersSql: String =
+    """SELECT o_custkey AS customer_id, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+       FROM orders
+       GROUP BY 1 ORDER BY 1"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("bucketed_join_revenue" -> ((s, d) =>
-      bucketedJoinRevenue(s, d).orderBy(col("order_status"))))
+      bucketedJoinRevenue(s, d).orderBy(col("order_status"))),
+      "bucketed_agg_orders" -> ((s, d) =>
+        bucketedAggOrders(s, d).orderBy(col("customer_id"))))
 
   def oracles: Map[String, String] =
-    Map("bucketed_join_revenue" -> bucketedJoinRevenueSql)
+    Map("bucketed_join_revenue" -> bucketedJoinRevenueSql,
+      "bucketed_agg_orders" -> bucketedAggOrdersSql)
 }

@@ -46,4 +46,34 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
+
+  test("bucketed aggregation plans without any exchange") {
+    val wh = Files.createTempDirectory("graft_buckets_agg").toString
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/o_ba").mode("overwrite").saveAsTable("o_ba")
+    val agg = spark.table("o_ba")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed groupBy still shuffled:\n$plan")
+    // values match the unbucketed rollup
+    val expected = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    spark.sql("DROP TABLE IF EXISTS o_ba")
+  }
+
+  test("dpp join injects a runtime partition filter into the fact scan") {
+    val out = graft.sources.Dpp.dppPrunedRevenue(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(2000)}")
+    // 1997H1 dim window ⇒ exactly the six 1997-01..1997-06 partitions
+    val months = out.collect().map(_.getString(0)).toSet
+    assert(months == Set("1997-01", "1997-02", "1997-03",
+      "1997-04", "1997-05", "1997-06"))
+  }
 }
