@@ -114,11 +114,69 @@ object TransformState {
          ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING)
        ORDER BY event_id"""
 
+  /** STREAMING session windows — the stateful SessionWindow operator
+    * (merging windows in the state store as events arrive, emitting a
+    * session only once the watermark passes its close) — against the
+    * batch twin `events_session_window`, which shares this oracle. The
+    * two-batch feed + far-future sentinel is the
+    * [[EventStreams.windowedAppend]] discipline: all real events land
+    * in one microbatch, the sentinel advances the watermark past every
+    * real session's close so append mode flushes them all; the
+    * sentinel's own session stays open and is never emitted.
+    */
+  def sessionWindowStream(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft_sw_ckpt").toString
+    val feed = graft.sources.Scratch.dir("sw_feed")
+    val out = graft.sources.Scratch.dir("sw_out")
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts_utc"), col("user_id"), col("value"))
+    ev.coalesce(1).write.parquet(s"$feed/batch0")
+    val sentinelTs = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    Seq((-1L, sentinelTs, -1L, 0.0))
+      .toDF("event_id", "ts_utc", "user_id", "value")
+      .coalesce(1).write.parquet(s"$feed/batch1")
+    val fsDir = new java.io.File(feed)
+    new java.io.File(fsDir, "batch1").listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() + 600000))
+    val feedSchema = spark.read.parquet(s"$feed/batch0").schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/*")
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts_utc"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Medallion.dsum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("session_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    spark.read.parquet(out).localCheckpoint(eager = true)
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_transform_state" -> ((s, d) =>
-      runningStats(s, d).orderBy(col("event_id"))))
+      runningStats(s, d).orderBy(col("event_id"))),
+    "stream_session_window" -> ((s, d) =>
+      sessionWindowStream(s, d).orderBy(col("user_id"), col("start_us"))))
 
   def oracles: Map[String, String] = Map(
-    "stream_transform_state" -> runningStatsSql)
+    "stream_transform_state" -> runningStatsSql,
+    // identical session semantics to the batch twin — same oracle
+    "stream_session_window" ->
+      graft.operators.AnalyticsExt.eventsSessionWindowSql)
 }
