@@ -38,6 +38,50 @@ class AnalyticsExtSpec extends AnyFunSuite {
     }
   }
 
+  test("variant and from_json extract identical payload keys") {
+    val viaVariant = AnalyticsExt.eventsVariantStats(events)
+      .agg(sum("sum_k"), sum("n_with_k")).head()
+    val viaStruct = events
+      .withColumn("k", from_json(col("props"),
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.IntegerType))
+        .getField("k"))
+      .agg(sum(col("k").cast("long")), count(col("k"))).head()
+    assert(viaVariant.getLong(0) == viaStruct.getLong(0))
+    assert(viaVariant.getLong(1) == viaStruct.getLong(1))
+  }
+
+  test("cms estimates honor both sketch contracts on every probe") {
+    val rows = AnalyticsExt.eventsCmsTopk(events).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("never_under"))
+      assert(r.getAs[Boolean]("within_eps_n"))
+    }
+  }
+
+  test("grouping sets equal the union of the separate aggregations") {
+    val out = AnalyticsExt.ordersGroupingSets(orders).collect()
+    val byStatus = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPrio = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = orders.count()
+    assert(out.length == byStatus.size + byPrio.size + 1)
+    out.foreach { r =>
+      val (s, p, gid, n) = (r.getString(0), r.getString(1),
+        r.getAs[Long]("gid"), r.getAs[Long]("n_orders"))
+      gid match {
+        case 1L => assert(n == byStatus(s) && p == null) // (status) set
+        case 2L => assert(n == byPrio(p) && s == null)   // (priority) set
+        case 3L => assert(n == total && s == null && p == null)
+        case g  => fail(s"unexpected grouping_id $g")
+      }
+    }
+  }
+
   test("pearson r agrees with Spark's corr to float tolerance") {
     val out = AnalyticsExt.lineitemPriceQtyCorr(li).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("pearson_r")).toMap
