@@ -692,10 +692,13 @@ object Dedup {
     * the oracle gate (the discipline [[Similarity.recallBounds]] applies
     * to ANN): a mis-calibrated banding drops true near-dups SILENTLY —
     * the verify stage can only score pairs the blocker surfaced, so at
-    * 100 TB the loss is invisible to every downstream check. Truth sets
-    * come from the exact blocked generators at each path's own verify
-    * threshold; recall = fraction of truth pairs surfaced as raw
-    * candidates (pre-verify). Floors: minhash ≥ 0.95 (theory ≈ 0.9998
+    * 100 TB the loss is invisible to every downstream check. The
+    * minhash truth set is the COMPLETE all-pairs truth at the 0.95
+    * verify threshold (generated linearly by [[PrefixJoin]] prefix
+    * filtering — see its completeness proof); the embedding truth is
+    * the label-blocked exact generator. Recall = fraction of truth
+    * pairs surfaced as raw candidates (pre-verify). Floors: minhash
+    * ≥ 0.95 (theory ≈ 0.9998
     * at jaccard 0.95 with k=64/bands=8), embedding sign-LSH ≥ 0.6
     * (4 planes × 8 tables at cosine 0.35). `n_truth` is exact on both
     * engines, so the truth-set size itself is hash-checked; `recall_ok`
@@ -714,7 +717,13 @@ object Dedup {
     val eBase = embBase(emb).repartition(col("vec_id"))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     graft.Caching.withCached(mhBase, eBase) {
-      val truthMh = ngramPairsFromBase(mhBase, 0.95)
+      // COMPLETE truth via prefix filtering (19/20 = the 0.95 verify
+      // threshold): banding is block-free, so its recall must be
+      // measured against ALL true pairs — length-bucket blocking sees
+      // only 172 of the 1887 true 0.95 pairs at sf0.01 (buckets split
+      // near-dups), which would floor recall against 9% of reality
+      val truthMh = PrefixJoin
+        .pairsFromBase(mhBase.select(col("doc_id"), col("grams")), 19L, 20L)
         .select(col("doc_a"), col("doc_b"))
       val collMh = bandCollisions(
         bandedSignaturesFromGrams(spark, mhBase, 64, 8))
@@ -755,7 +764,16 @@ object Dedup {
   val dedupRecallBoundsSql: String =
     s"""WITH $ngramPairCtesSql,
        mh_truth AS (
-         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs WHERE jaccard >= 0.95),
+         -- COMPLETE all-pairs truth at 0.95 (the blocked `pairs` CTE
+         -- splits true pairs across len_buckets); threshold test in the
+         -- same cross-multiplied form as the Spark side (j·20 ≥ 19)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+                  - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
+               AS jaccard
+           FROM base a JOIN base b ON a.doc_id < b.doc_id)
+         WHERE jaccard * 20.0 >= 19.0),
        em_base AS (
          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        em_truth AS (
