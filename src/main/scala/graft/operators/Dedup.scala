@@ -727,8 +727,24 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
       val collMh = bandCollisions(
         bandedSignaturesFromGrams(spark, mhBase, 64, 8))
-      val truthEm = embPairsFromBase(eBase, 0.35)
-        .select(col("vec_a"), col("vec_b"))
+      // embedding truth: sampled-COMPLETE — every ≥0.35 pair touching a
+      // deterministic 1-in-50 probe sample, computed probe×corpus (the
+      // ann_bruteforce broadcast shape; cost |sample|·N, linear in N
+      // for a fixed sample rate). The label-blocked generator is
+      // BIASED here: at sf0.01 245 of the 271 true 0.35-cosine pairs
+      // are CROSS-label, invisible to label blocking — sign-LSH is
+      // label-free, so its recall must be scored on unbiased truth.
+      val probes = eBase
+        .filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("p_id"), col("v").as("pv"),
+          col("nrm").as("pnrm"))
+      val truthEm = eBase.join(broadcast(probes), col("vec_id") =!= col("p_id"))
+        .withColumn("cosine", Similarity.cosinePre(
+          Similarity.dot(col("v"), col("pv")), col("nrm"), col("pnrm")))
+        .filter(col("cosine") >= 0.35)
+        .select(least(col("vec_id"), col("p_id")).as("vec_a"),
+          greatest(col("vec_id"), col("p_id")).as("vec_b"))
+        .distinct()
       val collEm = embCollisions(
         embBucketed(eBase, dim, EmbLshPlanes, EmbLshTables))
       // truth frames are read twice (size + hit join): persist them so
@@ -777,11 +793,16 @@ object Dedup {
        em_base AS (
          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        em_truth AS (
-         SELECT CAST(COUNT(*) AS BIGINT) AS n
-         FROM em_base a JOIN em_base b
-           ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+         -- sampled-COMPLETE truth: all >=0.35 pairs touching the 1-in-50
+         -- probe sample (label blocking would hide the cross-label
+         -- majority of true pairs)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT DISTINCT least(a.vec_id, b.vec_id) AS va,
+             greatest(a.vec_id, b.vec_id) AS vb
+           FROM em_base a JOIN em_base b
+             ON a.vec_id <> b.vec_id AND b.vec_id % 50 = 0
+           WHERE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35))
        SELECT v.variant,
          CASE v.variant WHEN 'minhash' THEN mh.n ELSE em.n END AS n_truth,
          true AS recall_ok
