@@ -124,12 +124,66 @@ object PrefixJoin {
        WHERE jaccard * 5.0 >= 4.0
        ORDER BY doc_a, doc_b"""
 
+  /** k-NN graph over the near-dup relation: each document's top-3
+    * strongest neighbors among its ≥4/5-Jaccard pairs — the graph
+    * semantic-dedup clusters over (neighbors beyond the candidate
+    * threshold are by definition not near-dups, so "top-k among
+    * candidates" IS the complete thresholded k-NN graph, and the
+    * prefix filter's completeness proof carries over). Ties break
+    * (jaccard DESC, neighbor ASC) for a deterministic graph.
+    */
+  def knnGraph(docs: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = prefixFilterPairs(docs)
+    val directed = pairs.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("neighbor"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("neighbor"), col("jaccard")))
+    directed
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("neighbor"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("neighbor"), col("jaccard"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH base AS (
+         SELECT doc_id,
+           list_distinct(list_transform(
+             list_distinct(string_split(
+               regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')),
+             g -> ${OracleFnv.ofText("g")})) AS grams
+         FROM documents),
+       pairs AS (
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+                  - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
+               AS jaccard
+           FROM base a JOIN base b ON a.doc_id < b.doc_id)
+         WHERE jaccard * 5.0 >= 4.0),
+       directed AS (
+         SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM pairs
+         UNION ALL
+         SELECT doc_b AS doc_id, doc_a AS neighbor, jaccard FROM pairs)
+       SELECT doc_id, rank, neighbor, jaccard FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+           ORDER BY jaccard DESC, neighbor) AS INT) AS rank
+         FROM directed)
+       WHERE rank <= 3
+       ORDER BY doc_id, rank"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_prefix_filter" -> ((s, d) =>
       prefixFilterPairs(graft.Tables.documents(s, d))
-        .orderBy(col("doc_a"), col("doc_b"))))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "docs_knn_graph" -> ((s, d) =>
+      knnGraph(graft.Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("rank"))))
 
   def oracles: Map[String, String] = Map(
-    "dedup_prefix_filter" -> prefixPairsSql)
+    "dedup_prefix_filter" -> prefixPairsSql,
+    "docs_knn_graph" -> knnGraphSql)
 }
