@@ -1,4 +1,6 @@
 package graft
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main, built to be auditable round-over-round:
@@ -69,7 +71,16 @@ object Bench {
       .mkString("{", ",", "}")
     val ord = order.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir"}"""
+    println(json)
+    // Persist the artifact too: the driver's stdout tail-capture has
+    // truncated the JSON two rounds running, so per-query history only
+    // survives if the repo itself carries it. Committed each round.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r5.json")
+    try Files.write(Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

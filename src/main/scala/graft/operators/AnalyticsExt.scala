@@ -30,7 +30,10 @@ object AnalyticsExt {
     val schema = new StructType().add("k", IntegerType)
     events
       .withColumn("k", from_json(col("props"), schema).getField("k"))
-      .groupBy(col("event_type"), expr("k div 10").cast("int").as("k_decile"))
+      // floor division (not `div`, which truncates toward zero): the
+      // DuckDB mirror's `//` floors, and the two differ on negative keys
+      .groupBy(col("event_type"),
+        floor(col("k") / lit(10.0)).cast("int").as("k_decile"))
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("total_value"))
   }
@@ -308,6 +311,10 @@ object AnalyticsExt {
     * contracts are asserted in-gate per key: never-underestimate
     * (structural) and overestimate ≤ ε·N (holds w.p. ≥ the configured
     * confidence; at this ε the slack is ~0.1% of N).
+    *
+    * Events is read exactly twice: the exact top-10 groupBy, and ONE
+    * combined aggregate producing both the sketch and N (a separate
+    * count() was a third full scan for one long).
     */
   def eventsCmsTopk(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -318,11 +325,12 @@ object AnalyticsExt {
     val exact = keyed.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("user_id")).limit(10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val total = keyed.count()
-    val sketchBytes = keyed
+    val skRow = keyed
       .agg(count_min_sketch(col("user_id"), lit(eps), lit(conf), lit(42))
-        .as("sk"))
-      .head().getAs[Array[Byte]](0)
+        .as("sk"), count(lit(1)).as("n"))
+      .head()
+    val total = skRow.getLong(1)
+    val sketchBytes = skRow.getAs[Array[Byte]](0)
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
     val slack = (eps * total).ceil.toLong

@@ -700,7 +700,9 @@ object Dedup {
     * pairs surfaced as raw candidates (pre-verify). Floors: minhash
     * ≥ 0.95 (theory ≈ 0.9998
     * at jaccard 0.95 with k=64/bands=8), embedding sign-LSH ≥ 0.6
-    * (4 planes × 8 tables at cosine 0.35). `n_truth` is exact on both
+    * (3 planes × 8 tables at cosine 0.35: per-table collision ≈ 0.23 at
+    * the threshold ⇒ expected recall ≈ 0.88, measured 0.80-0.83; the
+    * rejected 4-plane config measured 0.54). `n_truth` is exact on both
     * engines, so the truth-set size itself is hash-checked; `recall_ok`
     * is the asserted bound (oracle emits `true` — a violated floor
     * hash-mismatches the gate).

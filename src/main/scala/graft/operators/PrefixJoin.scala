@@ -63,9 +63,10 @@ object PrefixJoin {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("token"))))
-    // p = s − ⌈(num/den)·s⌉ + 1, all-integer so the bound is exact
-    val ceilTs = (lit(num) * col("set_size") + lit(den - 1))
-      .divide(lit(den)).cast("long")
+    // p = s − ⌈(num/den)·s⌉ + 1, integer `div` so the bound is exact by
+    // construction (Column./ would be IEEE double division — exact only
+    // because num·s+den−1 ≪ 2^53, an argument `div` doesn't need)
+    val ceilTs = expr(s"($num * set_size + ${den - 1}) div $den")
     val prefix = ranked
       .filter(col("pos") <= col("set_size") - ceilTs + lit(1L))
       .select(col("doc_id"), col("token"), col("set_size"))

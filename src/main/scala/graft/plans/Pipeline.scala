@@ -171,7 +171,13 @@ object Pipeline {
         out = Some(Outcome(Some(exposed),
           NodeReport(d.name, d.layer, "ok", attempt, None)))
       } catch {
-        case NonFatal(_) if attempt <= maxRetries => () // retry
+        case NonFatal(e) if attempt <= maxRetries =>
+          // each failed attempt is logged (a silent retry loses the
+          // transient error's diagnosis) and backed off briefly so a
+          // deterministic failure doesn't hot-loop the executor pool
+          System.err.println(
+            s"[pipeline] ${d.name} attempt $attempt failed, retrying: $e")
+          Thread.sleep(math.min(1000L << (attempt - 1), 5000L))
         case NonFatal(e) =>
           out = Some(Outcome(None, NodeReport(d.name, d.layer, "failed",
             attempt, Some(e.toString))))

@@ -42,14 +42,20 @@ object FileRegistry {
   def listDataFiles(dir: String): Seq[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) Seq.empty
-    else Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(_.toString)
-      .filterNot { p =>
-        val name = new File(p).getName
-        name.startsWith("_") || name.startsWith(".")
-      }
-      .toSeq.sorted
+    else {
+      // Files.walk holds a directory handle until closed — a long-lived
+      // driver ingesting every few minutes would leak one per call
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.toString)
+        .filterNot { p =>
+          val name = new File(p).getName
+          name.startsWith("_") || name.startsWith(".")
+        }
+        .toSeq.sorted
+      finally walk.close()
+    }
   }
 
   private def manifests(registryDir: String): Seq[File] = {
