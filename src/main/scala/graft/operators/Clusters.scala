@@ -81,11 +81,20 @@ object Clusters {
     labels.union(singles).select(col("node"), col("lbl").as("cluster_id"))
   }
 
-  /** Cluster assignment for every document from n-gram-Jaccard near-dup
-    * edges: (doc_id, cluster_id, cluster_size).
+  /** Cluster assignment for every document from the COMPLETE unigram-
+    * Jaccard ≥ 4/5 near-dup relation ([[PrefixJoin.prefixFilterPairs]]):
+    * (doc_id, cluster_id, cluster_size).
+    *
+    * Edge-source note: the blocked [[Dedup.ngramJaccard]] relation was
+    * measured (dedup_recall_bounds, ngram_blocked row) to see ~9% of
+    * true pairs at this threshold — two near-identical docs of 59 vs 61
+    * tokens land in different length buckets and their edge silently
+    * never exists, under-merging clusters. The prefix-filter generator
+    * is COMPLETE by construction at the same cost class, so the cluster
+    * relation (and the keeper selection over it) loses nothing.
     */
-  def dupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = Dedup.ngramJaccard(docs, 1, threshold)
+  def dupClusters(docs: DataFrame): DataFrame = {
+    val pairs = PrefixJoin.prefixFilterPairs(docs)
       .select(col("doc_a"), col("doc_b"))
     val comp = connectedComponents(pairs, "doc_a", "doc_b",
       docs.select(col("doc_id")), "doc_id")
@@ -100,9 +109,10 @@ object Clusters {
 
   /** Shared oracle CTEs `edges`→`reach`→`comp`→`sized`: transitive
     * closure by recursive CTE (min reachable label) over
-    * [[Dedup.ngramPairCtesSql]] — the same edge definition the
-    * `dedup_ngram_jaccard` oracle uses, so the oracles cannot drift.
-    * Callers prepend `WITH RECURSIVE` and the pair CTEs.
+    * [[PrefixJoin.brutePairCtesSql]] — the BRUTE-FORCE all-pairs
+    * relation, so the oracle proves the clusters are those of the
+    * complete graph, independent of how the Spark side generated its
+    * edges. Callers prepend `WITH RECURSIVE` and the pair CTEs.
     */
   val componentCtesSql: String =
     """edges AS (
@@ -122,7 +132,7 @@ object Clusters {
          FROM comp)"""
 
   val dupClustersSql: String =
-    s"""WITH RECURSIVE ${Dedup.ngramPairCtesSql},
+    s"""WITH RECURSIVE ${PrefixJoin.brutePairCtesSql},
        $componentCtesSql
        SELECT doc_id, cluster_id, cluster_size
        FROM sized
@@ -155,7 +165,7 @@ object Clusters {
     * is deterministic.)
     */
   val canonicalDocsSql: String =
-    s"""WITH RECURSIVE ${Dedup.ngramPairCtesSql},
+    s"""WITH RECURSIVE ${PrefixJoin.brutePairCtesSql},
        $componentCtesSql,
        ${TextAnalysis.textQualityCtesSql},
        ranked AS (

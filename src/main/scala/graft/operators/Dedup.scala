@@ -140,23 +140,30 @@ object Dedup {
           list_distinct(string_split($normExpr, ' ')),
           g -> ${OracleFnv.ofText("g")}))"""
 
-  val ngramPairCtesSql: String =
-    s"""base AS (
+  /** [[ngramPairCtesSql]] with every CTE name prefixed — for oracles
+    * that must compose the blocked relation with other CTE families
+    * (the recall gate) without `base`/`pairs` name collisions. One
+    * definition of the blocking + threshold rule either way.
+    */
+  def ngramPairCtes(p: String): String =
+    s"""${p}base AS (
          SELECT doc_id, lang,
            ${hashedUnigramsSql("regexp_replace(lower(trim(text)), ' +', ' ', 'g')")} AS grams,
            CAST(len(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) // 10 AS INT) AS len_bucket
          FROM documents),
-       pairs AS (
+       ${p}pairs AS (
          SELECT * FROM (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
                AS jaccard,
              a.lang
-           FROM base a
-           JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           FROM ${p}base a
+           JOIN ${p}base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
              AND a.doc_id < b.doc_id)
          WHERE jaccard >= 0.8)"""
+
+  val ngramPairCtesSql: String = ngramPairCtes("")
 
   val ngramJaccardSql: String =
     s"""WITH $ngramPairCtesSql
@@ -702,10 +709,24 @@ object Dedup {
     * at jaccard 0.95 with k=64/bands=8), embedding sign-LSH ≥ 0.6
     * (3 planes × 8 tables at cosine 0.35: per-table collision ≈ 0.23 at
     * the threshold ⇒ expected recall ≈ 0.88, measured 0.80-0.83; the
-    * rejected 4-plane config measured 0.54). `n_truth` is exact on both
-    * engines, so the truth-set size itself is hash-checked; `recall_ok`
-    * is the asserted bound (oracle emits `true` — a violated floor
-    * hash-mismatches the gate).
+    * rejected 4-plane config measured 0.54).
+    *
+    * Beyond the floors, the measured recall ITSELF is hash-verified:
+    * every candidate generator here is deterministic (FNV-derived
+    * permutations/hyperplanes, no randomness), so `recall_ppm` — hit
+    * count × 10⁶ div truth count, all-integer — is reproduced exactly
+    * by the DuckDB mirror of each pipeline. A one-pair regression in
+    * any blocker changes the ppm and fails the gate, even while the
+    * floor still holds.
+    *
+    * The third row scores the (lang, len_bucket)-blocked
+    * [[ngramJaccard]] relation against the complete truth at its own
+    * 4/5 threshold — the measurement that motivated rebuilding the
+    * graph chain ([[Clusters]], [[Pagerank]]) on the complete relation:
+    * blocking sees ~9% of true pairs (two near-identical docs of 59 vs
+    * 61 tokens split buckets). Floor 0.0: the row exists to keep the
+    * gap measured for any future caller of the blocked generator, not
+    * to assert it away.
     */
   def dedupRecallBounds(docs: DataFrame, emb: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -719,16 +740,24 @@ object Dedup {
     val eBase = embBase(emb).repartition(col("vec_id"))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     graft.Caching.withCached(mhBase, eBase) {
-      // COMPLETE truth via prefix filtering (19/20 = the 0.95 verify
-      // threshold): banding is block-free, so its recall must be
-      // measured against ALL true pairs — length-bucket blocking sees
-      // only 172 of the 1887 true 0.95 pairs at sf0.01 (buckets split
-      // near-dups), which would floor recall against 9% of reality
-      val truthMh = PrefixJoin
-        .pairsFromBase(mhBase.select(col("doc_id"), col("grams")), 19L, 20L)
+      // COMPLETE truth via ONE prefix-filter pass at 4/5: the 0.95
+      // truth (minhash's verify threshold) is its jaccard-filtered
+      // subset — same pair values, same cross-multiplied predicate
+      // form as pairsFromBase(19,20) would apply, one pass instead of
+      // two. Banding is block-free, so its recall must be measured
+      // against ALL true pairs — length-bucket blocking sees only 172
+      // of the 1887 true 0.95 pairs at sf0.01 (buckets split
+      // near-dups), which would floor recall against 9% of reality.
+      val truthAll = PrefixJoin
+        .pairsFromBase(mhBase.select(col("doc_id"), col("grams")), 4L, 5L)
+      val truthMh = truthAll
+        .filter(col("jaccard") * lit(20.0) >= lit(19.0))
         .select(col("doc_a"), col("doc_b"))
+      val truthNg = truthAll.select(col("doc_a"), col("doc_b"))
       val collMh = bandCollisions(
         bandedSignaturesFromGrams(spark, mhBase, 64, 8))
+      val collNg = ngramPairsFromBase(mhBase, 0.8)
+        .select(col("doc_a"), col("doc_b"))
       // embedding truth: sampled-COMPLETE — every ≥0.35 pair touching a
       // deterministic 1-in-50 probe sample, computed probe×corpus (the
       // ann_bruteforce broadcast shape; cost |sample|·N, linear in N
@@ -749,67 +778,110 @@ object Dedup {
         .distinct()
       val collEm = embCollisions(
         embBucketed(eBase, dim, EmbLshPlanes, EmbLshTables))
-      // truth frames are read twice (size + hit join): persist them so
-      // the O(block²) exact joins run once each
-      graft.Caching.withCached(truthMh, truthEm) {
+      // truth frames are read twice per row (size + hit join): persist
+      // the shared complete relation and the sampled embedding truth so
+      // the generation passes run once each
+      graft.Caching.withCached(truthAll, truthEm) {
         // hit = |truth ∩ distinct(collisions)| computed WITHOUT
         // materializing the distinct candidate set: collisions stream
-        // through a broadcast-hash join against the (small) truth set
-        // and only the matches are deduplicated — no wide shuffle
+        // through a join against the truth set and only the matches
+        // are deduplicated — no wide shuffle. The LSH truths are small
+        // (broadcast); the 4/5 complete relation is the BIG side of
+        // its row, so there the blocked pairs stream un-hinted.
         def recallRow(tag: String, truth: DataFrame, coll: DataFrame,
-            keys: Seq[String], floor: Double): (Long, Boolean) = {
+            keys: Seq[String], floor: Double,
+            bcastTruth: Boolean = true): (Long, Long, Boolean) = {
           val n = truth.count()
-          val hit = coll.join(broadcast(truth), keys)
+          val t = if (bcastTruth) broadcast(truth) else truth
+          val hit = coll.join(t, keys)
             .select(keys.map(col): _*).distinct().count()
           val recall = if (n == 0) 1.0 else hit.toDouble / n
+          val ppm = if (n == 0) 1000000L else hit * 1000000L / n
           System.err.println(
             f"[dedup_recall_bounds] $tag truth=$n hit=$hit recall=$recall%.4f floor=$floor")
-          (n, n == 0 || recall >= floor)
+          (n, ppm, n == 0 || recall >= floor)
         }
-        val (nMh, mhOk) =
+        val (nMh, pMh, mhOk) =
           recallRow("minhash", truthMh, collMh, Seq("doc_a", "doc_b"), 0.95)
-        val (nEm, emOk) =
+        val (nNg, pNg, ngOk) =
+          recallRow("ngram_blocked", truthNg, collNg, Seq("doc_a", "doc_b"),
+            0.0, bcastTruth = false)
+        val (nEm, pEm, emOk) =
           recallRow("embedding_lsh", truthEm, collEm, Seq("vec_a", "vec_b"), 0.6)
-        Seq(("embedding_lsh", nEm, emOk), ("minhash", nMh, mhOk))
-          .toDF("variant", "n_truth", "recall_ok")
+        Seq(("embedding_lsh", nEm, pEm, emOk), ("minhash", nMh, pMh, mhOk),
+            ("ngram_blocked", nNg, pNg, ngOk))
+          .toDF("variant", "n_truth", "recall_ppm", "recall_ok")
       }
     }
   }
 
-  /** Oracle for `dedup_recall_bounds`: exact truth-set sizes (both
-    * engines compute them deterministically) + the asserted `true`.
+  /** Oracle for `dedup_recall_bounds`: exact truth sizes AND exact
+    * recall — every candidate pipeline is deterministic, so the oracle
+    * re-derives candidates (minhash bands via [[minhashIndexCtesSql]],
+    * sign-LSH buckets via [[Similarity.signBucketCtesSql]], the blocked
+    * relation via [[ngramPairCtes]]) and counts truth∩candidates
+    * itself. `recall_ppm` is all-integer (hit·10⁶ // n), bit-equal to
+    * the Spark side; `recall_ok` is the asserted floor (oracle emits
+    * `true` — a violated floor hash-mismatches the gate).
     */
   val dedupRecallBoundsSql: String =
-    s"""WITH $ngramPairCtesSql,
+    s"""WITH ${minhashIndexCtesSql(64, 8)},
+       ${ngramPairCtes("ng_")},
+       ${Similarity.signBucketCtesSql(EmbLshPlanes, EmbLshTables)},
+       allp AS (
+         -- COMPLETE all-pairs relation at 4/5; the 0.95 minhash truth
+         -- is its filtered subset (cross-multiplied predicates, same
+         -- double jaccard both thresholds)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+                - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
+             AS jaccard
+         FROM base a JOIN base b ON a.doc_id < b.doc_id),
        mh_truth AS (
-         -- COMPLETE all-pairs truth at 0.95 (the blocked `pairs` CTE
-         -- splits true pairs across len_buckets); threshold test in the
-         -- same cross-multiplied form as the Spark side (j·20 ≥ 19)
-         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-           SELECT CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-               / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
-                  - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
-               AS jaccard
-           FROM base a JOIN base b ON a.doc_id < b.doc_id)
-         WHERE jaccard * 20.0 >= 19.0),
-       em_base AS (
-         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         SELECT doc_a, doc_b FROM allp WHERE jaccard * 20.0 >= 19.0),
+       ng_truth AS (
+         SELECT doc_a, doc_b FROM allp WHERE jaccard * 5.0 >= 4.0),
+       mh_cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bh x JOIN bh y
+           ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id),
        em_truth AS (
          -- sampled-COMPLETE truth: all >=0.35 pairs touching the 1-in-50
          -- probe sample (label blocking would hide the cross-label
          -- majority of true pairs)
-         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-           SELECT DISTINCT least(a.vec_id, b.vec_id) AS va,
-             greatest(a.vec_id, b.vec_id) AS vb
-           FROM em_base a JOIN em_base b
-             ON a.vec_id <> b.vec_id AND b.vec_id % 50 = 0
-           WHERE list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35))
-       SELECT v.variant,
-         CASE v.variant WHEN 'minhash' THEN mh.n ELSE em.n END AS n_truth,
+         SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+           greatest(a.vec_id, b.vec_id) AS vec_b
+         FROM vec a JOIN vec b
+           ON a.vec_id <> b.vec_id AND b.vec_id % 50 = 0
+         WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+       em_cand AS (
+         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM buckets a JOIN buckets b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       u AS (
+         SELECT 'embedding_lsh' AS variant,
+           (SELECT COUNT(*) FROM em_truth) AS n,
+           (SELECT COUNT(*) FROM em_truth t JOIN em_cand c
+              ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b) AS hit
+         UNION ALL
+         SELECT 'minhash',
+           (SELECT COUNT(*) FROM mh_truth),
+           (SELECT COUNT(*) FROM mh_truth t JOIN mh_cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         UNION ALL
+         SELECT 'ngram_blocked',
+           (SELECT COUNT(*) FROM ng_truth),
+           (SELECT COUNT(*) FROM ng_truth t JOIN ng_pairs p
+              ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b))
+       SELECT variant, CAST(n AS BIGINT) AS n_truth,
+         CAST(CASE WHEN n = 0 THEN 1000000
+                   ELSE (hit * 1000000) // n END AS BIGINT) AS recall_ppm,
          true AS recall_ok
-       FROM (VALUES ('embedding_lsh'), ('minhash')) v(variant), mh_truth mh, em_truth em
-       ORDER BY v.variant"""
+       FROM u
+       ORDER BY variant"""
 
   // ---- DuckDB oracles for the hash-based paths -----------------------------
   // Both re-derive the native fnv1a64 via OracleFnv's HUGEINT fold, so

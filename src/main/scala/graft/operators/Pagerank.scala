@@ -29,11 +29,16 @@ object Pagerank {
   val Scale = 1000000000000L // 10^12
   val Iters = 3
 
-  /** Ranks after [[Iters]] iterations on the undirected Jaccard-0.8
-    * near-dup graph. Returns (doc_id, degree, rank_scaled).
+  /** Ranks after [[Iters]] iterations on the undirected Jaccard-4/5
+    * near-dup graph — the COMPLETE relation from
+    * [[PrefixJoin.prefixFilterPairs]] (the blocked ngramJaccard
+    * relation covers ~9% of true pairs at this threshold, so
+    * centrality over it ran on a sparse subgraph; see the
+    * dedup_recall_bounds ngram_blocked row). Returns
+    * (doc_id, degree, rank_scaled).
     */
   def docsPagerank(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.ngramJaccard(docs, n = 1, threshold = 0.8)
+    val pairs = PrefixJoin.prefixFilterPairs(docs)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -64,8 +69,9 @@ object Pagerank {
     }
   }
 
-  /** Oracle: the same three iterations unrolled as CTEs over the same
-    * pair CTE the blocked Jaccard generator uses ([[Dedup.ngramPairCtesSql]]).
+  /** Oracle: the same three iterations unrolled as CTEs over the
+    * BRUTE-FORCE all-pairs relation ([[PrefixJoin.brutePairCtesSql]]) —
+    * proving the ranks are those of the complete near-dup graph.
     */
   val docsPagerankSql: String = {
     def iter(prev: String, out: String): String =
@@ -80,7 +86,7 @@ object Pagerank {
              CAST((SELECT b FROM basis) + (85 * COALESCE(s.m, 0)) // 100
                AS BIGINT) AS r
            FROM nodes n LEFT JOIN s_$out s ON n.doc_id = s.doc_id)"""
-    s"""WITH ${Dedup.ngramPairCtesSql},
+    s"""WITH ${PrefixJoin.brutePairCtesSql},
        edges AS (
          SELECT doc_a AS u, doc_b AS v FROM pairs
          UNION ALL

@@ -102,27 +102,40 @@ object PrefixJoin {
     }
   }
 
-  /** Oracle: brute-force all-pairs Jaccard at the same threshold. The
-    * algorithm's whole claim is completeness — matching this proves it.
+  /** Shared oracle CTEs `base`→`pairs`: the BRUTE-FORCE all-pairs
+    * unigram-Jaccard relation at 4/5 — the ground truth the prefix
+    * filter's completeness claim is proven against. Reused by
+    * [[prefixPairsSql]], [[knnGraphSql]], [[Clusters.dupClustersSql]],
+    * [[Clusters.canonicalDocsSql]] and [[Pagerank.docsPagerankSql]],
+    * so every consumer of the near-dup graph verifies against the ONE
+    * definition of the complete relation (no drift, no blocking).
     * The threshold test is the same cross-multiplied form as the Spark
     * side (j·5 ≥ 4), dodging any 0.8-literal rounding asymmetry.
     */
-  val prefixPairsSql: String =
-    s"""WITH base AS (
+  val brutePairCtesSql: String =
+    s"""base AS (
          SELECT doc_id,
            list_distinct(list_transform(
              list_distinct(string_split(
                regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')),
              g -> ${OracleFnv.ofText("g")})) AS grams
-         FROM documents)
-       SELECT doc_a, doc_b, jaccard FROM (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
-                - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
-             AS jaccard
-         FROM base a JOIN base b ON a.doc_id < b.doc_id)
-       WHERE jaccard * 5.0 >= 4.0
+         FROM documents),
+       pairs AS (
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
+                  - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
+               AS jaccard
+           FROM base a JOIN base b ON a.doc_id < b.doc_id)
+         WHERE jaccard * 5.0 >= 4.0)"""
+
+  /** Oracle: brute-force all-pairs Jaccard at the same threshold. The
+    * algorithm's whole claim is completeness — matching this proves it.
+    */
+  val prefixPairsSql: String =
+    s"""WITH $brutePairCtesSql
+       SELECT doc_a, doc_b, jaccard FROM pairs
        ORDER BY doc_a, doc_b"""
 
   /** k-NN graph over the near-dup relation: each document's top-3
@@ -148,22 +161,7 @@ object PrefixJoin {
   }
 
   val knnGraphSql: String =
-    s"""WITH base AS (
-         SELECT doc_id,
-           list_distinct(list_transform(
-             list_distinct(string_split(
-               regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')),
-             g -> ${OracleFnv.ofText("g")})) AS grams
-         FROM documents),
-       pairs AS (
-         SELECT doc_a, doc_b, jaccard FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-               / (CAST(len(a.grams) + len(b.grams) AS DOUBLE)
-                  - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE))
-               AS jaccard
-           FROM base a JOIN base b ON a.doc_id < b.doc_id)
-         WHERE jaccard * 5.0 >= 4.0),
+    s"""WITH $brutePairCtesSql,
        directed AS (
          SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM pairs
          UNION ALL

@@ -19,23 +19,46 @@ class ClustersSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
-  test("cluster assignment is a valid partition refinement of dup pairs") {
+  test("cluster assignment equals connected components of the BRUTE-FORCE relation") {
     val docs = Tables.documents(spark, sf)
     val comp = Clusters.dupClusters(docs)
     val byDoc = comp.select("doc_id", "cluster_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every doc labeled exactly once
     assert(byDoc.size == docs.count())
-    // each edge's endpoints share a cluster
-    val pairs = graft.operators.Dedup.ngramJaccard(docs, 1, 0.8)
+    // brute-force all-pairs edges at 4/5 — the complete relation the
+    // clusters now build on (the blocked generator misses bucket-
+    // straddling pairs; clusters over it were under-merged)
+    val base = docs.select(col("doc_id"),
+      graft.operators.Dedup.hashedNgrams(spark,
+        graft.operators.Dedup.normText(col("text")), 1).as("grams"))
+    val a = base.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = base.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("j",
+        inter / ((size(col("ga")) + size(col("gb"))).cast("double") - inter))
+      .filter(col("j") * 5.0 >= 4.0)
       .select("doc_a", "doc_b").collect()
-    pairs.foreach { r =>
-      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
-        s"edge (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(brute.nonEmpty)
+    // union-find over the brute edges: the reference labeling
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
-    // cluster_id is the min member id (canonical labeling)
-    val members = byDoc.groupBy(_._2).view.mapValues(_.keys.min)
-    members.foreach { case (cid, minId) => assert(cid == minId) }
+    brute.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = byDoc.keys.map { id =>
+      // min-id labeling: find() roots at the min because union always
+      // parents the larger root under the smaller
+      id -> find(id)
+    }.toMap
+    assert(byDoc == expected,
+      "cluster labels differ from the brute-force components")
   }
 
   test("corpus packing: packs respect the token budget modulo one doc") {
