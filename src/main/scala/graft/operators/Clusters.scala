@@ -21,11 +21,12 @@ import graft.Tables
   * the edge list against the label map — no collect, no driver-side
   * graph. Lineage is truncated per round with `localCheckpoint`
   * (ContextCleaner GC-manages the materialized RDDs). For adversarial
-  * long-path graphs, swap the per-round neighbor step for the
+  * long-path graphs, [[connectedComponents]] ESCAPES to the
   * large-star/small-star rounds of Kiveris et al., "Connected
   * Components in MapReduce and Beyond" (SOCC '14) — same join shape,
-  * O(log n) rounds; the propagation loop below is the right trade for
-  * the shallow components dedup actually produces.
+  * O(log n) rounds regardless of diameter; the propagation loop
+  * remains the first attempt because it is cheaper per round on the
+  * shallow components dedup actually produces.
   */
 object Clusters {
 
@@ -70,15 +71,96 @@ object Clusters {
     }
     // exiting un-converged would silently emit multiple labels for one
     // true component (keep-one-per-cluster then retains duplicates) —
-    // fail fast; callers with adversarial long-path graphs should raise
-    // maxIters or switch to the large-star/small-star rounds
+    // ESCAPE to the O(log n)-round large-star/small-star algorithm,
+    // which converges on any diameter (near-dup graphs are shallow, so
+    // the escape only fires on adversarial long-path inputs)
+    if (!converged) {
+      System.err.println(
+        s"[clusters] propagation not converged after $maxIters rounds " +
+          s"(2 hops each; diameter > ${2 * maxIters}) — escaping to " +
+          "large-star/small-star")
+      connectedComponentsStar(edges, srcCol, dstCol, nodes, nodeCol)
+    } else {
+      val singles = nodes.select(col(nodeCol).as("node"))
+        .join(labels, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("lbl"))
+      labels.union(singles).select(col("node"), col("lbl").as("cluster_id"))
+    }
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC '14): converges in O(log n) rounds on ANY graph shape — the
+    * escape path for adversarial long-diameter graphs, where min-label
+    * propagation needs O(diameter) rounds. Same output contract as
+    * [[connectedComponents]]: (node, cluster_id = min reachable id).
+    *
+    * Each round is two grouped self-joins on node id (large-star hangs
+    * every larger neighbor of u under min(Γ⁺(u)); small-star re-parents
+    * u and its smaller neighbors under that min), with lineage
+    * truncated per round. At the fixpoint the edge set IS the star
+    * forest (child → component minimum), so labels fall out of one
+    * grouped pass — no label table is carried between rounds.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String,
+      dstCol: String, nodes: DataFrame, nodeCol: String,
+      maxIters: Int = 40): DataFrame =
+    starComponents(edges, srcCol, dstCol, nodes, nodeCol, maxIters)._1
+
+  /** [[connectedComponentsStar]] plus the round count — exposed so the
+    * convergence-rate property spec can pin the O(log n) behavior.
+    */
+  private[graft] def starComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, nodes: DataFrame, nodeCol: String,
+      maxIters: Int): (DataFrame, Int) = {
+    // canonical undirected edge set: (hi, lo), self-loops dropped
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint()
+    var prevCount = e.count()
+    var rounds = 0
+    var converged = prevCount == 0
+    while (!converged && rounds < maxIters) {
+      // large-star: from each node u's full neighborhood, hang every
+      // LARGER neighbor v under m = min(Γ(u) ∪ {u}) — v > u ≥ m, so the
+      // output is canonical (hi, lo) by construction
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mUp = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = nbrs.join(mUp, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: all neighbors here are SMALLER (ls is canonical);
+      // re-parent each of them, and u itself, under m = min of them
+      val down = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val mDown = down.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = down.join(mDown, Seq("u"))
+      val ss = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo")) // m = min ⇒ v > m
+        .union(joined.select(col("u").as("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint()
+      // fixpoint = the canonical edge set is unchanged; the count test
+      // short-circuits the except join on all non-final rounds
+      val nextCount = ss.count()
+      converged = nextCount == prevCount && ss.except(e).isEmpty
+      prevCount = nextCount
+      e = ss
+      rounds += 1
+    }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents: not converged after $maxIters rounds " +
-        s"(2 hops each) — component diameter exceeds ${2 * maxIters}")
-    val singles = nodes.select(col(nodeCol).as("node"))
-      .join(labels, Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("lbl"))
-    labels.union(singles).select(col("node"), col("lbl").as("cluster_id"))
+      s"connectedComponentsStar: not converged after $maxIters rounds " +
+        "— exceeds the O(log n) bound; graph input is likely corrupt")
+    // the fixpoint star forest: each hi points at its component minimum
+    val lbl = e.groupBy(col("hi")).agg(min(col("lo")).as("lbl"))
+      .select(col("hi").as("node"), col("lbl"))
+    val labels = nodes.select(col(nodeCol).as("node"))
+      .join(lbl, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("lbl"), col("node")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Cluster assignment for every document from the COMPLETE unigram-

@@ -19,6 +19,47 @@ class ClustersSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("large-star/small-star: 10k-node path graph converges in O(log n) rounds") {
+    import spark.implicits._
+    val n = 10000
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val nodes = (1L to n.toLong).toDF("id")
+    val (labels, rounds) =
+      Clusters.starComponents(edges, "a", "b", nodes, "id", 40)
+    // diameter 9999: propagation would need ~5000 two-hop rounds; the
+    // star alternation must land in the O(log n) regime (log2 n ≈ 13.3)
+    assert(rounds <= 30, s"took $rounds rounds — not O(log n)")
+    val got = labels.collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 1L), "path graph is one component")
+  }
+
+  test("star labels equal propagation labels on shallow graphs") {
+    import spark.implicits._
+    // chain + triangle + pair + singletons (incl. an isolated high id)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (8L, 9L), (9L, 10L), (10L, 8L)).toDF("a", "b")
+    val nodes = (1L to 12L).toDF("id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = toMap(Clusters.connectedComponents(edges, "a", "b", nodes, "id"))
+    val star = toMap(Clusters.connectedComponentsStar(edges, "a", "b", nodes, "id"))
+    assert(prop == star)
+    assert(star(10L) == 8L && star(4L) == 1L && star(12L) == 12L)
+  }
+
+  test("propagation escapes to star on a deep path instead of failing") {
+    import spark.implicits._
+    // diameter 299 > 2·2 rounds: the old behavior threw; now the escape
+    // path must produce the correct single component
+    val edges = (1 until 300).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val nodes = (1L to 300L).toDF("id")
+    val got = Clusters.connectedComponents(edges, "a", "b", nodes, "id",
+      maxIters = 2).collect()
+    assert(got.length == 300)
+    assert(got.forall(_.getLong(1) == 1L))
+  }
+
   test("cluster assignment equals connected components of the BRUTE-FORCE relation") {
     val docs = Tables.documents(spark, sf)
     val comp = Clusters.dupClusters(docs)
