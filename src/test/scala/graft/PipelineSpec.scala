@@ -76,6 +76,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("flaky"))
   }
 
+  test("incremental mode: unchanged run lands zero tables; a delta re-lands only its subtree") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_incr").toString
+    val srcA = s"$work/src_a"; val srcB = s"$work/src_b"
+    val lake = s"$work/lake"
+    Seq(1L, 2L, 3L).toDF("id").write.parquet(srcA)
+    Seq(10L, 20L).toDF("id").write.parquet(srcB)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a ← srcA; b ← srcB; c ← a ⋈ b; d ← srcB  (two leaf sources, one
+    // join table, one independent consumer of srcB)
+    def defs = Seq(
+      Pipeline.TableDef("a", "x", Nil,
+        (s, _) => { builds.incrementAndGet(); s.read.parquet(srcA) },
+        sources = Seq(srcA)),
+      Pipeline.TableDef("b", "x", Nil,
+        (s, _) => { builds.incrementAndGet(); s.read.parquet(srcB) },
+        sources = Seq(srcB)),
+      Pipeline.TableDef("c", "x", Seq("a", "b"),
+        (_, t) => { builds.incrementAndGet(); t("a").union(t("b")) }),
+      Pipeline.TableDef("d", "y", Nil,
+        (s, _) => { builds.incrementAndGet(); s.read.parquet(srcB) },
+        sources = Seq(srcB)))
+    val incr = Pipeline.RunPolicy(mode = Pipeline.Incremental)
+    // run 1: cold lake — everything builds
+    val (_, r1) = Pipeline.runWithReport(spark, defs, Some(lake), incr)
+    assert(r1.forall(_.status == "ok") && builds.get() == 4)
+    // run 2: nothing changed — zero builds, all fresh, results served
+    val (out2, r2) = Pipeline.runWithReport(spark, defs, Some(lake), incr)
+    assert(r2.forall(_.status == "fresh"), r2.mkString(","))
+    assert(builds.get() == 4, "a fresh run must not invoke any builder")
+    assert(out2("c").count() == 5)
+    // run 3: srcB gains a file — only b, c, d rebuild; a stays fresh
+    Seq(30L).toDF("id").write.mode("append").parquet(srcB)
+    val (out3, r3) = Pipeline.runWithReport(spark, defs, Some(lake), incr)
+    val st = r3.map(r => r.name -> r.status).toMap
+    assert(st == Map("a" -> "fresh", "b" -> "ok", "c" -> "ok", "d" -> "ok"), st.toString)
+    assert(builds.get() == 7)
+    assert(out3("c").count() == 6 && out3("d").count() == 3)
+    // run 4: FullRefresh rebuilds everything regardless
+    val (_, r4) = Pipeline.runWithReport(spark, defs, Some(lake),
+      Pipeline.RunPolicy(mode = Pipeline.FullRefresh))
+    assert(r4.forall(_.status == "ok") && builds.get() == 11)
+  }
+
+  test("incremental mode on the medallion DAG: second run is all fresh with equal counts") {
+    val lake = Files.createTempDirectory("graft_incr_med").toString
+    val incr = Pipeline.RunPolicy(mode = Pipeline.Incremental)
+    val (out1, r1) = Pipeline.runWithReport(spark, Pipeline.medallion(sf),
+      Some(lake), incr)
+    assert(r1.forall(_.status == "ok"))
+    val counts1 = out1.map { case (k, v) => k -> v.count() }
+    val (out2, r2) = Pipeline.runWithReport(spark, Pipeline.medallion(sf),
+      Some(lake), incr)
+    assert(r2.forall(_.status == "fresh"), r2.mkString(","))
+    val counts2 = out2.map { case (k, v) => k -> v.count() }
+    assert(counts1 == counts2)
+  }
+
   test("independent branches build concurrently (futures overlap)") {
     val active = new java.util.concurrent.atomic.AtomicInteger(0)
     val peak = new java.util.concurrent.atomic.AtomicInteger(0)
