@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Medallion.queries ++ Gold.queries ++ Analytics.queries ++
+    Medallion.queries ++ Gold.queries ++
+      graft.operators.GoldIncr.queries ++ Analytics.queries ++
       Insights.queries ++ graft.operators.BloomJoin.queries ++
       Cdc.queries ++ graft.operators.CdcGen.queries ++
       Quality.queries ++ Masking.queries ++
@@ -50,7 +51,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Medallion.oracles ++ Gold.oracles ++ Analytics.oracles ++
+    Medallion.oracles ++ Gold.oracles ++
+      graft.operators.GoldIncr.oracles ++ Analytics.oracles ++
       Insights.oracles ++ graft.operators.BloomJoin.oracles ++
       Cdc.oracles ++ graft.operators.CdcGen.oracles ++
       Quality.oracles ++ Masking.oracles ++
