@@ -44,6 +44,7 @@ object SparkEntry {
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
+      graft.plans.Schedule.queries ++
       graft.streaming.EventStreams.queries ++
       graft.streaming.TransformState.queries
 
@@ -79,6 +80,7 @@ object SparkEntry {
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
+      graft.plans.Schedule.oracles ++
       graft.streaming.EventStreams.oracles ++
       graft.streaming.TransformState.oracles
 }
