@@ -27,21 +27,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read `ts` as epoch-nanos LongType (exact — no
-    * truncation, ordering identical to the ns timestamp), and expose a
-    * microsecond `ts_utc` TimestampType for calendar bucketing (hour+
-    * buckets are unaffected by sub-microsecond truncation).
+  /** events.parquet has shipped `ts` two ways across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as epoch-nanos LongType under `nanosAsLong`) and
+    * TIMESTAMP(MICROS) with no UTC flag (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize on read: a microsecond BIGINT `ts_us`
+    * (the exact arithmetic domain every operator uses — DuckDB mirror
+    * `epoch_us(ts)`) and a microsecond `ts_utc` TimestampType for
+    * calendar bucketing. The session is pinned UTC, so the NTZ→TZ cast
+    * preserves the stored wall-clock micros bit-exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: double division of ~1e18 longs loses the
-    // low bits and can land one microsecond off
-    load(s, d, "events")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-      .withColumn("ts_utc",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts_us")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      // integer `div`, not `/`: double division of ~1e18 longs loses
+      // the low bits and can land one microsecond off
+      case LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -23,10 +23,12 @@ import graft.operators.Medallion.dsum
   */
 object EventStreams {
 
-  val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
-
+  /** File-source schema for events.parquet (TIMESTAMP(MICROS), no UTC
+    * flag → TIMESTAMP_NTZ; the session is pinned UTC so the NTZ→TZ
+    * cast below is bit-exact on the stored micros).
+    */
   private val eventSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -45,7 +47,7 @@ object EventStreams {
     val src = spark.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast(TimestampType))
     val agg = src
       .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
@@ -126,6 +128,7 @@ object EventStreams {
        ORDER BY user_id, session_idx"""
 
   // ---- stateful streaming sessionizer -------------------------------------
+  /** `ts` is epoch MICROS (the [[graft.Tables.events]] `ts_us` domain). */
   final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
   final case class SessionState(startId: Long, lastId: Long, lastTs: Long,
       minTs: Long, n: Long, value: Double, idx: Long)
@@ -154,12 +157,12 @@ object EventStreams {
           var nextIdx = open.map(_.idx).getOrElse(0L)
           sorted.foreach { e =>
             open match {
-              case Some(s) if e.ts - s.lastTs <= SessionGapNs =>
+              case Some(s) if e.ts - s.lastTs <= SessionGapUs =>
                 open = Some(s.copy(lastId = e.event_id, lastTs = e.ts,
                   n = s.n + 1, value = s.value + e.value))
               case Some(s) =>
                 closed ::= SessionOut(userId, s.idx, s.startId, s.lastId,
-                  s.n, (s.lastTs - s.minTs).toDouble / 1.0e9)
+                  s.n, (s.lastTs - s.minTs).toDouble / 1.0e6)
                 nextIdx = s.idx + 1
                 open = Some(SessionState(e.event_id, e.event_id, e.ts, e.ts,
                   1L, e.value, nextIdx))
@@ -186,10 +189,10 @@ object EventStreams {
         idx += 1
         val s = cur.reverse
         out ::= SessionOut(userId, idx, s.head.event_id, s.last.event_id,
-          s.size.toLong, (s.last.ts - s.head.ts).toDouble / 1.0e9)
+          s.size.toLong, (s.last.ts - s.head.ts).toDouble / 1.0e6)
       }
       sorted.foreach { e =>
-        if (cur.nonEmpty && e.ts - cur.head.ts > SessionGapNs) close()
+        if (cur.nonEmpty && e.ts - cur.head.ts > SessionGapUs) close()
         cur = e :: cur
       }
       close()
@@ -247,7 +250,7 @@ object EventStreams {
     val src = spark.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast(TimestampType))
     val agg = src
       .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
         col("value").isNotNull && col("value") >= 0 &&

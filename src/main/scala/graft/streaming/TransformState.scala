@@ -70,7 +70,7 @@ object TransformState {
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.TimestampNTZType),
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("event_type",
@@ -82,7 +82,9 @@ object TransformState {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .filter(col("user_id").isNotNull)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("event_id"),
+        unix_micros(col("ts").cast(
+          org.apache.spark.sql.types.TimestampType)).as("ts_us"),
         col("user_id"),
         // DECIMAL(18,4) unscaled long of value — exact adds in state
         (coalesce(col("value"), lit(0.0))

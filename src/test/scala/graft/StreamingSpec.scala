@@ -100,7 +100,8 @@ class StreamingSpec extends AnyFunSuite {
   test("stateful streaming sessionizer agrees with batch gap windows") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .select(col("event_id"), col("ts_us").as("ts"), col("user_id"),
+        col("value"))
       .as[Ev].collect().toSeq
 
     implicit val sqlCtx = spark.sqlContext
