@@ -26,11 +26,15 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
+      graft.operators.LineDedup.queries ++
       graft.operators.LmScore.queries ++
       graft.operators.CorpusFunnel.queries ++
       graft.operators.TpchShapes.queries ++
       graft.operators.TpchShapes2.queries ++
       graft.operators.AnalyticsExt.queries ++
+      graft.operators.TfidfRetrieval.queries ++
+      graft.operators.DocsGraph.queries ++
+      graft.operators.GapFill.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
@@ -41,10 +45,12 @@ object SparkEntry {
       graft.sources.Dpp.queries ++
       graft.sources.CatalogSetup.queries ++
       graft.sources.StatsSkipping.queries ++
+      graft.sources.BloomSkip.queries ++
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
       graft.plans.Schedule.queries ++
+      graft.plans.ConfigLint.queries ++
       graft.streaming.EventStreams.queries ++
       graft.streaming.TransformState.queries
 
@@ -62,11 +68,15 @@ object SparkEntry {
       Similarity.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
+      graft.operators.LineDedup.oracles ++
       graft.operators.LmScore.oracles ++
       graft.operators.CorpusFunnel.oracles ++
       graft.operators.TpchShapes.oracles ++
       graft.operators.TpchShapes2.oracles ++
       graft.operators.AnalyticsExt.oracles ++
+      graft.operators.TfidfRetrieval.oracles ++
+      graft.operators.DocsGraph.oracles ++
+      graft.operators.GapFill.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
@@ -77,10 +87,12 @@ object SparkEntry {
       graft.sources.Dpp.oracles ++
       graft.sources.CatalogSetup.oracles ++
       graft.sources.StatsSkipping.oracles ++
+      graft.sources.BloomSkip.oracles ++
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
       graft.plans.Schedule.oracles ++
+      graft.plans.ConfigLint.oracles ++
       graft.streaming.EventStreams.oracles ++
       graft.streaming.TransformState.oracles
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the COMPLETE near-dup relation
+  * ([[PrefixJoin.prefixFilterPairs]]) — the structural signals a
+  * corpus-curation pipeline reads off its duplicate graph beside the
+  * cluster labels ([[Clusters]]) and centrality ([[Pagerank]]):
+  *
+  *  - `docs_triangle_count`: per-document triangle membership, the
+  *    local-clustering signal (a doc in many triangles sits in a dense
+  *    near-dup clique — template/boilerplate families; a bridge doc
+  *    with neighbors but no triangles links otherwise-unrelated
+  *    groups). Implemented with DEGREE ORIENTATION (Suri & Vassilvitskii,
+  *    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+  *    each undirected edge points low-(degree,id) → high-(degree,id),
+  *    wedges are built only from a vertex's HIGHER-ranked out-
+  *    neighborhood, so a hub of degree d contributes O(d·avg) not
+  *    O(d²) wedge candidates — the skew-robust MapReduce form. Every
+  *    triangle is generated exactly once (its minimum-rank vertex owns
+  *    it).
+  *  - `docs_cc_stats`: the component-size histogram — the
+  *    dedup-pressure report (how many pair/triple/k-sized duplicate
+  *    families exist; the tail of big components is what melts wall
+  *    clock if left unsplit).
+  *
+  * Both recompute their edges from the corpus; the oracle re-derives
+  * everything from the brute-force all-pairs relation, so the graph
+  * the stats describe is proven complete, not just self-consistent.
+  */
+object DocsGraph {
+
+  /** (deg, id) lexicographic rank comparison as a join predicate. */
+  private def rankLess(degA: Column, a: Column, degB: Column,
+      b: Column): Column =
+    degA < degB || (degA === degB && a < b)
+
+  /** Per-doc triangle membership counts over the ≥4/5-Jaccard graph. */
+  def triangleCounts(docs: DataFrame): DataFrame = {
+    val pairs = PrefixJoin.prefixFilterPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+    graft.Caching.withCached(pairs) {
+      val und = pairs
+        .unionAll(pairs.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b")))
+        .toDF("u", "v")
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      // one directed edge per undirected edge: low rank → high rank
+      val directed = und
+        .join(deg, Seq("u"))
+        .join(deg.select(col("u").as("v"), col("deg").as("deg_v")),
+          Seq("v"))
+        .filter(rankLess(col("deg"), col("u"), col("deg_v"), col("v")))
+        .select(col("u"), col("v"), col("deg_v"))
+      // wedges from each vertex's out-neighborhood, ordered v < w by
+      // rank so each candidate triangle is generated once
+      val wedges = directed.as("e1")
+        .join(directed.as("e2"), col("e1.u") === col("e2.u") &&
+          rankLess(col("e1.deg_v"), col("e1.v"),
+            col("e2.deg_v"), col("e2.v")))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"),
+          col("e2.v").as("z"))
+      // close the wedge: the (y, z) edge must exist (directed y → z,
+      // consistent with the rank order above)
+      val tri = wedges.join(
+        directed.select(col("u").as("y"), col("v").as("z")),
+        Seq("y", "z"))
+      val verts = tri.select(col("x").as("doc_id"))
+        .unionAll(tri.select(col("y").as("doc_id")))
+        .unionAll(tri.select(col("z").as("doc_id")))
+      verts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    }
+  }
+
+  val triangleCountsSql: String =
+    s"""WITH ${PrefixJoin.brutePairCtesSql},
+       tri AS (
+         SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
+         FROM pairs p1
+         JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+       verts AS (
+         SELECT x AS doc_id FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri)
+       SELECT doc_id, COUNT(*) AS n_triangles
+       FROM verts GROUP BY doc_id
+       ORDER BY doc_id"""
+
+  /** Component-size histogram: (cluster_size, n_clusters, n_docs). */
+  def ccStats(docs: DataFrame): DataFrame =
+    Clusters.dupClusters(docs)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+
+  val ccStatsSql: String =
+    s"""WITH RECURSIVE ${PrefixJoin.brutePairCtesSql},
+       ${Clusters.componentCtesSql},
+       per_cluster AS (
+         SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         FROM comp GROUP BY cluster_id)
+       SELECT cluster_size, COUNT(*) AS n_clusters,
+         CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       FROM per_cluster
+       GROUP BY cluster_size
+       ORDER BY cluster_size"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_triangle_count" -> ((s, d) =>
+      triangleCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "docs_cc_stats" -> ((s, d) =>
+      ccStats(Tables.documents(s, d)).orderBy(col("cluster_size"))))
+
+  def oracles: Map[String, String] = Map(
+    "docs_triangle_count" -> triangleCountsSql,
+    "docs_cc_stats" -> ccStatsSql)
+}
