@@ -10,18 +10,25 @@ import graft.Tables
   * corpus-curation pipeline reads off its duplicate graph beside the
   * cluster labels ([[Clusters]]) and centrality ([[Pagerank]]):
   *
-  *  - `docs_triangle_count`: per-document triangle membership, the
-  *    local-clustering signal (a doc in many triangles sits in a dense
-  *    near-dup clique — template/boilerplate families; a bridge doc
-  *    with neighbors but no triangles links otherwise-unrelated
-  *    groups). Implemented with DEGREE ORIENTATION (Suri & Vassilvitskii,
-  *    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
-  *    each undirected edge points low-(degree,id) → high-(degree,id),
-  *    wedges are built only from a vertex's HIGHER-ranked out-
-  *    neighborhood, so a hub of degree d contributes O(d·avg) not
-  *    O(d²) wedge candidates — the skew-robust MapReduce form. Every
-  *    triangle is generated exactly once (its minimum-rank vertex owns
-  *    it).
+  *  - `docs_triangle_count`: per-document triangle membership on the
+  *    SPARSIFIED similarity graph ([[PrefixJoin.knnGraph]]'s top-k
+  *    edges, undirected support) — the triadic-closure signal (a doc
+  *    in many triangles sits inside a coherent near-dup family; a
+  *    bridge doc with neighbors but no triangles links
+  *    otherwise-unrelated groups). The k-NN graph, not the raw pair
+  *    relation, is the only scalable substrate: duplicate FAMILIES are
+  *    near-cliques, so raw-pair triangles grow as family³ (this
+  *    corpus's one 342-doc family at sf0.01 already holds ~2M; at
+  *    100 TB the count is astronomically meaningless), while the k-NN
+  *    support graph has ≤ k·n edges and answers the question the
+  *    signal actually asks. Counting uses DEGREE ORIENTATION (Suri &
+  *    Vassilvitskii, "Counting Triangles and the Curse of the Last
+  *    Reducer", WWW'11): each undirected edge points low-(degree,id)
+  *    → high-(degree,id), wedges are built only from a vertex's
+  *    higher-ranked out-neighborhood, so a hub of degree d
+  *    contributes O(outdeg²) ≪ O(d²) wedge candidates — the
+  *    skew-robust MapReduce form. Every triangle is generated exactly
+  *    once (its minimum-rank vertex owns it).
   *  - `docs_cc_stats`: the component-size histogram — the
   *    dedup-pressure report (how many pair/triple/k-sized duplicate
   *    families exist; the tail of big components is what melts wall
@@ -38,10 +45,15 @@ object DocsGraph {
       b: Column): Column =
     degA < degB || (degA === degB && a < b)
 
-  /** Per-doc triangle membership counts over the ≥4/5-Jaccard graph. */
+  /** Per-doc triangle membership counts over the undirected support of
+    * the top-k near-dup graph.
+    */
   def triangleCounts(docs: DataFrame): DataFrame = {
-    val pairs = PrefixJoin.prefixFilterPairs(docs)
-      .select(col("doc_a"), col("doc_b"))
+    val knn = PrefixJoin.knnGraph(docs)
+    val pairs = knn.select(
+        least(col("doc_id"), col("neighbor")).as("doc_a"),
+        greatest(col("doc_id"), col("neighbor")).as("doc_b"))
+      .distinct()
     graft.Caching.withCached(pairs) {
       val und = pairs
         .unionAll(pairs.select(col("doc_b").as("doc_a"),
@@ -77,11 +89,25 @@ object DocsGraph {
 
   val triangleCountsSql: String =
     s"""WITH ${PrefixJoin.brutePairCtesSql},
+       directed AS (
+         SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM pairs
+         UNION ALL
+         SELECT doc_b AS doc_id, doc_a AS neighbor, jaccard FROM pairs),
+       knn AS (
+         SELECT doc_id, neighbor FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY jaccard DESC, neighbor) AS rank
+           FROM directed)
+         WHERE rank <= 3),
+       support AS (
+         SELECT DISTINCT least(doc_id, neighbor) AS doc_a,
+           greatest(doc_id, neighbor) AS doc_b
+         FROM knn),
        tri AS (
          SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
-         FROM pairs p1
-         JOIN pairs p2 ON p2.doc_a = p1.doc_b
-         JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+         FROM support p1
+         JOIN support p2 ON p2.doc_a = p1.doc_b
+         JOIN support p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
        verts AS (
          SELECT x AS doc_id FROM tri
          UNION ALL SELECT y FROM tri

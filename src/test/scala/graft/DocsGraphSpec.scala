@@ -12,9 +12,10 @@ class DocsGraphSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val got = DocsGraph.triangleCounts(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // brute force: a<b<c three-way join over the complete pairs
-    val pairs = PrefixJoin.prefixFilterPairs(docs)
-      .select(col("doc_a"), col("doc_b")).collect()
+    // brute force: a<b<c three-way join over the k-NN support edges
+    val pairs = PrefixJoin.knnGraph(docs)
+      .select(least(col("doc_id"), col("neighbor")),
+        greatest(col("doc_id"), col("neighbor"))).distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
     var expected = Map.empty[Long, Long].withDefaultValue(0L)
