@@ -31,6 +31,8 @@ object SparkEntry {
       graft.operators.CorpusFunnel.queries ++
       graft.operators.TpchShapes.queries ++
       graft.operators.TpchShapes2.queries ++
+      graft.operators.TpchShapes3.queries ++
+      graft.operators.PathPatterns.queries ++
       graft.operators.AnalyticsExt.queries ++
       graft.operators.TfidfRetrieval.queries ++
       graft.operators.DocsGraph.queries ++
@@ -73,6 +75,8 @@ object SparkEntry {
       graft.operators.CorpusFunnel.oracles ++
       graft.operators.TpchShapes.oracles ++
       graft.operators.TpchShapes2.oracles ++
+      graft.operators.TpchShapes3.oracles ++
+      graft.operators.PathPatterns.oracles ++
       graft.operators.AnalyticsExt.oracles ++
       graft.operators.TfidfRetrieval.oracles ++
       graft.operators.DocsGraph.oracles ++

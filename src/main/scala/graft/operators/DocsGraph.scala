@@ -116,13 +116,21 @@ object DocsGraph {
        FROM verts GROUP BY doc_id
        ORDER BY doc_id"""
 
-  /** Component-size histogram: (cluster_size, n_clusters, n_docs). */
-  def ccStats(docs: DataFrame): DataFrame =
-    Clusters.dupClusters(docs)
-      .select(col("cluster_id"), col("cluster_size")).distinct()
+  /** Component-size histogram: (cluster_size, n_clusters, n_docs).
+    * Goes straight from the CC labels to per-cluster counts — skipping
+    * [[Clusters.dupClusters]]'s per-doc size window, which this
+    * aggregate would immediately re-collapse.
+    */
+  def ccStats(docs: DataFrame): DataFrame = {
+    val pairs = PrefixJoin.prefixFilterPairs(docs)
+      .select(col("doc_a"), col("doc_b"))
+    Clusters.connectedComponents(pairs, "doc_a", "doc_b",
+        docs.select(col("doc_id")), "doc_id")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"))
+  }
 
   val ccStatsSql: String =
     s"""WITH RECURSIVE ${PrefixJoin.brutePairCtesSql},
