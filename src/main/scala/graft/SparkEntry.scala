@@ -40,6 +40,7 @@ object SparkEntry {
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
+      graft.operators.AqeSkew.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.sources.CatalogSetup.queries ++
       graft.sources.StatsSkipping.queries ++
       graft.sources.BloomSkip.queries ++
+      graft.sources.PartitionEvolution.queries ++
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
@@ -84,6 +86,7 @@ object SparkEntry {
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
+      graft.operators.AqeSkew.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
@@ -92,6 +95,7 @@ object SparkEntry {
       graft.sources.CatalogSetup.oracles ++
       graft.sources.StatsSkipping.oracles ++
       graft.sources.BloomSkip.oracles ++
+      graft.sources.PartitionEvolution.oracles ++
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
