@@ -562,6 +562,87 @@ object EventStreams {
         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
        ORDER BY 1, 2"""
 
+  /** LEFT OUTER stream-stream join — the semantics [[streamStreamJoin]]
+    * cannot show: a click with NO purchase in its attribution window
+    * must still emit (purchase_id −1 here; NULL avoided only for
+    * gate dtype parity). The engine can only declare a left row
+    * unmatched once the WATERMARK proves no future purchase can fall
+    * inside the row's window, so unmatched rows emit on watermark
+    * advancement, not on arrival — the fixture forces that final
+    * advancement with a far-future sentinel on both sides, delivered
+    * as a second file processed after all real data (mtime order).
+    * With the feed fully drained the answer equals the batch LEFT
+    * JOIN, which is the oracle.
+    *
+    * Scale: same state shape as the inner join (four stores per
+    * partition, rows evicted at `click_ts + 1h` behind the watermark);
+    * the outer emission adds no state — it changes only WHEN an
+    * evicted row is emitted (with nulls) instead of dropped.
+    */
+  def streamOuterJoin(spark0: SparkSession, dir: String): DataFrame = {
+    // scoped state parallelism — see [[streamStreamJoin]]
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val checkpoint = Files.createTempDirectory("graft_soj_ckpt").toString
+    val feed = graft.sources.Scratch.dir("soj_feed")
+    val queryName = s"stream_soj_${System.identityHashCode(spark)}"
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_utc"), col("user_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("user_id").isNotNull)
+    ev.coalesce(1).write.parquet(s"$feed/batch0")
+    // one sentinel per side, both beyond every real timestamp: the
+    // query watermark is min over inputs, so BOTH sides must advance
+    // for the join state to flush its unmatched rows
+    val sentinelTs = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    Seq((-1L, sentinelTs, -1L, "click"), (-2L, sentinelTs, -2L, "purchase"))
+      .toDF("event_id", "ts_utc", "user_id", "event_type")
+      .coalesce(1).write.parquet(s"$feed/batch1")
+    val fsDir = new java.io.File(feed)
+    new java.io.File(fsDir, "batch1").listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() + 600000))
+    val feedSchema = spark.read.parquet(s"$feed/batch0").schema
+    def side(t: String, idAs: String, tsAs: String, userAs: String) =
+      spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/*")
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("ts_utc").as(tsAs),
+          col("user_id").as(userAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "click_id", "click_ts", "user_id")
+    val buys = side("purchase", "purchase_id", "purchase_ts", "p_user")
+    val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(queryName)
+      .filter(col("click_id") >= 0) // drop the sentinel's own row
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(queryName)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    out
+  }
+
+  val streamOuterJoinSql: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+         COALESCE(p.event_id, -1) AS purchase_id
+       FROM events c LEFT JOIN events p
+         ON c.user_id = p.user_id
+        AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+       WHERE c.event_type = 'click' AND c.user_id IS NOT NULL
+       ORDER BY 1, 3"""
+
   /** Cross-batch streaming deduplication, end-to-end: the feed is
     * re-served with ~10% hash-selected duplicate rows scattered across
     * three microbatches, `dropDuplicates(event_id)` removes them across batch
@@ -784,6 +865,8 @@ object EventStreams {
       windowedAppend(s, d).orderBy(col("window_start"), col("event_type"))),
     "stream_stream_join" -> ((s, d) =>
       streamStreamJoin(s, d).orderBy(col("click_id"), col("purchase_id"))),
+    "stream_outer_join" -> ((s, d) =>
+      streamOuterJoin(s, d).orderBy(col("click_id"), col("purchase_id"))),
     "stream_late_drop" -> ((s, d) =>
       lateDrop(s, d).orderBy(col("window_start"), col("event_type"))),
     "stream_checkpoint_resume" -> ((s, d) =>
@@ -798,6 +881,7 @@ object EventStreams {
     "stream_dedup" -> streamDedupSql,
     "stream_windowed_append" -> windowedAppendSql,
     "stream_stream_join" -> streamStreamJoinSql,
+    "stream_outer_join" -> streamOuterJoinSql,
     "stream_late_drop" -> lateDropSql,
     "stream_checkpoint_resume" -> checkpointResumeSql)
 }

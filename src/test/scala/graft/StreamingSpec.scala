@@ -97,6 +97,49 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView("ssj_spec_out")
   }
 
+  test("left-outer stream join emits unmatched clicks on watermark advance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("click_id", "click_ts", "user_id")
+      .withWatermark("click_ts", "1 hour")
+    val b = buys.toDF().toDF("purchase_id", "purchase_ts", "p_user")
+      .withWatermark("purchase_ts", "1 hour")
+    val j = c.join(b, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+    val q = j.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("soj_spec_out").start()
+    try {
+      val t = (s: String) => java.sql.Timestamp.valueOf(s)
+      clicks.addData(
+        (1L, t("2024-01-01 10:00:00"), 7L),  // will match
+        (2L, t("2024-01-01 10:00:00"), 8L))  // will never match
+      buys.addData((100L, t("2024-01-01 10:30:00"), 7L))
+      q.processAllAvailable()
+      // click 2 is unmatched but must NOT emit yet: its window's close
+      // is not behind the watermark, so a matching purchase could still
+      // arrive
+      val early = spark.table("soj_spec_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(early == Set((1L, 100L)),
+        s"unmatched row emitted before the watermark proved it: $early")
+      // watermark advance on BOTH sides pushes past click 2's window →
+      // the null-padded row flushes
+      clicks.addData((3L, t("2024-01-02 00:00:00"), 9L))
+      buys.addData((101L, t("2024-01-02 00:00:00"), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("soj_spec_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((2L, -1L)), s"unmatched click never emitted: $rows")
+    assert(rows.contains((1L, 100L)))
+    spark.catalog.dropTempView("soj_spec_out")
+  }
+
   test("stateful streaming sessionizer agrees with batch gap windows") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
