@@ -41,6 +41,7 @@ object SparkEntry {
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
       graft.operators.AqeSkew.queries ++
+      graft.operators.Basket.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
@@ -87,6 +88,7 @@ object SparkEntry {
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
       graft.operators.AqeSkew.oracles ++
+      graft.operators.Basket.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
