@@ -42,6 +42,7 @@ object SparkEntry {
       graft.operators.Skew.queries ++
       graft.operators.AqeSkew.queries ++
       graft.operators.Basket.queries ++
+      graft.operators.Kmeans.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
@@ -89,6 +90,7 @@ object SparkEntry {
       graft.operators.Skew.oracles ++
       graft.operators.AqeSkew.oracles ++
       graft.operators.Basket.oracles ++
+      graft.operators.Kmeans.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++

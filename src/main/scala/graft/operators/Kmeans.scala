@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Lloyd's k-means over the embedding corpus — the clustering operator
+  * a curation pipeline uses for diversity sampling, topic bucketing,
+  * and IVF-style routing ([[Ivf]] trains centroids as an internal step;
+  * this exposes clustering itself, with the full assignment as the
+  * result). Implementation follows the MLlib/production shape: points
+  * stay distributed, centroids are driver-held model state (k·dim
+  * values) broadcast into the assignment expression each round, and the
+  * update is one shuffle keyed by (cluster, dimension).
+  *
+  * **Integer-exact by construction** so the DuckDB oracle can unroll
+  * the same rounds and hash-match: embeddings are quantized once to
+  * q = floor((x+1)·10⁶) (the +1 shift keeps every value non-negative,
+  * so Spark's truncating `div`, DuckDB's flooring `//`, and Scala's
+  * `/` on the driver all agree), centroids live at scale 10¹² as
+  * floor((Σq)·10⁶ / n), and squared distances are exact DECIMAL(38,0)
+  * sums of (q·10⁶ − c)² — no float is ever summed, compared, or
+  * divided, so argmin ties break identically (distance, then cluster
+  * id) on both engines. Quantization at 10⁻⁶ is far below embedding
+  * noise; the clustering is the one Lloyd's produces on the quantized
+  * points, deterministically.
+  *
+  * Scale: assignment is a narrow map over points (k·dim literal
+  * comparisons inside codegen — no join, no shuffle); the update
+  * shuffles (cluster, dim, partial-sum) with map-side combine, k·dim
+  * rows total to the driver per round. At 100 TB the same plan holds:
+  * rounds are O(points/executors) with k·dim driver state, exactly
+  * MLlib's cost model.
+  */
+object Kmeans {
+
+  val K = 8
+  val Iters = 3
+  val Q = 1000000L
+
+  /** floor((x+1)·10⁶) as BIGINT — non-negative, so every division
+    * downstream is floor division on every engine.
+    */
+  private val qCol: Column =
+    expr("transform(embedding, x -> " +
+      s"cast(floor((cast(x as double) + 1.0d) * ${Q}.0d) as bigint))")
+
+  /** Exact squared distance (scale 10¹²·10¹²) between a point's q
+    * vector and one centroid literal: Σ (q_i·10⁶ − c_i)² in
+    * DECIMAL(38,0) — values peak ~10²⁶, comfortably inside 38 digits.
+    */
+  private def distCol(cent: Array[Long]): Column =
+    aggregate(
+      zip_with(col("q"), typedLit(cent.toSeq), (x, s) => {
+        val d = (x * lit(Q) - s).cast(DecimalType(38, 0))
+        d * d
+      }),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)),
+      (acc, v) => acc + v)
+
+  /** One assignment pass: cluster = argmin over the k centroid
+    * literals, ties to the smaller cluster id (struct ordering of
+    * array_min compares distance first, then id).
+    */
+  private def assign(pts: DataFrame,
+      cents: Array[(Long, Array[Long])]): DataFrame =
+    pts.withColumn("best",
+        array_min(array(cents.map { case (cid, c) =>
+          struct(distCol(c).as("dist"), lit(cid).as("cid"))
+        }: _*)))
+      .select(col("vec_id"), col("q"),
+        col("best.cid").as("cid"), col("best.dist").as("dist"))
+
+  /** One update pass: per-(cluster, dim) exact sums and counts shuffle
+    * once (map-side combined); the k·dim result rows are driver model
+    * state. Clusters that lost every point keep their previous
+    * centroid (deterministic carry-over, mirrored by the oracle's
+    * LEFT JOIN + COALESCE).
+    */
+  private def update(assigned: DataFrame,
+      prev: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] = {
+    val rows = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byCid = rows.groupBy(_.getLong(0))
+    prev.map { case (cid, old) =>
+      byCid.get(cid) match {
+        case None => (cid, old)
+        case Some(dims) =>
+          val c = old.clone()
+          dims.foreach { r =>
+            // s·10⁶ ≤ 4·10¹⁵ — fits a Long; operands non-negative so
+            // Scala `/` is the same floor division as DuckDB `//`
+            c(r.getInt(1)) = r.getLong(2) * Q / r.getLong(3)
+          }
+          (cid, c)
+      }
+    }
+  }
+
+  /** Full clustering: init = the k smallest vec_ids' vectors, `Iters`
+    * assignment rounds with `Iters − 1` updates between them (the last
+    * assignment IS the result), plus final cluster sizes.
+    */
+  def embKmeans(emb: DataFrame): DataFrame = embKmeansWithInertia(emb)._1
+
+  /** [[embKmeans]] plus the exact inertia (Σ chosen squared distances,
+    * in quantized units) after each assignment round — exposed so the
+    * spec can pin Lloyd's monotone-improvement guarantee.
+    */
+  private[graft] def embKmeansWithInertia(
+      emb: DataFrame): (DataFrame, Seq[BigInt]) = {
+    val pts = emb.select(col("vec_id"), qCol.as("q"))
+    val inertias = Seq.newBuilder[BigInt]
+    val out = graft.Caching.withCached(pts) {
+      var cents: Array[(Long, Array[Long])] = pts
+        .orderBy(col("vec_id")).limit(K).collect()
+        .zipWithIndex.map { case (r, idx) =>
+          (idx.toLong, r.getSeq[Long](1).map(_ * Q).toArray)
+        }
+      var assigned: DataFrame = null
+      for (t <- 1 to Iters) {
+        assigned = assign(pts, cents)
+        inertias += BigInt(assigned
+          .agg(sum(col("dist")).cast(DecimalType(38, 0))).head()
+          .getDecimal(0).toBigInteger)
+        if (t < Iters) cents = update(assigned, cents)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      assigned.select(col("vec_id"), col("cid").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+    }
+    (out, inertias.result())
+  }
+
+  /** The oracle unrolls the identical rounds in long form (vec, dim,
+    * q) — every quantity BIGINT/HUGEINT, so the hash match is exact.
+    */
+  val embKmeansSql: String = {
+    def iterCtes(t: Int): String = {
+      val prev = s"c${t - 1}"
+      s"""d$t AS (
+         SELECT q.vec_id, c.cid,
+           SUM(CAST(q.qi * $Q - c.ci AS HUGEINT) *
+               CAST(q.qi * $Q - c.ci AS HUGEINT)) AS dist
+         FROM q JOIN $prev c USING (i)
+         GROUP BY 1, 2),
+       a$t AS (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d$t) WHERE rn = 1),
+       n$t AS (SELECT cid, COUNT(*) AS n FROM a$t GROUP BY 1),
+       craw$t AS (
+         SELECT a.cid, q.i, (SUM(q.qi) * $Q) // MAX(n.n) AS ci
+         FROM a$t a JOIN q USING (vec_id) JOIN n$t n ON a.cid = n.cid
+         GROUP BY a.cid, q.i),
+       c$t AS (
+         SELECT p.cid, p.i, COALESCE(cr.ci, p.ci) AS ci
+         FROM $prev p LEFT JOIN craw$t cr ON p.cid = cr.cid AND p.i = cr.i)"""
+    }
+    s"""WITH q AS (
+         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * ${Q}.0)
+             AS BIGINT) AS qi
+         FROM embeddings),
+       init AS (
+         SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)),
+       c0 AS (
+         SELECT init.cid, q.i, q.qi * $Q AS ci
+         FROM init JOIN q USING (vec_id)),
+       ${iterCtes(1)},
+       ${iterCtes(2)},
+       d$Iters AS (
+         SELECT q.vec_id, c.cid,
+           SUM(CAST(q.qi * $Q - c.ci AS HUGEINT) *
+               CAST(q.qi * $Q - c.ci AS HUGEINT)) AS dist
+         FROM q JOIN c${Iters - 1} c USING (i)
+         GROUP BY 1, 2),
+       a$Iters AS (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d$Iters) WHERE rn = 1)
+       SELECT vec_id, cid AS cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
+       FROM a$Iters ORDER BY vec_id"""
+  }
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> ((s, d) =>
+      embKmeans(Tables.embeddings(s, d)).orderBy(col("vec_id"))))
+
+  def oracles: Map[String, String] = Map(
+    "emb_kmeans" -> embKmeansSql)
+}
