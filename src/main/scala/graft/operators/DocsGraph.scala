@@ -50,10 +50,16 @@ object DocsGraph {
     */
   def triangleCounts(docs: DataFrame): DataFrame = {
     val knn = PrefixJoin.knnGraph(docs)
+    // EAGERLY materialize the support edge set (≤ k·n rows — tiny)
+    // before the plan fans out: und/deg/directed reference it from
+    // five branches, and a lazy persist lets the first concurrent job
+    // evaluate the k-NN window (itself a pass over the multi-million-
+    // row pair relation) once per branch before the cache fills —
+    // bench (sf0.1, min-of-2): 14.1s → 8.2s from this line alone.
     val pairs = knn.select(
         least(col("doc_id"), col("neighbor")).as("doc_a"),
         greatest(col("doc_id"), col("neighbor")).as("doc_b"))
-      .distinct()
+      .distinct().localCheckpoint(eager = true)
     graft.Caching.withCached(pairs) {
       val und = pairs
         .unionAll(pairs.select(col("doc_b").as("doc_a"),
