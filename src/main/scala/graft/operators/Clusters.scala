@@ -228,13 +228,23 @@ object Clusters {
     * (no extra shuffle beyond the cluster window's).
     */
   def canonicalDocs(docs: DataFrame): DataFrame = {
-    val clusters = dupClusters(docs)
+    // labels WITHOUT the size window: joining quality first lets the
+    // size count and the keeper rank share ONE cluster_id exchange
+    // (the ordered and unordered window specs differ only in sort, not
+    // distribution), where composing dupClusters would pay an extra
+    // full-table exchange+window before the doc_id join
+    val comp = connectedComponents(
+        PrefixJoin.prefixFilterPairs(docs)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b", docs.select(col("doc_id")), "doc_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
     val quality = TextAnalysis.textQuality(docs)
       .select(col("doc_id"), col("quality_score"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-      .orderBy(col("quality_score").desc, col("doc_id"))
-    clusters.join(quality, Seq("doc_id"))
+    val w = wc.orderBy(col("quality_score").desc, col("doc_id"))
+    comp.join(quality, Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("quality_score"), (col("rn") === 1).as("is_keeper"))
