@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BloomBuildAgg, BloomMightContain, Fnv1a64,
-  HashSample, VecDot}
+  HashSample, SortedIntersectCount, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions so SQL users (`SELECT fnv1a64(text) FROM docs`,
@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),

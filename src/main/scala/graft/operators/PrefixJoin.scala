@@ -39,8 +39,16 @@ object PrefixJoin {
   val ThreshNum = 4L
   val ThreshDen = 5L
 
+  /** Exact Jaccard from a zero-allocation sorted-merge intersection
+    * count ([[graft.functions.SortedIntersectCount]]); both inputs must
+    * be sorted gram sets. The count is an exact integer either way, so
+    * the resulting double is bit-identical to the `array_intersect`
+    * formulation it replaced — only cheaper (no per-row hash set +
+    * intersection array, and the verify stage stays in whole-stage
+    * codegen across millions of candidate pairs).
+    */
   private def jaccardOf(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
+    val inter = call_function("sorted_intersect_count", a, b).cast("double")
     inter / ((size(a) + size(b)).cast("double") - inter)
   }
 
@@ -80,12 +88,14 @@ object PrefixJoin {
           col("a.set_size") * lit(den) >= col("b.set_size") * lit(num))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on the candidate pairs only
+    // exact verify on the candidate pairs only — gram sets sorted once
+    // per side so the scorer is a merge walk, not a per-pair hash set
+    graft.functions.IntersectCount.register(base.sparkSession)
     cand
       .join(base.select(col("doc_id").as("doc_a"),
-        col("grams").as("grams_a")), Seq("doc_a"))
+        sort_array(col("grams")).as("grams_a")), Seq("doc_a"))
       .join(base.select(col("doc_id").as("doc_b"),
-        col("grams").as("grams_b")), Seq("doc_b"))
+        sort_array(col("grams")).as("grams_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardOf(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") * lit(den.toDouble) >= lit(num.toDouble))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

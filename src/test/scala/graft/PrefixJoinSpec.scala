@@ -40,4 +40,22 @@ class PrefixJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked.subsetOf(prefix))
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.functions.{call_function, array_intersect,
+      size => asize}
+    import spark.implicits._
+    graft.functions.IntersectCount.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      def set() = Array.fill(rnd.nextInt(50))(rnd.nextLong() % 100)
+        .distinct.sorted
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+      .select(call_function("sorted_intersect_count", $"a", $"b").as("m"),
+        asize(array_intersect($"a", $"b")).cast("long").as("h"))
+    assert(df.filter($"m" =!= $"h").count() == 0)
+    assert(df.filter($"m" > 0).count() > 0) // non-degenerate fixture
+  }
 }
