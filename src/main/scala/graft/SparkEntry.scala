@@ -43,6 +43,7 @@ object SparkEntry {
       graft.operators.AqeSkew.queries ++
       graft.operators.Basket.queries ++
       graft.operators.Kmeans.queries ++
+      graft.operators.Sequences.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
@@ -91,6 +92,7 @@ object SparkEntry {
       graft.operators.AqeSkew.oracles ++
       graft.operators.Basket.oracles ++
       graft.operators.Kmeans.oracles ++
+      graft.operators.Sequences.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
