@@ -44,6 +44,7 @@ object SparkEntry {
       graft.operators.Basket.queries ++
       graft.operators.Kmeans.queries ++
       graft.operators.Sequences.queries ++
+      graft.operators.TempSample.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       graft.operators.Basket.oracles ++
       graft.operators.Kmeans.oracles ++
       graft.operators.Sequences.oracles ++
+      graft.operators.TempSample.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
