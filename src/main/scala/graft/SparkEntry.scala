@@ -45,6 +45,7 @@ object SparkEntry {
       graft.operators.Kmeans.queries ++
       graft.operators.Sequences.queries ++
       graft.operators.TempSample.queries ++
+      graft.operators.Drift.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
@@ -95,6 +96,7 @@ object SparkEntry {
       graft.operators.Kmeans.oracles ++
       graft.operators.Sequences.oracles ++
       graft.operators.TempSample.oracles ++
+      graft.operators.Drift.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
