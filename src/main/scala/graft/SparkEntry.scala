@@ -55,6 +55,7 @@ object SparkEntry {
       graft.sources.StatsSkipping.queries ++
       graft.sources.BloomSkip.queries ++
       graft.sources.PartitionEvolution.queries ++
+      graft.sources.GenSource.queries ++
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
@@ -106,6 +107,7 @@ object SparkEntry {
       graft.sources.StatsSkipping.oracles ++
       graft.sources.BloomSkip.oracles ++
       graft.sources.PartitionEvolution.oracles ++
+      graft.sources.GenSource.oracles ++
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
