@@ -56,6 +56,7 @@ object SparkEntry {
       graft.sources.BloomSkip.queries ++
       graft.sources.PartitionEvolution.queries ++
       graft.sources.GenSource.queries ++
+      graft.sources.JsonlSink.queries ++
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
@@ -108,6 +109,7 @@ object SparkEntry {
       graft.sources.BloomSkip.oracles ++
       graft.sources.PartitionEvolution.oracles ++
       graft.sources.GenSource.oracles ++
+      graft.sources.JsonlSink.oracles ++
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
