@@ -57,6 +57,7 @@ object SparkEntry {
       graft.sources.PartitionEvolution.queries ++
       graft.sources.GenSource.queries ++
       graft.sources.JsonlSink.queries ++
+      graft.sources.Wap.queries ++
       graft.sources.VersionedLake.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
@@ -110,6 +111,7 @@ object SparkEntry {
       graft.sources.PartitionEvolution.oracles ++
       graft.sources.GenSource.oracles ++
       graft.sources.JsonlSink.oracles ++
+      graft.sources.Wap.oracles ++
       graft.sources.VersionedLake.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++

@@ -9,7 +9,7 @@ package graft.operators
   * arithmetic errors on overflow instead of wrapping like the JVM).
   * Verified bit-equal on empty, ASCII, and multi-byte UTF-8 inputs.
   */
-private[operators] object OracleFnv {
+private[graft] object OracleFnv {
 
   /** Unsigned FNV-1a 64 fold (HUGEINT) over a hex-encoded byte string
     * column/expression (i.e. `hex(encode(text_expr))`).
