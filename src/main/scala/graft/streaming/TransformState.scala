@@ -4,8 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful processing via Spark 4's `transformWithState`
   * (the successor of `mapGroupsWithState`: typed per-key state
@@ -169,14 +169,119 @@ object TransformState {
     spark.read.parquet(out).localCheckpoint(eager = true)
   }
 
+  final case class TopIn(event_id: Long, user_id: Long, value_s: Long)
+  final case class TopEntry(value_s: Long, event_id: Long)
+  final case class TopOut(user_id: Long, n_seen: Long, rank: Int,
+      event_id: Long, value: Double)
+
+  /** Per-user streaming top-k via LIST state — the state-variable type
+    * [[RunningStatsProcessor]]'s ValueState doesn't cover: the store
+    * holds ≤ k (value, id) entries per user, merged with each batch's
+    * arrivals and truncated (value DESC, event_id ASC — the id
+    * tiebreak keeps the ranking total). Every batch RE-EMITS the key's
+    * current ranking tagged with a monotone `n_seen`; the consumer
+    * keeps each user's max-n_seen emission — the standard
+    * changelog-then-latest-snapshot read of an updating stream (the
+    * memory sink is append-only, so the snapshot filter lives in the
+    * batch query over it).
+    */
+  final class TopKProcessor(k: Int)
+    extends StatefulProcessor[Long, TopIn, TopOut] {
+    @transient private var top: ListState[TopEntry] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[TopEntry]("topk",
+        Encoders.product[TopEntry], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TopIn],
+        timers: TimerValues): Iterator[TopOut] = {
+      val incoming = rows.map(e => TopEntry(e.value_s, e.event_id)).toArray
+      val prior = if (top.exists()) top.get().toArray else Array.empty[TopEntry]
+      val merged = (prior ++ incoming)
+        .sortBy(e => (-e.value_s, e.event_id)).take(k)
+      top.put(merged)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(n)
+      merged.iterator.zipWithIndex.map { case (e, i) =>
+        TopOut(key, n, i + 1, e.event_id, e.value_s / 10000.0)
+      }
+    }
+  }
+
+  /** Per-user top-3 event values across a THREE-batch feed (state must
+    * survive batch boundaries), read back as the latest snapshot per
+    * user. Oracle: the batch rank-3 window.
+    */
+  def userTopK(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft_topk_ckpt").toString
+    val feed = graft.sources.Scratch.dir("topk_feed")
+    val queryName = s"stream_topk_${System.identityHashCode(spark)}"
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+          lit(10000)).cast("long").as("value_s"))
+    // three files → three microbatches: the ranking must merge state
+    // across all of them
+    ev.withColumn("b", pmod(col("event_id"), lit(3)))
+      .repartition(1).write.partitionBy("b").parquet(feed)
+    val feedSchema = spark.read.parquet(s"$feed/b=0").schema
+    val src = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/b=*")
+      .as[TopIn]
+    val out = src.groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(3),
+        TimeMode.None(), OutputMode.Append(), Encoders.product[TopOut])
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // latest snapshot per user: the emission with that user's max n_seen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val res = spark.table(queryName)
+      .withColumn("mx", max(col("n_seen")).over(w))
+      .filter(col("n_seen") === col("mx"))
+      .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(queryName)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    res
+  }
+
+  val userTopKSql: String =
+    """SELECT user_id, CAST(rank AS INT) AS rank, event_id,
+         CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+       FROM (
+         SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY CAST(value AS DECIMAL(18,4)) DESC, event_id) AS rank
+         FROM events
+         WHERE user_id IS NOT NULL AND value IS NOT NULL)
+       WHERE rank <= 3
+       ORDER BY user_id, rank"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_user_topk" -> ((s, d) =>
+      userTopK(s, d).orderBy(col("user_id"), col("rank"))),
     "stream_transform_state" -> ((s, d) =>
       runningStats(s, d).orderBy(col("event_id"))),
     "stream_session_window" -> ((s, d) =>
       sessionWindowStream(s, d).orderBy(col("user_id"), col("start_us"))))
 
   def oracles: Map[String, String] = Map(
+    "stream_user_topk" -> userTopKSql,
     "stream_transform_state" -> runningStatsSql,
     // identical session semantics to the batch twin — same oracle
     "stream_session_window" ->

@@ -32,4 +32,33 @@ class TransformStateSpec extends AnyFunSuite {
     val b = TransformState.runningStats(spark, sf).count()
     assert(a == b && a > 0)
   }
+
+  test("ListState top-k ranking survives batch boundaries") {
+    val got = TransformState.userTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // equals the batch rank-k window over ALL events, which only holds
+    // if early-batch entries persisted in the list state across the
+    // three-microbatch feed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("vs").desc, col("event_id"))
+    val want = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+          lit(10000)).cast("long").as("vs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("rank").cast("int"), col("event_id"),
+        (col("vs") / 10000.0).as("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == want.toSet)
+    // per user at most k rows and ranks are 1..n contiguous
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._2).sorted.sameElements(1 to rs.length))
+    }
+  }
 }
