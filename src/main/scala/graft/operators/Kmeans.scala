@@ -140,8 +140,11 @@ object Kmeans {
 
   /** The oracle unrolls the identical rounds in long form (vec, dim,
     * q) — every quantity BIGINT/HUGEINT, so the hash match is exact.
+    * [[kmeansCtes]] ends at `a`[[Iters]] (the final assignment) so
+    * downstream oracles ([[embKmeansSql]], Purity's) share ONE
+    * definition of the clustering.
     */
-  val embKmeansSql: String = {
+  val kmeansCtes: String = {
     def iterCtes(t: Int): String = {
       val prev = s"c${t - 1}"
       s"""d$t AS (
@@ -164,7 +167,7 @@ object Kmeans {
          SELECT p.cid, p.i, COALESCE(cr.ci, p.ci) AS ci
          FROM $prev p LEFT JOIN craw$t cr ON p.cid = cr.cid AND p.i = cr.i)"""
     }
-    s"""WITH q AS (
+    s"""q AS (
          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
            CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * ${Q}.0)
              AS BIGINT) AS qi
@@ -188,17 +191,67 @@ object Kmeans {
          SELECT vec_id, cid FROM (
            SELECT vec_id, cid,
              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-           FROM d$Iters) WHERE rn = 1)
+           FROM d$Iters) WHERE rn = 1)"""
+  }
+
+  val embKmeansSql: String =
+    s"""WITH $kmeansCtes
        SELECT vec_id, cid AS cluster_id,
          CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
        FROM a$Iters ORDER BY vec_id"""
+
+  /** Cluster purity against the ground-truth `label` column — the
+    * standard external clustering evaluation: per cluster, the share
+    * its majority label holds (ties to the smaller label). Composes
+    * the verified clustering with one count aggregate and a rank-1
+    * window; purity is one exact-count division.
+    */
+  def clusterPurity(emb: DataFrame): DataFrame = {
+    val assign = embKmeans(emb).select(col("vec_id"), col("cluster_id"))
+    val counts = assign
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val ranked = counts
+      .withColumn("cluster_size", sum(col("n")).over(wc))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        wc.orderBy(col("n").desc, col("label"))))
+    ranked.filter(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        (col("n").cast("double") / col("cluster_size").cast("double"))
+          .as("purity"))
   }
+
+  val clusterPuritySql: String =
+    s"""WITH $kmeansCtes,
+       counts AS (
+         SELECT a.cid AS cluster_id, e.label, COUNT(*) AS n
+         FROM a$Iters a JOIN embeddings e USING (vec_id)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT cluster_id, label, n,
+           CAST(SUM(n) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n DESC, label) AS rn
+         FROM counts)
+       SELECT cluster_id, cluster_size, label AS majority_label,
+         n AS n_majority,
+         CAST(n AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS purity
+       FROM ranked WHERE rn = 1
+       ORDER BY cluster_id"""
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> ((s, d) =>
-      embKmeans(Tables.embeddings(s, d)).orderBy(col("vec_id"))))
+      embKmeans(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
+    "emb_cluster_purity" -> ((s, d) =>
+      clusterPurity(Tables.embeddings(s, d)).orderBy(col("cluster_id"))))
 
   def oracles: Map[String, String] = Map(
-    "emb_kmeans" -> embKmeansSql)
+    "emb_kmeans" -> embKmeansSql,
+    "emb_cluster_purity" -> clusterPuritySql)
 }

@@ -30,6 +30,21 @@ class KmeansSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1))))
   }
 
+  test("purity rows are consistent with the assignment") {
+    val emb = Tables.embeddings(spark, sf)
+    val purity = Kmeans.clusterPurity(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(purity.nonEmpty && purity.length <= Kmeans.K)
+    purity.foreach { case (_, size, nMaj, p) =>
+      assert(nMaj >= 1 && nMaj <= size)
+      assert(p == nMaj.toDouble / size.toDouble && p > 0.0 && p <= 1.0)
+    }
+    // sizes agree with the assignment's own cluster sizes
+    val sizes = Kmeans.embKmeans(emb).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).distinct.toMap
+    purity.foreach { case (cid, size, _, _) => assert(sizes(cid) == size) }
+  }
+
   test("clustering is deterministic across runs") {
     val emb = Tables.embeddings(spark, sf)
     val a = Kmeans.embKmeans(emb).collect().map(r =>
