@@ -169,6 +169,108 @@ object TransformState {
     spark.read.parquet(out).localCheckpoint(eager = true)
   }
 
+  final case class TimerIn(event_id: Long, ts_utc: java.sql.Timestamp,
+      user_id: Long, ts_us: Long)
+  final case class TimerOut(user_id: Long, last_seen_us: Long,
+      expired_at_us: Long)
+
+  /** Inactivity detection via EVENT-TIME TIMERS — the remaining
+    * `transformWithState` surface ([[RunningStatsProcessor]] covers
+    * ValueState, [[TopKProcessor]] ListState): each input re-arms the
+    * user's single timer at `last_seen + gap` (previous timers
+    * explicitly deleted — `listTimers`/`deleteTimer` keep exactly one
+    * armed per key), and when the WATERMARK passes the deadline the
+    * framework calls `handleExpiredTimer`, which emits the alert from
+    * state. Emission is thus driven by event-time progress, not by
+    * data arrival — the semantics a fixed-gap inactivity monitor needs
+    * at any scale (state: one timestamp + one timer per active user).
+    */
+  final class InactivityProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, TimerIn, TimerOut] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimerIn],
+        timers: TimerValues): Iterator[TimerOut] = {
+      // ts_us, not ts_utc.getTime*1000: getTime is MILLIS and would
+      // truncate the micros the oracle compares exactly
+      val maxUs = rows.map(_.ts_us).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      if (maxUs > prev) {
+        lastSeen.update(maxUs)
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((maxUs + gapUs) / 1000L) // timer API is ms
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TimerOut] = {
+      val seen = lastSeen.get()
+      Iterator.single(TimerOut(key, seen, seen + gapUs))
+    }
+  }
+
+  /** Every user's final inactivity alert: one real batch arms the
+    * timers, a far-future sentinel advances the watermark so each
+    * user's deadline passes and fires exactly once. Oracle: per-user
+    * max event time + gap.
+    */
+  def inactivityTimeout(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val checkpoint = Files.createTempDirectory("graft_inact_ckpt").toString
+    val feed = graft.sources.Scratch.dir("inact_feed")
+    val queryName = s"stream_inact_${System.identityHashCode(spark)}"
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts_utc"), col("user_id"))
+    ev.coalesce(1).write.parquet(s"$feed/batch0")
+    Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), -1L))
+      .toDF("event_id", "ts_utc", "user_id")
+      .coalesce(1).write.parquet(s"$feed/batch1")
+    new java.io.File(new java.io.File(feed), "batch1").listFiles()
+      .foreach(f => f.setLastModified(System.currentTimeMillis() + 600000))
+    val feedSchema = spark.read.parquet(s"$feed/batch0").schema
+    val src = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/*")
+      .withWatermark("ts_utc", "1 second")
+      .withColumn("ts_us", unix_micros(col("ts_utc")))
+      .as[TimerIn]
+    val out = src.groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[TimerOut])
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val res = spark.table(queryName)
+      .filter(col("user_id") >= 0) // drop the sentinel's own alert
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(queryName)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    res
+  }
+
+  val inactivityTimeoutSql: String =
+    """SELECT user_id, MAX(epoch_us(ts)) AS last_seen_us,
+         MAX(epoch_us(ts)) + 1800000000 AS expired_at_us
+       FROM events
+       WHERE user_id IS NOT NULL
+       GROUP BY 1
+       ORDER BY 1"""
+
   final case class TopIn(event_id: Long, user_id: Long, value_s: Long)
   final case class TopEntry(value_s: Long, event_id: Long)
   final case class TopOut(user_id: Long, n_seen: Long, rank: Int,
@@ -275,6 +377,8 @@ object TransformState {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_user_topk" -> ((s, d) =>
       userTopK(s, d).orderBy(col("user_id"), col("rank"))),
+    "stream_inactivity_timeout" -> ((s, d) =>
+      inactivityTimeout(s, d).orderBy(col("user_id"))),
     "stream_transform_state" -> ((s, d) =>
       runningStats(s, d).orderBy(col("event_id"))),
     "stream_session_window" -> ((s, d) =>
@@ -282,6 +386,7 @@ object TransformState {
 
   def oracles: Map[String, String] = Map(
     "stream_user_topk" -> userTopKSql,
+    "stream_inactivity_timeout" -> inactivityTimeoutSql,
     "stream_transform_state" -> runningStatsSql,
     // identical session semantics to the batch twin — same oracle
     "stream_session_window" ->

@@ -33,6 +33,22 @@ class TransformStateSpec extends AnyFunSuite {
     assert(a == b && a > 0)
   }
 
+  test("event-time timers fire once per user at last_seen + gap") {
+    val got = TransformState.inactivityTimeout(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // exactly one alert per user (re-arming deleted stale timers)
+    assert(got.map(_._1).distinct.length == got.length)
+    val want = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(max(col("ts_us")).as("last"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.length == want.size)
+    got.foreach { case (u, seen, exp) =>
+      assert(seen == want(u), s"user $u last_seen")
+      assert(exp == seen + 30L * 60 * 1000000)
+    }
+  }
+
   test("ListState top-k ranking survives batch boundaries") {
     val got = TransformState.userTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
