@@ -106,17 +106,26 @@ object Kmeans {
     * assignment rounds with `Iters − 1` updates between them (the last
     * assignment IS the result), plus final cluster sizes.
     */
-  def embKmeans(emb: DataFrame): DataFrame = embKmeansWithInertia(emb)._1
+  def embKmeans(emb: DataFrame): DataFrame = run(emb, None)
 
   /** [[embKmeans]] plus the exact inertia (Σ chosen squared distances,
     * in quantized units) after each assignment round — exposed so the
-    * spec can pin Lloyd's monotone-improvement guarantee.
+    * spec can pin Lloyd's monotone-improvement guarantee. The gate and
+    * bench path ([[embKmeans]]) skips these aggregations: one extra
+    * Spark job per round bought nothing there.
     */
   private[graft] def embKmeansWithInertia(
       emb: DataFrame): (DataFrame, Seq[BigInt]) = {
-    val pts = emb.select(col("vec_id"), qCol.as("q"))
     val inertias = Seq.newBuilder[BigInt]
-    val out = graft.Caching.withCached(pts) {
+    val out = run(emb, Some(inertias))
+    (out, inertias.result())
+  }
+
+  private def run(emb: DataFrame,
+      inertias: Option[scala.collection.mutable.Builder[BigInt, Seq[BigInt]]])
+      : DataFrame = {
+    val pts = emb.select(col("vec_id"), qCol.as("q"))
+    graft.Caching.withCached(pts) {
       var cents: Array[(Long, Array[Long])] = pts
         .orderBy(col("vec_id")).limit(K).collect()
         .zipWithIndex.map { case (r, idx) =>
@@ -125,9 +134,9 @@ object Kmeans {
       var assigned: DataFrame = null
       for (t <- 1 to Iters) {
         assigned = assign(pts, cents)
-        inertias += BigInt(assigned
+        inertias.foreach(_ += BigInt(assigned
           .agg(sum(col("dist")).cast(DecimalType(38, 0))).head()
-          .getDecimal(0).toBigInteger)
+          .getDecimal(0).toBigInteger))
         if (t < Iters) cents = update(assigned, cents)
       }
       val w = org.apache.spark.sql.expressions.Window
@@ -135,7 +144,6 @@ object Kmeans {
       assigned.select(col("vec_id"), col("cid").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
     }
-    (out, inertias.result())
   }
 
   /** The oracle unrolls the identical rounds in long form (vec, dim,
