@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode,
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful processing via Spark 4's `transformWithState`
@@ -168,6 +168,100 @@ object TransformState {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
     spark.read.parquet(out).localCheckpoint(eager = true)
   }
+
+  final case class MapIn(event_id: Long, user_id: Long, event_type: String)
+  final case class MapOut(user_id: Long, n_seen: Long, event_type: String,
+      n_events: Long)
+
+  /** Per-user per-type counters via MAP state — with this, all four
+    * `transformWithState` state surfaces are exercised (ValueState:
+    * [[RunningStatsProcessor]], ListState: [[TopKProcessor]], timers:
+    * [[InactivityProcessor]], MapState: here). The store holds one
+    * (type → count) entry per observed type per user — point lookups
+    * and updates without deserializing the whole map, which is the
+    * reason MapState exists over a ValueState[Map]: at 100 TB a user's
+    * map is updated per event, not rewritten per event. Emissions are
+    * the full current map tagged with monotone `n_seen`; the consumer
+    * takes each user's latest snapshot ([[TopKProcessor]]'s
+    * changelog→snapshot read).
+    */
+  final class TypeCountsProcessor
+    extends StatefulProcessor[Long, MapIn, MapOut] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[MapIn],
+        timers: TimerValues): Iterator[MapOut] = {
+      var n = 0L
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        n += 1L
+      }
+      val total = (if (seen.exists()) seen.get() else 0L) + n
+      seen.update(total)
+      counts.iterator().map { case (tpe, c) =>
+        MapOut(key, total, tpe, c)
+      }
+    }
+  }
+
+  /** Per-user event-type histogram across a three-microbatch feed,
+    * read back as the latest snapshot per user. Oracle: the batch
+    * (user, type) count.
+    */
+  def userTypeCounts(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft_tmap_ckpt").toString
+    val feed = graft.sources.Scratch.dir("tmap_feed")
+    val queryName = s"stream_tmap_${System.identityHashCode(spark)}"
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    ev.withColumn("b", pmod(col("event_id"), lit(3)))
+      .repartition(1).write.partitionBy("b").parquet(feed)
+    val feedSchema = spark.read.parquet(s"$feed/b=0").schema
+    val src = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/b=*")
+      .as[MapIn]
+    val out = src.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append(), Encoders.product[MapOut])
+    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val res = spark.table(queryName)
+      .withColumn("mx", max(col("n_seen")).over(w))
+      .filter(col("n_seen") === col("mx"))
+      .select(col("user_id"), col("event_type"), col("n_events"))
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(queryName)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    res
+  }
+
+  val userTypeCountsSql: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_events
+       FROM events
+       WHERE user_id IS NOT NULL
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
 
   final case class TimerIn(event_id: Long, ts_utc: java.sql.Timestamp,
       user_id: Long, ts_us: Long)
@@ -379,6 +473,8 @@ object TransformState {
       userTopK(s, d).orderBy(col("user_id"), col("rank"))),
     "stream_inactivity_timeout" -> ((s, d) =>
       inactivityTimeout(s, d).orderBy(col("user_id"))),
+    "stream_user_type_counts" -> ((s, d) =>
+      userTypeCounts(s, d).orderBy(col("user_id"), col("event_type"))),
     "stream_transform_state" -> ((s, d) =>
       runningStats(s, d).orderBy(col("event_id"))),
     "stream_session_window" -> ((s, d) =>
@@ -387,6 +483,7 @@ object TransformState {
   def oracles: Map[String, String] = Map(
     "stream_user_topk" -> userTopKSql,
     "stream_inactivity_timeout" -> inactivityTimeoutSql,
+    "stream_user_type_counts" -> userTypeCountsSql,
     "stream_transform_state" -> runningStatsSql,
     // identical session semantics to the batch twin — same oracle
     "stream_session_window" ->

@@ -49,6 +49,18 @@ class TransformStateSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState per-type counters accumulate across batches") {
+    val got = TransformState.userTypeCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val want = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("ListState top-k ranking survives batch boundaries") {
     val got = TransformState.userTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
