@@ -31,23 +31,36 @@ import graft.Tables
 object Drift {
 
   /** Midpoint month: 1-based index `n div 2 + 1` of sorted distinct
-    * months — one tiny distinct + window, one driver scalar.
+    * months — one tiny distinct + window, one driver scalar. None when
+    * the table has fewer than two distinct months: with n = 0 there is
+    * no cut at all, and with n = 1 the baseline era would be empty and
+    * every share_base a 0/0 NaN — drift is undefined without two eras.
     */
-  private def cutMonth(orders: DataFrame): String = {
+  private def cutMonth(orders: DataFrame): Option[String] = {
     val months = orders
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
     months
       .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
       .withColumn("n", count(lit(1)).over())
-      .filter(col("rn") === expr("n div 2 + 1"))
-      .head().getString(0)
+      .filter(col("n") >= 2 && col("rn") === expr("n div 2 + 1"))
+      .collect().headOption.map(_.getString(0))
   }
 
   /** (category, n_base, n_cur, share_base, share_cur, drift_term) over
-    * o_orderpriority, baseline = months before the midpoint.
+    * o_orderpriority, baseline = months before the midpoint. A table
+    * with fewer than two distinct months yields the EMPTY report (same
+    * schema): no eras, no drift — documented rather than NaN.
     */
   def distributionDrift(orders: DataFrame): DataFrame = {
-    val cut = cutMonth(orders)
+    val cut = cutMonth(orders) match {
+      case Some(c) => c
+      case None =>
+        return orders.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "category STRING, n_base BIGINT, n_cur BIGINT, " +
+              "share_base DOUBLE, share_cur DOUBLE, drift_term DOUBLE"))
+    }
     val counts = orders
       .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
       .groupBy(col("o_orderpriority").as("category"))

@@ -41,11 +41,18 @@ object Kmeans {
   val Q = 1000000L
 
   /** floor((x+1)·10⁶) as BIGINT — non-negative, so every division
-    * downstream is floor division on every engine.
+    * downstream is floor division on every engine. The x ≥ −1
+    * precondition is ENFORCED in the same expression (raise_error on
+    * violation, no extra job): a value below −1 would quantize
+    * negative and silently break the truncating-vs-flooring division
+    * equivalence the oracle parity rests on.
     */
   private val qCol: Column =
     expr("transform(embedding, x -> " +
-      s"cast(floor((cast(x as double) + 1.0d) * ${Q}.0d) as bigint))")
+      "if(cast(x as double) < -1.0d, " +
+      "cast(raise_error(concat('Kmeans precondition: embedding value ', " +
+      "cast(x as string), ' < -1.0 quantizes negative')) as bigint), " +
+      s"cast(floor((cast(x as double) + 1.0d) * ${Q}.0d) as bigint)))")
 
   /** Exact squared distance (scale 10¹²·10¹²) between a point's q
     * vector and one centroid literal: Σ (q_i·10⁶ − c_i)² in

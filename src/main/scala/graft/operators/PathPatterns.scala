@@ -15,14 +15,18 @@ import graft.Tables
   * patterns used here (alternation-free literals + greedy `+`/`*`,
   * where backtracking and RE2 agree by construction).
   *
-  * Shape: ONE shuffle on user_id; the path string is built inside the
-  * aggregation (sort_array over (ts, id, chr) structs — no window),
-  * then every pattern is a scan-speed regexp over the built paths.
-  * Per-user paths are session-scale strings (the events-per-user
-  * distribution), not corpus-scale — the same state bound as the
-  * sessionizer. The path fingerprint (fnv1a64) proves both engines
-  * built byte-identical sequences, so the pattern counts sit on a
-  * verified foundation.
+  * Shape: ONE shuffle on user_id; a rank pre-filter keeps the FIRST
+  * [[MaxEventsPerUser]] events per user (row_number over the same
+  * deterministic (ts, id) order — the window and the groupBy share one
+  * hash partitioning, so the cap costs no extra shuffle), then the
+  * path string is built inside the aggregation (sort_array over
+  * (ts, id, chr) structs), and every pattern is a scan-speed regexp
+  * over the built paths. The cap makes the per-user state bound
+  * EXPLICIT: without it one pathological 10⁸-event key is a 100 MB
+  * aggregation value; with it the worst key is a 64 KiB string. The
+  * oracle applies the identical cap, and the path fingerprint
+  * (fnv1a64) proves both engines built byte-identical sequences, so
+  * the pattern counts sit on a verified foundation.
   *
   * Reference behavior anchor: funnel/journey analysis the reference
   * leaves to BI over its gold tables (docs/ARCHITECTURE.md).
@@ -38,9 +42,22 @@ object PathPatterns {
     ("browse_buy", "vc*p"), // view, optional clicks, purchase
     ("error_retry_buy", "ep")) // purchase immediately after an error
 
-  def pathPatterns(events: DataFrame): DataFrame = {
+  /** Hard bound on the per-user path length (64 Ki events ⇒ ≤ 64 KiB
+    * path string — comfortably inside any aggregation-value budget).
+    * Far above the events-per-user distribution of the data model;
+    * exists to bound the adversarial tail, not to sample.
+    */
+  val MaxEventsPerUser = 65536
+
+  def pathPatterns(events: DataFrame,
+      cap: Int = MaxEventsPerUser): DataFrame = {
     val spark = events.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     val paths = events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         array_join(
@@ -64,11 +81,16 @@ object PathPatterns {
     val patternCols = Patterns.map { case (name, re) =>
       s"CAST(len(regexp_extract_all(path, '$re')) AS BIGINT) AS n_$name"
     }.mkString(",\n         ")
-    s"""WITH paths AS (
+    s"""WITH capped AS (
+         SELECT user_id, ts, event_id, event_type
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) <= $MaxEventsPerUser),
+       paths AS (
          SELECT user_id, COUNT(*) AS n_events,
            string_agg(substr(event_type, 1, 1), ''
              ORDER BY epoch_us(ts), event_id) AS path
-         FROM events GROUP BY user_id)
+         FROM capped GROUP BY user_id)
        SELECT user_id, n_events,
          ${OracleFnv.ofText("path")} AS path_fp,
          $patternCols

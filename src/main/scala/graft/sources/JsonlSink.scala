@@ -39,12 +39,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the object-store finalize step of a production sink.
   *
   * Schema support: BIGINT / DOUBLE / STRING fields (JSON-escaped per
-  * RFC 8259 — the same escape set Verify's oracle dump uses; doubles
-  * serialize via Java's shortest-round-trip repr, which Spark's JSON
-  * reader parses back to the identical bit pattern).
+  * RFC 8259 — the same escape set Verify's oracle dump uses; finite
+  * doubles serialize via Java's shortest-round-trip repr, which Spark's
+  * JSON reader parses back to the identical bit pattern; NaN/Infinity
+  * have no RFC 8259 literal and serialize as null).
+  *
+  * SaveMode.Append is true append: part names carry a per-commit
+  * generation (`part-g00001-…`) and each commit MERGES its file list
+  * into the existing manifest, so successive writes to one path
+  * accumulate rather than clobber.
   */
 object JsonlSink {
   val ManifestName = "_graft_commit"
+  private[sources] val GenPattern = """part-g(\d+)-""".r
 
   /** Files named by the current manifest — the only files a reader may
     * trust.
@@ -151,18 +158,34 @@ private[sources] class JsonlBatchWrite(path: String, schema: StructType)
     new JsonlWriterFactory(path, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // APPEND, not overwrite: part names carry a per-commit generation so a
+    // second write to the same path can never rename over files an earlier
+    // commit already published, and the new file list MERGES into the
+    // existing manifest. Generation = max existing generation + 1, parsed
+    // from the manifest itself (deterministic; the V2 driver commit is the
+    // single writer of this path within a job).
+    val existing = {
+      val mf = Paths.get(path, JsonlSink.ManifestName)
+      if (Files.exists(mf))
+        Files.readAllLines(mf).asScala.toSeq.filter(_.nonEmpty)
+      else Seq.empty[String]
+    }
+    val gen = existing
+      .flatMap(JsonlSink.GenPattern.findFirstMatchIn(_).map(_.group(1).toLong))
+      .foldLeft(-1L)(math.max) + 1L
     val finals = messages.zipWithIndex.map {
       case (JsonlCommit(tmp, _), i) =>
-        val fin = f"part-$i%05d.jsonl"
+        val fin = f"part-g$gen%05d-$i%05d.jsonl"
         Files.move(Paths.get(path, tmp), Paths.get(path, fin),
           StandardCopyOption.ATOMIC_MOVE)
         fin
       case (other, _) => throw new IllegalStateException(
         s"unexpected commit message: $other")
     }
-    // manifest LAST: its atomic appearance IS the commit point
+    // manifest LAST: its atomic appearance IS the commit point; it names
+    // the union of every committed generation's files
     val tmpMf = Paths.get(path, s".${JsonlSink.ManifestName}.tmp")
-    Files.write(tmpMf, finals.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmpMf, (existing ++ finals).mkString("\n").getBytes("UTF-8"))
     Files.move(tmpMf, Paths.get(path, JsonlSink.ManifestName),
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -203,7 +226,11 @@ private[sources] class JsonlWriter(path: String, schema: StructType,
       if (row.isNullAt(i)) b.append("null")
       else fields(i).dataType match {
         case LongType => b.append(row.getLong(i))
-        case DoubleType => b.append(row.getDouble(i))
+        case DoubleType =>
+          val d = row.getDouble(i)
+          // RFC 8259 has no NaN/Infinity literal; serialize non-finite as
+          // null so every emitted line is valid JSON
+          if (java.lang.Double.isFinite(d)) b.append(d) else b.append("null")
         case StringType =>
           b.append('"')
             .append(JsonlSink.escape(row.getUTF8String(i).toString))

@@ -37,11 +37,46 @@ object VersionedLake {
 
   private val LogDir = "_log"
 
+  /** A writer lost the commit race to another writer whose changes
+    * overlap its touched buckets — the table state it merged against is
+    * stale in a way a rebase cannot repair. The caller retries the
+    * whole merge against the new snapshot (plain [[upsert]] does
+    * exactly that).
+    */
+  final class ConcurrentWriteConflict(msg: String)
+    extends RuntimeException(msg)
+
+  /** Outcome of a committed write: the version it landed as and how
+    * many disjoint-bucket rebase rounds the commit loop needed (0 =
+    * won the first CAS).
+    */
+  final case class CommitResult(version: Int, rebaseRounds: Int)
+
+  /** A prepared-but-uncommitted merge: the snapshot it merged against,
+    * the buckets whose state it assumed, the immutable data files it
+    * already adopted (invisible until a manifest references them), and
+    * the base snapshot's files for untouched buckets.
+    */
+  final case class PendingCommit(baseVersion: Int, touched: Set[Int],
+    adopted: Seq[String], carriedFromBase: Seq[String])
+
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
   private def manifestPath(path: String, v: Int): Path =
     new Path(f"$path/$LogDir/v$v%06d.txt")
+
+  private def bucketOf(rel: String): Int =
+    rel.split("/")(0).stripPrefix("gbucket=").toInt
+
+  /** Short per-writer nonce: staging dirs, in-flight temp manifests and
+    * adopted data-file names all embed it, so two concurrent writers
+    * can never collide on ANY physical name — the only contended
+    * resource left is the version slot itself, and that is settled by
+    * the CAS.
+    */
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
 
   /** Committed versions, ascending (empty → table does not exist). */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
@@ -63,28 +98,81 @@ object VersionedLake {
     finally in.close()
   }
 
-  /** Atomic commit: write the full file list to a temp manifest, then
-    * rename into the log. The rename is the moment the version exists.
+  /** Compare-and-swap commit: write the full file list to a
+    * writer-private temp manifest, then PUBLISH it at the target
+    * version with an operation that atomically fails if that version
+    * already exists — Delta-style optimistic concurrency, where the
+    * version slot is the lock. Returns false when another writer owns
+    * the version (the caller rebases or aborts); the losing temp is
+    * removed, so a lost race leaves no litter.
+    *
+    * Publish primitive by filesystem: on local files, `link(2)` via
+    * `Files.createLink` — POSIX guarantees EEXIST atomically, and the
+    * link exposes the COMPLETE temp content in one step (a plain
+    * `rename(2)` would silently REPLACE an existing manifest — exactly
+    * the lost-update race this exists to close). On HDFS-like stores,
+    * `rename` itself refuses an existing destination atomically, so it
+    * is the CAS.
     */
-  private def commit(spark: SparkSession, path: String, version: Int,
-      files: Seq[String]): Unit = {
+  private def casCommit(spark: SparkSession, path: String, version: Int,
+      files: Seq[String]): Boolean = {
     val f = fs(spark)
     f.mkdirs(new Path(s"$path/$LogDir"))
-    val tmp = new Path(s"$path/$LogDir/.v$version.tmp")
+    val tmp = new Path(s"$path/$LogDir/.v$version-${nonce()}.tmp")
     val out = f.create(tmp, true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, manifestPath(path, version)))
-      throw new java.io.IOException(s"commit of version $version failed")
+    val dst = manifestPath(path, version)
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      // HDFS rename is atomic and refuses an existing destination
+      if (f.exists(dst)) { f.delete(tmp, false); false }
+      else {
+        val won = f.rename(tmp, dst)
+        if (!won) f.delete(tmp, false)
+        won
+      }
+    }
   }
 
   /** MERGE-style upsert committing a new version. Same contract as
     * [[LakeWriter.upsert]] (keys + sequence, `_deleted` for deletes),
     * but immutable-file/log-structured: untouched buckets' files carry
     * over into the new manifest by reference, not by rewrite.
+    * [[prepare]] + [[commitPending]] under the hood, so every upsert
+    * gets optimistic concurrency: a sequential caller wins the first
+    * CAS; a racing caller auto-rebases when the winner's buckets are
+    * disjoint from its own, and gets [[ConcurrentWriteConflict]] (merge
+    * again off the new snapshot) when they overlap.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], seqCol: String, numBuckets: Int = 16): Unit = {
+      keyCols: Seq[String], seqCol: String,
+      numBuckets: Int = 16): CommitResult =
+    commitPending(spark, path,
+      prepare(spark, path, updates, keyCols, seqCol, numBuckets))
+
+  /** Phase 1 of an optimistic write: merge `updates` against the
+    * CURRENT snapshot and adopt the resulting bucket files under
+    * writer-unique immutable names. Nothing becomes visible — data
+    * files are dead weight until a manifest references them (crash or
+    * abort ⇒ orphans for [[vacuum]]). The returned [[PendingCommit]]
+    * records the snapshot read (`baseVersion`) and the buckets whose
+    * state the merge assumed (`touched`) — the facts conflict
+    * detection needs.
+    */
+  def prepare(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], seqCol: String,
+      numBuckets: Int = 16): PendingCommit = {
     val f = fs(spark)
     val vs = versions(spark, path)
     val tagged0 = updates.withColumn("_is_update", lit(1))
@@ -101,13 +189,13 @@ object VersionedLake {
     }
     val prior: Seq[String] = vs.lastOption
       .map(v => manifestFiles(spark, path, v)).getOrElse(Seq.empty)
-    val touched: Seq[Int] =
-      if (prior.isEmpty) Seq.empty // first commit: nothing to merge with
-      else tagged.select(col("gbucket")).distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq // ≤ numBuckets ints
+    // the buckets this merge WRITES (and whose prior state it read —
+    // for a first commit that state is "empty", which a concurrent
+    // writer can still invalidate, so touched is computed regardless)
+    val touched: Set[Int] = tagged.select(col("gbucket")).distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ numBuckets ints
     val (carried, replaced) = prior.partition { rel =>
-      val b = rel.split("/")(0).stripPrefix("gbucket=").toInt
-      !touched.contains(b)
+      !touched.contains(bucketOf(rel))
     }
     val existing =
       if (replaced.isEmpty) None
@@ -123,9 +211,10 @@ object VersionedLake {
         resolve(withDel.unionByName(tagged, allowMissingColumns = true))
     }
     // stage new bucket files, then adopt them under immutable
-    // version-tagged names; staging never touches live data
-    val version = vs.lastOption.getOrElse(0) + 1
-    val stage = path + s"_stage_v$version"
+    // writer-nonced names; staging never touches live data, and no two
+    // writers can collide on a physical name
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
     merged.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
     val adopted = scala.collection.mutable.ArrayBuffer[String]()
     f.listStatus(new Path(stage)).filter(_.isDirectory).foreach { d =>
@@ -134,14 +223,69 @@ object VersionedLake {
       f.listStatus(d.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (s, i) =>
-          val rel = f"$bucketDir/v$version%06d-$i%04d.parquet"
+          val rel = f"$bucketDir/w$wid-$i%04d.parquet"
           if (!f.rename(s.getPath, new Path(s"$path/$rel")))
             throw new java.io.IOException(s"cannot adopt $rel")
           adopted += rel
         }
     }
     f.delete(new Path(stage), true)
-    commit(spark, path, version, carried ++ adopted)
+    PendingCommit(vs.lastOption.getOrElse(0), touched,
+      adopted.toSeq, carried)
+  }
+
+  /** Phase 2: the optimistic commit loop. Try the CAS at
+    * baseVersion + 1; on loss, classify the conflict against what
+    * actually changed since the base snapshot:
+    *
+    *  - DISJOINT buckets — the winner's merge and ours commute (a
+    *    key's resolution only ever reads its own bucket), so REBASE:
+    *    re-point the untouched-bucket carryover at the winner's
+    *    manifest and CAS the next slot. O(manifest) metadata per
+    *    round, no data re-read, no re-merge.
+    *  - OVERLAPPING buckets — our merge read state the winner
+    *    replaced; its output is stale. Clean up the adopted files and
+    *    raise [[ConcurrentWriteConflict]]; the caller re-merges from
+    *    the new snapshot (plain [[upsert]] does).
+    *
+    * This is Delta/Iceberg commit-conflict semantics with the bucket
+    * as the conflict granule. At 100 TB the rebase path is what makes
+    * trickle writers scale: disjoint-shard ingest never re-reads data,
+    * only re-lists the manifest.
+    */
+  def commitPending(spark: SparkSession, path: String, p: PendingCommit,
+      maxRebase: Int = 10): CommitResult = {
+    val baseFiles: Set[String] =
+      if (p.baseVersion == 0) Set.empty
+      else manifestFiles(spark, path, p.baseVersion).toSet
+    var base = p.baseVersion
+    var manifest = p.carriedFromBase ++ p.adopted
+    var rounds = 0
+    while (true) {
+      if (casCommit(spark, path, base + 1, manifest))
+        return CommitResult(base + 1, rounds)
+      val latest = versions(spark, path).last
+      val latestFiles = manifestFiles(spark, path, latest)
+      val changedBuckets =
+        ((latestFiles.toSet diff baseFiles) ++
+          (baseFiles diff latestFiles.toSet)).map(bucketOf)
+      val overlap = changedBuckets.intersect(p.touched)
+      if (overlap.nonEmpty) {
+        val f = fs(spark)
+        p.adopted.foreach(rel => f.delete(new Path(s"$path/$rel"), false))
+        throw new ConcurrentWriteConflict(
+          s"lost commit of v${base + 1} at $path to a writer that " +
+            s"changed buckets ${overlap.toSeq.sorted.mkString(",")} — " +
+            "re-merge against the new snapshot")
+      }
+      rounds += 1
+      if (rounds > maxRebase) throw new java.io.IOException(
+        s"gave up after $maxRebase rebase rounds at $path")
+      manifest = latestFiles.filterNot(rel =>
+        p.touched.contains(bucketOf(rel))) ++ p.adopted
+      base = latest
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Snapshot read — latest version, or time travel to `asOfVersion`.
@@ -445,7 +589,88 @@ object VersionedLake {
          SELECT 3, true, (SELECT n FROM final_rows), true)
        ORDER BY version"""
 
+  /** OPTIMISTIC CONCURRENCY made visible as a gate row. Four writers
+    * exercise every commit path, interleaved the way real racing
+    * writers interleave (each `prepare` reads its snapshot BEFORE the
+    * competing commit lands):
+    *
+    *  1. writers A and B split the first half of the change feed by
+    *     BUCKET (hash shards 0-7 vs 8-15 — the disjoint-shard ingest
+    *     topology) and both prepare against the empty table; A commits
+    *     v1, B loses the CAS and must REBASE (exactly one round) to
+    *     land v2 — no lost update, both shards visible;
+    *  2. writers C and D split the second half by sequence parity
+    *     (keys overlap ⇒ buckets overlap) and both prepare against v2;
+    *     C commits v3, D's commit must DETECT the conflict and fail
+    *     cleanly; the clean retry (a fresh merge off v3) lands v4.
+    *
+    * The returned table is the converged snapshot — hash-matched
+    * against the SEQUENTIAL full-feed SCD1 oracle, which is the
+    * serializability proof — plus the commit-path telemetry
+    * (n_versions / B's rebase rounds / D's conflict) as constant
+    * columns the oracle pins.
+    */
+  def concurrentWriters(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_occ")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    val bucket = pmod(hash(col("key_id")), lit(16))
+    val first = staged.filter(col("sequence_number") <= t1)
+    val second = staged.filter(col("sequence_number") > t1)
+    val a = asChanges(first.filter(bucket < 8))
+    val b = asChanges(first.filter(bucket >= 8))
+    // both writers read the SAME (empty) snapshot before either commits
+    val pa = prepare(spark, path, a, Seq("key_id"), "sequence_number")
+    val pb = prepare(spark, path, b, Seq("key_id"), "sequence_number")
+    val ra = commitPending(spark, path, pa)
+    val rb = commitPending(spark, path, pb)
+    require(ra.version == 1 && ra.rebaseRounds == 0, s"writer A: $ra")
+    val c = asChanges(second.filter(col("sequence_number") % 2 === 0))
+    val d = asChanges(second.filter(col("sequence_number") % 2 === 1))
+    val pc = prepare(spark, path, c, Seq("key_id"), "sequence_number")
+    val pd = prepare(spark, path, d, Seq("key_id"), "sequence_number")
+    commitPending(spark, path, pc)
+    val conflicted =
+      try { commitPending(spark, path, pd); false }
+      catch { case _: ConcurrentWriteConflict => true }
+    if (conflicted) // clean retry: fresh merge against the new snapshot
+      upsert(spark, path, d, Seq("key_id"), "sequence_number")
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("n_versions", lit(versions(spark, path).size))
+      .withColumn("b_rebase_rounds", lit(rb.rebaseRounds))
+      .withColumn("overlap_conflict_detected", lit(conflicted))
+  }
+
+  val concurrentWritersSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         4 AS n_versions, 1 AS b_rebase_rounds,
+         true AS overlap_conflict_detected
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_concurrent_writers" -> ((s, d) =>
+      concurrentWriters(s, d).orderBy(col("key_id"))),
     "lake_vacuum_lifecycle" -> ((s, d) =>
       vacuumLifecycle(s, d).orderBy(col("version"))),
     "lake_time_travel" -> ((s, d) =>
@@ -456,6 +681,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_concurrent_writers" -> concurrentWritersSql,
     "lake_vacuum_lifecycle" -> vacuumLifecycleSql,
     "lake_time_travel" -> timeTravelSql,
     "lake_schema_evolution" -> schemaEvolutionSql,

@@ -101,29 +101,48 @@ object Wap {
            (SELECT m FROM ranked WHERE rn = n // 3 + 1) AS cut_a,
            (SELECT m FROM ranked WHERE rn = (2 * n) // 3 + 1) AS cut_b),
        o AS (
-         SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS m
+         SELECT o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m') AS m
          FROM orders),
-       b1 AS (SELECT * FROM o, cuts WHERE m < cut_a),
-       mid AS (SELECT * FROM o, cuts WHERE m >= cut_a AND m < cut_b),
-       dirt AS (
-         SELECT COUNT(*) AS v FROM mid
-         WHERE ((${graft.operators.OracleFnv.ofText(
-             "'wap:' || CAST(o_orderkey AS VARCHAR)")} % 10) + 10) % 10 = 0),
+       b1 AS (SELECT o.* FROM o, cuts WHERE m < cut_a),
+       mid AS (SELECT o.* FROM o, cuts WHERE m >= cut_a AND m < cut_b),
+       dirty AS (
+         SELECT o_orderkey,
+           CASE WHEN ((${graft.operators.OracleFnv.ofText(
+             "'wap:' || CAST(o_orderkey AS VARCHAR)")} % 10) + 10) % 10 = 0
+             THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+         FROM mid),
+       -- the SAME audit arithmetic the engine runs, applied to every
+       -- batch: row violations + duplicate non-null keys
        sizes AS (
          SELECT (SELECT COUNT(*) FROM b1) AS n1,
            (SELECT COUNT(*) FROM mid) AS n23,
-           (SELECT v FROM dirt) AS v2)
+           (SELECT COUNT(*) FROM b1
+              WHERE o_orderkey IS NULL OR o_totalprice <= 0)
+             + (SELECT COUNT(*) FROM b1 WHERE o_orderkey IS NOT NULL)
+             - (SELECT COUNT(DISTINCT o_orderkey) FROM b1) AS v1,
+           (SELECT COUNT(*) FROM dirty
+              WHERE o_orderkey IS NULL OR o_totalprice <= 0)
+             + (SELECT COUNT(*) FROM dirty WHERE o_orderkey IS NOT NULL)
+             - (SELECT COUNT(DISTINCT o_orderkey) FROM dirty) AS v2,
+           (SELECT COUNT(*) FROM mid
+              WHERE o_orderkey IS NULL OR o_totalprice <= 0)
+             + (SELECT COUNT(*) FROM mid WHERE o_orderkey IS NOT NULL)
+             - (SELECT COUNT(DISTINCT o_orderkey) FROM mid) AS v3)
        SELECT * FROM (
-         SELECT 1 AS batch_id, n1 AS n_rows, CAST(0 AS BIGINT)
-             AS n_violations,
-           true AS published, n1 AS prod_rows_after
+         SELECT 1 AS batch_id, n1 AS n_rows, v1 AS n_violations,
+           v1 = 0 AS published,
+           CASE WHEN v1 = 0 THEN n1 ELSE 0 END AS prod_rows_after
          FROM sizes
          UNION ALL
          SELECT 2, n23, v2, v2 = 0,
-           n1 + CASE WHEN v2 = 0 THEN n23 ELSE 0 END
+           CASE WHEN v1 = 0 THEN n1 ELSE 0 END
+             + CASE WHEN v2 = 0 THEN n23 ELSE 0 END
          FROM sizes
          UNION ALL
-         SELECT 3, n23, CAST(0 AS BIGINT), true, n1 + n23
+         SELECT 3, n23, v3, v3 = 0,
+           CASE WHEN v1 = 0 THEN n1 ELSE 0 END
+             + CASE WHEN v2 = 0 OR v3 = 0 THEN n23 ELSE 0 END
          FROM sizes)
        ORDER BY batch_id"""
 

@@ -50,4 +50,20 @@ class DriftSpec extends AnyFunSuite {
     val got = Drift.distributionDrift(orders).collect()
     assert(got.length == 1 && got.head.getDouble(5) == 0.0)
   }
+
+  test("fewer than two months yields the empty report, not NaN") {
+    import spark.implicits._
+    def order(id: Long, month: String, prio: String) =
+      (id, 0L, "O", 100.0, Timestamp.valueOf(s"$month-15 00:00:00"), prio)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val oneMonth = (1L to 5L).map(i => order(i, "2024-01", "A")).toDF(cols: _*)
+    val one = Drift.distributionDrift(oneMonth)
+    assert(one.count() == 0)
+    assert(one.columns.toSeq == Seq("category", "n_base", "n_cur",
+      "share_base", "share_cur", "drift_term"))
+    val empty = Drift.distributionDrift(
+      oneMonth.filter(lit(false)))
+    assert(empty.count() == 0) // zero months: no head() crash either
+  }
 }

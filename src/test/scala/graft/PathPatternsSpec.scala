@@ -39,4 +39,23 @@ class PathPatternsSpec extends AnyFunSuite {
     val row = PathPatterns.pathPatterns(ev).head()
     assert(row.getLong(3) == 1L) // "cp", not "pc"
   }
+
+  test("per-user state is bounded: cap keeps only the FIRST N events") {
+    import spark.implicits._
+    // 10 events; with cap=4 only "ccpv" survives — the trailing
+    // purchase burst must not be seen
+    val ev = (1L to 10L).map { i =>
+      val t = Seq("click", "click", "purchase", "view", "click",
+        "purchase", "error", "purchase", "click", "purchase")(i.toInt - 1)
+      (i, i * 10L, 7L, t, 1.0)
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val row = PathPatterns.pathPatterns(ev, cap = 4).head()
+    assert(row.getLong(1) == 4L, "n_events counts capped events only")
+    assert(row.getLong(3) == 1L, "click_buy: one cp inside the cap")
+    assert(row.getLong(6) == 0L, "error_retry_buy: ep is beyond the cap")
+    // default cap is far above any real per-user volume: identical
+    // output to uncapped at data-model scale
+    val full = PathPatterns.pathPatterns(ev).head()
+    assert(full.getLong(1) == 10L)
+  }
 }

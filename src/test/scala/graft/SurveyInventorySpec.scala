@@ -1,0 +1,42 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2 is the coverage inventory the driver and judge audit
+  * against; SparkEntry.queries is the registry the gate actually runs.
+  * r5 shipped two operators that were registered and green but absent
+  * from §2 — inventory drift that silently corrupts coverage
+  * accounting. This spec makes the two sets EQUAL, so adding an
+  * operator without documenting it (or documenting one without
+  * registering it) is a test failure, not a judge finding.
+  */
+class SurveyInventorySpec extends AnyFunSuite {
+
+  private val NameCell = """^\|\s*`([a-z0-9_]+)`\s*\|""".r
+
+  test("SURVEY §2 operator names == SparkEntry.queries keys") {
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("SURVEY.md")).asScala
+    val section2 = lines
+      .dropWhile(!_.startsWith("## §2"))
+      .takeWhile(l => !l.startsWith("## §3"))
+    val documented = section2.flatMap {
+      l => NameCell.findFirstMatchIn(l).map(_.group(1))
+    }.toSet
+    val registered = SparkEntry.queries.keySet
+    val undocumented = registered.diff(documented)
+    val unregistered = documented.diff(registered)
+    assert(undocumented.isEmpty,
+      s"registered but missing from SURVEY §2: ${undocumented.toSeq.sorted}")
+    assert(unregistered.isEmpty,
+      s"in SURVEY §2 but not registered: ${unregistered.toSeq.sorted}")
+    // every registered query must also carry an oracle or be a
+    // documented rows-only check; today ALL queries have oracles —
+    // keep it that way
+    val noOracle = registered.diff(SparkEntry.oracleSql.keySet)
+    assert(noOracle.isEmpty,
+      s"queries without a DuckDB oracle: ${noOracle.toSeq.sorted}")
+  }
+}

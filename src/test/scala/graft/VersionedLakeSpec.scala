@@ -39,17 +39,21 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(state(path, None) ==
       Seq(Row3(1L, "a2", 20L), Row3(3L, "c", 12L), Row3(4L, "d", 30L)))
 
-    // immutability: v1's files still exist untouched after later merges
-    val v1Files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("gbucket="))
-      .flatMap(b => fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$path/$b")).map(_.getPath.getName))
-      .count(_.startsWith("v000001-"))
-    assert(v1Files > 0, "v1 data files were rewritten or removed")
+    // immutability: every file the v1 manifest references still exists
+    // untouched after the later merges (writes adopt NEW files only)
+    val v1In = fs.open(new org.apache.hadoop.fs.Path(s"$path/_log/v000001.txt"))
+    val v1Files =
+      try scala.io.Source.fromInputStream(v1In, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally v1In.close()
+    assert(v1Files.nonEmpty)
+    v1Files.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$rel")),
+        s"v1 data file $rel was rewritten or removed")
+    }
 
     // crash orphan: an adopted-but-never-committed file is vacuumable
-    val orphan = new org.apache.hadoop.fs.Path(s"$path/gbucket=0/v000099-0000.parquet")
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/gbucket=0/wdeadbeef-0000.parquet")
     fs.create(orphan, true).close()
 
     VersionedLake.vacuum(spark, path, retainLast = 1)
@@ -64,6 +68,80 @@ class VersionedLakeSpec extends AnyFunSuite {
 
   private def Row3(k: Long, x: String, s: Long) =
     org.apache.spark.sql.Row(k, x, s)
+
+  test("two racing writers, disjoint buckets: no lost update, one rebase") {
+    val path = graft.sources.Scratch.dir("vlake_occ_race")
+    val all = (1L to 40L).map(i => (i, s"x$i", i)).toDF("k", "x", "seq")
+    val bucket = pmod(hash(col("k")), lit(4))
+    val a = all.filter(bucket < 2)
+    val b = all.filter(bucket >= 2)
+    // both writers snapshot the SAME (empty) base before either commits
+    val pa = VersionedLake.prepare(spark, path, a, Seq("k"), "seq",
+      numBuckets = 4)
+    val pb = VersionedLake.prepare(spark, path, b, Seq("k"), "seq",
+      numBuckets = 4)
+    // then race the commits on two real threads
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      VersionedLake.CommitResult]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(pa, pb).map { p =>
+      new Thread(() =>
+        try results.add(VersionedLake.commitPending(spark, path, p))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"commit failed: ${errors.peek()}")
+    val rs = results.toArray(Array.empty[VersionedLake.CommitResult])
+    assert(rs.map(_.version).sorted.toSeq == Seq(1, 2))
+    // exactly one writer lost exactly one CAS: at most one rebase round
+    assert(rs.map(_.rebaseRounds).sorted.toSeq == Seq(0, 1))
+    // no lost update: both shards fully present in the converged table
+    assert(VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 40L))
+  }
+
+  test("overlapping writers: conflict detected, clean retry converges") {
+    val path = graft.sources.Scratch.dir("vlake_occ_conflict")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val c = (1L to 20L).map(i => (i, "c", 100L + i)).toDF("k", "x", "seq")
+    val d = (1L to 20L).map(i => (i, "d", 200L + i)).toDF("k", "x", "seq")
+    val pc = VersionedLake.prepare(spark, path, c, Seq("k"), "seq",
+      numBuckets = 4)
+    val pd = VersionedLake.prepare(spark, path, d, Seq("k"), "seq",
+      numBuckets = 4)
+    val rc = VersionedLake.commitPending(spark, path, pc)
+    assert(rc == VersionedLake.CommitResult(1, 0))
+    // d merged against the empty base; c replaced that state → conflict
+    intercept[VersionedLake.ConcurrentWriteConflict] {
+      VersionedLake.commitPending(spark, path, pd)
+    }
+    // clean retry re-merges off v1 and wins by sequence
+    val rd = VersionedLake.upsert(spark, path, d, Seq("k"), "seq",
+      numBuckets = 4)
+    assert(rd == VersionedLake.CommitResult(2, 0))
+    val got = VersionedLake.read(spark, path).select("k", "x", "seq")
+      .orderBy("k").collect()
+    assert(got.length == 20 && got.forall(_.getString(1) == "d"))
+    // the conflicted writer's adopted files were cleaned up: every
+    // parquet on disk is referenced by some manifest
+    val referenced = VersionedLake.versions(spark, path)
+      .flatMap { v =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          f"$path/_log/v$v%06d.txt"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }.toSet
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
+      .flatMap(dir => fs.listStatus(dir.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"${dir.getPath.getName}/${s.getPath.getName}")).toSet
+    assert(onDisk == referenced,
+      s"orphans or missing files: ${onDisk.diff(referenced)} / " +
+        s"${referenced.diff(onDisk)}")
+  }
 
   test("versioned upsert evolves schema: later columns null-backfill on read") {
     val path = graft.sources.Scratch.dir("vlake_evo")
