@@ -36,6 +36,7 @@ import org.apache.spark.sql.functions._
 object VersionedLake {
 
   private val LogDir = "_log"
+  private val DvDir = "_dv"
 
   /** A writer lost the commit race to another writer whose changes
     * overlap its touched buckets — the table state it merged against is
@@ -52,13 +53,26 @@ object VersionedLake {
     */
   final case class CommitResult(version: Int, rebaseRounds: Int)
 
-  /** A prepared-but-uncommitted merge: the snapshot it merged against,
-    * the buckets whose state it assumed, the immutable data files it
-    * already adopted (invisible until a manifest references them), and
-    * the base snapshot's files for untouched buckets.
+  /** A prepared-but-uncommitted write: the snapshot it merged against,
+    * the buckets whose state it assumed, the manifest LINES that must
+    * represent those buckets in the committed version (data files
+    * and/or DV mappings — fixed at prepare time), and the physical
+    * files it adopted (for cleanup if the commit conflicts; invisible
+    * until a manifest references them).
     */
   final case class PendingCommit(baseVersion: Int, touched: Set[Int],
-    adopted: Seq[String], carriedFromBase: Seq[String])
+    ourLines: Seq[String], adopted: Seq[String])
+
+  /** Parsed manifest: immutable data files plus the per-file deletion
+    * vector mapping (data file → DV sidecar holding (file_rel, pos)
+    * position-deletes). Serialized as plain data lines and
+    * `dv\t<data>\t<sidecar>` lines.
+    */
+  final case class TableManifest(data: Seq[String], dv: Map[String, String]) {
+    def lines: Seq[String] =
+      data ++ dv.toSeq.sorted.map { case (d, s) => s"dv\t$d\t$s" }
+    def allFiles: Seq[String] = data ++ dv.values.toSeq.distinct
+  }
 
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -89,13 +103,67 @@ object VersionedLake {
       .sorted.toSeq
   }
 
-  /** Live data files (relative to `path`) at `version`. */
-  private def manifestFiles(spark: SparkSession, path: String,
+  /** Raw manifest lines at `version`. */
+  private def manifestLines(spark: SparkSession, path: String,
       version: Int): Seq[String] = {
     val in = fs(spark).open(manifestPath(path, version))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Parsed manifest at `version`. */
+  private def manifestEntries(spark: SparkSession, path: String,
+      version: Int): TableManifest =
+    parseManifest(manifestLines(spark, path, version))
+
+  private def parseManifest(lines: Seq[String]): TableManifest = {
+    val (dvLines, dataLines) = lines.partition(_.startsWith("dv\t"))
+    TableManifest(dataLines,
+      dvLines.map { l =>
+        val a = l.split("\t"); a(1) -> a(2)
+      }.toMap)
+  }
+
+  private def bucketOfLine(line: String): Int =
+    if (line.startsWith("dv\t")) bucketOf(line.split("\t")(1))
+    else bucketOf(line)
+
+  /** `gbucket=N/<name>` of the file a row came from — the manifest-
+    * relative identity DV sidecars record (relocatable, unlike the
+    * absolute `_metadata.file_path`).
+    */
+  private def relCol: org.apache.spark.sql.Column = {
+    val parts = split(col("_metadata.file_path"), "/")
+    concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+  }
+
+  /** Scan `dataFiles` with the union of `dvFiles`' position-deletes
+    * anti-joined out. One join on (file_rel, row_index); the delete
+    * side is |deleted rows|, broadcast-small in the trickle-delete
+    * regime this exists for. Deletes are MONOTONE (no undelete), so a
+    * stale sidecar row for a since-remapped file is a harmless
+    * duplicate — the union never over-deletes.
+    */
+  private def loadWithDv(spark: SparkSession, path: String,
+      dataFiles: Seq[String], dvFiles: Seq[String],
+      keepPos: Boolean = false): DataFrame = {
+    // position columns must come straight off the scan relation:
+    // metadata columns do not survive a join
+    val df0 = spark.read.option("mergeSchema", "true")
+      .option("basePath", path)
+      .parquet(dataFiles.map(r => s"$path/$r"): _*)
+      .withColumn("_rel", relCol)
+      .withColumn("_pos", col("_metadata.row_index"))
+    val alive =
+      if (dvFiles.isEmpty) df0
+      else {
+        val dels = spark.read.parquet(dvFiles.map(r => s"$path/$r"): _*)
+          .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
+          .distinct()
+        df0.join(dels, Seq("_rel", "_pos"), "left_anti")
+      }
+    if (keepPos) alive else alive.drop("_rel", "_pos")
   }
 
   /** Compare-and-swap commit: write the full file list to a
@@ -187,21 +255,19 @@ object VersionedLake {
         .drop("_rn", "_is_update")
         .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
     }
-    val prior: Seq[String] = vs.lastOption
-      .map(v => manifestFiles(spark, path, v)).getOrElse(Seq.empty)
+    val prior: TableManifest = vs.lastOption
+      .map(v => manifestEntries(spark, path, v))
+      .getOrElse(TableManifest(Seq.empty, Map.empty))
     // the buckets this merge WRITES (and whose prior state it read —
     // for a first commit that state is "empty", which a concurrent
     // writer can still invalidate, so touched is computed regardless)
     val touched: Set[Int] = tagged.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSet // ≤ numBuckets ints
-    val (carried, replaced) = prior.partition { rel =>
-      !touched.contains(bucketOf(rel))
-    }
+    val replaced = prior.data.filter(rel => touched.contains(bucketOf(rel)))
+    val replacedDv = replaced.flatMap(prior.dv.get).distinct
     val existing =
       if (replaced.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .option("basePath", path)
-        .parquet(replaced.map(r => s"$path/$r"): _*)
+      else Some(loadWithDv(spark, path, replaced, replacedDv)
         .withColumn("_is_update", lit(0)))
     val merged = existing match {
       case None => resolve(tagged)
@@ -230,8 +296,12 @@ object VersionedLake {
         }
     }
     f.delete(new Path(stage), true)
+    // ourLines = the touched buckets' complete new representation: the
+    // adopted files, no DV lines (the rewrite materialized deletes).
+    // Untouched-bucket lines are re-derived from whatever manifest the
+    // commit ultimately lands on (base, or the winner's on rebase).
     PendingCommit(vs.lastOption.getOrElse(0), touched,
-      adopted.toSeq, carried)
+      adopted.toSeq, adopted.toSeq)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at
@@ -255,20 +325,22 @@ object VersionedLake {
     */
   def commitPending(spark: SparkSession, path: String, p: PendingCommit,
       maxRebase: Int = 10): CommitResult = {
-    val baseFiles: Set[String] =
+    val baseLines: Set[String] =
       if (p.baseVersion == 0) Set.empty
-      else manifestFiles(spark, path, p.baseVersion).toSet
+      else manifestLines(spark, path, p.baseVersion).toSet
+    def assemble(from: Seq[String]): Seq[String] =
+      from.filterNot(l => p.touched.contains(bucketOfLine(l))) ++ p.ourLines
     var base = p.baseVersion
-    var manifest = p.carriedFromBase ++ p.adopted
+    var manifest = assemble(baseLines.toSeq)
     var rounds = 0
     while (true) {
       if (casCommit(spark, path, base + 1, manifest))
         return CommitResult(base + 1, rounds)
       val latest = versions(spark, path).last
-      val latestFiles = manifestFiles(spark, path, latest)
+      val latestLines = manifestLines(spark, path, latest)
       val changedBuckets =
-        ((latestFiles.toSet diff baseFiles) ++
-          (baseFiles diff latestFiles.toSet)).map(bucketOf)
+        ((latestLines.toSet diff baseLines) ++
+          (baseLines diff latestLines.toSet)).map(bucketOfLine)
       val overlap = changedBuckets.intersect(p.touched)
       if (overlap.nonEmpty) {
         val f = fs(spark)
@@ -281,11 +353,113 @@ object VersionedLake {
       rounds += 1
       if (rounds > maxRebase) throw new java.io.IOException(
         s"gave up after $maxRebase rebase rounds at $path")
-      manifest = latestFiles.filterNot(rel =>
-        p.touched.contains(bucketOf(rel))) ++ p.adopted
+      manifest = assemble(latestLines)
       base = latest
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** MERGE-ON-READ delete: mark the current rows of `deleteKeys` in a
+    * deletion-vector sidecar instead of rewriting their data files —
+    * Delta deletion vectors / Iceberg position deletes. The commit
+    * touches ZERO data files: one metadata-scale scan finds the
+    * (file_rel, row_index) positions, ONE sidecar parquet lands the
+    * union of those positions with the affected files' existing DV
+    * rows (DV sidecars are immutable too — a re-delete writes a new
+    * sidecar and re-points the mapping), and the new manifest carries
+    * the same data lines with updated `dv` mappings. At 100 TB with
+    * trickle CDC this is the difference between O(rows-deleted) and
+    * O(files-touched × file-size) per batch; the read-side cost (one
+    * anti-join against |deleted rows|) is repaid at [[compactDvs]]
+    * time. Same OCC loop as every commit: disjoint-bucket writers
+    * rebase past us, overlapping ones conflict.
+    */
+  def dvDelete(spark: SparkSession, path: String, deleteKeys: DataFrame,
+      keyCols: Seq[String]): CommitResult = {
+    val f = fs(spark)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    // positions of the keys' CURRENT rows (already-deleted positions
+    // are excluded by loadWithDv; re-marking them would be harmless)
+    val snap = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct,
+      keepPos = true)
+    val hits = snap
+      .join(deleteKeys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi")
+      .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
+      .localCheckpoint(true) // one scan; the pairs are tiny
+    val affected = hits.select(col("file_rel")).distinct()
+      .collect().map(_.getString(0)).sorted // metadata scale
+    if (affected.isEmpty) return CommitResult(base, 0)
+    val priorDv = affected.flatMap(m.dv.get).distinct
+    val merged =
+      if (priorDv.isEmpty) hits
+      else hits.unionByName(
+        spark.read.parquet(priorDv.map(r => s"$path/$r"): _*)
+          .filter(col("file_rel").isin(affected: _*))).distinct()
+    val wid = nonce()
+    val stage = path + s"_dvstage_$wid"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    f.mkdirs(new Path(s"$path/$DvDir"))
+    val dvRel = s"$DvDir/w$wid.parquet"
+    val part = f.listStatus(new Path(stage))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected one DV part, got ${part.length}")
+    if (!f.rename(part.head.getPath, new Path(s"$path/$dvRel")))
+      throw new java.io.IOException(s"cannot adopt $dvRel")
+    f.delete(new Path(stage), true)
+    val touched = affected.map(bucketOf).toSet
+    // our touched buckets' lines: every base line of those buckets,
+    // with the affected files' DV mappings re-pointed at the new
+    // sidecar (data files UNCHANGED — that is the point)
+    val newDv = m.dv ++ affected.map(_ -> dvRel)
+    val ourLines = TableManifest(m.data, newDv).lines
+      .filter(l => touched.contains(bucketOfLine(l)))
+    commitPending(spark, path,
+      PendingCommit(base, touched, ourLines, Seq(dvRel)))
+  }
+
+  /** Fold deletion vectors back into data files: rewrite ONLY the
+    * DV-carrying files with their deletes applied, carry every clean
+    * file by reference, and commit a DV-free representation of the
+    * touched buckets. This is the compaction half of the
+    * merge-on-read bargain — reads pay the anti-join until compaction
+    * amortizes it away.
+    */
+  def compactDvs(spark: SparkSession, path: String,
+      numBuckets: Int = 16): CommitResult = {
+    val f = fs(spark)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    if (m.dv.isEmpty) return CommitResult(base, 0)
+    val dvFiles = m.dv.keys.toSeq.sorted
+    val touched = dvFiles.map(bucketOf).toSet
+    val cleanCarried = m.data
+      .filter(rel => touched.contains(bucketOf(rel)) && !m.dv.contains(rel))
+    val df = loadWithDv(spark, path, dvFiles, m.dv.values.toSeq.distinct)
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
+    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    val adopted = scala.collection.mutable.ArrayBuffer[String]()
+    f.listStatus(new Path(stage)).filter(_.isDirectory).foreach { d =>
+      val bucketDir = d.getPath.getName
+      f.mkdirs(new Path(s"$path/$bucketDir"))
+      f.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (s, i) =>
+          val rel = f"$bucketDir/w$wid-$i%04d.parquet"
+          if (!f.rename(s.getPath, new Path(s"$path/$rel")))
+            throw new java.io.IOException(s"cannot adopt $rel")
+          adopted += rel
+        }
+    }
+    f.delete(new Path(stage), true)
+    commitPending(spark, path, PendingCommit(base, touched,
+      cleanCarried ++ adopted.toSeq, adopted.toSeq))
   }
 
   /** Snapshot read — latest version, or time travel to `asOfVersion`.
@@ -297,10 +471,8 @@ object VersionedLake {
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = asOfVersion.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs (vacuumed or never committed)")
-    val files = manifestFiles(spark, path, v)
-    val df0 = spark.read.option("mergeSchema", "true")
-      .option("basePath", path)
-      .parquet(files.map(r => s"$path/$r"): _*)
+    val m = manifestEntries(spark, path, v)
+    val df0 = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct)
       .drop("gbucket")
     if (df0.columns.contains("_deleted"))
       df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
@@ -316,7 +488,7 @@ object VersionedLake {
     val vs = versions(spark, path)
     val keep = vs.takeRight(math.max(retainLast, 1))
     val live: Set[String] =
-      keep.flatMap(v => manifestFiles(spark, path, v)).toSet
+      keep.flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
     f.listStatus(new Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
       .foreach { d =>
@@ -324,6 +496,12 @@ object VersionedLake {
           val rel = s"${d.getPath.getName}/${s.getPath.getName}"
           if (!live.contains(rel)) f.delete(s.getPath, false)
         }
+      }
+    val dvDir = new Path(s"$path/$DvDir")
+    if (f.exists(dvDir))
+      f.listStatus(dvDir).filter(_.isFile).foreach { s =>
+        val rel = s"$DvDir/${s.getPath.getName}"
+        if (!live.contains(rel)) f.delete(s.getPath, false)
       }
     vs.filterNot(keep.contains).foreach(v =>
       f.delete(manifestPath(path, v), false))
@@ -547,7 +725,8 @@ object VersionedLake {
       }
     vacuum(spark, path, retainLast = 1)
     val remaining = versions(spark, path)
-    val live = remaining.flatMap(v => manifestFiles(spark, path, v)).toSet
+    val live = remaining.flatMap(v =>
+      manifestEntries(spark, path, v).data).toSet
     val f = fs(spark)
     val onDisk = f.listStatus(new Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
@@ -668,7 +847,81 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** MERGE-ON-READ as a gate row. v1 lands every key's best non-delete
+    * row; the keys whose final CDC op is DELETE then trickle in as
+    * three [[dvDelete]] batches — each committing a version that
+    * touches ZERO data files (asserted engine-side against the v1
+    * manifest and pinned by the oracle). The pre-compact snapshot is
+    * captured, [[compactDvs]] folds the DVs into rewritten files, and
+    * the post-compact read is proven row-identical (exceptAll both
+    * ways) and DV-free. The returned table is the converged snapshot,
+    * hash-matched against the full-feed SCD1 oracle — the same final
+    * state copy-on-write would have produced, reached at
+    * O(rows-deleted) commit cost instead of O(files × file-size).
+    */
+  def deletionVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_dv")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    upsert(spark, path,
+      staged.filter(col("operation") =!= "DELETE").drop("operation"),
+      Seq("key_id"), "sequence_number")
+    val filesV1 = manifestEntries(spark, path, 1).data.toSet
+    val w = Window.partitionBy(col("key_id"))
+      .orderBy(col("sequence_number").desc)
+    val delKeys = staged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("operation") === "DELETE")
+      .select(col("key_id"))
+      .localCheckpoint(true)
+    (0 to 2).foreach { i =>
+      dvDelete(spark, path,
+        delKeys.filter(pmod(col("key_id"), lit(3)) === i), Seq("key_id"))
+    }
+    val mAfter = manifestEntries(spark, path, versions(spark, path).last)
+    val zeroRewrites = mAfter.data.toSet == filesV1
+    val hadDvs = mAfter.dv.nonEmpty
+    val before = read(spark, path).localCheckpoint(true)
+    compactDvs(spark, path)
+    val after = read(spark, path)
+    val identical = before.exceptAll(after).isEmpty &&
+      after.exceptAll(before).isEmpty
+    val dvFree =
+      manifestEntries(spark, path, versions(spark, path).last).dv.isEmpty
+    after
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("zero_data_rewrites_before_compact", lit(zeroRewrites))
+      .withColumn("dv_files_present_before_compact", lit(hadDvs))
+      .withColumn("post_compact_identical", lit(identical))
+      .withColumn("dv_free_after_compact", lit(dvFree))
+  }
+
+  val deletionVectorsSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS zero_data_rewrites_before_compact,
+         true AS dv_files_present_before_compact,
+         true AS post_compact_identical,
+         true AS dv_free_after_compact
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_deletion_vectors" -> ((s, d) =>
+      deletionVectors(s, d).orderBy(col("key_id"))),
     "lake_concurrent_writers" -> ((s, d) =>
       concurrentWriters(s, d).orderBy(col("key_id"))),
     "lake_vacuum_lifecycle" -> ((s, d) =>
@@ -681,6 +934,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_deletion_vectors" -> deletionVectorsSql,
     "lake_concurrent_writers" -> concurrentWritersSql,
     "lake_vacuum_lifecycle" -> vacuumLifecycleSql,
     "lake_time_travel" -> timeTravelSql,

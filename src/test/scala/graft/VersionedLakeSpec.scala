@@ -143,6 +143,71 @@ class VersionedLakeSpec extends AnyFunSuite {
         s"${referenced.diff(onDisk)}")
   }
 
+  test("deletion vectors: delete without rewrite, merge, fold on compact") {
+    val path = graft.sources.Scratch.dir("vlake_dv_spec")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("dv\t")).toSet
+      finally in.close()
+    }
+    def dvCount(): Int = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .count(_.startsWith("dv\t"))
+      finally in.close()
+    }
+    VersionedLake.upsert(spark, path,
+      (1L to 10L).map(i => (i, s"x$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    val v1Files = dataFiles()
+
+    // first trickle delete: zero data files rewritten
+    VersionedLake.dvDelete(spark, path, Seq(2L, 5L).toDF("k"), Seq("k"))
+    assert(dataFiles() == v1Files, "dvDelete rewrote data files")
+    assert(dvCount() > 0, "no DV mapping committed")
+    assert(VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 7L, 8L, 9L, 10L))
+
+    // second delete MERGES with the first (same files, new sidecar)
+    VersionedLake.dvDelete(spark, path, Seq(7L).toDF("k"), Seq("k"))
+    assert(dataFiles() == v1Files)
+    assert(VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 8L, 9L, 10L))
+
+    // deleting an already-deleted or absent key is a no-op commit-wise
+    val vBefore = VersionedLake.versions(spark, path).last
+    VersionedLake.dvDelete(spark, path, Seq(99L).toDF("k"), Seq("k"))
+    assert(VersionedLake.versions(spark, path).last == vBefore)
+
+    // compaction folds DVs: new files, no mappings, identical rows
+    VersionedLake.compactDvs(spark, path, numBuckets = 2)
+    assert(dvCount() == 0, "DV mappings survived compaction")
+    assert(dataFiles().intersect(v1Files).isEmpty,
+      "DV-carrying files not rewritten")
+    assert(VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 8L, 9L, 10L))
+  }
+
+  test("bucket rewrite after dvDelete does not resurrect deleted rows") {
+    val path = graft.sources.Scratch.dir("vlake_dv_rewrite")
+    // numBuckets=1: the upsert below rewrites THE bucket carrying DVs
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, "a", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 1)
+    VersionedLake.dvDelete(spark, path, Seq(2L).toDF("k"), Seq("k"))
+    VersionedLake.upsert(spark, path,
+      Seq((5L, "b", 10L)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 1)
+    assert(VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L),
+      "rewrite resurrected a DV-deleted row or lost one")
+  }
+
   test("versioned upsert evolves schema: later columns null-backfill on read") {
     val path = graft.sources.Scratch.dir("vlake_evo")
     VersionedLake.upsert(spark,
