@@ -467,8 +467,131 @@ object TransformState {
        WHERE rank <= 3
        ORDER BY user_id, rank"""
 
+  final case class TtlIn(event_id: Long, user_id: Long)
+  final case class TtlOut(user_id: Long, emit_seq: Long, n_live: Long)
+
+  /** STATE TTL — the fourth state-lifecycle surface after
+    * Value/List/Map state and timers: the per-user counter is declared
+    * with a processing-time [[TTLConfig]], so a key idle longer than
+    * the TTL has its state EXPIRED by the framework — `exists()` turns
+    * false and the counter RESTARTS — without any user-written cleanup
+    * code. That is the operational contract that keeps a 100 TB
+    * deployment's state store bounded by ACTIVE keys instead of
+    * ever-seen keys. The `emits` tag is deliberately TTL-free: it
+    * survives to prove expiry is per-STATE-VARIABLE, not per-key, and
+    * it orders emissions for the snapshot read.
+    */
+  final class TtlCountProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, TtlIn, TtlOut] {
+    @transient private var n: ValueState[Long] = _
+    @transient private var emits: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState[Long]("n_ttl",
+        Encoders.scalaLong, TTLConfig(ttl))
+      emits = getHandle.getValueState[Long]("emits",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TtlIn],
+        timers: TimerValues): Iterator[TtlOut] = {
+      val cur = if (n.exists()) n.get() else 0L // expired ⇒ restart at 0
+      val upd = cur + rows.size
+      n.update(upd)
+      val e = (if (emits.exists()) emits.get() else 0L) + 1L
+      emits.update(e)
+      Iterator.single(TtlOut(key, e, upd))
+    }
+  }
+
+  /** Two single-batch (`Trigger.Once`) runs over ONE checkpoint,
+    * separated by a real pause longer than the TTL: run 1 counts every
+    * user's even-id events; after the pause, run 2's users find their
+    * counter EXPIRED and restart on their odd-id events. Latest
+    * snapshot per user ⇒ users with odd events report only the
+    * post-expiry count, users without keep the run-1 snapshot —
+    * exactly what the oracle computes from the static table.
+    * Determinism: run 2's batch timestamp is ≥ run 1's end + the
+    * sleep, which exceeds the TTL, and TTL expiry is evaluated against
+    * the batch timestamp — no wall-clock race in either direction.
+    *
+    * Why Trigger.Once and not `processAllAvailable`/AvailableNow: TTL
+    * requires [[TimeMode.ProcessingTime]], where the operator requests
+    * a new microbatch every trigger (the clock always "advanced"), so
+    * both draining disciplines schedule batches forever. Trigger.Once
+    * runs exactly one batch and stops unconditionally; state —
+    * including each variable's TTL metadata — resumes from the
+    * checkpoint, which is itself worth proving. Emissions accumulate
+    * in a parquet sink across runs (the memory sink would reset on
+    * restart).
+    */
+  def stateTtl(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ttl = java.time.Duration.ofSeconds(2)
+    val checkpoint = Files.createTempDirectory("graft_ttl_ckpt").toString
+    val feed = graft.sources.Scratch.dir("ttl_feed")
+    val out = graft.sources.Scratch.dir("ttl_out")
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"))
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .coalesce(1).write.parquet(s"$feed/batch0")
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val feedSchema = spark.read.parquet(s"$feed/batch0").schema
+      val src = spark.readStream.schema(feedSchema)
+        .parquet(s"$feed/*")
+        .as[TtlIn]
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(new TtlCountProcessor(ttl),
+          TimeMode.ProcessingTime(), OutputMode.Append(),
+          Encoders.product[TtlOut])
+        .toDF().writeStream.outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // run 1: every even-id count lands
+    Thread.sleep(ttl.toMillis + 500) // idle past the TTL
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .coalesce(1).write.parquet(s"$feed/batch1")
+    runOnce() // run 2: returning users find expired state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val res = spark.read.parquet(out)
+      .withColumn("mx", max(col("emit_seq")).over(w))
+      .filter(col("emit_seq") === col("mx"))
+      .select(col("user_id"), col("n_live"))
+      .localCheckpoint(eager = true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    res
+  }
+
+  val stateTtlSql: String =
+    """WITH per AS (
+         SELECT user_id,
+           COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_odd,
+           COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_even
+         FROM events
+         WHERE user_id IS NOT NULL
+         GROUP BY 1)
+       SELECT user_id,
+         CASE WHEN n_odd > 0 THEN n_odd ELSE n_even END AS n_live
+       FROM per
+       ORDER BY user_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_state_ttl" -> ((s, d) =>
+      stateTtl(s, d).orderBy(col("user_id"))),
     "stream_user_topk" -> ((s, d) =>
       userTopK(s, d).orderBy(col("user_id"), col("rank"))),
     "stream_inactivity_timeout" -> ((s, d) =>
@@ -481,6 +604,7 @@ object TransformState {
       sessionWindowStream(s, d).orderBy(col("user_id"), col("start_us"))))
 
   def oracles: Map[String, String] = Map(
+    "stream_state_ttl" -> stateTtlSql,
     "stream_user_topk" -> userTopKSql,
     "stream_inactivity_timeout" -> inactivityTimeoutSql,
     "stream_user_type_counts" -> userTypeCountsSql,

@@ -49,6 +49,66 @@ class TransformStateSpec extends AnyFunSuite {
     }
   }
 
+  test("state TTL physically drops idle keys and restarts their counter") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val ttl = java.time.Duration.ofSeconds(2)
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft_ttl_spec").toString
+    val feed = graft.sources.Scratch.dir("ttl_spec_feed")
+    val out = graft.sources.Scratch.dir("ttl_spec_out")
+    // run 1: users 1..10, one event each
+    (1L to 10L).map(i => (i, i)).toDF("event_id", "user_id")
+      .coalesce(1).write.parquet(s"$feed/batch0")
+    def runOnce(): Seq[Long] = {
+      val schema = s.read.parquet(s"$feed/batch0").schema
+      val q = s.readStream.schema(schema).parquet(s"$feed/*")
+        .as[TransformState.TtlIn]
+        .groupByKey(_.user_id)
+        .transformWithState(new TransformState.TtlCountProcessor(ttl),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[TransformState.TtlOut])
+        .toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal)
+    }
+    val rows1 = runOnce()
+    Thread.sleep(ttl.toMillis + 500)
+    // run 2: only user 1 returns; 2..10 stay idle past the TTL
+    Seq((100L, 1L)).toDF("event_id", "user_id")
+      .coalesce(1).write.parquet(s"$feed/batch1")
+    val rows2 = runOnce()
+    // the framework PHYSICALLY removed expired rows: the store shrank
+    // below run 1's peak even though a key got NEW input in run 2
+    assert(rows1.nonEmpty && rows2.nonEmpty)
+    assert(rows2.max < rows1.max,
+      s"state rows never decreased: run1=$rows1 run2=$rows2")
+    val snap = s.read.parquet(out).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.maxBy(_.getLong(1)).getLong(2) // latest n_live
+      }
+    // user 1's counter RESTARTED at 1 (not 2): its run-1 state expired
+    assert(snap(1L) == 1L, s"user 1 counter did not restart: $snap")
+    (2L to 10L).foreach(u => assert(snap(u) == 1L))
+    // and user 1 emitted twice (emits var is TTL-free and survived)
+    assert(s.read.parquet(out).filter(col("user_id") === 1L).count() == 2L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(checkpoint))
+  }
+
   test("MapState per-type counters accumulate across batches") {
     val got = TransformState.userTypeCounts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
