@@ -7,13 +7,18 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression,
+  NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc,
+  Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -96,14 +101,48 @@ object GenSource {
        WHERE id >= 25000 AND id <= 75000
        GROUP BY 1 ORDER BY 1"""
 
+  /** Gate: the same rollup shape with AGGREGATE PUSHDOWN
+    * ([[SupportsPushDownAggregates]]) — the grouped aggregation is
+    * evaluated inside the readers (one streaming pass per pruned
+    * partition, ≤5-entry group table), so the scan's output is five
+    * partial rows per partition instead of 80k generated rows, and the
+    * plan carries ONE merge aggregate where the un-pushed plan needs
+    * partial+final. The spec asserts the plan shape; this row proves
+    * the numbers against the generate_series oracle.
+    */
+  def genAggPushdown(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.GenSource")
+      .option("rows", "100000").option("parts", "16").load()
+      .filter(col("id") >= 10000L && col("id") <= 90000L)
+      .groupBy(col("cat"))
+      .agg(count(col("id")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
+  val genAggPushdownSql: String =
+    s"""WITH ${oracleCte(100000)}
+       SELECT cat, COUNT(id) AS n,
+         CAST(SUM(k) AS BIGINT) AS sum_k,
+         MIN(id) AS min_id, MAX(id) AS max_id
+       FROM gen
+       WHERE id >= 10000 AND id <= 90000
+       GROUP BY 1 ORDER BY 1"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] = Map(
     "gen_source_scan" -> ((s, _) =>
-      genScanAgg(s).orderBy(org.apache.spark.sql.functions.col("cat"))))
+      genScanAgg(s).orderBy(org.apache.spark.sql.functions.col("cat"))),
+    "gen_source_agg_pushdown" -> ((s, _) =>
+      genAggPushdown(s).orderBy(org.apache.spark.sql.functions.col("cat"))))
 
   def oracles: Map[String, String] = Map(
-    "gen_source_scan" -> genScanAggSql)
+    "gen_source_scan" -> genScanAggSql,
+    "gen_source_agg_pushdown" -> genAggPushdownSql)
 }
 
 /** Short-name registration (`format("graftgen")`) via the standard
@@ -140,12 +179,77 @@ private[sources] class GenTable(rows: Long, parts: Int)
 
 private[sources] class GenScanBuilder(rows: Long, parts: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   // planning-time id bounds, tightened by every accepted filter
   private var lo = 1L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GenSource.schema
+  private var pushedAgg: Option[Aggregation] = None
+  private var aggComplete = false
+
+  private def colOf(e: V2Expression): Option[String] = e match {
+    case n: NamedReference if n.fieldNames().length == 1 =>
+      Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Some(true) = grouped by `cat`, Some(false) = global aggregate,
+    * None = a grouping this source cannot evaluate.
+    */
+  private def groupShape(agg: Aggregation): Option[Boolean] =
+    agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(e) if colOf(e).contains("cat") => Some(true)
+      case _ => None
+    }
+
+  private def partialSupported(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count =>
+      !c.isDistinct && colOf(c.column())
+        .exists(Set("id", "k", "cat")) // all non-null ⇒ count(col)=count(*)
+    case m: Min => colOf(m.column()).contains("id")
+    case m: Max => colOf(m.column()).contains("id")
+    case s: Sum => !s.isDistinct && colOf(s.column()).exists(Set("id", "k"))
+    case _ => false
+  }
+
+  /** Closed-form over a contiguous id range — answerable at PLAN cost,
+    * no row ever generated: count = |range|, min/max(id) = the bounds.
+    */
+  private def closedForm(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count =>
+      !c.isDistinct && colOf(c.column()).exists(Set("id", "k", "cat"))
+    case m: Min => colOf(m.column()).contains("id")
+    case m: Max => colOf(m.column()).contains("id")
+    case _ => false
+  }
+
+  /** COMPLETE pushdown (Spark plans NO aggregate at all) is claimed
+    * only for the ungrouped closed-form shapes, where one O(1)
+    * partition returns the final answer. Grouped or sum shapes go
+    * PARTIAL instead: every pruned partition streams its range once
+    * and emits per-group partials, and Spark's single merge aggregate
+    * replaces the usual partial+final pair — that is the parallel,
+    * scale-correct path (complete pushdown would force one reader to
+    * see the whole table).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    groupShape(agg).contains(false) &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(closedForm)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (groupShape(agg).isDefined &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(partialSupported)) {
+      pushedAgg = Some(agg)
+      aggComplete = supportCompletePushDown(agg)
+      true
+    } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, residual) = filters.partition {
@@ -168,7 +272,11 @@ private[sources] class GenScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GenScan(rows, parts, lo, hi, required)
+  override def build(): Scan = pushedAgg match {
+    case None => new GenScan(rows, parts, lo, hi, required)
+    case Some(agg) =>
+      new GenAggScan(rows, parts, lo, hi, agg, aggComplete)
+  }
 }
 
 private[sources] class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,
@@ -199,6 +307,137 @@ private[sources] class GenScan(rows: Long, parts: Int, lo: Long, hi: Long,
 
 private[sources] case class GenPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Serializable description of one pushed aggregate function. */
+private[sources] sealed trait GenAgg extends Serializable
+private[sources] case object GenCount extends GenAgg // count(*) / count(col)
+private[sources] case object GenMinId extends GenAgg
+private[sources] case object GenMaxId extends GenAgg
+private[sources] case class GenSum(column: String) extends GenAgg
+
+/** The aggregate-pushdown scan: output schema = group columns then
+  * aggregate columns, positionally matching the [[Aggregation]] (the
+  * contract `V2ScanRelationPushDown` maps by). Complete mode plans ONE
+  * partition whose reader answers from the closed form; partial mode
+  * keeps the pruned range partitions and each reader streams its range
+  * once into a ≤5-entry group table.
+  */
+private[sources] class GenAggScan(rows: Long, parts: Int, lo: Long, hi: Long,
+    agg: Aggregation, complete: Boolean) extends Scan with Batch {
+
+  private def aggOf(f: AggregateFunc): GenAgg = f match {
+    case _: CountStar => GenCount
+    case _: Count => GenCount // accepted columns are all non-null
+    case _: Min => GenMinId
+    case _: Max => GenMaxId
+    case s: Sum => GenSum(
+      s.column().asInstanceOf[NamedReference].fieldNames()(0))
+    case other =>
+      throw new IllegalStateException(s"unpushable aggregate $other")
+  }
+  private val grouped = agg.groupByExpressions().nonEmpty
+  private val aggs: Seq[GenAgg] =
+    agg.aggregateExpressions().toSeq.map(aggOf)
+
+  override def readSchema(): StructType = {
+    val groupCols =
+      if (grouped) Seq(StructField("cat", StringType, nullable = false))
+      else Seq.empty
+    val aggCols = aggs.zipWithIndex.map {
+      case (GenCount, i) => StructField(s"agg_${i}_count", LongType,
+        nullable = false)
+      case (GenMinId, i) => StructField(s"agg_${i}_min_id", LongType)
+      case (GenMaxId, i) => StructField(s"agg_${i}_max_id", LongType)
+      case (GenSum(c), i) => StructField(s"agg_${i}_sum_$c", LongType)
+    }
+    StructType(groupCols ++ aggCols)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftgen rows=$rows parts=$parts idRange=[$lo,$hi] " +
+      s"pushedAggregation=[${aggs.mkString(",")}] grouped=$grouped " +
+      s"mode=${if (complete) "complete" else "partial"}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (complete) Array(GenPartition(lo, hi)) // one final answer row
+    else {
+      val per = math.max(1L, (rows + parts - 1) / parts)
+      (0 until parts).iterator
+        .map { p =>
+          val start = 1L + p * per
+          val end = math.min(rows, (p + 1) * per)
+          GenPartition(math.max(start, lo), math.min(end, hi))
+        }
+        .filter(g => g.start <= g.end)
+        .toArray[InputPartition]
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenAggReaderFactory(grouped, aggs, complete)
+}
+
+private[sources] class GenAggReaderFactory(grouped: Boolean,
+    aggs: Seq[GenAgg], complete: Boolean) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenPartition]
+    val results: Iterator[InternalRow] =
+      if (complete) {
+        // closed form over the contiguous pruned range — O(1): no row
+        // of the table is ever generated
+        val empty = p.start > p.end
+        val values = aggs.map {
+          case GenCount => if (empty) 0L else p.end - p.start + 1L
+          case GenMinId => if (empty) null else p.start
+          case GenMaxId => if (empty) null else p.end
+          case GenSum(_) =>
+            throw new IllegalStateException("sum is never complete-pushed")
+        }
+        Iterator.single(InternalRow.fromSeq(values))
+      } else if (p.start > p.end) Iterator.empty
+      else {
+        // one streaming pass; group table is ≤ 5 entries (the cats)
+        val acc = scala.collection.mutable.TreeMap.empty[String, Array[Long]]
+        def init(): Array[Long] = aggs.map {
+          case GenCount => 0L
+          case GenMinId => Long.MaxValue
+          case GenMaxId => Long.MinValue
+          case GenSum(_) => 0L
+        }.toArray
+        var id = p.start
+        while (id <= p.end) {
+          val key = if (grouped) GenSource.catOf(id) else ""
+          val a = acc.getOrElseUpdate(key, init())
+          var i = 0
+          while (i < aggs.length) {
+            aggs(i) match {
+              case GenCount => a(i) += 1L
+              case GenMinId => a(i) = math.min(a(i), id)
+              case GenMaxId => a(i) = math.max(a(i), id)
+              case GenSum("id") => a(i) += id
+              case GenSum(_) => a(i) += GenSource.keyOf(id)
+            }
+            i += 1
+          }
+          id += 1L
+        }
+        acc.iterator.map { case (key, a) =>
+          val aggVals = a.toSeq.map(v => v: Any)
+          if (grouped)
+            InternalRow.fromSeq(UTF8String.fromString(key) +: aggVals)
+          else InternalRow.fromSeq(aggVals)
+        }
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (results.hasNext) { current = results.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class GenReaderFactory(required: StructType)
     extends PartitionReaderFactory {
