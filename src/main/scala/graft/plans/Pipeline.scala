@@ -78,8 +78,10 @@ object Pipeline {
 
   /** Job-run policy — the engine analogue of the reference's jobs
     * config (ref /root/reference/resources/olist_jobs.yml: max_retries,
-    * on-failure notifications; the notification hook becomes the
-    * [[NodeReport]] table a monitor can alert on).
+    * timeout_seconds, retry_on_timeout, on-failure email_notifications;
+    * the notification hook here is a callback handed the failed
+    * [[NodeReport]], and the report table remains what a monitor
+    * alerts on).
     *
     * @param maxRetries        re-attempts per table build after the first
     *                          failure (olist_jobs.yml `max_retries`)
@@ -90,12 +92,29 @@ object Pipeline {
     * @param parallelism       max concurrently-building tables
     * @param mode              [[FullRefresh]] (default, today's behavior)
     *                          or [[Incremental]] (requires `lakeDir`)
+    * @param timeoutSeconds    per-TABLE build+land budget
+    *                          (olist_jobs.yml `timeout_seconds`); on
+    *                          expiry the table's Spark job group is
+    *                          cancelled and its attempt thread
+    *                          interrupted, so a hung source cannot wedge
+    *                          the whole DAG
+    * @param retryOnTimeout    whether a timeout consumes retries like
+    *                          any failure (olist_jobs.yml
+    *                          `retry_on_timeout`) or fails immediately
+    * @param onFailure         invoked EXACTLY ONCE per failed table with
+    *                          its final report, after retries are
+    *                          exhausted (the email_notifications
+    *                          delivery hook); exceptions it throws are
+    *                          logged, never propagated into the DAG
     */
   final case class RunPolicy(
       maxRetries: Int = 0,
       continueOnFailure: Boolean = false,
       parallelism: Int = 8,
-      mode: RunMode = FullRefresh)
+      mode: RunMode = FullRefresh,
+      timeoutSeconds: Option[Long] = None,
+      retryOnTimeout: Boolean = false,
+      onFailure: NodeReport => Unit = _ => ())
 
   /** Per-table outcome of a DAG run: status ∈ ok | failed | skipped |
     * fresh (skipped = an upstream dependency failed; fresh = an
@@ -244,7 +263,7 @@ object Pipeline {
             Outcome(Some(df), NodeReport(d.name, d.layer, "fresh", 0, None))
           }
           else buildOne(spark, d, deps.map(o => o.report.name -> o.df.get).toMap,
-            lakeDir, policy.maxRetries, fps.get(d.name))
+            lakeDir, policy, fps.get(d.name))
         }
       }
       val outcomes =
@@ -263,41 +282,98 @@ object Pipeline {
     * files also collapse the COMPUTE stage's parallelism, which costs
     * more on the join-heavy tables than the file-commit overhead saves.)
     */
+  private final class TableTimeout(name: String, seconds: Long)
+    extends RuntimeException(s"table $name timed out after ${seconds}s")
+
+  /** Run `body` within the per-table budget. The attempt executes on
+    * its own thread under a table-scoped Spark job group (job-group
+    * membership is thread-local); on expiry the group's jobs are
+    * CANCELLED and the thread interrupted — a hung scan releases its
+    * executors instead of wedging the DAG pool.
+    */
+  private def withBudget[T](spark: SparkSession, name: String,
+      timeoutSeconds: Option[Long])(body: => T): T = timeoutSeconds match {
+    case None => body
+    case Some(sec) =>
+      val group = s"pipeline-$name-${System.nanoTime()}"
+      @volatile var result: Option[Either[Throwable, T]] = None
+      val t = new Thread(() => {
+        spark.sparkContext.setJobGroup(group, s"pipeline table $name",
+          interruptOnCancel = true)
+        try result = Some(Right(body))
+        catch { case e: Throwable => result = Some(Left(e)) }
+        finally spark.sparkContext.clearJobGroup()
+      }, group)
+      t.setDaemon(true)
+      t.start()
+      t.join(sec * 1000L)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        t.interrupt()
+        t.join(10000L)
+        throw new TableTimeout(name, sec)
+      }
+      result match {
+        case Some(Right(v)) => v
+        case Some(Left(e)) => throw e
+        case None => throw new TableTimeout(name, sec) // died silently
+      }
+  }
+
   private def buildOne(spark: SparkSession, d: TableDef,
       deps: Map[String, DataFrame], lakeDir: Option[String],
-      maxRetries: Int, fp: Option[String] = None): Outcome = {
+      policy: RunPolicy, fp: Option[String] = None): Outcome = {
     var attempt = 0
     var out: Option[Outcome] = None
+    def fail(e: Throwable): Unit = {
+      val report = NodeReport(d.name, d.layer, "failed", attempt,
+        Some(e.toString))
+      // notification delivery: once, with the FINAL report; a throwing
+      // hook must never take the DAG down with it
+      try policy.onFailure(report)
+      catch {
+        case NonFatal(h) =>
+          System.err.println(s"[pipeline] onFailure hook threw for " +
+            s"${d.name}: $h")
+      }
+      out = Some(Outcome(None, report))
+    }
+    def retryable(e: Throwable): Boolean = e match {
+      case _: TableTimeout => policy.retryOnTimeout
+      case NonFatal(_) => true
+      case _ => false
+    }
     while (out.isEmpty) {
       attempt += 1
       val t0 = System.nanoTime()
       try {
-        val df = d.build(spark, deps)
-        val exposed = lakeDir.map { dir =>
-          val path = s"$dir/${d.layer}/${d.name}"
-          df.write.mode("overwrite").parquet(path)
-          // fingerprint commits AFTER the landing write: a crash
-          // in between re-runs the build (safe), never serves a
-          // half-landed table as fresh
-          fp.foreach(commitFingerprint(dir, d.name, _))
-          spark.read.parquet(path)
-        }.getOrElse(df)
+        val exposed = withBudget(spark, d.name, policy.timeoutSeconds) {
+          val df = d.build(spark, deps)
+          lakeDir.map { dir =>
+            val path = s"$dir/${d.layer}/${d.name}"
+            df.write.mode("overwrite").parquet(path)
+            // fingerprint commits AFTER the landing write: a crash
+            // in between re-runs the build (safe), never serves a
+            // half-landed table as fresh
+            fp.foreach(commitFingerprint(dir, d.name, _))
+            spark.read.parquet(path)
+          }.getOrElse(df)
+        }
         exposed.createOrReplaceTempView(d.name) // `spark.table(name)` works
         System.err.println(f"[pipeline] ${d.name} ok in " +
           f"${(System.nanoTime() - t0) / 1e9}%.2fs (attempt $attempt)")
         out = Some(Outcome(Some(exposed),
           NodeReport(d.name, d.layer, "ok", attempt, None)))
       } catch {
-        case NonFatal(e) if attempt <= maxRetries =>
+        case e if retryable(e) && attempt <= policy.maxRetries =>
           // each failed attempt is logged (a silent retry loses the
           // transient error's diagnosis) and backed off briefly so a
           // deterministic failure doesn't hot-loop the executor pool
           System.err.println(
             s"[pipeline] ${d.name} attempt $attempt failed, retrying: $e")
           Thread.sleep(math.min(200L << (attempt - 1), 2000L))
-        case NonFatal(e) =>
-          out = Some(Outcome(None, NodeReport(d.name, d.layer, "failed",
-            attempt, Some(e.toString))))
+        case e @ (_: TableTimeout) => fail(e)
+        case NonFatal(e) => fail(e)
       }
     }
     out.get

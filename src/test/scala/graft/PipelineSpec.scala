@@ -76,6 +76,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("flaky"))
   }
 
+  test("per-table timeout: hung build times out, retries per policy, notifies once") {
+    val notifications =
+      new java.util.concurrent.ConcurrentLinkedQueue[Pipeline.NodeReport]()
+    val defs = Seq(
+      Pipeline.TableDef("good", "x", Nil, (s, _) => s.range(4).toDF("id")),
+      Pipeline.TableDef("hung", "x", Nil, (s, _) => {
+        Thread.sleep(120000) // a wedged source; interruptible
+        s.range(1).toDF("id")
+      }),
+      Pipeline.TableDef("child", "x", Seq("hung"), (_, t) => t("hung")))
+    val t0 = System.nanoTime()
+    val (out, report) = Pipeline.runWithReport(spark, defs,
+      policy = Pipeline.RunPolicy(maxRetries = 1, continueOnFailure = true,
+        timeoutSeconds = Some(1L), retryOnTimeout = true,
+        onFailure = r => { notifications.add(r); () }))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val status = report.map(r => r.name -> r.status).toMap
+    assert(status("good") == "ok")
+    assert(status("hung") == "failed")
+    assert(status("child") == "skipped")
+    val hung = report.find(_.name == "hung").get
+    assert(hung.attempts == 2, s"retry_on_timeout honored: $hung") // 1 + 1
+    assert(hung.error.exists(_.contains("timed out")), hung.error)
+    // two 1s budgets + backoff, never the 120s hang
+    assert(elapsed < 60.0, s"timeout did not cut the hang: ${elapsed}s")
+    // the notification hook fired exactly once, with the FINAL report
+    assert(notifications.size == 1)
+    assert(notifications.peek().name == "hung" &&
+      notifications.peek().attempts == 2)
+    assert(out.keySet == Set("good"))
+
+    // retryOnTimeout=false: a timeout consumes NO retries — one attempt
+    val n2 = new java.util.concurrent.ConcurrentLinkedQueue[Pipeline.NodeReport]()
+    val (_, report2) = Pipeline.runWithReport(spark,
+      defs.filter(_.name == "hung"),
+      policy = Pipeline.RunPolicy(maxRetries = 3, continueOnFailure = true,
+        timeoutSeconds = Some(1L), retryOnTimeout = false,
+        onFailure = r => { n2.add(r); () }))
+    assert(report2.head.attempts == 1 && report2.head.status == "failed")
+    assert(n2.size == 1)
+  }
+
+  test("a failing notification hook never takes the DAG down") {
+    val defs = Seq(
+      Pipeline.TableDef("ok_table", "x", Nil, (s, _) => s.range(2).toDF("id")),
+      Pipeline.TableDef("bad", "x", Nil,
+        (_, _) => throw new RuntimeException("boom")))
+    val (out, report) = Pipeline.runWithReport(spark, defs,
+      policy = Pipeline.RunPolicy(continueOnFailure = true,
+        onFailure = _ => throw new IllegalStateException("hook broke")))
+    assert(report.map(r => r.name -> r.status).toMap ==
+      Map("ok_table" -> "ok", "bad" -> "failed"))
+    assert(out.keySet == Set("ok_table"))
+  }
+
   test("incremental mode: unchanged run lands zero tables; a delta re-lands only its subtree") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_incr").toString
