@@ -71,13 +71,22 @@ object Bench {
       .mkString("{", ",", "}")
     val ord = order.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Record machine load beside the timings: r5's committed idle run
+    // and the driver's under-verify-load rerun differed 10-40% on
+    // IO-heavy queries, and without a load field every round-over-round
+    // read needs forensics. 1-minute loadavg, sampled at exit.
+    val load = try Files.readString(Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir","load":$load}"""
     println(json)
     // Persist the artifact too: the driver's stdout tail-capture has
     // truncated the JSON two rounds running, so per-query history only
-    // survives if the repo itself carries it. Committed each round.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r5.json")
+    // survives if the repo itself carries it. Committed each round;
+    // the idle-box run additionally lands as BENCH_IDLE_r<N>.json (set
+    // SPARK_GRAFT_BENCH_OUT), a name the driver never overwrites.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r6.json")
     try Files.write(Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
