@@ -282,26 +282,12 @@ object VersionedLake {
     val wid = nonce()
     val stage = path + s"_stage_$wid"
     merged.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    val adopted = scala.collection.mutable.ArrayBuffer[String]()
-    f.listStatus(new Path(stage)).filter(_.isDirectory).foreach { d =>
-      val bucketDir = d.getPath.getName // gbucket=N
-      f.mkdirs(new Path(s"$path/$bucketDir"))
-      f.listStatus(d.getPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (s, i) =>
-          val rel = f"$bucketDir/w$wid-$i%04d.parquet"
-          if (!f.rename(s.getPath, new Path(s"$path/$rel")))
-            throw new java.io.IOException(s"cannot adopt $rel")
-          adopted += rel
-        }
-    }
-    f.delete(new Path(stage), true)
+    val adopted = adoptStaged(spark, path, stage, wid)
     // ourLines = the touched buckets' complete new representation: the
     // adopted files, no DV lines (the rewrite materialized deletes).
     // Untouched-bucket lines are re-derived from whatever manifest the
     // commit ultimately lands on (base, or the winner's on rebase).
-    PendingCommit(vs.lastOption.getOrElse(0), touched,
-      adopted.toSeq, adopted.toSeq)
+    PendingCommit(vs.lastOption.getOrElse(0), touched, adopted, adopted)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at
@@ -359,40 +345,40 @@ object VersionedLake {
     throw new IllegalStateException("unreachable")
   }
 
-  /** MERGE-ON-READ delete: mark the current rows of `deleteKeys` in a
-    * deletion-vector sidecar instead of rewriting their data files —
-    * Delta deletion vectors / Iceberg position deletes. The commit
-    * touches ZERO data files: one metadata-scale scan finds the
-    * (file_rel, row_index) positions, ONE sidecar parquet lands the
-    * union of those positions with the affected files' existing DV
-    * rows (DV sidecars are immutable too — a re-delete writes a new
-    * sidecar and re-points the mapping), and the new manifest carries
-    * the same data lines with updated `dv` mappings. At 100 TB with
-    * trickle CDC this is the difference between O(rows-deleted) and
-    * O(files-touched × file-size) per batch; the read-side cost (one
-    * anti-join against |deleted rows|) is repaid at [[compactDvs]]
-    * time. Same OCC loop as every commit: disjoint-bucket writers
-    * rebase past us, overlapping ones conflict.
+  /** Adopt every staged bucket file under immutable writer-nonced
+    * names; returns the adopted relative paths.
     */
-  def dvDelete(spark: SparkSession, path: String, deleteKeys: DataFrame,
-      keyCols: Seq[String]): CommitResult = {
+  private def adoptStaged(spark: SparkSession, path: String, stage: String,
+      wid: String): Seq[String] = {
     val f = fs(spark)
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    // positions of the keys' CURRENT rows (already-deleted positions
-    // are excluded by loadWithDv; re-marking them would be harmless)
-    val snap = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct,
-      keepPos = true)
-    val hits = snap
-      .join(deleteKeys.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_semi")
-      .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
-      .localCheckpoint(true) // one scan; the pairs are tiny
+    val adopted = scala.collection.mutable.ArrayBuffer[String]()
+    f.listStatus(new Path(stage)).filter(_.isDirectory).foreach { d =>
+      val bucketDir = d.getPath.getName // gbucket=N
+      f.mkdirs(new Path(s"$path/$bucketDir"))
+      f.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (s, i) =>
+          val rel = f"$bucketDir/w$wid-$i%04d.parquet"
+          if (!f.rename(s.getPath, new Path(s"$path/$rel")))
+            throw new java.io.IOException(s"cannot adopt $rel")
+          adopted += rel
+        }
+    }
+    f.delete(new Path(stage), true)
+    adopted.toSeq
+  }
+
+  /** Land one DV sidecar: `hits` (file_rel, pos) unioned with the
+    * affected files' existing DV rows, one parquet under [[DvDir]].
+    * Returns (sidecar rel, affected data files); None when `hits` is
+    * empty. The sidecar is deleted-rows-scale — metadata, not data.
+    */
+  private def writeDvSidecar(spark: SparkSession, path: String,
+      hits: DataFrame, m: TableManifest): Option[(String, Seq[String])] = {
+    val f = fs(spark)
     val affected = hits.select(col("file_rel")).distinct()
-      .collect().map(_.getString(0)).sorted // metadata scale
-    if (affected.isEmpty) return CommitResult(base, 0)
+      .collect().map(_.getString(0)).sorted.toSeq // metadata scale
+    if (affected.isEmpty) return None
     val priorDv = affected.flatMap(m.dv.get).distinct
     val merged =
       if (priorDv.isEmpty) hits
@@ -410,15 +396,127 @@ object VersionedLake {
     if (!f.rename(part.head.getPath, new Path(s"$path/$dvRel")))
       throw new java.io.IOException(s"cannot adopt $dvRel")
     f.delete(new Path(stage), true)
-    val touched = affected.map(bucketOf).toSet
-    // our touched buckets' lines: every base line of those buckets,
-    // with the affected files' DV mappings re-pointed at the new
-    // sidecar (data files UNCHANGED — that is the point)
-    val newDv = m.dv ++ affected.map(_ -> dvRel)
-    val ourLines = TableManifest(m.data, newDv).lines
+    Some((dvRel, affected))
+  }
+
+  /** MERGE-ON-READ delete: mark the current rows of `deleteKeys` in a
+    * deletion-vector sidecar instead of rewriting their data files —
+    * Delta deletion vectors / Iceberg position deletes. The commit
+    * touches ZERO data files: one metadata-scale scan finds the
+    * (file_rel, row_index) positions, ONE sidecar parquet lands the
+    * union of those positions with the affected files' existing DV
+    * rows (DV sidecars are immutable too — a re-delete writes a new
+    * sidecar and re-points the mapping), and the new manifest carries
+    * the same data lines with updated `dv` mappings. At 100 TB with
+    * trickle CDC this is the difference between O(rows-deleted) and
+    * O(files-touched × file-size) per batch; the read-side cost (one
+    * anti-join against |deleted rows|) is repaid at [[compactDvs]]
+    * time. Same OCC loop as every commit: disjoint-bucket writers
+    * rebase past us, overlapping ones conflict.
+    */
+  def dvDelete(spark: SparkSession, path: String, deleteKeys: DataFrame,
+      keyCols: Seq[String]): CommitResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    // positions of the keys' CURRENT rows (already-deleted positions
+    // are excluded by loadWithDv; re-marking them would be harmless)
+    val snap = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct,
+      keepPos = true)
+    val hits = snap
+      .join(deleteKeys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi")
+      .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
+      .localCheckpoint(true) // one scan; the pairs are tiny
+    writeDvSidecar(spark, path, hits, m) match {
+      case None => CommitResult(base, 0)
+      case Some((dvRel, affected)) =>
+        val touched = affected.map(bucketOf).toSet
+        // our touched buckets' lines: every base line of those buckets,
+        // with the affected files' DV mappings re-pointed at the new
+        // sidecar (data files UNCHANGED — that is the point)
+        val newDv = m.dv ++ affected.map(_ -> dvRel)
+        val ourLines = TableManifest(m.data, newDv).lines
+          .filter(l => touched.contains(bucketOfLine(l)))
+        commitPending(spark, path,
+          PendingCommit(base, touched, ourLines, Seq(dvRel)))
+    }
+  }
+
+  /** MERGE-ON-READ upsert — the MOR form of [[upsert]]'s MERGE: the
+    * superseded versions of the changed keys are DV-marked and the
+    * winning rows APPEND as new files; no existing data file is ever
+    * rewritten. Per key the commit is O(changed rows), not
+    * O(bucket-file size) — the write path a trickle-CDC feed needs at
+    * 100 TB, with [[compactDvs]] amortizing the read-side anti-join.
+    *
+    * Semantics mirror [[upsert]] exactly: last-writer-wins on `seqCol`
+    * with update-wins-tie (a change is ACCEPTED iff its sequence ≥ the
+    * key's current row's), `_deleted` deletes append as TOMBSTONE rows
+    * — retained, sequence and all, so a late-arriving OLDER change for
+    * a deleted key is rejected by the same comparison (the
+    * anti-resurrection contract), and readers filter them. Stale
+    * changes are dropped. One snapshot scan finds the current rows of
+    * the touched keys; everything else is change-scale.
+    */
+  def dvUpsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], seqCol: String,
+      numBuckets: Int = 16): CommitResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty,
+      s"no committed versions at $path — land the initial snapshot with upsert")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    val tagged0 = updates
+    val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
+      else tagged0.withColumn("_deleted", lit(false)))
+      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+    // winner per key WITHIN the batch (same resolve as upsert)
+    val wInner = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val newRows = tagged.withColumn("_rn", row_number().over(wInner))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(true)
+    // current rows (tombstones INCLUDED — they carry the sequence that
+    // rejects late older changes) of the touched keys, with positions
+    val snap = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct,
+      keepPos = true)
+    val current = snap
+      .join(newRows.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi")
+      .select((keyCols.map(col) :+ col(seqCol).as("_cur_seq") :+
+        col("_rel") :+ col("_pos")): _*)
+      .localCheckpoint(true) // one scan, ≤ |changed keys| rows
+    // accept iff no current row, or new sequence wins (ties to the
+    // update — upsert's (seq DESC, _is_update DESC) order)
+    val accepted = newRows
+      .join(current.select((keyCols.map(col) :+ col("_cur_seq")): _*),
+        keyCols, "left")
+      .filter(col("_cur_seq").isNull || col(seqCol) >= col("_cur_seq"))
+      .drop("_cur_seq")
+      .localCheckpoint(true)
+    // DV the superseded versions of accepted keys
+    val hits = current
+      .join(accepted.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
+    val dvOut = writeDvSidecar(spark, path, hits, m)
+    // append the winners (deletes as tombstone rows) as NEW files
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
+    accepted.write.partitionBy("gbucket").mode(SaveMode.Overwrite)
+      .parquet(stage)
+    val appended = adoptStaged(spark, path, stage, wid)
+    if (dvOut.isEmpty && appended.isEmpty) return CommitResult(base, 0)
+    val dvAffected = dvOut.map(_._2).getOrElse(Seq.empty)
+    val touched = (dvAffected.map(bucketOf) ++ appended.map(bucketOf)).toSet
+    val newDv = m.dv ++ dvOut.toSeq.flatMap { case (rel, aff) =>
+      aff.map(_ -> rel)
+    }
+    val ourLines = TableManifest(m.data ++ appended, newDv).lines
       .filter(l => touched.contains(bucketOfLine(l)))
-    commitPending(spark, path,
-      PendingCommit(base, touched, ourLines, Seq(dvRel)))
+    commitPending(spark, path, PendingCommit(base, touched, ourLines,
+      appended ++ dvOut.map(_._1).toSeq))
   }
 
   /** Fold deletion vectors back into data files: rewrite ONLY the
@@ -430,7 +528,6 @@ object VersionedLake {
     */
   def compactDvs(spark: SparkSession, path: String,
       numBuckets: Int = 16): CommitResult = {
-    val f = fs(spark)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val base = vs.last
@@ -444,22 +541,9 @@ object VersionedLake {
     val wid = nonce()
     val stage = path + s"_stage_$wid"
     df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    val adopted = scala.collection.mutable.ArrayBuffer[String]()
-    f.listStatus(new Path(stage)).filter(_.isDirectory).foreach { d =>
-      val bucketDir = d.getPath.getName
-      f.mkdirs(new Path(s"$path/$bucketDir"))
-      f.listStatus(d.getPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (s, i) =>
-          val rel = f"$bucketDir/w$wid-$i%04d.parquet"
-          if (!f.rename(s.getPath, new Path(s"$path/$rel")))
-            throw new java.io.IOException(s"cannot adopt $rel")
-          adopted += rel
-        }
-    }
-    f.delete(new Path(stage), true)
+    val adopted = adoptStaged(spark, path, stage, wid)
     commitPending(spark, path, PendingCommit(base, touched,
-      cleanCarried ++ adopted.toSeq, adopted.toSeq))
+      cleanCarried ++ adopted, adopted))
   }
 
   /** Snapshot read — latest version, or time travel to `asOfVersion`.
@@ -919,7 +1003,69 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** MOR UPSERT as a gate row: v1 lands HALF the change feed
+    * copy-on-write, then the second half trickles in as three
+    * [[dvUpsert]] batches SPLIT BY SEQUENCE PARITY-OF-THREE — i.e.
+    * deliberately out of order, so late-arriving older changes, ties,
+    * tombstone retention and re-updates of deleted keys all occur and
+    * must resolve to the same winners a sequential merge picks. The
+    * engine asserts v1's data files all survive untouched (MOR appends,
+    * never rewrites) and that DV mappings exist; the converged snapshot
+    * hash-matches the full-feed SCD1 oracle.
+    */
+  def morUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_mor")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    val filesV1 = manifestEntries(spark, path, 1).data.toSet
+    val second = staged.filter(col("sequence_number") > t1)
+    (0 to 2).foreach { i => // parity split ⇒ out-of-order arrival
+      dvUpsert(spark, path,
+        asChanges(second.filter(pmod(col("sequence_number"), lit(3)) === i)),
+        Seq("key_id"), "sequence_number")
+    }
+    val mAfter = manifestEntries(spark, path, versions(spark, path).last)
+    val zeroRewrites = filesV1.subsetOf(mAfter.data.toSet)
+    val appendsLanded = mAfter.data.size > filesV1.size
+    val hadDvs = mAfter.dv.nonEmpty
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("zero_data_rewrites", lit(zeroRewrites))
+      .withColumn("appends_landed", lit(appendsLanded))
+      .withColumn("dv_files_present", lit(hadDvs))
+  }
+
+  val morUpsertSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS zero_data_rewrites, true AS appends_landed,
+         true AS dv_files_present
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_mor_upsert" -> ((s, d) =>
+      morUpsert(s, d).orderBy(col("key_id"))),
     "lake_deletion_vectors" -> ((s, d) =>
       deletionVectors(s, d).orderBy(col("key_id"))),
     "lake_concurrent_writers" -> ((s, d) =>
@@ -934,6 +1080,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_mor_upsert" -> morUpsertSql,
     "lake_deletion_vectors" -> deletionVectorsSql,
     "lake_concurrent_writers" -> concurrentWritersSql,
     "lake_vacuum_lifecycle" -> vacuumLifecycleSql,

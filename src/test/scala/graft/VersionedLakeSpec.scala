@@ -193,6 +193,52 @@ class VersionedLakeSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L, 8L, 9L, 10L))
   }
 
+  test("MOR upsert: DV old versions, append winners, reject stale, no rewrite") {
+    val path = graft.sources.Scratch.dir("vlake_mor_spec")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def manifest(): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, s"v$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    val v1Data = manifest().filterNot(_.startsWith("dv\t")).toSet
+
+    // update k2, delete k3, insert k5, STALE update of k4 (seq 0)
+    VersionedLake.dvUpsert(spark, path, Seq(
+      (2L, "new2", 10L, false), (3L, "dead", 11L, true),
+      (5L, "v5", 12L, false), (4L, "stale", 0L, false))
+      .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq", numBuckets = 2)
+    val after = manifest()
+    // every v1 data file survives by name; new files appended
+    assert(v1Data.subsetOf(after.filterNot(_.startsWith("dv\t")).toSet))
+    assert(after.exists(_.startsWith("dv\t")), "no DV mapping committed")
+    val got = VersionedLake.read(spark, path).select("k", "x")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 2L -> "new2", 4L -> "v4", 5L -> "v5"),
+      s"wrong state: $got")
+
+    // anti-resurrection: an OLDER update for deleted k3 is rejected by
+    // the retained tombstone's sequence
+    VersionedLake.dvUpsert(spark, path,
+      Seq((3L, "zombie", 5L, false)).toDF("k", "x", "seq", "_deleted"),
+      Seq("k"), "seq", numBuckets = 2)
+    assert(!VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().contains(3L), "tombstone did not reject older change")
+
+    // compaction folds everything; state identical, DV-free
+    VersionedLake.compactDvs(spark, path, numBuckets = 2)
+    assert(!manifest().exists(_.startsWith("dv\t")))
+    val post = VersionedLake.read(spark, path).select("k", "x")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(post == got)
+  }
+
   test("bucket rewrite after dvDelete does not resurrect deleted rows") {
     val path = graft.sources.Scratch.dir("vlake_dv_rewrite")
     // numBuckets=1: the upsert below rewrites THE bucket carrying DVs
