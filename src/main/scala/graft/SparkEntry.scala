@@ -64,7 +64,8 @@ object SparkEntry {
       graft.plans.Schedule.queries ++
       graft.plans.ConfigLint.queries ++
       graft.streaming.EventStreams.queries ++
-      graft.streaming.TransformState.queries
+      graft.streaming.TransformState.queries ++
+      graft.streaming.LakeSink.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -118,5 +119,6 @@ object SparkEntry {
       graft.plans.Schedule.oracles ++
       graft.plans.ConfigLint.oracles ++
       graft.streaming.EventStreams.oracles ++
-      graft.streaming.TransformState.oracles
+      graft.streaming.TransformState.oracles ++
+      graft.streaming.LakeSink.oracles
 }

@@ -61,16 +61,21 @@ object VersionedLake {
     * until a manifest references them).
     */
   final case class PendingCommit(baseVersion: Int, touched: Set[Int],
-    ourLines: Seq[String], adopted: Seq[String])
+    ourLines: Seq[String], adopted: Seq[String],
+    txn: Option[(String, Long)] = None)
 
-  /** Parsed manifest: immutable data files plus the per-file deletion
+  /** Parsed manifest: immutable data files, the per-file deletion
     * vector mapping (data file → DV sidecar holding (file_rel, pos)
-    * position-deletes). Serialized as plain data lines and
-    * `dv\t<data>\t<sidecar>` lines.
+    * position-deletes), and per-application transaction watermarks
+    * (the Delta txnAppId/txnVersion idempotence ledger). Serialized as
+    * plain data lines, `dv\t<data>\t<sidecar>` lines and
+    * `txn\t<appId>\t<version>` lines.
     */
-  final case class TableManifest(data: Seq[String], dv: Map[String, String]) {
+  final case class TableManifest(data: Seq[String], dv: Map[String, String],
+      txn: Map[String, Long] = Map.empty) {
     def lines: Seq[String] =
-      data ++ dv.toSeq.sorted.map { case (d, s) => s"dv\t$d\t$s" }
+      data ++ dv.toSeq.sorted.map { case (d, s) => s"dv\t$d\t$s" } ++
+        txn.toSeq.sorted.map { case (a, v) => s"txn\t$a\t$v" }
     def allFiles: Seq[String] = data ++ dv.values.toSeq.distinct
   }
 
@@ -118,12 +123,18 @@ object VersionedLake {
     parseManifest(manifestLines(spark, path, version))
 
   private def parseManifest(lines: Seq[String]): TableManifest = {
-    val (dvLines, dataLines) = lines.partition(_.startsWith("dv\t"))
+    val (txnLines, rest) = lines.partition(_.startsWith("txn\t"))
+    val (dvLines, dataLines) = rest.partition(_.startsWith("dv\t"))
     TableManifest(dataLines,
       dvLines.map { l =>
         val a = l.split("\t"); a(1) -> a(2)
+      }.toMap,
+      txnLines.map { l =>
+        val a = l.split("\t"); a(1) -> a(2).toLong
       }.toMap)
   }
+
+  private def isTxnLine(l: String): Boolean = l.startsWith("txn\t")
 
   private def bucketOfLine(line: String): Int =
     if (line.startsWith("dv\t")) bucketOf(line.split("\t")(1))
@@ -138,31 +149,48 @@ object VersionedLake {
     concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
   }
 
-  /** Scan `dataFiles` with the union of `dvFiles`' position-deletes
-    * anti-joined out. One join on (file_rel, row_index); the delete
-    * side is |deleted rows|, broadcast-small in the trickle-delete
-    * regime this exists for. Deletes are MONOTONE (no undelete), so a
-    * stale sidecar row for a since-remapped file is a harmless
-    * duplicate — the union never over-deletes.
+  /** Scan `dataFiles` with their deletion vectors anti-joined out.
+    * The DV-CARRYING files alone pay the (file_rel, row_index)
+    * anti-join — clean files stream straight through and union in
+    * (manifest-level split, zero per-row cost for them), which is the
+    * read shape that matters at 100 TB where DVs touch a sliver of the
+    * table. The delete side is |deleted rows|, broadcast-small in the
+    * trickle regime. Deletes are MONOTONE (no undelete), so a stale
+    * sidecar row for a since-remapped file is a harmless duplicate —
+    * the union never over-deletes.
+    *
+    * @param dv per-data-file sidecar mapping (the manifest's)
     */
   private def loadWithDv(spark: SparkSession, path: String,
-      dataFiles: Seq[String], dvFiles: Seq[String],
+      dataFiles: Seq[String], dv: Map[String, String],
       keepPos: Boolean = false): DataFrame = {
     // position columns must come straight off the scan relation:
     // metadata columns do not survive a join
-    val df0 = spark.read.option("mergeSchema", "true")
-      .option("basePath", path)
-      .parquet(dataFiles.map(r => s"$path/$r"): _*)
-      .withColumn("_rel", relCol)
-      .withColumn("_pos", col("_metadata.row_index"))
-    val alive =
-      if (dvFiles.isEmpty) df0
+    def scan(files: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(files.map(r => s"$path/$r"): _*)
+        .withColumn("_rel", relCol)
+        .withColumn("_pos", col("_metadata.row_index"))
+    val (dirty, clean) = dataFiles.partition(dv.contains)
+    val cleanDf = if (clean.isEmpty) None else Some(scan(clean))
+    val dirtyDf =
+      if (dirty.isEmpty) None
       else {
+        val dvFiles = dirty.flatMap(dv.get).distinct
         val dels = spark.read.parquet(dvFiles.map(r => s"$path/$r"): _*)
           .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
           .distinct()
-        df0.join(dels, Seq("_rel", "_pos"), "left_anti")
+        Some(scan(dirty).join(dels, Seq("_rel", "_pos"), "left_anti"))
       }
+    val alive = (cleanDf, dirtyDf) match {
+      case (Some(c), Some(d)) =>
+        c.unionByName(d, allowMissingColumns = true)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) =>
+        throw new IllegalArgumentException("no data files to scan")
+    }
     if (keepPos) alive else alive.drop("_rel", "_pos")
   }
 
@@ -229,6 +257,33 @@ object VersionedLake {
     commitPending(spark, path,
       prepare(spark, path, updates, keyCols, seqCol, numBuckets))
 
+  /** Idempotent transactional upsert — Delta's txnAppId/txnVersion
+    * discipline for exactly-once writers: the manifest carries each
+    * application's highest committed transaction version, and a commit
+    * whose `txnVersion` is ≤ that watermark is SKIPPED (returns None)
+    * instead of applied twice. This is what makes a restarted
+    * streaming query's foreachBatch replay a no-op: the batch id is
+    * the transaction version, so re-delivering a committed microbatch
+    * cannot double-apply it. Writers sharing an appId are sequential
+    * by contract (one streaming query); distinct appIds commute and
+    * their watermark lines never conflict in the OCC loop.
+    */
+  def upsertTxn(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], seqCol: String, appId: String,
+      txnVersion: Long, numBuckets: Int = 16): Option[CommitResult] = {
+    val vs = versions(spark, path)
+    val committed = vs.lastOption
+      .map(v => manifestEntries(spark, path, v).txn
+        .getOrElse(appId, Long.MinValue))
+      .getOrElse(Long.MinValue)
+    if (committed >= txnVersion) None // already applied: idempotent skip
+    else {
+      val p = prepare(spark, path, updates, keyCols, seqCol, numBuckets)
+        .copy(txn = Some(appId -> txnVersion))
+      Some(commitPending(spark, path, p))
+    }
+  }
+
   /** Phase 1 of an optimistic write: merge `updates` against the
     * CURRENT snapshot and adopt the resulting bucket files under
     * writer-unique immutable names. Nothing becomes visible — data
@@ -264,10 +319,9 @@ object VersionedLake {
     val touched: Set[Int] = tagged.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSet // ≤ numBuckets ints
     val replaced = prior.data.filter(rel => touched.contains(bucketOf(rel)))
-    val replacedDv = replaced.flatMap(prior.dv.get).distinct
     val existing =
       if (replaced.isEmpty) None
-      else Some(loadWithDv(spark, path, replaced, replacedDv)
+      else Some(loadWithDv(spark, path, replaced, prior.dv)
         .withColumn("_is_update", lit(0)))
     val merged = existing match {
       case None => resolve(tagged)
@@ -314,8 +368,15 @@ object VersionedLake {
     val baseLines: Set[String] =
       if (p.baseVersion == 0) Set.empty
       else manifestLines(spark, path, p.baseVersion).toSet
-    def assemble(from: Seq[String]): Seq[String] =
-      from.filterNot(l => p.touched.contains(bucketOfLine(l))) ++ p.ourLines
+    def assemble(from: Seq[String]): Seq[String] = {
+      val kept = from.filterNot { l =>
+        if (isTxnLine(l)) // replace only OUR app's watermark
+          p.txn.exists { case (app, _) => l.startsWith(s"txn\t$app\t") }
+        else p.touched.contains(bucketOfLine(l))
+      }
+      kept ++ p.ourLines ++
+        p.txn.map { case (a, v) => s"txn\t$a\t$v" }.toSeq
+    }
     var base = p.baseVersion
     var manifest = assemble(baseLines.toSeq)
     var rounds = 0
@@ -326,7 +387,9 @@ object VersionedLake {
       val latestLines = manifestLines(spark, path, latest)
       val changedBuckets =
         ((latestLines.toSet diff baseLines) ++
-          (baseLines diff latestLines.toSet)).map(bucketOfLine)
+          (baseLines diff latestLines.toSet))
+          .filterNot(isTxnLine) // txn watermarks never conflict
+          .map(bucketOfLine)
       val overlap = changedBuckets.intersect(p.touched)
       if (overlap.nonEmpty) {
         val f = fs(spark)
@@ -422,8 +485,7 @@ object VersionedLake {
     val m = manifestEntries(spark, path, base)
     // positions of the keys' CURRENT rows (already-deleted positions
     // are excluded by loadWithDv; re-marking them would be harmless)
-    val snap = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct,
-      keepPos = true)
+    val snap = loadWithDv(spark, path, m.data, m.dv, keepPos = true)
     val hits = snap
       .join(deleteKeys.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi")
@@ -480,8 +542,7 @@ object VersionedLake {
       .localCheckpoint(true)
     // current rows (tombstones INCLUDED — they carry the sequence that
     // rejects late older changes) of the touched keys, with positions
-    val snap = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct,
-      keepPos = true)
+    val snap = loadWithDv(spark, path, m.data, m.dv, keepPos = true)
     val current = snap
       .join(newRows.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi")
@@ -537,7 +598,7 @@ object VersionedLake {
     val touched = dvFiles.map(bucketOf).toSet
     val cleanCarried = m.data
       .filter(rel => touched.contains(bucketOf(rel)) && !m.dv.contains(rel))
-    val df = loadWithDv(spark, path, dvFiles, m.dv.values.toSeq.distinct)
+    val df = loadWithDv(spark, path, dvFiles, m.dv)
     val wid = nonce()
     val stage = path + s"_stage_$wid"
     df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
@@ -556,7 +617,7 @@ object VersionedLake {
     val v = asOfVersion.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs (vacuumed or never committed)")
     val m = manifestEntries(spark, path, v)
-    val df0 = loadWithDv(spark, path, m.data, m.dv.values.toSeq.distinct)
+    val df0 = loadWithDv(spark, path, m.data, m.dv)
       .drop("gbucket")
     if (df0.columns.contains("_deleted"))
       df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")

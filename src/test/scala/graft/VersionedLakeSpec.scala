@@ -254,6 +254,45 @@ class VersionedLakeSpec extends AnyFunSuite {
       "rewrite resurrected a DV-deleted row or lost one")
   }
 
+  test("snapshot isolation: a resolved reader is immune to later commits") {
+    val path = graft.sources.Scratch.dir("vlake_si")
+    VersionedLake.upsert(spark, path,
+      (1L to 5L).map(i => (i, "old", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    val reader = VersionedLake.read(spark, path) // resolves v1's files NOW
+    VersionedLake.upsert(spark, path,
+      (1L to 5L).map(i => (i, "new", 10L + i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    // the lazy plan executes AFTER v2 committed — immutable files +
+    // resolve-time manifest pinning keep it at v1's state
+    assert(reader.select("x").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("old"))
+    assert(VersionedLake.read(spark, path).select("x").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("new"))
+  }
+
+  test("upsertTxn: replaying a committed transaction version is a no-op") {
+    val path = graft.sources.Scratch.dir("vlake_txn")
+    val b0 = Seq((1L, "a", 1L)).toDF("k", "x", "seq")
+    val b1 = Seq((2L, "b", 2L)).toDF("k", "x", "seq")
+    assert(VersionedLake.upsertTxn(spark, path, b0, Seq("k"), "seq",
+      "app", 0L, numBuckets = 2).nonEmpty)
+    assert(VersionedLake.upsertTxn(spark, path, b1, Seq("k"), "seq",
+      "app", 1L, numBuckets = 2).nonEmpty)
+    val vs = VersionedLake.versions(spark, path)
+    // replays at or below the watermark are skipped
+    assert(VersionedLake.upsertTxn(spark, path, b1, Seq("k"), "seq",
+      "app", 1L, numBuckets = 2).isEmpty)
+    assert(VersionedLake.upsertTxn(spark, path, b0, Seq("k"), "seq",
+      "app", 0L, numBuckets = 2).isEmpty)
+    assert(VersionedLake.versions(spark, path) == vs)
+    // a DIFFERENT app's version space is independent
+    assert(VersionedLake.upsertTxn(spark, path,
+      Seq((3L, "c", 3L)).toDF("k", "x", "seq"), Seq("k"), "seq",
+      "other_app", 0L, numBuckets = 2).nonEmpty)
+    assert(VersionedLake.read(spark, path).count() == 3)
+  }
+
   test("versioned upsert evolves schema: later columns null-backfill on read") {
     val path = graft.sources.Scratch.dir("vlake_evo")
     VersionedLake.upsert(spark,
