@@ -72,11 +72,20 @@ object VersionedLake {
     * `txn\t<appId>\t<version>` lines.
     */
   final case class TableManifest(data: Seq[String], dv: Map[String, String],
-      txn: Map[String, Long] = Map.empty) {
+      txn: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty) {
     def lines: Seq[String] =
       data ++ dv.toSeq.sorted.map { case (d, s) => s"dv\t$d\t$s" } ++
-        txn.toSeq.sorted.map { case (a, v) => s"txn\t$a\t$v" }
+        txn.toSeq.sorted.map { case (a, v) => s"txn\t$a\t$v" } ++
+        props.toSeq.sorted.map { case (k, v) => s"prop\t$k\t$v" }
     def allFiles: Seq[String] = data ++ dv.values.toSeq.distinct
+    /** The table's bucket modulus — fixed at creation, carried in
+      * every manifest: key→file pruning is only sound when every
+      * writer hashes with the SAME modulus, so it is a TABLE property
+      * (Delta table-properties style), not a per-call argument.
+      */
+    def numBuckets(fallback: Int): Int =
+      props.get("numBuckets").map(_.toInt).getOrElse(fallback)
   }
 
   private def fs(spark: SparkSession): FileSystem =
@@ -123,7 +132,8 @@ object VersionedLake {
     parseManifest(manifestLines(spark, path, version))
 
   private def parseManifest(lines: Seq[String]): TableManifest = {
-    val (txnLines, rest) = lines.partition(_.startsWith("txn\t"))
+    val (propLines, rest0) = lines.partition(_.startsWith("prop\t"))
+    val (txnLines, rest) = rest0.partition(_.startsWith("txn\t"))
     val (dvLines, dataLines) = rest.partition(_.startsWith("dv\t"))
     TableManifest(dataLines,
       dvLines.map { l =>
@@ -131,10 +141,14 @@ object VersionedLake {
       }.toMap,
       txnLines.map { l =>
         val a = l.split("\t"); a(1) -> a(2).toLong
+      }.toMap,
+      propLines.map { l =>
+        val a = l.split("\t"); a(1) -> a(2)
       }.toMap)
   }
 
   private def isTxnLine(l: String): Boolean = l.startsWith("txn\t")
+  private def isPropLine(l: String): Boolean = l.startsWith("prop\t")
 
   private def bucketOfLine(line: String): Int =
     if (line.startsWith("dv\t")) bucketOf(line.split("\t")(1))
@@ -298,10 +312,17 @@ object VersionedLake {
       numBuckets: Int = 16): PendingCommit = {
     val f = fs(spark)
     val vs = versions(spark, path)
+    val prior0: TableManifest = vs.lastOption
+      .map(v => manifestEntries(spark, path, v))
+      .getOrElse(TableManifest(Seq.empty, Map.empty))
+    // the bucket modulus is a TABLE property: the first commit stamps
+    // it, every later writer uses the stored value (a mismatched
+    // per-call argument would silently break key→bucket pruning)
+    val buckets = prior0.numBuckets(numBuckets)
     val tagged0 = updates.withColumn("_is_update", lit(1))
     val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
       else tagged0.withColumn("_deleted", lit(false)))
-      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
     def resolve(all: DataFrame): DataFrame = {
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col(seqCol).desc, col("_is_update").desc)
@@ -310,9 +331,7 @@ object VersionedLake {
         .drop("_rn", "_is_update")
         .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
     }
-    val prior: TableManifest = vs.lastOption
-      .map(v => manifestEntries(spark, path, v))
-      .getOrElse(TableManifest(Seq.empty, Map.empty))
+    val prior = prior0
     // the buckets this merge WRITES (and whose prior state it read —
     // for a first commit that state is "empty", which a concurrent
     // writer can still invalidate, so touched is computed regardless)
@@ -341,7 +360,11 @@ object VersionedLake {
     // adopted files, no DV lines (the rewrite materialized deletes).
     // Untouched-bucket lines are re-derived from whatever manifest the
     // commit ultimately lands on (base, or the winner's on rebase).
-    PendingCommit(vs.lastOption.getOrElse(0), touched, adopted, adopted)
+    // The first commit also stamps the table properties.
+    val propLines =
+      if (vs.isEmpty) Seq(s"prop\tnumBuckets\t$buckets") else Seq.empty
+    PendingCommit(vs.lastOption.getOrElse(0), touched,
+      adopted ++ propLines, adopted)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at
@@ -372,6 +395,7 @@ object VersionedLake {
       val kept = from.filterNot { l =>
         if (isTxnLine(l)) // replace only OUR app's watermark
           p.txn.exists { case (app, _) => l.startsWith(s"txn\t$app\t") }
+        else if (isPropLine(l)) false // table properties always carry
         else p.touched.contains(bucketOfLine(l))
       }
       kept ++ p.ourLines ++
@@ -388,7 +412,7 @@ object VersionedLake {
       val changedBuckets =
         ((latestLines.toSet diff baseLines) ++
           (baseLines diff latestLines.toSet))
-          .filterNot(isTxnLine) // txn watermarks never conflict
+          .filterNot(l => isTxnLine(l) || isPropLine(l)) // never conflict
           .map(bucketOfLine)
       val overlap = changedBuckets.intersect(p.touched)
       if (overlap.nonEmpty) {
@@ -478,14 +502,24 @@ object VersionedLake {
     * rebase past us, overlapping ones conflict.
     */
   def dvDelete(spark: SparkSession, path: String, deleteKeys: DataFrame,
-      keyCols: Seq[String]): CommitResult = {
+      keyCols: Seq[String], numBuckets: Int = 16): CommitResult = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val base = vs.last
     val m = manifestEntries(spark, path, base)
+    // BUCKET PRUNING: the keys' hash buckets bound which files can
+    // hold their rows — the position scan reads only those, so a
+    // trickle delete against a 100 TB table scans the touched shards,
+    // not the table (≤ numBuckets ints through the driver)
+    val keyBuckets = deleteKeys
+      .select(pmod(hash(keyCols.map(col): _*),
+        lit(m.numBuckets(numBuckets))).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
+    if (candidates.isEmpty) return CommitResult(base, 0)
     // positions of the keys' CURRENT rows (already-deleted positions
     // are excluded by loadWithDv; re-marking them would be harmless)
-    val snap = loadWithDv(spark, path, m.data, m.dv, keepPos = true)
+    val snap = loadWithDv(spark, path, candidates, m.dv, keepPos = true)
     val hits = snap
       .join(deleteKeys.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi")
@@ -533,7 +567,8 @@ object VersionedLake {
     val tagged0 = updates
     val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
       else tagged0.withColumn("_deleted", lit(false)))
-      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*),
+        lit(m.numBuckets(numBuckets))))
     // winner per key WITHIN the batch (same resolve as upsert)
     val wInner = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc)
@@ -541,14 +576,24 @@ object VersionedLake {
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint(true)
     // current rows (tombstones INCLUDED — they carry the sequence that
-    // rejects late older changes) of the touched keys, with positions
-    val snap = loadWithDv(spark, path, m.data, m.dv, keepPos = true)
-    val current = snap
+    // rejects late older changes) of the touched keys, with positions.
+    // BUCKET PRUNING: only the changed keys' hash buckets can hold
+    // them — the scan reads those shards, never the whole table.
+    val keyBuckets = newRows.select(col("gbucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
+    val current = (if (candidates.isEmpty)
+      // no bucket holds these keys yet: empty current, same shape
+      newRows.filter(lit(false))
+        .select((keyCols.map(col) :+ col(seqCol).as("_cur_seq") :+
+          lit(null).cast("string").as("_rel") :+
+          lit(null).cast("long").as("_pos")): _*)
+    else loadWithDv(spark, path, candidates, m.dv, keepPos = true)
       .join(newRows.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi")
       .select((keyCols.map(col) :+ col(seqCol).as("_cur_seq") :+
-        col("_rel") :+ col("_pos")): _*)
-      .localCheckpoint(true) // one scan, ≤ |changed keys| rows
+        col("_rel") :+ col("_pos")): _*))
+      .localCheckpoint(true) // one scan over touched shards only
     // accept iff no current row, or new sequence wins (ties to the
     // update — upsert's (seq DESC, _is_update DESC) order)
     val accepted = newRows

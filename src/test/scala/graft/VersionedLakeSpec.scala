@@ -44,7 +44,7 @@ class VersionedLakeSpec extends AnyFunSuite {
     val v1In = fs.open(new org.apache.hadoop.fs.Path(s"$path/_log/v000001.txt"))
     val v1Files =
       try scala.io.Source.fromInputStream(v1In, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
+        .filter(l => l.nonEmpty && !l.contains("\t")).toList // data lines only
       finally v1In.close()
     assert(v1Files.nonEmpty)
     v1Files.foreach { rel =>
@@ -130,7 +130,7 @@ class VersionedLakeSpec extends AnyFunSuite {
         val in = fs.open(new org.apache.hadoop.fs.Path(
           f"$path/_log/v$v%06d.txt"))
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toList
+          .filter(l => l.nonEmpty && !l.contains("\t")).toList
         finally in.close()
       }.toSet
     val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
@@ -151,7 +151,7 @@ class VersionedLakeSpec extends AnyFunSuite {
       val in = fs.open(new org.apache.hadoop.fs.Path(
         f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(l => l.nonEmpty && !l.startsWith("dv\t")).toSet
+        .filter(l => l.nonEmpty && !l.contains("\t")).toSet
       finally in.close()
     }
     def dvCount(): Int = {
@@ -207,7 +207,7 @@ class VersionedLakeSpec extends AnyFunSuite {
     VersionedLake.upsert(spark, path,
       (1L to 4L).map(i => (i, s"v$i", i)).toDF("k", "x", "seq"),
       Seq("k"), "seq", numBuckets = 2)
-    val v1Data = manifest().filterNot(_.startsWith("dv\t")).toSet
+    val v1Data = manifest().filterNot(_.contains("\t")).toSet
 
     // update k2, delete k3, insert k5, STALE update of k4 (seq 0)
     VersionedLake.dvUpsert(spark, path, Seq(
@@ -216,7 +216,7 @@ class VersionedLakeSpec extends AnyFunSuite {
       .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq", numBuckets = 2)
     val after = manifest()
     // every v1 data file survives by name; new files appended
-    assert(v1Data.subsetOf(after.filterNot(_.startsWith("dv\t")).toSet))
+    assert(v1Data.subsetOf(after.filterNot(_.contains("\t")).toSet))
     assert(after.exists(_.startsWith("dv\t")), "no DV mapping committed")
     val got = VersionedLake.read(spark, path).select("k", "x")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
