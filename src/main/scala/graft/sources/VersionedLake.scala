@@ -37,6 +37,7 @@ object VersionedLake {
 
   private val LogDir = "_log"
   private val DvDir = "_dv"
+  private val ChangesDir = "_changes"
 
   /** A writer lost the commit race to another writer whose changes
     * overlap its touched buckets — the table state it merged against is
@@ -53,6 +54,13 @@ object VersionedLake {
     */
   final case class CommitResult(version: Int, rebaseRounds: Int)
 
+  /** A write batch (or an ADD CONSTRAINT over existing data) violated
+    * a table CHECK constraint. The whole commit is rejected — ACID
+    * atomicity: no partial batch ever lands.
+    */
+  final class ConstraintViolation(msg: String)
+    extends RuntimeException(msg)
+
   /** A prepared-but-uncommitted write: the snapshot it merged against,
     * the buckets whose state it assumed, the manifest LINES that must
     * represent those buckets in the committed version (data files
@@ -62,7 +70,8 @@ object VersionedLake {
     */
   final case class PendingCommit(baseVersion: Int, touched: Set[Int],
     ourLines: Seq[String], adopted: Seq[String],
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    op: String = "MERGE")
 
   /** Parsed manifest: immutable data files, the per-file deletion
     * vector mapping (data file → DV sidecar holding (file_rel, pos)
@@ -131,7 +140,10 @@ object VersionedLake {
       version: Int): TableManifest =
     parseManifest(manifestLines(spark, path, version))
 
-  private def parseManifest(lines: Seq[String]): TableManifest = {
+  private def parseManifest(lines0: Seq[String]): TableManifest = {
+    // meta lines (per-version operation record — see [[history]]) are
+    // commit bookkeeping, not table state: stripped here, never carried
+    val lines = lines0.filterNot(isMetaLine)
     val (propLines, rest0) = lines.partition(_.startsWith("prop\t"))
     val (txnLines, rest) = rest0.partition(_.startsWith("txn\t"))
     val (dvLines, dataLines) = rest.partition(_.startsWith("dv\t"))
@@ -142,13 +154,14 @@ object VersionedLake {
       txnLines.map { l =>
         val a = l.split("\t"); a(1) -> a(2).toLong
       }.toMap,
-      propLines.map { l =>
-        val a = l.split("\t"); a(1) -> a(2)
+      propLines.map { l => // value may contain anything but tab/newline
+        val a = l.split("\t", 3); a(1) -> a(2)
       }.toMap)
   }
 
   private def isTxnLine(l: String): Boolean = l.startsWith("txn\t")
   private def isPropLine(l: String): Boolean = l.startsWith("prop\t")
+  private def isMetaLine(l: String): Boolean = l.startsWith("meta\t")
 
   private def bucketOfLine(line: String): Int =
     if (line.startsWith("dv\t")) bucketOf(line.split("\t")(1))
@@ -293,7 +306,7 @@ object VersionedLake {
     if (committed >= txnVersion) None // already applied: idempotent skip
     else {
       val p = prepare(spark, path, updates, keyCols, seqCol, numBuckets)
-        .copy(txn = Some(appId -> txnVersion))
+        .copy(txn = Some(appId -> txnVersion), op = "STREAMING_UPDATE")
       Some(commitPending(spark, path, p))
     }
   }
@@ -319,6 +332,7 @@ object VersionedLake {
     // it, every later writer uses the stored value (a mismatched
     // per-call argument would silently break key→bucket pruning)
     val buckets = prior0.numBuckets(numBuckets)
+    enforceConstraints(prior0, updates)
     val tagged0 = updates.withColumn("_is_update", lit(1))
     val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
       else tagged0.withColumn("_deleted", lit(false)))
@@ -393,26 +407,31 @@ object VersionedLake {
       else manifestLines(spark, path, p.baseVersion).toSet
     def assemble(from: Seq[String]): Seq[String] = {
       val kept = from.filterNot { l =>
-        if (isTxnLine(l)) // replace only OUR app's watermark
+        if (isMetaLine(l)) true // per-version bookkeeping, never carries
+        else if (isTxnLine(l)) // replace only OUR app's watermark
           p.txn.exists { case (app, _) => l.startsWith(s"txn\t$app\t") }
         else if (isPropLine(l)) false // table properties always carry
         else p.touched.contains(bucketOfLine(l))
       }
       kept ++ p.ourLines ++
-        p.txn.map { case (a, v) => s"txn\t$a\t$v" }.toSeq
+        p.txn.map { case (a, v) => s"txn\t$a\t$v" }.toSeq :+
+        s"meta\top\t${p.op}"
     }
     var base = p.baseVersion
     var manifest = assemble(baseLines.toSeq)
     var rounds = 0
     while (true) {
-      if (casCommit(spark, path, base + 1, manifest))
+      if (casCommit(spark, path, base + 1, manifest)) {
+        publishChangeLog(spark, path, base + 1, p.adopted)
         return CommitResult(base + 1, rounds)
+      }
       val latest = versions(spark, path).last
       val latestLines = manifestLines(spark, path, latest)
       val changedBuckets =
         ((latestLines.toSet diff baseLines) ++
           (baseLines diff latestLines.toSet))
-          .filterNot(l => isTxnLine(l) || isPropLine(l)) // never conflict
+          .filterNot(l => // bookkeeping lines never conflict
+            isTxnLine(l) || isPropLine(l) || isMetaLine(l))
           .map(bucketOfLine)
       val overlap = changedBuckets.intersect(p.touched)
       if (overlap.nonEmpty) {
@@ -431,6 +450,63 @@ object VersionedLake {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Commit-time CHANGE LOG: hard-link each data file the committed
+    * version ADDED into `_changes/v<N>/` — the structure that makes the
+    * table a Structured Streaming SOURCE (see [[streamSource]]). Links
+    * are metadata-scale (no bytes copied) and land strictly AFTER the
+    * CAS, so a file appears in the log iff its commit won; conflicted
+    * writers' adopted files are deleted before ever being linked. File
+    * streams track progress by path, so the per-version directory plus
+    * writer-nonced names give a checkpointed reader exactly-once
+    * delivery across restarts.
+    *
+    * Grain contract: the log carries the rows each commit APPENDED.
+    * For [[dvUpsert]]/[[dvDelete]] trickle commits that is exactly the
+    * accepted changes (tombstones included — a CDC stream); a
+    * copy-on-write [[upsert]] or [[compactDvs]] rewrite re-delivers its
+    * whole touched bucket, which sequence-resolving consumers absorb
+    * idempotently (re-delivered rows lose or tie on the sequence).
+    * [[restore]] commits by reference and so emits nothing — rollback
+    * is a snapshot-level event, not a row-level one. A crash in the
+    * window between CAS and link can omit a commit's links; the window
+    * is one process step, and re-linking from the manifest diff is
+    * idempotent (links are keyed by the immutable file name).
+    */
+  private def publishChangeLog(spark: SparkSession, path: String,
+      version: Int, adopted: Seq[String]): Unit = {
+    val dataFiles = adopted.filter(_.startsWith("gbucket="))
+    if (dataFiles.isEmpty) return
+    val f = fs(spark)
+    val dir = new Path(f"$path/$ChangesDir/v$version%06d")
+    f.mkdirs(dir)
+    dataFiles.foreach { rel =>
+      val dst = new Path(dir, rel.replace('/', '_'))
+      if (f.getUri.getScheme == "file")
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(s"$path/$rel"))
+      else // no hard links on object stores: copy (change-scale bytes)
+        org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$path/$rel"),
+          f, dst, false, spark.sparkContext.hadoopConfiguration)
+    }
+  }
+
+  /** The table's commit log as a STREAMING SOURCE — the Delta
+    * `readChangeFeed` streaming shape: a file stream over the
+    * per-version change directories. The returned stream delivers every
+    * appended row exactly once per checkpoint (Spark's file-stream seen-
+    * files ledger), resumes incrementally after a restart (only
+    * versions committed since the checkpoint arrive), and carries
+    * tombstones so a downstream consumer can maintain SCD state. The
+    * schema must be supplied (file streams cannot infer), normally from
+    * `read(spark, path).schema` plus the bookkeeping columns.
+    */
+  def streamSource(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"$path/$ChangesDir/v*")
 
   /** Adopt every staged bucket file under immutable writer-nonced
     * names; returns the adopted relative paths.
@@ -536,7 +612,7 @@ object VersionedLake {
         val ourLines = TableManifest(m.data, newDv).lines
           .filter(l => touched.contains(bucketOfLine(l)))
         commitPending(spark, path,
-          PendingCommit(base, touched, ourLines, Seq(dvRel)))
+          PendingCommit(base, touched, ourLines, Seq(dvRel), op = "DELETE"))
     }
   }
 
@@ -564,6 +640,7 @@ object VersionedLake {
       s"no committed versions at $path — land the initial snapshot with upsert")
     val base = vs.last
     val m = manifestEntries(spark, path, base)
+    enforceConstraints(m, updates)
     val tagged0 = updates
     val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
       else tagged0.withColumn("_deleted", lit(false)))
@@ -622,7 +699,7 @@ object VersionedLake {
     val ourLines = TableManifest(m.data ++ appended, newDv).lines
       .filter(l => touched.contains(bucketOfLine(l)))
     commitPending(spark, path, PendingCommit(base, touched, ourLines,
-      appended ++ dvOut.map(_._1).toSeq))
+      appended ++ dvOut.map(_._1).toSeq, op = "MERGE_MOR"))
   }
 
   /** Fold deletion vectors back into data files: rewrite ONLY the
@@ -649,7 +726,299 @@ object VersionedLake {
     df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
     val adopted = adoptStaged(spark, path, stage, wid)
     commitPending(spark, path, PendingCommit(base, touched,
-      cleanCarried ++ adopted, adopted))
+      cleanCarried ++ adopted, adopted, op = "OPTIMIZE"))
+  }
+
+  /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE` semantics:
+    * `dest` becomes an independent table whose v1 references the
+    * source tip's data and DV files with ZERO bytes copied. On a local
+    * filesystem the references are HARD LINKS (one directory entry per
+    * file — the inode is shared, so the clone stays readable even
+    * after the source rewrites and vacuums those files: the link keeps
+    * the data alive, which is strictly safer than Delta's path-based
+    * shallow clones, where a source VACUUM breaks the clone); object
+    * stores fall back to server-side copy. Table properties (bucket
+    * modulus, constraints) carry — the clone must merge with the same
+    * key→bucket mapping or its pruning would be wrong. The transaction
+    * ledger does NOT carry: a clone is a NEW table and a streaming
+    * writer's watermarks on the source say nothing about batches
+    * applied to the clone.
+    *
+    * After the clone, the two tables' histories are fully independent:
+    * each has its own `_log/`, OCC version chain, change log, and
+    * vacuum lifecycle. This is the zero-cost dev/test-sandbox and
+    * what-if-experiment primitive a 100 TB table needs — cloning it
+    * costs O(#files) metadata operations, not O(bytes).
+    */
+  def cloneTable(spark: SparkSession, source: String,
+      dest: String): CommitResult = {
+    val f = fs(spark)
+    val vs = versions(spark, source)
+    require(vs.nonEmpty, s"no committed versions at $source")
+    require(versions(spark, dest).isEmpty,
+      s"$dest already has committed versions — clone targets a fresh path")
+    val m = manifestEntries(spark, source, vs.last)
+    (m.data ++ m.dv.values.toSeq.distinct).foreach { rel =>
+      val src = new Path(s"$source/$rel")
+      val dst = new Path(s"$dest/$rel")
+      f.mkdirs(dst.getParent)
+      if (f.getUri.getScheme == "file")
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+      else
+        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    val lines = TableManifest(m.data, m.dv, Map.empty, m.props).lines :+
+      "meta\top\tCLONE"
+    if (!casCommit(spark, dest, 1, lines))
+      throw new java.io.IOException(
+        s"clone race: another writer created $dest concurrently")
+    // the clone's v1 "appends" its whole snapshot as far as a change-
+    // stream consumer of the NEW table is concerned
+    publishChangeLog(spark, dest, 1, m.data)
+    CommitResult(1, 0)
+  }
+
+  /** ADD CONSTRAINT — Delta `ALTER TABLE ADD CONSTRAINT` semantics: a
+    * named SQL CHECK predicate stored as a TABLE PROPERTY
+    * (`prop constraint.<name> <expr>`), so every future writer —
+    * whatever process it runs in — enforces it; a constraint that only
+    * lives in application code is not a constraint. Existing data is
+    * validated first (a constraint the table already violates must not
+    * land), then the property commits as a metadata-only version.
+    * SQL-CHECK null semantics: a row fails only when the predicate is
+    * FALSE; NULL passes (use `x IS NOT NULL` to forbid nulls).
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad constraint name: $name")
+    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint expression must be a single tab-free line")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val tip = manifestEntries(spark, path, vs.last)
+    require(!tip.props.contains(s"constraint.$name"),
+      s"constraint $name already exists — drop it first")
+    val bad = read(spark, path)
+      .filter(!coalesce(expr(sqlExpr), lit(true))).count()
+    if (bad > 0) throw new ConstraintViolation(
+      s"cannot add constraint $name ($sqlExpr): " +
+        s"$bad existing row(s) violate it")
+    commitPending(spark, path, PendingCommit(vs.last, Set.empty,
+      Seq(s"prop\tconstraint.$name\t$sqlExpr"), Seq.empty,
+      op = "ADD_CONSTRAINT"))
+  }
+
+  /** DROP CONSTRAINT: remove the property as a metadata-only commit
+    * (same CAS retry discipline as [[restore]] — property changes
+    * never conflict with data writes).
+    */
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+      maxAttempts: Int = 10): CommitResult = {
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val lines = manifestLines(spark, path, latest)
+        .filterNot(l => l.startsWith(s"prop\tconstraint.$name\t") ||
+          isMetaLine(l)) :+ "meta\top\tDROP_CONSTRAINT"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up dropping constraint $name at $path after $maxAttempts attempts")
+  }
+
+  /** Enforce the table's CHECK constraints on a write batch BEFORE
+    * anything stages: one change-scale job over the batch's live rows
+    * (tombstones exempt — a delete removes the row, the predicate has
+    * nothing left to hold over). A violation aborts the whole commit
+    * with nothing staged or visible — atomicity by construction, since
+    * data only becomes real when a manifest references it.
+    *
+    * Scope contract: the check validates the INCOMING batch, which is
+    * O(changes) — stricter than checking post-merge winners (a stale
+    * row that would lose the merge still fails the batch), and the
+    * fail-fast behavior a CDC pipeline wants: reject bad input at the
+    * gate, not after it has raced a valid write.
+    */
+  private def enforceConstraints(m: TableManifest,
+      updates: DataFrame): Unit = {
+    val cs = m.props.collect {
+      case (k, v) if k.startsWith("constraint.") =>
+        k.stripPrefix("constraint.") -> v
+    }.toSeq.sorted
+    if (cs.isEmpty) return
+    val live =
+      if (updates.columns.contains("_deleted"))
+        updates.filter(!coalesce(col("_deleted"), lit(false)))
+      else updates
+    val anyBad = live.filter(
+      cs.map { case (_, s) => !coalesce(expr(s), lit(true)) }
+        .reduce(_ || _)).count() // single pass over the batch when clean
+    if (anyBad > 0) {
+      val detail = cs.map { case (n, s) =>
+        val b = live.filter(!coalesce(expr(s), lit(true))).count()
+        s"$n ($s): $b"
+      }.mkString("; ")
+      throw new ConstraintViolation(
+        s"write batch violates table constraints [$detail] — " +
+          "commit aborted, nothing landed")
+    }
+  }
+
+  /** RESTORE TABLE to `toVersion` as a NEW commit — Delta/Iceberg
+    * rollback semantics: the tip moves forward to a version whose data
+    * and DV lines are exactly the target snapshot's, BY REFERENCE (zero
+    * data files copied or rewritten — immutability makes rollback a
+    * metadata operation, the reason log-structured tables can undo a
+    * bad batch on a 100 TB table in milliseconds). History is
+    * preserved: the rolled-back versions remain time-travelable until
+    * vacuum, and the restored version's files are in the live set of
+    * the NEW tip, so retention keeps them even after the original
+    * version's manifest is dropped.
+    *
+    * Transaction watermarks and table properties carry from the CURRENT
+    * tip, not the target: restore rolls back DATA, not the idempotence
+    * ledger — a restarted streaming writer must still skip its already-
+    * delivered batches, or the rollback would double-apply them on
+    * replay.
+    *
+    * Concurrency: restore is an intentional last-writer-wins overwrite
+    * of every bucket (that is its semantic — roll the whole table
+    * back), so on a lost CAS it re-reads the tip and retries rather
+    * than classifying conflicts; concurrent writers' commits landed
+    * before the restore are rolled back with everything else.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Int,
+      maxAttempts: Int = 10): CommitResult = {
+    val vs0 = versions(spark, path)
+    require(vs0.contains(toVersion),
+      s"version $toVersion not in $vs0 (vacuumed or never committed)")
+    val target = manifestEntries(spark, path, toVersion)
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val cur = manifestEntries(spark, path, latest)
+      val lines =
+        TableManifest(target.data, target.dv, cur.txn, cur.props).lines :+
+          "meta\top\tRESTORE"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up restoring $path to v$toVersion after $maxAttempts CAS attempts")
+  }
+
+  /** CHANGE DATA FEED between two committed versions, computed from the
+    * MANIFEST DIFF — the incremental form of [[versionDiff]]'s
+    * snapshot-join CDF. Immutable files + monotone DVs mean the only
+    * rows that can have changed live in files the manifests disagree
+    * on, so the scan cost is O(changed data), not O(table):
+    *
+    *  - OLD side (visible at `from`, gone at `to`): rows of files
+    *    REMOVED from the manifest (bucket rewrites), plus rows of kept
+    *    files at positions newly marked in `to`'s deletion vectors
+    *    (DV mappings are re-pointed on every delete, so a changed
+    *    mapping is exactly "this file has new deletes");
+    *  - NEW side (visible at `to`, absent at `from`): rows of ADDED
+    *    files, minus `to`'s DVs on them (a later batch may already
+    *    have superseded an earlier batch's append).
+    *
+    * A full-outer join on the key classifies each changed key as
+    * insert / update / delete; rows carried verbatim through a
+    * compaction rewrite appear on both sides with the SAME sequence and
+    * are filtered out by the seq-change predicate, so compaction
+    * commits produce no spurious CDF rows. Tombstones are invisible on
+    * both sides: a key whose old row was a tombstone reads as `insert`,
+    * one whose new current is a tombstone reads as `delete` — the
+    * user-facing semantics, matching [[versionDiff]].
+    *
+    * At 100 TB with trickle MOR writes this reads the appended files
+    * and the DV'd shards — megabytes — where the snapshot-join form
+    * reads two full table scans.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Int,
+      toVersion: Int, keyCols: Seq[String], seqCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val mA = manifestEntries(spark, path, fromVersion)
+    val mB = manifestEntries(spark, path, toVersion)
+    val aData = mA.data.toSet
+    val bData = mB.data.toSet
+    val removed = mA.data.filterNot(bData)
+    val added = mB.data.filterNot(aData)
+    val dvGrew = mA.data.filter(f => bData(f) && mB.dv.get(f) != mA.dv.get(f))
+    def visible(df: DataFrame): DataFrame =
+      if (df.columns.contains("_deleted"))
+        df.filter(!coalesce(col("_deleted"), lit(false)))
+      else df
+    val oldSel = keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"old_$c")) :+
+      col(seqCol).as("old_sequence")
+    val newSel = keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"new_$c")) :+
+      col(seqCol).as("new_sequence")
+    val oldParts = Seq(
+      if (removed.isEmpty) None
+      else Some(loadWithDv(spark, path, removed, mA.dv, keepPos = true)),
+      if (dvGrew.isEmpty) None
+      else {
+        val visA = loadWithDv(spark, path, dvGrew, mA.dv, keepPos = true)
+        val delsB = spark.read
+          .parquet(dvGrew.flatMap(mB.dv.get).distinct.map(r => s"$path/$r"): _*)
+          .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
+          .distinct()
+        Some(visA.join(delsB, Seq("_rel", "_pos"), "left_semi"))
+      }).flatten
+    val oldSide = oldParts
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(df => visible(df).select(oldSel: _*))
+    val newSide =
+      if (added.isEmpty) None
+      else Some(visible(loadWithDv(spark, path, added, mB.dv))
+        .select(newSel: _*))
+    require(oldSide.nonEmpty || newSide.nonEmpty,
+      s"manifests v$fromVersion and v$toVersion of $path are identical — " +
+        "no files changed, so the change feed is empty")
+    // a missing side is an empty relation with the mirrored schema
+    def mirror(df: DataFrame, fromPfx: String, toPfx: String,
+        fromSeq: String, toSeq: String): DataFrame =
+      df.select(keyCols.map(col) ++
+        valueCols.map(c => col(s"$fromPfx$c").as(s"$toPfx$c")) :+
+        col(fromSeq).as(toSeq): _*).filter(lit(false))
+    val o = oldSide.getOrElse(
+      mirror(newSide.get, "new_", "old_", "new_sequence", "old_sequence"))
+    val n = newSide.getOrElse(
+      mirror(oldSide.get, "old_", "new_", "old_sequence", "new_sequence"))
+    o.join(n, keyCols, "full_outer")
+      .filter(col("old_sequence").isNull || col("new_sequence").isNull ||
+        col("old_sequence") =!= col("new_sequence"))
+      .select(keyCols.map(col) ++
+        Seq(when(col("old_sequence").isNull, "insert")
+          .when(col("new_sequence").isNull, "delete")
+          .otherwise("update").as("change_type")) ++
+        valueCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))) ++
+        Seq(col("old_sequence"), col("new_sequence")): _*)
+  }
+
+  /** DESCRIBE HISTORY — the table's commit audit: every version with
+    * the operation that produced it, read from the per-version
+    * `meta\top` manifest line each commit path stamps. Metadata-scale
+    * (reads manifests, never data); versions older than the vacuum
+    * floor are gone, exactly like Delta's history after VACUUM.
+    * Manifests from before this record existed read as UNKNOWN.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, path).map { v =>
+      val op = manifestLines(spark, path, v)
+        .find(_.startsWith("meta\top\t"))
+        .map(_.split("\t", 3)(2)).getOrElse("UNKNOWN")
+      (v, op)
+    }.toDF("version", "operation")
   }
 
   /** Snapshot read — latest version, or time travel to `asOfVersion`.
@@ -695,6 +1064,14 @@ object VersionedLake {
       }
     vs.filterNot(keep.contains).foreach(v =>
       f.delete(manifestPath(path, v), false))
+    // change-log retention follows version retention: consumers lagging
+    // behind the vacuum floor lose history, exactly as in Delta CDF
+    val chDir = new Path(s"$path/$ChangesDir")
+    if (f.exists(chDir))
+      f.listStatus(chDir).filter(_.isDirectory).foreach { d =>
+        val v = d.getPath.getName.stripPrefix("v").toInt
+        if (!keep.contains(v)) f.delete(d.getPath, true)
+      }
   }
 
   // ---- registered end-to-end demonstration ---------------------------------
@@ -1169,7 +1546,542 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** RESTORE as a gate row: three sequence-ranged merges commit v1..v3,
+    * [[restore]] rolls the table back to v1 as v4, and the read of the
+    * new tip must equal the FIRST-THIRD SCD1 state — the proof that
+    * rollback reconstructs old data exactly. Engine-side assertions the
+    * oracle pins: the restore commit references v1's files VERBATIM
+    * (`restore_by_reference` — zero data movement), and after
+    * `vacuum(retainLast = 1)` drops every older manifest the restored
+    * tip still reads intact with the disk holding exactly its live set
+    * (`survives_vacuum`) — retention follows manifest REFERENCES, not
+    * write time, so files first committed at v1 are kept alive by v4.
+    */
+  def restoreRollback(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_restore")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    Seq(
+      staged.filter(col("sequence_number") <= t1),
+      staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2),
+      staged.filter(col("sequence_number") > t2))
+      .foreach { b =>
+        upsert(spark, path,
+          b.withColumn("_deleted", col("operation") === "DELETE")
+            .drop("operation"),
+          keyCols = Seq("key_id"), seqCol = "sequence_number")
+      }
+    val r = restore(spark, path, toVersion = 1)
+    val m1 = manifestEntries(spark, path, 1)
+    val m4 = manifestEntries(spark, path, r.version)
+    val byReference = m4.data == m1.data && m4.dv == m1.dv
+    vacuum(spark, path, retainLast = 1)
+    val remaining = versions(spark, path)
+    val live = remaining
+      .flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
+    val f = fs(spark)
+    val onDisk = f.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
+      .flatMap(d => f.listStatus(d.getPath).filter(_.isFile)
+        .map(s => s"${d.getPath.getName}/${s.getPath.getName}"))
+      .toSet
+    val survivesVacuum = remaining == Seq(r.version) && onDisk == live
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("restored_as_version", lit(r.version))
+      .withColumn("restore_by_reference", lit(byReference))
+      .withColumn("survives_vacuum", lit(survivesVacuum))
+  }
+
+  val restoreRollbackSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 3 AS t1 FROM stg),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         4 AS restored_as_version, true AS restore_by_reference,
+         true AS survives_vacuum
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** INCREMENTAL CDF as a gate row — the same change classification
+    * [[versionDiff]] proves, now computed by [[changes]] from the
+    * manifest diff instead of two full snapshot scans. v1 lands the
+    * first half of the feed copy-on-write over 64 buckets; the second
+    * half, RESTRICTED to a sparse key subset (`key_id % 10 = 0`, so
+    * most buckets never change), trickles in as two parity-split
+    * [[dvUpsert]] batches. The engine then asserts what makes the
+    * incremental form matter: the files [[changes]] scanned (added +
+    * removed + DV-repointed) are STRICTLY FEWER than one full snapshot
+    * of either endpoint (`scan_pruned`) — at 100 TB that is megabytes
+    * instead of two table scans. The change rows themselves hash-match
+    * the oracle's diff of the two SCD1 states.
+    */
+  def incrementalCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_icdf")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number", numBuckets = 64)
+    val trickle = staged.filter(col("sequence_number") > t1 &&
+      col("key_id") % 10 === 0)
+    (0 to 1).foreach { i => // parity split ⇒ out-of-order arrival
+      dvUpsert(spark, path,
+        asChanges(trickle.filter(pmod(col("sequence_number"), lit(2)) === i)),
+        Seq("key_id"), "sequence_number")
+    }
+    val last = versions(spark, path).last
+    val mA = manifestEntries(spark, path, 1)
+    val mB = manifestEntries(spark, path, last)
+    val scanned = // exactly the files [[changes]] opens, from the same diff
+      mA.data.filterNot(mB.data.toSet).size +
+        mB.data.filterNot(mA.data.toSet).size +
+        mA.data.count(f =>
+          mB.data.toSet(f) && mB.dv.get(f) != mA.dv.get(f))
+    val pruned = scanned < mA.data.size && scanned < mB.data.size
+    changes(spark, path, fromVersion = 1, toVersion = last,
+      keyCols = Seq("key_id"), seqCol = "sequence_number",
+      valueCols = Seq("value"))
+      .withColumn("scan_pruned", lit(pruned))
+  }
+
+  val incrementalCdfSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
+       r1 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1),
+       v1 AS (
+         SELECT key_id, value AS old_value, sequence_number AS old_sequence
+         FROM r1 WHERE rn = 1 AND operation <> 'DELETE'),
+       feed2 AS (
+         SELECT s.* FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1
+            OR (s.sequence_number > c.t1 AND s.key_id % 10 = 0)),
+       r2 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM feed2 s),
+       v2 AS (
+         SELECT key_id, value AS new_value, sequence_number AS new_sequence
+         FROM r2 WHERE rn = 1 AND operation <> 'DELETE')
+       SELECT COALESCE(v1.key_id, v2.key_id) AS key_id,
+         CASE WHEN v1.old_sequence IS NULL THEN 'insert'
+              WHEN v2.new_sequence IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         v1.old_value, v2.new_value, v1.old_sequence, v2.new_sequence,
+         true AS scan_pruned
+       FROM v1
+       FULL JOIN v2 ON v1.key_id = v2.key_id
+       WHERE v1.old_sequence IS NULL OR v2.new_sequence IS NULL
+          OR v1.old_sequence <> v2.new_sequence
+       ORDER BY key_id"""
+
+  /** The STREAMING SOURCE as a gate row: the commit log of a lake table
+    * is consumed by three Structured Streaming runs sharing one
+    * checkpoint, proving the three properties a streaming source owes
+    * its consumers:
+    *
+    *  1. run 1 (after v1 copy-on-write + v2 MOR) delivers both
+    *     versions' change rows;
+    *  2. a version committed BETWEEN runs (v3) is delivered by run 2
+    *     ALONE — `resumed_only_new_version`: the checkpoint resumes
+    *     incrementally, delivered rows = exactly the new version's
+    *     accepted changes;
+    *  3. run 3, with nothing new committed, delivers ZERO rows —
+    *     `replay_delivered_zero`: at-most-once per checkpoint.
+    *
+    * The accumulated stream output (a parquet sink with its own
+    * exactly-once metadata log) is then resolved SCD1-style — winner
+    * per key by sequence, tombstones dropped — and must hash-match the
+    * full-feed oracle state: the proof that the change stream carries
+    * ENOUGH to rebuild the table. `n_change_rows` is oracle-computed
+    * (one change row per distinct key per third — each commit appends
+    * its per-key winners), so over- or under-delivery fails the gate
+    * numerically, not just boolean-ly.
+    */
+  def streamSourceGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = Scratch.dir("vlake_src")
+    val ckpt = Scratch.dir("vlake_src_ckpt")
+    val acc = Scratch.dir("vlake_src_acc")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    dvUpsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2)),
+      Seq("key_id"), "sequence_number")
+    val schema = spark.read.parquet(s"$path/$ChangesDir/v000001").schema
+    def runOnce(): Long = {
+      val q = streamSource(spark, path, schema)
+        .writeStream.format("parquet")
+        .option("path", acc).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(acc).count()
+    }
+    val n1 = runOnce() // v1 + v2 change rows
+    val third3 = asChanges(staged.filter(col("sequence_number") > t2))
+      .localCheckpoint(true)
+    dvUpsert(spark, path, third3, Seq("key_id"), "sequence_number")
+    val n2 = runOnce() // resumes: v3's rows alone
+    val n3 = runOnce() // replay: nothing new committed
+    val d3 = third3.select(col("key_id")).distinct().count()
+    val resumedOnlyNew = (n2 - n1) == d3
+    val replayZero = n3 == n2
+    val w = Window.partitionBy(col("key_id"))
+      .orderBy(col("sequence_number").desc)
+    spark.read.parquet(acc)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !coalesce(col("_deleted"), lit(false)))
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("n_change_rows", lit(n2))
+      .withColumn("resumed_only_new_version", lit(resumedOnlyNew))
+      .withColumn("replay_delivered_zero", lit(replayZero))
+  }
+
+  val streamSourceGateSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cut AS (SELECT MAX(sequence_number) // 3 AS t1,
+                      MAX(sequence_number) * 2 // 3 AS t2 FROM stg),
+       chg AS (
+         SELECT
+           (SELECT COUNT(DISTINCT key_id) FROM stg, cut
+             WHERE sequence_number <= t1)
+           + (SELECT COUNT(DISTINCT key_id) FROM stg, cut
+               WHERE sequence_number > t1 AND sequence_number <= t2)
+           + (SELECT COUNT(DISTINCT key_id) FROM stg, cut
+               WHERE sequence_number > t2) AS n),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         (SELECT n FROM chg) AS n_change_rows,
+         true AS resumed_only_new_version, true AS replay_delivered_zero
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** CHECK constraints as a gate row. v1 lands the first third; a
+    * `value IS NOT NULL` constraint is added (existing data validated
+    * first), and then every enforcement property is exercised:
+    *
+    *  - an ADD whose predicate existing rows violate is itself
+    *    rejected (`invalid_add_rejected`) — a constraint the table
+    *    already breaks must never land;
+    *  - a dirtied second third (nulls injected into `value` for
+    *    `key_id % 3 = 0`) is rejected WHOLESALE by both the
+    *    copy-on-write and the merge-on-read write paths
+    *    (`cow_dirty_rejected` / `mor_dirty_rejected`);
+    *  - both rejections are ATOMIC: the version chain is unchanged
+    *    afterwards (`reject_was_atomic`) — no partial batch, no
+    *    orphan manifest.
+    *
+    * The clean second and third thirds then commit through both paths,
+    * and the final state hash-matches the full-feed SCD1 oracle — the
+    * proof that enforcement never dropped or altered valid changes.
+    * Enforcement itself is one change-scale job per write (see
+    * [[enforceConstraints]]), the cost profile a 100 TB trickle
+    * pipeline needs.
+    */
+  def writeConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_ck")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    addConstraint(spark, path, "value_present", "value IS NOT NULL")
+    val invalidAddRejected =
+      try {
+        addConstraint(spark, path, "value_below", "value < -1e18"); false
+      } catch { case _: ConstraintViolation => true }
+    val second = asChanges(staged.filter(col("sequence_number") > t1 &&
+      col("sequence_number") <= t2)).localCheckpoint(true)
+    val dirty = second.withColumn("value",
+      when(col("key_id") % 3 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val vBefore = versions(spark, path).last
+    val cowRejected =
+      try { upsert(spark, path, dirty, Seq("key_id"), "sequence_number"); false }
+      catch { case _: ConstraintViolation => true }
+    val morRejected =
+      try {
+        dvUpsert(spark, path, dirty, Seq("key_id"), "sequence_number"); false
+      } catch { case _: ConstraintViolation => true }
+    val atomic = versions(spark, path).last == vBefore
+    upsert(spark, path, second, Seq("key_id"), "sequence_number")
+    dvUpsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") > t2)),
+      Seq("key_id"), "sequence_number")
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("invalid_add_rejected", lit(invalidAddRejected))
+      .withColumn("cow_dirty_rejected", lit(cowRejected))
+      .withColumn("mor_dirty_rejected", lit(morRejected))
+      .withColumn("reject_was_atomic", lit(atomic))
+  }
+
+  val writeConstraintsSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS invalid_add_rejected, true AS cow_dirty_rejected,
+         true AS mor_dirty_rejected, true AS reject_was_atomic
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** SHALLOW CLONE as a gate row. The source lands two thirds of the
+    * feed (v1, v2); [[cloneTable]] forks it; then both histories
+    * diverge and every independence property is engine-asserted:
+    *
+    *  - `cloned_zero_copy`: every cloned data file shares its inode
+    *    with the source (hard-link nlink ≥ 2) — O(#files) metadata,
+    *    zero bytes;
+    *  - `clone_write_isolated`: the clone absorbing the final third
+    *    (MOR) leaves the source's manifest byte-identical;
+    *  - `source_files_reclaimed`: the source is then poisoned (every
+    *    key overwritten at higher sequence — would corrupt the clone
+    *    if any path were shared) and VACUUMED down to the poisoned
+    *    tip, which physically deletes every pre-clone file from the
+    *    source directory — and the clone STILL reads intact (the
+    *    links keep the shared inodes alive; Delta's path-based
+    *    shallow clones break exactly here).
+    *
+    * The clone's final read hash-matches the full-feed SCD1 oracle;
+    * the poison (value −99999 at shifted sequences) is chosen so any
+    * leak across table boundaries fails the hash numerically.
+    */
+  def shallowClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Scratch.dir("vlake_cls")
+    val dst = Scratch.dir("vlake_cld")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .localCheckpoint(true)
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, src,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    upsert(spark, src,
+      asChanges(staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2)),
+      Seq("key_id"), "sequence_number")
+    cloneTable(spark, src, dst)
+    val m1 = manifestEntries(spark, dst, 1)
+    val zeroCopy = m1.data.forall { rel =>
+      java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(new Path(s"$dst/$rel").toUri.getPath),
+        "unix:nlink").asInstanceOf[Number].longValue >= 2
+    }
+    val srcTip = versions(spark, src).last
+    val srcLines = manifestLines(spark, src, srcTip)
+    dvUpsert(spark, dst,
+      asChanges(staged.filter(col("sequence_number") > t2)),
+      Seq("key_id"), "sequence_number")
+    val writeIsolated = versions(spark, src).last == srcTip &&
+      manifestLines(spark, src, srcTip) == srcLines
+    // poison the source: every key overwritten at a winning sequence
+    val poison = staged.select(col("key_id"),
+      (col("sequence_number") + maxSeq).as("sequence_number"),
+      lit(-99999.0).as("value"), col("props"))
+      .withColumn("_deleted", lit(false))
+    upsert(spark, src, poison, Seq("key_id"), "sequence_number")
+    vacuum(spark, src, retainLast = 1)
+    val f = fs(spark)
+    val reclaimed = m1.data.forall(rel =>
+      !f.exists(new Path(s"$src/$rel")))
+    read(spark, dst)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("cloned_zero_copy", lit(zeroCopy))
+      .withColumn("clone_write_isolated", lit(writeIsolated))
+      .withColumn("source_files_reclaimed", lit(reclaimed))
+  }
+
+  val shallowCloneSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS cloned_zero_copy, true AS clone_write_isolated,
+         true AS source_files_reclaimed
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** DESCRIBE HISTORY as a gate row: one scripted pass drives every
+    * commit path — COW merge, MOR merge, trickle delete, constraint
+    * add, compaction, restore — and the audit must report each version
+    * with its operation name AND the row count visible at that
+    * version, all six of which the oracle derives independently from
+    * the feed (counts c1/c2/c3 are the SCD1 cardinalities at the
+    * sequence cutoffs, minus the `key_id % 7` delete wave). Time
+    * travel supplies the per-version counts; the history itself is
+    * metadata-scale.
+    */
+  def describeHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = Scratch.dir("vlake_hist")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path, // v1 MERGE
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    dvUpsert(spark, path, // v2 MERGE_MOR
+      asChanges(staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2)),
+      Seq("key_id"), "sequence_number")
+    val delKeys = read(spark, path)
+      .filter(col("key_id") % 7 === 0).select(col("key_id"))
+      .localCheckpoint(true)
+    dvDelete(spark, path, delKeys, Seq("key_id")) // v3 DELETE
+    addConstraint(spark, path, // v4 ADD_CONSTRAINT (metadata-only)
+      "value_present", "value IS NOT NULL")
+    compactDvs(spark, path) // v5 OPTIMIZE
+    restore(spark, path, 1) // v6 RESTORE (by reference)
+    val counts = versions(spark, path)
+      .map(v => v -> read(spark, path, Some(v)).count()).toMap
+    history(spark, path).as[(Int, String)].collect().toSeq
+      .map { case (v, op) => (v, op, counts(v)) }
+      .toDF("version", "operation", "n_live_rows")
+  }
+
+  val describeHistorySql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cut AS (SELECT MAX(sequence_number) // 3 AS t1,
+                      MAX(sequence_number) * 2 // 3 AS t2 FROM stg),
+       r1 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cut c WHERE s.sequence_number <= c.t1),
+       c1 AS (SELECT COUNT(*) AS n FROM r1
+              WHERE rn = 1 AND operation <> 'DELETE'),
+       r2 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cut c WHERE s.sequence_number <= c.t2),
+       v2vis AS (SELECT key_id FROM r2
+                 WHERE rn = 1 AND operation <> 'DELETE'),
+       c2 AS (SELECT COUNT(*) AS n FROM v2vis),
+       c3 AS (SELECT (SELECT n FROM c2) - COUNT(*) AS n
+              FROM v2vis WHERE key_id % 7 = 0)
+       SELECT * FROM (VALUES
+         (1, 'MERGE',          (SELECT n FROM c1)),
+         (2, 'MERGE_MOR',      (SELECT n FROM c2)),
+         (3, 'DELETE',         (SELECT n FROM c3)),
+         (4, 'ADD_CONSTRAINT', (SELECT n FROM c3)),
+         (5, 'OPTIMIZE',       (SELECT n FROM c3)),
+         (6, 'RESTORE',        (SELECT n FROM c1)))
+         AS t(version, operation, n_live_rows)
+       ORDER BY version"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_history" -> ((s, d) =>
+      describeHistory(s, d).orderBy(col("version"))),
+    "lake_shallow_clone" -> ((s, d) =>
+      shallowClone(s, d).orderBy(col("key_id"))),
+    "lake_write_constraints" -> ((s, d) =>
+      writeConstraints(s, d).orderBy(col("key_id"))),
+    "stream_lake_source" -> ((s, d) =>
+      streamSourceGate(s, d).orderBy(col("key_id"))),
+    "lake_restore" -> ((s, d) =>
+      restoreRollback(s, d).orderBy(col("key_id"))),
+    "lake_incremental_cdf" -> ((s, d) =>
+      incrementalCdf(s, d).orderBy(col("key_id"))),
     "lake_mor_upsert" -> ((s, d) =>
       morUpsert(s, d).orderBy(col("key_id"))),
     "lake_deletion_vectors" -> ((s, d) =>
@@ -1186,6 +2098,12 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_history" -> describeHistorySql,
+    "lake_shallow_clone" -> shallowCloneSql,
+    "lake_write_constraints" -> writeConstraintsSql,
+    "stream_lake_source" -> streamSourceGateSql,
+    "lake_restore" -> restoreRollbackSql,
+    "lake_incremental_cdf" -> incrementalCdfSql,
     "lake_mor_upsert" -> morUpsertSql,
     "lake_deletion_vectors" -> deletionVectorsSql,
     "lake_concurrent_writers" -> concurrentWritersSql,

@@ -313,6 +313,207 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(v1.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("restore: rollback by reference, history intact, ledger carried") {
+    val path = graft.sources.Scratch.dir("vlake_restore_spec")
+    assert(VersionedLake.upsertTxn(spark, path,
+      (1L to 4L).map(i => (i, "v1", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", "app", 0L, numBuckets = 2).nonEmpty)
+    VersionedLake.upsert(spark, path, Seq((2L, "v2", 10L, false),
+      (3L, "gone", 11L, true)).toDF("k", "x", "seq", "_deleted"),
+      Seq("k"), "seq", numBuckets = 2)
+    val r = VersionedLake.restore(spark, path, toVersion = 1)
+    assert(r.version == 3)
+    // the restored tip reads exactly v1's state
+    assert(state(path, None) == state(path, Some(1)))
+    assert(state(path, None).map(_.getString(1)).forall(_ == "v1"))
+    // by reference: v3's data lines are v1's verbatim
+    def dataLines(v: Int): Set[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(f"$path/_log/v$v%06d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.contains("\t")).toSet
+      finally in.close()
+    }
+    assert(dataLines(3) == dataLines(1), "restore copied or lost files")
+    // the rolled-back version stays time-travelable pre-vacuum
+    assert(state(path, Some(2)).exists(_.getString(1) == "v2"))
+    // the idempotence ledger survives the rollback: the committed txn
+    // version must STILL be skipped on replay
+    assert(VersionedLake.upsertTxn(spark, path,
+      Seq((9L, "replay", 99L)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", "app", 0L, numBuckets = 2).isEmpty)
+    // vacuum to the tip alone: v1's files survive via v3's references
+    VersionedLake.vacuum(spark, path, retainLast = 1)
+    assert(VersionedLake.versions(spark, path) == Seq(3))
+    assert(state(path, None).map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("incremental changes: classified from the manifest diff alone") {
+    val path = graft.sources.Scratch.dir("vlake_chg_spec")
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    // update k2, delete k3, insert k5; stale change for k4 is dropped
+    VersionedLake.dvUpsert(spark, path, Seq(
+      (2L, "b2", 10L, false), (3L, "dead", 11L, true),
+      (5L, "b5", 12L, false), (4L, "stale", 0L, false))
+      .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq")
+    def diff(to: Int): Map[Long, (String, Option[String], Option[String])] =
+      VersionedLake.changes(spark, path, 1, to, Seq("k"), "seq", Seq("x"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3))))).toMap
+    val d2 = diff(2)
+    assert(d2 == Map(
+      2L -> (("update", Some("a2"), Some("b2"))),
+      3L -> (("delete", Some("a3"), None)),
+      5L -> (("insert", None, Some("b5")))), s"wrong diff: $d2")
+    // compaction rewrites files but carries rows verbatim — the diff
+    // across it must NOT report the carried rows as changes
+    VersionedLake.compactDvs(spark, path)
+    assert(diff(3) == d2, "compaction produced spurious change rows")
+    // a restore back to v1 then re-diff: old and new sides swap roles
+    val r = VersionedLake.restore(spark, path, 1)
+    val back = VersionedLake.changes(spark, path, 3, r.version,
+      Seq("k"), "seq", Seq("x")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(2L -> "update", 3L -> "insert", 5L -> "delete"),
+      s"reverse diff wrong: $back")
+  }
+
+  test("change log: commits link appended files; stream delivers exactly once") {
+    val path = graft.sources.Scratch.dir("vlake_cl_spec")
+    val ckpt = graft.sources.Scratch.dir("vlake_cl_ckpt")
+    val acc = graft.sources.Scratch.dir("vlake_cl_acc")
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.dvUpsert(spark, path,
+      Seq((2L, "b2", 10L, false), (3L, "dead", 11L, true))
+        .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq")
+    val schema = spark.read.parquet(s"$path/_changes/v000001").schema
+    def runOnce(): Long = {
+      val q = VersionedLake.streamSource(spark, path, schema)
+        .writeStream.format("parquet")
+        .option("path", acc).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(acc).count()
+    }
+    assert(runOnce() == 6L) // 4 initial rows + 2 accepted changes
+    // a version committed between runs arrives alone on resume
+    VersionedLake.dvUpsert(spark, path,
+      Seq((6L, "b6", 20L, false)).toDF("k", "x", "seq", "_deleted"),
+      Seq("k"), "seq")
+    assert(runOnce() == 7L)
+    // replay with nothing new: zero rows
+    assert(runOnce() == 7L)
+    // the accumulated stream rebuilds the table state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq").desc)
+    val rebuilt = spark.read.parquet(acc)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1 && !col("_deleted"))
+      .select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == Map(1L -> "a1", 2L -> "b2", 4L -> "a4", 6L -> "b6"),
+      s"stream-rebuilt state wrong: $rebuilt")
+  }
+
+  test("check constraints: stored as property, enforced on both write paths") {
+    val path = graft.sources.Scratch.dir("vlake_ck_spec")
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.addConstraint(spark, path, "x_present", "x IS NOT NULL")
+    // an ADD violated by existing data must not land
+    intercept[VersionedLake.ConstraintViolation] {
+      VersionedLake.addConstraint(spark, path, "impossible", "seq > 100")
+    }
+    // duplicate names rejected
+    intercept[IllegalArgumentException] {
+      VersionedLake.addConstraint(spark, path, "x_present", "x IS NOT NULL")
+    }
+    val vBefore = VersionedLake.versions(spark, path).last
+    val dirty = Seq((5L, null.asInstanceOf[String], 10L))
+      .toDF("k", "x", "seq")
+    intercept[VersionedLake.ConstraintViolation] {
+      VersionedLake.upsert(spark, path, dirty, Seq("k"), "seq")
+    }
+    intercept[VersionedLake.ConstraintViolation] {
+      VersionedLake.dvUpsert(spark, path,
+        dirty.withColumn("_deleted", lit(false)), Seq("k"), "seq")
+    }
+    // atomic: nothing committed by either rejection
+    assert(VersionedLake.versions(spark, path).last == vBefore)
+    // a DELETE of the same shape is exempt — the row is being removed
+    VersionedLake.dvUpsert(spark, path,
+      Seq((2L, null.asInstanceOf[String], 11L, true))
+        .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq")
+    assert(!VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().contains(2L))
+    // clean writes pass; DROP lifts enforcement for the once-dirty batch
+    VersionedLake.upsert(spark, path,
+      Seq((6L, "b6", 12L)).toDF("k", "x", "seq"), Seq("k"), "seq")
+    VersionedLake.dropConstraint(spark, path, "x_present")
+    VersionedLake.upsert(spark, path, dirty, Seq("k"), "seq")
+    assert(VersionedLake.read(spark, path).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("shallow clone: zero-copy fork, isolated divergence, links outlive vacuum") {
+    val src = graft.sources.Scratch.dir("vlake_clspec_s")
+    val dst = graft.sources.Scratch.dir("vlake_clspec_d")
+    VersionedLake.upsert(spark, src,
+      (1L to 4L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.dvDelete(spark, src, Seq(2L).toDF("k"), Seq("k"))
+    VersionedLake.cloneTable(spark, src, dst)
+    def keys(path: String): Seq[Long] =
+      VersionedLake.read(spark, path).select("k").as[Long]
+        .collect().sorted.toSeq
+    // the clone sees the source's visible state, DVs included
+    assert(keys(dst) == Seq(1L, 3L, 4L))
+    // clone writes never touch the source
+    VersionedLake.dvUpsert(spark, dst,
+      Seq((5L, "b5", 10L, false)).toDF("k", "x", "seq", "_deleted"),
+      Seq("k"), "seq")
+    assert(keys(src) == Seq(1L, 3L, 4L))
+    // source rewrites every bucket and vacuums: the clone's hard links
+    // keep the shared inodes alive, so it still reads its own history
+    VersionedLake.upsert(spark, src,
+      (1L to 4L).map(i => (i, s"new$i", 20L + i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.vacuum(spark, src, retainLast = 1)
+    assert(keys(dst) == Seq(1L, 3L, 4L, 5L))
+    assert(VersionedLake.read(spark, dst).filter(col("k") === 1L)
+      .select("x").head().getString(0) == "a1", "clone leaked source data")
+    // the clone owns an independent version chain, time travel included
+    assert(VersionedLake.read(spark, dst, Some(1)).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("history records the operation of every commit path") {
+    val src = graft.sources.Scratch.dir("vlake_hist_s")
+    val dst = graft.sources.Scratch.dir("vlake_hist_d")
+    VersionedLake.upsert(spark, src,
+      Seq((1L, "a", 1L)).toDF("k", "x", "seq"), Seq("k"), "seq",
+      numBuckets = 2)
+    VersionedLake.upsertTxn(spark, src,
+      Seq((2L, "b", 2L)).toDF("k", "x", "seq"), Seq("k"), "seq",
+      "app", 0L, numBuckets = 2)
+    VersionedLake.addConstraint(spark, src, "x_present", "x IS NOT NULL")
+    VersionedLake.dropConstraint(spark, src, "x_present")
+    def ops(path: String): Seq[(Int, String)] =
+      VersionedLake.history(spark, path).as[(Int, String)]
+        .collect().toSeq.sortBy(_._1)
+    assert(ops(src) == Seq(1 -> "MERGE", 2 -> "STREAMING_UPDATE",
+      3 -> "ADD_CONSTRAINT", 4 -> "DROP_CONSTRAINT"))
+    VersionedLake.cloneTable(spark, src, dst)
+    assert(ops(dst) == Seq(1 -> "CLONE"))
+  }
+
   test("version diff applied to v1 reproduces v2 exactly") {
     val diff = VersionedLake.versionDiff(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1),
