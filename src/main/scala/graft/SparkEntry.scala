@@ -65,7 +65,8 @@ object SparkEntry {
       graft.plans.ConfigLint.queries ++
       graft.streaming.EventStreams.queries ++
       graft.streaming.TransformState.queries ++
-      graft.streaming.LakeSink.queries
+      graft.streaming.LakeSink.queries ++
+      graft.streaming.LakeChain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -120,5 +121,6 @@ object SparkEntry {
       graft.plans.ConfigLint.oracles ++
       graft.streaming.EventStreams.oracles ++
       graft.streaming.TransformState.oracles ++
-      graft.streaming.LakeSink.oracles
+      graft.streaming.LakeSink.oracles ++
+      graft.streaming.LakeChain.oracles
 }
