@@ -1021,6 +1021,72 @@ object VersionedLake {
     }.toDF("version", "operation")
   }
 
+  /** OPTIMIZE (bin-pack) — fold each fragmented bucket's files into
+    * ONE, applying deletion vectors along the way. Trickle MOR writes
+    * are O(changed rows) per commit precisely because they append
+    * small files; this is the other half of that bargain — without
+    * periodic compaction a year of trickle turns a 100 TB table into
+    * millions of KB-files and every scan into an open()-storm. Buckets
+    * already at one clean file carry over untouched (their rewrite
+    * would be pure churn); the commit is the same OCC loop as any
+    * write, so compaction can run concurrently with disjoint-bucket
+    * ingest and rebase past it.
+    */
+  def optimizeSmallFiles(spark: SparkSession, path: String,
+      targetFilesPerBucket: Int = 1): CommitResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    val byBucket = m.data.groupBy(bucketOf)
+    val touched = byBucket.collect {
+      case (b, files)
+        if files.size > targetFilesPerBucket ||
+          files.exists(m.dv.contains) => b
+    }.toSet
+    if (touched.isEmpty) return CommitResult(base, 0)
+    val files = m.data.filter(rel => touched.contains(bucketOf(rel)))
+    // one shuffle task per bucket value ⇒ exactly one output file per
+    // bucket — the point of the exercise
+    val df = loadWithDv(spark, path, files, m.dv)
+      .repartition(col("gbucket"))
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
+    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    val adopted = adoptStaged(spark, path, stage, wid)
+    commitPending(spark, path,
+      PendingCommit(base, touched, adopted, adopted, op = "OPTIMIZE"))
+  }
+
+  /** POINT LOOKUP — read only the hash buckets that can hold `keys`:
+    * the serving-path read. The same modulus every writer used (a
+    * table property) bounds each key to one bucket, so a lookup of k
+    * keys against a 100 TB table scans ≤ k shards — manifest-resolved,
+    * no directory listing, no full scan. DVs and tombstones are
+    * honored exactly as in [[read]].
+    */
+  def readKeys(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String], asOfVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOfVersion.getOrElse(vs.last)
+    val m = manifestEntries(spark, path, v)
+    val nb = m.numBuckets(16)
+    val keyBuckets = keys
+      .select(pmod(hash(keyCols.map(col): _*), lit(nb)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet // ≤ |keys| ints
+    val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
+    if (candidates.isEmpty)
+      return read(spark, path, asOfVersion).filter(lit(false))
+    val df0 = loadWithDv(spark, path, candidates, m.dv)
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols,
+        "left_semi")
+      .drop("gbucket")
+    if (df0.columns.contains("_deleted"))
+      df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else df0
+  }
+
   /** Snapshot read — latest version, or time travel to `asOfVersion`.
     * Tombstones filtered; bucket/bookkeeping columns dropped.
     */
@@ -2069,7 +2135,133 @@ object VersionedLake {
          AS t(version, operation, n_live_rows)
        ORDER BY version"""
 
+  /** OPTIMIZE as a gate row: the morUpsert fixture (v1 copy-on-write,
+    * then three parity-split MOR batches) deliberately fragments the
+    * table — multiple small files and DV mappings per bucket — and
+    * [[optimizeSmallFiles]] must fold every bucket to exactly ONE
+    * clean file (engine-asserted from the manifest), drop all DVs,
+    * and leave the visible rows byte-identical (exceptAll both ways).
+    * The final state hash-matches the full-feed SCD1 oracle.
+    */
+  def optimizeBinpack(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_opt")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    val second = staged.filter(col("sequence_number") > t1)
+    (0 to 2).foreach { i =>
+      dvUpsert(spark, path,
+        asChanges(second.filter(pmod(col("sequence_number"), lit(3)) === i)),
+        Seq("key_id"), "sequence_number")
+    }
+    val mBefore = manifestEntries(spark, path, versions(spark, path).last)
+    val fragmented =
+      mBefore.data.groupBy(bucketOf).exists(_._2.size > 1) &&
+        mBefore.dv.nonEmpty
+    val before = read(spark, path).localCheckpoint(true)
+    optimizeSmallFiles(spark, path)
+    val mAfter = manifestEntries(spark, path, versions(spark, path).last)
+    val onePerBucket = mAfter.data.groupBy(bucketOf).forall(_._2.size == 1)
+    val after = read(spark, path)
+    val identical = before.exceptAll(after).isEmpty &&
+      after.exceptAll(before).isEmpty
+    after
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("was_fragmented", lit(fragmented))
+      .withColumn("one_file_per_bucket", lit(onePerBucket))
+      .withColumn("dv_free_after", lit(mAfter.dv.isEmpty))
+      .withColumn("rows_identical", lit(identical))
+  }
+
+  val optimizeBinpackSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS was_fragmented, true AS one_file_per_bucket,
+         true AS dv_free_after, true AS rows_identical
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** POINT LOOKUP as a gate row: over a 64-bucket table carrying both
+    * MOR appends and DVs, [[readKeys]] serves a sparse key set
+    * (`key_id % 11 = 0`) while scanning STRICTLY FEWER files than the
+    * snapshot holds (`scan_pruned`, computed from the same manifest
+    * arithmetic the reader uses). Rows hash-match the oracle's
+    * filtered SCD1 state — deletes honored, stale versions invisible.
+    */
+  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_pt")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number", numBuckets = 64)
+    dvUpsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") > t1)),
+      Seq("key_id"), "sequence_number")
+    val lookup = staged.select(col("key_id")).distinct()
+      .filter(col("key_id") % 11 === 0).localCheckpoint(true)
+    val m = manifestEntries(spark, path, versions(spark, path).last)
+    val nb = m.numBuckets(64)
+    val keyBuckets = lookup
+      .select(pmod(hash(col("key_id")), lit(nb)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val scanned = m.data.count(rel => keyBuckets.contains(bucketOf(rel)))
+    val pruned = scanned < m.data.size
+    readKeys(spark, path, lookup, Seq("key_id"))
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("scan_pruned", lit(pruned))
+  }
+
+  val pointLookupSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS scan_pruned
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE' AND key_id % 11 = 0
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_optimize_binpack" -> ((s, d) =>
+      optimizeBinpack(s, d).orderBy(col("key_id"))),
+    "lake_point_lookup" -> ((s, d) =>
+      pointLookup(s, d).orderBy(col("key_id"))),
     "lake_history" -> ((s, d) =>
       describeHistory(s, d).orderBy(col("version"))),
     "lake_shallow_clone" -> ((s, d) =>
@@ -2098,6 +2290,8 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_optimize_binpack" -> optimizeBinpackSql,
+    "lake_point_lookup" -> pointLookupSql,
     "lake_history" -> describeHistorySql,
     "lake_shallow_clone" -> shallowCloneSql,
     "lake_write_constraints" -> writeConstraintsSql,

@@ -514,6 +514,61 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(ops(dst) == Seq(1 -> "CLONE"))
   }
 
+  test("optimize bin-packs fragmented buckets into one clean file") {
+    val path = graft.sources.Scratch.dir("vlake_opt_spec")
+    VersionedLake.upsert(spark, path,
+      (1L to 8L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.dvUpsert(spark, path,
+      Seq((1L, "b1", 10L, false), (9L, "b9", 11L, false))
+        .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq")
+    VersionedLake.dvDelete(spark, path, Seq(2L).toDF("k"), Seq("k"))
+    def manifest() = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    val dataBefore = manifest().filterNot(_.contains("\t"))
+    assert(dataBefore.groupBy(_.split("/")(0)).exists(_._2.size > 1),
+      "fixture failed to fragment")
+    VersionedLake.optimizeSmallFiles(spark, path)
+    val after = manifest()
+    val dataAfter = after.filterNot(_.contains("\t"))
+    assert(dataAfter.groupBy(_.split("/")(0)).forall(_._2.size == 1),
+      s"buckets still fragmented: $dataAfter")
+    assert(!after.exists(_.startsWith("dv\t")), "DVs survived optimize")
+    val got = VersionedLake.read(spark, path).select("k", "x")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "b1", 3L -> "a3", 4L -> "a4", 5L -> "a5",
+      6L -> "a6", 7L -> "a7", 8L -> "a8", 9L -> "b9"), s"wrong: $got")
+    // a second optimize finds nothing to fold: no commit
+    val v = VersionedLake.versions(spark, path).last
+    VersionedLake.optimizeSmallFiles(spark, path)
+    assert(VersionedLake.versions(spark, path).last == v,
+      "optimize of a compact table committed a version")
+  }
+
+  test("point lookup honors DVs, tombstones and time travel") {
+    val path = graft.sources.Scratch.dir("vlake_pt_spec")
+    VersionedLake.upsert(spark, path,
+      (1L to 40L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 8)
+    VersionedLake.dvDelete(spark, path, Seq(11L).toDF("k"), Seq("k"))
+    val got = VersionedLake.readKeys(spark, path,
+      Seq(11L, 13L, 99L).toDF("k"), Seq("k"))
+      .select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(13L -> "a13"), s"wrong lookup: $got") // 11 deleted, 99 absent
+    val v1 = VersionedLake.readKeys(spark, path,
+      Seq(11L).toDF("k"), Seq("k"), asOfVersion = Some(1))
+      .select("k").as[Long].collect().toSeq
+    assert(v1 == Seq(11L), "time-travel lookup missed the pre-delete row")
+  }
+
   test("version diff applied to v1 reproduces v2 exactly") {
     val diff = VersionedLake.versionDiff(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1),
