@@ -32,6 +32,7 @@ object SparkEntry {
       graft.operators.TpchShapes.queries ++
       graft.operators.TpchShapes2.queries ++
       graft.operators.TpchShapes3.queries ++
+      graft.operators.TpchShapes4.queries ++
       graft.operators.PathPatterns.queries ++
       graft.operators.AnalyticsExt.queries ++
       graft.operators.TfidfRetrieval.queries ++
@@ -88,6 +89,7 @@ object SparkEntry {
       graft.operators.TpchShapes.oracles ++
       graft.operators.TpchShapes2.oracles ++
       graft.operators.TpchShapes3.oracles ++
+      graft.operators.TpchShapes4.oracles ++
       graft.operators.PathPatterns.oracles ++
       graft.operators.AnalyticsExt.oracles ++
       graft.operators.TfidfRetrieval.oracles ++
