@@ -39,6 +39,16 @@ object VersionedLake {
   private val DvDir = "_dv"
   private val ChangesDir = "_changes"
 
+  /** Every Nth version is stored as a FULL manifest snapshot (a
+    * checkpoint); the versions between store line DELTAS against their
+    * parent. Bounds delta-chain resolution to < N metadata reads while
+    * keeping trickle-commit manifest WRITES at O(changed lines) — the
+    * Delta-log commit-plus-checkpoint discipline. A 100 TB table is
+    * ~10⁶ data files; without deltas every one-row trickle commit
+    * rewrites a million-line manifest.
+    */
+  val ManifestCheckpointInterval = 8
+
   /** A writer lost the commit race to another writer whose changes
     * overlap its touched buckets — the table state it merged against is
     * stale in a way a rebase cannot repair. The caller retries the
@@ -82,11 +92,13 @@ object VersionedLake {
     */
   final case class TableManifest(data: Seq[String], dv: Map[String, String],
       txn: Map[String, Long] = Map.empty,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      stats: Map[String, String] = Map.empty) {
     def lines: Seq[String] =
       data ++ dv.toSeq.sorted.map { case (d, s) => s"dv\t$d\t$s" } ++
         txn.toSeq.sorted.map { case (a, v) => s"txn\t$a\t$v" } ++
-        props.toSeq.sorted.map { case (k, v) => s"prop\t$k\t$v" }
+        props.toSeq.sorted.map { case (k, v) => s"prop\t$k\t$v" } ++
+        stats.toSeq.sorted.map { case (f, p) => s"stats\t$f\t$p" }
     def allFiles: Seq[String] = data ++ dv.values.toSeq.distinct
     /** The table's bucket modulus — fixed at creation, carried in
       * every manifest: key→file pruning is only sound when every
@@ -126,14 +138,52 @@ object VersionedLake {
       .sorted.toSeq
   }
 
-  /** Raw manifest lines at `version`. */
-  private def manifestLines(spark: SparkSession, path: String,
+  /** Physical bytes of the version file, line-split — either a FULL
+    * snapshot (legacy format: the logical lines verbatim) or a DELTA
+    * (`format\tdelta\t<parent>` header + `+\t`/`-\t` edit lines).
+    */
+  private def rawManifestLines(spark: SparkSession, path: String,
       version: Int): Seq[String] = {
     val in = fs(spark).open(manifestPath(path, version))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  private val DeltaHeaderPrefix = "format\tdelta\t"
+
+  /** LOGICAL manifest lines at `version` — resolves delta-encoded
+    * manifests against their parent chain. Every commit between two
+    * checkpoints stores only its edit set (O(changed lines), not
+    * O(table files) — the property that keeps trickle-commit metadata
+    * writes at change scale on a million-file table); resolution walks
+    * parents until the nearest full snapshot, which
+    * [[ManifestCheckpointInterval]] bounds to a constant chain length.
+    */
+  private def manifestLines(spark: SparkSession, path: String,
+      version: Int): Seq[String] = {
+    val raw = rawManifestLines(spark, path, version)
+    raw.headOption match {
+      case Some(h) if h.startsWith(DeltaHeaderPrefix) =>
+        val parent = h.stripPrefix(DeltaHeaderPrefix).toInt
+        require(parent < version, s"delta manifest v$version of $path " +
+          s"points forward to v$parent — corrupt log")
+        val base = manifestLines(spark, path, parent).toSet
+        val removed = raw.collect {
+          case l if l.startsWith("-\t") => l.substring(2) }.toSet
+        val added = raw.collect {
+          case l if l.startsWith("+\t") => l.substring(2) }
+        ((base -- removed) ++ added).toSeq.sorted
+      case _ => raw
+    }
+  }
+
+  /** The logical manifest at `version`, public for tests and tooling:
+    * the physical file may be a delta, but callers always see the
+    * resolved full line set.
+    */
+  def resolvedManifest(spark: SparkSession, path: String,
+      version: Int): Seq[String] = manifestLines(spark, path, version)
 
   /** Parsed manifest at `version`. */
   private def manifestEntries(spark: SparkSession, path: String,
@@ -144,7 +194,8 @@ object VersionedLake {
     // meta lines (per-version operation record — see [[history]]) are
     // commit bookkeeping, not table state: stripped here, never carried
     val lines = lines0.filterNot(isMetaLine)
-    val (propLines, rest0) = lines.partition(_.startsWith("prop\t"))
+    val (statsLines, lines1) = lines.partition(_.startsWith("stats\t"))
+    val (propLines, rest0) = lines1.partition(_.startsWith("prop\t"))
     val (txnLines, rest) = rest0.partition(_.startsWith("txn\t"))
     val (dvLines, dataLines) = rest.partition(_.startsWith("dv\t"))
     TableManifest(dataLines,
@@ -156,6 +207,9 @@ object VersionedLake {
       }.toMap,
       propLines.map { l => // value may contain anything but tab/newline
         val a = l.split("\t", 3); a(1) -> a(2)
+      }.toMap,
+      statsLines.map { l =>
+        val a = l.split("\t", 3); a(1) -> a(2)
       }.toMap)
   }
 
@@ -164,7 +218,8 @@ object VersionedLake {
   private def isMetaLine(l: String): Boolean = l.startsWith("meta\t")
 
   private def bucketOfLine(line: String): Int =
-    if (line.startsWith("dv\t")) bucketOf(line.split("\t")(1))
+    if (line.startsWith("dv\t") || line.startsWith("stats\t"))
+      bucketOf(line.split("\t")(1))
     else bucketOf(line)
 
   /** `gbucket=N/<name>` of the file a row came from — the manifest-
@@ -174,6 +229,111 @@ object VersionedLake {
   private def relCol: org.apache.spark.sql.Column = {
     val parts = split(col("_metadata.file_path"), "/")
     concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+  }
+
+  /** Per-file min/max statistics for every NUMERIC column of freshly
+    * adopted data files — the Delta/Iceberg data-skipping substrate,
+    * carried as `stats\t<file>\t<col>:<lo>:<hi>|...` manifest lines.
+    * One vectorized pass over the adopted files only (change-scale: a
+    * trickle commit stats its own appends, never the table). Values are
+    * stored as exact string renderings of the native type and compared
+    * as BigDecimal at prune time, so pruning never narrows a bound by
+    * float rounding; non-finite renderings (NaN/Infinity) simply fail
+    * to parse and the file is conservatively kept. DV'd rows may widen
+    * a file's stored range beyond its live rows — also conservative.
+    */
+  private def computeStats(spark: SparkSession, path: String,
+      adopted: Seq[String]): Map[String, String] = {
+    val dataFiles = adopted.filter(_.startsWith("gbucket="))
+    if (dataFiles.isEmpty) return Map.empty
+    val df = spark.read.parquet(dataFiles.map(r => s"$path/$r"): _*)
+    import org.apache.spark.sql.types._
+    val numeric = df.schema.fields.filter { f =>
+      f.name != "gbucket" && (f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType | FloatType |
+             DoubleType => true
+        case _: DecimalType => true
+        case _ => false
+      })
+    }.map(_.name).toSeq
+    if (numeric.isEmpty) return Map.empty
+    val aggs = numeric.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"lo_$c"),
+      max(col(c)).cast("string").as(s"hi_$c")))
+    spark.read.parquet(dataFiles.map(r => s"$path/$r"): _*)
+      .withColumn("_srel", relCol)
+      .groupBy(col("_srel")).agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per adopted file — change-scale
+      .map { r =>
+        val payload = numeric.flatMap { c =>
+          val lo = r.getAs[String](s"lo_$c")
+          val hi = r.getAs[String](s"hi_$c")
+          if (lo == null || hi == null) None else Some(s"$c:$lo:$hi")
+        }.mkString("|")
+        r.getAs[String]("_srel") -> payload
+      }.filter(_._2.nonEmpty).toMap
+  }
+
+  private def statsAsLines(stats: Map[String, String]): Seq[String] =
+    stats.toSeq.sorted.map { case (f, p) => s"stats\t$f\t$p" }
+
+  /** Can `rel` hold a row with `column` in [lo, hi]? False only when
+    * the file's recorded range and the query range are provably
+    * disjoint; missing or unparseable stats keep the file.
+    */
+  private def fileMayMatch(m: TableManifest, rel: String, column: String,
+      lo: Option[BigDecimal], hi: Option[BigDecimal]): Boolean =
+    m.stats.get(rel).flatMap { payload =>
+      payload.split('|').collectFirst {
+        case t if t.startsWith(column + ":") =>
+          val a = t.split(':')
+          scala.util.Try {
+            val fLo = BigDecimal(a(1)); val fHi = BigDecimal(a(2))
+            lo.forall(_ <= fHi) && hi.forall(_ >= fLo)
+          }.getOrElse(true)
+      }
+    }.getOrElse(true)
+
+  /** The data files a `[lo, hi]` range predicate on `column` can
+    * touch at `asOfVersion` — public so callers (and the gate) can
+    * assert the pruning itself.
+    */
+  def rangeCandidates(spark: SparkSession, path: String, column: String,
+      lo: Option[BigDecimal], hi: Option[BigDecimal],
+      asOfVersion: Option[Int] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
+    m.data.filter(rel => fileMayMatch(m, rel, column, lo, hi))
+  }
+
+  /** Snapshot read with DATA SKIPPING: scan only the files whose
+    * recorded `column` range intersects [lo, hi] (both bounds
+    * inclusive; either side open), then apply the exact row-level
+    * filter. The serving path for time-window and range queries: a
+    * trickle-ingested 100 TB table whose arrival order correlates with
+    * the predicate column answers a narrow range from a handful of
+    * files, manifest-resolved, no listing, no full scan. DVs and
+    * tombstones honored exactly as in [[read]].
+    */
+  def readRange(spark: SparkSession, path: String, column: String,
+      lo: Option[BigDecimal], hi: Option[BigDecimal],
+      asOfVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOfVersion.getOrElse(vs.last)
+    val m = manifestEntries(spark, path, v)
+    val candidates = rangeCandidates(spark, path, column, lo, hi, Some(v))
+    if (candidates.isEmpty)
+      return read(spark, path, Some(v)).filter(lit(false))
+    val ranged = loadWithDv(spark, path, candidates, m.dv)
+      .filter(lo.map(b => col(column) >= lit(b.underlying()))
+        .getOrElse(lit(true)) &&
+        hi.map(b => col(column) <= lit(b.underlying())).getOrElse(lit(true)))
+      .drop("gbucket")
+    if (ranged.columns.contains("_deleted"))
+      ranged.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else ranged
   }
 
   /** Scan `dataFiles` with their deletion vectors anti-joined out.
@@ -237,13 +397,39 @@ object VersionedLake {
     * `rename` itself refuses an existing destination atomically, so it
     * is the CAS.
     */
+  /** Choose the physical encoding for a manifest about to land as
+    * `version`: a delta against the parent slot when that is smaller,
+    * a full snapshot on checkpoint versions, for v1, when the parent is
+    * unreadable, or when line multiplicity would make set-diff lossy.
+    */
+  private def encodeManifest(spark: SparkSession, path: String,
+      version: Int, sorted: Seq[String]): Seq[String] = {
+    if (version <= 1 || version % ManifestCheckpointInterval == 0)
+      return sorted
+    scala.util.Try(manifestLines(spark, path, version - 1)).toOption match {
+      case None => sorted
+      case Some(parent) =>
+        val pSet = parent.toSet
+        val cSet = sorted.toSet
+        if (pSet.size != parent.length || cSet.size != sorted.length) sorted
+        else {
+          val removed = parent.filterNot(cSet)
+          val added = sorted.filterNot(pSet)
+          val delta = s"$DeltaHeaderPrefix${version - 1}" +:
+            (removed.map("-\t" + _) ++ added.map("+\t" + _))
+          if (delta.length < sorted.length) delta else sorted
+        }
+    }
+  }
+
   private def casCommit(spark: SparkSession, path: String, version: Int,
       files: Seq[String]): Boolean = {
     val f = fs(spark)
     f.mkdirs(new Path(s"$path/$LogDir"))
     val tmp = new Path(s"$path/$LogDir/.v$version-${nonce()}.tmp")
+    val content = encodeManifest(spark, path, version, files.sorted)
     val out = f.create(tmp, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(content.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = manifestPath(path, version)
     if (f.getUri.getScheme == "file") {
@@ -378,7 +564,8 @@ object VersionedLake {
     val propLines =
       if (vs.isEmpty) Seq(s"prop\tnumBuckets\t$buckets") else Seq.empty
     PendingCommit(vs.lastOption.getOrElse(0), touched,
-      adopted ++ propLines, adopted)
+      adopted ++ statsAsLines(computeStats(spark, path, adopted)) ++
+        propLines, adopted)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at
@@ -609,7 +796,7 @@ object VersionedLake {
         // with the affected files' DV mappings re-pointed at the new
         // sidecar (data files UNCHANGED — that is the point)
         val newDv = m.dv ++ affected.map(_ -> dvRel)
-        val ourLines = TableManifest(m.data, newDv).lines
+        val ourLines = TableManifest(m.data, newDv, stats = m.stats).lines
           .filter(l => touched.contains(bucketOfLine(l)))
         commitPending(spark, path,
           PendingCommit(base, touched, ourLines, Seq(dvRel), op = "DELETE"))
@@ -696,7 +883,8 @@ object VersionedLake {
     val newDv = m.dv ++ dvOut.toSeq.flatMap { case (rel, aff) =>
       aff.map(_ -> rel)
     }
-    val ourLines = TableManifest(m.data ++ appended, newDv).lines
+    val ourLines = TableManifest(m.data ++ appended, newDv,
+      stats = m.stats ++ computeStats(spark, path, appended)).lines
       .filter(l => touched.contains(bucketOfLine(l)))
     commitPending(spark, path, PendingCommit(base, touched, ourLines,
       appended ++ dvOut.map(_._1).toSeq, op = "MERGE_MOR"))
@@ -725,8 +913,12 @@ object VersionedLake {
     val stage = path + s"_stage_$wid"
     df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
     val adopted = adoptStaged(spark, path, stage, wid)
+    val carriedStats = m.stats.view
+      .filterKeys(cleanCarried.toSet).toMap
     commitPending(spark, path, PendingCommit(base, touched,
-      cleanCarried ++ adopted, adopted, op = "OPTIMIZE"))
+      TableManifest(cleanCarried ++ adopted, Map.empty,
+        stats = carriedStats ++ computeStats(spark, path, adopted)).lines,
+      adopted, op = "OPTIMIZE"))
   }
 
   /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE` semantics:
@@ -770,8 +962,8 @@ object VersionedLake {
         org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
           spark.sparkContext.hadoopConfiguration)
     }
-    val lines = TableManifest(m.data, m.dv, Map.empty, m.props).lines :+
-      "meta\top\tCLONE"
+    val lines = TableManifest(m.data, m.dv, Map.empty, m.props,
+      m.stats).lines :+ "meta\top\tCLONE"
     if (!casCommit(spark, dest, 1, lines))
       throw new java.io.IOException(
         s"clone race: another writer created $dest concurrently")
@@ -903,8 +1095,8 @@ object VersionedLake {
       val latest = versions(spark, path).last
       val cur = manifestEntries(spark, path, latest)
       val lines =
-        TableManifest(target.data, target.dv, cur.txn, cur.props).lines :+
-          "meta\top\tRESTORE"
+        TableManifest(target.data, target.dv, cur.txn, cur.props,
+          target.stats).lines :+ "meta\top\tRESTORE"
       if (casCommit(spark, path, latest + 1, lines))
         return CommitResult(latest + 1, attempts)
       attempts += 1
@@ -1055,7 +1247,10 @@ object VersionedLake {
     df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
     val adopted = adoptStaged(spark, path, stage, wid)
     commitPending(spark, path,
-      PendingCommit(base, touched, adopted, adopted, op = "OPTIMIZE"))
+      PendingCommit(base, touched,
+        TableManifest(adopted, Map.empty,
+          stats = computeStats(spark, path, adopted)).lines,
+        adopted, op = "OPTIMIZE"))
   }
 
   /** POINT LOOKUP — read only the hash buckets that can hold `keys`:
@@ -1128,6 +1323,33 @@ object VersionedLake {
         val rel = s"$DvDir/${s.getPath.getName}"
         if (!live.contains(rel)) f.delete(s.getPath, false)
       }
+    // re-root the retained chain before dropping ancestors: the oldest
+    // kept version may be delta-encoded against a manifest this vacuum
+    // is about to delete, so materialize it as a full snapshot first
+    // (logical content identical — an atomic in-place re-encode; every
+    // newer delta's parent chain then terminates inside the kept set)
+    keep.headOption.foreach { floor =>
+      if (rawManifestLines(spark, path, floor).headOption
+          .exists(_.startsWith(DeltaHeaderPrefix))) {
+        val resolved = manifestLines(spark, path, floor)
+        val tmp = new Path(s"$path/$LogDir/.v$floor-${nonce()}.reroot")
+        val out = f.create(tmp, true)
+        try out.write(resolved.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        val dst = manifestPath(path, floor)
+        if (f.getUri.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else { // object stores: same-content replace, vacuum-only window
+          f.delete(dst, false)
+          if (!f.rename(tmp, dst)) throw new java.io.IOException(
+            s"cannot re-root manifest v$floor at $path")
+        }
+      }
+    }
     vs.filterNot(keep.contains).foreach(v =>
       f.delete(manifestPath(path, v), false))
     // change-log retention follows version retention: consumers lagging
@@ -2257,7 +2479,151 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE' AND key_id % 11 = 0
        ORDER BY key_id"""
 
+  /** MANIFEST DELTA ENCODING as a gate row: half the change feed lands
+    * copy-on-write (v1, a full snapshot), the rest trickles in as eight
+    * MOR batches (v2..v9). The engine asserts the metadata-write-scale
+    * claim directly on the physical log: every between-checkpoint
+    * version stored as a delta, the checkpoint version
+    * ([[ManifestCheckpointInterval]]) and v1 stored full, the last
+    * delta's PHYSICAL size under half its resolved logical size
+    * (manifest writes are O(changed lines), not O(table files)), a
+    * mid-chain time travel resolving to exactly the SCD1 state of the
+    * feed prefix, and a vacuum past the checkpoint re-rooting the
+    * oldest kept delta as a full snapshot so every retained version
+    * still resolves. The converged read hash-matches the full-feed
+    * SCD1 oracle.
+    */
+  def manifestDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_mdelta")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    val second = staged.filter(col("sequence_number") > t1)
+      .localCheckpoint(true)
+    (0 to 7).foreach { i => // versions 2..9 — v8 is the checkpoint
+      dvUpsert(spark, path,
+        asChanges(second.filter(pmod(col("sequence_number"), lit(8)) === i)),
+        Seq("key_id"), "sequence_number")
+    }
+    val vs = versions(spark, path)
+    def isDelta(v: Int): Boolean = rawManifestLines(spark, path, v)
+      .headOption.exists(_.startsWith(DeltaHeaderPrefix))
+    val K = ManifestCheckpointInterval
+    val encodedRight = vs.forall { v =>
+      if (v <= 1 || v % K == 0) !isDelta(v) else isDelta(v)
+    }
+    val lastDelta = vs.filter(v => v > 1 && v % K != 0).max
+    val changeScale = rawManifestLines(spark, path, lastDelta).length * 2 <
+      manifestLines(spark, path, lastDelta).length
+    // mid-chain time travel: v5 = v1 + trickle batches 0..3
+    val w = Window.partitionBy(col("key_id"))
+      .orderBy(col("sequence_number").desc)
+    val expectedV5 = staged
+      .filter(col("sequence_number") <= t1 ||
+        pmod(col("sequence_number"), lit(8)) <= 3)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("operation") =!= "DELETE")
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number"))
+    val gotV5 = read(spark, path, Some(5))
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number"))
+    val travelExact = gotV5.exceptAll(expectedV5).isEmpty &&
+      expectedV5.exceptAll(gotV5).isEmpty
+    // vacuum past the checkpoint: floor lands on a DELTA version (6),
+    // which must be re-rooted to a full snapshot for the chain to
+    // survive its ancestors' deletion
+    vacuum(spark, path, retainLast = 4)
+    val kept = versions(spark, path)
+    val rerooted = kept == Seq(6, 7, 8, 9) && !isDelta(6) &&
+      kept.forall(v => manifestLines(spark, path, v).nonEmpty)
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("delta_encoded_between_checkpoints", lit(encodedRight))
+      .withColumn("delta_write_is_change_scale", lit(changeScale))
+      .withColumn("mid_chain_travel_exact", lit(travelExact))
+      .withColumn("vacuum_rerooted_floor", lit(rerooted))
+  }
+
+  val manifestDeltaSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS delta_encoded_between_checkpoints,
+         true AS delta_write_is_change_scale,
+         true AS mid_chain_travel_exact,
+         true AS vacuum_rerooted_floor
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** DATA SKIPPING as a gate row: four equal key-range slices of
+    * orders land as one COW snapshot plus three MOR appends, so each
+    * commit's files hold exactly its slice — the arrival-order
+    * correlation a trickle-ingested table has naturally. A range read
+    * over the third slice must then prune to that commit's files: the
+    * engine asserts every data file carries stats, the candidate set
+    * is at most a third of the table's files, and the returned rows
+    * hash-match the oracle's plain range filter over the same source.
+    */
+  def rangePrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_range")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val q = maxKey / 4
+    upsert(spark, path, orders.filter(col("o_orderkey") <= q),
+      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
+    (2 to 4).foreach { i =>
+      val lo = (i - 1) * q
+      val hi = if (i == 4) maxKey else i.toLong * q
+      dvUpsert(spark, path,
+        orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+        Seq("o_orderkey"), "o_orderkey")
+    }
+    val m = manifestEntries(spark, path, versions(spark, path).last)
+    val statsComplete = m.data.forall(m.stats.contains)
+    val lo = BigDecimal(2 * q + 1)
+    val hi = BigDecimal(3 * q)
+    val cand = rangeCandidates(spark, path, "o_orderkey", Some(lo), Some(hi))
+    val pruned = cand.nonEmpty && cand.size * 3 <= m.data.size
+    readRange(spark, path, "o_orderkey", Some(lo), Some(hi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("stats_cover_all_files", lit(statsComplete))
+      .withColumn("scan_pruned", lit(pruned))
+  }
+
+  val rangePruneSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+         true AS stats_cover_all_files,
+         true AS scan_pruned
+       FROM orders
+       WHERE o_orderkey > 2 * (SELECT MAX(o_orderkey) // 4 FROM orders)
+         AND o_orderkey <= 3 * (SELECT MAX(o_orderkey) // 4 FROM orders)
+       ORDER BY o_orderkey"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_range_prune" -> ((s, d) =>
+      rangePrune(s, d).orderBy(col("o_orderkey"))),
+    "lake_manifest_delta" -> ((s, d) =>
+      manifestDelta(s, d).orderBy(col("key_id"))),
     "lake_optimize_binpack" -> ((s, d) =>
       optimizeBinpack(s, d).orderBy(col("key_id"))),
     "lake_point_lookup" -> ((s, d) =>
@@ -2290,6 +2656,8 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_range_prune" -> rangePruneSql,
+    "lake_manifest_delta" -> manifestDeltaSql,
     "lake_optimize_binpack" -> optimizeBinpackSql,
     "lake_point_lookup" -> pointLookupSql,
     "lake_history" -> describeHistorySql,

@@ -126,13 +126,8 @@ class VersionedLakeSpec extends AnyFunSuite {
     // the conflicted writer's adopted files were cleaned up: every
     // parquet on disk is referenced by some manifest
     val referenced = VersionedLake.versions(spark, path)
-      .flatMap { v =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(
-          f"$path/_log/v$v%06d.txt"))
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(l => l.nonEmpty && !l.contains("\t")).toList
-        finally in.close()
-      }.toSet
+      .flatMap(v => VersionedLake.resolvedManifest(spark, path, v)
+        .filter(l => l.nonEmpty && !l.contains("\t"))).toSet
     val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
       .flatMap(dir => fs.listStatus(dir.getPath)
@@ -147,20 +142,11 @@ class VersionedLakeSpec extends AnyFunSuite {
     val path = graft.sources.Scratch.dir("vlake_dv_spec")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    def dataFiles(): Set[String] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(
-        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(l => l.nonEmpty && !l.contains("\t")).toSet
-      finally in.close()
-    }
-    def dvCount(): Int = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(
-        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .count(_.startsWith("dv\t"))
-      finally in.close()
-    }
+    def dataFiles(): Set[String] = VersionedLake.resolvedManifest(spark,
+      path, VersionedLake.versions(spark, path).last)
+      .filter(l => l.nonEmpty && !l.contains("\t")).toSet
+    def dvCount(): Int = VersionedLake.resolvedManifest(spark, path,
+      VersionedLake.versions(spark, path).last).count(_.startsWith("dv\t"))
     VersionedLake.upsert(spark, path,
       (1L to 10L).map(i => (i, s"x$i", i)).toDF("k", "x", "seq"),
       Seq("k"), "seq", numBuckets = 2)
@@ -197,13 +183,8 @@ class VersionedLakeSpec extends AnyFunSuite {
     val path = graft.sources.Scratch.dir("vlake_mor_spec")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    def manifest(): Seq[String] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(
-        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    }
+    def manifest(): Seq[String] = VersionedLake.resolvedManifest(spark,
+      path, VersionedLake.versions(spark, path).last)
     VersionedLake.upsert(spark, path,
       (1L to 4L).map(i => (i, s"v$i", i)).toDF("k", "x", "seq"),
       Seq("k"), "seq", numBuckets = 2)
@@ -327,14 +308,9 @@ class VersionedLakeSpec extends AnyFunSuite {
     assert(state(path, None) == state(path, Some(1)))
     assert(state(path, None).map(_.getString(1)).forall(_ == "v1"))
     // by reference: v3's data lines are v1's verbatim
-    def dataLines(v: Int): Set[String] = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(f"$path/_log/v$v%06d.txt"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    def dataLines(v: Int): Set[String] =
+      VersionedLake.resolvedManifest(spark, path, v)
         .filter(l => l.nonEmpty && !l.contains("\t")).toSet
-      finally in.close()
-    }
     assert(dataLines(3) == dataLines(1), "restore copied or lost files")
     // the rolled-back version stays time-travelable pre-vacuum
     assert(state(path, Some(2)).exists(_.getString(1) == "v2"))
@@ -523,15 +499,8 @@ class VersionedLakeSpec extends AnyFunSuite {
       Seq((1L, "b1", 10L, false), (9L, "b9", 11L, false))
         .toDF("k", "x", "seq", "_deleted"), Seq("k"), "seq")
     VersionedLake.dvDelete(spark, path, Seq(2L).toDF("k"), Seq("k"))
-    def manifest() = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(
-        f"$path/_log/v${VersionedLake.versions(spark, path).last}%06d.txt"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    }
+    def manifest() = VersionedLake.resolvedManifest(spark, path,
+      VersionedLake.versions(spark, path).last)
     val dataBefore = manifest().filterNot(_.contains("\t"))
     assert(dataBefore.groupBy(_.split("/")(0)).exists(_._2.size > 1),
       "fixture failed to fragment")
