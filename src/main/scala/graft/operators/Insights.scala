@@ -307,8 +307,65 @@ object Insights {
        FROM scored
        ORDER BY day"""
 
+  /** Weekday seasonality of daily revenue — an additive decomposition
+    * with the divisions multiplied out so every compared aggregate is
+    * exact: the trend at a day is its trailing-7-OBSERVATION revenue
+    * sum `s7` (decimal, exact), so `7·rev − s7` is the day's deviation
+    * from trend scaled by 7 (no ÷7 anywhere); averaging that per
+    * weekday gives the seasonal index (×7), with the only divisions
+    * performed in DOUBLE on exact decimal sums and exact counts (§3's
+    * one-exact-count-division rule). First six days are dropped (no
+    * full window). O(days) rows after the first aggregate, so the
+    * single-partition window is free; the one fact-scale operation is
+    * the daily groupBy, map-side combinable.
+    */
+  def dailySeasonality(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(18, 4)).as("rev_d"))
+    val byDay = Window.orderBy(col("day"))
+    val trail = byDay.rowsBetween(-6, 0)
+    daily
+      .withColumn("s7", sum(col("rev_d")).over(trail))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") >= 7)
+      .withColumn("dev_x7", col("rev_d") * lit(7) - col("s7"))
+      .groupBy(weekday(col("day")).as("wday"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("dev_x7")).cast("double") /
+          count(lit(1)).cast("double")).as("seasonal_x7"),
+        (sum(col("rev_d")).cast("double") /
+          count(lit(1)).cast("double")).as("weekday_mean_rev"))
+  }
+
+  val dailySeasonalitySql: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev_d
+         FROM orders
+         GROUP BY 1),
+       win AS (
+         SELECT day, rev_d,
+           SUM(rev_d) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+         FROM daily)
+       SELECT CAST(isodow(day) - 1 AS INT) AS wday,
+         COUNT(*) AS n_days,
+         CAST(CAST(SUM(7 * rev_d - s7) AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS seasonal_x7,
+         CAST(CAST(SUM(rev_d) AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS weekday_mean_rev
+       FROM win
+       WHERE rn >= 7
+       GROUP BY 1
+       ORDER BY 1"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "daily_seasonality" -> ((s, d) =>
+      dailySeasonality(Tables.orders(s, d)).orderBy(col("wday"))),
     "cohort_retention" -> ((s, d) =>
       cohortRetention(Tables.events(s, d))
         .orderBy(col("cohort_week"), col("weeks_since"))),
@@ -320,6 +377,7 @@ object Insights {
       dailyAnomalies(Tables.orders(s, d)).orderBy(col("day"))))
 
   def oracles: Map[String, String] = Map(
+    "daily_seasonality" -> dailySeasonalitySql,
     "cohort_retention" -> cohortRetentionSql,
     "customer_rfm" -> customerRfmSql,
     "table_profile" -> tableProfileSql,

@@ -283,13 +283,18 @@ object VersionedLake {
     */
   private def fileMayMatch(m: TableManifest, rel: String, column: String,
       lo: Option[BigDecimal], hi: Option[BigDecimal]): Boolean =
+    fileMayMatchBound(m, rel, column, ColBound(lo, false, hi, false))
+
+  private def fileMayMatchBound(m: TableManifest, rel: String,
+      column: String, b: ColBound): Boolean =
     m.stats.get(rel).flatMap { payload =>
       payload.split('|').collectFirst {
         case t if t.startsWith(column + ":") =>
           val a = t.split(':')
           scala.util.Try {
             val fLo = BigDecimal(a(1)); val fHi = BigDecimal(a(2))
-            lo.forall(_ <= fHi) && hi.forall(_ >= fLo)
+            b.lo.forall(v => if (b.loStrict) v < fHi else v <= fHi) &&
+              b.hi.forall(v => if (b.hiStrict) v > fLo else v >= fLo)
           }.getOrElse(true)
       }
     }.getOrElse(true)
@@ -305,6 +310,165 @@ object VersionedLake {
     require(vs.nonEmpty, s"no committed versions at $path")
     val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
     m.data.filter(rel => fileMayMatch(m, rel, column, lo, hi))
+  }
+
+  /** Per-column [lo, hi] bounds IMPLIED by a Catalyst predicate tree —
+    * the Delta data-skipping extraction. Conjuncts intersect their
+    * bounds; a disjunction bounds a column only when BOTH branches
+    * bound it (union); any node we don't understand contributes no
+    * bounds. The result is a NECESSARY condition on matching rows, so
+    * pruning with it is always conservative — the full predicate is
+    * still applied row-level after the file cut.
+    */
+  /** One column's extracted range: optional bounds plus strictness
+    * flags (`k > 5` excludes a file whose maximum IS 5; `k >= 5` keeps
+    * it).
+    */
+  private final case class ColBound(lo: Option[BigDecimal],
+      loStrict: Boolean, hi: Option[BigDecimal], hiStrict: Boolean)
+
+  private def predicateBounds(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): Map[String, ColBound] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    type B = Map[String, ColBound]
+    def num(l: Literal): Option[BigDecimal] = l.value match {
+      case null => None
+      case i: Int => Some(BigDecimal(i))
+      case i: Long => Some(BigDecimal(i))
+      case i: Short => Some(BigDecimal(i.toInt))
+      case i: Byte => Some(BigDecimal(i.toInt))
+      case d: Double if !d.isNaN && !d.isInfinite => Some(BigDecimal(d))
+      case f: Float if !f.isNaN && !f.isInfinite =>
+        Some(BigDecimal(f.toDouble))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      case _ => None
+    }
+    def col(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lower(c: Option[String], v: Option[BigDecimal], strict: Boolean): B =
+      (for (cc <- c; vv <- v)
+        yield Map(cc -> ColBound(Some(vv), strict, None, false)))
+        .getOrElse(Map.empty)
+    def upper(c: Option[String], v: Option[BigDecimal], strict: Boolean): B =
+      (for (cc <- c; vv <- v)
+        yield Map(cc -> ColBound(None, false, Some(vv), strict)))
+        .getOrElse(Map.empty)
+    def point(c: Option[String], lo: Option[BigDecimal],
+        hi: Option[BigDecimal]): B =
+      (for (cc <- c; l <- lo; h <- hi)
+        yield Map(cc -> ColBound(Some(l), false, Some(h), false)))
+        .getOrElse(Map.empty)
+    // tighter lower bound wins; at a tie, strict is tighter
+    def maxLo(a: ColBound, b: ColBound): (Option[BigDecimal], Boolean) =
+      (a.lo, b.lo) match {
+        case (Some(x), Some(y)) =>
+          if (x > y) (Some(x), a.loStrict)
+          else if (y > x) (Some(y), b.loStrict)
+          else (Some(x), a.loStrict || b.loStrict)
+        case (Some(x), None) => (Some(x), a.loStrict)
+        case (None, Some(y)) => (Some(y), b.loStrict)
+        case _ => (None, false)
+      }
+    def minHi(a: ColBound, b: ColBound): (Option[BigDecimal], Boolean) =
+      (a.hi, b.hi) match {
+        case (Some(x), Some(y)) =>
+          if (x < y) (Some(x), a.hiStrict)
+          else if (y < x) (Some(y), b.hiStrict)
+          else (Some(x), a.hiStrict || b.hiStrict)
+        case (Some(x), None) => (Some(x), a.hiStrict)
+        case (None, Some(y)) => (Some(y), b.hiStrict)
+        case _ => (None, false)
+      }
+    def intersect(a: B, b: B): B =
+      (a.keySet ++ b.keySet).map { k =>
+        val ab = a.getOrElse(k, ColBound(None, false, None, false))
+        val bb = b.getOrElse(k, ColBound(None, false, None, false))
+        val (lo, los) = maxLo(ab, bb)
+        val (hi, his) = minHi(ab, bb)
+        k -> ColBound(lo, los, hi, his)
+      }.toMap
+    // a disjunction widens: looser bound wins; at a tie, non-strict
+    def union(a: B, b: B): B =
+      a.keySet.intersect(b.keySet).flatMap { k =>
+        val ab = a(k); val bb = b(k)
+        val lo = for (x <- ab.lo; y <- bb.lo) yield
+          if (x < y) (x, ab.loStrict) else if (y < x) (y, bb.loStrict)
+          else (x, ab.loStrict && bb.loStrict)
+        val hi = for (x <- ab.hi; y <- bb.hi) yield
+          if (x > y) (x, ab.hiStrict) else if (y > x) (y, bb.hiStrict)
+          else (x, ab.hiStrict && bb.hiStrict)
+        if (lo.isEmpty && hi.isEmpty) None
+        else Some(k -> ColBound(lo.map(_._1),
+          lo.exists(_._2), hi.map(_._1), hi.exists(_._2)))
+      }.toMap
+    e match {
+      case And(l, r) => intersect(predicateBounds(l), predicateBounds(r))
+      case Or(l, r) => union(predicateBounds(l), predicateBounds(r))
+      case EqualTo(a, l: Literal) => point(col(a), num(l), num(l))
+      case EqualTo(l: Literal, a) => point(col(a), num(l), num(l))
+      case GreaterThan(a, l: Literal) => lower(col(a), num(l), strict = true)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        lower(col(a), num(l), strict = false)
+      case LessThan(a, l: Literal) => upper(col(a), num(l), strict = true)
+      case LessThanOrEqual(a, l: Literal) =>
+        upper(col(a), num(l), strict = false)
+      case GreaterThan(l: Literal, a) => upper(col(a), num(l), strict = true)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        upper(col(a), num(l), strict = false)
+      case LessThan(l: Literal, a) => lower(col(a), num(l), strict = true)
+      case LessThanOrEqual(l: Literal, a) =>
+        lower(col(a), num(l), strict = false)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val nums = vs.map(v => num(v.asInstanceOf[Literal]))
+        if (nums.exists(_.isEmpty)) Map.empty
+        else point(col(a), Some(nums.flatten.min), Some(nums.flatten.max))
+      case _ => Map.empty
+    }
+  }
+
+  /** The data files a SQL predicate can touch at `asOfVersion`:
+    * extract per-column range bounds from the predicate's expression
+    * tree and cut files whose recorded stats are disjoint with any of
+    * them. Public so callers and the gate can assert the prune.
+    */
+  def predicateCandidates(spark: SparkSession, path: String,
+      predicateSql: String, asOfVersion: Option[Int] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
+    val bounds = predicateBounds(
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
+    m.data.filter { rel =>
+      bounds.forall { case (c, b) => fileMayMatchBound(m, rel, c, b) }
+    }
+  }
+
+  /** Snapshot read under an arbitrary SQL predicate with automatic
+    * DATA SKIPPING: Catalyst-extracted column bounds cut the file
+    * list, then the FULL predicate runs row-level over the survivors —
+    * the user writes one WHERE clause and the manifest stats do the
+    * rest, exactly Delta's read path. DVs and tombstones honored as in
+    * [[read]].
+    */
+  def readWhere(spark: SparkSession, path: String, predicateSql: String,
+      asOfVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOfVersion.getOrElse(vs.last)
+    val m = manifestEntries(spark, path, v)
+    val candidates = predicateCandidates(spark, path, predicateSql, Some(v))
+    if (candidates.isEmpty)
+      return read(spark, path, Some(v)).filter(lit(false))
+    val df0 = loadWithDv(spark, path, candidates, m.dv)
+      .filter(expr(predicateSql))
+      .drop("gbucket")
+    if (df0.columns.contains("_deleted"))
+      df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else df0
   }
 
   /** Snapshot read with DATA SKIPPING: scan only the files whose
@@ -2619,7 +2783,44 @@ object VersionedLake {
          AND o_orderkey <= 3 * (SELECT MAX(o_orderkey) // 4 FROM orders)
        ORDER BY o_orderkey"""
 
+  /** PREDICATE-EXTRACTED DATA SKIPPING as a gate row: two
+    * arrival-correlated key slices (COW + MOR append), then one read
+    * under a compound SQL WHERE clause. The engine must derive the
+    * o_orderkey bound from the Catalyst expression tree itself —
+    * nobody hands it a range — cut the candidate files to the second
+    * slice (asserted ≥2×), and the surviving rows must hash-match the
+    * oracle running the same WHERE clause verbatim.
+    */
+  def predicateSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_pred")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val half = maxKey / 2
+    upsert(spark, path, orders.filter(col("o_orderkey") <= half),
+      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
+    val sliceOne = manifestEntries(spark, path, 1).data.toSet
+    dvUpsert(spark, path, orders.filter(col("o_orderkey") > half),
+      Seq("o_orderkey"), "o_orderkey")
+    val pred = s"o_orderkey > $half AND o_totalprice >= 1000.0"
+    val cand = predicateCandidates(spark, path, pred)
+    // the extracted bound must cut EVERY first-slice file from the scan
+    val pruned = cand.nonEmpty && cand.forall(!sliceOne.contains(_))
+    readWhere(spark, path, pred)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("scan_pruned", lit(pruned))
+  }
+
+  val predicateSkipSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, true AS scan_pruned
+       FROM orders
+       WHERE o_orderkey > (SELECT MAX(o_orderkey) // 2 FROM orders)
+         AND o_totalprice >= 1000.0
+       ORDER BY o_orderkey"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_predicate_skip" -> ((s, d) =>
+      predicateSkip(s, d).orderBy(col("o_orderkey"))),
     "lake_range_prune" -> ((s, d) =>
       rangePrune(s, d).orderBy(col("o_orderkey"))),
     "lake_manifest_delta" -> ((s, d) =>
@@ -2656,6 +2857,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_predicate_skip" -> predicateSkipSql,
     "lake_range_prune" -> rangePruneSql,
     "lake_manifest_delta" -> manifestDeltaSql,
     "lake_optimize_binpack" -> optimizeBinpackSql,

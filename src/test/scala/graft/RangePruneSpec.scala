@@ -68,4 +68,38 @@ class RangePruneSpec extends AnyFunSuite {
       .select("k").as[Long].collect().sorted.toSeq
     assert(postOpt == afterDel, "range read changed across optimize")
   }
+
+  test("predicate extraction prunes from AND/OR/IN trees, conservatively") {
+    val path = graft.sources.Scratch.dir("pred_spec")
+    VersionedLake.upsert(spark, path,
+      (1L to 10L).map(i => (i, i * 10.0, i)).toDF("k", "v", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.dvUpsert(spark, path,
+      (101L to 110L).map(i => (i, i * 10.0, i)).toDF("k", "v", "seq"),
+      Seq("k"), "seq")
+    val total = VersionedLake.resolvedManifest(spark, path,
+      VersionedLake.versions(spark, path).last)
+      .count(l => l.nonEmpty && !l.contains("\t"))
+    def cand(pred: String): Int =
+      VersionedLake.predicateCandidates(spark, path, pred).size
+    // a conjunct bound on k prunes the first slice
+    assert(cand("k >= 100 AND v > 0.0") < total)
+    // OR of two k-ranges unions the bounds: still prunes nothing here
+    // (both slices covered) but stays correct
+    assert(cand("k <= 5 OR k >= 105") == total)
+    // OR where only one side bounds k cannot prune
+    assert(cand("k >= 100 OR v < 0.0") == total)
+    // IN-list bounds collapse to [min, max]
+    assert(cand("k IN (103, 107)") < total)
+    // row results equal a plain filter on a full read
+    val viaSkip = VersionedLake.readWhere(spark, path,
+      "k >= 100 AND v > 1040.0").select("k").as[Long].collect().sorted.toSeq
+    assert(viaSkip == (105L to 110L), s"wrong rows: $viaSkip")
+    // an equality bound on the double column prunes to slice 1 and
+    // still row-filters exactly
+    assert(cand("v = 30.0") < total)
+    val eq = VersionedLake.readWhere(spark, path, "v = 30.0")
+      .select("k").as[Long].collect().toSeq
+    assert(eq == Seq(3L))
+  }
 }
