@@ -51,6 +51,71 @@ object Pq {
     import spark.implicits._
     val base = Ivf.toVec(emb).as[(Long, Array[Double])]
     graft.Caching.withCached(base) {
+      val scored = pqScored(spark, base)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine_pq").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"),
+          col("cosine_pq"))
+    }
+  }
+
+  val RerankC = 20 // PQ candidates per probe fed to the exact stage
+
+  /** TWO-STAGE serving: the PQ stage nominates [[RerankC]] candidates
+    * per probe by approximate (ADC) cosine — cheap, 4 bytes/vector —
+    * and the exact stage recomputes TRUE cosine for only those
+    * probe×candidate pairs and re-ranks to top-[[K]]. This is the
+    * standard production ANN shape (quantized recall stage + exact
+    * precision stage): the full-precision vectors are touched for
+    * C·|probes| rows instead of |corpus|·|probes|, and the final
+    * ordering is free of quantization error within the candidate set.
+    * The exact stage reuses [[Similarity]]'s fold-exact dot, so the
+    * emitted cosines are bit-identical to the brute-force oracle's.
+    */
+  def ivfPqRerank(emb: DataFrame, c: Int = RerankC): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = Ivf.toVec(emb).as[(Long, Array[Double])]
+    graft.Caching.withCached(base) {
+      val scored = pqScored(spark, base)
+      val wPq = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine_pq").desc, col("neighbor_id"))
+      val cands = scored.withColumn("rn", row_number().over(wPq))
+        .filter(col("rn") <= c)
+        .select(col("probe_id"), col("neighbor_id"))
+      val vecs = base.toDF("vec_id", "v")
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      val exact = cands
+        .join(vecs.select(col("vec_id").as("neighbor_id"),
+          col("v").as("nv"), col("nrm").as("nnrm")), Seq("neighbor_id"))
+        .join(broadcast(vecs
+          .join(cands.select("probe_id").distinct(),
+            col("vec_id") === col("probe_id"), "left_semi")
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("nrm").as("pnrm"))), Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          Similarity.cosinePre(Similarity.dot(col("pv"), col("nv")),
+            col("pnrm"), col("nnrm")).as("cosine"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"),
+          col("cosine"))
+    }
+  }
+
+  /** The PQ/ADC-scored candidate relation (probe_id, neighbor_id,
+    * cosine_pq) — trains the coarse quantizer and the M codebooks,
+    * encodes the corpus, and scores every probed list.
+    */
+  private def pqScored(spark: SparkSession,
+      base: org.apache.spark.sql.Dataset[(Long, Array[Double])])
+      : DataFrame = {
+    import spark.implicits._
+    {
       val dim = base.head()._2.length
       require(M == 4, s"row shape is specialized to M=4 (see pin note), got $M")
       require(dim % M == 0, s"dim $dim not divisible by $M subspaces")
@@ -101,16 +166,10 @@ object Pq {
           element_at(col("lut1"), col("c1") + 1) +
           element_at(col("lut2"), col("c2") + 1) +
           element_at(col("lut3"), col("c3") + 1)
-      val scored = encoded.join(broadcast(probeRows), Seq("cluster"))
+      encoded.join(broadcast(probeRows), Seq("cluster"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           (approxDot / (col("pnrm") * col("approx_nrm"))).as("cosine_pq"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine_pq").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= K)
-        .select(col("probe_id"), col("rank"), col("neighbor_id"),
-          col("cosine_pq"))
     }
   }
 
@@ -121,7 +180,11 @@ object Pq {
     * the assigned codebook entry, fixed m-order sums, reconstruction
     * norm √Σ|c_m|²).
     */
-  val ivfPqTopKSql: String = {
+  /** Shared oracle prefix: everything through the ADC-scored candidate
+    * relation `scored` (training, encoding, probe lists, LUT-free
+    * scoring).
+    */
+  private lazy val pqScoredCtesSql: String = {
     def subSlice(m: Int) =
       s"list_slice(v, ${m} * (len(v) // $M) + 1, ${m + 1} * (len(v) // $M))"
     val subVecs = (0 until M).map { m =>
@@ -175,7 +238,11 @@ object Pq {
          JOIN assignf a USING (cluster)
          $codeJoins
          JOIN pn ON pn.vec_id = pl.probe_id
-         WHERE a.vec_id != pl.probe_id)
+         WHERE a.vec_id != pl.probe_id)"""
+  }
+
+  val ivfPqTopKSql: String =
+    s"""$pqScoredCtesSql
        SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cosine_pq FROM (
          SELECT probe_id, neighbor_id, cosine_pq,
            row_number() OVER (PARTITION BY probe_id
@@ -183,12 +250,46 @@ object Pq {
          FROM scored)
        WHERE rank <= $K
        ORDER BY probe_id, rank"""
-  }
+
+  /** Oracle for the two-stage path: the SAME scored CTE chain, the PQ
+    * top-[[RerankC]] as the candidate set, then exact cosine from the
+    * full vectors and a fresh rank — mirrors the engine's exact stage
+    * term for term.
+    */
+  val ivfPqRerankSql: String =
+    s"""$pqScoredCtesSql,
+       cands AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine_pq DESC, neighbor_id) AS rn
+           FROM scored)
+         WHERE rn <= $RerankC),
+       rer AS (
+         SELECT c.probe_id, c.neighbor_id,
+           list_dot_product(pv.v, nv.v)
+             / (sqrt(list_dot_product(pv.v, pv.v))
+               * sqrt(list_dot_product(nv.v, nv.v))) AS cosine
+         FROM cands c
+         JOIN vec pv ON pv.vec_id = c.probe_id
+         JOIN vec nv ON nv.vec_id = c.neighbor_id)
+       SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+         SELECT probe_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM rer)
+       WHERE rank <= $K
+       ORDER BY probe_id, rank"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> ((s, d) =>
       ivfPqTopK(graft.Tables.embeddings(s, d))
+        .orderBy(col("probe_id"), col("rank"))),
+    "ann_ivfpq_rerank" -> ((s, d) =>
+      ivfPqRerank(graft.Tables.embeddings(s, d))
         .orderBy(col("probe_id"), col("rank"))))
 
-  def oracles: Map[String, String] = Map("ann_ivfpq_topk" -> ivfPqTopKSql)
+  def oracles: Map[String, String] = Map(
+    "ann_ivfpq_topk" -> ivfPqTopKSql,
+    "ann_ivfpq_rerank" -> ivfPqRerankSql)
 }

@@ -231,13 +231,90 @@ object Quality {
        ORDER BY o_orderkey"""
   }
 
+  /** Referential-integrity audit over the star schema's seven FK
+    * edges: per edge, total child rows, NULL foreign keys, orphan rows
+    * (non-null FK with no parent) and distinct orphan keys — the
+    * cross-TABLE quality dimension [[metrics]]' row-local rules can't
+    * express. One left join + one aggregate per edge (dimension parents
+    * broadcast; the lineitem→orders edge shuffles on the fact's
+    * natural key — at 100 TB that is the one unavoidable fact-scale
+    * join, partial-agg combinable), seven tiny rows unioned.
+    */
+  def referentialAudit(spark: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String, small: Boolean): DataFrame = {
+      val p0 = parent.select(col(pk).as("k")).distinct()
+        .withColumn("_p", lit(1))
+      val p = if (small) broadcast(p0) else p0
+      child.select(col(fk).as("k"))
+        .join(p, Seq("k"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("k").isNull, 1).otherwise(0))
+            .cast("bigint").as("null_fk_rows"),
+          sum(when(col("k").isNotNull && col("_p").isNull, 1).otherwise(0))
+            .cast("bigint").as("orphan_rows"),
+          countDistinct(when(col("k").isNotNull && col("_p").isNull,
+            col("k"))).as("orphan_keys"))
+        .withColumn("edge", lit(name))
+        .select(col("edge"), col("child_rows"), col("null_fk_rows"),
+          col("orphan_rows"), col("orphan_keys"))
+    }
+    val li = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val s2 = Tables.supplier(spark, d)
+    val p = Tables.part(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    Seq(
+      edge("customer_nation", c, "c_nationkey", n, "n_nationkey", true),
+      edge("lineitem_orders", li, "l_orderkey", o, "o_orderkey", false),
+      edge("lineitem_part", li, "l_partkey", p, "p_partkey", true),
+      edge("lineitem_supplier", li, "l_suppkey", s2, "s_suppkey", true),
+      edge("nation_region", n, "n_regionkey", r, "r_regionkey", true),
+      edge("orders_customer", o, "o_custkey", c, "c_custkey", true),
+      edge("supplier_nation", s2, "s_nationkey", n, "n_nationkey", true))
+      .reduce(_.unionByName(_))
+  }
+
+  val referentialAuditSql: String = {
+    def edge(name: String, child: String, fk: String, parent: String,
+        pk: String) =
+      s"""SELECT '$name' AS edge,
+         COUNT(*) AS child_rows,
+         COUNT(*) FILTER ($fk IS NULL) AS null_fk_rows,
+         COUNT(*) FILTER ($fk IS NOT NULL AND p.k IS NULL) AS orphan_rows,
+         COUNT(DISTINCT CASE WHEN $fk IS NOT NULL AND p.k IS NULL
+           THEN $fk END) AS orphan_keys
+         FROM $child LEFT JOIN
+           (SELECT DISTINCT $pk AS k FROM $parent) p ON $fk = p.k"""
+    Seq(
+      edge("customer_nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("lineitem_orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem_supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("nation_region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      edge("orders_customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("supplier_nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .mkString("", "\n       UNION ALL\n       ", "\n       ORDER BY edge")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_metrics" -> ((s, d) =>
       dqMetrics(s, d).orderBy(col("table_name"), col("rule_name"))),
     "dq_quarantine" -> ((s, d) =>
-      dqQuarantine(s, d).orderBy(col("o_orderkey"))))
+      dqQuarantine(s, d).orderBy(col("o_orderkey"))),
+    "dq_referential" -> ((s, d) =>
+      referentialAudit(s, d).orderBy(col("edge"))))
 
   def oracles: Map[String, String] = Map(
     "dq_metrics" -> dqMetricsSql,
-    "dq_quarantine" -> dqQuarantineSql)
+    "dq_quarantine" -> dqQuarantineSql,
+    "dq_referential" -> referentialAuditSql)
 }
