@@ -234,44 +234,91 @@ object VersionedLake {
   /** Per-file min/max statistics for every NUMERIC column of freshly
     * adopted data files — the Delta/Iceberg data-skipping substrate,
     * carried as `stats\t<file>\t<col>:<lo>:<hi>|...` manifest lines.
-    * One vectorized pass over the adopted files only (change-scale: a
-    * trickle commit stats its own appends, never the table). Values are
-    * stored as exact string renderings of the native type and compared
-    * as BigDecimal at prune time, so pruning never narrows a bound by
-    * float rounding; non-finite renderings (NaN/Infinity) simply fail
-    * to parse and the file is conservatively kept. DV'd rows may widen
-    * a file's stored range beyond its live rows — also conservative.
+    * Read from the PARQUET FOOTERS on the driver (row-group column
+    * statistics merged per file): zero Spark jobs, milliseconds per
+    * adopted file, change-scale by construction — a trickle commit
+    * stats its own appends, never the table. Floats are recorded as
+    * their EXACT binary expansion, so a recorded bound can never
+    * narrow the true range; a column whose row groups lack stats (or
+    * carry NaN/∞) is dropped for that file and the file is
+    * conservatively kept at prune time. DV'd rows may widen a file's
+    * stored range beyond its live rows — also conservative.
     */
   private def computeStats(spark: SparkSession, path: String,
       adopted: Seq[String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val dataFiles = adopted.filter(_.startsWith("gbucket="))
-    if (dataFiles.isEmpty) return Map.empty
-    val df = spark.read.parquet(dataFiles.map(r => s"$path/$r"): _*)
-    import org.apache.spark.sql.types._
-    val numeric = df.schema.fields.filter { f =>
-      f.name != "gbucket" && (f.dataType match {
-        case IntegerType | LongType | ShortType | ByteType | FloatType |
-             DoubleType => true
-        case _: DecimalType => true
-        case _ => false
-      })
-    }.map(_.name).toSeq
-    if (numeric.isEmpty) return Map.empty
-    val aggs = numeric.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"lo_$c"),
-      max(col(c)).cast("string").as(s"hi_$c")))
-    spark.read.parquet(dataFiles.map(r => s"$path/$r"): _*)
-      .withColumn("_srel", relCol)
-      .groupBy(col("_srel")).agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per adopted file — change-scale
-      .map { r =>
-        val payload = numeric.flatMap { c =>
-          val lo = r.getAs[String](s"lo_$c")
-          val hi = r.getAs[String](s"hi_$c")
-          if (lo == null || hi == null) None else Some(s"$c:$lo:$hi")
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles.flatMap { rel =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(s"$path/$rel"), conf))
+      try {
+        // per-column accumulated (min, max); a column survives only if
+        // EVERY row group carries stats for it (a gap would make the
+        // recorded range a lie about uncovered rows)
+        val acc = scala.collection.mutable.LinkedHashMap[String,
+          Option[(BigDecimal, BigDecimal)]]()
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { c =>
+            if (c.getPath.size == 1) {
+              val name = c.getPath.toDotString
+              val st = c.getStatistics
+              // exact BINARY expansion for floats (BigDecimal(double)),
+              // so a recorded bound never narrows the true range the
+              // way a shortest-string rendering could
+              val mm: Option[(BigDecimal, BigDecimal)] =
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else c.getPrimitiveType.getPrimitiveTypeName match {
+                  case INT32 => Some((
+                    BigDecimal(st.genericGetMin.asInstanceOf[Integer].toInt),
+                    BigDecimal(st.genericGetMax.asInstanceOf[Integer].toInt)))
+                  case INT64 => Some((
+                    BigDecimal(st.genericGetMin.asInstanceOf[java.lang.Long]
+                      .toLong),
+                    BigDecimal(st.genericGetMax.asInstanceOf[java.lang.Long]
+                      .toLong)))
+                  case DOUBLE =>
+                    val lo = st.genericGetMin
+                      .asInstanceOf[java.lang.Double].toDouble
+                    val hi = st.genericGetMax
+                      .asInstanceOf[java.lang.Double].toDouble
+                    if (lo.isNaN || hi.isNaN || lo.isInfinite ||
+                      hi.isInfinite) None
+                    else Some((BigDecimal(new java.math.BigDecimal(lo)),
+                      BigDecimal(new java.math.BigDecimal(hi))))
+                  case FLOAT =>
+                    val lo = st.genericGetMin
+                      .asInstanceOf[java.lang.Float].toFloat
+                    val hi = st.genericGetMax
+                      .asInstanceOf[java.lang.Float].toFloat
+                    if (lo.isNaN || hi.isNaN || lo.isInfinite ||
+                      hi.isInfinite) None
+                    else Some((
+                      BigDecimal(new java.math.BigDecimal(lo.toDouble)),
+                      BigDecimal(new java.math.BigDecimal(hi.toDouble))))
+                  case _ => None
+                }
+              val merged: Option[(BigDecimal, BigDecimal)] =
+                if (!acc.contains(name)) mm
+                else for ((alo, ahi) <- acc(name); (blo, bhi) <- mm)
+                  yield (alo min blo, ahi max bhi)
+              acc(name) = merged
+            }
+          }
+        }
+        val payload = acc.flatMap {
+          case (name, Some((lo, hi))) =>
+            // ':' and '|' are the payload separators; plain decimal
+            // renderings of numeric bounds never contain either
+            Some(s"$name:${lo.underlying.toPlainString}:" +
+              hi.underlying.toPlainString)
+          case _ => None
         }.mkString("|")
-        r.getAs[String]("_srel") -> payload
-      }.filter(_._2.nonEmpty).toMap
+        if (payload.isEmpty) None else Some(rel -> payload)
+      } finally reader.close()
+    }.toMap
   }
 
   private def statsAsLines(stats: Map[String, String]): Seq[String] =
