@@ -39,6 +39,7 @@ object SparkEntry {
       graft.operators.DocsGraph.queries ++
       graft.operators.GapFill.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
+      graft.operators.Sq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
       graft.operators.AqeSkew.queries ++
@@ -96,6 +97,7 @@ object SparkEntry {
       graft.operators.DocsGraph.oracles ++
       graft.operators.GapFill.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
+      graft.operators.Sq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
       graft.operators.AqeSkew.oracles ++

@@ -362,8 +362,96 @@ object Insights {
        GROUP BY 1
        ORDER BY 1"""
 
+  /** Closed-form OLS trend over the monthly revenue series — forecast
+    * as pure sum-arithmetic: every sufficient statistic (n, Σx, Σx²,
+    * Σy, Σxy, Σy²) is an EXACT integer or decimal aggregate (x is the
+    * month ordinal, so Σx/Σx² are BIGINTs; y·x and y² are
+    * width-checked decimal products), and slope/intercept/forecast/r
+    * are computed from those exact sums in DOUBLE using only IEEE
+    * exact-parity ops (+ − × ÷ sqrt) — the same discipline as
+    * daily_anomalies. No iterative fitting, no transcendentals; the
+    * one fact-scale pass is the monthly groupBy.
+    */
+  def revenueTrendOls(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(18, 4)).as("y"))
+    val t = monthly.withColumn("x",
+      (row_number().over(Window.orderBy(col("m"))) - 1).cast("long"))
+    val s = t.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).cast(DecimalType(28, 4)).as("sy"),
+      sum(col("y") * col("x").cast(DecimalType(8, 0)))
+        .cast(DecimalType(38, 4)).as("sxy"),
+      sum((col("y").cast(DecimalType(19, 4)) *
+        col("y").cast(DecimalType(19, 4))).cast(DecimalType(38, 8)))
+        .cast(DecimalType(38, 8)).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val syyD = col("syy").cast("double")
+    val den = nD * sxxD - sxD * sxD
+    val num = nD * sxyD - sxD * syD
+    val slope = when(den > 0, num / den).otherwise(lit(0.0))
+    val rDen = sqrt(den * (nD * syyD - syD * syD))
+    s.withColumn("slope", slope)
+      .withColumn("intercept", (syD - col("slope") * sxD) / nD)
+      .withColumn("forecast_next_month",
+        col("intercept") + col("slope") * nD)
+      .withColumn("corr_r",
+        when(rDen > 0, num / rDen).otherwise(lit(0.0)))
+      .select(col("n").as("n_months"), col("slope"), col("intercept"),
+        col("forecast_next_month"), col("corr_r"))
+  }
+
+  val revenueTrendOlsSql: String =
+    """WITH monthly AS (
+         SELECT date_trunc('month', o_orderdate) AS m,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+         FROM orders
+         GROUP BY 1),
+       ix AS (
+         SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS BIGINT) AS x
+         FROM monthly),
+       s AS (
+         SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+           CAST(SUM(y) AS DECIMAL(28,4)) AS sy,
+           CAST(SUM(y * CAST(x AS DECIMAL(8,0))) AS DECIMAL(38,4)) AS sxy,
+           CAST(SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4)))
+             AS DECIMAL(38,8)) AS syy
+         FROM ix),
+       d AS (
+         SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           CAST(sxx AS DOUBLE) AS sxxd,
+           CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+           CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+           CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+         FROM s),
+       fit AS (
+         SELECT n, nd, sxd, syd,
+           CASE WHEN nd * sxxd - sxd * sxd > 0
+             THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+             ELSE 0.0 END AS slope,
+           nd * sxyd - sxd * syd AS num,
+           (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd) AS rden2
+         FROM d)
+       SELECT n AS n_months, slope,
+         (syd - slope * sxd) / nd AS intercept,
+         (syd - slope * sxd) / nd + slope * nd AS forecast_next_month,
+         CASE WHEN sqrt(rden2) > 0 THEN num / sqrt(rden2)
+           ELSE 0.0 END AS corr_r
+       FROM fit
+       ORDER BY n_months"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_trend_ols" -> ((s, d) =>
+      revenueTrendOls(Tables.orders(s, d)).orderBy(col("n_months"))),
     "daily_seasonality" -> ((s, d) =>
       dailySeasonality(Tables.orders(s, d)).orderBy(col("wday"))),
     "cohort_retention" -> ((s, d) =>
@@ -377,6 +465,7 @@ object Insights {
       dailyAnomalies(Tables.orders(s, d)).orderBy(col("day"))))
 
   def oracles: Map[String, String] = Map(
+    "revenue_trend_ols" -> revenueTrendOlsSql,
     "daily_seasonality" -> dailySeasonalitySql,
     "cohort_retention" -> cohortRetentionSql,
     "customer_rfm" -> customerRfmSql,

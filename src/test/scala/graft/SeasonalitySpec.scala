@@ -24,4 +24,18 @@ class SeasonalitySpec extends AnyFunSuite {
     val idx = df.map(_.getAs[Double]("seasonal_x7"))
     assert(idx.exists(_ > 0) && idx.exists(_ < 0), idx.mkString(","))
   }
+
+  test("OLS fit is a valid regression: r in [-1,1], forecast on the line") {
+    val r = Insights.revenueTrendOls(Tables.orders(spark, sf)).head()
+    val n = r.getAs[Long]("n_months")
+    val slope = r.getAs[Double]("slope")
+    val intercept = r.getAs[Double]("intercept")
+    val forecast = r.getAs[Double]("forecast_next_month")
+    val corr = r.getAs[Double]("corr_r")
+    assert(n > 12, s"too few months: $n")
+    assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $corr")
+    // the forecast is exactly the fitted line evaluated at x = n
+    assert(forecast == intercept + slope * n.toDouble)
+    assert(!slope.isNaN && !intercept.isNaN)
+  }
 }
