@@ -356,7 +356,86 @@ object VersionedLake {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
-    m.data.filter(rel => fileMayMatch(m, rel, column, lo, hi))
+    val columnP = toPhysicalName(m, column)
+    m.data.filter(rel => fileMayMatch(m, rel, columnP, lo, hi))
+  }
+
+  // ---- column mapping (rename without rewrite) -----------------------------
+
+  /** logical → physical column map from `prop rename.<logical> <physical>`
+    * lines. Data files always store PHYSICAL names (fixed at first
+    * write, like Delta column-mapping ids); a rename is a
+    * metadata-only commit that re-points the logical name. Columns
+    * with no entry are identical under both names.
+    */
+  private def renameMap(m: TableManifest): Map[String, String] =
+    m.props.collect {
+      case (k, v) if k.startsWith("rename.") =>
+        k.stripPrefix("rename.") -> v
+    }
+
+  private def toPhysicalName(m: TableManifest, logical: String): String =
+    renameMap(m).getOrElse(logical, logical)
+
+  /** Rename update-batch columns (callers speak logical) to the
+    * physical names the files store.
+    */
+  private def toPhysicalDf(df: DataFrame, m: TableManifest): DataFrame =
+    renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
+      if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
+      else d
+    }
+
+  /** Rename a scanned DataFrame's physical columns back to their
+    * logical names for the caller.
+    */
+  private def toLogicalDf(df: DataFrame, m: TableManifest): DataFrame =
+    renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
+      if (d.columns.contains(physical)) d.withColumnRenamed(physical, logical)
+      else d
+    }
+
+  /** RENAME COLUMN — Delta column-mapping semantics: a metadata-only
+    * commit re-points the logical name at the unchanged physical
+    * column; zero data files move, history and time travel intact,
+    * every read/write surface speaks the new name immediately. The
+    * physical name is pinned by the FIRST mapping (renaming a→b→c
+    * keeps physical `a`), so chained renames never touch data either.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String, maxAttempts: Int = 10): CommitResult = {
+    require(from.matches("[A-Za-z0-9_]+") && to.matches("[A-Za-z0-9_]+"),
+      s"bad column name in rename $from -> $to")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      val map = renameMap(m)
+      require(to != from, s"rename to self: $from")
+      require(!map.contains(to),
+        s"logical column $to already exists at $path")
+      // CHECK constraints are written against logical names and are
+      // not rewritten here — renaming a constrained column would break
+      // enforcement silently, so refuse (drop the constraint first)
+      m.props.foreach { case (k, v) =>
+        require(!k.startsWith("constraint.") ||
+          !s" $v ".matches(s".*\\b$from\\b.*"),
+          s"constraint ${k.stripPrefix("constraint.")} references " +
+            s"$from — drop it before renaming")
+      }
+      val physical = map.getOrElse(from, from)
+      val newProps = (m.props - s"rename.$from") +
+        (s"rename.$to" -> physical)
+      val lines = TableManifest(m.data, m.dv, m.txn, newProps,
+        m.stats).lines :+ "meta\top\tRENAME_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up renaming $from at $path after $maxAttempts CAS attempts")
   }
 
   /** Per-column [lo, hi] bounds IMPLIED by a Catalyst predicate tree —
@@ -489,8 +568,11 @@ object VersionedLake {
     val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
     val bounds = predicateBounds(
       spark.sessionState.sqlParser.parseExpression(predicateSql))
+    // predicates speak logical names; stats lines carry physical
     m.data.filter { rel =>
-      bounds.forall { case (c, b) => fileMayMatchBound(m, rel, c, b) }
+      bounds.forall { case (c, b) =>
+        fileMayMatchBound(m, rel, toPhysicalName(m, c), b)
+      }
     }
   }
 
@@ -510,9 +592,11 @@ object VersionedLake {
     val candidates = predicateCandidates(spark, path, predicateSql, Some(v))
     if (candidates.isEmpty)
       return read(spark, path, Some(v)).filter(lit(false))
-    val df0 = loadWithDv(spark, path, candidates, m.dv)
+    // rename to logical BEFORE the row filter: the predicate speaks
+    // logical names
+    val df0 = toLogicalDf(
+      loadWithDv(spark, path, candidates, m.dv).drop("gbucket"), m)
       .filter(expr(predicateSql))
-      .drop("gbucket")
     if (df0.columns.contains("_deleted"))
       df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
     else df0
@@ -534,17 +618,21 @@ object VersionedLake {
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = asOfVersion.getOrElse(vs.last)
     val m = manifestEntries(spark, path, v)
+    val columnP = toPhysicalName(m, column)
     val candidates = rangeCandidates(spark, path, column, lo, hi, Some(v))
     if (candidates.isEmpty)
       return read(spark, path, Some(v)).filter(lit(false))
     val ranged = loadWithDv(spark, path, candidates, m.dv)
-      .filter(lo.map(b => col(column) >= lit(b.underlying()))
+      .filter(lo.map(b => col(columnP) >= lit(b.underlying()))
         .getOrElse(lit(true)) &&
-        hi.map(b => col(column) <= lit(b.underlying())).getOrElse(lit(true)))
+        hi.map(b => col(columnP) <= lit(b.underlying())).getOrElse(lit(true)))
       .drop("gbucket")
-    if (ranged.columns.contains("_deleted"))
-      ranged.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-    else ranged
+    val live =
+      if (ranged.columns.contains("_deleted"))
+        ranged.filter(!coalesce(col("_deleted"), lit(false)))
+          .drop("_deleted")
+      else ranged
+    toLogicalDf(live, m)
   }
 
   /** Scan `dataFiles` with their deletion vectors anti-joined out.
@@ -730,13 +818,17 @@ object VersionedLake {
     // per-call argument would silently break key→bucket pruning)
     val buckets = prior0.numBuckets(numBuckets)
     enforceConstraints(prior0, updates)
-    val tagged0 = updates.withColumn("_is_update", lit(1))
+    // callers speak logical names; files store the pinned physical ones
+    val updatesP = toPhysicalDf(updates, prior0)
+    val keyColsP = keyCols.map(toPhysicalName(prior0, _))
+    val seqColP = toPhysicalName(prior0, seqCol)
+    val tagged0 = updatesP.withColumn("_is_update", lit(1))
     val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
       else tagged0.withColumn("_deleted", lit(false)))
-      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
+      .withColumn("gbucket", pmod(hash(keyColsP.map(col): _*), lit(buckets)))
     def resolve(all: DataFrame): DataFrame = {
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col(seqCol).desc, col("_is_update").desc)
+      val w = Window.partitionBy(keyColsP.map(col): _*)
+        .orderBy(col(seqColP).desc, col("_is_update").desc)
       all.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .drop("_rn", "_is_update")
@@ -981,12 +1073,15 @@ object VersionedLake {
     require(vs.nonEmpty, s"no committed versions at $path")
     val base = vs.last
     val m = manifestEntries(spark, path, base)
+    // callers speak logical names; files store the pinned physical ones
+    val deleteKeysP = toPhysicalDf(deleteKeys, m)
+    val keyColsP = keyCols.map(toPhysicalName(m, _))
     // BUCKET PRUNING: the keys' hash buckets bound which files can
     // hold their rows — the position scan reads only those, so a
     // trickle delete against a 100 TB table scans the touched shards,
     // not the table (≤ numBuckets ints through the driver)
-    val keyBuckets = deleteKeys
-      .select(pmod(hash(keyCols.map(col): _*),
+    val keyBuckets = deleteKeysP
+      .select(pmod(hash(keyColsP.map(col): _*),
         lit(m.numBuckets(numBuckets))).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
@@ -995,8 +1090,8 @@ object VersionedLake {
     // are excluded by loadWithDv; re-marking them would be harmless)
     val snap = loadWithDv(spark, path, candidates, m.dv, keepPos = true)
     val hits = snap
-      .join(deleteKeys.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_semi")
+      .join(deleteKeysP.select(keyColsP.map(col): _*).distinct(),
+        keyColsP, "left_semi")
       .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
       .localCheckpoint(true) // one scan; the pairs are tiny
     writeDvSidecar(spark, path, hits, m) match {
@@ -1039,14 +1134,18 @@ object VersionedLake {
     val base = vs.last
     val m = manifestEntries(spark, path, base)
     enforceConstraints(m, updates)
-    val tagged0 = updates
+    // callers speak logical names; files store the pinned physical ones
+    val updatesP = toPhysicalDf(updates, m)
+    val keyCols2 = keyCols.map(toPhysicalName(m, _))
+    val seqCol2 = toPhysicalName(m, seqCol)
+    val tagged0 = updatesP
     val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
       else tagged0.withColumn("_deleted", lit(false)))
-      .withColumn("gbucket", pmod(hash(keyCols.map(col): _*),
+      .withColumn("gbucket", pmod(hash(keyCols2.map(col): _*),
         lit(m.numBuckets(numBuckets))))
     // winner per key WITHIN the batch (same resolve as upsert)
-    val wInner = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc)
+    val wInner = Window.partitionBy(keyCols2.map(col): _*)
+      .orderBy(col(seqCol2).desc)
     val newRows = tagged.withColumn("_rn", row_number().over(wInner))
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint(true)
@@ -1060,26 +1159,26 @@ object VersionedLake {
     val current = (if (candidates.isEmpty)
       // no bucket holds these keys yet: empty current, same shape
       newRows.filter(lit(false))
-        .select((keyCols.map(col) :+ col(seqCol).as("_cur_seq") :+
+        .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
           lit(null).cast("string").as("_rel") :+
           lit(null).cast("long").as("_pos")): _*)
     else loadWithDv(spark, path, candidates, m.dv, keepPos = true)
-      .join(newRows.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_semi")
-      .select((keyCols.map(col) :+ col(seqCol).as("_cur_seq") :+
+      .join(newRows.select(keyCols2.map(col): _*).distinct(),
+        keyCols2, "left_semi")
+      .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
         col("_rel") :+ col("_pos")): _*))
       .localCheckpoint(true) // one scan over touched shards only
     // accept iff no current row, or new sequence wins (ties to the
     // update — upsert's (seq DESC, _is_update DESC) order)
     val accepted = newRows
-      .join(current.select((keyCols.map(col) :+ col("_cur_seq")): _*),
-        keyCols, "left")
-      .filter(col("_cur_seq").isNull || col(seqCol) >= col("_cur_seq"))
+      .join(current.select((keyCols2.map(col) :+ col("_cur_seq")): _*),
+        keyCols2, "left")
+      .filter(col("_cur_seq").isNull || col(seqCol2) >= col("_cur_seq"))
       .drop("_cur_seq")
       .localCheckpoint(true)
     // DV the superseded versions of accepted keys
     val hits = current
-      .join(accepted.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .join(accepted.select(keyCols2.map(col): _*) , keyCols2, "left_semi")
       .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
     val dvOut = writeDvSidecar(spark, path, hits, m)
     // append the winners (deletes as tombstone rows) as NEW files
@@ -1366,10 +1465,12 @@ object VersionedLake {
       col(seqCol).as("new_sequence")
     val oldParts = Seq(
       if (removed.isEmpty) None
-      else Some(loadWithDv(spark, path, removed, mA.dv, keepPos = true)),
+      else Some(toLogicalDf(
+        loadWithDv(spark, path, removed, mA.dv, keepPos = true), mB)),
       if (dvGrew.isEmpty) None
       else {
-        val visA = loadWithDv(spark, path, dvGrew, mA.dv, keepPos = true)
+        val visA = toLogicalDf(
+          loadWithDv(spark, path, dvGrew, mA.dv, keepPos = true), mB)
         val delsB = spark.read
           .parquet(dvGrew.flatMap(mB.dv.get).distinct.map(r => s"$path/$r"): _*)
           .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
@@ -1381,7 +1482,8 @@ object VersionedLake {
       .map(df => visible(df).select(oldSel: _*))
     val newSide =
       if (added.isEmpty) None
-      else Some(visible(loadWithDv(spark, path, added, mB.dv))
+      else Some(visible(toLogicalDf(
+        loadWithDv(spark, path, added, mB.dv), mB))
         .select(newSel: _*))
     require(oldSide.nonEmpty || newSide.nonEmpty,
       s"manifests v$fromVersion and v$toVersion of $path are identical — " +
@@ -1478,19 +1580,25 @@ object VersionedLake {
     val v = asOfVersion.getOrElse(vs.last)
     val m = manifestEntries(spark, path, v)
     val nb = m.numBuckets(16)
-    val keyBuckets = keys
-      .select(pmod(hash(keyCols.map(col): _*), lit(nb)).as("b"))
+    // callers speak logical names; files and the bucket hash use the
+    // pinned physical names
+    val keyColsP = keyCols.map(toPhysicalName(m, _))
+    val keysP = toPhysicalDf(keys, m)
+    val keyBuckets = keysP
+      .select(pmod(hash(keyColsP.map(col): _*), lit(nb)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet // ≤ |keys| ints
     val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
     if (candidates.isEmpty)
       return read(spark, path, asOfVersion).filter(lit(false))
     val df0 = loadWithDv(spark, path, candidates, m.dv)
-      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols,
+      .join(keysP.select(keyColsP.map(col): _*).distinct(), keyColsP,
         "left_semi")
       .drop("gbucket")
-    if (df0.columns.contains("_deleted"))
-      df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-    else df0
+    val live =
+      if (df0.columns.contains("_deleted"))
+        df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+      else df0
+    toLogicalDf(live, m)
   }
 
   /** Snapshot read — latest version, or time travel to `asOfVersion`.
@@ -1505,9 +1613,11 @@ object VersionedLake {
     val m = manifestEntries(spark, path, v)
     val df0 = loadWithDv(spark, path, m.data, m.dv)
       .drop("gbucket")
-    if (df0.columns.contains("_deleted"))
-      df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-    else df0
+    val live =
+      if (df0.columns.contains("_deleted"))
+        df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+      else df0
+    toLogicalDf(live, m)
   }
 
   /** Retention: keep `retainLast` newest versions; delete every data
@@ -2885,7 +2995,76 @@ object VersionedLake {
          AND o_totalprice >= 1000.0
        ORDER BY o_orderkey"""
 
+  /** COLUMN MAPPING as a gate row: half the change feed lands under
+    * the original schema, the column is renamed (metadata-only commit
+    * — engine-asserts identical data lines across the rename), and the
+    * rest of the feed trickles in SPEAKING THE NEW NAME via MOR
+    * upserts that resolve against the old files through the mapping.
+    * The converged read exposes the new logical name and hash-matches
+    * the SCD1 oracle with the column aliased; time travel BEFORE the
+    * rename still shows the old name (the mapping is versioned state).
+    */
+  def columnRename(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_rename")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .filter(pmod(col("key_id"), lit(2)) === 0)
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    val dataV1 = manifestEntries(spark, path, 1).data.toSet
+    renameColumn(spark, path, "value", "amount")
+    val v2 = manifestEntries(spark, path, 2)
+    val zeroMotion = v2.data.toSet == dataV1
+    val oldNameAtV1 = read(spark, path, Some(1)).columns.contains("value")
+    // the rest of the feed arrives SPEAKING THE NEW NAME
+    val second = staged.filter(col("sequence_number") > t1)
+      .withColumnRenamed("value", "amount")
+    (0 to 1).foreach { i =>
+      dvUpsert(spark, path,
+        asChanges(second.filter(pmod(col("sequence_number"), lit(2)) === i)),
+        Seq("key_id"), "sequence_number")
+    }
+    val renamed = history(spark, path).collect()
+      .exists(r => r.getString(1) == "RENAME_COLUMN")
+    read(spark, path)
+      .select(col("key_id"), col("amount"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("rename_zero_data_motion", lit(zeroMotion))
+      .withColumn("old_name_before_rename", lit(oldNameAtV1))
+      .withColumn("history_records_rename", lit(renamed))
+  }
+
+  val columnRenameSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL
+           AND user_id % 2 = 0),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value AS amount, props,
+         sequence_number AS last_sequence,
+         true AS rename_zero_data_motion,
+         true AS old_name_before_rename,
+         true AS history_records_rename
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_column_rename" -> ((s, d) =>
+      columnRename(s, d).orderBy(col("key_id"))),
     "lake_predicate_skip" -> ((s, d) =>
       predicateSkip(s, d).orderBy(col("o_orderkey"))),
     "lake_range_prune" -> ((s, d) =>
@@ -2924,6 +3103,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_column_rename" -> columnRenameSql,
     "lake_predicate_skip" -> predicateSkipSql,
     "lake_range_prune" -> rangePruneSql,
     "lake_manifest_delta" -> manifestDeltaSql,
