@@ -49,6 +49,14 @@ object VersionedLake {
     */
   val ManifestCheckpointInterval = 8
 
+  /** Commit-time clock, injectable for deterministic tests/gates: every
+    * CAS winner stamps `meta\tts\t<millis>` into its manifest, which
+    * [[readAsOfTimestamp]] and [[history]] read back. Monotonicity is
+    * not assumed — AS OF picks the LAST version at-or-before the
+    * target, exactly Delta's TIMESTAMP AS OF resolution.
+    */
+  @volatile var clock: () => Long = () => System.currentTimeMillis()
+
   /** A writer lost the commit race to another writer whose changes
     * overlap its touched buckets — the table state it merged against is
     * stale in a way a rebase cannot repair. The caller retries the
@@ -438,6 +446,72 @@ object VersionedLake {
       s"gave up renaming $from at $path after $maxAttempts CAS attempts")
   }
 
+  // ---- generated columns ---------------------------------------------------
+
+  private def generatedCols(m: TableManifest): Map[String, String] =
+    m.props.collect {
+      case (k, v) if k.startsWith("generated.") =>
+        k.stripPrefix("generated.") -> v
+    }
+
+  /** Enforce the table's generated-column definitions on a write batch
+    * (Delta generated-column semantics): a batch that OMITS the column
+    * gets it computed from the stored expression; a batch that
+    * SUPPLIES it is validated row-for-row (null-safe equality) and
+    * rejected wholesale on any mismatch — a generated column that
+    * writers can silently contradict is not generated. One
+    * change-scale count job per supplied generated column.
+    */
+  private def applyGenerated(m: TableManifest,
+      updates: DataFrame): DataFrame =
+    generatedCols(m).foldLeft(updates) { case (df, (name, ex)) =>
+      if (!df.columns.contains(name)) df.withColumn(name, expr(ex))
+      else {
+        val bad = df.filter(!(col(name) <=> expr(ex))).count()
+        if (bad > 0) throw new ConstraintViolation(
+          s"generated column $name: $bad row(s) contradict `$ex`")
+        df
+      }
+    }
+
+  /** ADD a generated column: a metadata-only commit storing the
+    * defining expression as a table property. Existing rows that
+    * already carry the column are validated first; rows written before
+    * the definition (and never rewritten since) read the column as
+    * NULL via schema-evolution backfill — the documented, honest
+    * semantic for retrofitted generation.
+    */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+      sqlExpr: String, maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "generated-column expression must be a single tab-free line")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val cur = read(spark, path)
+    if (cur.columns.contains(name)) {
+      val bad = cur.filter(!(col(name) <=> expr(sqlExpr))).count()
+      if (bad > 0) throw new ConstraintViolation(
+        s"cannot define generated column $name: $bad existing row(s) " +
+          s"contradict `$sqlExpr`")
+    }
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      require(!m.props.contains(s"generated.$name"),
+        s"generated column $name already defined — no redefinition")
+      val lines = TableManifest(m.data, m.dv, m.txn,
+        m.props + (s"generated.$name" -> sqlExpr), m.stats).lines :+
+        "meta\top\tADD_GENERATED"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up adding generated column $name after $maxAttempts attempts")
+  }
+
   /** Per-column [lo, hi] bounds IMPLIED by a Catalyst predicate tree —
     * the Delta data-skipping extraction. Conjuncts intersect their
     * bounds; a disjunction bounds a column only when BOTH branches
@@ -726,7 +800,10 @@ object VersionedLake {
     val f = fs(spark)
     f.mkdirs(new Path(s"$path/$LogDir"))
     val tmp = new Path(s"$path/$LogDir/.v$version-${nonce()}.tmp")
-    val content = encodeManifest(spark, path, version, files.sorted)
+    // central commit-time stamp: every commit path flows through here
+    val content = encodeManifest(spark, path, version,
+      (files.filterNot(_.startsWith("meta\tts\t")) :+
+        s"meta\tts\t${clock()}").sorted)
     val out = f.create(tmp, true)
     try out.write(content.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -819,7 +896,7 @@ object VersionedLake {
     val buckets = prior0.numBuckets(numBuckets)
     enforceConstraints(prior0, updates)
     // callers speak logical names; files store the pinned physical ones
-    val updatesP = toPhysicalDf(updates, prior0)
+    val updatesP = toPhysicalDf(applyGenerated(prior0, updates), prior0)
     val keyColsP = keyCols.map(toPhysicalName(prior0, _))
     val seqColP = toPhysicalName(prior0, seqCol)
     val tagged0 = updatesP.withColumn("_is_update", lit(1))
@@ -1135,7 +1212,7 @@ object VersionedLake {
     val m = manifestEntries(spark, path, base)
     enforceConstraints(m, updates)
     // callers speak logical names; files store the pinned physical ones
-    val updatesP = toPhysicalDf(updates, m)
+    val updatesP = toPhysicalDf(applyGenerated(m, updates), m)
     val keyCols2 = keyCols.map(toPhysicalName(m, _))
     val seqCol2 = toPhysicalName(m, seqCol)
     val tagged0 = updatesP
@@ -1519,12 +1596,40 @@ object VersionedLake {
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     versions(spark, path).map { v =>
-      val op = manifestLines(spark, path, v)
-        .find(_.startsWith("meta\top\t"))
+      val lines = manifestLines(spark, path, v)
+      val op = lines.find(_.startsWith("meta\top\t"))
         .map(_.split("\t", 3)(2)).getOrElse("UNKNOWN")
-      (v, op)
-    }.toDF("version", "operation")
+      val ts = lines.find(_.startsWith("meta\tts\t"))
+        .map(_.split("\t")(2).toLong).getOrElse(-1L)
+      (v, op, ts)
+    }.toDF("version", "operation", "commit_ts")
   }
+
+  /** Commit wall-clock of `version` (from its `meta ts` stamp). */
+  private def commitTimeOf(spark: SparkSession, path: String,
+      v: Int): Option[Long] =
+    manifestLines(spark, path, v).collectFirst {
+      case l if l.startsWith("meta\tts\t") => l.split("\t")(2).toLong
+    }
+
+  /** The version a `TIMESTAMP AS OF ts` read resolves to: the LAST
+    * committed version whose stamp is at-or-before `ts` — Delta's
+    * resolution rule, robust to non-monotone clocks.
+    */
+  def versionAtTimestamp(spark: SparkSession, path: String,
+      ts: Long): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val at = vs.filter(v => commitTimeOf(spark, path, v).exists(_ <= ts))
+    require(at.nonEmpty,
+      s"no version of $path committed at or before timestamp $ts")
+    at.max
+  }
+
+  /** TIMESTAMP AS OF — time travel by wall-clock instead of version. */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+      ts: Long): DataFrame =
+    read(spark, path, Some(versionAtTimestamp(spark, path, ts)))
 
   /** OPTIMIZE (bin-pack) — fold each fragmented bucket's files into
     * ONE, applying deletion vectors along the way. Trickle MOR writes
@@ -2636,7 +2741,8 @@ object VersionedLake {
     restore(spark, path, 1) // v6 RESTORE (by reference)
     val counts = versions(spark, path)
       .map(v => v -> read(spark, path, Some(v)).count()).toMap
-    history(spark, path).as[(Int, String)].collect().toSeq
+    history(spark, path).select(col("version"), col("operation"))
+      .as[(Int, String)].collect().toSeq
       .map { case (v, op) => (v, op, counts(v)) }
       .toDF("version", "operation", "n_live_rows")
   }
@@ -3062,7 +3168,156 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** GENERATED COLUMNS as a gate row: half the feed lands before the
+    * definition exists, the definition commits as metadata, and the
+    * rest of the feed arrives WITHOUT the column — the writer computes
+    * it from the stored expression. A batch that supplies a
+    * contradicting value is rejected wholesale (engine-asserted: the
+    * version counter does not move). The converged read shows the
+    * honest retrofit semantic the oracle mirrors: keys whose current
+    * row predates the definition read NULL (schema-evolution
+    * backfill); keys rewritten since carry the computed value.
+    */
+  def generatedColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_gen")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .filter(pmod(col("key_id"), lit(2)) === 0)
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    addGeneratedColumn(spark, path, "value_band",
+      "CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END")
+    val second = staged.filter(col("sequence_number") > t1)
+      .localCheckpoint(true)
+    (0 to 1).foreach { i => // writers OMIT the column — engine computes
+      dvUpsert(spark, path,
+        asChanges(second.filter(pmod(col("sequence_number"), lit(2)) === i)),
+        Seq("key_id"), "sequence_number")
+    }
+    // a contradicting supplied value is rejected wholesale
+    val before = versions(spark, path).last
+    val rejected =
+      try {
+        dvUpsert(spark, path,
+          asChanges(second.limit(5)).withColumn("value_band", lit("nope")),
+          Seq("key_id"), "sequence_number")
+        false
+      } catch { case _: ConstraintViolation => true }
+    val unmoved = versions(spark, path).last == before
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("value_band"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("contradiction_rejected", lit(rejected && unmoved))
+  }
+
+  val generatedColumnsSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL
+           AND user_id % 2 = 0),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value,
+         CASE WHEN sequence_number >
+             (SELECT MAX(sequence_number) FROM stg) // 2
+           THEN CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END
+           ELSE NULL END AS value_band,
+         sequence_number AS last_sequence,
+         true AS contradiction_rejected
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** TIMESTAMP AS OF as a gate row: three commits under an injected
+    * deterministic clock (1000/2000/3000); the read resolves by
+    * wall-clock to the last version at-or-before the target — the
+    * between-commit instant and the exact-stamp instant both land on
+    * v2, a pre-history instant is an error (engine-asserted).
+    */
+  def timeTravelTs(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_ts")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .filter(pmod(col("key_id"), lit(4)) === 0)
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val (t1, t2) = (maxSeq / 3, maxSeq * 2 / 3)
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    val saved = clock
+    try {
+      var now = 0L
+      clock = () => now
+      now = 1000L
+      upsert(spark, path,
+        asChanges(staged.filter(col("sequence_number") <= t1)),
+        Seq("key_id"), "sequence_number")
+      now = 2000L
+      dvUpsert(spark, path,
+        asChanges(staged.filter(col("sequence_number") > t1 &&
+          col("sequence_number") <= t2)),
+        Seq("key_id"), "sequence_number")
+      now = 3000L
+      dvUpsert(spark, path,
+        asChanges(staged.filter(col("sequence_number") > t2)),
+        Seq("key_id"), "sequence_number")
+      val betweenIsV2 = versionAtTimestamp(spark, path, 2500L) == 2
+      val exactIsV2 = versionAtTimestamp(spark, path, 2000L) == 2
+      val preHistoryRejected =
+        try { versionAtTimestamp(spark, path, 999L); false }
+        catch { case _: IllegalArgumentException => true }
+      readAsOfTimestamp(spark, path, 2500L)
+        .select(col("key_id"), col("value"), col("props"),
+          col("sequence_number").as("last_sequence"))
+        .withColumn("between_resolves_v2", lit(betweenIsV2))
+        .withColumn("exact_stamp_resolves_v2", lit(exactIsV2))
+        .withColumn("pre_history_rejected", lit(preHistoryRejected))
+    } finally clock = saved
+  }
+
+  val timeTravelTsSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL
+           AND user_id % 4 = 0),
+       cut AS (
+         SELECT * FROM stg
+         WHERE sequence_number <=
+           (SELECT MAX(sequence_number) FROM stg) * 2 // 3),
+       ranked AS (
+         SELECT c.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM cut c)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS between_resolves_v2,
+         true AS exact_stamp_resolves_v2,
+         true AS pre_history_rejected
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_generated_columns" -> ((s, d) =>
+      generatedColumns(s, d).orderBy(col("key_id"))),
+    "lake_time_travel_ts" -> ((s, d) =>
+      timeTravelTs(s, d).orderBy(col("key_id"))),
     "lake_column_rename" -> ((s, d) =>
       columnRename(s, d).orderBy(col("key_id"))),
     "lake_predicate_skip" -> ((s, d) =>
@@ -3103,6 +3358,8 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_generated_columns" -> generatedColumnsSql,
+    "lake_time_travel_ts" -> timeTravelTsSql,
     "lake_column_rename" -> columnRenameSql,
     "lake_predicate_skip" -> predicateSkipSql,
     "lake_range_prune" -> rangePruneSql,

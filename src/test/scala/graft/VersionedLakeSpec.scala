@@ -482,7 +482,8 @@ class VersionedLakeSpec extends AnyFunSuite {
     VersionedLake.addConstraint(spark, src, "x_present", "x IS NOT NULL")
     VersionedLake.dropConstraint(spark, src, "x_present")
     def ops(path: String): Seq[(Int, String)] =
-      VersionedLake.history(spark, path).as[(Int, String)]
+      VersionedLake.history(spark, path)
+        .select("version", "operation").as[(Int, String)]
         .collect().toSeq.sortBy(_._1)
     assert(ops(src) == Seq(1 -> "MERGE", 2 -> "STREAMING_UPDATE",
       3 -> "ADD_CONSTRAINT", 4 -> "DROP_CONSTRAINT"))
