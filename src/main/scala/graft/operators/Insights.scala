@@ -448,8 +448,64 @@ object Insights {
        FROM fit
        ORDER BY n_months"""
 
+  /** Pareto / concentration analysis of supplier revenue: suppliers
+    * ranked by exact-decimal revenue, cumulative share computed by
+    * window sum, and the 80%-set membership decided by the
+    * MULTIPLIED-OUT comparison `5·cum ≤ 4·total` — integer×decimal,
+    * no division in the predicate, so both engines agree exactly even
+    * at the boundary supplier. Shares emitted as double only for
+    * display (exact-sum ÷ exact-sum). O(suppliers) window rows after
+    * one fact-scale aggregate.
+    */
+  def supplierPareto(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("revenue"))
+    val byRev = Window.orderBy(col("revenue").desc, col("s_suppkey"))
+    val all = Window.partitionBy()
+    rev
+      .join(supplier.select(col("s_suppkey"), col("s_name")), Seq("s_suppkey"))
+      .withColumn("rnk", row_number().over(byRev))
+      .withColumn("cum", sum(col("revenue")).over(
+        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("revenue")).over(all))
+      .withColumn("in_top80",
+        col("cum") * lit(5) <= col("total") * lit(4))
+      .select(col("rnk"), col("s_suppkey"), col("s_name"),
+        col("revenue").cast("double").as("revenue"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        col("in_top80"))
+  }
+
+  val supplierParetoSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey AS s_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+         FROM lineitem
+         GROUP BY 1),
+       ranked AS (
+         SELECT r.s_suppkey, s.s_name, r.revenue,
+           ROW_NUMBER() OVER (ORDER BY r.revenue DESC, r.s_suppkey) AS rnk,
+           SUM(r.revenue) OVER (ORDER BY r.revenue DESC, r.s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(r.revenue) OVER () AS total
+         FROM rev r JOIN supplier s USING (s_suppkey))
+       SELECT CAST(rnk AS INT) AS rnk, s_suppkey, s_name,
+         CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+         CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS cum_share,
+         cum * 5 <= total * 4 AS in_top80
+       FROM ranked
+       ORDER BY rnk"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "supplier_pareto" -> ((s, d) =>
+      supplierPareto(Tables.lineitem(s, d), Tables.supplier(s, d))
+        .orderBy(col("rnk"))),
     "revenue_trend_ols" -> ((s, d) =>
       revenueTrendOls(Tables.orders(s, d)).orderBy(col("n_months"))),
     "daily_seasonality" -> ((s, d) =>
@@ -465,6 +521,7 @@ object Insights {
       dailyAnomalies(Tables.orders(s, d)).orderBy(col("day"))))
 
   def oracles: Map[String, String] = Map(
+    "supplier_pareto" -> supplierParetoSql,
     "revenue_trend_ols" -> revenueTrendOlsSql,
     "daily_seasonality" -> dailySeasonalitySql,
     "cohort_retention" -> cohortRetentionSql,

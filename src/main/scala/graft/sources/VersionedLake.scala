@@ -1729,6 +1729,42 @@ object VersionedLake {
     * file referenced ONLY by older manifests (plus crash-orphaned files
     * no manifest references at all), then drop the old manifests.
     */
+  /** VACUUM DRY RUN — the exact deletion plan [[vacuum]] would execute
+    * (unreferenced data files, DV sidecars, expiring manifests and
+    * change-log dirs), computed read-only: the operational safety
+    * valve before an irreversible retention pass. Returns
+    * (category, relative-path) pairs.
+    */
+  def vacuumPlan(spark: SparkSession, path: String,
+      retainLast: Int): Seq[(String, String)] = {
+    val f = fs(spark)
+    val vs = versions(spark, path)
+    val keep = vs.takeRight(math.max(retainLast, 1))
+    val live: Set[String] =
+      keep.flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
+    val dataDead = f.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
+      .flatMap(d => f.listStatus(d.getPath).filter(_.isFile)
+        .map(s => s"${d.getPath.getName}/${s.getPath.getName}"))
+      .filterNot(live.contains).map("data_file" -> _).toSeq
+    val dvDir = new Path(s"$path/$DvDir")
+    val dvDead =
+      if (!f.exists(dvDir)) Seq.empty
+      else f.listStatus(dvDir).filter(_.isFile)
+        .map(s => s"$DvDir/${s.getPath.getName}")
+        .filterNot(live.contains).map("dv_file" -> _).toSeq
+    val manifestsDead = vs.filterNot(keep.contains)
+      .map(v => "manifest" -> f"$LogDir/v$v%06d.txt")
+    val chDir = new Path(s"$path/$ChangesDir")
+    val chDead =
+      if (!f.exists(chDir)) Seq.empty
+      else f.listStatus(chDir).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => !keep.contains(n.stripPrefix("v").toInt))
+        .map(n => "change_dir" -> s"$ChangesDir/$n").toSeq
+    dataDead ++ dvDead ++ manifestsDead ++ chDead
+  }
+
   def vacuum(spark: SparkSession, path: String, retainLast: Int): Unit = {
     val f = fs(spark)
     val vs = versions(spark, path)
@@ -3313,7 +3349,80 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** VACUUM DRY RUN as a gate row: a table whose history (COW + MOR +
+    * compaction) leaves dead files behind, a read-only plan at
+    * retention 1, then the real vacuum — the engine asserts the plan
+    * was EXACT both ways: every planned path is gone afterwards, and
+    * nothing outside the plan was touched (full before/after disk
+    * walk). The surviving tip hash-matches the SCD1 oracle.
+    */
+  def vacuumDryRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_dryrun")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .filter(pmod(col("key_id"), lit(4)) === 0)
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    dvUpsert(spark, path, asChanges(staged.filter(col("sequence_number") > t1)),
+      Seq("key_id"), "sequence_number")
+    compactDvs(spark, path) // leaves v1/v2's files dead at retention 1
+    val f = fs(spark)
+    def walk(dir: Path, prefix: String): Seq[String] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.flatMap { s =>
+        val rel = if (prefix.isEmpty) s.getPath.getName
+          else s"$prefix/${s.getPath.getName}"
+        if (s.isDirectory) walk(s.getPath, rel) else Seq(rel)
+      }
+    val before = walk(new Path(path), "").toSet
+    val plan = vacuumPlan(spark, path, retainLast = 1)
+    val planPaths = plan.map(_._2).toSet
+    vacuum(spark, path, retainLast = 1)
+    val after = walk(new Path(path), "").toSet
+    val gone = before.diff(after)
+    // change_dir entries delete whole directories: expand against the
+    // before-walk to compare at file grain
+    val planned: Set[String] = planPaths.flatMap { p =>
+      if (p.startsWith(ChangesDir)) before.filter(_.startsWith(p + "/")) + p
+      else Set(p)
+    }.intersect(before)
+    val exact = gone == planned
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("plan_executed_exactly", lit(exact))
+      .withColumn("plan_nonempty", lit(plan.nonEmpty))
+  }
+
+  val vacuumDryRunSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL
+           AND user_id % 4 = 0),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS plan_executed_exactly,
+         true AS plan_nonempty
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_vacuum_dry_run" -> ((s, d) =>
+      vacuumDryRun(s, d).orderBy(col("key_id"))),
     "lake_generated_columns" -> ((s, d) =>
       generatedColumns(s, d).orderBy(col("key_id"))),
     "lake_time_travel_ts" -> ((s, d) =>
@@ -3358,6 +3467,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_vacuum_dry_run" -> vacuumDryRunSql,
     "lake_generated_columns" -> generatedColumnsSql,
     "lake_time_travel_ts" -> timeTravelTsSql,
     "lake_column_rename" -> columnRenameSql,
