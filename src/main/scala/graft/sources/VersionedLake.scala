@@ -1671,6 +1671,38 @@ object VersionedLake {
         adopted, op = "OPTIMIZE"))
   }
 
+  /** OPTIMIZE CLUSTER BY — rewrite the table's buckets RANGE-CLUSTERED
+    * on `column`: `repartitionByRange(gbucket, column)` makes each
+    * output file cover a contiguous column slice within its bucket, so
+    * the per-file stats become narrow and disjoint and [[readRange]] /
+    * [[readWhere]] prune INSIDE buckets — the liquid-clustering role:
+    * trickle ingest loses arrival correlation at compaction, and this
+    * is the maintenance pass that restores (or creates) skipping power
+    * for the serving predicate. DVs are applied, tombstones carried,
+    * and the commit is the same OCC loop as every write.
+    */
+  def optimizeCluster(spark: SparkSession, path: String, column: String,
+      slicesPerBucket: Int = 4): CommitResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    val columnP = toPhysicalName(m, column)
+    val nb = m.numBuckets(16)
+    val touched = m.data.map(bucketOf).toSet
+    val df = loadWithDv(spark, path, m.data, m.dv)
+      .repartitionByRange(nb * slicesPerBucket,
+        col("gbucket"), col(columnP))
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
+    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    val adopted = adoptStaged(spark, path, stage, wid)
+    commitPending(spark, path, PendingCommit(base, touched,
+      TableManifest(adopted, Map.empty,
+        stats = computeStats(spark, path, adopted)).lines,
+      adopted, op = "OPTIMIZE"))
+  }
+
   /** POINT LOOKUP — read only the hash buckets that can hold `keys`:
     * the serving-path read. The same modulus every writer used (a
     * table property) bounds each key to one bucket, so a lookup of k
@@ -3420,7 +3452,55 @@ object VersionedLake {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** CLUSTER BY as a gate row: two interleaved even/odd key slices
+    * destroy arrival correlation (a narrow range read touches
+    * essentially every file — engine-asserted), then one
+    * [[optimizeCluster]] pass restores skipping power: the same range
+    * read now prunes to at most half the files (engine-asserted) and
+    * the rows hash-match the oracle's plain range filter.
+    */
+  def clusterBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_cluster")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val q8 = maxKey / 8
+    upsert(spark, path, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
+    dvUpsert(spark, path,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+      Seq("o_orderkey"), "o_orderkey")
+    val lo = BigDecimal(3 * q8 + 1)
+    val hi = BigDecimal(4 * q8)
+    val totalBefore = manifestEntries(spark, path,
+      versions(spark, path).last).data.size
+    val candBefore = rangeCandidates(spark, path, "o_orderkey",
+      Some(lo), Some(hi)).size
+    val noPruneBefore = candBefore * 2 > totalBefore
+    optimizeCluster(spark, path, "o_orderkey", slicesPerBucket = 4)
+    val totalAfter = manifestEntries(spark, path,
+      versions(spark, path).last).data.size
+    val candAfter = rangeCandidates(spark, path, "o_orderkey",
+      Some(lo), Some(hi)).size
+    val prunesAfter = candAfter * 2 <= totalAfter && candAfter > 0
+    readRange(spark, path, "o_orderkey", Some(lo), Some(hi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("unclustered_no_prune", lit(noPruneBefore))
+      .withColumn("clustered_prunes", lit(prunesAfter))
+  }
+
+  val clusterBySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+         true AS unclustered_no_prune,
+         true AS clustered_prunes
+       FROM orders
+       WHERE o_orderkey > 3 * (SELECT MAX(o_orderkey) // 8 FROM orders)
+         AND o_orderkey <= 4 * (SELECT MAX(o_orderkey) // 8 FROM orders)
+       ORDER BY o_orderkey"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_cluster_by" -> ((s, d) =>
+      clusterBy(s, d).orderBy(col("o_orderkey"))),
     "lake_vacuum_dry_run" -> ((s, d) =>
       vacuumDryRun(s, d).orderBy(col("key_id"))),
     "lake_generated_columns" -> ((s, d) =>
@@ -3467,6 +3547,7 @@ object VersionedLake {
       versionDiff(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
+    "lake_cluster_by" -> clusterBySql,
     "lake_vacuum_dry_run" -> vacuumDryRunSql,
     "lake_generated_columns" -> generatedColumnsSql,
     "lake_time_travel_ts" -> timeTravelTsSql,
