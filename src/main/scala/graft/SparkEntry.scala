@@ -68,7 +68,8 @@ object SparkEntry {
       graft.streaming.EventStreams.queries ++
       graft.streaming.TransformState.queries ++
       graft.streaming.LakeSink.queries ++
-      graft.streaming.LakeChain.queries
+      graft.streaming.LakeChain.queries ++
+      graft.streaming.ScdEnrich.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -126,5 +127,6 @@ object SparkEntry {
       graft.streaming.EventStreams.oracles ++
       graft.streaming.TransformState.oracles ++
       graft.streaming.LakeSink.oracles ++
-      graft.streaming.LakeChain.oracles
+      graft.streaming.LakeChain.oracles ++
+      graft.streaming.ScdEnrich.oracles
 }

@@ -249,8 +249,45 @@ object TpchShapes4 {
            WHERE 2 * ps.qty * tot.n_sup > tot.part_qty)
        ORDER BY s_suppkey"""
 
+  // ---- Q13: customer order-count distribution ------------------------------
+
+  val Q13ExcludedPriority = "1-URGENT"
+
+  /** TPC-H Q13's distinguishing shape: a LEFT OUTER join whose filter
+    * lives IN THE JOIN CONDITION — customers keep their row (and count
+    * 0) when every order is excluded, which a WHERE clause would
+    * silently drop — then a histogram over the per-customer counts.
+    * Two aggregates: per-customer (shuffle on the join key Spark
+    * already grouped by) and the O(distinct-counts) distribution.
+    */
+  def q13OrderDistribution(customer: DataFrame, orders: DataFrame)
+      : DataFrame = {
+    val o = orders.filter(col("o_orderpriority") =!= Q13ExcludedPriority)
+      .select(col("o_custkey"), col("o_orderkey"))
+    customer.select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    s"""SELECT c_count, COUNT(*) AS custdist
+       FROM (
+         SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         FROM customer
+         LEFT JOIN orders ON c_custkey = o_custkey
+           AND o_orderpriority <> '$Q13ExcludedPriority'
+         GROUP BY c_custkey)
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_order_distribution" -> ((s, d) =>
+      q13OrderDistribution(Tables.customer(s, d), Tables.orders(s, d))),
     "q2_min_cost_supplier" -> ((s, d) =>
       q2MinCostSupplier(Tables.lineitem(s, d), Tables.part(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -265,6 +302,7 @@ object TpchShapes4 {
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "q13_order_distribution" -> q13Sql,
     "q2_min_cost_supplier" -> q2Sql,
     "q11_important_parts" -> q11Sql,
     "q16_supplier_counts" -> q16Sql,
