@@ -183,8 +183,100 @@ object PrefixJoin {
        WHERE rank <= 3
        ORDER BY doc_id, rank"""
 
+  /** Containment threshold 17/20 (0.85). Chosen so the relation is
+    * provably non-empty wherever the Jaccard-4/5 relation is: J ≥ 4/5
+    * with |A| ≤ |B| forces C(A→B) = i/|A| ≥ (4/5)·2/(9/5) = 8/9 >
+    * 17/20, so every Jaccard pair contributes at least its
+    * smaller-side direction.
+    */
+  val ContainNum = 17L
+  val ContainDen = 20L
+
+  /** CONTAINMENT join — directed near-dup detection Jaccard blocking
+    * provably misses: C(A→B) = |A∩B|/|A| ≥ t finds A nearly INSIDE B
+    * even when B is much larger (a doc embedded in a compilation has
+    * tiny Jaccard but containment ≈ 1). Prefix rule, contained side
+    * only: if B misses ALL of A's first `|A| − ⌈t·|A|⌉ + 1` globally
+    * rarest tokens, then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| — so indexing
+    * just that prefix of A against ALL of B's tokens is a COMPLETE
+    * candidate rule (the asymmetric analog of [[pairsFromBase]]'s,
+    * from the same literature), verified here against the brute-force
+    * directed oracle. No symmetric length pruning exists (B may be
+    * arbitrarily large); the necessary `|B|·den ≥ |A|·num` is applied
+    * cross-multiplied.
+    *
+    * Scale: the join key is one of A's rarest tokens, so candidate
+    * buckets are bounded by rare-token document frequency — frequent
+    * tokens appear only on the container side and never key a join.
+    * Verify is the codegen'd sorted-merge intersection; all threshold
+    * tests are integer cross-multiplications.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val base = docs.select(col("doc_id"),
+      Dedup.hashedNgrams(s, Dedup.normText(col("text")), 1).as("grams"))
+      .repartition(col("doc_id"))
+    graft.Caching.withCached(base) {
+      val tok = base.select(col("doc_id"),
+        size(col("grams")).cast("long").as("set_size"),
+        explode(col("grams")).as("token"))
+      val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val ranked = tok.join(dfreq, Seq("token"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("token"))))
+      val ceilTs =
+        expr(s"($ContainNum * set_size + ${ContainDen - 1}) div $ContainDen")
+      val prefixA = ranked
+        .filter(col("pos") <= col("set_size") - ceilTs + lit(1L))
+        .select(col("doc_id").as("contained_id"), col("token"),
+          col("set_size").as("len_a"))
+      val allB = tok.select(col("doc_id").as("container_id"),
+        col("token").as("btoken"), col("set_size").as("len_b"))
+      val cand = prefixA.join(allB,
+          col("token") === col("btoken") &&
+            col("contained_id") =!= col("container_id") &&
+            col("len_b") * lit(ContainDen) >=
+              col("len_a") * lit(ContainNum))
+        .select(col("contained_id"), col("container_id"), col("len_a"))
+        .distinct()
+      graft.functions.IntersectCount.register(s)
+      cand
+        .join(base.select(col("doc_id").as("contained_id"),
+          sort_array(col("grams")).as("ga")), Seq("contained_id"))
+        .join(base.select(col("doc_id").as("container_id"),
+          sort_array(col("grams")).as("gb")), Seq("container_id"))
+        .withColumn("inter",
+          call_function("sorted_intersect_count", col("ga"), col("gb"))
+            .cast("long"))
+        .filter(col("inter") * lit(ContainDen) >=
+          col("len_a") * lit(ContainNum))
+        .select(col("contained_id"), col("container_id"), col("inter"),
+          (col("inter").cast("double") / col("len_a").cast("double"))
+            .as("containment"))
+    }
+  }
+
+  /** Oracle: the brute-force DIRECTED containment relation — the
+    * completeness proof for the asymmetric prefix rule.
+    */
+  val containmentPairsSql: String =
+    s"""WITH $brutePairCtesSql
+       SELECT contained_id, container_id, inter, containment FROM (
+         SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(a.grams) AS DOUBLE) AS containment,
+           len(a.grams) AS len_a
+         FROM base a JOIN base b ON a.doc_id <> b.doc_id)
+       WHERE inter * $ContainDen >= $ContainNum * len_a
+       ORDER BY contained_id, container_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> ((s, d) =>
+      containmentPairs(graft.Tables.documents(s, d))
+        .orderBy(col("contained_id"), col("container_id"))),
     "dedup_prefix_filter" -> ((s, d) =>
       prefixFilterPairs(graft.Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -193,6 +285,7 @@ object PrefixJoin {
         .orderBy(col("doc_id"), col("rank"))))
 
   def oracles: Map[String, String] = Map(
+    "dedup_containment" -> containmentPairsSql,
     "dedup_prefix_filter" -> prefixPairsSql,
     "docs_knn_graph" -> knnGraphSql)
 }

@@ -58,4 +58,23 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(df.filter($"m" =!= $"h").count() == 0)
     assert(df.filter($"m" > 0).count() > 0) // non-degenerate fixture
   }
+
+  test("containment is directed: a strict subset contains, not vice versa") {
+    import spark.implicits._
+    // doc 1 is a strict subset of doc 2 (10 of its 11 words); doc 3
+    // disjoint — Jaccard(1,2) = 10/11 but the CONTAINMENT direction
+    // matters: C(1→2) = 1.0, C(2→1) = 10/11 < 17/20... both ≥ 0.85
+    // here, so use a larger container where Jaccard is small
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "x y z")).toDF("doc_id", "text")
+    val got = graft.operators.PrefixJoin.containmentPairs(docs)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet
+    // Jaccard(1,2) = 10/40 = 0.25 — the Jaccard join would never pair
+    // them; containment(1→2) = 1.0 must, and ONLY in that direction
+    assert(got.contains((1L, 2L)), s"missing contained pair: $got")
+    assert(!got.contains((2L, 1L)), s"containment not directed: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
