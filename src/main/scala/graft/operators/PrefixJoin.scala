@@ -191,6 +191,7 @@ object PrefixJoin {
     */
   val ContainNum = 17L
   val ContainDen = 20L
+  val ContainTopK = 3
 
   /** CONTAINMENT join — directed near-dup detection Jaccard blocking
     * provably misses: C(A→B) = |A∩B|/|A| ≥ t finds A nearly INSIDE B
@@ -241,7 +242,7 @@ object PrefixJoin {
         .select(col("contained_id"), col("container_id"), col("len_a"))
         .distinct()
       graft.functions.IntersectCount.register(s)
-      cand
+      val scored = cand
         .join(base.select(col("doc_id").as("contained_id"),
           sort_array(col("grams")).as("ga")), Seq("contained_id"))
         .join(base.select(col("doc_id").as("container_id"),
@@ -254,6 +255,20 @@ object PrefixJoin {
         .select(col("contained_id"), col("container_id"), col("inter"),
           (col("inter").cast("double") / col("len_a").cast("double"))
             .as("containment"))
+      // TOP-K containers per contained doc: on a clique-heavy corpus
+      // the full directed relation is quadratic in clique size (11.6M
+      // rows at sf0.1 for 5k docs) — unbounded output is not a sane
+      // operator shape at 100 TB. The candidate rule stays COMPLETE;
+      // only the emitted ranking is bounded, exactly the knn-graph
+      // discipline. Ties break (containment DESC, container ASC).
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("contained_id"))
+            .orderBy(col("containment").desc, col("container_id")))
+          .cast("int"))
+        .filter(col("rank") <= ContainTopK)
+        .select(col("contained_id"), col("rank"), col("container_id"),
+          col("inter"), col("containment"))
     }
   }
 
@@ -261,16 +276,22 @@ object PrefixJoin {
     * completeness proof for the asymmetric prefix rule.
     */
   val containmentPairsSql: String =
-    s"""WITH $brutePairCtesSql
-       SELECT contained_id, container_id, inter, containment FROM (
-         SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
-           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / CAST(len(a.grams) AS DOUBLE) AS containment,
-           len(a.grams) AS len_a
-         FROM base a JOIN base b ON a.doc_id <> b.doc_id)
-       WHERE inter * $ContainDen >= $ContainNum * len_a
-       ORDER BY contained_id, container_id"""
+    s"""WITH $brutePairCtesSql,
+       cont AS (
+         SELECT contained_id, container_id, inter, containment FROM (
+           SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(a.grams) AS DOUBLE) AS containment,
+             len(a.grams) AS len_a
+           FROM base a JOIN base b ON a.doc_id <> b.doc_id)
+         WHERE inter * $ContainDen >= $ContainNum * len_a)
+       SELECT contained_id, rank, container_id, inter, containment FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY contained_id
+           ORDER BY containment DESC, container_id) AS INT) AS rank
+         FROM cont)
+       WHERE rank <= $ContainTopK
+       ORDER BY contained_id, rank"""
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
