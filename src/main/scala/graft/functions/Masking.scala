@@ -37,23 +37,65 @@ object Masking {
     when(phone.isNull, lit(null).cast("string"))
       .otherwise(concat(substring(phone, 1, 10), lit("****-****")))
 
+  /** group → visible region, shared by the Column and SQL row filters. */
+  val RegionGroups: Map[String, String] = Map(
+    "region-africa" -> "AFRICA", "region-america" -> "AMERICA",
+    "region-asia" -> "ASIA", "region-europe" -> "EUROPE",
+    "region-middle-east" -> "MIDDLE EAST")
+
+  def isPrivileged(groups: Set[String]): Boolean =
+    groups.contains("admin") || groups.contains("pii-readers")
+
   /** Row filter (ref pii_masking.sql:80-103): which region a group may
     * see; groups with no region restriction see everything.
     */
   def regionFilter(regionName: Column, groups: Set[String]): Column = {
-    val regionGroups = Map(
-      "region-africa" -> "AFRICA", "region-america" -> "AMERICA",
-      "region-asia" -> "ASIA", "region-europe" -> "EUROPE",
-      "region-middle-east" -> "MIDDLE EAST")
-    if (groups.contains("admin") || groups.contains("pii-readers")) lit(true)
+    if (isPrivileged(groups)) lit(true)
     else {
-      val allowed = regionGroups.collect {
+      val allowed = RegionGroups.collect {
         case (g, r) if groups.contains(g) => r
       }.toSeq
       if (allowed.isEmpty) lit(true) // default: all rows, masked PII
       else trim(regionName).isin(allowed: _*)
     }
   }
+
+  // ---- SQL twins -----------------------------------------------------------
+  // The same masks/filter as Spark-SQL TEXT, for catalog binding
+  // (CREATE FUNCTION / CREATE VIEW — the reference's pii_masking.sql +
+  // apply_masks.sql shape). Kept beside the Column versions so the two
+  // cannot drift unnoticed; the catalog gate hash-checks them against
+  // the DuckDB oracle.
+
+  /** Body of the `mask_name(s STRING)` SQL function. */
+  val maskNameSqlBody: String =
+    """CASE WHEN s IS NULL THEN NULL
+       WHEN NOT contains(s, ' ') THEN substring(s, 1, 1) || '***'
+       ELSE substring(s, 1, 1) || '*** ' || regexp_extract(s, '[^ ]*$', 0)
+       END"""
+
+  /** Body of the `mask_email(s STRING)` SQL function. */
+  val maskEmailSqlBody: String =
+    """CASE WHEN s IS NULL THEN NULL
+       ELSE substring(s, 1, 2) || '****@' || regexp_extract(s, '[^@]*$', 0)
+       END"""
+
+  /** Body of the `mask_phone(s STRING)` SQL function. */
+  val maskPhoneSqlBody: String =
+    """CASE WHEN s IS NULL THEN NULL
+       ELSE substring(s, 1, 10) || '****-****'
+       END"""
+
+  /** The row filter as a WHERE-clause fragment over `region_name`. */
+  def regionFilterSql(groups: Set[String]): String =
+    if (isPrivileged(groups)) "true"
+    else {
+      val allowed = RegionGroups.collect {
+        case (g, r) if groups.contains(g) => r
+      }.toSeq.sorted
+      if (allowed.isEmpty) "true"
+      else s"trim(region_name) IN (${allowed.map(r => s"'$r'").mkString(", ")})"
+    }
 
   /** Apply masks + row filter to the silver customers view, mimicking
     * ALTER TABLE … SET MASK / SET ROW FILTER for a given caller group

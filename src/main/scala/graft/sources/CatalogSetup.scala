@@ -103,13 +103,89 @@ object CatalogSetup {
     prod
   }
 
+  /** Catalog-BOUND governance — the missing half of the masking story:
+    * [[graft.functions.Masking]] has the mask functions and one masked
+    * query, but a consumer resolving `silver.customers` through the
+    * catalog used to read raw PII. This binds the masks AND the row
+    * filter AT THE CATALOG, the reference's `ALTER TABLE … SET MASK` /
+    * `SET ROW FILTER` semantics (apply_masks.sql:25-41):
+    *
+    *  - the silver customers table lands as a named table
+    *    (`customers_raw` — the governed physical object);
+    *  - the three mask functions register as catalog-persistent SQL
+    *    UDFs (`CREATE FUNCTION … RETURN <expr>` — the exact
+    *    pii_masking.sql shape), so every SQL consumer shares one
+    *    definition;
+    *  - the consumer-facing name `customers` is a VIEW applying the
+    *    masks and the caller-group row filter — no opt-in, no path,
+    *    no Column API required.
+    *
+    * The masks inline into whole-stage codegen through the view and
+    * scan filters still push down to parquet (verified in spec) — the
+    * governance layer costs nothing at plan time. Group membership is
+    * a session parameter (the IS_ACCOUNT_GROUP_MEMBER analog);
+    * privileged groups get an unmasked view with no filter.
+    */
+  def bindMaskedCustomers(spark: SparkSession, sfDir: String,
+      groups: Set[String], env: CatalogEnv = Prod): String = {
+    import graft.functions.Masking
+    bootstrap(spark, sfDir, env)
+    val silver = env.db("silver")
+    val sc = graft.operators.Medallion.silverCustomers(
+      graft.Tables.customer(spark, sfDir),
+      graft.Tables.nation(spark, sfDir),
+      graft.Tables.region(spark, sfDir))
+    val loc = Scratch.dir("cat_masked_cust")
+    sc.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(loc)
+    spark.sql(s"DROP VIEW IF EXISTS $silver.customers")
+    spark.sql(s"DROP TABLE IF EXISTS $silver.customers_raw")
+    spark.sql(
+      s"CREATE TABLE $silver.customers_raw USING parquet LOCATION '$loc'")
+    Seq("mask_name" -> Masking.maskNameSqlBody,
+      "mask_email" -> Masking.maskEmailSqlBody,
+      "mask_phone" -> Masking.maskPhoneSqlBody).foreach { case (n, body) =>
+      spark.sql(s"""CREATE OR REPLACE FUNCTION $silver.$n(s STRING)
+        RETURNS STRING RETURN $body""")
+    }
+    val privileged = Masking.isPrivileged(groups)
+    def m(c: String, fn: String): String =
+      if (privileged) c else s"$silver.$fn($c) AS $c"
+    spark.sql(s"""CREATE OR REPLACE VIEW $silver.customers AS
+      SELECT customer_id,
+        ${m("customer_name", "mask_name")},
+        ${m("customer_email", "mask_email")},
+        ${m("customer_phone", "mask_phone")},
+        mktsegment, nation_name, region_name
+      FROM $silver.customers_raw
+      WHERE ${Masking.regionFilterSql(groups)}""")
+    s"$silver.customers"
+  }
+
+  /** Gate body: an analyst restricted to two regions resolves the
+    * BARE catalog name and receives row-filtered, masked output —
+    * governance that holds for every consumer of the name.
+    */
+  def maskedCustomersViaCatalog(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = bindMaskedCustomers(spark, sfDir,
+      groups = Set("region-america", "region-europe"))
+    spark.table(name)
+  }
+
+  val maskedCustomersViaCatalogSql: String =
+    graft.functions.Masking.maskedCustomersSql.replace("FROM sc",
+      "FROM sc WHERE trim(region_name) IN ('AMERICA', 'EUROPE')")
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_region_revenue" -> ((s, d) =>
       regionRevenueBothEnvs(s, d)
-        .orderBy(col("region_name"), col("nation_name"))))
+        .orderBy(col("region_name"), col("nation_name"))),
+    "catalog_masked_customers" -> ((s, d) =>
+      maskedCustomersViaCatalog(s, d).orderBy(col("customer_id"))))
 
   def oracles: Map[String, String] = Map(
     "catalog_region_revenue" ->
-      graft.operators.Analytics.oracles("q5_region_revenue"))
+      graft.operators.Analytics.oracles("q5_region_revenue"),
+    "catalog_masked_customers" -> maskedCustomersViaCatalogSql)
 }

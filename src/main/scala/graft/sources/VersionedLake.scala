@@ -54,8 +54,25 @@ object VersionedLake {
     * [[readAsOfTimestamp]] and [[history]] read back. Monotonicity is
     * not assumed — AS OF picks the LAST version at-or-before the
     * target, exactly Delta's TIMESTAMP AS OF resolution.
+    *
+    * The override is scoped PER TABLE PATH (not process-global): a gate
+    * injecting a fake clock for its own table cannot corrupt the
+    * TIMESTAMP AS OF stamps of a concurrently committing table in the
+    * same JVM.
     */
-  @volatile var clock: () => Long = () => System.currentTimeMillis()
+  @volatile private var clockOverrides: Map[String, () => Long] = Map.empty
+
+  /** Install (Some) or clear (None) the commit clock for one table. */
+  def setClockOverride(path: String, c: Option[() => Long]): Unit =
+    synchronized {
+      clockOverrides = c match {
+        case Some(f) => clockOverrides + (path -> f)
+        case None => clockOverrides - path
+      }
+    }
+
+  private def clockFor(path: String): Long =
+    clockOverrides.get(path).map(_()).getOrElse(System.currentTimeMillis())
 
   /** A writer lost the commit race to another writer whose changes
     * overlap its touched buckets — the table state it merged against is
@@ -123,6 +140,16 @@ object VersionedLake {
   private def manifestPath(path: String, v: Int): Path =
     new Path(f"$path/$LogDir/v$v%06d.txt")
 
+  /** Durable full-snapshot SIDECAR for a vacuum-re-rooted retention
+    * floor on stores whose rename cannot atomically replace: readers
+    * prefer it over the (possibly delta-encoded) primary, so the
+    * re-root never has to delete the primary first — there is no
+    * instant with no readable floor (the metadata-loss window a
+    * delete-then-rename would open).
+    */
+  private def fullSidecarPath(path: String, v: Int): Path =
+    new Path(f"$path/$LogDir/v$v%06d.full")
+
   private def bucketOf(rel: String): Int =
     rel.split("/")(0).stripPrefix("gbucket=").toInt
 
@@ -152,7 +179,11 @@ object VersionedLake {
     */
   private def rawManifestLines(spark: SparkSession, path: String,
       version: Int): Seq[String] = {
-    val in = fs(spark).open(manifestPath(path, version))
+    val f = fs(spark)
+    // a vacuum re-root on a non-atomic-replace store leaves the full
+    // snapshot as a sidecar; it is authoritative when present
+    val side = fullSidecarPath(path, version)
+    val in = f.open(if (f.exists(side)) side else manifestPath(path, version))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
@@ -276,16 +307,39 @@ object VersionedLake {
               // exact BINARY expansion for floats (BigDecimal(double)),
               // so a recorded bound never narrows the true range the
               // way a shortest-string rendering could
+              // Stats must live in the LOGICAL value space the query's
+              // literals speak: an INT32/INT64 column annotated DECIMAL
+              // stores the UNSCALED integer (12.34 as 1234), so record
+              // it rescaled by 10^-scale; an UNSIGNED annotation makes
+              // the raw signed min/max a misread — skip the column
+              // (conservative: the file is always kept at prune time).
+              import org.apache.parquet.schema.LogicalTypeAnnotation.{
+                DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
+              val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+              val decScale: Option[Int] = ann match {
+                case d: DecimalLogicalTypeAnnotation => Some(d.getScale)
+                case _ => None
+              }
+              val unsigned = ann match {
+                case i: IntLogicalTypeAnnotation => !i.isSigned
+                case _ => false
+              }
+              def scaled(v: Long): BigDecimal = decScale match {
+                case Some(s) =>
+                  BigDecimal(java.math.BigDecimal.valueOf(v, s))
+                case None => BigDecimal(v)
+              }
               val mm: Option[(BigDecimal, BigDecimal)] =
-                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                if (st == null || st.isEmpty || !st.hasNonNullValue ||
+                  unsigned) None
                 else c.getPrimitiveType.getPrimitiveTypeName match {
                   case INT32 => Some((
-                    BigDecimal(st.genericGetMin.asInstanceOf[Integer].toInt),
-                    BigDecimal(st.genericGetMax.asInstanceOf[Integer].toInt)))
+                    scaled(st.genericGetMin.asInstanceOf[Integer].toLong),
+                    scaled(st.genericGetMax.asInstanceOf[Integer].toLong)))
                   case INT64 => Some((
-                    BigDecimal(st.genericGetMin.asInstanceOf[java.lang.Long]
+                    scaled(st.genericGetMin.asInstanceOf[java.lang.Long]
                       .toLong),
-                    BigDecimal(st.genericGetMax.asInstanceOf[java.lang.Long]
+                    scaled(st.genericGetMax.asInstanceOf[java.lang.Long]
                       .toLong)))
                   case DOUBLE =>
                     val lo = st.genericGetMin
@@ -388,20 +442,54 @@ object VersionedLake {
   /** Rename update-batch columns (callers speak logical) to the
     * physical names the files store.
     */
-  private def toPhysicalDf(df: DataFrame, m: TableManifest): DataFrame =
+  /** Physical names of DROPPED columns (`prop dropped.<physical> 1`):
+    * the data stays in the files (zero rewrite — Delta column-mapping
+    * DROP COLUMN), the name is logically hidden, and the physical slot
+    * is reserved so no writer can collide with the retained data.
+    */
+  private def droppedCols(m: TableManifest): Set[String] =
+    m.props.keySet.collect {
+      case k if k.startsWith("dropped.") => k.stripPrefix("dropped.")
+    }
+
+  private def toPhysicalDf(df: DataFrame, m: TableManifest): DataFrame = {
+    // pinned physical names are RESERVED: a batch column named after a
+    // renamed column's physical slot would collide with the retained
+    // physical data (and with the logical column's rename below),
+    // producing a duplicate-name DataFrame that breaks every later read
+    renameMap(m).foreach { case (logical, physical) =>
+      require(physical == logical || !df.columns.contains(physical),
+        s"column name $physical is reserved as the physical slot of " +
+          s"renamed column $logical — write batches must speak logical " +
+          "names")
+    }
+    // dropped physical slots are reserved too: re-adding the same
+    // physical name would resurrect the hidden data under a new
+    // logical column — a rewrite (or a fresh name) is required
+    droppedCols(m).foreach { c =>
+      require(!df.columns.contains(c),
+        s"column $c was DROPPED — its physical slot is retained in " +
+          "data files; re-adding it requires a table rewrite or a " +
+          "different name")
+    }
     renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
       if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
       else d
     }
+  }
 
   /** Rename a scanned DataFrame's physical columns back to their
-    * logical names for the caller.
+    * logical names for the caller, and hide dropped columns.
     */
-  private def toLogicalDf(df: DataFrame, m: TableManifest): DataFrame =
-    renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
+  private def toLogicalDf(df: DataFrame, m: TableManifest): DataFrame = {
+    val undropped = droppedCols(m).foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.drop(c) else d
+    }
+    renameMap(m).foldLeft(undropped) { case (d, (logical, physical)) =>
       if (d.columns.contains(physical)) d.withColumnRenamed(physical, logical)
       else d
     }
+  }
 
   /** RENAME COLUMN — Delta column-mapping semantics: a metadata-only
     * commit re-points the logical name at the unchanged physical
@@ -424,6 +512,16 @@ object VersionedLake {
       require(to != from, s"rename to self: $from")
       require(!map.contains(to),
         s"logical column $to already exists at $path")
+      // the destination must be free in the FULL logical schema, not
+      // just the rename map: renaming value→props while a plain props
+      // column exists would alias two physical columns to one logical
+      // name and break every subsequent read
+      val logicalCols = read(spark, path).columns.toSet
+      require(!logicalCols.contains(to),
+        s"logical column $to already exists in the table schema at $path")
+      // the freed physical slot stays reserved (toPhysicalDf refuses
+      // batches that re-introduce it), so no later writer can collide
+      // with the retained physical data
       // CHECK constraints are written against logical names and are
       // not rewritten here — renaming a constrained column would break
       // enforcement silently, so refuse (drop the constraint first)
@@ -538,9 +636,14 @@ object VersionedLake {
       case i: Long => Some(BigDecimal(i))
       case i: Short => Some(BigDecimal(i.toInt))
       case i: Byte => Some(BigDecimal(i.toInt))
-      case d: Double if !d.isNaN && !d.isInfinite => Some(BigDecimal(d))
+      // EXACT binary expansion, matching what computeStats records: the
+      // shortest-decimal rendering (scala BigDecimal(d)) of e.g. 0.3 is
+      // strictly ABOVE the stored exact expansion of 0.3d, so `v >= 0.3`
+      // would wrongly prune a file whose max is exactly 0.3d
+      case d: Double if !d.isNaN && !d.isInfinite =>
+        Some(BigDecimal(new java.math.BigDecimal(d)))
       case f: Float if !f.isNaN && !f.isInfinite =>
-        Some(BigDecimal(f.toDouble))
+        Some(BigDecimal(new java.math.BigDecimal(f.toDouble)))
       case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
       case _ => None
     }
@@ -803,7 +906,7 @@ object VersionedLake {
     // central commit-time stamp: every commit path flows through here
     val content = encodeManifest(spark, path, version,
       (files.filterNot(_.startsWith("meta\tts\t")) :+
-        s"meta\tts\t${clock()}").sorted)
+        s"meta\tts\t${clockFor(path)}").sorted)
     val out = f.create(tmp, true)
     try out.write(content.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -1028,9 +1131,13 @@ object VersionedLake {
     * writer-nonced names give a checkpointed reader exactly-once
     * delivery across restarts.
     *
-    * Grain contract: the log carries the rows each commit APPENDED.
-    * For [[dvUpsert]]/[[dvDelete]] trickle commits that is exactly the
-    * accepted changes (tombstones included — a CDC stream); a
+    * Grain contract: the log carries the rows each commit ACCEPTED.
+    * For [[dvUpsert]] trickle commits that is exactly the appended
+    * winners (tombstones included — a CDC stream); a pure
+    * position-delete [[dvDelete]] commit appends no data file and
+    * instead publishes its doomed rows as tombstones via
+    * [[publishDeleteTombstones]] (same sequence, `_deleted=true`,
+    * delete-wins-tie at the consumer); a
     * copy-on-write [[upsert]] or [[compactDvs]] rewrite re-delivers its
     * whole touched bucket, which sequence-resolving consumers absorb
     * idempotently (re-delivered rows lose or tie on the sequence).
@@ -1163,14 +1270,16 @@ object VersionedLake {
       .distinct().collect().map(_.getInt(0)).toSet
     val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
     if (candidates.isEmpty) return CommitResult(base, 0)
-    // positions of the keys' CURRENT rows (already-deleted positions
-    // are excluded by loadWithDv; re-marking them would be harmless)
+    // the keys' CURRENT rows (already-deleted positions are excluded
+    // by loadWithDv; re-marking them would be harmless) — one scan
+    // over the touched shards; the result is change-scale
     val snap = loadWithDv(spark, path, candidates, m.dv, keepPos = true)
-    val hits = snap
+    val doomed = snap
       .join(deleteKeysP.select(keyColsP.map(col): _*).distinct(),
         keyColsP, "left_semi")
+      .localCheckpoint(true)
+    val hits = doomed
       .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
-      .localCheckpoint(true) // one scan; the pairs are tiny
     writeDvSidecar(spark, path, hits, m) match {
       case None => CommitResult(base, 0)
       case Some((dvRel, affected)) =>
@@ -1181,9 +1290,47 @@ object VersionedLake {
         val newDv = m.dv ++ affected.map(_ -> dvRel)
         val ourLines = TableManifest(m.data, newDv, stats = m.stats).lines
           .filter(l => touched.contains(bucketOfLine(l)))
-        commitPending(spark, path,
+        val res = commitPending(spark, path,
           PendingCommit(base, touched, ourLines, Seq(dvRel), op = "DELETE"))
+        // a pure position-delete commit appends NO data file, so
+        // without this it would be INVISIBLE to the change stream: a
+        // downstream SCD consumer would retain deleted keys forever.
+        // Publish the accepted deletes as TOMBSTONE rows — each doomed
+        // row re-emitted with _deleted=true at its own sequence, which
+        // a sequence-resolving consumer applies via delete-wins-tie.
+        publishDeleteTombstones(spark, path, res.version, doomed)
+        res
     }
+  }
+
+  /** Land a pure-delete commit's change-log entry: the doomed rows as
+    * TOMBSTONES (`_deleted=true`, original sequence) in
+    * `_changes/v<version>/`. Same post-CAS discipline (and the same
+    * one-step crash window) as [[publishChangeLog]]; the file is
+    * deleted-rows-scale. Consumers resolve ties in favor of the
+    * tombstone (a delete of the current row beats the row), which
+    * [[streamSourceGate]] exercises and the `stream_lake_source`
+    * oracle pins.
+    */
+  private def publishDeleteTombstones(spark: SparkSession, path: String,
+      version: Int, doomed: DataFrame): Unit = {
+    val f = fs(spark)
+    val tomb = doomed.drop("_rel", "_pos", "gbucket")
+      .withColumn("_deleted", lit(true))
+    val wid = nonce()
+    val stage = path + s"_tombstage_$wid"
+    tomb.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+    val dir = new Path(f"$path/$ChangesDir/v$version%06d")
+    f.mkdirs(dir)
+    val part = f.listStatus(new Path(stage))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(part.length == 1,
+      s"expected one tombstone part, got ${part.length}")
+    if (!f.rename(part.head.getPath,
+        new Path(dir, s"tomb-w$wid.parquet")))
+      throw new java.io.IOException(
+        s"cannot publish delete tombstones for v$version at $path")
+    f.delete(new Path(stage), true)
   }
 
   /** MERGE-ON-READ upsert — the MOR form of [[upsert]]'s MERGE: the
@@ -1586,6 +1733,37 @@ object VersionedLake {
         Seq(col("old_sequence"), col("new_sequence")): _*)
   }
 
+  /** Delta-style CDF LONG FORM of [[changes]]: one row per change
+    * event with `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage — an update emits BOTH the old row (preimage)
+    * and the new row (postimage), the shape downstream auditing and
+    * reversible-apply consumers need (Delta `readChangeFeed` emits
+    * exactly these four types). The preimage is nearly free: the old
+    * side is already present in [[changes]]' full-outer join; this
+    * unpivots the wide row into events in the same change-scale pass.
+    *
+    * Apply and un-apply are exact inverses — v2 = v1 minus
+    * (preimage ∪ delete) keys plus (postimage ∪ insert) rows, and
+    * v1 = v2 minus (postimage ∪ insert) keys plus (preimage ∪ delete)
+    * rows — spec-proven in both directions.
+    */
+  def changesCdf(spark: SparkSession, path: String, fromVersion: Int,
+      toVersion: Int, keyCols: Seq[String], seqCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val wide = changes(spark, path, fromVersion, toVersion, keyCols,
+      seqCol, valueCols)
+    def ev(tpe: String, pfx: String) =
+      struct((lit(tpe).as("_change_type") +:
+        valueCols.map(c => col(s"$pfx$c").as(c))) :+
+        col(s"${pfx}sequence").as("_commit_sequence"): _*)
+    wide.select(keyCols.map(col) :+ explode(
+      when(col("change_type") === "insert", array(ev("insert", "new_")))
+        .when(col("change_type") === "delete", array(ev("delete", "old_")))
+        .otherwise(array(ev("update_preimage", "old_"),
+          ev("update_postimage", "new_")))).as("_e"): _*)
+      .select((keyCols.map(col) :+ col("_e.*")): _*)
+  }
+
   /** DESCRIBE HISTORY — the table's commit audit: every version with
     * the operation that produced it, read from the per-version
     * `meta\top` manifest line each commit path stamps. Metadata-scale
@@ -1837,15 +2015,24 @@ object VersionedLake {
             java.nio.file.Paths.get(dst.toUri.getPath),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        else { // object stores: same-content replace, vacuum-only window
-          f.delete(dst, false)
-          if (!f.rename(tmp, dst)) throw new java.io.IOException(
+        else {
+          // object stores: rename cannot atomically replace, and a
+          // delete-then-rename would open a window with NO readable
+          // floor (a crash there strands every newer delta's parent
+          // chain). Instead the snapshot lands as a durable `.full`
+          // sidecar that rawManifestLines prefers; the delta primary
+          // is never deleted, so the floor is readable at every instant
+          val side = fullSidecarPath(path, floor)
+          if (f.exists(side)) f.delete(side, false) // stale crash remnant
+          if (!f.rename(tmp, side)) throw new java.io.IOException(
             s"cannot re-root manifest v$floor at $path")
         }
       }
     }
-    vs.filterNot(keep.contains).foreach(v =>
-      f.delete(manifestPath(path, v), false))
+    vs.filterNot(keep.contains).foreach { v =>
+      f.delete(manifestPath(path, v), false)
+      f.delete(fullSidecarPath(path, v), false) // no-op when absent
+    }
     // change-log retention follows version retention: consumers lagging
     // behind the vacuum floor lose history, exactly as in Delta CDF
     val chDir = new Path(s"$path/$ChangesDir")
@@ -2490,9 +2677,105 @@ object VersionedLake {
           OR v1.old_sequence <> v2.new_sequence
        ORDER BY key_id"""
 
+  /** CDF UPDATE PREIMAGES as a gate row: the same sparse-trickle
+    * construction as [[incrementalCdf]], consumed through
+    * [[changesCdf]]'s long form — insert / delete / update_preimage /
+    * update_postimage, Delta's `readChangeFeed` event grain. The
+    * engine asserts the preimage half against the table itself (every
+    * `update_preimage` row equals the v1 snapshot's row for that key —
+    * one change-scale anti-join), and the oracle independently
+    * re-derives all four event types from the two SCD1 states, so a
+    * wrong or missing preimage fails both ways.
+    */
+  def cdfPreimage(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_cdfpre")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number", numBuckets = 64)
+    val trickle = staged.filter(col("sequence_number") > t1 &&
+      col("key_id") % 10 === 0)
+    (0 to 1).foreach { i => // parity split ⇒ out-of-order arrival
+      dvUpsert(spark, path,
+        asChanges(trickle.filter(pmod(col("sequence_number"), lit(2)) === i)),
+        Seq("key_id"), "sequence_number")
+    }
+    val last = versions(spark, path).last
+    val cdf = changesCdf(spark, path, fromVersion = 1, toVersion = last,
+      keyCols = Seq("key_id"), seqCol = "sequence_number",
+      valueCols = Seq("value")).localCheckpoint(true)
+    val pre = cdf.filter(col("_change_type") === "update_preimage")
+      .select(col("key_id"), col("value"), col("_commit_sequence"))
+    val v1rows = read(spark, path, Some(1))
+      .select(col("key_id"), col("value"),
+        col("sequence_number").as("_commit_sequence"))
+    val preOk = pre.join(v1rows,
+      Seq("key_id", "value", "_commit_sequence"), "left_anti").isEmpty
+    cdf.withColumn("preimage_equals_v1", lit(preOk))
+  }
+
+  val cdfPreimageSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
+       r1 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1),
+       v1 AS (
+         SELECT key_id, value AS old_value, sequence_number AS old_sequence
+         FROM r1 WHERE rn = 1 AND operation <> 'DELETE'),
+       feed2 AS (
+         SELECT s.* FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1
+            OR (s.sequence_number > c.t1 AND s.key_id % 10 = 0)),
+       r2 AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM feed2 s),
+       v2 AS (
+         SELECT key_id, value AS new_value, sequence_number AS new_sequence
+         FROM r2 WHERE rn = 1 AND operation <> 'DELETE'),
+       j AS (
+         SELECT COALESCE(v1.key_id, v2.key_id) AS key_id,
+           CASE WHEN v1.old_sequence IS NULL THEN 'insert'
+                WHEN v2.new_sequence IS NULL THEN 'delete'
+                ELSE 'update' END AS ct,
+           old_value, new_value, old_sequence, new_sequence
+         FROM v1
+         FULL JOIN v2 ON v1.key_id = v2.key_id
+         WHERE v1.old_sequence IS NULL OR v2.new_sequence IS NULL
+            OR v1.old_sequence <> v2.new_sequence)
+       SELECT key_id, 'insert' AS _change_type, new_value AS value,
+         new_sequence AS _commit_sequence, true AS preimage_equals_v1
+       FROM j WHERE ct = 'insert'
+       UNION ALL
+       SELECT key_id, 'delete', old_value, old_sequence, true
+       FROM j WHERE ct = 'delete'
+       UNION ALL
+       SELECT key_id, 'update_preimage', old_value, old_sequence, true
+       FROM j WHERE ct = 'update'
+       UNION ALL
+       SELECT key_id, 'update_postimage', new_value, new_sequence, true
+       FROM j WHERE ct = 'update'
+       ORDER BY key_id, _change_type"""
+
   /** The STREAMING SOURCE as a gate row: the commit log of a lake table
-    * is consumed by three Structured Streaming runs sharing one
-    * checkpoint, proving the three properties a streaming source owes
+    * is consumed by four Structured Streaming runs sharing one
+    * checkpoint, proving the four properties a streaming source owes
     * its consumers:
     *
     *  1. run 1 (after v1 copy-on-write + v2 MOR) delivers both
@@ -2501,17 +2784,23 @@ object VersionedLake {
     *     ALONE — `resumed_only_new_version`: the checkpoint resumes
     *     incrementally, delivered rows = exactly the new version's
     *     accepted changes;
-    *  3. run 3, with nothing new committed, delivers ZERO rows —
+    *  3. a PURE POSITION-DELETE commit (v4, [[dvDelete]] of
+    *     `key_id % 10 = 0`) — which appends NO data file — still
+    *     delivers exactly one tombstone per doomed current row
+    *     (`delete_delivered_tombstones`): the trickle-delete grain the
+    *     r6 change log silently dropped;
+    *  4. run 4, with nothing new committed, delivers ZERO rows —
     *     `replay_delivered_zero`: at-most-once per checkpoint.
     *
     * The accumulated stream output (a parquet sink with its own
     * exactly-once metadata log) is then resolved SCD1-style — winner
-    * per key by sequence, tombstones dropped — and must hash-match the
-    * full-feed oracle state: the proof that the change stream carries
-    * ENOUGH to rebuild the table. `n_change_rows` is oracle-computed
-    * (one change row per distinct key per third — each commit appends
-    * its per-key winners), so over- or under-delivery fails the gate
-    * numerically, not just boolean-ly.
+    * per key by (sequence, delete-wins-tie), tombstones dropped — and
+    * must hash-match the full-feed-minus-deleted-keys oracle state:
+    * the proof that the change stream carries ENOUGH to rebuild the
+    * table, position deletes included. `n_change_rows` is
+    * oracle-computed (one change row per distinct key per third, plus
+    * one tombstone per deleted key), so over- or under-delivery fails
+    * the gate numerically, not just boolean-ly.
     */
   def streamSourceGate(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -2546,19 +2835,31 @@ object VersionedLake {
       .localCheckpoint(true)
     dvUpsert(spark, path, third3, Seq("key_id"), "sequence_number")
     val n2 = runOnce() // resumes: v3's rows alone
-    val n3 = runOnce() // replay: nothing new committed
+    // v4: a PURE position delete — no data file appended, only a DV
+    // sidecar; the change log must still carry its tombstones
+    val doomKeys = staged.filter(pmod(col("key_id"), lit(10)) === 0)
+      .select(col("key_id")).distinct().localCheckpoint(true)
+    dvDelete(spark, path, doomKeys, Seq("key_id"))
+    val n3 = runOnce() // v4's tombstones alone
+    val n4 = runOnce() // replay: nothing new committed
     val d3 = third3.select(col("key_id")).distinct().count()
     val resumedOnlyNew = (n2 - n1) == d3
-    val replayZero = n3 == n2
+    val deleteDelivered = (n3 - n2) == doomKeys.count()
+    val replayZero = n4 == n3
+    // SCD1 resolution with DELETE-WINS-TIE: a dvDelete tombstone
+    // carries the doomed row's own sequence, so at equal sequence the
+    // tombstone supersedes the row it deletes
     val w = Window.partitionBy(col("key_id"))
-      .orderBy(col("sequence_number").desc)
+      .orderBy(col("sequence_number").desc,
+        coalesce(col("_deleted"), lit(false)).desc)
     spark.read.parquet(acc)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !coalesce(col("_deleted"), lit(false)))
       .select(col("key_id"), col("value"), col("props"),
         col("sequence_number").as("last_sequence"))
-      .withColumn("n_change_rows", lit(n2))
+      .withColumn("n_change_rows", lit(n3))
       .withColumn("resumed_only_new_version", lit(resumedOnlyNew))
+      .withColumn("delete_delivered_tombstones", lit(deleteDelivered))
       .withColumn("replay_delivered_zero", lit(replayZero))
   }
 
@@ -2581,16 +2882,20 @@ object VersionedLake {
            + (SELECT COUNT(DISTINCT key_id) FROM stg, cut
                WHERE sequence_number > t1 AND sequence_number <= t2)
            + (SELECT COUNT(DISTINCT key_id) FROM stg, cut
-               WHERE sequence_number > t2) AS n),
+               WHERE sequence_number > t2)
+           + (SELECT COUNT(DISTINCT key_id) FROM stg
+               WHERE key_id % 10 = 0) AS n),
        ranked AS (
          SELECT s.*, row_number() OVER (PARTITION BY key_id
            ORDER BY sequence_number DESC) AS rn
          FROM stg s)
        SELECT key_id, value, props, sequence_number AS last_sequence,
          (SELECT n FROM chg) AS n_change_rows,
-         true AS resumed_only_new_version, true AS replay_delivered_zero
+         true AS resumed_only_new_version,
+         true AS delete_delivered_tombstones,
+         true AS replay_delivered_zero
        FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
+       WHERE rn = 1 AND operation <> 'DELETE' AND key_id % 10 <> 0
        ORDER BY key_id"""
 
   /** CHECK constraints as a gate row. v1 lands the first third; a
@@ -3323,10 +3628,9 @@ object VersionedLake {
     def asChanges(df: DataFrame): DataFrame =
       df.withColumn("_deleted", col("operation") === "DELETE")
         .drop("operation")
-    val saved = clock
     try {
       var now = 0L
-      clock = () => now
+      setClockOverride(path, Some(() => now))
       now = 1000L
       upsert(spark, path,
         asChanges(staged.filter(col("sequence_number") <= t1)),
@@ -3351,7 +3655,7 @@ object VersionedLake {
         .withColumn("between_resolves_v2", lit(betweenIsV2))
         .withColumn("exact_stamp_resolves_v2", lit(exactIsV2))
         .withColumn("pre_history_rejected", lit(preHistoryRejected))
-    } finally clock = saved
+    } finally setClockOverride(path, None)
   }
 
   val timeTravelTsSql: String =
@@ -3531,6 +3835,8 @@ object VersionedLake {
       restoreRollback(s, d).orderBy(col("key_id"))),
     "lake_incremental_cdf" -> ((s, d) =>
       incrementalCdf(s, d).orderBy(col("key_id"))),
+    "lake_cdf_preimage" -> ((s, d) =>
+      cdfPreimage(s, d).orderBy(col("key_id"), col("_change_type"))),
     "lake_mor_upsert" -> ((s, d) =>
       morUpsert(s, d).orderBy(col("key_id"))),
     "lake_deletion_vectors" -> ((s, d) =>
@@ -3563,6 +3869,7 @@ object VersionedLake {
     "stream_lake_source" -> streamSourceGateSql,
     "lake_restore" -> restoreRollbackSql,
     "lake_incremental_cdf" -> incrementalCdfSql,
+    "lake_cdf_preimage" -> cdfPreimageSql,
     "lake_mor_upsert" -> morUpsertSql,
     "lake_deletion_vectors" -> deletionVectorsSql,
     "lake_concurrent_writers" -> concurrentWritersSql,

@@ -357,6 +357,42 @@ class VersionedLakeSpec extends AnyFunSuite {
       s"reverse diff wrong: $back")
   }
 
+  test("cdf long form: preimage/postimage events; apply and un-apply invert") {
+    val path = graft.sources.Scratch.dir("vlake_cdfl_spec")
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.dvUpsert(spark, path, Seq(
+      (2L, "b2", 10L, false), (3L, "dead", 11L, true),
+      (5L, "b5", 12L, false)).toDF("k", "x", "seq", "_deleted"),
+      Seq("k"), "seq")
+    val ev = VersionedLake.changesCdf(spark, path, 1, 2,
+      Seq("k"), "seq", Seq("x")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(ev == Set(
+      (2L, "update_preimage", "a2", 2L),
+      (2L, "update_postimage", "b2", 10L),
+      (3L, "delete", "a3", 3L),
+      (5L, "insert", "b5", 12L)), s"wrong cdf events: $ev")
+    def state(v: Int): Set[(Long, String, Long)] =
+      VersionedLake.read(spark, path, Some(v)).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("x"),
+          r.getAs[Long]("seq"))).toSet
+    val s1 = state(1); val s2 = state(2)
+    val post = ev.collect { case (k, t, x, s)
+      if t == "update_postimage" || t == "insert" => (k, x, s) }
+    val preOrDel = ev.collect { case (k, t, x, s)
+      if t == "update_preimage" || t == "delete" => (k, x, s) }
+    val changed = ev.map(_._1)
+    // forward apply: v1 + diff = v2
+    assert(s1.filterNot(r => changed(r._1)) ++ post == s2,
+      "v1 + cdf != v2")
+    // REVERSE apply — what preimages exist for: v2 − diff = v1
+    assert(s2.filterNot(r => changed(r._1)) ++ preOrDel == s1,
+      "v2 − cdf != v1")
+  }
+
   test("change log: commits link appended files; stream delivers exactly once") {
     val path = graft.sources.Scratch.dir("vlake_cl_spec")
     val ckpt = graft.sources.Scratch.dir("vlake_cl_ckpt")
