@@ -519,6 +519,11 @@ object VersionedLake {
       val logicalCols = read(spark, path).columns.toSet
       require(!logicalCols.contains(to),
         s"logical column $to already exists in the table schema at $path")
+      // a DROPPED column's physical slot is hidden from the logical
+      // schema but still occupied in the files — renaming onto it
+      // would resurrect the hidden data under the new name
+      require(!droppedCols(m).contains(to),
+        s"$to is the retained physical slot of a dropped column")
       // the freed physical slot stays reserved (toPhysicalDf refuses
       // batches that re-introduce it), so no later writer can collide
       // with the retained physical data
@@ -542,6 +547,167 @@ object VersionedLake {
     }
     throw new java.io.IOException(
       s"gave up renaming $from at $path after $maxAttempts CAS attempts")
+  }
+
+  /** DROP COLUMN — Delta column-mapping semantics: a metadata-only
+    * commit hides the column behind a `dropped.<physical>` table
+    * property. ZERO data files move; the physical bytes stay in place
+    * (and stay visible through pre-drop time travel, because the
+    * property set is versioned manifest state). Every read surface
+    * hides the column from that commit on; write batches carrying the
+    * name are refused ([[toPhysicalDf]]) because the physical slot is
+    * retained — re-adding the name requires a rewrite or a new name,
+    * the honest contract for rewrite-free drops.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    require(name != "_deleted" && name != "gbucket",
+      s"$name is engine bookkeeping — not droppable")
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      val logicalCols = read(spark, path).columns.toSet
+      require(logicalCols.contains(name),
+        s"column $name does not exist at $path")
+      // constraints and generated columns are written against logical
+      // names — dropping a column they mention would break enforcement
+      // silently, so refuse (drop the constraint/definition first)
+      m.props.foreach { case (k, v) =>
+        val governs = k.startsWith("constraint.") ||
+          k.startsWith("generated.")
+        require(!governs || (!s" $v ".matches(s".*\\b$name\\b.*") &&
+          k != s"generated.$name"),
+          s"$k references $name — drop it before dropping the column")
+      }
+      val physical = toPhysicalName(m, name)
+      val newProps = (m.props - s"rename.$name") +
+        (s"dropped.$physical" -> "1")
+      val lines = TableManifest(m.data, m.dv, m.txn, newProps,
+        m.stats).lines :+ "meta\top\tDROP_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up dropping $name at $path after $maxAttempts CAS attempts")
+  }
+
+  // ---- type widening -------------------------------------------------------
+
+  import org.apache.spark.sql.types._
+
+  /** Widening promotions allowed without rewrite — the Delta
+    * type-widening lattice restricted to exact embeddings (every value
+    * of the narrow type is exactly representable in the wide type).
+    */
+  private val WidenTargets: Map[String, DataType] =
+    Map("long" -> LongType, "bigint" -> LongType, "double" -> DoubleType)
+
+  private def promotable(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType,
+        DoubleType) => true
+      case (a, b) => a == b
+    }
+
+  /** logical→target overrides from `widen.<physical> <type>` props. */
+  private def widenMap(m: TableManifest): Map[String, DataType] =
+    m.props.collect {
+      case (k, v) if k.startsWith("widen.") =>
+        k.stripPrefix("widen.") -> WidenTargets(v)
+    }
+
+  /** WIDEN COLUMN TYPE — a metadata-only commit (Delta type widening):
+    * old files keep their narrow physical encoding and are read
+    * through the widened schema (Spark's parquet readers upcast
+    * INT32→long etc. when the requested schema is wider — SPARK-40876);
+    * new files land wide. Zero data motion, engine-asserted in the
+    * gate; pre-widen time travel still reads the narrow type because
+    * the property set is versioned manifest state.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      toType: String, maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    val target = WidenTargets.getOrElse(toType.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unsupported widen target $toType (allowed: ${WidenTargets.keys.toSeq.sorted.mkString(", ")})"))
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val cur = read(spark, path).schema
+    val field = cur.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name does not exist at $path"))
+    require(promotable(field.dataType, target),
+      s"cannot widen $name from ${field.dataType.simpleString} to " +
+        s"${target.simpleString} — only exact embeddings are allowed")
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      val physical = toPhysicalName(m, name)
+      val lines = TableManifest(m.data, m.dv, m.txn,
+        m.props + (s"widen.$physical" -> target.simpleString),
+        m.stats).lines :+ "meta\top\tWIDEN_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up widening $name at $path after $maxAttempts CAS attempts")
+  }
+
+  /** The read schema of `files` under widening overrides: per-file
+    * parquet footer schemas (driver-side, the same metadata reads
+    * [[computeStats]] does at write time) merged field-by-field, with
+    * conflicts resolved along the widening lattice and `widen.*`
+    * overrides applied last — so reads surface the WIDENED logical
+    * type even before any wide file exists. O(#files) driver metadata
+    * ops, paid only by tables that declared a widening; a production
+    * variant would checkpoint the merged schema into the manifest.
+    */
+  private def widenedReadSchema(spark: SparkSession, path: String,
+      files: Seq[String], widen: Map[String, DataType]): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val conv = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter()
+    val acc = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    files.foreach { rel =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(s"$path/$rel"), conf))
+      val schema =
+        try conv.convert(reader.getFooter.getFileMetaData.getSchema)
+        finally reader.close()
+      schema.fields.foreach { f =>
+        acc.get(f.name) match {
+          case None => acc(f.name) = f.copy(nullable = true)
+          case Some(prev) if prev.dataType == f.dataType => ()
+          case Some(prev) if promotable(prev.dataType, f.dataType) =>
+            acc(f.name) = f.copy(nullable = true)
+          case Some(prev) if promotable(f.dataType, prev.dataType) => ()
+          case Some(prev) => throw new IllegalStateException(
+            s"files disagree on ${f.name}: ${prev.dataType.simpleString} " +
+              s"vs ${f.dataType.simpleString} and neither widens the other")
+        }
+      }
+    }
+    widen.foreach { case (c, t) =>
+      acc.get(c).foreach { f =>
+        require(promotable(f.dataType, t),
+          s"stored files hold $c as ${f.dataType.simpleString}, which " +
+            s"does not widen to ${t.simpleString}")
+        acc(c) = f.copy(dataType = t)
+      }
+    }
+    // gbucket is a partition DIRECTORY, not a footer column — include
+    // it so the explicit schema covers the full output
+    acc("gbucket") = StructField("gbucket", IntegerType, nullable = true)
+    StructType(acc.values.toSeq)
   }
 
   // ---- generated columns ---------------------------------------------------
@@ -772,7 +938,8 @@ object VersionedLake {
     // rename to logical BEFORE the row filter: the predicate speaks
     // logical names
     val df0 = toLogicalDf(
-      loadWithDv(spark, path, candidates, m.dv).drop("gbucket"), m)
+      loadWithDv(spark, path, candidates, m.dv,
+        widen = widenMap(m)).drop("gbucket"), m)
       .filter(expr(predicateSql))
     if (df0.columns.contains("_deleted"))
       df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
@@ -799,7 +966,8 @@ object VersionedLake {
     val candidates = rangeCandidates(spark, path, column, lo, hi, Some(v))
     if (candidates.isEmpty)
       return read(spark, path, Some(v)).filter(lit(false))
-    val ranged = loadWithDv(spark, path, candidates, m.dv)
+    val ranged = loadWithDv(spark, path, candidates, m.dv,
+      widen = widenMap(m))
       .filter(lo.map(b => col(columnP) >= lit(b.underlying()))
         .getOrElse(lit(true)) &&
         hi.map(b => col(columnP) <= lit(b.underlying())).getOrElse(lit(true)))
@@ -826,15 +994,21 @@ object VersionedLake {
     */
   private def loadWithDv(spark: SparkSession, path: String,
       dataFiles: Seq[String], dv: Map[String, String],
-      keepPos: Boolean = false): DataFrame = {
+      keepPos: Boolean = false,
+      widen: Map[String, DataType] = Map.empty): DataFrame = {
     // position columns must come straight off the scan relation:
     // metadata columns do not survive a join
-    def scan(files: Seq[String]): DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .option("basePath", path)
-        .parquet(files.map(r => s"$path/$r"): _*)
+    def scan(files: Seq[String]): DataFrame = {
+      val rdr0 = spark.read.option("basePath", path)
+      // a widened table mixes physical encodings (old files narrow,
+      // new files wide), which schema MERGE refuses — read through the
+      // explicit widened schema instead (parquet readers upcast)
+      val rdr = if (widen.isEmpty) rdr0.option("mergeSchema", "true")
+        else rdr0.schema(widenedReadSchema(spark, path, files, widen))
+      rdr.parquet(files.map(r => s"$path/$r"): _*)
         .withColumn("_rel", relCol)
         .withColumn("_pos", col("_metadata.row_index"))
+    }
     val (dirty, clean) = dataFiles.partition(dv.contains)
     val cleanDf = if (clean.isEmpty) None else Some(scan(clean))
     val dirtyDf =
@@ -1023,7 +1197,8 @@ object VersionedLake {
     val replaced = prior.data.filter(rel => touched.contains(bucketOf(rel)))
     val existing =
       if (replaced.isEmpty) None
-      else Some(loadWithDv(spark, path, replaced, prior.dv)
+      else Some(loadWithDv(spark, path, replaced, prior.dv,
+        widen = widenMap(prior))
         .withColumn("_is_update", lit(0)))
     val merged = existing match {
       case None => resolve(tagged)
@@ -1273,7 +1448,8 @@ object VersionedLake {
     // the keys' CURRENT rows (already-deleted positions are excluded
     // by loadWithDv; re-marking them would be harmless) — one scan
     // over the touched shards; the result is change-scale
-    val snap = loadWithDv(spark, path, candidates, m.dv, keepPos = true)
+    val snap = loadWithDv(spark, path, candidates, m.dv, keepPos = true,
+      widen = widenMap(m))
     val doomed = snap
       .join(deleteKeysP.select(keyColsP.map(col): _*).distinct(),
         keyColsP, "left_semi")
@@ -1386,7 +1562,8 @@ object VersionedLake {
         .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
           lit(null).cast("string").as("_rel") :+
           lit(null).cast("long").as("_pos")): _*)
-    else loadWithDv(spark, path, candidates, m.dv, keepPos = true)
+    else loadWithDv(spark, path, candidates, m.dv, keepPos = true,
+      widen = widenMap(m))
       .join(newRows.select(keyCols2.map(col): _*).distinct(),
         keyCols2, "left_semi")
       .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
@@ -1442,7 +1619,7 @@ object VersionedLake {
     val touched = dvFiles.map(bucketOf).toSet
     val cleanCarried = m.data
       .filter(rel => touched.contains(bucketOf(rel)) && !m.dv.contains(rel))
-    val df = loadWithDv(spark, path, dvFiles, m.dv)
+    val df = loadWithDv(spark, path, dvFiles, m.dv, widen = widenMap(m))
     val wid = nonce()
     val stage = path + s"_stage_$wid"
     df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
@@ -1690,11 +1867,13 @@ object VersionedLake {
     val oldParts = Seq(
       if (removed.isEmpty) None
       else Some(toLogicalDf(
-        loadWithDv(spark, path, removed, mA.dv, keepPos = true), mB)),
+        loadWithDv(spark, path, removed, mA.dv, keepPos = true,
+          widen = widenMap(mB)), mB)),
       if (dvGrew.isEmpty) None
       else {
         val visA = toLogicalDf(
-          loadWithDv(spark, path, dvGrew, mA.dv, keepPos = true), mB)
+          loadWithDv(spark, path, dvGrew, mA.dv, keepPos = true,
+            widen = widenMap(mB)), mB)
         val delsB = spark.read
           .parquet(dvGrew.flatMap(mB.dv.get).distinct.map(r => s"$path/$r"): _*)
           .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
@@ -1707,7 +1886,8 @@ object VersionedLake {
     val newSide =
       if (added.isEmpty) None
       else Some(visible(toLogicalDf(
-        loadWithDv(spark, path, added, mB.dv), mB))
+        loadWithDv(spark, path, added, mB.dv,
+          widen = widenMap(mB)), mB))
         .select(newSel: _*))
     require(oldSide.nonEmpty || newSide.nonEmpty,
       s"manifests v$fromVersion and v$toVersion of $path are identical — " +
@@ -1836,7 +2016,7 @@ object VersionedLake {
     val files = m.data.filter(rel => touched.contains(bucketOf(rel)))
     // one shuffle task per bucket value ⇒ exactly one output file per
     // bucket — the point of the exercise
-    val df = loadWithDv(spark, path, files, m.dv)
+    val df = loadWithDv(spark, path, files, m.dv, widen = widenMap(m))
       .repartition(col("gbucket"))
     val wid = nonce()
     val stage = path + s"_stage_$wid"
@@ -1868,7 +2048,7 @@ object VersionedLake {
     val columnP = toPhysicalName(m, column)
     val nb = m.numBuckets(16)
     val touched = m.data.map(bucketOf).toSet
-    val df = loadWithDv(spark, path, m.data, m.dv)
+    val df = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
       .repartitionByRange(nb * slicesPerBucket,
         col("gbucket"), col(columnP))
     val wid = nonce()
@@ -1905,7 +2085,8 @@ object VersionedLake {
     val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
     if (candidates.isEmpty)
       return read(spark, path, asOfVersion).filter(lit(false))
-    val df0 = loadWithDv(spark, path, candidates, m.dv)
+    val df0 = loadWithDv(spark, path, candidates, m.dv,
+        widen = widenMap(m))
       .join(keysP.select(keyColsP.map(col): _*).distinct(), keyColsP,
         "left_semi")
       .drop("gbucket")
@@ -1926,7 +2107,7 @@ object VersionedLake {
     val v = asOfVersion.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs (vacuumed or never committed)")
     val m = manifestEntries(spark, path, v)
-    val df0 = loadWithDv(spark, path, m.data, m.dv)
+    val df0 = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
       .drop("gbucket")
     val live =
       if (df0.columns.contains("_deleted"))
@@ -2145,6 +2326,154 @@ object VersionedLake {
        SELECT key_id, value, props, sequence_number AS last_sequence,
          CASE WHEN sequence_number > (SELECT t1 FROM cutoff)
               THEN 'v2:' || CAST(key_id AS VARCHAR) END AS note
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** DROP COLUMN as a gate row — completing the schema-evolution
+    * triangle (ADD / RENAME / DROP) on the versioned lake. v1 lands
+    * the first half of the feed WITH `props`; [[dropColumn]] hides it
+    * as a metadata-only commit (zero data motion engine-asserted: the
+    * manifest's data lines are unchanged); the current read no longer
+    * shows the column while time travel to v1 still does (the property
+    * set is versioned state); a writer trying to RE-INTRODUCE the name
+    * is refused with the version chain unchanged (the physical slot is
+    * retained — rewrite-free drops cannot hand the name out again);
+    * and the second half trickles in without the column. The final
+    * state hash-matches the full-feed SCD1 oracle speaking the evolved
+    * (props-free) schema.
+    */
+  def columnDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_drop")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    val dataBefore = manifestEntries(spark, path, 1).data.toSet
+    dropColumn(spark, path, "props")
+    val tip = versions(spark, path).last
+    val zeroMotion =
+      manifestEntries(spark, path, tip).data.toSet == dataBefore
+    val hiddenNow = !read(spark, path).columns.contains("props")
+    val travelShowsIt = read(spark, path, Some(1)).columns.contains("props")
+    val second = asChanges(staged.filter(col("sequence_number") > t1))
+      .localCheckpoint(true)
+    val reintroduceBlocked =
+      try { upsert(spark, path, second, Seq("key_id"), "sequence_number")
+        false }
+      catch { case _: IllegalArgumentException => true }
+    val blockedAtomic = versions(spark, path).last == tip
+    dvUpsert(spark, path, second.drop("props"),
+      Seq("key_id"), "sequence_number")
+    read(spark, path)
+      .select(col("key_id"), col("value"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("zero_data_motion", lit(zeroMotion))
+      .withColumn("hidden_after_drop", lit(hiddenNow))
+      .withColumn("time_travel_shows_column", lit(travelShowsIt))
+      .withColumn("reintroduce_blocked", lit(reintroduceBlocked))
+      .withColumn("blocked_was_atomic", lit(blockedAtomic))
+  }
+
+  val columnDropSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, sequence_number AS last_sequence,
+         true AS zero_data_motion, true AS hidden_after_drop,
+         true AS time_travel_shows_column, true AS reintroduce_blocked,
+         true AS blocked_was_atomic
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** TYPE WIDENING as a gate row — the third side of rewrite-free
+    * schema evolution. v1 lands the first half of the feed carrying an
+    * INT column (`ival = key_id % 1000`); [[widenColumn]] promotes it
+    * to BIGINT as a metadata-only commit (zero data motion
+    * engine-asserted); the current read surfaces BIGINT — including
+    * for the all-narrow v1 files, which the parquet readers upcast —
+    * while time travel to v1 still reads INT (versioned property
+    * state); then the second half trickles in with values BEYOND the
+    * int32 range (`key_id % 1000 + 5_000_000_000`), so the final
+    * snapshot mixes int32 and int64 physical encodings in one scan.
+    * Hash-matched against the oracle computing the same winner-typed
+    * values from the sequence cutoff.
+    */
+  def typeWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_widen")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1))
+        .withColumn("ival", pmod(col("key_id"), lit(1000)).cast("int")),
+      Seq("key_id"), "sequence_number")
+    val narrowBefore =
+      read(spark, path).schema("ival").dataType == IntegerType
+    val dataBefore = manifestEntries(spark, path, 1).data.toSet
+    widenColumn(spark, path, "ival", "long")
+    val tip = versions(spark, path).last
+    val zeroMotion =
+      manifestEntries(spark, path, tip).data.toSet == dataBefore
+    val wideAfter = read(spark, path).schema("ival").dataType == LongType
+    val travelNarrow =
+      read(spark, path, Some(1)).schema("ival").dataType == IntegerType
+    dvUpsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") > t1))
+        .withColumn("ival",
+          pmod(col("key_id"), lit(1000)) + lit(5000000000L)),
+      Seq("key_id"), "sequence_number")
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("ival"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("narrow_before_widen", lit(narrowBefore))
+      .withColumn("zero_data_motion", lit(zeroMotion))
+      .withColumn("wide_after_widen", lit(wideAfter))
+      .withColumn("time_travel_reads_narrow", lit(travelNarrow))
+  }
+
+  val typeWideningSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value,
+         CASE WHEN sequence_number <= (SELECT t1 FROM cutoff)
+              THEN ((key_id % 1000) + 1000) % 1000
+              ELSE ((key_id % 1000) + 1000) % 1000 + 5000000000
+         END AS ival,
+         sequence_number AS last_sequence,
+         true AS narrow_before_widen, true AS zero_data_motion,
+         true AS wide_after_widen, true AS time_travel_reads_narrow
        FROM ranked
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
@@ -3849,6 +4178,10 @@ object VersionedLake {
       timeTravel(s, d).orderBy(col("key_id"))),
     "lake_schema_evolution" -> ((s, d) =>
       schemaEvolution(s, d).orderBy(col("key_id"))),
+    "lake_column_drop" -> ((s, d) =>
+      columnDrop(s, d).orderBy(col("key_id"))),
+    "lake_type_widening" -> ((s, d) =>
+      typeWidening(s, d).orderBy(col("key_id"))),
     "lake_version_diff" -> ((s, d) =>
       versionDiff(s, d).orderBy(col("key_id"))))
 
@@ -3876,5 +4209,7 @@ object VersionedLake {
     "lake_vacuum_lifecycle" -> vacuumLifecycleSql,
     "lake_time_travel" -> timeTravelSql,
     "lake_schema_evolution" -> schemaEvolutionSql,
+    "lake_column_drop" -> columnDropSql,
+    "lake_type_widening" -> typeWideningSql,
     "lake_version_diff" -> versionDiffSql)
 }
