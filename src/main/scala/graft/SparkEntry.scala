@@ -61,6 +61,7 @@ object SparkEntry {
       graft.sources.JsonlSink.queries ++
       graft.sources.Wap.queries ++
       graft.sources.VersionedLake.queries ++
+      graft.sources.SqlCatalog.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
       graft.plans.Schedule.queries ++
@@ -120,6 +121,7 @@ object SparkEntry {
       graft.sources.JsonlSink.oracles ++
       graft.sources.Wap.oracles ++
       graft.sources.VersionedLake.oracles ++
+      graft.sources.SqlCatalog.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
       graft.plans.Schedule.oracles ++
