@@ -108,21 +108,43 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     p
   }
 
-  private def load(ident: Identifier, v: Option[Int]): Table =
-    new GraftLakeTable(key(ident), pathOf(ident), v)
+  private def load(ident: Identifier, v: Option[Int]): Table = {
+    val mergeSpec = Option(mergeSpecs.get(key(ident)))
+    new GraftLakeTable(key(ident), pathOf(ident), v, mergeSpec)
+  }
+
+  private val mergeSpecs =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], String)]()
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     val props = properties.asScala
-    val path = props.get("location").orElse(props.get("path")).getOrElse(
+    def opt(k: String): Option[String] =
+      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+    val loc = opt("location").orElse(opt("path")).getOrElse(
       throw new IllegalArgumentException(
         s"CREATE TABLE ${key(ident)} USING graft requires a LOCATION " +
           "(the lake table path)"))
+    // Spark normalizes LOCATION to a URI (file:/tmp/...); the lake
+    // speaks plain paths on the local scheme (its link(2) publish
+    // primitive does), so strip the scheme it would choke on
+    val path = {
+      val uri = try new java.net.URI(loc) catch {
+        case _: java.net.URISyntaxException => null
+      }
+      if (uri != null && uri.getScheme == "file") uri.getPath else loc
+    }
     require(VersionedLake.versions(SparkSession.active, path).nonEmpty,
       s"no committed lake versions at $path — commit data before " +
         "registering the name")
     tables.put(key(ident), path)
+    // MERGE-by-convention: `OPTIONS (mergeKeys 'k1,k2', mergeSeq 's')`
+    // makes SQL INSERT INTO an idempotent keyed upsert instead of a
+    // blind append — the only honest INSERT semantic for an SCD table
+    for (ks <- opt("mergeKeys"); sq <- opt("mergeSeq"))
+      mergeSpecs.put(key(ident),
+        (ks.split(',').map(_.trim).toSeq, sq.trim))
     loadTable(ident)
   }
 
@@ -169,9 +191,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** One registered lake table, possibly pinned to a time-travel version. */
+/** One registered lake table, possibly pinned to a time-travel version.
+  * Writable through SQL when the registration carried a merge spec
+  * (`mergeKeys`/`mergeSeq` options): INSERT INTO routes through
+  * [[VersionedLake.upsert]] — a keyed MERGE with the lake's full OCC /
+  * constraint / generated-column / column-mapping machinery, not a
+  * blind file append.
+  */
 private[sources] class GraftLakeTable(ident: String, path: String,
-    asOfVersion: Option[Int]) extends Table with SupportsRead {
+    asOfVersion: Option[Int],
+    mergeSpec: Option[(Seq[String], String)])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     ident + asOfVersion.map(v => s"@v$v").getOrElse("")
@@ -180,11 +211,38 @@ private[sources] class GraftLakeTable(ident: String, path: String,
     VersionedLake.read(SparkSession.active, path, asOfVersion).schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (mergeSpec.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(path, asOfVersion, schema())
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val (keys, seq) = mergeSpec.getOrElse(throw new
+        UnsupportedOperationException(
+      s"$ident was registered without mergeKeys/mergeSeq OPTIONS — " +
+        "SQL INSERT needs the merge contract"))
+    require(asOfVersion.isEmpty, "cannot INSERT into a time-travel read")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, overwrite: Boolean) => {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE is not a lake operation — RESTORE or " +
+                  "re-create instead")
+              VersionedLake.upsert(data.sparkSession, path, data, keys, seq)
+              ()
+            }
+        }
+    }
+  }
 }
 
 private[sources] class GraftLakeScanBuilder(path: String,
@@ -370,9 +428,84 @@ object SqlCatalog {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** SQL WRITE surface as a gate row: the second half of the change
+    * feed lands through `INSERT INTO` — which the catalog routes into
+    * [[VersionedLake.upsert]] because the registration carried
+    * `mergeKeys`/`mergeSeq` OPTIONS, so SQL writers get the keyed
+    * MERGE (OCC, constraints, column mapping) rather than an append.
+    * DELETE events cannot be expressed through bare INSERT (no
+    * `_deleted` in the public schema), so the SQL feed carries only
+    * non-delete changes and the oracle mirrors exactly that contract;
+    * INSERT OVERWRITE is refused (`overwrite_refused`) and the insert
+    * commits exactly one version (`sql_insert_committed`).
+    */
+  def sqlWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqlw")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    VersionedLake.upsert(spark, path,
+      staged.filter(col("sequence_number") <= t1)
+        .withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation"),
+      Seq("key_id"), "sequence_number")
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_w"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      LOCATION '$path'""")
+    staged.filter(col("sequence_number") > t1 &&
+      col("operation") =!= "DELETE")
+      .createOrReplaceTempView("sqlw_feed")
+    val before = VersionedLake.versions(spark, path).last
+    spark.sql(s"""INSERT INTO $t BY NAME
+      SELECT key_id, value, props, sequence_number FROM sqlw_feed""")
+    val committedOne = VersionedLake.versions(spark, path).last == before + 1
+    val overwriteRefused =
+      try {
+        spark.sql(s"""INSERT OVERWRITE TABLE $t BY NAME
+          SELECT key_id, value, props, sequence_number FROM sqlw_feed""")
+        false
+      } catch { case _: Exception => true }
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("sql_insert_committed", lit(committedOne))
+      .withColumn("overwrite_refused", lit(overwriteRefused))
+  }
+
+  val sqlWriteSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
+       feed AS (
+         SELECT s.* FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1
+            OR (s.sequence_number > c.t1 AND s.operation <> 'DELETE')),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM feed s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS sql_insert_committed, true AS overwrite_refused
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))))
+    "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
+    "lake_sql_write" -> ((s, d) => sqlWrite(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
-    "lake_sql_read" -> sqlReadSql)
+    "lake_sql_read" -> sqlReadSql,
+    "lake_sql_write" -> sqlWriteSql)
 }

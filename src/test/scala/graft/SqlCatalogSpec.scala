@@ -76,6 +76,34 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $name").head().getLong(0) == 100L)
   }
 
+  test("INSERT INTO merges by key through the lake, not appends") {
+    val (path, name) = freshTable("sqlcat_ins")
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (k BIGINT, x STRING, seq BIGINT) " +
+      s"USING graft OPTIONS (mergeKeys 'k', mergeSeq 'seq') " +
+      s"LOCATION '$path'")
+    // an update (k=2, higher seq), a stale change (k=3, lower... equal
+    // rule: seq ties go to the update) and an insert (k=9)
+    spark.sql(s"INSERT INTO $name BY NAME " +
+      "SELECT * FROM VALUES (2L, 'b2', 10L), (9L, 'b9', 1L) AS t(k, x, seq)")
+    val got = spark.sql(s"SELECT k, x FROM $name ORDER BY k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "a1", 2L -> "b2", 3L -> "a3", 4L -> "a4",
+      9L -> "b9"), got.toString)
+    // a registration WITHOUT the merge contract refuses INSERT
+    val ro = s"${SqlCatalog.CatalogName}.t.sqlcat_ins_ro"
+    spark.sql(s"DROP TABLE IF EXISTS $ro")
+    spark.sql(s"CREATE TABLE $ro (k BIGINT, x STRING, seq BIGINT) " +
+      s"USING graft LOCATION '$path'")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $ro BY NAME " +
+        "SELECT * FROM VALUES (7L, 'z', 1L) AS t(k, x, seq)")
+    }
+  }
+
   test("column mapping flows through SQL: renamed names resolve") {
     val (path, name) = freshTable("sqlcat_ren")
     VersionedLake.upsert(spark, path,
