@@ -70,7 +70,8 @@ object SparkEntry {
       graft.streaming.TransformState.queries ++
       graft.streaming.LakeSink.queries ++
       graft.streaming.LakeChain.queries ++
-      graft.streaming.ScdEnrich.queries
+      graft.streaming.ScdEnrich.queries ++
+      graft.streaming.Scd2Apply.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -130,5 +131,6 @@ object SparkEntry {
       graft.streaming.TransformState.oracles ++
       graft.streaming.LakeSink.oracles ++
       graft.streaming.LakeChain.oracles ++
-      graft.streaming.ScdEnrich.oracles
+      graft.streaming.ScdEnrich.oracles ++
+      graft.streaming.Scd2Apply.oracles
 }

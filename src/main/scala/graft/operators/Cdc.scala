@@ -85,11 +85,21 @@ object Cdc {
     * closes (ref cdc_customers_silver.sql:69-90 STORED AS SCD TYPE 2;
     * generated __START_AT/__END_AT/__IS_CURRENT).
     */
-  def scd2History(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key_id")).orderBy(col("sequence_number"))
-    stage(events)
-      .withColumn("__end_at", lead(col("sequence_number"), 1).over(w))
+  def scd2History(events: DataFrame): DataFrame =
+    scd2FromStaged(stage(events))
       .filter(col("operation") =!= "DELETE")
+
+  /** SCD2 resolution at the STAGED-change grain (key_id, operation,
+    * value, props, sequence_number) — shared by the batch view above
+    * and the incremental streaming apply
+    * ([[graft.streaming.Scd2Apply]]), so the two cannot drift. DELETE
+    * rows are RETAINED (they close the previous version and carry
+    * `__end_at` bookkeeping of their own); consumers filter them.
+    */
+  def scd2FromStaged(staged: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key_id")).orderBy(col("sequence_number"))
+    staged
+      .withColumn("__end_at", lead(col("sequence_number"), 1).over(w))
       .select(
         col("key_id"), col("value"), col("props"),
         col("operation"),
