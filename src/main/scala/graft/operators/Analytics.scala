@@ -261,6 +261,67 @@ object Analytics {
          COUNT(CASE WHEN did_full_funnel THEN 1 END) AS n_full_funnel
        FROM per_user"""
 
+  /** CONVERSION-WINDOW funnel — [[eventsFunnel]] with per-step time
+    * budgets (click within 7 days of signup, purchase within 7 days of
+    * that click), the product-analytics grain unbounded funnels
+    * overstate: a purchase two years after signup is not a conversion.
+    * Same one-user-shuffle shape (three conditional MIN windows over
+    * the exact microsecond domain — BIGINT arithmetic, no timestamp
+    * intervals to drift cross-engine), plus the exact total
+    * signup→purchase latency of full-funnel users as an integer sum.
+    */
+  def eventsWindowFunnel(events: DataFrame): DataFrame = {
+    val W = 604800000000L // 7 days in micros
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("s_us",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(byUser))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") >= col("s_us") &&
+          col("ts_us") <= col("s_us") + W, col("ts_us"))).over(byUser))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("c_us") &&
+          col("ts_us") <= col("c_us") + W, col("ts_us"))).over(byUser))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("s_us")).as("s"), max(col("c_us")).as("c"),
+        max(col("p_us")).as("p"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("s")).as("n_signup"),
+        count(col("c")).as("n_click_7d"),
+        count(col("p")).as("n_full_7d"),
+        coalesce(sum(when(col("p").isNotNull, col("p") - col("s"))),
+          lit(0L)).cast("long").as("total_convert_us"))
+  }
+
+  val eventsWindowFunnelSql: String =
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       s1 AS (
+         SELECT user_id, event_type, ts_us,
+           MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+             OVER (PARTITION BY user_id) AS s
+         FROM e),
+       s2 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= s
+             AND ts_us <= s + 604800000000 THEN ts_us END)
+             OVER (PARTITION BY user_id) AS c
+         FROM s1),
+       s3 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= c
+             AND ts_us <= c + 604800000000 THEN ts_us END)
+             OVER (PARTITION BY user_id) AS p
+         FROM s2),
+       u AS (
+         SELECT user_id, MAX(s) AS s, MAX(c) AS c, MAX(p) AS p
+         FROM s3 GROUP BY user_id)
+       SELECT COUNT(*) AS n_users, COUNT(s) AS n_signup,
+         COUNT(c) AS n_click_7d, COUNT(p) AS n_full_7d,
+         CAST(COALESCE(SUM(CASE WHEN p IS NOT NULL THEN p - s END), 0)
+           AS BIGINT) AS total_convert_us
+       FROM u"""
+
   /** HyperLogLog++ distinct sketch, oracle-gated via its error bound:
     * the sketch value itself is engine-specific, but "within 10% of the
     * exact count at rsd=0.02" is a deterministic boolean the oracle can
@@ -1021,6 +1082,8 @@ object Analytics {
       eventsUnpivot(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))),
     "events_funnel" -> ((s, d) => eventsFunnel(Tables.events(s, d))),
+    "events_window_funnel" -> ((s, d) =>
+      eventsWindowFunnel(Tables.events(s, d))),
     "price_band_join" -> ((s, d) =>
       priceBandJoin(Tables.lineitem(s, d)).orderBy(col("band_name"))),
     "order_quantiles_sketch" -> ((s, d) =>
@@ -1064,6 +1127,7 @@ object Analytics {
     "events_sliding_window" -> eventsSlidingWindowSql,
     "events_unpivot" -> eventsUnpivotSql,
     "events_funnel" -> eventsFunnelSql,
+    "events_window_funnel" -> eventsWindowFunnelSql,
     "price_band_join" -> priceBandJoinSql,
     "order_quantiles_sketch" -> priceQuantilesSketchSql,
     "q1_pricing_summary" -> q1Sql,

@@ -305,16 +305,71 @@ object Quality {
       .mkString("", "\n       UNION ALL\n       ", "\n       ORDER BY edge")
   }
 
+  /** FRESHNESS audit — the data-quality dimension row-level and
+    * referential expectations cannot see: a pipeline that silently
+    * STOPS ingesting passes every content rule while its tables go
+    * stale. Per time-bearing table: row count, max event day, and the
+    * staleness lag against a DATA-DERIVED reference instant (the
+    * newest day across all audited tables — no wall clock, so the
+    * audit is deterministic and the oracle reproduces it). One
+    * column-pruned aggregate per table (at 100 TB the same numbers
+    * come from footer stats — see VersionedLake.computeStats — but the
+    * scan form works on any parquet, which an audit must); the
+    * cross-table window runs over O(tables) rows.
+    */
+  def dqFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def one(name: String, df: DataFrame,
+        day: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), max(day).as("max_day"))
+        .withColumn("table_name", lit(name))
+    val rows =
+      one("orders", graft.Tables.orders(spark, sfDir), col("o_orderdate"))
+        .unionByName(one("lineitem", graft.Tables.lineitem(spark, sfDir),
+          col("l_shipdate")))
+        .unionByName(one("events", graft.Tables.events(spark, sfDir),
+          col("ts_utc").cast("date")))
+    // O(tables) rows — the global window is deliberate and tiny
+    val ref = Window.partitionBy()
+    rows
+      .withColumn("ref_day", max(col("max_day")).over(ref))
+      .select(col("table_name"), col("n_rows"), col("max_day"),
+        datediff(col("ref_day"), col("max_day")).cast("long")
+          .as("lag_days"),
+        (datediff(col("ref_day"), col("max_day")) <= 30)
+          .as("fresh_within_30d"))
+  }
+
+  val dqFreshnessSql: String =
+    """WITH f AS (
+         SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           MAX(o_orderdate) AS max_day FROM orders
+         UNION ALL
+         SELECT 'lineitem', COUNT(*), MAX(l_shipdate) FROM lineitem
+         UNION ALL
+         SELECT 'events', COUNT(*), CAST(MAX(ts) AS DATE) FROM events),
+       r AS (SELECT MAX(max_day) AS ref_day FROM f)
+       SELECT table_name, n_rows, max_day,
+         CAST(date_diff('day', max_day, (SELECT ref_day FROM r))
+           AS BIGINT) AS lag_days,
+         date_diff('day', max_day, (SELECT ref_day FROM r)) <= 30
+           AS fresh_within_30d
+       FROM f
+       ORDER BY table_name"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_metrics" -> ((s, d) =>
       dqMetrics(s, d).orderBy(col("table_name"), col("rule_name"))),
     "dq_quarantine" -> ((s, d) =>
       dqQuarantine(s, d).orderBy(col("o_orderkey"))),
     "dq_referential" -> ((s, d) =>
-      referentialAudit(s, d).orderBy(col("edge"))))
+      referentialAudit(s, d).orderBy(col("edge"))),
+    "dq_freshness" -> ((s, d) =>
+      dqFreshness(s, d).orderBy(col("table_name"))))
 
   def oracles: Map[String, String] = Map(
     "dq_metrics" -> dqMetricsSql,
     "dq_quarantine" -> dqQuarantineSql,
-    "dq_referential" -> referentialAuditSql)
+    "dq_referential" -> referentialAuditSql,
+    "dq_freshness" -> dqFreshnessSql)
 }
