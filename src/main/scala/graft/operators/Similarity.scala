@@ -228,8 +228,82 @@ object Similarity {
        ORDER BY probe_id, rank"""
   }
 
+  /** k-NN CLASSIFICATION over the embedding space — the eval-style
+    * consumer of the ANN family (label propagation / quality-classifier
+    * shape): held-out probes (`vec_id % 50 = 0`) are classified by the
+    * MAJORITY LABEL of their k exact nearest train-side neighbors
+    * (vote ties broken by smaller label — deterministic end to end:
+    * fold-exact cosines, id-tiebroken ranks, integer votes). The
+    * labeled brute-force sweep is the baseline discipline of
+    * [[bruteForceTopK]]; a production run swaps the candidate stage
+    * for IVF/LSH and keeps the vote.
+    */
+  def knnClassifier(emb: DataFrame, k: Int = 5): DataFrame = {
+    val base = emb.select(col("vec_id"),
+        asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .repartition(col("vec_id"))
+    val probes = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("label").as("true_label"))
+    val train = base.filter(col("vec_id") % 50 =!= 0)
+    val scored = train.join(broadcast(probes),
+      col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("true_label"),
+        col("label").as("n_label"),
+        col("vec_id").as("neighbor_id"),
+        cosinePre(dot(col("pv"), col("v")), col("pnrm"), col("nrm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val neighbors = scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val votes = neighbors
+      .groupBy(col("probe_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("n_label").as("predicted_label"), col("votes"),
+        (col("n_label") === col("true_label")).as("correct"))
+  }
+
+  val knnClassifierSql: String =
+    """WITH base AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         FROM embeddings),
+       probes AS (
+         SELECT vec_id AS probe_id, v AS pv, label AS true_label
+         FROM base WHERE vec_id % 50 = 0),
+       scored AS (
+         SELECT p.probe_id, p.true_label, b.label AS n_label,
+           b.vec_id AS neighbor_id,
+           list_dot_product(p.pv, b.v)
+             / (sqrt(list_dot_product(p.pv, p.pv))
+                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+         FROM base b JOIN probes p ON b.vec_id % 50 <> 0),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored),
+       votes AS (
+         SELECT probe_id, true_label, n_label, COUNT(*) AS votes
+         FROM ranked WHERE rank <= 5
+         GROUP BY 1, 2, 3),
+       winner AS (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY votes DESC, n_label) AS vr
+         FROM votes)
+       SELECT probe_id, true_label, n_label AS predicted_label, votes,
+         n_label = true_label AS correct
+       FROM winner WHERE vr = 1
+       ORDER BY probe_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_classifier" -> ((s, d) =>
+      knnClassifier(Tables.embeddings(s, d)).orderBy(col("probe_id"))),
     "ann_bruteforce_topk" -> ((s, d) =>
       bruteForceTopK(Tables.embeddings(s, d))
         .orderBy(col("probe_id"), col("rank"))),
@@ -276,6 +350,7 @@ object Similarity {
        ORDER BY v.variant"""
 
   def oracles: Map[String, String] = Map(
+    "emb_knn_classifier" -> knnClassifierSql,
     "ann_bruteforce_topk" -> bruteForceTopKSql,
     "ann_lsh_topk" -> lshTopKSql,
     "ann_recall_bounds" -> recallBoundsSql)

@@ -109,6 +109,51 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** TOKENIZER FERTILITY report per (lang, source) — the standard
+    * tokenizer-evaluation metric (subword tokens per word; chars per
+    * subword): a language whose fertility is high pays more sequence
+    * length per word of content, which drives both training cost and
+    * the data-mixing weights. Pure exact-count arithmetic (BIGINT sums
+    * of the same per-doc token counts [[textTokens]] reports; the two
+    * divisions are exact-parity IEEE doubles over exact sums), one
+    * map-side-combinable aggregate over the corpus scan.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text"))).cast("long")
+    val subwords = bpeIshCount(col("text"))
+    val chars = length(col("text")).cast("long")
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(words).cast("long").as("n_words"),
+        sum(subwords).cast("long").as("n_subwords"),
+        sum(chars).cast("long").as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"))
+  }
+
+  val tokenizerFertilitySql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+         AS n_words,
+       CAST(SUM(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+'))) AS BIGINT) AS n_subwords,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+'))) AS DOUBLE)
+         / CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+         AS fertility,
+       CAST(SUM(length(text)) AS DOUBLE)
+         / CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+'))) AS DOUBLE)
+         AS chars_per_subword
+       FROM documents
+       GROUP BY 1, 2
+       ORDER BY 1, 2"""
+
   /** Quality scoring: length, repetition, stopword density, punctuation
     * — the standard cheap filters for pretraining corpora.
     */
@@ -774,6 +819,9 @@ object TextAnalysis {
       textLangId(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_tokens" -> ((s, d) =>
       textTokens(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "corpus_tokenizer_fertility" -> ((s, d) =>
+      tokenizerFertility(Tables.documents(s, d))
+        .orderBy(col("lang"), col("source"))),
     "text_quality" -> ((s, d) =>
       textQuality(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
@@ -870,6 +918,7 @@ object TextAnalysis {
     "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangIdSql,
     "text_tokens" -> textTokensSql,
+    "corpus_tokenizer_fertility" -> tokenizerFertilitySql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
     "corpus_split" -> corpusSplitSql,
