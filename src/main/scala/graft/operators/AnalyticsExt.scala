@@ -349,8 +349,81 @@ object AnalyticsExt {
              ORDER BY exact_n DESC, user_id LIMIT 10)
        ORDER BY exact_n DESC, user_id"""
 
+  /** A/B experiment readout — deterministic hash-bucket assignment
+    * (`user_id % 2`, the id-sharding every experimentation platform
+    * uses) and a high-value-purchase conversion comparison (purchase with
+    * value > 100 — the plain purchase rate saturates at 1.0 in the
+    * synthetic feed, degenerating the pooled variance) computed from
+    * EXACT counts: per-variant users / converters / conversion rates,
+    * relative lift, and the two-proportion z-statistic from the pooled
+    * rate — every float is `+ − × ÷ sqrt` over exact integers, so the
+    * statistic is bit-reproducible cross-engine (no erf; the CONSUMER
+    * maps z to significance). One user-grain aggregate then a 2-row
+    * reduce.
+    */
+  def eventsAbTest(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" && col("value") > 100)
+        .cast("int")).as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val agg = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).cast("long").as("n_converted"))
+    val a = agg.filter(col("variant") === "A")
+      .select(col("n_users").as("n_a"), col("n_converted").as("c_a"))
+    val b = agg.filter(col("variant") === "B")
+      .select(col("n_users").as("n_b"), col("n_converted").as("c_b"))
+    // two 1-row frames: the crossJoin is a broadcast scalar combine
+    a.crossJoin(b).select(
+      col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      (col("c_a").cast("double") / col("n_a").cast("double")).as("conv_a"),
+      (col("c_b").cast("double") / col("n_b").cast("double")).as("conv_b"),
+      ((col("c_b").cast("double") / col("n_b").cast("double")) /
+        (col("c_a").cast("double") / col("n_a").cast("double")) - 1.0)
+        .as("rel_lift"),
+      (((col("c_b").cast("double") / col("n_b").cast("double")) -
+        (col("c_a").cast("double") / col("n_a").cast("double"))) /
+        sqrt(((col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")) *
+          (lit(1.0) - (col("c_a") + col("c_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double")) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))).as("z_stat"))
+  }
+
+  val eventsAbTestSql: String =
+    """WITH u AS (
+         SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' AND value > 100
+             THEN 1 ELSE 0 END) AS converted,
+           CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY user_id),
+       v AS (
+         SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c
+         FROM u GROUP BY variant),
+       j AS (
+         SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+         FROM (SELECT * FROM v WHERE variant = 'A') a,
+              (SELECT * FROM v WHERE variant = 'B') b)
+       SELECT n_a, c_a, n_b, c_b,
+         CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS conv_a,
+         CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS conv_b,
+         (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 AS rel_lift,
+         ((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           - (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+           / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           AS z_stat
+       FROM j"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_test" -> ((s, d) => eventsAbTest(Tables.events(s, d))),
     "events_json_breakdown" -> ((s, d) =>
       eventsJsonBreakdown(Tables.events(s, d))
         .orderBy(col("event_type"), col("k_decile"))),
@@ -374,6 +447,7 @@ object AnalyticsExt {
       eventsCmsTopk(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "events_ab_test" -> eventsAbTestSql,
     "events_json_breakdown" -> eventsJsonBreakdownSql,
     "customer_trailing_spend" -> customerTrailingSpendSql,
     "lineitem_price_qty_corr" -> lineitemPriceQtyCorrSql,

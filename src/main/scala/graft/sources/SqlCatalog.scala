@@ -247,10 +247,12 @@ private[sources] class GraftLakeTable(ident: String, path: String,
 
 private[sources] class GraftLakeScanBuilder(path: String,
     asOfVersion: Option[Int], full: StructType) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // guard against columns the lake schema lacks (metadata internals)
@@ -270,8 +272,36 @@ private[sources] class GraftLakeScanBuilder(path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COMPLETE pushdown of unfiltered, ungrouped COUNT(*): the manifest
+    * answers it at metadata cost ([[VersionedLake.metadataCount]] —
+    * footer row counts for tombstone-free un-DV'd files, a restricted
+    * scan for the rest), so the whole aggregate disappears from the
+    * Spark plan. Anything else (groups, filters, other functions)
+    * declines and runs as a normal scan + aggregate.
+    */
+  private def isPlainCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      pushed.isEmpty
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = isPlainCountStar(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (!isPlainCountStar(agg)) false
+    else { countStarPushed = true; true }
+  }
+
   override def build(): Scan =
-    new GraftLakeScan(path, asOfVersion, required,
+    if (countStarPushed) new GraftLakeCountScan(path, asOfVersion)
+    else new GraftLakeScan(path, asOfVersion, required,
       pushed.flatMap(GraftLakeScanBuilder.toSql))
 }
 
@@ -339,6 +369,38 @@ private[sources] class GraftLakeRelation(ctx: SQLContext, path: String,
       else base.select(requiredSchema.fieldNames.map(col).toSeq: _*)
     projected.rdd
   }
+}
+
+/** A completely-pushed COUNT(*): one BIGINT row, computed from the
+  * manifest's `__meta` row counts plus a scan of only the files whose
+  * liveness metadata cannot prove (DV-carrying or tombstone-possible),
+  * falling back to a full live count for pre-`__meta` tables — always
+  * exact, metadata-cheap when the table allows it.
+  */
+private[sources] class GraftLakeCountScan(path: String,
+    asOfVersion: Option[Int]) extends V1Scan {
+
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count_star",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relSchema = readSchema()
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = relSchema
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val n = VersionedLake.metadataCount(spark, path, asOfVersion)
+          .getOrElse(VersionedLake.read(spark, path, asOfVersion).count())
+        spark.sparkContext.parallelize(Seq(Row(n)), 1)
+      }
+    }.asInstanceOf[T]
+  }
+
+  override def description(): String =
+    s"GraftLakeCount(path=$path, asOf=$asOfVersion)"
 }
 
 /** Gate registration for the SQL surface. */
@@ -501,11 +563,73 @@ object SqlCatalog {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** AGGREGATE PUSHDOWN through the SQL surface: an unfiltered
+    * `SELECT COUNT(*)` over a lake table COMPLETE-pushes into the
+    * connector — the executed plan carries NO aggregate node (engine-
+    * asserted, the [[GenSource]] complete-push discipline) — and is
+    * answered by [[VersionedLake.metadataCount]]: footer row counts
+    * for tombstone-free un-DV'd files, a scan of exactly the
+    * DV-carrying files for the rest (the gate trickles position
+    * deletes first so BOTH paths execute). `meta_count_matches` pins
+    * the metadata path against the pushed SQL answer, and the oracle
+    * recomputes the live count from the feed.
+    */
+  def sqlAggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqlagg")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    VersionedLake.upsert(spark, path,
+      staged.filter(col("sequence_number") <= t1 &&
+        col("operation") =!= "DELETE").drop("operation"),
+      Seq("key_id"), "sequence_number")
+    VersionedLake.dvDelete(spark, path,
+      staged.filter(pmod(col("key_id"), lit(7)) === 0)
+        .select(col("key_id")).distinct(), Seq("key_id"))
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_cnt"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      LOCATION '$path'""")
+    val q = spark.sql(s"SELECT COUNT(*) AS n FROM $t")
+    val plan = q.queryExecution.executedPlan.toString
+    val noAggNode = !plan.contains("HashAggregate") &&
+      !plan.contains("SortAggregate") && !plan.contains("ObjectHashAggregate")
+    val n = q.head().getLong(0)
+    val metaMatches =
+      VersionedLake.metadataCount(spark, path).contains(n)
+    spark.range(1).select(lit(n).as("n"),
+      lit(noAggNode).as("agg_pushed_complete"),
+      lit(metaMatches).as("meta_count_matches"))
+  }
+
+  val sqlAggPushdownSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
+       k AS (
+         SELECT DISTINCT key_id FROM stg, cutoff c
+         WHERE sequence_number <= c.t1 AND operation <> 'DELETE')
+       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         true AS agg_pushed_complete, true AS meta_count_matches
+       FROM k WHERE key_id % 7 <> 0"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
-    "lake_sql_write" -> ((s, d) => sqlWrite(s, d).orderBy(col("key_id"))))
+    "lake_sql_write" -> ((s, d) => sqlWrite(s, d).orderBy(col("key_id"))),
+    "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
 
   def oracles: Map[String, String] = Map(
     "lake_sql_read" -> sqlReadSql,
-    "lake_sql_write" -> sqlWriteSql)
+    "lake_sql_write" -> sqlWriteSql,
+    "lake_sql_agg_pushdown" -> sqlAggPushdownSql)
 }

@@ -299,6 +299,31 @@ object VersionedLake {
         // recorded range a lie about uncovered rows)
         val acc = scala.collection.mutable.LinkedHashMap[String,
           Option[(BigDecimal, BigDecimal)]]()
+        // file row count + may-hold-tombstones flag, for the
+        // metadata-only COUNT(*) path ([[metadataCount]]): a file whose
+        // `_deleted` boolean stats prove max=false (or whose rows never
+        // carried the column / only nulls — both read as not-deleted)
+        // contributes its footer row count without being opened
+        var totalRows = 0L
+        var tombSeen = false
+        var tombUnknown = false
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          totalRows += block.getRowCount
+          block.getColumns.asScala.foreach { c =>
+            if (c.getPath.size == 1 && c.getPath.toDotString == "_deleted") {
+              val st = c.getStatistics
+              if (st == null || st.isEmpty) tombUnknown = true
+              else if (!st.hasNonNullValue) () // all null ⇒ not deleted
+              else c.getPrimitiveType.getPrimitiveTypeName match {
+                case BOOLEAN =>
+                  if (st.genericGetMax.asInstanceOf[java.lang.Boolean]
+                    .booleanValue()) tombSeen = true
+                case _ => tombUnknown = true
+              }
+            }
+          }
+        }
+        val tombFlag = if (tombUnknown || tombSeen) 1 else 0
         reader.getFooter.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { c =>
             if (c.getPath.size == 1) {
@@ -370,17 +395,62 @@ object VersionedLake {
             }
           }
         }
-        val payload = acc.flatMap {
+        val colPayload = acc.flatMap {
           case (name, Some((lo, hi))) =>
             // ':' and '|' are the payload separators; plain decimal
             // renderings of numeric bounds never contain either
             Some(s"$name:${lo.underlying.toPlainString}:" +
               hi.underlying.toPlainString)
           case _ => None
-        }.mkString("|")
-        if (payload.isEmpty) None else Some(rel -> payload)
+        }
+        // pseudo-column entry; never matches a query column name
+        val payload = (Seq(s"__meta:$totalRows:$tombFlag") ++ colPayload)
+          .mkString("|")
+        Some(rel -> payload)
       } finally reader.close()
     }.toMap
+  }
+
+  /** Exact COUNT(*) of the live snapshot at METADATA COST where the
+    * manifest proves it, scanning only the files it cannot: a data
+    * file contributes its footer row count (recorded at write time in
+    * the `__meta` stats entry) when it has NO deletion vector and its
+    * `_deleted` stats prove it holds no tombstones; DV-carrying or
+    * tombstone-possible files are counted by a scan restricted to
+    * exactly them. A trickle-maintained 100 TB table answers COUNT(*)
+    * from its manifest plus a sliver of recently-deleted files —
+    * Delta's numRecords-from-stats fast path. Returns None when any
+    * file predates the `__meta` record (conservative: caller falls
+    * back to a full count).
+    */
+  def metadataCount(spark: SparkSession, path: String,
+      asOfVersion: Option[Int] = None): Option[Long] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
+    def metaOf(rel: String): Option[(Long, Int)] =
+      m.stats.get(rel).flatMap(_.split('|').collectFirst {
+        case t if t.startsWith("__meta:") =>
+          val a = t.split(':'); (a(1).toLong, a(2).toInt)
+      })
+    if (m.data.isEmpty) return Some(0L)
+    val metas = m.data.map(rel => rel -> metaOf(rel)).toMap
+    if (metas.valuesIterator.exists(_.isEmpty)) return None
+    val (mustScan, clean) = m.data.partition(rel =>
+      m.dv.contains(rel) || metas(rel).get._2 == 1)
+    val cleanRows = clean.iterator.map(rel => metas(rel).get._1).sum
+    val scannedRows =
+      if (mustScan.isEmpty) 0L
+      else {
+        val df0 = loadWithDv(spark, path, mustScan, m.dv,
+          widen = widenMap(m))
+        val live =
+          if (df0.columns.contains("_deleted"))
+            df0.filter(!coalesce(col("_deleted"), lit(false)))
+          else df0
+        live.count()
+      }
+    Some(cleanRows + scannedRows)
   }
 
   private def statsAsLines(stats: Map[String, String]): Seq[String] =
