@@ -260,13 +260,74 @@ object Kmeans {
        ORDER BY cluster_id"""
 
   // ---- registry ------------------------------------------------------------
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — CLUSTER-BLOCKED
+    * semantic deduplication, the published method this module's
+    * clustering exists to serve: the k-means partition IS the blocking
+    * (pairwise cosines are computed only WITHIN clusters, so the
+    * quadratic cost is per-cluster and k scales with the corpus), and
+    * the keep rule is the paper's upper-triangular greedy — a point is
+    * DROPPED when its max cosine to any LOWER-id point of its cluster
+    * reaches τ. Composes two verified substrates with zero new
+    * nondeterminism: the integer-exact clustering (shared
+    * [[kmeansCtes]] oracle — one definition of the partition on both
+    * engines) and the fold-exact cosine
+    * ([[Similarity.dot]]/`list_dot_product` parity); MAX over exact
+    * doubles is order-independent, ids break nothing (no ties to
+    * break).
+    */
+  def semDedup(emb: DataFrame, tau: Double = 0.35): DataFrame = {
+    import graft.operators.Similarity.{cosinePre, dot}
+    val assign = embKmeans(emb).select(col("vec_id"), col("cluster_id"))
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val base = assign.join(vecs, Seq("vec_id"))
+      .localCheckpoint(true) // read twice by the self-join below
+    val l = base.select(col("cluster_id"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = base.select(col("cluster_id"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val prior = l.join(r, Seq("cluster_id")).filter(col("a") < col("b"))
+      .select(col("b"),
+        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("cosine"))
+      .groupBy(col("b")).agg(max(col("cosine")).as("max_prior_sim"))
+      .withColumnRenamed("b", "vec_id")
+    base.select(col("vec_id"), col("cluster_id"))
+      .join(prior, Seq("vec_id"), "left")
+      .withColumn("kept",
+        col("max_prior_sim").isNull || col("max_prior_sim") < tau)
+  }
+
+  val semDedupSql: String =
+    s"""WITH $kmeansCtes,
+       bv AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ba AS (
+         SELECT a.vec_id, a.cid, bv.v
+         FROM a$Iters a JOIN bv USING (vec_id)),
+       pr AS (
+         SELECT y.vec_id AS b,
+           MAX(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v)))) AS max_prior_sim
+         FROM ba x JOIN ba y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         GROUP BY 1)
+       SELECT a.vec_id, a.cid AS cluster_id, pr.max_prior_sim,
+         pr.max_prior_sim IS NULL OR pr.max_prior_sim < 0.35 AS kept
+       FROM a$Iters a LEFT JOIN pr ON a.vec_id = pr.b
+       ORDER BY a.vec_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> ((s, d) =>
       embKmeans(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
     "emb_cluster_purity" -> ((s, d) =>
-      clusterPurity(Tables.embeddings(s, d)).orderBy(col("cluster_id"))))
+      clusterPurity(Tables.embeddings(s, d)).orderBy(col("cluster_id"))),
+    "emb_semdedup" -> ((s, d) =>
+      semDedup(Tables.embeddings(s, d)).orderBy(col("vec_id"))))
 
   def oracles: Map[String, String] = Map(
     "emb_kmeans" -> embKmeansSql,
-    "emb_cluster_purity" -> clusterPuritySql)
+    "emb_cluster_purity" -> clusterPuritySql,
+    "emb_semdedup" -> semDedupSql)
 }

@@ -109,6 +109,108 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** Lexicon-hit content filter — the wordlist-based unsafe-content
+    * scorer every pretraining pipeline runs before anything
+    * model-based (the C4/Gopher "bad words" pass). Set-intersection
+    * semantics against a small embedded lexicon (deterministic, no
+    * regex-dialect risk — the same discipline as [[langScore]]):
+    * distinct-hit count, hit rate per whitespace token, and the
+    * keep/flag decision at a fixed rate threshold, all exact integer
+    * arithmetic until the final exact-parity division. Scan speed,
+    * no shuffle.
+    */
+  private val unsafeLexicon: Seq[String] = Seq(
+    "attack", "bomb", "gun", "kill", "poison", "weapon",
+    "casino", "lottery", "viagra", "xxx")
+
+  def textLexiconFilter(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val hits = size(array_intersect(toks,
+      array(unsafeLexicon.map(lit): _*))).cast("long")
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      hits.as("lexicon_hits"),
+      (hits.cast("double") / size(tokens(col("text"))).cast("double"))
+        .as("hit_rate"))
+      // integer-exact threshold: flag when hits·1000 > tokens (0.1%)
+      .withColumn("flagged",
+        col("lexicon_hits") * 1000 > col("n_tokens"))
+  }
+
+  val textLexiconFilterSql: String = {
+    val lst = unsafeLexicon.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+         AS n_tokens,
+       CAST(len(list_intersect(string_split_regex(trim(lower(text)), ' +'),
+         [$lst])) AS BIGINT) AS lexicon_hits,
+       CAST(len(list_intersect(string_split_regex(trim(lower(text)), ' +'),
+           [$lst])) AS DOUBLE)
+         / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+         AS hit_rate,
+       CAST(len(list_intersect(string_split_regex(trim(lower(text)), ' +'),
+         [$lst])) AS BIGINT) * 1000
+         > CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+         AS flagged
+       FROM documents
+       ORDER BY doc_id"""
+  }
+
+  /** Readability scoring — Flesch-reading-ease-shaped, with syllables
+    * approximated by VOWEL GROUPS (deterministic regex both engines
+    * speak identically; true syllabification is dictionary work no
+    * corpus filter does). Sentences are terminal-punctuation runs,
+    * floored at 1. The score stays in `+ − × ÷` over exact counts, so
+    * it is bit-reproducible; the companion band (the actual filter
+    * signal) is decided by integer cross-multiplication — no float
+    * threshold at the decision boundary.
+    */
+  def textReadability(docs: DataFrame): DataFrame = {
+    val words = size(tokens(col("text"))).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val syllables = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"),
+      sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")))
+      // band by integer cross-multiplication: "hard" iff
+      // syllables/words ≥ 3/2 or words/sentences ≥ 30
+      .withColumn("hard_text",
+        col("n_syllables") * 2 >= col("n_words") * 3 ||
+          col("n_words") >= col("n_sentences") * 30)
+  }
+
+  val textReadabilitySql: String =
+    """SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words,
+       greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+         AS BIGINT)) AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         AS n_syllables,
+       206.835
+         - 1.015 * (CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE)
+           / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+             AS DOUBLE))
+         - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE))
+         AS flesch,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) * 2
+           >= CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) * 3
+         OR CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+           >= greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+             AS BIGINT)) * 30
+         AS hard_text
+       FROM documents
+       ORDER BY doc_id"""
+
   /** TOKENIZER FERTILITY report per (lang, source) — the standard
     * tokenizer-evaluation metric (subword tokens per word; chars per
     * subword): a language whose fertility is high pays more sequence
@@ -822,6 +924,10 @@ object TextAnalysis {
     "corpus_tokenizer_fertility" -> ((s, d) =>
       tokenizerFertility(Tables.documents(s, d))
         .orderBy(col("lang"), col("source"))),
+    "text_lexicon_filter" -> ((s, d) =>
+      textLexiconFilter(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_readability" -> ((s, d) =>
+      textReadability(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) =>
       textQuality(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
@@ -919,6 +1025,8 @@ object TextAnalysis {
     "text_langid" -> textLangIdSql,
     "text_tokens" -> textTokensSql,
     "corpus_tokenizer_fertility" -> tokenizerFertilitySql,
+    "text_lexicon_filter" -> textLexiconFilterSql,
+    "text_readability" -> textReadabilitySql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
     "corpus_split" -> corpusSplitSql,
