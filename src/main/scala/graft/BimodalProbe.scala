@@ -49,11 +49,13 @@ object BimodalProbe {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    def compiles(): (Long, Long) = {
-      val m = org.apache.spark.metrics.source.CodegenMetrics
-      (m.METRIC_COMPILATION_TIME.getCount,
-        m.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000)
-    }
+    // count only: the Codahale histogram's snapshot is a bounded
+    // RESERVOIR SAMPLE, so summing its values would under-report total
+    // compile time exactly when churn is highest — the compilation
+    // COUNT is the unbiased eviction signal
+    def compiles(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
     def release(): Unit = {
       spark.catalog.clearCache()
       Caching.releaseAll(spark, blocking = true)
@@ -62,11 +64,11 @@ object BimodalProbe {
     val family = Seq("dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_prefix_filter")
     def timeFamily(tag: String): Unit = family.foreach { name =>
-      val gc0 = gcMs(); val (c0, _) = compiles()
+      val gc0 = gcMs(); val c0 = compiles()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfBig).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      val gcd = gcMs() - gc0; val (c1, _) = compiles()
+      val gcd = gcMs() - gc0; val c1 = compiles()
       println(f"[probe] $tag%-10s $name%-22s wall=$wall%7.2fs " +
         f"gc=+${gcd}ms codegenCompiles=+${c1 - c0}")
       release()
@@ -88,10 +90,10 @@ object BimodalProbe {
         println(s"[probe] churn $name failed: ${e.getClass.getSimpleName}") }
     }
     release()
-    val (cN, cMs) = compiles()
+    val cN = compiles()
     println(f"[probe] churn of ${churn.size} queries took " +
       f"${(System.nanoTime() - t0) / 1e9}%.1fs; total codegen " +
-      f"compiles=$cN (${cMs}ms)")
+      f"compiles=$cN")
 
     // the measurement that matters: family timings deep in the session
     timeFamily("postchurn")

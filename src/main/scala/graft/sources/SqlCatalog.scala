@@ -153,13 +153,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       "ALTER through SQL is not wired; use VersionedLake's " +
         "renameColumn/dropColumn/widenColumn/addConstraint")
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    mergeSpecs.remove(key(ident))
     tables.remove(key(ident)) != null
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     val p = pathOf(from)
     tables.put(key(to), p)
     tables.remove(key(from))
+    Option(mergeSpecs.remove(key(from)))
+      .foreach(mergeSpecs.put(key(to), _))
   }
 
   // -- SupportsNamespaces (permissive in-memory semantics) ------------------
@@ -184,10 +188,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("namespace metadata is immutable")
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
-    if (cascade)
-      tables.keySet().asScala.filter(_.startsWith(ns.mkString(".") + "."))
-        .foreach(tables.remove)
+    val existed = namespaceExists(ns)
+    val members = tables.keySet().asScala
+      .filter(_.startsWith(ns.mkString(".") + ".")).toSeq
+    if (!cascade && members.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(ns)
+    members.foreach { k => tables.remove(k); mergeSpecs.remove(k) }
     namespaces.remove(ns.mkString("."))
+    existed
   }
 }
 
@@ -207,8 +216,12 @@ private[sources] class GraftLakeTable(ident: String, path: String,
   override def name(): String =
     ident + asOfVersion.map(v => s"@v$v").getOrElse("")
 
-  override def schema(): StructType =
+  // computed once per loadTable (manifest decode + possibly O(#files)
+  // footer reads for widened tables); Spark calls Table.schema()
+  // repeatedly during analysis
+  private lazy val snapshotSchema: StructType =
     VersionedLake.read(SparkSession.active, path, asOfVersion).schema
+  override def schema(): StructType = snapshotSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
     if (mergeSpec.isDefined)
@@ -311,8 +324,12 @@ private[sources] object GraftLakeScanBuilder {
   private def num(v: Any): Option[String] = v match {
     case _: Int | _: Long | _: Short | _: Byte => Some(v.toString)
     // shortest-repr doubles round-trip exactly through the SQL parser
+    // (decimal literal -> double cast recovers the identical double).
+    // FLOATS DO NOT: the column widens to double (0.3f ->
+    // 0.30000001192...) while the rendered literal parses as 0.3, so a
+    // pushed float comparison would silently change results — floats
+    // stay residual.
     case d: Double if !d.isNaN && !d.isInfinite => Some(d.toString)
-    case f: Float if !f.isNaN && !f.isInfinite => Some(f.toString)
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case _ => None
   }

@@ -326,7 +326,10 @@ object VersionedLake {
         val tombFlag = if (tombUnknown || tombSeen) 1 else 0
         reader.getFooter.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { c =>
-            if (c.getPath.size == 1) {
+            // "__meta" guard: defense in depth beside the toPhysicalDf
+            // reservation — never let a column shadow the bookkeeping
+            if (c.getPath.size == 1 &&
+              c.getPath.toDotString != "__meta") {
               val name = c.getPath.toDotString
               val st = c.getStatistics
               // exact BINARY expansion for floats (BigDecimal(double)),
@@ -467,7 +470,13 @@ object VersionedLake {
   private def fileMayMatchBound(m: TableManifest, rel: String,
       column: String, b: ColBound): Boolean =
     m.stats.get(rel).flatMap { payload =>
-      payload.split('|').collectFirst {
+      // stats format versioning: payloads without the leading __meta
+      // entry predate the decimal-rescale fix (r7) — their
+      // decimal-column bounds live in UNSCALED space, and nothing in
+      // the payload says which columns those are, so legacy stats are
+      // ignored wholesale (conservative keep; re-stat by rewriting)
+      if (!payload.startsWith("__meta:")) Some(true)
+      else payload.split('|').collectFirst {
         case t if t.startsWith(column + ":") =>
           val a = t.split(':')
           scala.util.Try {
@@ -542,6 +551,11 @@ object VersionedLake {
           "data files; re-adding it requires a table rewrite or a " +
           "different name")
     }
+    // __meta is the stats-payload bookkeeping pseudo-column
+    // ([[computeStats]]); a real column by that name would shadow the
+    // row-count entry and corrupt pruning — reserved like _deleted
+    require(!df.columns.contains("__meta"),
+      "column name __meta is reserved for stats bookkeeping")
     renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
       if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
       else d

@@ -50,11 +50,16 @@ object Scd2Apply {
       .localCheckpoint(true) // one small batch, read twice below
     val touched = tagged.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ NB ints
+    val existingPaths =
+      if (!new java.io.File(table).exists()) Seq.empty
+      else touched.map(b => s"$table/gbucket=$b")
+        .filter(p => new java.io.File(p).exists()).toSeq
+    // zero existing bucket dirs (first batch, or all-new buckets):
+    // spark.read.parquet() with no paths cannot infer a schema
     val existing: Option[DataFrame] =
-      if (!new java.io.File(table).exists()) None
+      if (existingPaths.isEmpty) None
       else Some(spark.read.option("basePath", table)
-        .parquet(touched.map(b => s"$table/gbucket=$b").filter(p =>
-          new java.io.File(p).exists()): _*))
+        .parquet(existingPaths: _*))
     val storedChanges = existing.map(_.select(
       col("key_id"), col("operation"), col("value"), col("props"),
       col("__start_at").as("sequence_number"), col("gbucket")))
