@@ -2145,6 +2145,102 @@ object VersionedLake {
       adopted, op = "OPTIMIZE"))
   }
 
+  /** OPTIMIZE ZORDER BY — TWO-dimensional clustering rewrite (Delta
+    * `OPTIMIZE … ZORDER BY (a, b)`): each bucket's rows are laid out
+    * along the Morton curve of the two columns' rank-normalized values
+    * (the same codegen'd [[ZOrder.interleave16]] expression the
+    * standalone z-order path uses), so per-file stats become narrow on
+    * BOTH dimensions and [[readRange]]/[[readWhere]] prune files for
+    * predicates on EITHER — the multi-column form of
+    * [[optimizeCluster]], which can only serve one. The Morton key is
+    * a transient layout expression (never stored); DVs are applied,
+    * tombstones carried, same OCC commit loop as every write.
+    */
+  def optimizeZorder(spark: SparkSession, path: String, colA: String,
+      colB: String, slicesPerBucket: Int = 16): CommitResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    val (aP, bP) = (toPhysicalName(m, colA), toPhysicalName(m, colB))
+    val nb = m.numBuckets(16)
+    val touched = m.data.map(bucketOf).toSet
+    val df0 = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
+    val (aD, bD) = (col(aP).cast("double"), col(bP).cast("double"))
+    // rank-normalization bounds: one tiny aggregate of table metadata
+    val bnd = df0.agg(min(aD), max(aD), min(bD), max(bD)).head()
+    val z = ZOrder.interleave16(
+      ZOrder.norm16(aD, bnd.getDouble(0), bnd.getDouble(1)),
+      ZOrder.norm16(bD, bnd.getDouble(2), bnd.getDouble(3)))
+    val clustered = df0.withColumn("_zkey", z)
+      .repartitionByRange(nb * slicesPerBucket, col("gbucket"), col("_zkey"))
+      .drop("_zkey")
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
+    clustered.write.partitionBy("gbucket").mode(SaveMode.Overwrite)
+      .parquet(stage)
+    val adopted = adoptStaged(spark, path, stage, wid)
+    commitPending(spark, path, PendingCommit(base, touched,
+      TableManifest(adopted, Map.empty,
+        stats = computeStats(spark, path, adopted)).lines,
+      adopted, op = "OPTIMIZE"))
+  }
+
+  /** OPTIMIZE ZORDER as a gate row: orders land key-interleaved (even
+    * keys copy-on-write, odd keys MOR — arrival order correlates with
+    * NEITHER query dimension), so narrow bands on `o_custkey` and on
+    * `o_totalprice` both scan ~every file. One [[optimizeZorder]] on
+    * (o_custkey, o_totalprice) later, BOTH dimensions prune
+    * (engine-asserted: custkey candidates ≥1.5× cut, totalprice ≥2× —
+    * the single-column [[clusterBy]] can only ever serve one), and the
+    * custkey-band read hash-matches the oracle's plain filter.
+    */
+  def zorderOptimize(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_zorder")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    upsert(spark, path, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
+    dvUpsert(spark, path,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+      Seq("o_orderkey"), "o_orderkey")
+    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    val custHi = BigDecimal(maxCust / 8)
+    val pb = orders.agg(min(col("o_totalprice")), max(col("o_totalprice")))
+      .head()
+    val (pLo, pHi) = (BigDecimal(pb.getDouble(0)),
+      BigDecimal(pb.getDouble(0) + (pb.getDouble(1) - pb.getDouble(0)) / 8))
+    def cands(column: String, lo: BigDecimal, hi: BigDecimal): Int =
+      rangeCandidates(spark, path, column, Some(lo), Some(hi)).size
+    val totalBefore = manifestEntries(spark, path,
+      versions(spark, path).last).data.size
+    val custBefore = cands("o_custkey", BigDecimal(0), custHi)
+    val priceBefore = cands("o_totalprice", pLo, pHi)
+    optimizeZorder(spark, path, "o_custkey", "o_totalprice")
+    val totalAfter = manifestEntries(spark, path,
+      versions(spark, path).last).data.size
+    val custAfter = cands("o_custkey", BigDecimal(0), custHi)
+    val priceAfter = cands("o_totalprice", pLo, pHi)
+    val noPruneBefore = custBefore * 2 > totalBefore &&
+      priceBefore * 2 > totalBefore
+    val custPrunes = custAfter * 3 <= totalAfter * 2 && custAfter > 0
+    val pricePrunes = priceAfter * 2 <= totalAfter && priceAfter > 0
+    readRange(spark, path, "o_custkey", Some(BigDecimal(0)), Some(custHi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("unzordered_no_prune", lit(noPruneBefore))
+      .withColumn("custkey_prunes", lit(custPrunes))
+      .withColumn("price_prunes", lit(pricePrunes))
+  }
+
+  val zorderOptimizeSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+         true AS unzordered_no_prune,
+         true AS custkey_prunes,
+         true AS price_prunes
+       FROM orders
+       WHERE o_custkey <= (SELECT MAX(o_custkey) // 8 FROM orders)
+       ORDER BY o_orderkey"""
+
   /** POINT LOOKUP — read only the hash buckets that can hold `keys`:
     * the serving-path read. The same modulus every writer used (a
     * table property) bounds each key to one bucket, so a lookup of k
@@ -4225,6 +4321,8 @@ object VersionedLake {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_cluster_by" -> ((s, d) =>
       clusterBy(s, d).orderBy(col("o_orderkey"))),
+    "lake_zorder_optimize" -> ((s, d) =>
+      zorderOptimize(s, d).orderBy(col("o_orderkey"))),
     "lake_vacuum_dry_run" -> ((s, d) =>
       vacuumDryRun(s, d).orderBy(col("key_id"))),
     "lake_generated_columns" -> ((s, d) =>
@@ -4278,6 +4376,7 @@ object VersionedLake {
 
   def oracles: Map[String, String] = Map(
     "lake_cluster_by" -> clusterBySql,
+    "lake_zorder_optimize" -> zorderOptimizeSql,
     "lake_vacuum_dry_run" -> vacuumDryRunSql,
     "lake_generated_columns" -> generatedColumnsSql,
     "lake_time_travel_ts" -> timeTravelTsSql,
