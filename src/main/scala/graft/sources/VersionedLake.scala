@@ -2241,6 +2241,70 @@ object VersionedLake {
        WHERE o_custkey <= (SELECT MAX(o_custkey) // 8 FROM orders)
        ORDER BY o_orderkey"""
 
+  /** TAGS as a gate row: three sequence-ranged commits, then v1 is
+    * tagged `audit_baseline` and the table is vacuumed to
+    * `retainLast=1`. The tag is a RETENTION ROOT: v1's manifest and
+    * files survive while untagged v2/v3 drop (engine-asserted from the
+    * version list), and `readTag` — time travel by NAME — returns
+    * exactly the first-third SCD1 state the oracle computes. Dropping
+    * the tag releases the pin: the next vacuum removes v1
+    * (engine-asserted). The returned frame is the tag read, checkpointed
+    * before the pin is released.
+    */
+  def tagsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_tags")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val (t1, t2) = (maxSeq / 3, maxSeq * 2 / 3)
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    Seq(
+      staged.filter(col("sequence_number") <= t1),
+      staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2),
+      staged.filter(col("sequence_number") > t2)).foreach { b =>
+      upsert(spark, path, asChanges(b), Seq("key_id"), "sequence_number")
+    }
+    createTag(spark, path, "audit_baseline", version = 1)
+    vacuum(spark, path, retainLast = 1)
+    val after = versions(spark, path)
+    val taggedSurvives = after.contains(1) && !after.contains(2) &&
+      !after.contains(3)
+    val tagRead = readTag(spark, path, "audit_baseline")
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .localCheckpoint(true) // materialize before the pin is released
+    dropTag(spark, path, "audit_baseline")
+    vacuum(spark, path, retainLast = 1)
+    val releasedAfterDrop = !versions(spark, path).contains(1)
+    tagRead
+      .withColumn("tagged_survives_vacuum", lit(taggedSurvives))
+      .withColumn("drop_releases_retention", lit(releasedAfterDrop))
+  }
+
+  val tagsGateSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cutoff AS (SELECT MAX(sequence_number) // 3 AS t1 FROM stg),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s, cutoff c
+         WHERE s.sequence_number <= c.t1)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS tagged_survives_vacuum, true AS drop_releases_retention
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   /** POINT LOOKUP — read only the hash buckets that can hold `keys`:
     * the serving-path read. The same modulus every writer used (a
     * table property) bounds each key to one bucket, so a lookup of k
@@ -2296,9 +2360,88 @@ object VersionedLake {
     toLogicalDf(live, m)
   }
 
-  /** Retention: keep `retainLast` newest versions; delete every data
-    * file referenced ONLY by older manifests (plus crash-orphaned files
-    * no manifest references at all), then drop the old manifests.
+  // ---- tags (named version refs) -------------------------------------------
+
+  /** CREATE TAG — an Iceberg-style NAMED REF pinning a committed
+    * version (`prop tag.<name> <version>`, a metadata-only commit).
+    * Tags make a snapshot addressable by meaning ("v2024-audit",
+    * "pre-migration") instead of number, and — the part that matters
+    * operationally — they are RETENTION ROOTS: [[vacuum]] keeps a
+    * tagged version's manifest and files alive past the retainLast
+    * horizon until the tag is dropped, so an audit snapshot cannot be
+    * garbage-collected out from under its name.
+    */
+  def createTag(spark: SparkSession, path: String, name: String,
+      version: Int, maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad tag name: $name")
+    require(versions(spark, path).contains(version),
+      s"cannot tag version $version of $path — not committed (or vacuumed)")
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      require(!m.props.contains(s"tag.$name"),
+        s"tag $name already exists at $path — drop it first")
+      val lines = TableManifest(m.data, m.dv, m.txn,
+        m.props + (s"tag.$name" -> version.toString), m.stats).lines :+
+        "meta\top\tCREATE_TAG"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up tagging $name at $path after $maxAttempts CAS attempts")
+  }
+
+  /** DROP TAG — releases the name AND the retention pin. */
+  def dropTag(spark: SparkSession, path: String, name: String,
+      maxAttempts: Int = 10): CommitResult = {
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val lines = manifestLines(spark, path, latest)
+        .filterNot(l => l.startsWith(s"prop\ttag.$name\t") ||
+          isMetaLine(l)) :+ "meta\top\tDROP_TAG"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up dropping tag $name at $path after $maxAttempts CAS attempts")
+  }
+
+  /** The tip's tag table: name → pinned version. */
+  def tags(spark: SparkSession, path: String): Map[String, Int] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) Map.empty
+    else manifestEntries(spark, path, vs.last).props.collect {
+      case (k, v) if k.startsWith("tag.") => k.stripPrefix("tag.") -> v.toInt
+    }
+  }
+
+  /** Snapshot read by TAG name (time travel by meaning). */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val t = tags(spark, path)
+    val v = t.getOrElse(name, throw new IllegalArgumentException(
+      s"no tag $name at $path (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+    read(spark, path, Some(v))
+  }
+
+  /** Versions protected from [[vacuum]]: the retainLast newest PLUS
+    * every version pinned by a tip tag.
+    */
+  private def retainedVersions(spark: SparkSession, path: String,
+      retainLast: Int): Seq[Int] = {
+    val vs = versions(spark, path)
+    val tagged = tags(spark, path).values.toSet
+    (vs.takeRight(math.max(retainLast, 1)).toSet ++
+      tagged.filter(vs.contains)).toSeq.sorted
+  }
+
+  /** Retention: keep `retainLast` newest versions (plus tag-pinned
+    * ones); delete every data file referenced ONLY by dropped manifests
+    * (plus crash-orphaned files no manifest references at all), then
+    * drop the old manifests.
     */
   /** VACUUM DRY RUN — the exact deletion plan [[vacuum]] would execute
     * (unreferenced data files, DV sidecars, expiring manifests and
@@ -2310,7 +2453,7 @@ object VersionedLake {
       retainLast: Int): Seq[(String, String)] = {
     val f = fs(spark)
     val vs = versions(spark, path)
-    val keep = vs.takeRight(math.max(retainLast, 1))
+    val keep = retainedVersions(spark, path, retainLast)
     val live: Set[String] =
       keep.flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
     val dataDead = f.listStatus(new Path(path))
@@ -2339,7 +2482,7 @@ object VersionedLake {
   def vacuum(spark: SparkSession, path: String, retainLast: Int): Unit = {
     val f = fs(spark)
     val vs = versions(spark, path)
-    val keep = vs.takeRight(math.max(retainLast, 1))
+    val keep = retainedVersions(spark, path, retainLast)
     val live: Set[String] =
       keep.flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
     f.listStatus(new Path(path))
@@ -2356,14 +2499,20 @@ object VersionedLake {
         val rel = s"$DvDir/${s.getPath.getName}"
         if (!live.contains(rel)) f.delete(s.getPath, false)
       }
-    // re-root the retained chain before dropping ancestors: the oldest
-    // kept version may be delta-encoded against a manifest this vacuum
-    // is about to delete, so materialize it as a full snapshot first
+    // re-root the retained chain before dropping ancestors: a kept
+    // version may be delta-encoded against a manifest this vacuum is
+    // about to delete — the oldest kept one always was, and with TAG
+    // pins the kept set can be non-contiguous, so EVERY kept delta
+    // whose parent is dropped materializes as a full snapshot first
     // (logical content identical — an atomic in-place re-encode; every
     // newer delta's parent chain then terminates inside the kept set)
-    keep.headOption.foreach { floor =>
-      if (rawManifestLines(spark, path, floor).headOption
-          .exists(_.startsWith(DeltaHeaderPrefix))) {
+    val keptSet = keep.toSet
+    keep.foreach { floor =>
+      val raw = rawManifestLines(spark, path, floor)
+      val deltaParent = raw.headOption
+        .filter(_.startsWith(DeltaHeaderPrefix))
+        .map(_.stripPrefix(DeltaHeaderPrefix).toInt)
+      if (deltaParent.exists(p => !keptSet.contains(p))) {
         val resolved = manifestLines(spark, path, floor)
         val tmp = new Path(s"$path/$LogDir/.v$floor-${nonce()}.reroot")
         val out = f.create(tmp, true)
@@ -4323,6 +4472,8 @@ object VersionedLake {
       clusterBy(s, d).orderBy(col("o_orderkey"))),
     "lake_zorder_optimize" -> ((s, d) =>
       zorderOptimize(s, d).orderBy(col("o_orderkey"))),
+    "lake_tags" -> ((s, d) =>
+      tagsGate(s, d).orderBy(col("key_id"))),
     "lake_vacuum_dry_run" -> ((s, d) =>
       vacuumDryRun(s, d).orderBy(col("key_id"))),
     "lake_generated_columns" -> ((s, d) =>
@@ -4377,6 +4528,7 @@ object VersionedLake {
   def oracles: Map[String, String] = Map(
     "lake_cluster_by" -> clusterBySql,
     "lake_zorder_optimize" -> zorderOptimizeSql,
+    "lake_tags" -> tagsGateSql,
     "lake_vacuum_dry_run" -> vacuumDryRunSql,
     "lake_generated_columns" -> generatedColumnsSql,
     "lake_time_travel_ts" -> timeTravelTsSql,

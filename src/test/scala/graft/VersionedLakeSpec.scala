@@ -357,6 +357,34 @@ class VersionedLakeSpec extends AnyFunSuite {
       s"reverse diff wrong: $back")
   }
 
+  test("tags pin delta-encoded mid-chain versions across vacuum") {
+    val path = graft.sources.Scratch.dir("vlake_tagdelta_spec")
+    // 6 commits: v2..v6 are delta-encoded (checkpoint interval is 8)
+    (1 to 6).foreach { i =>
+      VersionedLake.upsert(spark, path,
+        Seq((i.toLong, s"x$i", i.toLong)).toDF("k", "x", "seq"),
+        Seq("k"), "seq", numBuckets = 2)
+    }
+    val preVacuum = VersionedLake.read(spark, path, Some(4)).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("x")).toMap
+    VersionedLake.createTag(spark, path, "mid", 4) // v4 is a DELTA
+    VersionedLake.vacuum(spark, path, retainLast = 1)
+    // kept: v4 (tagged, parent v3 dropped → re-rooted full) + tip
+    val vs = VersionedLake.versions(spark, path)
+    assert(vs.contains(4) && !vs.contains(2) && !vs.contains(3), vs.toString)
+    assert(!VersionedLake.resolvedManifest(spark, path, 4).isEmpty)
+    val tagged = VersionedLake.readTag(spark, path, "mid").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("x")).toMap
+    assert(tagged == preVacuum, s"tagged read drifted: $tagged")
+    // duplicate tag names refused; unknown tag read refused
+    intercept[IllegalArgumentException] {
+      VersionedLake.createTag(spark, path, "mid", 4)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedLake.readTag(spark, path, "nope")
+    }
+  }
+
   test("cdf long form: preimage/postimage events; apply and un-apply invert") {
     val path = graft.sources.Scratch.dir("vlake_cdfl_spec")
     VersionedLake.upsert(spark, path,
