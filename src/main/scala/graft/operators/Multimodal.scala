@@ -158,7 +158,63 @@ object Multimodal {
     audioSegments(decodeAll(media)).toDF()
   }
 
+  /** EXACT payload dedup — content-hash grouping of the binary column:
+    * the first pass of any image/audio dedup pipeline (byte-identical
+    * copies are a large share of crawled media, and no decode is
+    * needed to find them). The corpus carries no natural
+    * byte-duplicates, so the gate INJECTS them deterministically —
+    * docs with `doc_id % 10 == 0` carry their successor's payload (the
+    * dq_quarantine dirt-injection discipline, mirrored in the oracle).
+    * The report is per duplicate group: content hash (codegen FNV over
+    * the payload bytes), copy count, lowest-id keeper, and the bytes a
+    * dedup pass would reclaim. One scan + one digest-grain shuffle:
+    * payload BYTES never shuffle, only (hash, len) pairs — the 100 TB
+    * shape.
+    */
+  def payloadDedup(docs: DataFrame): DataFrame = {
+    val donor = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("donor_text"))
+    val base = docs.join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0 && col("donor_text").isNotNull,
+          col("donor_text")).otherwise(col("text")).as("ptext"))
+    base.select(col("doc_id"),
+        call_function("fnv1a64", col("ptext")).as("content_hash"),
+        length(encode(col("ptext"), "UTF-8")).cast("long").as("byte_len"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_doc_id"),
+        (max(col("byte_len")) * (count(lit(1)) - 1)).as("wasted_bytes"))
+      .filter(col("n_copies") >= 2)
+  }
+
+  val payloadDedupSql: String = {
+    import graft.operators.OracleFnv
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       base AS (
+         SELECT a.doc_id,
+           CASE WHEN a.doc_id % 10 = 0 AND b.text IS NOT NULL
+                THEN b.text ELSE a.text END AS ptext
+         FROM d a LEFT JOIN d b ON b.doc_id = a.doc_id + 1),
+       g AS (
+         SELECT ptext, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+         FROM base GROUP BY ptext HAVING COUNT(*) >= 2),
+       h AS (
+         SELECT hex(encode(ptext)) AS hx, n_copies, keeper_doc_id,
+           octet_length(encode(ptext)) AS bl
+         FROM g)
+       SELECT ${OracleFnv.signed(OracleFnv.fold("hx"))} AS content_hash,
+         n_copies, keeper_doc_id,
+         CAST(bl * (n_copies - 1) AS BIGINT) AS wasted_bytes
+       FROM h
+       ORDER BY content_hash"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_payload_dedup" -> ((s, d) =>
+      payloadDedup(graft.Tables.documents(s, d))
+        .orderBy(col("content_hash"))),
     "multimodal_pipeline" -> ((s, d) => pipeline(s, d).orderBy(col("media_type"))),
     "multimodal_frames" -> ((s, d) =>
       frames(s, d).orderBy(col("doc_id"), col("frame_index"))),
@@ -253,6 +309,7 @@ object Multimodal {
        ORDER BY doc_id, seg_index"""
 
   def oracles: Map[String, String] = Map(
+    "multimodal_payload_dedup" -> payloadDedupSql,
     "multimodal_pipeline" -> pipelineSql,
     "multimodal_frames" -> framesSql,
     "multimodal_audio_segments" -> audioSegmentsSql)
