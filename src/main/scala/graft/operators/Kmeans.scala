@@ -275,7 +275,9 @@ object Kmeans {
     * doubles is order-independent, ids break nothing (no ties to
     * break).
     */
-  def semDedup(emb: DataFrame, tau: Double = 0.35): DataFrame = {
+  val SemDedupTau = 0.35
+
+  def semDedup(emb: DataFrame, tau: Double = SemDedupTau): DataFrame = {
     import graft.operators.Similarity.{cosinePre, dot}
     val assign = embKmeans(emb).select(col("vec_id"), col("cluster_id"))
     val vecs = emb.select(col("vec_id"),
@@ -314,7 +316,7 @@ object Kmeans {
          FROM ba x JOIN ba y ON x.cid = y.cid AND x.vec_id < y.vec_id
          GROUP BY 1)
        SELECT a.vec_id, a.cid AS cluster_id, pr.max_prior_sim,
-         pr.max_prior_sim IS NULL OR pr.max_prior_sim < 0.35 AS kept
+         pr.max_prior_sim IS NULL OR pr.max_prior_sim < $SemDedupTau AS kept
        FROM a$Iters a LEFT JOIN pr ON a.vec_id = pr.b
        ORDER BY a.vec_id"""
 

@@ -247,6 +247,10 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("label").as("true_label"))
     val train = base.filter(col("vec_id") % 50 =!= 0)
+    // the condition is vacuously true (train excludes every probe id);
+    // it exists to keep the broadcast sweep a CONDITIONED nested-loop
+    // join — the same labeled brute-force shape as bruteForceTopK —
+    // rather than a bare cartesian node
     val scored = train.join(broadcast(probes),
       col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("true_label"),

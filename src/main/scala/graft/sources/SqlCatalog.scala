@@ -189,12 +189,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("namespace metadata is immutable")
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     val existed = namespaceExists(ns)
-    val members = tables.keySet().asScala
-      .filter(_.startsWith(ns.mkString(".") + ".")).toSeq
-    if (!cascade && members.nonEmpty)
+    val prefix = ns.mkString(".") + "."
+    val memberTables = tables.keySet().asScala.filter(_.startsWith(prefix))
+      .toSeq
+    val childNs = namespaces.asScala.filter(_.startsWith(prefix)).toSeq
+    if (!cascade && (memberTables.nonEmpty || childNs.nonEmpty))
       throw new org.apache.spark.sql.catalyst.analysis
         .NonEmptyNamespaceException(ns)
-    members.foreach { k => tables.remove(k); mergeSpecs.remove(k) }
+    memberTables.foreach { k => tables.remove(k); mergeSpecs.remove(k) }
+    childNs.foreach(namespaces.remove) // descendants go with the parent
     namespaces.remove(ns.mkString("."))
     existed
   }

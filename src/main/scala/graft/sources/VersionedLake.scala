@@ -2169,9 +2169,15 @@ object VersionedLake {
     val (aD, bD) = (col(aP).cast("double"), col(bP).cast("double"))
     // rank-normalization bounds: one tiny aggregate of table metadata
     val bnd = df0.agg(min(aD), max(aD), min(bD), max(bD)).head()
+    // a constant dimension contributes nothing to the curve — and
+    // norm16's (v-lo)/(hi-lo) would be 0/0 = NaN, which the INT cast
+    // rejects under ANSI mode — so it collapses to a zero key
+    def rank(c: org.apache.spark.sql.Column, lo: Double,
+        hi: Double): org.apache.spark.sql.Column =
+      if (hi > lo) ZOrder.norm16(c, lo, hi) else lit(0)
     val z = ZOrder.interleave16(
-      ZOrder.norm16(aD, bnd.getDouble(0), bnd.getDouble(1)),
-      ZOrder.norm16(bD, bnd.getDouble(2), bnd.getDouble(3)))
+      rank(aD, bnd.getDouble(0), bnd.getDouble(1)),
+      rank(bD, bnd.getDouble(2), bnd.getDouble(3)))
     val clustered = df0.withColumn("_zkey", z)
       .repartitionByRange(nb * slicesPerBucket, col("gbucket"), col("_zkey"))
       .drop("_zkey")
@@ -2393,9 +2399,16 @@ object VersionedLake {
       s"gave up tagging $name at $path after $maxAttempts CAS attempts")
   }
 
-  /** DROP TAG — releases the name AND the retention pin. */
+  /** DROP TAG — releases the name AND the retention pin. Dropping a
+    * tag that does not exist is refused: a silently-successful no-op
+    * here would leave the REAL tag (typo'd name) pinning files
+    * forever with no error anywhere.
+    */
   def dropTag(spark: SparkSession, path: String, name: String,
       maxAttempts: Int = 10): CommitResult = {
+    require(tags(spark, path).contains(name),
+      s"no tag $name at $path (tags: " +
+        s"${tags(spark, path).keys.toSeq.sorted.mkString(", ")})")
     var attempts = 0
     while (attempts <= maxAttempts) {
       val latest = versions(spark, path).last
@@ -3275,7 +3288,13 @@ object VersionedLake {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sparseTrickleTable(spark: SparkSession,
-      sfDir: String): String =
+      sfDir: String): String = {
+    // a memoized fixture can be swept from /tmp by another harness
+    // process's Scratch.sweep while this JVM still holds the path —
+    // validate and rebuild rather than read a vanished table
+    val cached = sparseTrickleMemo.get(sfDir)
+    if (cached != null && versions(spark, cached).isEmpty)
+      sparseTrickleMemo.remove(sfDir, cached)
     sparseTrickleMemo.computeIfAbsent(sfDir, _ => {
       val path = Scratch.dir("vlake_icdf")
       val staged =
@@ -3298,6 +3317,7 @@ object VersionedLake {
       }
       path
     })
+  }
 
   def incrementalCdf(spark: SparkSession, sfDir: String): DataFrame = {
     val path = sparseTrickleTable(spark, sfDir)

@@ -50,10 +50,15 @@ object Scd2Apply {
       .localCheckpoint(true) // one small batch, read twice below
     val touched = tagged.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ NB ints
+    // Hadoop FileSystem, not java.io.File: the history table may live
+    // on any scheme (an always-false local existence probe would make
+    // every batch silently overwrite accumulated history)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     val existingPaths =
-      if (!new java.io.File(table).exists()) Seq.empty
+      if (!fs.exists(new org.apache.hadoop.fs.Path(table))) Seq.empty
       else touched.map(b => s"$table/gbucket=$b")
-        .filter(p => new java.io.File(p).exists()).toSeq
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p))).toSeq
     // zero existing bucket dirs (first batch, or all-new buckets):
     // spark.read.parquet() with no paths cannot infer a schema
     val existing: Option[DataFrame] =
