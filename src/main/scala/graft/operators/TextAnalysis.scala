@@ -211,6 +211,86 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** FILTER DECISIONS capstone — the per-document keep/reject verdict
+    * a curation pipeline actually executes, composed from the
+    * individual signals ([[textQuality]]'s length band,
+    * repetition, [[textLexiconFilter]], [[textReadability]]) with a
+    * FIXED adjudication order so the reject reason is deterministic:
+    * the first failing filter names the rejection. Every predicate is
+    * integer cross-multiplied (no float at any decision boundary), so
+    * the verdicts — not just the scores — hash-match the oracle. One
+    * scan, no shuffle; the audit trail (per-filter booleans + reason)
+    * is what makes a 100 TB filtering run debuggable.
+    */
+  def filterDecisions(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val hits = size(array_intersect(tokens(lower(col("text"))),
+      array(unsafeLexicon.map(lit): _*))).cast("long")
+    val words = nTok
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val syllables = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val lengthOk = nChars >= 100 && nChars <= 4000
+    val repetitionOk = nDistinct * 2 >= nTok // dup ratio < 0.5, exact
+    val lexiconOk = !(hits * 1000 > nTok)
+    val readabilityOk = !(syllables * 2 >= words * 3 ||
+      words >= sentences * 30)
+    docs.select(col("doc_id"),
+        lengthOk.as("length_ok"), repetitionOk.as("repetition_ok"),
+        lexiconOk.as("lexicon_ok"), readabilityOk.as("readability_ok"))
+      .withColumn("keep", col("length_ok") && col("repetition_ok") &&
+        col("lexicon_ok") && col("readability_ok"))
+      .withColumn("reject_reason",
+        when(!col("length_ok"), "length")
+          .when(!col("repetition_ok"), "repetition")
+          .when(!col("lexicon_ok"), "lexicon")
+          .when(!col("readability_ok"), "readability")
+          .otherwise(lit(null).cast("string")))
+  }
+
+  val filterDecisionsSql: String = {
+    val lst = unsafeLexicon.map(w => s"'$w'").mkString(", ")
+    s"""WITH sig AS (
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+             AS n_tok,
+           CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+             AS BIGINT) AS n_distinct,
+           CAST(len(list_intersect(
+             string_split_regex(trim(lower(text)), ' +'), [$lst]))
+             AS BIGINT) AS hits,
+           greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+             AS BIGINT)) AS n_sent,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS BIGINT) AS n_syll
+         FROM documents),
+       v AS (
+         SELECT doc_id,
+           n_chars >= 100 AND n_chars <= 4000 AS length_ok,
+           n_distinct * 2 >= n_tok AS repetition_ok,
+           NOT (hits * 1000 > n_tok) AS lexicon_ok,
+           NOT (n_syll * 2 >= n_tok * 3 OR n_tok >= n_sent * 30)
+             AS readability_ok
+         FROM sig)
+       SELECT doc_id, length_ok, repetition_ok, lexicon_ok,
+         readability_ok,
+         length_ok AND repetition_ok AND lexicon_ok AND readability_ok
+           AS keep,
+         CASE WHEN NOT length_ok THEN 'length'
+              WHEN NOT repetition_ok THEN 'repetition'
+              WHEN NOT lexicon_ok THEN 'lexicon'
+              WHEN NOT readability_ok THEN 'readability'
+         END AS reject_reason
+       FROM v
+       ORDER BY doc_id"""
+  }
+
   /** TOKENIZER FERTILITY report per (lang, source) — the standard
     * tokenizer-evaluation metric (subword tokens per word; chars per
     * subword): a language whose fertility is high pays more sequence
@@ -928,6 +1008,8 @@ object TextAnalysis {
       textLexiconFilter(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_readability" -> ((s, d) =>
       textReadability(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "corpus_filter_decisions" -> ((s, d) =>
+      filterDecisions(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) =>
       textQuality(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
@@ -1027,6 +1109,7 @@ object TextAnalysis {
     "corpus_tokenizer_fertility" -> tokenizerFertilitySql,
     "text_lexicon_filter" -> textLexiconFilterSql,
     "text_readability" -> textReadabilitySql,
+    "corpus_filter_decisions" -> filterDecisionsSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
     "corpus_split" -> corpusSplitSql,
