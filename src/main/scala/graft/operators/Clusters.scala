@@ -220,6 +220,84 @@ object Clusters {
        FROM sized
        ORDER BY doc_id"""
 
+  /** INCREMENTAL connected components — a new ingest batch merged into
+    * EXISTING cluster labels by GRAPH CONTRACTION, never by
+    * recomputing the corpus:
+    *
+    *  1. the pre-batch state is the verified label table of the old
+    *     corpus (min-doc-id labels, complete prefix-filter relation);
+    *  2. the batch contributes only its INCIDENT edges (≥1 new
+    *     endpoint — in production these come from the incremental
+    *     band-table candidates of `dedup_incremental`, O(batch +
+    *     collisions); the gate derives them from the complete relation
+    *     so the oracle can be the full-recompute truth);
+    *  3. endpoints CONTRACT to their old labels (new docs stand for
+    *     themselves), and components run over the REDUCED graph —
+    *     nodes are old labels + batch docs, so the merge cost is
+    *     O(affected components + batch), not O(corpus);
+    *  4. unaffected docs keep their labels untouched; affected ones
+    *     re-point through the reduced result.
+    *
+    * Min-label composition is what makes the contraction EXACT: old
+    * labels are already the min doc_id of their component, so the min
+    * over a merged group of labels-and-new-ids is the min doc_id of
+    * the merged component — identical to a full recompute, which the
+    * oracle (brute-force transitive closure over the CUMULATIVE
+    * corpus) verifies hash-exactly. `contraction_bounded` pins the
+    * claimed cost in-gate: the reduced graph is strictly smaller than
+    * the corpus.
+    */
+  def incrementalClusters(docs: DataFrame): DataFrame = {
+    val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    // pre-batch state: the old corpus's verified labels
+    val oldLabels = connectedComponents(
+      PrefixJoin.prefixFilterPairs(oldDocs)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b", oldDocs.select(col("doc_id")), "doc_id")
+      .select(col("node").as("doc_id"), col("cluster_id").as("old_lbl"))
+      .localCheckpoint(true)
+    // the batch's incident edges from the complete cumulative relation
+    val newEdges = PrefixJoin.prefixFilterPairs(docs)
+      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .select(col("doc_a"), col("doc_b"))
+    // CONTRACT endpoints to old labels (new docs stand for themselves)
+    def toLbl(c: String, as: String): DataFrame => DataFrame = df =>
+      df.join(oldLabels.select(col("doc_id").as(c),
+          col("old_lbl").as(as)), Seq(c), "left")
+        .withColumn(as, coalesce(col(as), col(c)))
+    val reduced = toLbl("doc_b", "lb")(toLbl("doc_a", "la")(newEdges))
+      .select(col("la"), col("lb")).filter(col("la") =!= col("lb"))
+      .localCheckpoint(true)
+    val reducedNodes = reduced.select(col("la").as("n"))
+      .union(reduced.select(col("lb").as("n"))).distinct()
+    val nReduced = reducedNodes.count()
+    val contractionBounded = nReduced < docs.count()
+    // components over the REDUCED graph only
+    val merged = connectedComponentsStar(reduced, "la", "lb",
+      reducedNodes, "n")
+      .select(col("node").as("ref"), col("cluster_id").as("root"))
+    // final labels: every doc's (old label | self) re-pointed through
+    // the reduced result where it participated, kept verbatim where not
+    val base = docs.select(col("doc_id"))
+      .join(oldLabels, Seq("doc_id"), "left")
+      .withColumn("ref", coalesce(col("old_lbl"), col("doc_id")))
+    val fin = base.join(merged, Seq("ref"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("ref"))
+        .as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    fin.withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("contraction_bounded", lit(contractionBounded))
+  }
+
+  val incrementalClustersSql: String =
+    s"""WITH RECURSIVE ${PrefixJoin.brutePairCtesSql},
+       $componentCtesSql
+       SELECT doc_id, cluster_id, cluster_size,
+         true AS contraction_bounded
+       FROM sized
+       ORDER BY doc_id"""
+
   /** The production decision dedup exists for: which document SURVIVES
     * each duplicate cluster. Keeper = highest [[TextAnalysis.textQuality]]
     * score (doc_id tiebreak) per cluster — a rank-1 window over the
@@ -276,9 +354,12 @@ object Clusters {
     "dedup_clusters" -> ((s, d) =>
       dupClusters(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_canonical" -> ((s, d) =>
-      canonicalDocs(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      canonicalDocs(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_clusters_incremental" -> ((s, d) =>
+      incrementalClusters(Tables.documents(s, d)).orderBy(col("doc_id"))))
 
   def oracles: Map[String, String] = Map(
     "dedup_clusters" -> dupClustersSql,
-    "dedup_canonical" -> canonicalDocsSql)
+    "dedup_canonical" -> canonicalDocsSql,
+    "dedup_clusters_incremental" -> incrementalClustersSql)
 }
