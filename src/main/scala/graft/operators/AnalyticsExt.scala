@@ -421,8 +421,63 @@ object AnalyticsExt {
            AS z_stat
        FROM j"""
 
+  /** DAU / WAU / MAU — per-day EXACT rolling distinct users (1 / 7 /
+    * 28-day trailing windows), the canonical engagement report.
+    * Distinct-over-a-sliding-window does not decompose into partial
+    * aggregates, so the scalable exact shape is: dedupe to (day, user)
+    * pairs once (one shuffle, map-side combinable), then join the
+    * O(days) day spine against the pair table on the window-containment
+    * range — each pair lands in ≤28 (day, user) groups, a bounded
+    * fan-out, and the distinct count per (window, day) is a second
+    * keyed aggregate. Nothing is ever quadratic in users; the
+    * approximate path for wider windows is the HLL partial-merge of
+    * `events_sketch_rollup`.
+    */
+  def eventsDauWauMau(events: DataFrame): DataFrame = {
+    val dayUser = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_utc").cast("date").as("day"))
+      .distinct() // one (day, user) pair per active day
+      .localCheckpoint(true) // read by all three window joins
+    val days = dayUser.select(col("day")).distinct()
+    def rolling(win: Int, name: String): DataFrame =
+      days.join(dayUser.withColumnRenamed("day", "aday"),
+          col("aday") <= col("day") &&
+            col("aday") >= date_sub(col("day"), win - 1))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as(name))
+    rolling(1, "dau")
+      .join(rolling(7, "wau"), Seq("day"))
+      .join(rolling(28, "mau"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"))
+  }
+
+  val eventsDauWauMauSql: String =
+    """WITH du AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         FROM events WHERE user_id IS NOT NULL),
+       days AS (SELECT DISTINCT day FROM du),
+       dau AS (
+         SELECT d.day, COUNT(DISTINCT u.user_id) AS dau
+         FROM days d JOIN du u ON u.day = d.day
+         GROUP BY d.day),
+       wau AS (
+         SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+         FROM days d JOIN du u
+           ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+         GROUP BY d.day),
+       mau AS (
+         SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+         FROM days d JOIN du u
+           ON u.day <= d.day AND u.day >= d.day - INTERVAL 27 DAY
+         GROUP BY d.day)
+       SELECT day, dau, wau, mau
+       FROM dau JOIN wau USING (day) JOIN mau USING (day)
+       ORDER BY day"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_wau_mau" -> ((s, d) =>
+      eventsDauWauMau(Tables.events(s, d)).orderBy(col("day"))),
     "events_ab_test" -> ((s, d) => eventsAbTest(Tables.events(s, d))),
     "events_json_breakdown" -> ((s, d) =>
       eventsJsonBreakdown(Tables.events(s, d))
@@ -447,6 +502,7 @@ object AnalyticsExt {
       eventsCmsTopk(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "events_dau_wau_mau" -> eventsDauWauMauSql,
     "events_ab_test" -> eventsAbTestSql,
     "events_json_breakdown" -> eventsJsonBreakdownSql,
     "customer_trailing_spend" -> customerTrailingSpendSql,

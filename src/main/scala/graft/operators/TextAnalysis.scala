@@ -211,6 +211,48 @@ object TextAnalysis {
        FROM documents
        ORDER BY doc_id"""
 
+  /** N-GRAM COUNT TABLE — the KenLM-training / contamination-analysis
+    * corpus artifact: corpus-wide trigram counts with a MIN-COUNT
+    * prune (singleton grams are noise and dominate the long tail) and
+    * a top-K bound under a total order, so the output is
+    * vocabulary-scale however large the corpus. The explode fans each
+    * doc into (len−2) grams map-side; counting is one
+    * map-side-combinable aggregate on the gram digest — the corpus
+    * text shuffles as grams once, never as documents; the final top-K
+    * is a sort-limit over the PRUNED count table (vocabulary-scale by
+    * construction).
+    */
+  def ngramCounts(docs: DataFrame, minCount: Int = 3,
+      topK: Int = 200): DataFrame = {
+    val withToks = docs
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    withToks
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+          "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+  }
+
+  val ngramCountsSql: String =
+    """WITH t AS (
+         SELECT string_split_regex(trim(text), ' +') AS toks
+         FROM documents),
+       g AS (
+         SELECT unnest(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+         FROM t WHERE len(toks) >= 3)
+       SELECT gram, COUNT(*) AS n_occurrences
+       FROM g
+       GROUP BY gram
+       HAVING COUNT(*) >= 3
+       ORDER BY n_occurrences DESC, gram
+       LIMIT 200"""
+
   /** FILTER DECISIONS capstone — the per-document keep/reject verdict
     * a curation pipeline actually executes, composed from the
     * individual signals ([[textQuality]]'s length band,
@@ -1010,6 +1052,8 @@ object TextAnalysis {
       textReadability(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "corpus_filter_decisions" -> ((s, d) =>
       filterDecisions(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "corpus_ngram_counts" -> ((s, d) =>
+      ngramCounts(Tables.documents(s, d))),
     "text_quality" -> ((s, d) =>
       textQuality(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
@@ -1110,6 +1154,7 @@ object TextAnalysis {
     "text_lexicon_filter" -> textLexiconFilterSql,
     "text_readability" -> textReadabilitySql,
     "corpus_filter_decisions" -> filterDecisionsSql,
+    "corpus_ngram_counts" -> ngramCountsSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
     "corpus_split" -> corpusSplitSql,
