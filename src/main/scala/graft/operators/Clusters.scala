@@ -249,17 +249,20 @@ object Clusters {
     */
   def incrementalClusters(docs: DataFrame): DataFrame = {
     val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    // ONE complete relation serves both roles: completeness means the
+    // old corpus's pair set is exactly the cumulative set restricted
+    // to old×old endpoints — no second prefix join
+    val allPairs = PrefixJoin.prefixFilterPairs(docs)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     // pre-batch state: the old corpus's verified labels
     val oldLabels = connectedComponents(
-      PrefixJoin.prefixFilterPairs(oldDocs)
-        .select(col("doc_a"), col("doc_b")),
+      allPairs.filter(col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0),
       "doc_a", "doc_b", oldDocs.select(col("doc_id")), "doc_id")
       .select(col("node").as("doc_id"), col("cluster_id").as("old_lbl"))
       .localCheckpoint(true)
     // the batch's incident edges from the complete cumulative relation
-    val newEdges = PrefixJoin.prefixFilterPairs(docs)
+    val newEdges = allPairs
       .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
-      .select(col("doc_a"), col("doc_b"))
     // CONTRACT endpoints to old labels (new docs stand for themselves)
     def toLbl(c: String, as: String): DataFrame => DataFrame = df =>
       df.join(oldLabels.select(col("doc_id").as(c),
