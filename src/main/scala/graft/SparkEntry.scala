@@ -71,7 +71,8 @@ object SparkEntry {
       graft.streaming.LakeSink.queries ++
       graft.streaming.LakeChain.queries ++
       graft.streaming.ScdEnrich.queries ++
-      graft.streaming.Scd2Apply.queries
+      graft.streaming.Scd2Apply.queries ++
+      graft.streaming.DqMonitor.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -132,5 +133,6 @@ object SparkEntry {
       graft.streaming.LakeSink.oracles ++
       graft.streaming.LakeChain.oracles ++
       graft.streaming.ScdEnrich.oracles ++
-      graft.streaming.Scd2Apply.oracles
+      graft.streaming.Scd2Apply.oracles ++
+      graft.streaming.DqMonitor.oracles
 }
