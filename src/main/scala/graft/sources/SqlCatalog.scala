@@ -85,11 +85,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     load(ident, None)
 
-  /** SQL `VERSION AS OF n`. */
+  /** SQL `VERSION AS OF n` — or `VERSION AS OF 'tag'`, the Iceberg
+    * ref-name form: a non-numeric version resolves through the tip's
+    * tag table ([[VersionedLake.tags]]), so an audit snapshot is
+    * addressable from SQL by MEANING.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft lake versions are integers, got '$version'")
+      case _: NumberFormatException =>
+        val path = pathOf(ident)
+        val t = VersionedLake.tags(SparkSession.active, path)
+        t.getOrElse(version, throw new IllegalArgumentException(
+          s"'$version' is neither a version number nor a tag of " +
+            s"${key(ident)} (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
     }
     load(ident, Some(v))
   }

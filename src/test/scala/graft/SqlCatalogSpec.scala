@@ -49,6 +49,15 @@ class SqlCatalogSpec extends AnyFunSuite {
       val ts = spark.sql(s"SELECT COUNT(*) FROM $name " +
         "TIMESTAMP AS OF '1970-01-01 00:00:01.5'").head().getLong(0)
       assert(ts == 4L, s"timestamp travel resolved wrong version: $ts rows")
+      // VERSION AS OF a TAG NAME — the Iceberg ref form through SQL
+      VersionedLake.createTag(spark, path, "pre_mor", 1)
+      val byTag = spark.sql(
+        s"SELECT x FROM $name VERSION AS OF 'pre_mor' ORDER BY x")
+        .collect().map(_.getString(0)).toSeq
+      assert(byTag == Seq("a1", "a2", "a3", "a4"), byTag.toString)
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $name VERSION AS OF 'nope'").collect()
+      }
     } finally VersionedLake.setClockOverride(path, None)
   }
 
