@@ -82,8 +82,22 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES: `ns.t.history` / `ns.t.tags`
+    // resolve when `ns.t` is a registered data table — the commit
+    // audit and the tag table become ordinary SQL relations
+    if (tables.get(key(ident)) == null && ident.namespace().nonEmpty) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      val parentPath = tables.get(key(parent))
+      if (parentPath != null && MetaTables.contains(ident.name()))
+        return new GraftLakeMetaTable(key(parent), parentPath,
+          ident.name())
+    }
     load(ident, None)
+  }
+
+  private val MetaTables = Set("history", "tags")
 
   /** SQL `VERSION AS OF n` — or `VERSION AS OF 'tag'`, the Iceberg
     * ref-name form: a non-numeric version resolves through the tip's
@@ -399,6 +413,58 @@ private[sources] class GraftLakeRelation(ctx: SQLContext, path: String,
   }
 }
 
+/** An Iceberg-style METADATA TABLE over a registered lake table:
+  * `ns.t.history` (version, operation, commit_ts — DESCRIBE HISTORY as
+  * a relation) and `ns.t.tags` (tag_name, version). Metadata-scale by
+  * construction: both read manifests, never data.
+  */
+private[sources] class GraftLakeMetaTable(ident: String, path: String,
+    meta: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{LongType, IntegerType, StringType,
+    StructField}
+
+  override def name(): String = s"$ident.$meta"
+
+  override def schema(): StructType = meta match {
+    case "history" => StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("commit_ts", LongType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("tag_name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = { () =>
+    new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val relSchema = readSchema()
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = relSchema
+          override def buildScan(): RDD[Row] = {
+            val spark = context.sparkSession
+            val df = meta match {
+              case "history" => VersionedLake.history(spark, path)
+              case "tags" =>
+                import spark.implicits._
+                VersionedLake.tags(spark, path).toSeq.sorted
+                  .toDF("tag_name", "version")
+            }
+            df.select(relSchema.fieldNames.map(col).toSeq: _*).rdd
+          }
+        }.asInstanceOf[T]
+      }
+    }
+  }
+}
+
 /** A completely-pushed COUNT(*): one BIGINT row, computed from the
   * manifest's `__meta` row counts plus a scan of only the files whose
   * liveness metadata cannot prove (DV-carrying or tombstone-possible),
@@ -651,12 +717,65 @@ object SqlCatalog {
          true AS agg_pushed_complete, true AS meta_count_matches
        FROM k WHERE key_id % 7 <> 0"""
 
+  /** METADATA TABLES as a gate row: a table is driven through all four
+    * commit paths (COW MERGE, MOR MERGE, position DELETE, CREATE_TAG)
+    * and then its audit surfaces are read as ORDINARY SQL RELATIONS —
+    * `ns.t.history` and `ns.t.tags`, the Iceberg metadata-table form.
+    * The operation sequence and the tag table are fully determined by
+    * the driven commits, so the oracle is the literal expected
+    * relation; commit_ts is wall clock and excluded. Both reads are
+    * metadata-scale (manifests only, never data).
+    */
+  def sqlMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqlmeta")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .filter(pmod(col("key_id"), lit(4)) === 0)
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    VersionedLake.upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    VersionedLake.dvUpsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") > t1)),
+      Seq("key_id"), "sequence_number")
+    VersionedLake.dvDelete(spark, path,
+      staged.select(col("key_id")).distinct()
+        .filter(pmod(col("key_id"), lit(8)) === 0), Seq("key_id"))
+    VersionedLake.createTag(spark, path, "baseline", version = 1)
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_meta"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      LOCATION '$path'""")
+    spark.sql(s"""SELECT 'history' AS src, version, operation AS name
+        FROM $t.history
+      UNION ALL
+      SELECT 'tag', version, tag_name FROM $t.tags""")
+  }
+
+  val sqlMetadataSql: String =
+    """SELECT * FROM (VALUES
+         ('history', 1, 'MERGE'),
+         ('history', 2, 'MERGE_MOR'),
+         ('history', 3, 'DELETE'),
+         ('history', 4, 'CREATE_TAG'),
+         ('tag', 1, 'baseline')) AS t(src, version, name)
+       ORDER BY src, version"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql_metadata" -> ((s, d) =>
+      sqlMetadata(s, d).orderBy(col("src"), col("version"))),
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
     "lake_sql_write" -> ((s, d) => sqlWrite(s, d).orderBy(col("key_id"))),
     "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "lake_sql_metadata" -> sqlMetadataSql,
     "lake_sql_read" -> sqlReadSql,
     "lake_sql_write" -> sqlWriteSql,
     "lake_sql_agg_pushdown" -> sqlAggPushdownSql)
