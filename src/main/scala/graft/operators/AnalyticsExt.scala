@@ -474,8 +474,49 @@ object AnalyticsExt {
        FROM dau JOIN wau USING (day) JOIN mau USING (day)
        ORDER BY day"""
 
+  /** BURST / BOT detection — the rate-based abuse heuristic every
+    * event pipeline runs before trusting engagement metrics: per user,
+    * events per MINUTE bucket (exact integer bucketing of the
+    * microsecond domain), the peak burst, and an integer-threshold
+    * flag. Two keyed aggregates, both map-side combinable — (user,
+    * minute) then user — so the per-user state is O(active minutes),
+    * never a sorted event sequence.
+    */
+  def eventsBotDetection(events: DataFrame,
+      burstThreshold: Int = 5): DataFrame = {
+    val perMinute = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        // integral `div`, not `/`: Column `/` is double division, and
+        // the bucket must be pure integer arithmetic (ts_us > 0, so
+        // truncating div == DuckDB's flooring `//`)
+        expr("ts_us div 60000000").as("minute_bucket"))
+      .agg(count(lit(1)).as("n_in_minute"))
+    perMinute.groupBy(col("user_id"))
+      .agg(sum(col("n_in_minute")).cast("long").as("n_events"),
+        count(lit(1)).as("n_active_minutes"),
+        max(col("n_in_minute")).as("max_per_minute"))
+      .withColumn("burst_flag",
+        col("max_per_minute") >= burstThreshold)
+  }
+
+  val eventsBotDetectionSql: String =
+    """WITH m AS (
+         SELECT user_id, epoch_us(ts) // 60000000 AS minute_bucket,
+           COUNT(*) AS n_in_minute
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1, 2)
+       SELECT user_id, CAST(SUM(n_in_minute) AS BIGINT) AS n_events,
+         COUNT(*) AS n_active_minutes,
+         MAX(n_in_minute) AS max_per_minute,
+         MAX(n_in_minute) >= 5 AS burst_flag
+       FROM m
+       GROUP BY user_id
+       ORDER BY user_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bot_detection" -> ((s, d) =>
+      eventsBotDetection(Tables.events(s, d)).orderBy(col("user_id"))),
     "events_dau_wau_mau" -> ((s, d) =>
       eventsDauWauMau(Tables.events(s, d)).orderBy(col("day"))),
     "events_ab_test" -> ((s, d) => eventsAbTest(Tables.events(s, d))),
@@ -502,6 +543,7 @@ object AnalyticsExt {
       eventsCmsTopk(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "events_bot_detection" -> eventsBotDetectionSql,
     "events_dau_wau_mau" -> eventsDauWauMauSql,
     "events_ab_test" -> eventsAbTestSql,
     "events_json_breakdown" -> eventsJsonBreakdownSql,
