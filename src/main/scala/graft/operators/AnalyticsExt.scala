@@ -425,27 +425,36 @@ object AnalyticsExt {
     * 28-day trailing windows), the canonical engagement report.
     * Distinct-over-a-sliding-window does not decompose into partial
     * aggregates, so the scalable exact shape is: dedupe to (day, user)
-    * pairs once (one shuffle, map-side combinable), then join the
-    * O(days) day spine against the pair table on the window-containment
-    * range — each pair lands in ≤28 (day, user) groups, a bounded
-    * fan-out, and the distinct count per (window, day) is a second
-    * keyed aggregate. Nothing is ever quadratic in users; the
-    * approximate path for wider windows is the HLL partial-merge of
+    * pairs once (one shuffle, map-side combinable), then EXPLODE each
+    * pair to the ≤win report days it covers (an activity on day d is
+    * visible in windows ending d .. d+win-1) and run a second keyed
+    * distinct aggregate on (report_day) — a bounded ≤28× fan-out with
+    * NO join against the day spine (a range-condition join would plan
+    * as BroadcastNestedLoopJoin, O(pairs × days) predicate
+    * evaluations — the classic range-join trap at scale). DAU is just
+    * the pair count per day (pairs are already distinct). The final
+    * inner joins on `day` are O(days) rows a side — broadcast-sized —
+    * and simultaneously prune exploded report days that fall outside
+    * the observed day spine (a day with zero activity has no DAU row).
+    * Nothing is ever quadratic in users or days; the approximate path
+    * for wider windows is the HLL partial-merge of
     * `events_sketch_rollup`.
     */
   def eventsDauWauMau(events: DataFrame): DataFrame = {
     val dayUser = events.filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts_utc").cast("date").as("day"))
       .distinct() // one (day, user) pair per active day
-      .localCheckpoint(true) // read by all three window joins
-    val days = dayUser.select(col("day")).distinct()
+      .localCheckpoint(true) // read by all three window aggregates
+    // pairs are distinct, so per-day distinct users = per-day pair count
+    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     def rolling(win: Int, name: String): DataFrame =
-      days.join(dayUser.withColumnRenamed("day", "aday"),
-          col("aday") <= col("day") &&
-            col("aday") >= date_sub(col("day"), win - 1))
+      dayUser
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), win - 1)))
+            .as("day"))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as(name))
-    rolling(1, "dau")
+    dau
       .join(rolling(7, "wau"), Seq("day"))
       .join(rolling(28, "mau"), Seq("day"))
       .select(col("day"), col("dau"), col("wau"), col("mau"))
