@@ -160,6 +160,34 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     require(VersionedLake.versions(SparkSession.active, path).nonEmpty,
       s"no committed lake versions at $path — commit data before " +
         "registering the name")
+    // the lake's physical layout is engine-managed (hash buckets, DV
+    // sidecars): a PARTITIONED BY clause would register a contract the
+    // relation cannot honor, so refuse it rather than ignore it
+    require(partitions.isEmpty,
+      s"CREATE TABLE ${key(ident)}: PARTITIONED BY is not supported — " +
+        "the lake manages physical layout (hash buckets / CLUSTER BY)")
+    // the declared columns are a CONTRACT: registration must fail when
+    // they contradict the lake table's actual schema (otherwise the DDL
+    // and the served relation silently disagree)
+    if (schema.fields.nonEmpty) {
+      val actual = VersionedLake.read(SparkSession.active, path).schema
+      val actualByName = actual.fields.map(f => f.name -> f.dataType).toMap
+      val problems = schema.fields.flatMap { f =>
+        actualByName.get(f.name) match {
+          case None => Some(s"'${f.name}' is not a column of the lake " +
+            s"table (has: ${actual.fieldNames.mkString(", ")})")
+          case Some(dt) if dt != f.dataType =>
+            Some(s"'${f.name}' declared ${f.dataType.sql} but the lake " +
+              s"table stores ${dt.sql}")
+          case _ => None
+        }
+      } ++ (actual.fieldNames.toSet -- schema.fieldNames.toSet)
+        .toSeq.sorted.map(n => s"'$n' exists in the lake table but is " +
+          "missing from the declared columns")
+      require(problems.isEmpty,
+        s"CREATE TABLE ${key(ident)}: declared schema contradicts the " +
+          s"lake table at $path: ${problems.mkString("; ")}")
+    }
     tables.put(key(ident), path)
     // MERGE-by-convention: `OPTIONS (mergeKeys 'k1,k2', mergeSeq 's')`
     // makes SQL INSERT INTO an idempotent keyed upsert instead of a
@@ -230,13 +258,21 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   * (`mergeKeys`/`mergeSeq` options): INSERT INTO routes through
   * [[VersionedLake.upsert]] — a keyed MERGE with the lake's full OCC /
   * constraint / generated-column / column-mapping machinery, not a
-  * blind file append.
+  * blind file append. `DELETE FROM … WHERE` implements
+  * [[org.apache.spark.sql.connector.catalog.SupportsDelete]]: the
+  * pushed conjuncts select the doomed keys through the stats-skipping
+  * read and commit a MERGE-ON-READ position delete
+  * ([[VersionedLake.dvDelete]]) — zero data files rewritten, the
+  * tombstones visible to CDF and the streaming source. `MERGE INTO` is
+  * rewritten by [[graft.plans.GraftMergeRule]] onto the same engine
+  * primitives.
   */
-private[sources] class GraftLakeTable(ident: String, path: String,
-    asOfVersion: Option[Int],
-    mergeSpec: Option[(Seq[String], String)])
+private[graft] class GraftLakeTable(ident: String, val path: String,
+    val asOfVersion: Option[Int],
+    val mergeSpec: Option[(Seq[String], String)])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     ident + asOfVersion.map(v => s"@v$v").getOrElse("")
@@ -257,6 +293,39 @@ private[sources] class GraftLakeTable(ident: String, path: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(path, asOfVersion, schema())
+
+  /** SQL `DELETE FROM … WHERE`: accept only conjunct sets the lake can
+    * evaluate itself (same translation as scan pushdown) on a
+    * mergeKeys-registered current-version table — Spark then calls
+    * [[deleteWhere]] instead of demanding a row-level-operation plan.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    mergeSpec.isDefined && asOfVersion.isEmpty &&
+      filters.forall(f =>
+        f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue] ||
+          GraftLakeScanBuilder.toSql(f).isDefined)
+
+  /** The doomed rows' KEYS come from a stats-skipping read under the
+    * pushed predicate (file-level pruning before any IO), and the
+    * delete itself is the MOR position-delete commit: one DV sidecar +
+    * manifest, zero data-file rewrites, tombstones published to the
+    * change stream. An empty filter array (SQL `DELETE FROM t`) is the
+    * truncate form and deletes every current key the same way.
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val (keys, _) = mergeSpec.get
+    val pred = filters
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+      .flatMap(GraftLakeScanBuilder.toSql)
+      .map(p => s"($p)").mkString(" AND ")
+    val doomed =
+      if (pred.isEmpty) VersionedLake.read(spark, path, None)
+      else VersionedLake.readWhere(spark, path, pred)
+    VersionedLake.dvDelete(spark, path,
+      doomed.select(keys.map(col): _*).distinct(), keys)
+    ()
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -767,16 +836,176 @@ object SqlCatalog {
          ('tag', 1, 'baseline')) AS t(src, version, name)
        ORDER BY src, version"""
 
+  /** SQL `MERGE INTO` as a gate row: the first half of the change feed
+    * builds the table through the engine API; the second half — deduped
+    * to latest-change-per-key, the standard MERGE staging contract —
+    * lands through one SQL MERGE statement with all three clause kinds
+    * (MATCHED+DELETE, MATCHED+UPDATE, NOT MATCHED+conditional INSERT).
+    * [[graft.plans.GraftMergeRule]] lowers the statement onto a single
+    * [[VersionedLake.upsert]] commit (`sql_merge_committed` pins exactly
+    * one new version), and the result must hash-match the FULL-feed SCD1
+    * oracle — convergence, the AUTO CDC semantics
+    * (ref /root/reference/src/pipelines/cdc/cdc_customers_silver.sql).
+    * `cardinality_enforced` pins the SQL MERGE error contract: a source
+    * with two rows for one matched target key must throw, not pick one.
+    */
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = Scratch.dir("vlake_sqlmerge")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    VersionedLake.upsert(spark, path,
+      staged.filter(col("sequence_number") <= t1)
+        .withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation"),
+      Seq("key_id"), "sequence_number")
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_m"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      LOCATION '$path'""")
+    staged.filter(col("sequence_number") > t1)
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("key_id"))
+        .orderBy(col("sequence_number").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .createOrReplaceTempView("sqlm_feed")
+    val before = VersionedLake.versions(spark, path).last
+    spark.sql(s"""MERGE INTO $t AS tgt USING sqlm_feed AS src
+      ON tgt.key_id = src.key_id
+      WHEN MATCHED AND src.operation = 'DELETE' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = src.value, props = src.props,
+        sequence_number = src.sequence_number
+      WHEN NOT MATCHED AND src.operation <> 'DELETE' THEN
+        INSERT (key_id, value, props, sequence_number)
+        VALUES (src.key_id, src.value, src.props, src.sequence_number)""")
+    val committedOne = VersionedLake.versions(spark, path).last == before + 1
+    // the SQL cardinality contract: a duplicated source key must error
+    // (the duplicated key must EXIST in the target for the pairs to
+    // collide, so take one from the table itself)
+    val aKey = spark.sql(s"SELECT key_id FROM $t LIMIT 1").head().getLong(0)
+    staged.filter(col("sequence_number") > t1).limit(2)
+      .select(lit(aKey).as("key_id"), col("value"), col("props"),
+        col("sequence_number"))
+      .createOrReplaceTempView("sqlm_dup")
+    val cardinalityEnforced =
+      try {
+        spark.sql(s"""MERGE INTO $t AS tgt USING sqlm_dup AS src
+          ON tgt.key_id = src.key_id
+          WHEN MATCHED THEN UPDATE SET value = src.value""")
+        false
+      } catch { case _: Exception => true }
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("sql_merge_committed", lit(committedOne))
+      .withColumn("cardinality_enforced", lit(cardinalityEnforced))
+  }
+
+  val sqlMergeSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS sql_merge_committed, true AS cardinality_enforced
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** SQL `DELETE FROM … WHERE` as a gate row: the pushed conjunct
+    * routes through [[GraftLakeTable.deleteWhere]] → a MERGE-ON-READ
+    * position-delete commit. Engine-asserted: the commit's operation is
+    * DELETE and it rewrites ZERO data files (`mor_delete_commit` — the
+    * new manifest carries the same data lines, only DV mappings moved),
+    * and the deletes are CDF-VISIBLE (`cdf_deletes_visible`): the
+    * version-over-version change feed contains exactly the doomed keys,
+    * every one `change_type = 'delete'` — the contract a downstream SCD
+    * consumer needs to drop them. The oracle mirrors the surviving SCD1
+    * rows under the same predicate.
+    */
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqldel")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    VersionedLake.upsert(spark, path,
+      staged.filter(col("operation") =!= "DELETE").drop("operation"),
+      Seq("key_id"), "sequence_number")
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_d"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      LOCATION '$path'""")
+    val before = VersionedLake.versions(spark, path).last
+    val dataBefore = VersionedLake.manifestEntries(spark, path, before).data
+    spark.sql(s"DELETE FROM $t WHERE key_id < 5")
+    val after = VersionedLake.versions(spark, path).last
+    val mAfter = VersionedLake.manifestEntries(spark, path, after)
+    val morDelete = after == before + 1 &&
+      mAfter.data == dataBefore && // zero data files rewritten
+      VersionedLake.history(spark, path)
+        .filter(col("version") === after).head().getString(1) == "DELETE"
+    val cdf = VersionedLake.changes(spark, path, before, after,
+      Seq("key_id"), "sequence_number", Seq("value"))
+    val cdfOk = cdf.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("change_type") === "delete" &&
+          col("key_id") < 5, 1L).otherwise(0L)).as("ok")).head()
+    val cdfDeletesVisible = cdfOk.getLong(0) > 0 &&
+      cdfOk.getLong(0) == cdfOk.getLong(1)
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("mor_delete_commit", lit(morDelete))
+      .withColumn("cdf_deletes_visible", lit(cdfDeletesVisible))
+  }
+
+  val sqlDeleteSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s WHERE operation <> 'DELETE')
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS mor_delete_commit, true AS cdf_deletes_visible
+       FROM ranked
+       WHERE rn = 1 AND key_id >= 5
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_sql_metadata" -> ((s, d) =>
       sqlMetadata(s, d).orderBy(col("src"), col("version"))),
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
     "lake_sql_write" -> ((s, d) => sqlWrite(s, d).orderBy(col("key_id"))),
+    "lake_sql_merge" -> ((s, d) => sqlMerge(s, d).orderBy(col("key_id"))),
+    "lake_sql_delete" -> ((s, d) => sqlDelete(s, d).orderBy(col("key_id"))),
     "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
 
   def oracles: Map[String, String] = Map(
     "lake_sql_metadata" -> sqlMetadataSql,
     "lake_sql_read" -> sqlReadSql,
     "lake_sql_write" -> sqlWriteSql,
+    "lake_sql_merge" -> sqlMergeSql,
+    "lake_sql_delete" -> sqlDeleteSql,
     "lake_sql_agg_pushdown" -> sqlAggPushdownSql)
 }

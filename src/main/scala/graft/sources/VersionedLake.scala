@@ -225,7 +225,7 @@ object VersionedLake {
       version: Int): Seq[String] = manifestLines(spark, path, version)
 
   /** Parsed manifest at `version`. */
-  private def manifestEntries(spark: SparkSession, path: String,
+  private[sources] def manifestEntries(spark: SparkSession, path: String,
       version: Int): TableManifest =
     parseManifest(manifestLines(spark, path, version))
 
@@ -1514,6 +1514,9 @@ object VersionedLake {
       keyCols: Seq[String], numBuckets: Int = 16): CommitResult = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
+    // heal any prior DELETE whose tombstone link was lost to a crash
+    // before adding a new one (change-scale; see the method doc)
+    repairDeleteTombstones(spark, path)
     val base = vs.last
     val m = manifestEntries(spark, path, base)
     // callers speak logical names; files store the pinned physical ones
@@ -1550,47 +1553,115 @@ object VersionedLake {
         val newDv = m.dv ++ affected.map(_ -> dvRel)
         val ourLines = TableManifest(m.data, newDv, stats = m.stats).lines
           .filter(l => touched.contains(bucketOfLine(l)))
-        val res = commitPending(spark, path,
-          PendingCommit(base, touched, ourLines, Seq(dvRel), op = "DELETE"))
         // a pure position-delete commit appends NO data file, so
-        // without this it would be INVISIBLE to the change stream: a
-        // downstream SCD consumer would retain deleted keys forever.
-        // Publish the accepted deletes as TOMBSTONE rows — each doomed
-        // row re-emitted with _deleted=true at its own sequence, which
-        // a sequence-resolving consumer applies via delete-wins-tie.
-        publishDeleteTombstones(spark, path, res.version, doomed)
+        // without tombstones it would be INVISIBLE to the change
+        // stream: a downstream SCD consumer would retain deleted keys
+        // forever. STAGE the tombstone file BEFORE the CAS — the Spark
+        // write is the only slow step, so after the commit a
+        // metadata-scale rename is all that remains of the old
+        // post-CAS crash window; [[repairDeleteTombstones]] (run at
+        // the top of this method) heals even that residue, so a
+        // DELETE's change-stream entry can be late but never lost.
+        val stagedTomb = stageDeleteTombstones(spark, path, doomed)
+        val res =
+          try commitPending(spark, path,
+            PendingCommit(base, touched, ourLines, Seq(dvRel),
+              op = "DELETE"))
+          catch { case e: Throwable =>
+            fs(spark).delete(stagedTomb.getParent, true) // lost commit
+            throw e
+          }
+        linkDeleteTombstones(spark, path, res.version, stagedTomb)
         res
     }
   }
 
-  /** Land a pure-delete commit's change-log entry: the doomed rows as
-    * TOMBSTONES (`_deleted=true`, original sequence) in
-    * `_changes/v<version>/`. Same post-CAS discipline (and the same
-    * one-step crash window) as [[publishChangeLog]]; the file is
-    * deleted-rows-scale. Consumers resolve ties in favor of the
+  /** Pre-CAS half of a delete commit's change-log entry: the doomed
+    * rows as TOMBSTONES (`_deleted=true`, original sequence) written to
+    * a writer-nonced staging dir — deleted-rows-scale, invisible until
+    * [[linkDeleteTombstones]] renames the part into
+    * `_changes/v<version>/`. Consumers resolve ties in favor of the
     * tombstone (a delete of the current row beats the row), which
     * [[streamSourceGate]] exercises and the `stream_lake_source`
-    * oracle pins.
+    * oracle pins. Returns the staged parquet part's path.
     */
-  private def publishDeleteTombstones(spark: SparkSession, path: String,
-      version: Int, doomed: DataFrame): Unit = {
+  private def stageDeleteTombstones(spark: SparkSession, path: String,
+      doomed: DataFrame): Path = {
     val f = fs(spark)
     val tomb = doomed.drop("_rel", "_pos", "gbucket")
       .withColumn("_deleted", lit(true))
-    val wid = nonce()
-    val stage = path + s"_tombstage_$wid"
+    val stage = path + s"_tombstage_${nonce()}"
     tomb.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-    val dir = new Path(f"$path/$ChangesDir/v$version%06d")
-    f.mkdirs(dir)
     val part = f.listStatus(new Path(stage))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     require(part.length == 1,
       s"expected one tombstone part, got ${part.length}")
-    if (!f.rename(part.head.getPath,
-        new Path(dir, s"tomb-w$wid.parquet")))
+    part.head.getPath
+  }
+
+  /** Post-CAS half: rename the staged tombstone part into the winning
+    * version's change directory (metadata-scale).
+    */
+  private def linkDeleteTombstones(spark: SparkSession, path: String,
+      version: Int, stagedPart: Path): Unit = {
+    val f = fs(spark)
+    val dir = new Path(f"$path/$ChangesDir/v$version%06d")
+    f.mkdirs(dir)
+    if (!f.rename(stagedPart,
+        new Path(dir, s"tomb-${stagedPart.getParent.getName}.parquet")))
       throw new java.io.IOException(
         s"cannot publish delete tombstones for v$version at $path")
-    f.delete(new Path(stage), true)
+    f.delete(stagedPart.getParent, true)
+  }
+
+  /** Crash HEALING for the residual rename window: a DELETE-op commit
+    * whose `_changes/v<N>/` directory is missing (the writer died
+    * between its CAS and the tombstone link) is detectable precisely
+    * because [[dvDelete]] never commits a zero-row delete — so every
+    * DELETE version must have a change entry. Re-derive the doomed
+    * rows from the commit's own immutable state: the rows of files
+    * whose DV mapping changed at `v`, restricted to the positions the
+    * new sidecar added — exactly the rows the lost tombstone file
+    * carried — and publish them under the original version number.
+    * Runs at the top of [[dvDelete]] (change-scale: only unpublished
+    * DELETE versions are touched; the op probe reads raw manifest
+    * heads, not resolved manifests).
+    */
+  private def repairDeleteTombstones(spark: SparkSession,
+      path: String): Unit = {
+    val f = fs(spark)
+    val vs = versions(spark, path)
+    if (vs.size < 2) return
+    val chDir = new Path(s"$path/$ChangesDir")
+    val published: Set[Int] =
+      if (!f.exists(chDir)) Set.empty
+      else f.listStatus(chDir).filter(_.isDirectory)
+        .map(_.getPath.getName.stripPrefix("v").toInt).toSet
+    val unpublished = vs.drop(1).filterNot(published.contains)
+    unpublished.foreach { v =>
+      // op from the RAW lines: delta manifests re-add their meta lines
+      // (per-version bookkeeping never carries), so the probe is
+      // change-scale even on delta-encoded logs
+      val isDelete = rawManifestLines(spark, path, v)
+        .exists(l => l == "meta\top\tDELETE" || l == "+\tmeta\top\tDELETE")
+      if (isDelete) {
+        val m = manifestEntries(spark, path, v)
+        val mPrev = manifestEntries(spark, path, v - 1)
+        val grew = m.data.filter(r => m.dv.get(r) != mPrev.dv.get(r))
+        if (grew.nonEmpty) {
+          // rows live at v-1 whose position the new sidecar added
+          val rows = loadWithDv(spark, path, grew, mPrev.dv,
+            keepPos = true, widen = widenMap(m))
+          val newDels = spark.read
+            .parquet(grew.flatMap(m.dv.get).distinct.map(r => s"$path/$r"): _*)
+            .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
+            .distinct()
+          val doomed = rows.join(newDels, Seq("_rel", "_pos"), "left_semi")
+          linkDeleteTombstones(spark, path, v,
+            stageDeleteTombstones(spark, path, doomed))
+        }
+      }
+    }
   }
 
   /** MERGE-ON-READ upsert — the MOR form of [[upsert]]'s MERGE: the
@@ -2481,7 +2552,26 @@ object VersionedLake {
         .map(s => s"$DvDir/${s.getPath.getName}")
         .filterNot(live.contains).map("dv_file" -> _).toSeq
     val manifestsDead = vs.filterNot(keep.contains)
-      .map(v => "manifest" -> f"$LogDir/v$v%06d.txt")
+      .flatMap { v =>
+        // the plan lists the `.full` re-root sidecar alongside its
+        // primary — vacuum deletes both, so the dry run must show both
+        val side = fullSidecarPath(path, v)
+        Seq("manifest" -> f"$LogDir/v$v%06d.txt") ++
+          (if (f.exists(side)) Seq("manifest" -> f"$LogDir/v$v%06d.full")
+           else Seq.empty)
+      }
+    // crash-orphaned sidecars: a `.full` whose `.txt` primary is gone
+    // (an earlier vacuum died between the two deletes) — versions()
+    // lists only primaries, so without this sweep the orphan would
+    // never be revisited
+    val logDir = new Path(s"$path/$LogDir")
+    val orphanSidecars =
+      if (!f.exists(logDir)) Seq.empty
+      else f.listStatus(logDir).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".full") &&
+          !f.exists(new Path(logDir, n.stripSuffix(".full") + ".txt")))
+        .map(n => "manifest" -> s"$LogDir/$n").toSeq
     val chDir = new Path(s"$path/$ChangesDir")
     val chDead =
       if (!f.exists(chDir)) Seq.empty
@@ -2489,7 +2579,7 @@ object VersionedLake {
         .map(_.getPath.getName)
         .filter(n => !keep.contains(n.stripPrefix("v").toInt))
         .map(n => "change_dir" -> s"$ChangesDir/$n").toSeq
-    dataDead ++ dvDead ++ manifestsDead ++ chDead
+    dataDead ++ dvDead ++ manifestsDead ++ orphanSidecars ++ chDead
   }
 
   def vacuum(spark: SparkSession, path: String, retainLast: Int): Unit = {
@@ -2553,9 +2643,21 @@ object VersionedLake {
       }
     }
     vs.filterNot(keep.contains).foreach { v =>
-      f.delete(manifestPath(path, v), false)
+      // SIDECAR FIRST: versions() lists only `.txt` primaries, so a
+      // crash after deleting the primary would orphan the sidecar
+      // forever; crashing after the sidecar delete leaves the primary
+      // listed and the next vacuum retries both
       f.delete(fullSidecarPath(path, v), false) // no-op when absent
+      f.delete(manifestPath(path, v), false)
     }
+    // and sweep orphans older crashes may have left (a `.full` whose
+    // `.txt` is already gone is unreachable by the loop above)
+    val logDir = new Path(s"$path/$LogDir")
+    if (f.exists(logDir))
+      f.listStatus(logDir).filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.endsWith(".full") &&
+          !f.exists(new Path(logDir, n.stripSuffix(".full") + ".txt")))
+        .foreach(n => f.delete(new Path(logDir, n), false))
     // change-log retention follows version retention: consumers lagging
     // behind the vacuum floor lose history, exactly as in Delta CDF
     val chDir = new Path(s"$path/$ChangesDir")

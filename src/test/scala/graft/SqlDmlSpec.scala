@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{SqlCatalog, VersionedLake}
+
+/** SQL DML beyond INSERT: `MERGE INTO` (lowered by GraftMergeRule onto
+  * one VersionedLake.upsert commit) and `DELETE FROM … WHERE` (DSv2
+  * SupportsDelete onto a MOR position-delete commit). The gate rows
+  * cover oracle convergence; these specs pin the contracts the gate
+  * doesn't reach: NOT MATCHED BY SOURCE clauses, first-match-wins
+  * action order, the error surfaces, and the truncate form.
+  */
+class SqlDmlSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshTable(prefix: String): (String, String) = {
+    val path = graft.sources.Scratch.dir(prefix)
+    SqlCatalog.install(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${SqlCatalog.CatalogName}.t")
+    val name = s"${SqlCatalog.CatalogName}.t.$prefix"
+    (path, name)
+  }
+
+  private def mkTable(prefix: String,
+      rows: Seq[(Long, String, Long)]): (String, String) = {
+    val (path, name) = freshTable(prefix)
+    VersionedLake.upsert(spark, path,
+      rows.toDF("k", "x", "seq"), Seq("k"), "seq", numBuckets = 2)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"CREATE TABLE $name (k BIGINT, x STRING, seq BIGINT) USING graft " +
+        s"OPTIONS (mergeKeys 'k', mergeSeq 'seq') LOCATION '$path'")
+    (path, name)
+  }
+
+  private def state(name: String): Seq[(Long, String, Long)] =
+    spark.sql(s"SELECT k, x, seq FROM $name ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("MERGE: matched update/delete, not-matched insert, one commit") {
+    val (path, name) = mkTable("sqlm_basic",
+      Seq((1L, "a1", 1L), (2L, "a2", 1L), (3L, "a3", 1L)))
+    Seq((2L, "b2", 10L, "U"), (3L, "gone", 11L, "D"), (4L, "b4", 12L, "I"))
+      .toDF("k", "x", "seq", "op").createOrReplaceTempView("m_src")
+    val before = VersionedLake.versions(spark, path).last
+    spark.sql(s"""MERGE INTO $name t USING m_src s ON t.k = s.k
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET x = s.x, seq = s.seq
+      WHEN NOT MATCHED AND s.op <> 'D' THEN
+        INSERT (k, x, seq) VALUES (s.k, s.x, s.seq)""")
+    assert(VersionedLake.versions(spark, path).last == before + 1,
+      "MERGE must land as exactly one commit")
+    assert(state(name) ==
+      Seq((1L, "a1", 1L), (2L, "b2", 10L), (4L, "b4", 12L)))
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE update and delete") {
+    val (_, name) = mkTable("sqlm_nmbs",
+      Seq((1L, "a1", 1L), (2L, "a2", 2L), (3L, "a3", 3L), (4L, "a4", 4L)))
+    Seq((2L, "b2", 10L)).toDF("k", "x", "seq")
+      .createOrReplaceTempView("m_nmbs_src")
+    spark.sql(s"""MERGE INTO $name t USING m_nmbs_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET x = s.x, seq = s.seq
+      WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN
+        UPDATE SET x = 'orphan', seq = t.seq + 100""")
+    // k=1 matches neither NMBS condition: carried over untouched
+    assert(state(name) ==
+      Seq((1L, "a1", 1L), (2L, "b2", 10L), (4L, "orphan", 104L)))
+  }
+
+  test("MERGE: first matching WHEN clause wins, later ones ignored") {
+    val (_, name) = mkTable("sqlm_order", Seq((1L, "a1", 1L)))
+    Seq((1L, "s1", 10L)).toDF("k", "x", "seq")
+      .createOrReplaceTempView("m_ord_src")
+    spark.sql(s"""MERGE INTO $name t USING m_ord_src s ON t.k = s.k
+      WHEN MATCHED AND s.seq >= 10 THEN UPDATE SET x = 'first', seq = s.seq
+      WHEN MATCHED THEN DELETE""")
+    assert(state(name) == Seq((1L, "first", 10L)),
+      "the second (DELETE) clause must not fire once the first matched")
+  }
+
+  test("MERGE errors: cardinality, missing contract, unassigned keeps") {
+    val (_, name) = mkTable("sqlm_err", Seq((1L, "a1", 1L), (2L, "a2", 2L)))
+    // two source rows for one matched target row must error, not pick one
+    Seq((1L, "s1", 10L), (1L, "s2", 11L)).toDF("k", "x", "seq")
+      .createOrReplaceTempView("m_dup_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name t USING m_dup_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET x = s.x""")
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"), e.getMessage)
+    // a partial UPDATE SET keeps unassigned columns (seq unchanged)
+    Seq((2L, "patched")).toDF("k", "x").createOrReplaceTempView("m_patch")
+    spark.sql(s"""MERGE INTO $name t USING m_patch s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET x = s.x""")
+    assert(state(name) == Seq((1L, "a1", 1L), (2L, "patched", 2L)))
+    // MERGE needs the mergeKeys/mergeSeq registration
+    val (path2, name2) = freshTable("sqlm_nocontract")
+    VersionedLake.upsert(spark, path2,
+      Seq((1L, "a", 1L)).toDF("k", "x", "seq"), Seq("k"), "seq")
+    spark.sql(s"DROP TABLE IF EXISTS $name2")
+    spark.sql(s"CREATE TABLE $name2 (k BIGINT, x STRING, seq BIGINT) " +
+      s"USING graft LOCATION '$path2'")
+    val e2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name2 t USING m_patch s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET x = s.x""")
+    }
+    assert(e2.getMessage.contains("merge contract"), e2.getMessage)
+  }
+
+  test("DELETE FROM: pushed predicate, MOR commit, truncate form") {
+    val (path, name) = mkTable("sqld_where",
+      (1L to 10L).map(i => (i, s"a$i", i)))
+    val before = VersionedLake.versions(spark, path).last
+    def dataFiles(v: Int): Set[String] =
+      VersionedLake.resolvedManifest(spark, path, v)
+        .filter(l => l.contains(".parquet") && !l.contains("_dv/")).toSet
+    val dataBefore = dataFiles(before)
+    spark.sql(s"DELETE FROM $name WHERE k >= 8")
+    val after = VersionedLake.versions(spark, path).last
+    assert(after == before + 1)
+    // the DELETE moved DV mappings; the data-file lines it carries must
+    // reference the SAME physical files (manifest lines for DV'd files
+    // change their dv pointer, so compare the file paths, not lines)
+    def pathsOf(lines: Set[String]): Set[String] =
+      lines.flatMap(_.split('\t').find(_.endsWith(".parquet")))
+    assert(pathsOf(dataFiles(after)) == pathsOf(dataBefore),
+      "position delete must rewrite zero data files")
+    assert(state(name).map(_._1) == (1L to 7L))
+    // DELETE FROM t (no WHERE) = truncate through the same MOR path
+    spark.sql(s"DELETE FROM $name")
+    assert(state(name).isEmpty, "truncate form must delete every row")
+  }
+
+  test("DELETE FROM: untranslatable predicate is refused, not wrong") {
+    val (_, name) = mkTable("sqld_resid",
+      (1L to 6L).map(i => (i, s"a$i", i)))
+    // modulo is not in the pushable filter algebra -> canDeleteWhere
+    // false -> Spark must error instead of deleting a superset/subset
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $name WHERE k % 2 = 0")
+    }
+    assert(state(name).size == 6, "refused DELETE must not change rows")
+  }
+}
