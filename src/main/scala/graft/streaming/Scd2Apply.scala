@@ -25,38 +25,48 @@ import org.apache.spark.sql.functions._
   *     table stores the resolved history PLUS the DELETE closer rows,
   *     so the per-key change set is fully reconstructible: change =
   *     (key, op, value, props, seq=__start_at));
-  *  3. re-resolves those keys' histories over (stored ∪ batch) changes
-  *     with the SAME [[graft.operators.Cdc.scd2FromStaged]] the batch
-  *     view uses — streaming and batch semantics cannot drift; exact
-  *     replays dedupe on (key, sequence);
+  *  3. splits the stored rows AT KEY GRAIN: rows of keys the batch
+  *     touches re-resolve over (stored ∪ batch) changes with the SAME
+  *     [[graft.operators.Cdc.scd2FromStaged]] the batch view uses —
+  *     streaming and batch semantics cannot drift; exact replays
+  *     dedupe on (key, sequence) — while rows of UNTOUCHED keys that
+  *     merely share a bucket CARRY OVER VERBATIM (a broadcast
+  *     anti-join against the batch's key set, never re-resolved —
+  *     re-resolution cost is O(batch keys' history), not
+  *     O(touched buckets' history));
   *  4. dynamic-partition-OVERWRITES only the touched buckets.
   *
-  * Cost per batch is O(touched keys' history + batch), never O(table):
-  * the streaming-CDC-into-SCD2 shape that holds at 100 TB. Order
-  * independence is by construction — re-resolution always sees every
-  * change of a touched key — and the gate proves it by splitting the
-  * feed on sequence PARITY (maximally out of order). Readers filter
-  * the DELETE closer rows; the oracle is the batch SCD2 SQL.
+  * Cost per batch is O(batch keys' history + batch) resolution work
+  * plus O(touched buckets) rewrite IO, never O(table): the
+  * streaming-CDC-into-SCD2 shape that holds at 100 TB (bucket count
+  * scales with key cardinality so the rewrite term stays
+  * change-proportional). Order independence is by construction —
+  * re-resolution always sees every change of a batch key — and the
+  * gate proves it by splitting the feed on sequence PARITY (maximally
+  * out of order). Readers filter the DELETE closer rows; the oracle is
+  * the batch SCD2 SQL.
   */
 object Scd2Apply {
 
-  private val NB = 16
+  private[graft] val NB = 64
 
   /** One microbatch of staged changes into the history table. */
   def applyBatch(spark: SparkSession, table: String,
       batch: DataFrame): Unit = {
     val tagged = batch
       .withColumn("gbucket", pmod(hash(col("key_id")), lit(NB)))
-      .localCheckpoint(true) // one small batch, read twice below
+      .localCheckpoint(true) // one small batch, read thrice below
     val touched = tagged.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ NB ints
-    // Hadoop FileSystem, not java.io.File: the history table may live
-    // on any scheme (an always-false local existence probe would make
-    // every batch silently overwrite accumulated history)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    // Hadoop FileSystem FROM THE TABLE PATH (not FileSystem.get's
+    // default-scheme FS): the history table may live on any scheme,
+    // and a default-FS probe against (say) an s3a:// table would throw
+    // Wrong-FS instead of resolving
+    val tablePath = new org.apache.hadoop.fs.Path(table)
+    val fs = tablePath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val existingPaths =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(table))) Seq.empty
+      if (!fs.exists(tablePath)) Seq.empty
       else touched.map(b => s"$table/gbucket=$b")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p))).toSeq
     // zero existing bucket dirs (first batch, or all-new buckets):
@@ -65,9 +75,16 @@ object Scd2Apply {
       if (existingPaths.isEmpty) None
       else Some(spark.read.option("basePath", table)
         .parquet(existingPaths: _*))
-    val storedChanges = existing.map(_.select(
-      col("key_id"), col("operation"), col("value"), col("props"),
-      col("__start_at").as("sequence_number"), col("gbucket")))
+    val batchKeys = tagged.select(col("key_id")).distinct()
+    // key-grain pruning: only rows of BATCH keys enter re-resolution;
+    // same-bucket rows of other keys are copied through untouched
+    val carryOver = existing.map(
+      _.join(broadcast(batchKeys), Seq("key_id"), "left_anti"))
+    val storedChanges = existing.map(
+      _.join(broadcast(batchKeys), Seq("key_id"), "left_semi")
+        .select(col("key_id"), col("operation"), col("value"),
+          col("props"), col("__start_at").as("sequence_number"),
+          col("gbucket")))
     val batchChanges = tagged.select(
       col("key_id"), col("operation"), col("value"), col("props"),
       col("sequence_number"), col("gbucket"))
@@ -77,7 +94,10 @@ object Scd2Apply {
     val resolved = graft.operators.Cdc.scd2FromStaged(
         allChanges.drop("gbucket"))
       .withColumn("gbucket", pmod(hash(col("key_id")), lit(NB)))
-    resolved.write.mode(SaveMode.Overwrite)
+    val out = carryOver
+      .map(c => resolved.unionByName(c.select(resolved.columns.map(col): _*)))
+      .getOrElse(resolved)
+    out.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("gbucket").parquet(table)
   }

@@ -54,15 +54,16 @@ class Scd2ApplySpec extends AnyFunSuite {
       (5L, 1.0, 1L, Some(9L), false), (5L, 7.0, 20L, None, true)))
   }
 
+  private def bucketOf(k: Long): Int = spark.range(1).select(
+    pmod(hash(lit(k)), lit(Scd2Apply.NB))).head().getInt(0)
+
   test("untouched buckets are not rewritten") {
     val table = graft.sources.Scratch.dir("scd2a_spec3")
+    // two keys in DIFFERENT buckets
+    val k2 = (2L to 200L).find(bucketOf(_) != bucketOf(1L)).get
     Scd2Apply.applyBatch(spark, table,
-      chg((1L, "INSERT", 1.0, 1L), (2L, "INSERT", 2.0, 1L)))
-    // find a file holding key 1's bucket vs key 2's bucket
-    def bucketOf(k: Long): Int = spark.range(1).select(
-      pmod(hash(lit(k)), lit(16))).head().getInt(0)
-    val (b1, b2) = (bucketOf(1L), bucketOf(2L))
-    assume(b1 != b2, "keys 1 and 2 share a bucket; pick different keys")
+      chg((1L, "INSERT", 1.0, 1L), (k2, "INSERT", 2.0, 1L)))
+    val b2 = bucketOf(k2)
     def mtimes(b: Int): Map[String, Long] =
       new java.io.File(s"$table/gbucket=$b").listFiles()
         .filter(_.getName.endsWith(".parquet"))
@@ -71,6 +72,26 @@ class Scd2ApplySpec extends AnyFunSuite {
     Thread.sleep(1100)
     Scd2Apply.applyBatch(spark, table, chg((1L, "UPDATE", 9.0, 5L)))
     assert(mtimes(b2) == before,
-      "a batch touching only key 1 rewrote key 2's bucket")
+      s"a batch touching only key 1 rewrote key $k2's bucket")
+  }
+
+  test("untouched key in a TOUCHED bucket carries over verbatim") {
+    val table = graft.sources.Scratch.dir("scd2a_spec4")
+    // two keys in the SAME bucket: one gets the update, the other must
+    // carry over row-identically (never re-resolved)
+    val k2 = (2L to 2000L).find(bucketOf(_) == bucketOf(1L)).getOrElse(
+      fail(s"no second key found in bucket ${bucketOf(1L)}"))
+    Scd2Apply.applyBatch(spark, table,
+      chg((1L, "INSERT", 1.0, 10L), (k2, "INSERT", 2.0, 10L),
+        (k2, "UPDATE", 4.0, 20L)))
+    def rowsOf(k: Long): Seq[String] =
+      spark.read.parquet(table).filter(col("key_id") === k)
+        .drop("gbucket").collect().map(_.toString).sorted.toSeq
+    val before = rowsOf(k2)
+    assert(before.size == 2, before.toString)
+    Scd2Apply.applyBatch(spark, table, chg((1L, "UPDATE", 9.0, 30L)))
+    assert(rowsOf(k2) == before,
+      s"untouched key $k2 in the touched bucket was altered")
+    assert(rowsOf(1L).size == 2, "the batch key was not re-resolved")
   }
 }
