@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -225,12 +225,15 @@ object Clusters {
     * recomputing the corpus:
     *
     *  1. the pre-batch state is the verified label table of the old
-    *     corpus (min-doc-id labels, complete prefix-filter relation);
-    *  2. the batch contributes only its INCIDENT edges (≥1 new
-    *     endpoint — in production these come from the incremental
-    *     band-table candidates of `dedup_incremental`, O(batch +
-    *     collisions); the gate derives them from the complete relation
-    *     so the oracle can be the full-recompute truth);
+    *     corpus (min-doc-id labels, complete prefix-filter relation
+    *     over the OLD docs only — in production the stored artifact,
+    *     here the fixture);
+    *  2. the batch contributes only its INCIDENT edges, generated by
+    *     PROBING the stored prefix index with the batch docs'
+    *     prefixes ([[PrefixJoin.incidentPairsFromBase]]) —
+    *     O(batch prefixes × collisions), the `dedup_incremental`
+    *     stored-index discipline but with ZERO recall loss, so the
+    *     full-recompute oracle still applies;
     *  3. endpoints CONTRACT to their old labels (new docs stand for
     *     themselves), and components run over the REDUCED graph —
     *     nodes are old labels + batch docs, so the merge cost is
@@ -244,25 +247,32 @@ object Clusters {
     * the merged component — identical to a full recompute, which the
     * oracle (brute-force transitive closure over the CUMULATIVE
     * corpus) verifies hash-exactly. `contraction_bounded` pins the
-    * claimed cost in-gate: the reduced graph is strictly smaller than
-    * the corpus.
+    * claimed cost in-gate at its REAL bound: the reduced graph's node
+    * count is at most (batch docs) + (old labels incident to batch
+    * edges) — each measured independently of the reduced set itself.
     */
   def incrementalClusters(docs: DataFrame): DataFrame = {
+    val isBatch: Column => Column = c => c % 5 === 0
     val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
-    // ONE complete relation serves both roles: completeness means the
-    // old corpus's pair set is exactly the cumulative set restricted
-    // to old×old endpoints — no second prefix join
-    val allPairs = PrefixJoin.prefixFilterPairs(docs)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    // pre-batch state: the old corpus's verified labels
+    // pre-batch FIXTURE state: the old corpus's verified labels from a
+    // prefix join over the OLD docs only (the stored label table)
     val oldLabels = connectedComponents(
-      allPairs.filter(col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0),
+      PrefixJoin.prefixFilterPairs(oldDocs)
+        .select(col("doc_a"), col("doc_b")),
       "doc_a", "doc_b", oldDocs.select(col("doc_id")), "doc_id")
       .select(col("node").as("doc_id"), col("cluster_id").as("old_lbl"))
       .localCheckpoint(true)
-    // the batch's incident edges from the complete cumulative relation
-    val newEdges = allPairs
-      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+    // the batch's incident edges: batch prefixes PROBE the cumulative
+    // prefix index — never a corpus self-join
+    val s = docs.sparkSession
+    val gramBase = docs.select(col("doc_id"),
+      Dedup.hashedNgrams(s, Dedup.normText(col("text")), 1).as("grams"))
+      .repartition(col("doc_id"))
+    val newEdges = graft.Caching.withCached(gramBase) {
+      PrefixJoin.incidentPairsFromBase(gramBase, isBatch,
+        PrefixJoin.ThreshNum, PrefixJoin.ThreshDen)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    }
     // CONTRACT endpoints to old labels (new docs stand for themselves)
     def toLbl(c: String, as: String): DataFrame => DataFrame = df =>
       df.join(oldLabels.select(col("doc_id").as(c),
@@ -274,7 +284,15 @@ object Clusters {
     val reducedNodes = reduced.select(col("la").as("n"))
       .union(reduced.select(col("lb").as("n"))).distinct()
     val nReduced = reducedNodes.count()
-    val contractionBounded = nReduced < docs.count()
+    // the REAL contraction bound, both terms independent of `reduced`:
+    // every reduced node is either a batch doc standing for itself or
+    // an old label reached through a batch-incident edge
+    val nBatch = docs.filter(isBatch(col("doc_id"))).count()
+    val nIncidentOldLbls = newEdges.select(col("doc_a").as("d"))
+      .union(newEdges.select(col("doc_b").as("d"))).distinct()
+      .join(oldLabels, col("d") === col("doc_id"))
+      .select(col("old_lbl")).distinct().count()
+    val contractionBounded = nReduced <= nBatch + nIncidentOldLbls
     // components over the REDUCED graph only
     val merged = connectedComponentsStar(reduced, "la", "lb",
       reducedNodes, "n")

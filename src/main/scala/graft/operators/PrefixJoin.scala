@@ -60,7 +60,12 @@ object PrefixJoin {
     * at sf0.01 the blocked generator sees 172 of 1887 true 0.95
     * pairs). The caller is expected to have `base` cached.
     */
-  def pairsFromBase(base: DataFrame, num: Long, den: Long): DataFrame = {
+  /** The prefix index: per doc, the first p = s − ⌈(num/den)·s⌉ + 1
+    * tokens under the global document-frequency order — the stored
+    * artifact a production deployment keeps between ingests (the
+    * set-similarity analog of the incremental band table).
+    */
+  private def prefixTable(base: DataFrame, num: Long, den: Long): DataFrame = {
     val tok = base.select(col("doc_id"), col("grams"),
       size(col("grams")).as("set_size"))
       .select(col("doc_id"), col("set_size"),
@@ -75,9 +80,29 @@ object PrefixJoin {
     // construction (Column./ would be IEEE double division — exact only
     // because num·s+den−1 ≪ 2^53, an argument `div` doesn't need)
     val ceilTs = expr(s"($num * set_size + ${den - 1}) div $den")
-    val prefix = ranked
+    ranked
       .filter(col("pos") <= col("set_size") - ceilTs + lit(1L))
       .select(col("doc_id"), col("token"), col("set_size"))
+  }
+
+  /** Exact verify on candidate pairs only — gram sets sorted once per
+    * side so the scorer is a merge walk, not a per-pair hash set.
+    */
+  private def verifyPairs(cand: DataFrame, base: DataFrame, num: Long,
+      den: Long): DataFrame = {
+    graft.functions.IntersectCount.register(base.sparkSession)
+    cand
+      .join(base.select(col("doc_id").as("doc_a"),
+        sort_array(col("grams")).as("grams_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"),
+        sort_array(col("grams")).as("grams_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccardOf(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") * lit(den.toDouble) >= lit(num.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def pairsFromBase(base: DataFrame, num: Long, den: Long): DataFrame = {
+    val prefix = prefixTable(base, num, den)
     // length pruning (PPJoin): J(A,B) ≥ t ⇒ t·|A| ≤ |B| (and
     // symmetrically), checked with cross-multiplied integers at join
     // time — a necessary condition, so completeness is untouched
@@ -88,17 +113,35 @@ object PrefixJoin {
           col("a.set_size") * lit(den) >= col("b.set_size") * lit(num))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on the candidate pairs only — gram sets sorted once
-    // per side so the scorer is a merge walk, not a per-pair hash set
-    graft.functions.IntersectCount.register(base.sparkSession)
-    cand
-      .join(base.select(col("doc_id").as("doc_a"),
-        sort_array(col("grams")).as("grams_a")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"),
-        sort_array(col("grams")).as("grams_b")), Seq("doc_b"))
-      .withColumn("jaccard", jaccardOf(col("grams_a"), col("grams_b")))
-      .filter(col("jaccard") * lit(den.toDouble) >= lit(num.toDouble))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyPairs(cand, base, num, den)
+  }
+
+  /** BATCH-INCIDENT subset of the pair relation by PROBING: only the
+    * batch docs' prefix entries join the full prefix index, so the
+    * cost is O(batch prefixes × token collisions) — never a corpus
+    * self-join — while exactness is untouched (same global token
+    * order on both sides, same integer length bounds, same exact
+    * verify; the prefix-filter completeness argument applies to each
+    * pair with ≥1 batch endpoint verbatim). This is the incremental-
+    * ingest shape: the prefix index is the STORED artifact
+    * (`dedup_incremental`'s band-table discipline, but with zero
+    * recall loss — which is what lets `dedup_clusters_incremental`
+    * keep its full-recompute transitive-closure oracle), the batch
+    * probes it. Emits canonical doc_a < doc_b pairs.
+    */
+  def incidentPairsFromBase(base: DataFrame, isBatch: Column => Column,
+      num: Long, den: Long): DataFrame = {
+    val prefix = prefixTable(base, num, den)
+    val probe = prefix.filter(isBatch(col("doc_id")))
+    val cand = probe.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.set_size") * lit(den) >= col("a.set_size") * lit(num) &&
+          col("a.set_size") * lit(den) >= col("b.set_size") * lit(num))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairs(cand, base, num, den)
   }
 
   /** All document pairs with unigram Jaccard ≥ 4/5 over the raw corpus. */
