@@ -78,7 +78,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    // caller_groups() must be a BUILT-IN, not a session-injected temp
+    // function: persistent governed views reference it, and
+    // SessionCatalog.isTemporaryFunction would otherwise refuse the
+    // CREATE VIEW. The builtin registry is process-global and cloned
+    // into every session; registration is idempotent.
+    val cgId = new FunctionIdentifier("caller_groups")
+    val cgInfo = new ExpressionInfo(
+      classOf[graft.functions.CallerGroups].getName, "caller_groups")
+    val cgBuilder = (_: Seq[Expression]) => graft.functions.CallerGroups()
+    if (!org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .functionExists(cgId))
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .registerFunction(cgId, cgInfo, cgBuilder)
+    ext.injectFunction((cgId, cgInfo, cgBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
+    // SQL MERGE INTO over registered lake tables lowers onto one
+    // VersionedLake.upsert commit (post-hoc: the statement must be
+    // fully resolved before the rewrite reads its action expressions)
+    ext.injectPostHocResolutionRule(_ => graft.plans.GraftMergeRule)
   }
 }

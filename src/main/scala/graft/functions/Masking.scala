@@ -6,15 +6,69 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Medallion
 
+/** The session principal's group list as a plan-time expression — the
+  * engine's `IS_ACCOUNT_GROUP_MEMBER` analog (ref pii_masking.sql:26-31
+  * embeds membership INSIDE the mask functions). Reads the session conf
+  * `spark.graft.caller.groups` (comma-separated) and is FOLDABLE, so
+  * ConstantFolding evaluates it ON THE DRIVER during optimization —
+  * exactly how `current_user()`/`current_date()` bind: every query
+  * through a governed view re-resolves the view text, re-folds this to
+  * the CURRENT principal's literal, and the mask CASE then folds to
+  * either the raw column or the mask — per-principal resolution with
+  * ZERO runtime cost and full pushdown below the view. Registered as
+  * `caller_groups()` by [[graft.GraftExtensions]] (a built-in, not a
+  * temp function, so persistent views may reference it).
+  */
+case class CallerGroups()
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : Any = org.apache.spark.unsafe.types.UTF8String.fromString(
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.caller.groups", ""))
+  override def prettyName: String = "caller_groups"
+}
+
 /** PII masking and row-level security — the reference's Unity Catalog
   * column masks / row filters (ref /root/reference/src/setup/
   * pii_masking.sql:26-103, apply_masks.sql) as plain Column functions.
   *
   * Group membership is a session-level parameter instead of
   * IS_ACCOUNT_GROUP_MEMBER(); masks are codegen-friendly string
-  * expressions (no UDFs) so they fuse into whole-stage codegen.
+  * expressions (no UDFs) so they fuse into whole-stage codegen. The
+  * [[CallerGroups]] expression upgrades this to PER-PRINCIPAL dynamic
+  * resolution through one stored view (see
+  * [[graft.sources.CatalogSetup.bindGovernedCustomers]]).
   */
 object Masking {
+
+  /** Principal-aware mask-function body: privileged groups read the
+    * raw value, everyone else the mask — the membership CASE lives
+    * INSIDE the function, the reference's exact shape
+    * (pii_masking.sql:26-37).
+    */
+  def govBody(maskBody: String): String =
+    s"""CASE WHEN contains(caller_groups(), 'admin')
+          OR contains(caller_groups(), 'pii-readers') THEN s
+        ELSE ($maskBody) END"""
+
+  /** Principal-aware row filter over `region_name`: privileged or
+    * region-unrestricted principals see every row; a `region-*` group
+    * member sees its regions (ref pii_masking.sql:80-103).
+    */
+  lazy val govRowFilterSql: String = {
+    val perGroup = RegionGroups.toSeq.sortBy(_._1).map { case (g, r) =>
+      s"(contains(caller_groups(), '$g') AND trim(region_name) = '$r')"
+    }.mkString("\n        OR ")
+    s"""contains(caller_groups(), 'admin')
+        OR contains(caller_groups(), 'pii-readers')
+        OR NOT (caller_groups() LIKE '%region-%')
+        OR $perGroup"""
+  }
 
   /** "Joao Silva" → "J*** Silva"; single-token names (no surname to
     * show) mask to "J***" — the reference's shape (pii_masking.sql:

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Catalog/namespace bootstrap — the engine's analog of the reference's
   * Unity Catalog setup (/root/reference/src/setup/unity_catalog_setup.py:41-77),
@@ -176,16 +176,133 @@ object CatalogSetup {
     graft.functions.Masking.maskedCustomersSql.replace("FROM sc",
       "FROM sc WHERE trim(region_name) IN ('AMERICA', 'EUROPE')")
 
+  /** MULTI-PRINCIPAL governance — ONE stored view, per-caller
+    * resolution. [[bindMaskedCustomers]] bakes a single caller's
+    * groups into the view; this binds the membership test INSIDE the
+    * mask functions and the row filter (`caller_groups()`, the
+    * engine's IS_ACCOUNT_GROUP_MEMBER — ref pii_masking.sql:26-31
+    * embeds the check in the FUNCTION, not the view), so the SAME
+    * `silver.customers_gov` name resolves differently per session
+    * principal with no re-registration:
+    *
+    *  - `admin` / `pii-readers` — raw PII, all rows;
+    *  - an unprivileged analyst — masked PII, all rows;
+    *  - a `region-*` member — masked PII, only its regions' rows.
+    *
+    * Because `caller_groups()` folds to a literal at PLAN time, the
+    * per-principal branches constant-fold out of the plan: the admin
+    * plan carries no mask expressions at all, and scan pushdown
+    * survives the view in every mode (spec-asserted).
+    */
+  def bindGovernedCustomers(spark: SparkSession, sfDir: String,
+      env: CatalogEnv = Prod): String = {
+    import graft.functions.Masking
+    bootstrap(spark, sfDir, env)
+    val silver = env.db("silver")
+    val sc = graft.operators.Medallion.silverCustomers(
+      graft.Tables.customer(spark, sfDir),
+      graft.Tables.nation(spark, sfDir),
+      graft.Tables.region(spark, sfDir))
+    val loc = Scratch.dir("cat_gov_cust")
+    sc.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(loc)
+    spark.sql(s"DROP VIEW IF EXISTS $silver.customers_gov")
+    spark.sql(s"DROP TABLE IF EXISTS $silver.customers_gov_raw")
+    spark.sql(s"CREATE TABLE $silver.customers_gov_raw USING parquet " +
+      s"LOCATION '$loc'")
+    Seq("gov_mask_name" -> Masking.maskNameSqlBody,
+      "gov_mask_email" -> Masking.maskEmailSqlBody,
+      "gov_mask_phone" -> Masking.maskPhoneSqlBody).foreach {
+      case (n, body) =>
+        spark.sql(s"""CREATE OR REPLACE FUNCTION $silver.$n(s STRING)
+          RETURNS STRING RETURN ${Masking.govBody(body)}""")
+    }
+    spark.sql(s"""CREATE OR REPLACE VIEW $silver.customers_gov AS
+      SELECT customer_id,
+        $silver.gov_mask_name(customer_name) AS customer_name,
+        $silver.gov_mask_email(customer_email) AS customer_email,
+        $silver.gov_mask_phone(customer_phone) AS customer_phone,
+        mktsegment, nation_name, region_name
+      FROM $silver.customers_gov_raw
+      WHERE ${Masking.govRowFilterSql}""")
+    s"$silver.customers_gov"
+  }
+
+  /** Gate body: the SAME stored name read as three principals —
+    * localCheckpoint materializes each read eagerly so every branch
+    * plans (and constant-folds) under ITS principal before the session
+    * conf moves on.
+    */
+  def multiPrincipalCustomers(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val name = bindGovernedCustomers(spark, sfDir)
+    def as(principal: String, groups: String): DataFrame = {
+      spark.conf.set("spark.graft.caller.groups", groups)
+      try spark.table(name)
+        .select(lit(principal).as("principal"), col("*"))
+        .localCheckpoint(true)
+      finally spark.conf.unset("spark.graft.caller.groups")
+    }
+    as("admin", "admin")
+      .unionByName(as("analyst", "analysts"))
+      .unionByName(as("regional", "region-america,region-europe"))
+  }
+
+  val multiPrincipalCustomersSql: String =
+    """WITH sc AS (
+         SELECT c_custkey AS customer_id,
+           trim(c_name) AS customer_name,
+           lower(trim(c_mktsegment)) AS mktsegment,
+           trim(n_name) AS nation_name,
+           trim(r_name) AS region_name,
+           'c' || CAST(c_custkey AS VARCHAR) || '@example.com' AS customer_email,
+           '+55 (11) 9' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             AS customer_phone
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+           AND length(trim(c_name)) > 0 AND c_nationkey IS NOT NULL),
+       m AS (
+         SELECT customer_id,
+           CASE WHEN customer_name IS NULL THEN NULL
+             WHEN NOT contains(customer_name, ' ')
+               THEN substring(customer_name, 1, 1) || '***'
+             ELSE substring(customer_name, 1, 1) || '*** '
+               || regexp_extract(customer_name, '[^ ]*$') END AS customer_name,
+           CASE WHEN customer_email IS NULL THEN NULL
+             ELSE substring(customer_email, 1, 2) || '****@'
+               || regexp_extract(customer_email, '[^@]*$') END AS customer_email,
+           CASE WHEN customer_phone IS NULL THEN NULL
+             ELSE substring(customer_phone, 1, 10) || '****-****' END
+             AS customer_phone,
+           mktsegment, nation_name, region_name
+         FROM sc)
+       SELECT 'admin' AS principal, customer_id, customer_name,
+         customer_email, customer_phone, mktsegment, nation_name,
+         region_name
+       FROM sc
+       UNION ALL
+       SELECT 'analyst', * FROM m
+       UNION ALL
+       SELECT 'regional', * FROM m
+       WHERE trim(region_name) IN ('AMERICA', 'EUROPE')
+       ORDER BY principal, customer_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_region_revenue" -> ((s, d) =>
       regionRevenueBothEnvs(s, d)
         .orderBy(col("region_name"), col("nation_name"))),
     "catalog_masked_customers" -> ((s, d) =>
-      maskedCustomersViaCatalog(s, d).orderBy(col("customer_id"))))
+      maskedCustomersViaCatalog(s, d).orderBy(col("customer_id"))),
+    "catalog_multi_principal" -> ((s, d) =>
+      multiPrincipalCustomers(s, d)
+        .orderBy(col("principal"), col("customer_id"))))
 
   def oracles: Map[String, String] = Map(
     "catalog_region_revenue" ->
       graft.operators.Analytics.oracles("q5_region_revenue"),
-    "catalog_masked_customers" -> maskedCustomersViaCatalogSql)
+    "catalog_masked_customers" -> maskedCustomersViaCatalogSql,
+    "catalog_multi_principal" -> multiPrincipalCustomersSql)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CatalogSetup
+
+/** Multi-principal governance through ONE stored view: per-principal
+  * resolution, plan-time constant folding of the principal branches,
+  * and parquet scan pushdown surviving the governed view in every
+  * mode.
+  */
+class GovernanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = TestSpark.sf
+  private lazy val viewName = CatalogSetup.bindGovernedCustomers(spark, sf)
+
+  private def asPrincipal[A](groups: String)(body: => A): A = {
+    spark.conf.set("spark.graft.caller.groups", groups)
+    try body finally spark.conf.unset("spark.graft.caller.groups")
+  }
+
+  test("the same name resolves raw / masked / filtered per principal") {
+    val admin = asPrincipal("admin") {
+      spark.table(viewName).orderBy("customer_id").limit(1).collect().head
+    }
+    val analyst = asPrincipal("analysts") {
+      spark.table(viewName).orderBy("customer_id").limit(1).collect().head
+    }
+    assert(admin.getAs[String]("customer_email").contains("@example.com") &&
+      !admin.getAs[String]("customer_email").contains("****"),
+      s"admin must read raw PII, got $admin")
+    assert(analyst.getAs[String]("customer_email").contains("****@"),
+      s"analyst must read masked PII, got $analyst")
+    val regions = asPrincipal("region-asia") {
+      spark.table(viewName).select("region_name").distinct()
+        .collect().map(_.getString(0).trim).toSet
+    }
+    assert(regions == Set("ASIA"),
+      s"region-asia principal must see only ASIA rows, got $regions")
+    val all = asPrincipal("analysts") {
+      spark.table(viewName).select("region_name").distinct().count()
+    }
+    assert(all > 1, "an unrestricted analyst must see every region")
+  }
+
+  test("principal branches constant-fold; pushdown survives every mode") {
+    for (groups <- Seq("admin", "analysts", "region-america")) {
+      val plan = asPrincipal(groups) {
+        spark.table(viewName).filter("customer_id >= 500")
+          .select("customer_id", "customer_email")
+          .queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("GreaterThanOrEqual(customer_id,500)"),
+        s"customer_id pushdown lost through the governed view for " +
+          s"$groups:\n$plan")
+    }
+    // the admin plan must carry NO mask machinery at all — the
+    // membership CASE folded away at plan time
+    val adminPlan = asPrincipal("admin") {
+      spark.table(viewName).select("customer_email")
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(!adminPlan.contains("****"),
+      s"mask expressions survived constant folding for admin:\n$adminPlan")
+    val analystPlan = asPrincipal("analysts") {
+      spark.table(viewName).select("customer_email")
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(analystPlan.contains("****"),
+      s"analyst plan lost the mask:\n$analystPlan")
+  }
+}
