@@ -127,11 +127,143 @@ object FileRegistry {
        FROM orders
        ORDER BY order_id"""
 
+  // ---- schema evolution ----------------------------------------------------
+
+  /** The registry's current inferred schema (latest committed
+    * `schema-N.json`), absent before the first evolving run.
+    */
+  def storedSchema(registryDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val d = new File(registryDir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("schema-") &&
+        f.getName.endsWith(".json"))
+      .sortBy(_.getName).lastOption
+      .map(f => org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(f.toPath), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Incremental CSV ingest WITH SCHEMA EVOLUTION — Auto Loader's
+    * `addNewColumns` contract (ref the bronze `read_files(...)` pipelines
+    * schema inference): when a later file carries a column the stored
+    * schema lacks, the bronze schema EVOLVES (new columns append,
+    * nullable) instead of the data landing in a rescue blob, and
+    * earlier rows read back with NULL backfill (parquet schema merge
+    * across the run partitions — no old file is rewritten). Auto
+    * Loader implements this by failing the stream and restarting with
+    * the updated schema; the registry analog is the same two-step with
+    * the restart made internal: the run that detects new columns
+    * commits the evolved schema to the registry FIRST (`schema-N.json`,
+    * atomic rename), then ingests under it — a crash between the two
+    * re-runs idempotently off the committed schema, exactly the
+    * post-restart state.
+    *
+    * Within a run, each batch aligns to the evolved schema BY NAME:
+    * columns the files lack land as typed NULLs, and a column whose
+    * inferred type drifts from the stored one keeps the STORED type
+    * (the cast's failures become NULLs — evolution only ever ADDS
+    * columns, Auto Loader's rule; it never mutates committed types
+    * under a reader's feet).
+    */
+  def ingestEvolving(spark: SparkSession, srcDir: String,
+      registryDir: String, sinkDir: String): IngestResult = {
+    new File(registryDir).mkdirs()
+    val seen = registered(registryDir)
+    val fresh = listDataFiles(srcDir).filterNot(seen)
+    val runId = manifests(registryDir).size + 1
+    if (fresh.isEmpty) return IngestResult(runId - 1, Seq.empty, 0L)
+    val batch = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(fresh: _*)
+    val prior = storedSchema(registryDir)
+    val evolved = prior match {
+      case None => batch.schema
+      case Some(p) => org.apache.spark.sql.types.StructType(
+        p.fields ++ batch.schema.fields
+          .filterNot(f => p.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true)))
+    }
+    // schema commits BEFORE data (the "restart" point): a crash after
+    // this rename replays the run under the already-evolved schema
+    if (!prior.contains(evolved)) {
+      val tmp = Paths.get(registryDir, s".tmp-schema-$runId")
+      Files.write(tmp, evolved.json.getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(registryDir, f"schema-$runId%05d.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val aligned = batch.select(evolved.fields.toSeq.map { f =>
+      if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        .as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    aligned.write.mode("overwrite").parquet(s"$sinkDir/run=$runId")
+    val rows = spark.read.parquet(s"$sinkDir/run=$runId").count()
+    val tmp = Paths.get(registryDir, s".tmp-run-$runId")
+    Files.write(tmp, fresh.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(registryDir, f"run-$runId%05d.txt"),
+      StandardCopyOption.ATOMIC_MOVE)
+    IngestResult(runId, fresh, rows)
+  }
+
+  /** Gate query `bronze_schema_evolution`: a two-schema CSV feed — the
+    * late files carry a NEW `event_type` column — through two evolving
+    * ingest runs (registry re-read from disk between them: the
+    * restart). The final bronze read speaks the EVOLVED schema:
+    * phase-1 rows backfill `event_type` as NULL, phase-2 rows carry
+    * it, and the committed registry schema equals the merged read
+    * schema (engine-asserted as `schema_evolved`).
+    */
+  def schemaEvolutionDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Scratch.dir("alse_src")
+    val reg = Scratch.dir("alse_reg")
+    val sink = Scratch.dir("alse_sink")
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && col("event_type").isNotNull)
+    // phase 1: three columns
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(1).write.option("header", "true").csv(s"$src/p1")
+    ingestEvolving(spark, src, reg, sink)
+    // phase 2: a NEW column appears in the feed
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .repartition(1).write.option("header", "true").csv(s"$src/p2")
+    ingestEvolving(spark, src, reg, sink)
+    val bronze = spark.read.option("mergeSchema", "true").parquet(sink)
+    val schemaEvolved = storedSchema(reg).exists(s =>
+      s.fieldNames.toSeq == Seq("event_id", "user_id", "value",
+        "event_type"))
+    bronze.select(col("event_id").cast("long"),
+        col("user_id").cast("long"), col("value").cast("double"),
+        col("event_type"), col("run").cast("long").as("ingest_run"))
+      .withColumn("schema_evolved", lit(schemaEvolved))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         CAST(value AS DOUBLE) AS value,
+         CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+         CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+           AS ingest_run,
+         true AS schema_evolved
+       FROM events
+       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+         AND value IS NOT NULL AND event_type IS NOT NULL
+       ORDER BY event_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("bronze_autoloader_incremental" -> ((s, d) =>
-      incrementalDemo(s, d).orderBy(col("order_id"))))
+    Map(
+      "bronze_autoloader_incremental" -> ((s, d) =>
+        incrementalDemo(s, d).orderBy(col("order_id"))),
+      "bronze_schema_evolution" -> ((s, d) =>
+        schemaEvolutionDemo(s, d).orderBy(col("event_id"))))
 
   def oracles: Map[String, String] =
-    Map("bronze_autoloader_incremental" -> incrementalDemoSql)
+    Map(
+      "bronze_autoloader_incremental" -> incrementalDemoSql,
+      "bronze_schema_evolution" -> schemaEvolutionSql)
 }

@@ -61,4 +61,35 @@ class FileRegistrySpec extends AnyFunSuite {
     assert(all.count() == 35)
     assert(all.select(col("id")).distinct().count() == 35)
   }
+
+  test("schema evolution: new columns append, old rows backfill null") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_alse").toString
+    val (src, reg, sink) = (s"$root/src", s"$root/reg", s"$root/sink")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+      .repartition(1).write.option("header", "true").csv(s"$src/p1")
+    FileRegistry.ingestEvolving(spark, src, reg, sink)
+    assert(FileRegistry.storedSchema(reg).get.fieldNames.toSeq ==
+      Seq("id", "x"))
+    // a later file carries a NEW column
+    Seq((3L, "c", 9.5)).toDF("id", "x", "score")
+      .repartition(1).write.option("header", "true").csv(s"$src/p2")
+    FileRegistry.ingestEvolving(spark, src, reg, sink)
+    assert(FileRegistry.storedSchema(reg).get.fieldNames.toSeq ==
+      Seq("id", "x", "score"), "schema must evolve by appending")
+    val all = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert(all.count() == 3)
+    // NULL backfill for pre-evolution rows, value for the new row
+    assert(all.filter(col("score").isNull).count() == 2)
+    assert(all.filter(col("score") === 9.5).count() == 1)
+    // an identical-schema third run commits NO new schema version
+    val before = new java.io.File(reg).listFiles()
+      .count(_.getName.startsWith("schema-"))
+    Seq((4L, "d", 1.0)).toDF("id", "x", "score")
+      .repartition(1).write.option("header", "true").csv(s"$src/p3")
+    FileRegistry.ingestEvolving(spark, src, reg, sink)
+    assert(new java.io.File(reg).listFiles()
+      .count(_.getName.startsWith("schema-")) == before,
+      "unchanged schema must not commit a new schema file")
+  }
 }
