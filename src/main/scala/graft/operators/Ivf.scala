@@ -259,10 +259,158 @@ object Ivf {
        ORDER BY probe_id, rank"""
   }
 
+  /** k-NN CLASSIFICATION through the IVF candidate stage — the
+    * PRODUCTION composition of the ANN family with the majority vote:
+    * [[Similarity.knnClassifier]] registers the brute-force sweep as
+    * the baseline discipline; this registers the scalable path (each
+    * probe scores only its `nprobe` inverted lists' TRAIN vectors,
+    * never the corpus) with the vote unchanged (k exact-cosine-ranked
+    * candidates, majority label, ties to the smaller label).
+    *
+    * Honesty discipline (the `ann_recall_bounds` pattern): the gate
+    * computes the EXACT-vote classifier in the same run and asserts
+    * the ANN predictions agree on at least `agreementFloor` of the
+    * probes — a silent candidate-quality collapse fails the gate, it
+    * does not ship quietly. The emitted rows are the ANN predictions
+    * themselves, deterministic end to end (fold-exact k-means,
+    * id-tiebroken ranks, integer votes), so the DuckDB oracle mirrors
+    * the IVF vote exactly — hash-equality, not just the floor.
+    */
+  def ivfKnnClassifier(emb: DataFrame, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 12, agreementFloor: Double = 0.8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = kmeans(emb, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val base = toVec(emb).as[(Long, Array[Double])]
+    val ann = graft.Caching.withCached(base) {
+      val train = base.mapPartitions(_.map { case (id, v) =>
+        (id, v, argminCentroid(v, bc.value))
+      }).toDF("vec_id", "v", "cluster")
+        .filter(col("vec_id") % 50 =!= 0) // neighbors come from TRAIN
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+        .join(labels.withColumnRenamed("label", "n_label"), Seq("vec_id"))
+      val probeLists = base.filter(_._1 % 50 == 0).mapPartitions(_.flatMap {
+        case (id, v) =>
+          bc.value.indices
+            .map(c => (c, sqDist(v, bc.value(c))))
+            .sortBy { case (c, d) => (d, c) }
+            .take(nprobe)
+            .map { case (c, _) => (id, v, c) }
+      }).toDF("probe_id", "pv", "cluster")
+        .withColumn("pnrm", sqrt(Similarity.dot(col("pv"), col("pv"))))
+      val scored = train.join(broadcast(probeLists), Seq("cluster"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("n_label"),
+          Similarity.cosinePre(Similarity.dot(col("pv"), col("v")),
+            col("pnrm"), col("nrm")).as("cosine"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val votes = scored
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .groupBy(col("probe_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"))
+      val vw = Window.partitionBy(col("probe_id"))
+        .orderBy(col("votes").desc, col("n_label"))
+      votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+        .join(labels.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("true_label")), Seq("probe_id"))
+        .select(col("probe_id"), col("true_label"),
+          col("n_label").as("predicted_label"), col("votes"),
+          (col("n_label") === col("true_label")).as("correct"))
+        .localCheckpoint(true) // reused: agreement check + output
+    }
+    // the honesty floor: ANN vote vs the exact brute-force vote
+    val exact = Similarity.knnClassifier(emb, k)
+      .select(col("probe_id"), col("predicted_label").as("exact_label"))
+    val agreement = ann.join(exact, Seq("probe_id"))
+      .agg(avg((col("predicted_label") === col("exact_label"))
+        .cast("double")).as("a")).head().getDouble(0)
+    require(agreement >= agreementFloor,
+      f"IVF k-NN classifier agrees with the exact vote on only " +
+        f"$agreement%.3f of probes (floor $agreementFloor%.2f) — " +
+        "candidate stage recall collapsed")
+    ann.withColumn("agreement_floor_met", lit(true))
+  }
+
+  /** Full DuckDB oracle for `emb_knn_classifier_ann` (k=5, nlist=16,
+    * nprobe=12): the IVF candidate CTEs of [[ivfTopKSql]] restricted to
+    * the train side, then the exact vote of
+    * [[Similarity.knnClassifierSql]]. nprobe is high for an IVF
+    * because the synthetic embeddings are iid-random — recall per
+    * scanned fraction is worst-case by construction (no cluster
+    * structure for the coarse quantizer to exploit); real embedding
+    * corpora cluster, and the SAME composition holds its floor at far
+    * smaller nprobe. The gate pins the DISCIPLINE (candidate stage +
+    * unchanged vote + asserted agreement floor), not a tuned number.
+    */
+  val ivfKnnClassifierSql: String = {
+    val nlist = 16; val nprobe = 12; val k = 5; val iters = 5
+    def sqdist(v: String, c: String): String = sqdistSql(v, c)
+    val head = Seq(
+      "vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)",
+      kmeansCtesSql("km", "vec", nlist, iters))
+    val tail = Seq(
+      s"""assignf AS (
+         SELECT vec_id, cluster FROM (
+           SELECT v.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY ${sqdist("v.v", "c.c")}, c.cluster) AS rn
+           FROM vec v CROSS JOIN km_cent$iters c)
+         WHERE rn = 1)""",
+      s"""probe_lists AS (
+         SELECT probe_id, cluster FROM (
+           SELECT p.vec_id AS probe_id, c.cluster,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY ${sqdist("p.v", "c.c")}, c.cluster) AS rn
+           FROM vec p CROSS JOIN km_cent$iters c
+           WHERE p.vec_id % 50 = 0)
+         WHERE rn <= $nprobe)""",
+      """scored AS (
+         SELECT pl.probe_id, a.vec_id AS neighbor_id, e.label AS n_label,
+           list_dot_product(pv.v, nv.v)
+             / (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(nv.v, nv.v)))
+             AS cosine
+         FROM probe_lists pl
+         JOIN assignf a USING (cluster)
+         JOIN vec pv ON pv.vec_id = pl.probe_id
+         JOIN vec nv ON nv.vec_id = a.vec_id
+         JOIN embeddings e ON e.vec_id = a.vec_id
+         WHERE a.vec_id % 50 <> 0)""",
+      s"""ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored)""",
+      s"""votes AS (
+         SELECT probe_id, n_label, COUNT(*) AS votes
+         FROM ranked WHERE rank <= $k
+         GROUP BY 1, 2)""",
+      """winner AS (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY votes DESC, n_label) AS vr
+         FROM votes)""")
+    (head ++ tail).mkString("WITH ", ",\n       ", "") +
+      """
+       SELECT w.probe_id, e.label AS true_label,
+         w.n_label AS predicted_label, w.votes,
+         w.n_label = e.label AS correct, true AS agreement_floor_met
+       FROM winner w
+       JOIN embeddings e ON e.vec_id = w.probe_id
+       WHERE w.vr = 1
+       ORDER BY w.probe_id"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> ((s, d) =>
       ivfTopK(graft.Tables.embeddings(s, d))
-        .orderBy(col("probe_id"), col("rank"))))
+        .orderBy(col("probe_id"), col("rank"))),
+    "emb_knn_classifier_ann" -> ((s, d) =>
+      ivfKnnClassifier(graft.Tables.embeddings(s, d))
+        .orderBy(col("probe_id"))))
 
-  def oracles: Map[String, String] = Map("ann_ivf_topk" -> ivfTopKSql)
+  def oracles: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfTopKSql,
+    "emb_knn_classifier_ann" -> ivfKnnClassifierSql)
 }
