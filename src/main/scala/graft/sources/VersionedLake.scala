@@ -1016,6 +1016,10 @@ object VersionedLake {
     require(vs.nonEmpty, s"no committed versions at $path")
     val v = asOfVersion.getOrElse(vs.last)
     val m = manifestEntries(spark, path, v)
+    // feed the CLUSTER BY AUTO history: the columns this read BOUNDED
+    recordPredicateUse(spark, path, predicateBounds(
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
+      .keys.toSeq)
     val candidates = predicateCandidates(spark, path, predicateSql, Some(v))
     if (candidates.isEmpty)
       return read(spark, path, Some(v)).filter(lit(false))
@@ -1047,6 +1051,9 @@ object VersionedLake {
     val v = asOfVersion.getOrElse(vs.last)
     val m = manifestEntries(spark, path, v)
     val columnP = toPhysicalName(m, column)
+    // feed the CLUSTER BY AUTO history
+    if (lo.nonEmpty || hi.nonEmpty)
+      recordPredicateUse(spark, path, Seq(column))
     val candidates = rangeCandidates(spark, path, column, lo, hi, Some(v))
     if (candidates.isEmpty)
       return read(spark, path, Some(v)).filter(lit(false))
@@ -2214,6 +2221,72 @@ object VersionedLake {
       TableManifest(adopted, Map.empty,
         stats = computeStats(spark, path, adopted)).lines,
       adopted, op = "OPTIMIZE"))
+  }
+
+  // ---- CLUSTER BY AUTO -----------------------------------------------------
+
+  private val PredLogDir = "_predlog"
+
+  /** Record the columns a predicate read actually BOUNDED — one tiny
+    * file per read under `_predlog/`, the raw material for
+    * [[clusterByAuto]]'s key selection (Databricks' CLUSTER BY AUTO
+    * mines the query history the same way; a production deployment
+    * would batch or sample the writes, the format is the contract).
+    * Recording is metadata-scale and never on the row path.
+    */
+  private def recordPredicateUse(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit = if (cols.nonEmpty) {
+    val f = fs(spark)
+    val dir = new Path(s"$path/$PredLogDir")
+    f.mkdirs(dir)
+    val out = f.create(new Path(dir, s"p-${nonce()}.txt"), false)
+    try out.write(cols.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The recorded predicate history: bounded column → read count. */
+  def predicateHistory(spark: SparkSession,
+      path: String): Map[String, Long] = {
+    val f = fs(spark)
+    val dir = new Path(s"$path/$PredLogDir")
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).filter(_.isFile).toSeq.flatMap { s =>
+      val in = f.open(s.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }.filter(_.nonEmpty).groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+  }
+
+  /** CLUSTER BY AUTO — clustering-key selection from the table's OWN
+    * observed workload, then delegation to [[optimizeCluster]]: the
+    * reference's gold tables declare `CLUSTER BY AUTO` (ref
+    * src/pipelines/gold/monthly_orders.sql) and let the platform pick
+    * the key from predicate history; here the history is the
+    * `_predlog` record of which columns [[readWhere]]/[[readRange]]
+    * actually bounded, the candidate set is restricted to columns of
+    * the CURRENT logical schema (a renamed/dropped column's history
+    * cannot elect it), and the most-frequently-bounded column wins
+    * (ties to the lexicographically smaller — deterministic).
+    * Returns the chosen column with the OPTIMIZE commit. The gate
+    * proves the choice is not just plausible but OPTIMAL on a
+    * two-workload fixture: the auto key's post-OPTIMIZE prune factor
+    * equals the best manual choice over every candidate column,
+    * measured on shallow clones that share the exact same data files.
+    */
+  def clusterByAuto(spark: SparkSession, path: String,
+      slicesPerBucket: Int = 4): (String, CommitResult) = {
+    val hist = predicateHistory(spark, path)
+    require(hist.nonEmpty,
+      s"no predicate history at $path — CLUSTER BY AUTO needs observed " +
+        "readWhere/readRange workloads to choose a key")
+    val schema = read(spark, path).schema.fieldNames.toSet
+    val eligible = hist.filter { case (c, _) => schema.contains(c) }
+    require(eligible.nonEmpty,
+      s"predicate history at $path names no current column " +
+        s"(history: ${hist.keys.toSeq.sorted.mkString(", ")})")
+    val chosen = eligible.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+    (chosen, optimizeCluster(spark, path, chosen, slicesPerBucket))
   }
 
   /** OPTIMIZE ZORDER BY — TWO-dimensional clustering rewrite (Delta
@@ -4589,9 +4662,80 @@ object VersionedLake {
          AND o_orderkey <= 4 * (SELECT MAX(o_orderkey) // 8 FROM orders)
        ORDER BY o_orderkey"""
 
+  /** CLUSTER BY AUTO as a gate row. Orders land key-interleaved (even
+    * keys COW, odd keys MOR — arrival correlates with nothing), then a
+    * TWO-workload history accrues: three bounded reads on `o_custkey`
+    * (the hot serving predicate) against one on `o_totalprice`.
+    * [[clusterByAuto]] must elect `o_custkey` from that history
+    * (`auto_chose_hot`), and the election must be OPTIMAL, not merely
+    * popular: both candidate columns are manually clustered on shallow
+    * clones sharing the exact same data files, and the auto table's
+    * post-OPTIMIZE candidate fraction for the hot band must match the
+    * best manual choice (`auto_matches_best` — equality with the
+    * same-column clone, ≤ every other). The band read hash-matches the
+    * oracle's plain filter.
+    */
+  def clusterByAutoGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_autoclu")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    val q8 = maxCust / 8
+    upsert(spark, path, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
+    dvUpsert(spark, path,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+      Seq("o_orderkey"), "o_orderkey")
+    // manual-baseline clones BEFORE the workload/optimize: same files
+    val candidateCols = Seq("o_custkey", "o_totalprice")
+    val clones = candidateCols.map { c =>
+      val dest = Scratch.dir(s"vlake_autoclu_m_${c.stripPrefix("o_")}")
+      cloneTable(spark, path, dest)
+      c -> dest
+    }
+    // the observed workload: custkey hot (3 bounded reads), price cold
+    readRange(spark, path, "o_custkey", Some(BigDecimal(1)),
+      Some(BigDecimal(q8))).count()
+    readWhere(spark, path,
+      s"o_custkey >= ${q8 + 1} AND o_custkey <= ${2 * q8}").count()
+    readWhere(spark, path, s"o_custkey > ${5 * q8}").count()
+    readWhere(spark, path, "o_totalprice <= 10000").count()
+    val (chosen, _) = clusterByAuto(spark, path)
+    val choseHot = chosen == "o_custkey"
+    // hot-band prune factor: auto vs every manual candidate
+    val lo = BigDecimal(3 * q8 + 1)
+    val hi = BigDecimal(4 * q8)
+    def candFrac(p: String): Double = {
+      val m = manifestEntries(spark, p, versions(spark, p).last)
+      rangeCandidates(spark, p, "o_custkey", Some(lo), Some(hi)).size
+        .toDouble / m.data.size
+    }
+    val manualFracs = clones.map { case (c, dest) =>
+      optimizeCluster(spark, dest, c, slicesPerBucket = 4)
+      c -> candFrac(dest)
+    }.toMap
+    val autoFrac = candFrac(path)
+    val matchesBest = autoFrac <= manualFracs.values.min + 1e-9
+    readRange(spark, path, "o_custkey", Some(lo), Some(hi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("auto_chose_hot", lit(choseHot))
+      .withColumn("auto_matches_best", lit(matchesBest))
+  }
+
+  val clusterByAutoSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+         true AS auto_chose_hot,
+         true AS auto_matches_best
+       FROM orders
+       WHERE o_custkey > 3 * (SELECT MAX(o_custkey) // 8 FROM orders)
+         AND o_custkey <= 4 * (SELECT MAX(o_custkey) // 8 FROM orders)
+       ORDER BY o_orderkey"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_cluster_by" -> ((s, d) =>
       clusterBy(s, d).orderBy(col("o_orderkey"))),
+    "lake_cluster_by_auto" -> ((s, d) =>
+      clusterByAutoGate(s, d).orderBy(col("o_orderkey"))),
     "lake_zorder_optimize" -> ((s, d) =>
       zorderOptimize(s, d).orderBy(col("o_orderkey"))),
     "lake_tags" -> ((s, d) =>
@@ -4649,6 +4793,7 @@ object VersionedLake {
 
   def oracles: Map[String, String] = Map(
     "lake_cluster_by" -> clusterBySql,
+    "lake_cluster_by_auto" -> clusterByAutoSql,
     "lake_zorder_optimize" -> zorderOptimizeSql,
     "lake_tags" -> tagsGateSql,
     "lake_vacuum_dry_run" -> vacuumDryRunSql,
