@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
   InsertAction, Join, JoinHint, LogicalPlan, MergeAction, MergeIntoTable,
-  SubqueryAlias, UpdateAction}
+  SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -67,7 +67,68 @@ object GraftMergeRule extends Rule[LogicalPlan] {
           case Some(t) => GraftMergeIntoCommand(m, t)
           case None => m
         }
+      case u: UpdateTable if u.resolved =>
+        lakeTarget(u.table) match {
+          case Some(t) => GraftUpdateCommand(u, t)
+          case None => u
+        }
     }
+}
+
+/** SQL `UPDATE t SET … WHERE …` on a registered lake table — the third
+  * DML statement, same lowering discipline as MERGE: the affected rows
+  * (condition evaluated row-level over the snapshot read; the scan
+  * itself prunes through the lake's stats skipping like any read) are
+  * re-emitted with the assignments applied and land as ONE keyed
+  * [[VersionedLake.upsert]] commit at each row's own sequence
+  * (update-wins-tie replaces the current version). Assignments to a
+  * MERGE KEY column are rejected — a key rewrite is an identity change
+  * (delete + insert), which SQL UPDATE must not do silently.
+  */
+private[plans] case class GraftUpdateCommand(update: UpdateTable,
+    table: GraftLakeTable) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(update)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (keys, seqCol) = table.mergeSpec.getOrElse(
+      throw new UnsupportedOperationException(
+        "UPDATE needs the merge contract — register the table with " +
+          "OPTIONS (mergeKeys 'k1,k2', mergeSeq 's')"))
+    require(table.asOfVersion.isEmpty,
+      "cannot UPDATE a time-travel read")
+    val tAttrs = update.table.output
+    def colOf(e: Expression): Column = GraftDatasetFactory.column(e)
+    update.assignments.foreach { as =>
+      as.key match {
+        case k: Attribute =>
+          if (keys.exists(conf.resolver(_, k.name)))
+            throw new UnsupportedOperationException(
+              s"UPDATE must not assign merge key '${k.name}' — a key " +
+                "rewrite is an identity change; DELETE and INSERT instead")
+        case other => throw new UnsupportedOperationException(
+          s"UPDATE assignment to non-column $other (nested fields are " +
+            "not assignable on lake tables)")
+      }
+    }
+    val rows = GraftDatasetFactory.ofRows(spark, update.table)
+    val affected = update.condition.map(c => rows.filter(colOf(c)))
+      .getOrElse(rows)
+    val out = tAttrs.map { attr =>
+      update.assignments.find { as =>
+        as.key match {
+          case k: Attribute =>
+            k.exprId == attr.exprId || conf.resolver(k.name, attr.name)
+          case _ => false
+        }
+      }.map(as => colOf(as.value).cast(attr.dataType).as(attr.name))
+        .getOrElse(colOf(attr).as(attr.name))
+    }
+    val updates = affected.select(out: _*)
+    if (!updates.isEmpty)
+      VersionedLake.upsert(spark, table.path, updates, keys, seqCol)
+    Seq.empty
+  }
 }
 
 private[plans] case class GraftMergeIntoCommand(merge: MergeIntoTable,

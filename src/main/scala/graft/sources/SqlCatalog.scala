@@ -198,10 +198,36 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER through SQL is not wired; use VersionedLake's " +
-        "renameColumn/dropColumn/widenColumn/addConstraint")
+  /** SQL `ALTER TABLE … RENAME COLUMN / DROP COLUMN / ALTER COLUMN
+    * TYPE` route to the lake's own schema-evolution commits (column
+    * mapping, tombstoned readers, widen-on-read) — each change is one
+    * OCC commit in statement order. Nested fields and structural
+    * changes the lake does not support are refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    def leaf(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"nested column ${fieldNames.mkString(".")} is not alterable on " +
+          "a lake table")
+      fieldNames.head
+    }
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        VersionedLake.renameColumn(spark, path, leaf(c.fieldNames), c.newName)
+      case c: TableChange.DeleteColumn =>
+        VersionedLake.dropColumn(spark, path, leaf(c.fieldNames))
+      case c: TableChange.UpdateColumnType =>
+        VersionedLake.widenColumn(spark, path, leaf(c.fieldNames),
+          c.newDataType.sql.toLowerCase)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change ${other.getClass.getSimpleName} is not a lake " +
+          "operation (supported: RENAME COLUMN, DROP COLUMN, " +
+          "ALTER COLUMN TYPE widening)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     mergeSpecs.remove(key(ident))
@@ -992,7 +1018,128 @@ object SqlCatalog {
        WHERE rn = 1 AND key_id >= 5
        ORDER BY key_id"""
 
+  /** SQL `UPDATE … SET … WHERE` as a gate row: the third DML statement
+    * through [[graft.plans.GraftUpdateCommand]] — affected rows re-emit
+    * with assignments applied as ONE keyed upsert commit
+    * (`sql_update_committed`), and an assignment to the merge key is
+    * REFUSED (`key_update_refused` — identity changes are not a silent
+    * UPDATE). Oracle mirrors the post-update SCD1 state.
+    */
+  def sqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqlupd")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    VersionedLake.upsert(spark, path,
+      staged.filter(col("operation") =!= "DELETE").drop("operation"),
+      Seq("key_id"), "sequence_number")
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_u"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      LOCATION '$path'""")
+    val before = VersionedLake.versions(spark, path).last
+    spark.sql(s"UPDATE $t SET value = value * 2 WHERE key_id < 50")
+    val committedOne = VersionedLake.versions(spark, path).last == before + 1
+    val keyRefused =
+      try { spark.sql(s"UPDATE $t SET key_id = key_id + 1000"); false }
+      catch { case _: Exception => true }
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("sql_update_committed", lit(committedOne))
+      .withColumn("key_update_refused", lit(keyRefused))
+  }
+
+  val sqlUpdateSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s WHERE operation <> 'DELETE')
+       SELECT key_id,
+         CASE WHEN key_id < 50 THEN value * 2 ELSE value END AS value,
+         props, sequence_number AS last_sequence,
+         true AS sql_update_committed, true AS key_update_refused
+       FROM ranked
+       WHERE rn = 1
+       ORDER BY key_id"""
+
+  /** SQL DDL surface as a gate row: `ALTER TABLE … RENAME COLUMN /
+    * ALTER COLUMN TYPE / DROP COLUMN` route through the catalog onto
+    * the lake's own schema-evolution commits (column mapping, widen-
+    * on-read, reader-tombstoned drops) — three statements, three OCC
+    * commits in order (`alter_ops_committed` pins the history tail),
+    * and the SERVED schema after the statements is the evolved one
+    * (`schema_served_evolved`). The oracle mirrors the post-DDL state:
+    * renamed column, float→double widened values, dropped column gone.
+    */
+  def sqlAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqlalter")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .filter(col("operation") =!= "DELETE").drop("operation")
+      .withColumn("value", col("value").cast("float"))
+      .withColumn("tag", lit("scratch"))
+    VersionedLake.upsert(spark, path, staged,
+      Seq("key_id"), "sequence_number")
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_a"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value FLOAT,
+      props STRING, sequence_number BIGINT, tag STRING) USING graft
+      LOCATION '$path'""")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN props TO payload")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN value TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN tag")
+    val opsTail = VersionedLake.history(spark, path)
+      .orderBy(col("version")).collect().map(_.getString(1)).takeRight(3)
+    val opsOk = opsTail.sameElements(
+      Array("RENAME_COLUMN", "WIDEN_COLUMN", "DROP_COLUMN"))
+    val served = spark.table(t).schema
+    val servedOk = served.fieldNames.toSet ==
+      Set("key_id", "value", "payload", "sequence_number") &&
+      served("value").dataType ==
+        org.apache.spark.sql.types.DoubleType
+    spark.sql(s"""SELECT key_id, value, payload,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("alter_ops_committed", lit(opsOk))
+      .withColumn("schema_served_evolved", lit(servedOk))
+  }
+
+  val sqlAlterSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s WHERE operation <> 'DELETE')
+       SELECT key_id,
+         CAST(CAST(value AS REAL) AS DOUBLE) AS value,
+         props AS payload, sequence_number AS last_sequence,
+         true AS alter_ops_committed, true AS schema_served_evolved
+       FROM ranked
+       WHERE rn = 1
+       ORDER BY key_id"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql_update" -> ((s, d) => sqlUpdate(s, d).orderBy(col("key_id"))),
+    "lake_sql_alter" -> ((s, d) => sqlAlter(s, d).orderBy(col("key_id"))),
     "lake_sql_metadata" -> ((s, d) =>
       sqlMetadata(s, d).orderBy(col("src"), col("version"))),
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
@@ -1002,6 +1149,8 @@ object SqlCatalog {
     "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "lake_sql_update" -> sqlUpdateSql,
+    "lake_sql_alter" -> sqlAlterSql,
     "lake_sql_metadata" -> sqlMetadataSql,
     "lake_sql_read" -> sqlReadSql,
     "lake_sql_write" -> sqlWriteSql,

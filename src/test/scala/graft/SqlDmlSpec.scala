@@ -145,4 +145,46 @@ class SqlDmlSpec extends AnyFunSuite {
     }
     assert(state(name).size == 6, "refused DELETE must not change rows")
   }
+
+  test("UPDATE: assignments apply, unassigned kept, key assignment refused") {
+    val (path, name) = mkTable("sqlu_basic",
+      Seq((1L, "a1", 1L), (2L, "a2", 2L), (3L, "a3", 3L)))
+    val before = VersionedLake.versions(spark, path).last
+    spark.sql(s"UPDATE $name SET x = concat(x, '!') WHERE k >= 2")
+    assert(VersionedLake.versions(spark, path).last == before + 1,
+      "UPDATE must land as exactly one commit")
+    assert(state(name) ==
+      Seq((1L, "a1", 1L), (2L, "a2!", 2L), (3L, "a3!", 3L)))
+    // a merge-key assignment is an identity change: refused
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $name SET k = k + 10")
+    }
+    assert(e.getMessage.contains("merge key"), e.getMessage)
+    // UPDATE with no WHERE touches every row
+    spark.sql(s"UPDATE $name SET seq = seq + 100")
+    assert(state(name).map(_._3) == Seq(101L, 102L, 103L))
+  }
+
+  test("ALTER TABLE: rename, widen, drop through the catalog") {
+    val (path, name) = freshTable("sqla_ddl")
+    VersionedLake.upsert(spark, path,
+      Seq((1L, 7, "x1"), (2L, 8, "x2")).toDF("k", "n", "x"),
+      Seq("k"), "k", numBuckets = 2)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (k BIGINT, n INT, x STRING) " +
+      s"USING graft LOCATION '$path'")
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN x TO y")
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN n TYPE BIGINT")
+    val served = spark.table(name)
+    assert(served.schema.fieldNames.toSeq == Seq("k", "n", "y"))
+    assert(served.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql(s"ALTER TABLE $name DROP COLUMN y")
+    assert(spark.table(name).schema.fieldNames.toSeq == Seq("k", "n"))
+    assert(spark.sql(s"SELECT sum(n) FROM $name").head().getLong(0) == 15L)
+    // a narrowing type change must be refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $name ALTER COLUMN n TYPE INT")
+    }
+  }
 }
