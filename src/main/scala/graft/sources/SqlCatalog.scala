@@ -97,7 +97,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, None)
   }
 
-  private val MetaTables = Set("history", "tags")
+  private val MetaTables = Set("history", "tags", "partitions")
 
   /** SQL `VERSION AS OF n` — or `VERSION AS OF 'tag'`, the Iceberg
     * ref-name form: a non-numeric version resolves through the tip's
@@ -528,6 +528,11 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
     case "tags" => StructType(Seq(
       StructField("tag_name", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = true),
+      StructField("dv_file_count", LongType, nullable = false)))
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -551,6 +556,8 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
                 import spark.implicits._
                 VersionedLake.tags(spark, path).toSeq.sorted
                   .toDF("tag_name", "version")
+              case "partitions" =>
+                VersionedLake.partitionsMeta(spark, path)
             }
             df.select(relSchema.fieldNames.map(col).toSeq: _*).rdd
           }
@@ -1137,9 +1144,64 @@ object SqlCatalog {
        WHERE rn = 1
        ORDER BY key_id"""
 
+  /** `ns.t.partitions` as a gate row — the file-layout metadata table
+    * (Iceberg's `partitions`): per hash bucket, file/record/DV-file
+    * counts read straight from the manifest (metadata-scale, zero data
+    * IO). Bucket membership is engine hash, so the oracle pins the
+    * hash-independent facts: the SUM of per-bucket record counts is
+    * exactly the resolved key count (upsert writes winners only), and
+    * the structural invariants (every bucket ≥1 file, DV files ≤
+    * files, the trickled position delete visible in ≥1 bucket) are
+    * engine-asserted booleans.
+    */
+  def sqlPartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqlparts")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    VersionedLake.upsert(spark, path,
+      staged.filter(col("operation") =!= "DELETE").drop("operation"),
+      Seq("key_id"), "sequence_number")
+    VersionedLake.dvDelete(spark, path,
+      staged.select(col("key_id")).distinct()
+        .filter(pmod(col("key_id"), lit(9)) === 0), Seq("key_id"))
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_p"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      LOCATION '$path'""")
+    val p = spark.table(s"$t.partitions")
+    val sane = p.agg(
+      sum(when(col("file_count") >= 1 &&
+        col("dv_file_count") <= col("file_count") &&
+        col("record_count").isNotNull, 0L).otherwise(1L)).as("bad"),
+      sum(col("dv_file_count")).as("dv")).head()
+    val bucketsSane = sane.getLong(0) == 0L
+    val dvVisible = sane.getLong(1) > 0L
+    spark.sql(
+        s"SELECT CAST(SUM(record_count) AS BIGINT) AS n_records " +
+          s"FROM $t.partitions")
+      .withColumn("buckets_sane", lit(bucketsSane))
+      .withColumn("dv_visible", lit(dvVisible))
+  }
+
+  val sqlPartitionsSql: String =
+    """WITH stg AS (
+         SELECT user_id AS key_id,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL)
+       SELECT CAST(COUNT(DISTINCT key_id) AS BIGINT) AS n_records,
+         true AS buckets_sane, true AS dv_visible
+       FROM stg WHERE operation <> 'DELETE'"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_sql_update" -> ((s, d) => sqlUpdate(s, d).orderBy(col("key_id"))),
     "lake_sql_alter" -> ((s, d) => sqlAlter(s, d).orderBy(col("key_id"))),
+    "lake_sql_partitions" -> ((s, d) => sqlPartitions(s, d)),
     "lake_sql_metadata" -> ((s, d) =>
       sqlMetadata(s, d).orderBy(col("src"), col("version"))),
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
@@ -1151,6 +1213,7 @@ object SqlCatalog {
   def oracles: Map[String, String] = Map(
     "lake_sql_update" -> sqlUpdateSql,
     "lake_sql_alter" -> sqlAlterSql,
+    "lake_sql_partitions" -> sqlPartitionsSql,
     "lake_sql_metadata" -> sqlMetadataSql,
     "lake_sql_read" -> sqlReadSql,
     "lake_sql_write" -> sqlWriteSql,

@@ -456,6 +456,30 @@ object VersionedLake {
     Some(cleanRows + scannedRows)
   }
 
+  /** Iceberg `partitions`-style metadata relation: one row per hash
+    * bucket of the CURRENT version — file count, physical record count
+    * (from the per-file `__meta` stats entries; NULL when any of the
+    * bucket's files predates the stats format — conservative, never
+    * wrong), and how many files carry a deletion vector. Metadata-
+    * scale: manifests only, never data.
+    */
+  def partitionsMeta(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val m = manifestEntries(spark, path, vs.last)
+    def rowsOf(rel: String): Option[Long] =
+      m.stats.get(rel).flatMap(_.split('|').collectFirst {
+        case t if t.startsWith("__meta:") => t.split(':')(1).toLong
+      })
+    m.data.groupBy(bucketOf).toSeq.sortBy(_._1).map { case (b, files) =>
+      val rcs = files.map(rowsOf)
+      (b, files.size.toLong,
+        if (rcs.exists(_.isEmpty)) None else Some(rcs.flatten.sum),
+        files.count(m.dv.contains).toLong)
+    }.toDF("bucket", "file_count", "record_count", "dv_file_count")
+  }
+
   private def statsAsLines(stats: Map[String, String]): Seq[String] =
     stats.toSeq.sorted.map { case (f, p) => s"stats\t$f\t$p" }
 
@@ -4715,7 +4739,18 @@ object VersionedLake {
       c -> candFrac(dest)
     }.toMap
     val autoFrac = candFrac(path)
-    val matchesBest = autoFrac <= manualFracs.values.min + 1e-9
+    // "matches best" with a ±3-file tolerance: repartitionByRange
+    // boundaries come from a per-partition sample, and boundary TIES
+    // can shift a handful of rows across file edges between runs —
+    // a few-percent candidate-count jitter on a ~60-file table, not a
+    // clustering-quality difference. The assertion still separates the
+    // choices sharply: the wrong column's clone leaves the hot band
+    // scanning ~every file.
+    val totalAfter = manifestEntries(spark, path,
+      versions(spark, path).last).data.size
+    val matchesBest =
+      autoFrac <= manualFracs.values.min + 3.0 / totalAfter &&
+        autoFrac < manualFracs("o_totalprice") - 3.0 / totalAfter
     readRange(spark, path, "o_custkey", Some(lo), Some(hi))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .withColumn("auto_chose_hot", lit(choseHot))
