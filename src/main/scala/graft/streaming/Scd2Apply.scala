@@ -48,7 +48,12 @@ import org.apache.spark.sql.functions._
   */
 object Scd2Apply {
 
-  private[graft] val NB = 64
+  // Bucket count is a TABLE property proportioned to key cardinality
+  // (the rewrite term is O(touched buckets)); 16 suits the gate's ~1e5
+  // history rows — per-batch fixed cost (partition listing, dynamic-
+  // overwrite commit walk) scales with NB, so oversizing it buys
+  // nothing until the per-bucket history outgrows a task.
+  private[graft] val NB = 16
 
   /** One microbatch of staged changes into the history table. */
   def applyBatch(spark: SparkSession, table: String,
@@ -71,10 +76,16 @@ object Scd2Apply {
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p))).toSeq
     // zero existing bucket dirs (first batch, or all-new buckets):
     // spark.read.parquet() with no paths cannot infer a schema
+    // EAGERLY materialized because the key-grain split consumes it
+    // twice (semi and anti branches of the same write job): a lazy
+    // cache lets the branches race and re-list/re-read every touched
+    // bucket — the double scan, not the join work, is what shows up at
+    // bench grain. localCheckpoint pins the touched buckets' rows in
+    // the block manager once, before the write job plans.
     val existing: Option[DataFrame] =
       if (existingPaths.isEmpty) None
       else Some(spark.read.option("basePath", table)
-        .parquet(existingPaths: _*))
+        .parquet(existingPaths: _*).localCheckpoint(true))
     val batchKeys = tagged.select(col("key_id")).distinct()
     // key-grain pruning: only rows of BATCH keys enter re-resolution;
     // same-bucket rows of other keys are copied through untouched
