@@ -57,7 +57,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * like the in-memory session catalog; a shared metastore deployment
   * would persist the ident→location map instead.
   */
-class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft_lake"
   private val tables =
@@ -129,6 +130,27 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     if (p == null) throw new NoSuchTableException(ident)
     p
   }
+
+  /** Name → lake path for the stored procedures; accepts the
+    * catalog-qualified form CALL statements naturally carry.
+    */
+  private[sources] def tablePath(name: String): String = {
+    val bare =
+      if (name.startsWith(catalogName + "."))
+        name.stripPrefix(catalogName + ".")
+      else name
+    val p = tables.get(bare)
+    require(p != null,
+      s"no registered lake table '$bare' in catalog $catalogName")
+    p
+  }
+
+  // -- ProcedureCatalog (CALL graft_lake.system.<proc>) ---------------------
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(this, ident)
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    LakeProcedures.list(ns)
 
   private def load(ident: Identifier, v: Option[Int]): Table = {
     val mergeSpec = Option(mergeSpecs.get(key(ident)))

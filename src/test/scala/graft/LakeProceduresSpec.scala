@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{SqlCatalog, VersionedLake}
+
+/** SQL stored procedures: discovery, argument handling, error paths,
+  * and dry-run side-effect freedom at unit scale.
+  */
+class LakeProceduresSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshTable(tag: String): (String, String) = {
+    val path = graft.sources.Scratch.dir(tag)
+    val rows = (1L to 40L).map(k => (k, k * 1.5, s"p$k", k))
+      .toDF("key_id", "value", "props", "sequence_number")
+    VersionedLake.upsert(spark, path, rows, Seq("key_id"),
+      "sequence_number")
+    // a second MOR commit so there is a dead pre-image for vacuum
+    VersionedLake.dvUpsert(spark, path,
+      rows.filter(col("key_id") <= 10)
+        .withColumn("value", col("value") * 2),
+      Seq("key_id"), "sequence_number")
+    SqlCatalog.install(spark)
+    val t = s"${SqlCatalog.CatalogName}.lakehouse.proc_$tag"
+    spark.sql(
+      s"CREATE NAMESPACE IF NOT EXISTS ${SqlCatalog.CatalogName}.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t USING graft LOCATION '$path'")
+    (t, path)
+  }
+
+  test("SHOW PROCEDURES lists the system namespace") {
+    SqlCatalog.install(spark)
+    val df = spark.sql(
+      s"SHOW PROCEDURES IN ${SqlCatalog.CatalogName}.system")
+    val nameCol = df.columns.find(_.toLowerCase.contains("procedure"))
+      .getOrElse(df.columns.last)
+    val names = df.select(nameCol).collect().map(_.getString(0)).toSet
+    assert(Set("optimize", "vacuum", "restore", "create_tag")
+      .subsetOf(names), names.toString)
+  }
+
+  test("optimize binpack compacts and reports its own file counts") {
+    val (t, path) = freshTable("optspec")
+    val r = spark.sql(
+      s"CALL ${SqlCatalog.CatalogName}.system.optimize('$t')").head()
+    assert(r.getString(0) == "BINPACK")
+    assert(r.getInt(4) <= r.getInt(3))
+    assert(VersionedLake.history(spark, path).orderBy(col("version"))
+      .collect().last.getString(1) == "OPTIMIZE")
+  }
+
+  test("vacuum dry_run plans but deletes nothing; real run deletes") {
+    val (t, path) = freshTable("vacspec")
+    spark.sql(s"CALL ${SqlCatalog.CatalogName}.system.optimize('$t')")
+    val dry = spark.sql(s"CALL ${SqlCatalog.CatalogName}.system.vacuum(" +
+      s"'$t', 1, dry_run => true)").collect().map(_.getString(1))
+    assert(dry.nonEmpty, "expected a non-empty deletion plan")
+    assert(dry.forall(f => new java.io.File(s"$path/$f").exists()),
+      "dry run must not delete")
+    val real = spark.sql(s"CALL ${SqlCatalog.CatalogName}.system.vacuum(" +
+      s"'$t', 1, dry_run => false)").collect().map(_.getString(1))
+    assert(real.sameElements(dry))
+    assert(real.forall(f => !new java.io.File(s"$path/$f").exists()),
+      "real vacuum must delete the planned files")
+  }
+
+  test("restore rolls content back as a new commit") {
+    val (t, path) = freshTable("restspec")
+    val beforeRows = spark.table(t).count()
+    val v = VersionedLake.versions(spark, path).last
+    VersionedLake.dvDelete(spark, path,
+      Seq(1L, 2L).toDF("key_id"), Seq("key_id"))
+    assert(spark.table(t).count() == beforeRows - 2)
+    val r = spark.sql(
+      s"CALL ${SqlCatalog.CatalogName}.system.restore('$t', $v)").head()
+    assert(r.getString(1) == "RESTORE")
+    assert(spark.table(t).count() == beforeRows)
+  }
+
+  test("create_tag at tip resolves through VERSION AS OF") {
+    val (t, path) = freshTable("tagspec")
+    val tip = VersionedLake.versions(spark, path).last
+    val r = spark.sql(s"CALL ${SqlCatalog.CatalogName}.system" +
+      s".create_tag('$t', 'audit')").head()
+    assert(r.getString(0) == "audit" && r.getInt(1) == tip)
+    val n = spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'audit'")
+      .head().getLong(0)
+    assert(n == spark.table(t).count())
+  }
+
+  test("bad modes, unknown procedures and unknown tables are refused") {
+    val (t, _) = freshTable("errspec")
+    val cat = SqlCatalog.CatalogName
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.optimize('$t', 'shuffle')")
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.optimize('$t', 'cluster')") // no column
+    }
+    intercept[Exception] { spark.sql(s"CALL $cat.system.frobnicate('$t')") }
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.optimize('lakehouse.nope')")
+    }
+  }
+}
