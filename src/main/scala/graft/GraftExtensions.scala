@@ -92,6 +92,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
         .registerFunction(cgId, cgInfo, cgBuilder)
     ext.injectFunction((cgId, cgInfo, cgBuilder))
+    // Bind caller_groups() to a literal during ANALYSIS (not just
+    // optimizer constant folding): CacheManager matches on the
+    // canonicalized analyzed plan, so an unbound CallerGroups() node
+    // would let one principal's cached governed view serve another
+    // principal's query. See graft.functions.BindCallerGroups.
+    ext.injectResolutionRule(session =>
+      graft.functions.BindCallerGroups(session))
     ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     // SQL MERGE INTO over registered lake tables lowers onto one

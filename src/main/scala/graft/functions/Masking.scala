@@ -33,6 +33,37 @@ case class CallerGroups()
   override def prettyName: String = "caller_groups"
 }
 
+/** Analyzer rule binding `caller_groups()` to the current principal's
+  * group-list literal at ANALYSIS time — Spark's `ReplaceCurrentLike`
+  * shape for `current_user()`. Folding only in the optimizer
+  * (foldable + ConstantFolding) is too late for one consumer: the
+  * CacheManager matches cache entries on the canonicalized ANALYZED
+  * plan, which would still carry the principal-independent
+  * `CallerGroups()` node — a governed view cached under one principal
+  * (`cache()` / CACHE TABLE) would then serve its rows to every other
+  * principal. With the literal substituted during analysis, two
+  * principals' plans never canonicalize equal, so caches are
+  * per-principal by construction. The expression stays foldable as a
+  * defense-in-depth fallback for sessions built without
+  * [[graft.GraftExtensions]]'s resolution rule.
+  */
+case class BindCallerGroups(session: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    lazy val bound = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        session.sessionState.conf
+          .getConfString("spark.graft.caller.groups", "")),
+      org.apache.spark.sql.types.StringType)
+    plan.transformUpWithSubqueries {
+      case p => p.transformExpressions { case CallerGroups() => bound }
+    }
+  }
+}
+
 /** PII masking and row-level security — the reference's Unity Catalog
   * column masks / row filters (ref /root/reference/src/setup/
   * pii_masking.sql:26-103, apply_masks.sql) as plain Column functions.
@@ -51,22 +82,39 @@ object Masking {
     * INSIDE the function, the reference's exact shape
     * (pii_masking.sql:26-37).
     */
+  /** Exact element membership over the comma-separated group list —
+    * the `IS_ACCOUNT_GROUP_MEMBER` contract. Substring contains()
+    * would let a group NAMED 'admin-interns' or 'region-americas'
+    * match 'admin' / a region group; split + array_contains tests
+    * whole elements only (mirrors [[isPrivileged]]'s Set.contains).
+    */
+  private def memberSql(group: String): String =
+    s"array_contains(split(caller_groups(), ','), '$group')"
+
   def govBody(maskBody: String): String =
-    s"""CASE WHEN contains(caller_groups(), 'admin')
-          OR contains(caller_groups(), 'pii-readers') THEN s
+    s"""CASE WHEN ${memberSql("admin")}
+          OR ${memberSql("pii-readers")} THEN s
         ELSE ($maskBody) END"""
 
   /** Principal-aware row filter over `region_name`: privileged or
     * region-unrestricted principals see every row; a `region-*` group
-    * member sees its regions (ref pii_masking.sql:80-103).
+    * member sees its regions (ref pii_masking.sql:80-103). The
+    * "region-unrestricted" probe must test whole elements too — a
+    * group merely CONTAINING 'region-' as a substring is not a region
+    * grant — so it checks exact membership of each KNOWN region group
+    * (the same universe [[regionFilter]] consults; array_contains
+    * only, so the whole filter still constant-folds per principal).
     */
   lazy val govRowFilterSql: String = {
-    val perGroup = RegionGroups.toSeq.sortBy(_._1).map { case (g, r) =>
-      s"(contains(caller_groups(), '$g') AND trim(region_name) = '$r')"
+    val sorted = RegionGroups.toSeq.sortBy(_._1)
+    val perGroup = sorted.map { case (g, r) =>
+      s"(${memberSql(g)} AND trim(region_name) = '$r')"
     }.mkString("\n        OR ")
-    s"""contains(caller_groups(), 'admin')
-        OR contains(caller_groups(), 'pii-readers')
-        OR NOT (caller_groups() LIKE '%region-%')
+    val anyRegionGroup = sorted.map { case (g, _) => memberSql(g) }
+      .mkString("(", "\n          OR ", ")")
+    s"""${memberSql("admin")}
+        OR ${memberSql("pii-readers")}
+        OR NOT $anyRegionGroup
         OR $perGroup"""
   }
 

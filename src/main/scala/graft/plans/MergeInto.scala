@@ -208,21 +208,37 @@ private[plans] case class GraftMergeIntoCommand(merge: MergeIntoTable,
           Join(target, source, Inner, Some(merge.mergeCondition),
             JoinHint.NONE))
         .localCheckpoint(true) // reused: cardinality check + change rows
-      // SQL MERGE cardinality rule: >1 source row updating one target
+      // SQL MERGE cardinality rule: >1 source row MODIFYING one target
       // row is an error, not a nondeterministic pick. Keys are unique
       // in the target (the mergeKeys contract), so a duplicated key in
-      // the matched pairs means a duplicated source match.
+      // the FIRED matched pairs means a duplicated source match. The
+      // count runs after WHEN-clause conditions (a second matching
+      // source row whose WHEN MATCHED AND predicate is false modifies
+      // nothing — Delta/SQL accept that), and a sole unconditional
+      // DELETE is exempt: deleting the same row twice is idempotent,
+      // not ambiguous (the duplicate change rows are deduped below).
       val keyCols = keys.map { k =>
         colOf(tAttrs.find(a => conf.resolver(a.name, k)).getOrElse(
           throw new IllegalStateException(
             s"merge key '$k' is not a column of the target table")))
       }
-      val dup = joined.groupBy(keyCols: _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "MERGE cardinality violation: multiple source rows matched and " +
-          "attempted to modify the same target row")
-      parts += changes(joined, merge.matchedActions)
+      val soleUnconditionalDelete = merge.matchedActions match {
+        case Seq(d: DeleteAction) => d.condition.isEmpty
+        case _ => false
+      }
+      if (!soleUnconditionalDelete) {
+        val anyFired = merge.matchedActions.map(actionCond).reduce(_ || _)
+        val dup = joined.filter(anyFired).groupBy(keyCols: _*).count()
+          .filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          "MERGE cardinality violation: multiple source rows matched and " +
+            "attempted to modify the same target row")
+      }
+      val matchedChanges = changes(joined, merge.matchedActions)
+      // Unconditional-DELETE duplicates are row-identical (the change
+      // row carries the target's current values), so key-dedup is safe.
+      parts += (if (soleUnconditionalDelete)
+        matchedChanges.dropDuplicates(keys) else matchedChanges)
     }
 
     if (merge.notMatchedActions.nonEmpty) {

@@ -35,6 +35,9 @@ import org.apache.spark.sql.functions._
   */
 object VersionedLake {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(VersionedLake.getClass)
+
   private val LogDir = "_log"
   private val DvDir = "_dv"
   private val ChangesDir = "_changes"
@@ -1675,7 +1678,17 @@ object VersionedLake {
       // change-scale even on delta-encoded logs
       val isDelete = rawManifestLines(spark, path, v)
         .exists(l => l == "meta\top\tDELETE" || l == "+\tmeta\top\tDELETE")
-      if (isDelete) {
+      // Tag-pinned vacuum retention is NON-contiguous: a kept DELETE
+      // version can outlive its predecessor's manifest. Repair needs
+      // v-1 to reconstruct the lost tombstones; without it, skip with
+      // a warning instead of throwing — the alternative permanently
+      // wedges every future dvDelete on this table behind an
+      // unrepairable crash remnant.
+      if (isDelete && !vs.contains(v - 1)) {
+        log.warn(s"cannot repair lost delete tombstones for v$v at " +
+          s"$path: predecessor manifest v${v - 1} was vacuumed; " +
+          "change feed for that version stays unpublished")
+      } else if (isDelete) {
         val m = manifestEntries(spark, path, v)
         val mPrev = manifestEntries(spark, path, v - 1)
         val grew = m.data.filter(r => m.dv.get(r) != mPrev.dv.get(r))
@@ -2256,19 +2269,30 @@ object VersionedLake {
     * [[clusterByAuto]]'s key selection (Databricks' CLUSTER BY AUTO
     * mines the query history the same way; a production deployment
     * would batch or sample the writes, the format is the contract).
-    * Recording is metadata-scale and never on the row path.
+    * Recording is metadata-scale, never on the row path, and BEST
+    * EFFORT: a read must never fail because telemetry could not be
+    * written (read-only storage, read-only credentials, a full disk),
+    * so IO failures here are swallowed. [[vacuum]] compacts the log
+    * (one aggregated `c-*.txt` replaces the per-read files), bounding
+    * growth to one tiny file per vacuum cycle plus reads since.
     */
   private def recordPredicateUse(spark: SparkSession, path: String,
       cols: Seq[String]): Unit = if (cols.nonEmpty) {
-    val f = fs(spark)
-    val dir = new Path(s"$path/$PredLogDir")
-    f.mkdirs(dir)
-    val out = f.create(new Path(dir, s"p-${nonce()}.txt"), false)
-    try out.write(cols.distinct.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try {
+      val f = fs(spark)
+      val dir = new Path(s"$path/$PredLogDir")
+      f.mkdirs(dir)
+      val out = f.create(new Path(dir, s"p-${nonce()}.txt"), false)
+      try out.write(cols.distinct.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** The recorded predicate history: bounded column → read count. */
+  /** The recorded predicate history: bounded column → read count.
+    * Two line formats coexist: per-read files carry one bare column
+    * name per line (count 1 each); vacuum-compacted files carry
+    * `column<TAB>count` aggregates.
+    */
   def predicateHistory(spark: SparkSession,
       path: String): Map[String, Long] = {
     val f = fs(spark)
@@ -2278,8 +2302,45 @@ object VersionedLake {
       val in = f.open(s.getPath)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    }.filter(_.nonEmpty).groupBy(identity)
-      .map { case (c, xs) => c -> xs.size.toLong }
+    }.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(c, n) => c -> n.toLong
+        case _ => line -> 1L
+      }
+    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+  }
+
+  /** Compact `_predlog/` to a single aggregated file. Lists first,
+    * then deletes EXACTLY the listed files, so a concurrent read's
+    * fresh `p-*.txt` landing mid-compaction survives untouched; the
+    * aggregate lands before any delete, so a crash anywhere leaves
+    * counts over-complete (duplicate aggregation of a not-yet-deleted
+    * file inflates a count until the next vacuum), never lost — the
+    * acceptable direction for telemetry that only elects cluster keys.
+    */
+  private def compactPredLog(spark: SparkSession, path: String): Unit = {
+    try {
+      val f = fs(spark)
+      val dir = new Path(s"$path/$PredLogDir")
+      if (!f.exists(dir)) return
+      val files = f.listStatus(dir).filter(_.isFile).map(_.getPath).toSeq
+      if (files.size <= 1) return
+      val counts = files.flatMap { p =>
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }.filter(_.nonEmpty).map { line =>
+        line.split('\t') match {
+          case Array(c, n) => c -> n.toLong
+          case _ => line -> 1L
+        }
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+      val out = f.create(new Path(dir, s"c-${nonce()}.txt"), false)
+      try out.write(counts.toSeq.sorted
+        .map { case (c, n) => s"$c\t$n" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      files.foreach(p => f.delete(p, false))
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** CLUSTER BY AUTO — clustering-key selection from the table's OWN
@@ -2763,6 +2824,9 @@ object VersionedLake {
         val v = d.getPath.getName.stripPrefix("v").toInt
         if (!keep.contains(v)) f.delete(d.getPath, true)
       }
+    // predicate-telemetry log: fold the per-read files into one
+    // aggregate so the log stops growing one-file-per-read-forever
+    compactPredLog(spark, path)
   }
 
   // ---- registered end-to-end demonstration ---------------------------------

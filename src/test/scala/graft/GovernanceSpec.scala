@@ -70,4 +70,53 @@ class GovernanceSpec extends AnyFunSuite {
     assert(analystPlan.contains("****"),
       s"analyst plan lost the mask:\n$analystPlan")
   }
+
+  test("substring-colliding group names grant nothing (exact membership)") {
+    // 'admin-interns' contains 'admin', 'region-americas' contains
+    // 'region-america': contains()-based membership would hand the
+    // first raw PII and the second AMERICA rows — both must behave as
+    // unprivileged, unrestricted principals (all rows, masked PII)
+    for (groups <- Seq("admin-interns", "region-americas")) {
+      val (email, regionCount) = asPrincipal(groups) {
+        val df = spark.table(viewName)
+        (df.orderBy("customer_id").limit(1).collect().head
+          .getAs[String]("customer_email"),
+          df.select("region_name").distinct().count())
+      }
+      assert(email.contains("****@"),
+        s"'$groups' must NOT read raw PII (exact membership), got $email")
+      assert(regionCount > 1,
+        s"'$groups' is not a region grant and must see every region")
+    }
+    // multi-group principals still resolve by element
+    val email = asPrincipal("interns,admin") {
+      spark.table(viewName).orderBy("customer_id").limit(1).collect().head
+        .getAs[String]("customer_email")
+    }
+    assert(!email.contains("****"),
+      s"exact element 'admin' in a multi-group list must read raw, got $email")
+  }
+
+  test("caching a governed view never leaks across principals") {
+    // CacheManager matches on the canonicalized ANALYZED plan; with
+    // caller_groups() bound only at optimization time, an admin-cached
+    // view would serve raw PII to the analyst below. BindCallerGroups
+    // substitutes the literal during analysis, so the two plans never
+    // canonicalize equal.
+    val cached = asPrincipal("admin") {
+      val df = spark.table(viewName)
+      df.cache()
+      df.count() // materialize under the admin principal
+      df
+    }
+    try {
+      val analystEmail = asPrincipal("analysts") {
+        spark.table(viewName).orderBy("customer_id").limit(1)
+          .collect().head.getAs[String]("customer_email")
+      }
+      assert(analystEmail.contains("****@"),
+        "analyst query after an admin cache() of the same governed " +
+          s"view must stay masked, got $analystEmail")
+    } finally cached.unpersist()
+  }
 }

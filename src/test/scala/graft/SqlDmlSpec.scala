@@ -111,6 +111,42 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("merge contract"), e2.getMessage)
   }
 
+  test("MERGE cardinality counts FIRED pairs, not raw matches") {
+    // Two source rows match k=1 but only one passes the WHEN MATCHED
+    // AND condition — Delta/SQL accept this (one modification per
+    // target row); counting raw matched pairs would falsely reject it.
+    val (_, name) = mkTable("sqlm_fired", Seq((1L, "a1", 1L)))
+    Seq((1L, "keep", 10L, true), (1L, "skip", 11L, false))
+      .toDF("k", "x", "seq", "apply").createOrReplaceTempView("m_fired_src")
+    spark.sql(s"""MERGE INTO $name t USING m_fired_src s ON t.k = s.k
+      WHEN MATCHED AND s.apply THEN UPDATE SET x = s.x, seq = s.seq""")
+    assert(state(name) == Seq((1L, "keep", 10L)),
+      "condition-filtered duplicate match must merge, not error")
+    // …but two FIRED updates on one target row still error
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name t USING m_fired_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET x = s.x, seq = s.seq""")
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"), e.getMessage)
+  }
+
+  test("MERGE: sole unconditional DELETE is idempotent across dup matches") {
+    // Deleting the same target row via two matching source rows is
+    // deterministic (both say delete) — exempt from the cardinality
+    // error, lands as one tombstone.
+    val (path, name) = mkTable("sqlm_dupdel",
+      Seq((1L, "a1", 1L), (2L, "a2", 2L)))
+    Seq((1L, "x", 10L), (1L, "y", 11L)).toDF("k", "x", "seq")
+      .createOrReplaceTempView("m_dupdel_src")
+    val before = VersionedLake.versions(spark, path).last
+    spark.sql(s"""MERGE INTO $name t USING m_dupdel_src s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(VersionedLake.versions(spark, path).last == before + 1,
+      "idempotent duplicate DELETE must land as one commit")
+    assert(state(name) == Seq((2L, "a2", 2L)),
+      "k=1 deleted once; k=2 untouched")
+  }
+
   test("DELETE FROM: pushed predicate, MOR commit, truncate form") {
     val (path, name) = mkTable("sqld_where",
       (1L to 10L).map(i => (i, s"a$i", i)))
