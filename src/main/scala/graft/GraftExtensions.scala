@@ -99,6 +99,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // principal's query. See graft.functions.BindCallerGroups.
     ext.injectResolutionRule(session =>
       graft.functions.BindCallerGroups(session))
+    // table_changes('ns.t', v1[, v2]) — the CDF as a SQL table-valued
+    // function over the change-scale manifest diff
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.sources.CdfSql.getClass.getName,
+        "table_changes"),
+      (children: Seq[Expression]) =>
+        graft.sources.CdfSql.tableChangesPlan(children)))
+    // readStream.table("graft_lake.ns.t[.changes]") — named streaming
+    // reads resolve onto the _changes/ file stream
+    ext.injectResolutionRule(session =>
+      graft.sources.CdfSql.ResolveLakeStreams(session))
     ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     // SQL MERGE INTO over registered lake tables lowers onto one

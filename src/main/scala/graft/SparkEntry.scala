@@ -62,6 +62,7 @@ object SparkEntry {
       graft.sources.Wap.queries ++
       graft.sources.VersionedLake.queries ++
       graft.sources.SqlCatalog.queries ++
+      graft.sources.CdfSql.queries ++
       graft.sources.LakeProcedures.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
@@ -125,6 +126,7 @@ object SparkEntry {
       graft.sources.Wap.oracles ++
       graft.sources.VersionedLake.oracles ++
       graft.sources.SqlCatalog.oracles ++
+      graft.sources.CdfSql.oracles ++
       graft.sources.LakeProcedures.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++

@@ -94,11 +94,29 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       if (parentPath != null && MetaTables.contains(ident.name()))
         return new GraftLakeMetaTable(key(parent), parentPath,
           ident.name())
+      // `ns.t.changes` — the table's CHANGE FEED as a STREAMING
+      // relation (Delta readChangeFeed by name): tombstones and
+      // commit versions included. Resolved onto the `_changes/` file
+      // stream by CdfSql.ResolveLakeStreams during analysis.
+      if (parentPath != null && ident.name() == "changes")
+        return new GraftLakeChangesTable(key(parent), parentPath)
     }
     load(ident, None)
   }
 
   private val MetaTables = Set("history", "tags", "partitions")
+
+  /** The registered merge contract (keys, seqCol) of `name`, for the
+    * table_changes TVF; accepts the catalog-qualified form.
+    */
+  private[sources] def mergeSpecOf(
+      name: String): Option[(Seq[String], String)] = {
+    val bare =
+      if (name.startsWith(catalogName + "."))
+        name.stripPrefix(catalogName + ".")
+      else name
+    Option(mergeSpecs.get(bare))
+  }
 
   /** SQL `VERSION AS OF n` — or `VERSION AS OF 'tag'`, the Iceberg
     * ref-name form: a non-numeric version resolves through the tip's
@@ -535,6 +553,35 @@ private[sources] class GraftLakeRelation(ctx: SQLContext, path: String,
   * a relation) and `ns.t.tags` (tag_name, version). Metadata-scale by
   * construction: both read manifests, never data.
   */
+/** `ns.t.changes` — the lake table's change feed as a named STREAMING
+  * relation. Declares MICRO_BATCH_READ so analysis accepts it in
+  * `spark.readStream.table(...)`; the actual plan never reaches this
+  * table's scan builder — [[CdfSql.ResolveLakeStreams]] rewrites the
+  * streaming relation onto [[VersionedLake.streamChanges]]' file
+  * stream (Spark's own file-stream source then owns offsets,
+  * checkpointing, and exactly-once delivery). The scan builder throws
+  * with instructions rather than half-working without the extension.
+  */
+private[graft] class GraftLakeChangesTable(ident: String,
+    val path: String) extends Table with SupportsRead {
+
+  override def name(): String = s"$ident.changes"
+
+  private lazy val changeSchema: StructType =
+    VersionedLake.streamChanges(SparkSession.active, path).schema
+  override def schema(): StructType = changeSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"$ident.changes resolves through graft.GraftExtensions " +
+        "(spark.sql.extensions) — register the extension to stream " +
+        "the change feed by name")
+}
+
 private[sources] class GraftLakeMetaTable(ident: String, path: String,
     meta: String) extends Table with SupportsRead {
   import org.apache.spark.sql.types.{LongType, IntegerType, StringType,

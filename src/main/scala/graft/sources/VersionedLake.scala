@@ -1475,6 +1475,35 @@ object VersionedLake {
       .option("maxFilesPerTrigger", "64")
       .parquet(s"$path/$ChangesDir/v*")
 
+  /** [[streamSource]] under the table's LOGICAL column names, with the
+    * bookkeeping a change-feed consumer needs: `_deleted` tombstone
+    * marks survive, and `_commit_version` (parsed from the per-version
+    * change directory each file lives in) says which commit produced
+    * each row. This is the plan `spark.readStream.table("graft_lake.
+    * ns.t[.changes]")` resolves to (see [[CdfSql.ResolveLakeStreams]]):
+    * the physical file schema comes from the NEWEST change directory —
+    * older files missing later-added columns read as NULL (parquet
+    * by-name) — and column-mapping renames/drops are applied from the
+    * tip manifest, so the stream always speaks the current names.
+    */
+  def streamChanges(spark: SparkSession, path: String): DataFrame = {
+    val f = fs(spark)
+    val chDir = new Path(s"$path/$ChangesDir")
+    val dirs =
+      if (!f.exists(chDir)) Array.empty[Path]
+      else f.listStatus(chDir).filter(_.isDirectory).map(_.getPath)
+        .sortBy(_.getName)
+    require(dirs.nonEmpty,
+      s"no published change versions at $path — nothing to stream")
+    val phys = spark.read.parquet(dirs.last.toString).schema
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val m = manifestEntries(spark, path, vs.last)
+    toLogicalDf(streamSource(spark, path, phys), m)
+      .withColumn("_commit_version",
+        regexp_extract(input_file_name(), "/v(\\d+)/", 1).cast("int"))
+  }
+
   /** Adopt every staged bucket file under immutable writer-nonced
     * names; returns the adopted relative paths.
     */
@@ -3581,6 +3610,14 @@ object VersionedLake {
       path
     })
   }
+
+  /** The shared immutable sparse-trickle CDF fixture, for gates in
+    * sibling files (`lake_sql_cdf` reads it through the SQL catalog).
+    * READ-ONLY by contract: both CDF gates and the SQL TVF gate share
+    * the table; committing to it would corrupt their oracles.
+    */
+  private[sources] def cdfFixtureTable(spark: SparkSession,
+      sfDir: String): String = sparseTrickleTable(spark, sfDir)
 
   def incrementalCdf(spark: SparkSession, sfDir: String): DataFrame = {
     val path = sparseTrickleTable(spark, sfDir)
