@@ -7,10 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
-  NoSuchTableException}
+  NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
-  SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog,
-  TableChange}
+  StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead,
+  Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -58,6 +58,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * would persist the ident→location map instead.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft_lake"
@@ -116,6 +117,58 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         name.stripPrefix(catalogName + ".")
       else name
     Option(mergeSpecs.get(bare))
+  }
+
+  // -- StagingTableCatalog: atomic CTAS / RTAS -------------------------------
+  // Spark routes CREATE TABLE … AS SELECT and REPLACE TABLE … AS
+  // SELECT through these when the catalog stages — the staged table
+  // buffers the query, commitStagedChanges lands registration + data
+  // as one statement, abortStagedChanges guarantees no orphan (see
+  // GraftStagedTable).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (tables.containsKey(key(ident)))
+      throw new TableAlreadyExistsException(ident)
+    requireNoPartitions(ident, partitions)
+    new GraftStagedTable(this, ident, schema, properties,
+      GraftStagedTable.Create)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (!tables.containsKey(key(ident)))
+      throw new NoSuchTableException(ident)
+    requireNoPartitions(ident, partitions)
+    new GraftStagedTable(this, ident, schema, properties,
+      GraftStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    requireNoPartitions(ident, partitions)
+    new GraftStagedTable(this, ident, schema, properties,
+      GraftStagedTable.CreateOrReplace)
+  }
+
+  private def requireNoPartitions(ident: Identifier,
+      partitions: Array[Transform]): Unit =
+    require(partitions.isEmpty,
+      s"CREATE/REPLACE TABLE ${key(ident)}: PARTITIONED BY is not " +
+        "supported — the lake manages physical layout")
+
+  private[sources] def identKeyOf(ident: Identifier): String = key(ident)
+  private[sources] def isRegistered(identKey: String): Boolean =
+    tables.containsKey(identKey)
+  private[sources] def registeredPath(identKey: String): Option[String] =
+    Option(tables.get(identKey))
+  private[sources] def register(identKey: String, path: String,
+      spec: Option[(Seq[String], String)]): Unit = {
+    tables.put(identKey, path)
+    spec.foreach(mergeSpecs.put(identKey, _))
   }
 
   /** SQL `VERSION AS OF n` — or `VERSION AS OF 'tag'`, the Iceberg
@@ -553,6 +606,150 @@ private[sources] class GraftLakeRelation(ctx: SQLContext, path: String,
   * a relation) and `ns.t.tags` (tag_name, version). Metadata-scale by
   * construction: both read manifests, never data.
   */
+private[sources] object GraftStagedTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
+/** Atomic CTAS / RTAS for the lake catalog. The V1 write buffers the
+  * query's DataFrame (nothing executes at write-build time);
+  * `commitStagedChanges` then lands EVERYTHING — data as the lake
+  * commit, name + merge contract in the catalog — so the statement is
+  * all-or-nothing:
+  *
+  *  - CREATE … AS SELECT: the location must hold no committed lake
+  *    versions; the query lands as version 1 via
+  *    [[VersionedLake.upsert]] and the name registers only after the
+  *    commit. On ANY failure Spark calls `abortStagedChanges`, which
+  *    deletes the (previously version-free) location wholesale — the
+  *    engine-asserted NO-ORPHAN path: a failed CTAS leaves neither a
+  *    name nor a file.
+  *  - REPLACE … AS SELECT: one [[VersionedLake.replaceSnapshot]]
+  *    commit (op REPLACE) on the EXISTING chain — content swaps,
+  *    history stays time-travelable, properties carry. A failure
+  *    aborts without touching the live chain (the worst case is
+  *    adopted-but-unreferenced files, which vacuum sweeps).
+  *
+  * LOCATION is optional for CREATE: a managed path derives from
+  * `spark.graft.warehouse` (default `<java.io.tmpdir>/graft_warehouse`)
+  * and the table name. The merge contract
+  * (`OPTIONS (mergeKeys …, mergeSeq …)`) is REQUIRED on create — lake
+  * content is keyed — and carries over on replace when omitted.
+  */
+private[sources] class GraftStagedTable(cat: GraftLakeCatalog,
+    ident: Identifier, declared: StructType,
+    properties: JMap[String, String], mode: GraftStagedTable.Mode)
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import GraftStagedTable._
+
+  private val props = properties.asScala
+  private def opt(k: String): Option[String] =
+    props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+
+  private val identKey = cat.identKeyOf(ident)
+
+  private def stripScheme(loc: String): String = {
+    val uri = try new java.net.URI(loc) catch {
+      case _: java.net.URISyntaxException => null
+    }
+    if (uri != null && uri.getScheme == "file") uri.getPath else loc
+  }
+
+  private lazy val path: String = cat.registeredPath(identKey) match {
+    case Some(p) =>
+      opt("location").orElse(opt("path")).map(stripScheme).foreach(l =>
+        require(l == p, s"REPLACE TABLE $identKey: LOCATION '$l' " +
+          s"contradicts the registered path '$p'"))
+      p
+    case None => opt("location").orElse(opt("path")).map(stripScheme)
+      .getOrElse {
+        val wh = SparkSession.active.conf.get("spark.graft.warehouse",
+          s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        s"$wh/${identKey.replace('.', '/')}"
+      }
+  }
+
+  private val declaredSpec: Option[(Seq[String], String)] =
+    for (ks <- opt("mergeKeys"); sq <- opt("mergeSeq"))
+      yield (ks.split(',').map(_.trim).toSeq, sq.trim)
+
+  private var pending: Option[DataFrame] = None
+  private var freshLocation = false
+
+  override def name(): String = identKey
+  override def schema(): StructType = declared
+  // TRUNCATE: Spark's RTAS exec expresses the staged write as
+  // OverwriteByExpression(true) over the staged relation — the
+  // capability gates analysis only; the actual replace is ONE
+  // replaceSnapshot commit in commitStagedChanges
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    // SupportsTruncate: RTAS's OverwriteByExpression(true) calls
+    // truncate() on the builder; the "truncate" IS the replace commit,
+    // so the builder just accepts it and keeps buffering
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, _: Boolean) => { pending = Some(data); () }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val (keys, seq) = declaredSpec
+      .orElse(cat.mergeSpecOf(identKey)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE/REPLACE TABLE $identKey AS SELECT needs " +
+            "OPTIONS (mergeKeys '…', mergeSeq '…') — lake content is " +
+            "keyed (the contract every write surface shares)"))
+    val df = pending.getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[Row](), declared))
+    for (c <- keys :+ seq)
+      require(df.columns.contains(c),
+        s"CTAS/RTAS on $identKey: merge column '$c' is missing from " +
+          s"the query output (has: ${df.columns.mkString(", ")})")
+    val replacing = mode != Create && cat.isRegistered(identKey) &&
+      VersionedLake.versions(spark, path).nonEmpty
+    if (mode == Replace && !replacing)
+      throw new NoSuchTableException(ident)
+    if (!replacing) {
+      require(VersionedLake.versions(spark, path).isEmpty,
+        s"CREATE TABLE $identKey AS SELECT at $path: the location " +
+          "already holds committed lake versions — REPLACE the table " +
+          "or register the existing data with plain CREATE TABLE")
+      freshLocation = true
+      VersionedLake.upsert(spark, path, df, keys, seq)
+    } else
+      VersionedLake.replaceSnapshot(spark, path, df, keys, seq)
+    cat.register(identKey, path,
+      declaredSpec.orElse(cat.mergeSpecOf(identKey)))
+  }
+
+  override def abortStagedChanges(): Unit =
+    // only a location THIS statement introduced is deleted — an abort
+    // must never take pre-existing data with it
+    if (freshLocation) {
+      val spark = SparkSession.active
+      val f = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      ()
+    }
+}
+
 /** `ns.t.changes` — the lake table's change feed as a named STREAMING
   * relation. Declares MICRO_BATCH_READ so analysis accepts it in
   * `spark.readStream.table(...)`; the actual plan never reaches this
@@ -824,6 +1021,103 @@ object SqlCatalog {
          FROM feed s)
        SELECT key_id, value, props, sequence_number AS last_sequence,
          true AS sql_insert_committed, true AS overwrite_refused
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** CTAS / RTAS as a gate row (the atomic [[GraftStagedTable]] path):
+    * CREATE TABLE … AS SELECT lands the first half of the change feed
+    * as version 1 AND registers the name in one statement; a CTAS
+    * whose query fails at write time must leave NEITHER a name NOR a
+    * file (`ctas_fail_no_orphan`, probed with a raise_error() query on
+    * a fresh location); REPLACE TABLE … AS SELECT swaps in the
+    * full-feed content as ONE `op REPLACE` commit
+    * (`rtas_one_commit`) while version 1 stays time-travelable and
+    * bit-identical (`rtas_history_preserved`, engine-compared with a
+    * two-way exceptAll). The final state converges to the same
+    * full-feed SCD1 winners the sqlRead oracle computes — every
+    * reference pipeline table is effectively this CTAS shape (ref
+    * src/pipelines/silver/orders.sql).
+    */
+  def sqlCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_ctas")
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(path), true) // CTAS wants fresh
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    install(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    val t = s"$CatalogName.lakehouse.events_ctas"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    asChanges(staged.filter(col("sequence_number") <= t1))
+      .createOrReplaceTempView("ctas_feed_half")
+    spark.sql(s"""CREATE TABLE $t
+      USING graft OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      LOCATION '$path'
+      AS SELECT key_id, value, props, sequence_number, _deleted
+         FROM ctas_feed_half""")
+    val ctasV1 = VersionedLake.versions(spark, path) == Seq(1)
+    // no-orphan failure path: a CTAS that dies mid-write on a FRESH
+    // location must leave neither a registered name nor a directory
+    val failPath = Scratch.dir("vlake_ctas_fail")
+    f.delete(new org.apache.hadoop.fs.Path(failPath), true)
+    val tf = s"$CatalogName.lakehouse.events_ctas_fail"
+    spark.sql(s"DROP TABLE IF EXISTS $tf")
+    val failed = try {
+      spark.sql(s"""CREATE TABLE $tf
+        USING graft OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+        LOCATION '$failPath'
+        AS SELECT key_id, raise_error('ctas gate probe') AS value,
+           props, sequence_number, _deleted FROM ctas_feed_half""")
+      false
+    } catch { case scala.util.control.NonFatal(_) => true }
+    val noOrphan = failed &&
+      !spark.catalog.tableExists(tf) &&
+      !f.exists(new org.apache.hadoop.fs.Path(failPath))
+    // RTAS: replace with the FULL feed's resolved content, one commit,
+    // history preserved
+    val v1Snapshot = VersionedLake.read(spark, path, Some(1))
+      .localCheckpoint(true)
+    asChanges(staged).createOrReplaceTempView("ctas_feed_all")
+    spark.sql(s"""REPLACE TABLE $t
+      USING graft OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      AS SELECT key_id, value, props, sequence_number, _deleted
+         FROM ctas_feed_all""")
+    val rtasOneCommit = VersionedLake.versions(spark, path) == Seq(1, 2)
+    val v1After = VersionedLake.read(spark, path, Some(1))
+    val historyPreserved =
+      v1After.exceptAll(v1Snapshot).isEmpty &&
+        v1Snapshot.exceptAll(v1After).isEmpty
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("ctas_committed_v1", lit(ctasV1))
+      .withColumn("ctas_fail_no_orphan", lit(noOrphan))
+      .withColumn("rtas_one_commit", lit(rtasOneCommit))
+      .withColumn("rtas_history_preserved", lit(historyPreserved))
+  }
+
+  val sqlCtasSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS ctas_committed_v1, true AS ctas_fail_no_orphan,
+         true AS rtas_one_commit, true AS rtas_history_preserved
        FROM ranked
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
@@ -1275,6 +1569,7 @@ object SqlCatalog {
       sqlMetadata(s, d).orderBy(col("src"), col("version"))),
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
     "lake_sql_write" -> ((s, d) => sqlWrite(s, d).orderBy(col("key_id"))),
+    "lake_sql_ctas" -> ((s, d) => sqlCtas(s, d).orderBy(col("key_id"))),
     "lake_sql_merge" -> ((s, d) => sqlMerge(s, d).orderBy(col("key_id"))),
     "lake_sql_delete" -> ((s, d) => sqlDelete(s, d).orderBy(col("key_id"))),
     "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
@@ -1286,6 +1581,7 @@ object SqlCatalog {
     "lake_sql_metadata" -> sqlMetadataSql,
     "lake_sql_read" -> sqlReadSql,
     "lake_sql_write" -> sqlWriteSql,
+    "lake_sql_ctas" -> sqlCtasSql,
     "lake_sql_merge" -> sqlMergeSql,
     "lake_sql_delete" -> sqlDeleteSql,
     "lake_sql_agg_pushdown" -> sqlAggPushdownSql)

@@ -2257,6 +2257,61 @@ object VersionedLake {
         adopted, op = "OPTIMIZE"))
   }
 
+  /** REPLACE TABLE (AS SELECT) — swap the table's CONTENT in ONE
+    * commit while PRESERVING its history: the new manifest references
+    * only the newly adopted files (`op REPLACE`), every older version
+    * stays time-travelable until vacuum, and table properties —
+    * numBuckets, CHECK constraints, generated columns, column
+    * mapping, tags — carry through [[commitPending]]'s assemble like
+    * any other write. Content is resolved to the key-unique winner
+    * per key (the table contract), constraints and generated columns
+    * run exactly as on the upsert path, and the commit is the same
+    * OCC loop (a concurrent disjoint-bucket writer CONFLICTS here by
+    * construction: REPLACE touches every bucket, which is the honest
+    * answer — replacing a table out from under a concurrent ingest is
+    * a real conflict). Used by the SQL catalog's atomic RTAS.
+    */
+  def replaceSnapshot(spark: SparkSession, path: String,
+      content: DataFrame, keyCols: Seq[String],
+      seqCol: String): CommitResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty,
+      s"no committed versions at $path — land the initial snapshot " +
+        "with upsert (CREATE, not REPLACE)")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    val buckets = m.numBuckets(16)
+    enforceConstraints(m, content)
+    val contentP = toPhysicalDf(applyGenerated(m, content), m)
+    val keyColsP = keyCols.map(toPhysicalName(m, _))
+    val seqColP = toPhysicalName(m, seqCol)
+    val withDel =
+      if (contentP.columns.contains("_deleted")) contentP
+        .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
+      else contentP.withColumn("_deleted", lit(false))
+    val w = Window.partitionBy(keyColsP.map(col): _*)
+      .orderBy(col(seqColP).desc)
+    val resolved = withDel
+      .withColumn("gbucket",
+        pmod(hash(keyColsP.map(col): _*), lit(buckets)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
+    try resolved.repartition(col("gbucket"))
+      .write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    catch { case e: Throwable =>
+      fs(spark).delete(new Path(stage), true); throw e
+    }
+    val adopted = adoptStaged(spark, path, stage, wid)
+    val touched = (m.data.map(bucketOf) ++ adopted.map(bucketOf)).toSet
+    commitPending(spark, path,
+      PendingCommit(base, touched,
+        TableManifest(adopted, Map.empty,
+          stats = computeStats(spark, path, adopted)).lines,
+        adopted, op = "REPLACE"))
+  }
+
   /** OPTIMIZE CLUSTER BY — rewrite the table's buckets RANGE-CLUSTERED
     * on `column`: `repartitionByRange(gbucket, column)` makes each
     * output file cover a contiguous column slice within its bucket, so
