@@ -111,6 +111,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reads resolve onto the _changes/ file stream
     ext.injectResolutionRule(session =>
       graft.sources.CdfSql.ResolveLakeStreams(session))
+    // the reference's EXPECT … ON VIOLATION DROP ROW / FAIL UPDATE
+    // expectation DDL, which Spark's grammar lacks
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => graft.plans.PointInIntervalStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     // SQL MERGE INTO over registered lake tables lowers onto one

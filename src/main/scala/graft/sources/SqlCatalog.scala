@@ -205,6 +205,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   /** Name → lake path for the stored procedures; accepts the
     * catalog-qualified form CALL statements naturally carry.
     */
+  /** [[tablePath]] for sibling packages (the EXPECT DDL commands). */
+  private[graft] def lakeTablePath(name: String): String = tablePath(name)
+
   private[sources] def tablePath(name: String): String = {
     val bare =
       if (name.startsWith(catalogName + "."))
@@ -1122,6 +1125,132 @@ object SqlCatalog {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** EXPECTATIONS as SQL DDL — the reference's signature clause on a
+    * lake table, end to end:
+    *
+    *  - `ALTER TABLE t ADD CONSTRAINT valid_value EXPECT (value IS NOT
+    *    NULL) ON VIOLATION DROP ROW` (the silver/order_items.sql
+    *    shape) stores the rule as a table property; the next SQL
+    *    INSERT of a DIRTIED batch (value nulled for `key_id % 3 = 0`)
+    *    lands ONLY the clean rows, drops the violators into the
+    *    per-version quarantine, and stamps per-rule `meta expect`
+    *    metrics — `metrics_match` (metric == quarantine row count) and
+    *    `quarantine_rows_match` (quarantine content == exactly the
+    *    dirtied rows, two-way exceptAll) are engine-asserted;
+    *  - `… ON VIOLATION FAIL UPDATE` (the gold/monthly_orders.sql
+    *    shape) is the CHECK-constraint mode: a violating batch is
+    *    rejected WHOLESALE and atomically
+    *    (`fail_update_wholesale`: version chain unchanged).
+    *
+    * The emitted rows are the final table state — first third (full
+    * feed) merged with the clean survivors of the dirty second third —
+    * which the oracle recomputes from the same cutoffs.
+    */
+  def sqlExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_expect")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    VersionedLake.upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    install(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    val t = s"$CatalogName.lakehouse.events_exp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      LOCATION '$path'""")
+    spark.sql(s"""ALTER TABLE $t ADD CONSTRAINT valid_value
+      EXPECT (value IS NOT NULL) ON VIOLATION DROP ROW""")
+    spark.sql(s"""ALTER TABLE $t ADD CONSTRAINT valid_seq
+      EXPECT (sequence_number >= 0) ON VIOLATION FAIL UPDATE""")
+    val ddlCommitted = VersionedLake.versions(spark, path) == Seq(1, 2, 3)
+    // the dirty batch: second-third non-delete changes, value nulled
+    // for every key_id % 3 == 0 row
+    val feed2 = staged.filter(col("sequence_number") > t1 &&
+        col("sequence_number") <= t2 && col("operation") =!= "DELETE")
+      .withColumn("value", when(pmod(col("key_id"), lit(3)) === 0,
+        lit(null).cast("double")).otherwise(col("value")))
+      .localCheckpoint(true) // reused: insert + expected-quarantine
+    feed2.createOrReplaceTempView("exp_feed2")
+    spark.sql(s"""INSERT INTO $t BY NAME
+      SELECT key_id, value, props, sequence_number FROM exp_feed2""")
+    val vIns = VersionedLake.versions(spark, path).last
+    val quarantine = VersionedLake.quarantined(spark, path, vIns)
+      .localCheckpoint(true)
+    val nQuar = quarantine.count()
+    val metric = VersionedLake.expectationMetrics(spark, path)
+      .filter(col("version") === vIns && col("rule") === "valid_value")
+      .head().getLong(2)
+    val metricsMatch = metric == nQuar &&
+      quarantine.filter(col("_expect_failed") =!= "valid_value").isEmpty
+    val expectedQuar = feed2.filter(col("value").isNull)
+      .select(col("key_id"), col("props"), col("sequence_number"))
+    val actualQuar = quarantine
+      .select(col("key_id"), col("props"), col("sequence_number"))
+    val quarantineMatch =
+      expectedQuar.exceptAll(actualQuar).isEmpty &&
+        actualQuar.exceptAll(expectedQuar).isEmpty
+    // FAIL UPDATE: a batch breaking the CHECK half rejects wholesale
+    val before = VersionedLake.versions(spark, path)
+    staged.filter(col("sequence_number") > t2 &&
+        col("operation") =!= "DELETE").limit(50)
+      .withColumn("sequence_number", -col("sequence_number"))
+      .createOrReplaceTempView("exp_feed_bad")
+    val failWholesale = (try {
+      spark.sql(s"""INSERT INTO $t BY NAME
+        SELECT key_id, value, props, sequence_number FROM exp_feed_bad""")
+      false
+    } catch { case scala.util.control.NonFatal(_) => true }) &&
+      VersionedLake.versions(spark, path) == before
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("n_quarantined", lit(nQuar))
+      .withColumn("expectation_ddl_committed", lit(ddlCommitted))
+      .withColumn("metrics_match", lit(metricsMatch))
+      .withColumn("quarantine_rows_match", lit(quarantineMatch))
+      .withColumn("fail_update_wholesale", lit(failWholesale))
+  }
+
+  val sqlExpectationsSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       cut AS (SELECT MAX(sequence_number) // 3 AS t1,
+                      MAX(sequence_number) * 2 // 3 AS t2 FROM stg),
+       nq AS (
+         SELECT COUNT(*) AS n FROM stg, cut
+         WHERE sequence_number > t1 AND sequence_number <= t2
+           AND operation <> 'DELETE' AND key_id % 3 = 0),
+       feed AS (
+         SELECT s.* FROM stg s, cut c
+         WHERE s.sequence_number <= c.t1
+            OR (s.sequence_number > c.t1 AND s.sequence_number <= c.t2
+                AND s.operation <> 'DELETE' AND s.key_id % 3 <> 0)),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM feed s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         (SELECT n FROM nq) AS n_quarantined,
+         true AS expectation_ddl_committed, true AS metrics_match,
+         true AS quarantine_rows_match, true AS fail_update_wholesale
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   /** AGGREGATE PUSHDOWN through the SQL surface: an unfiltered
     * `SELECT COUNT(*)` over a lake table COMPLETE-pushes into the
     * connector — the executed plan carries NO aggregate node (engine-
@@ -1570,6 +1699,8 @@ object SqlCatalog {
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
     "lake_sql_write" -> ((s, d) => sqlWrite(s, d).orderBy(col("key_id"))),
     "lake_sql_ctas" -> ((s, d) => sqlCtas(s, d).orderBy(col("key_id"))),
+    "lake_sql_expectations" -> ((s, d) =>
+      sqlExpectations(s, d).orderBy(col("key_id"))),
     "lake_sql_merge" -> ((s, d) => sqlMerge(s, d).orderBy(col("key_id"))),
     "lake_sql_delete" -> ((s, d) => sqlDelete(s, d).orderBy(col("key_id"))),
     "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
@@ -1582,6 +1713,7 @@ object SqlCatalog {
     "lake_sql_read" -> sqlReadSql,
     "lake_sql_write" -> sqlWriteSql,
     "lake_sql_ctas" -> sqlCtasSql,
+    "lake_sql_expectations" -> sqlExpectationsSql,
     "lake_sql_merge" -> sqlMergeSql,
     "lake_sql_delete" -> sqlDeleteSql,
     "lake_sql_agg_pushdown" -> sqlAggPushdownSql)

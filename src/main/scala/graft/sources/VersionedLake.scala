@@ -109,7 +109,8 @@ object VersionedLake {
   final case class PendingCommit(baseVersion: Int, touched: Set[Int],
     ourLines: Seq[String], adopted: Seq[String],
     txn: Option[(String, Long)] = None,
-    op: String = "MERGE")
+    op: String = "MERGE",
+    metaExtra: Seq[String] = Nil) // per-version meta lines (never carry)
 
   /** Parsed manifest: immutable data files, the per-file deletion
     * vector mapping (data file → DV sidecar holding (file_rel, pos)
@@ -1290,8 +1291,10 @@ object VersionedLake {
     // per-call argument would silently break key→bucket pruning)
     val buckets = prior0.numBuckets(numBuckets)
     enforceConstraints(prior0, updates)
+    val (updatesE, expectMeta) =
+      applyExpectations(spark, path, prior0, updates)
     // callers speak logical names; files store the pinned physical ones
-    val updatesP = toPhysicalDf(applyGenerated(prior0, updates), prior0)
+    val updatesP = toPhysicalDf(applyGenerated(prior0, updatesE), prior0)
     val keyColsP = keyCols.map(toPhysicalName(prior0, _))
     val seqColP = toPhysicalName(prior0, seqCol)
     val tagged0 = updatesP.withColumn("_is_update", lit(1))
@@ -1341,7 +1344,7 @@ object VersionedLake {
       if (vs.isEmpty) Seq(s"prop\tnumBuckets\t$buckets") else Seq.empty
     PendingCommit(vs.lastOption.getOrElse(0), touched,
       adopted ++ statsAsLines(computeStats(spark, path, adopted)) ++
-        propLines, adopted)
+        propLines, adopted, metaExtra = expectMeta)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at
@@ -1377,7 +1380,8 @@ object VersionedLake {
         else p.touched.contains(bucketOfLine(l))
       }
       kept ++ p.ourLines ++
-        p.txn.map { case (a, v) => s"txn\t$a\t$v" }.toSeq :+
+        p.txn.map { case (a, v) => s"txn\t$a\t$v" }.toSeq ++
+        p.metaExtra :+
         s"meta\top\t${p.op}"
     }
     var base = p.baseVersion
@@ -1762,8 +1766,9 @@ object VersionedLake {
     val base = vs.last
     val m = manifestEntries(spark, path, base)
     enforceConstraints(m, updates)
+    val (updatesE, expectMeta) = applyExpectations(spark, path, m, updates)
     // callers speak logical names; files store the pinned physical ones
-    val updatesP = toPhysicalDf(applyGenerated(m, updates), m)
+    val updatesP = toPhysicalDf(applyGenerated(m, updatesE), m)
     val keyCols2 = keyCols.map(toPhysicalName(m, _))
     val seqCol2 = toPhysicalName(m, seqCol)
     val tagged0 = updatesP
@@ -1826,7 +1831,8 @@ object VersionedLake {
       stats = m.stats ++ computeStats(spark, path, appended)).lines
       .filter(l => touched.contains(bucketOfLine(l)))
     commitPending(spark, path, PendingCommit(base, touched, ourLines,
-      appended ++ dvOut.map(_._1).toSeq, op = "MERGE_MOR"))
+      appended ++ dvOut.map(_._1).toSeq, op = "MERGE_MOR",
+      metaExtra = expectMeta))
   }
 
   /** Fold deletion vectors back into data files: rewrite ONLY the
@@ -1960,6 +1966,144 @@ object VersionedLake {
     }
     throw new java.io.IOException(
       s"gave up dropping constraint $name at $path after $maxAttempts attempts")
+  }
+
+  // ---- EXPECTATIONS (ON VIOLATION DROP ROW) --------------------------------
+
+  private val QuarantineDir = "_quarantine"
+
+  /** ADD an EXPECTATION — the reference's `CONSTRAINT c EXPECT (pred)
+    * ON VIOLATION DROP ROW` (ref src/pipelines/silver/order_items.sql):
+    * a named predicate stored as a table property (`prop expect.<name>
+    * <expr>`) that every writer enforces by DROPPING violating rows
+    * into the quarantine side output with per-rule metrics, instead of
+    * rejecting the batch wholesale (that is the CHECK constraint /
+    * FAIL UPDATE mode, [[addConstraint]]). Unlike CHECK, existing data
+    * is NOT validated: an expectation governs FLOWING data from this
+    * version on — the DLT semantic. SQL-CHECK null rule applies: a row
+    * fails only when the predicate is FALSE; NULL passes. Tombstones
+    * are exempt (a delete removes the row; the predicate has nothing
+    * left to hold over).
+    */
+  def addExpectation(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad expectation name: $name")
+    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "expectation predicate must be a single tab-free line")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val tip = manifestEntries(spark, path, vs.last)
+    require(!tip.props.contains(s"expect.$name") &&
+      !tip.props.contains(s"constraint.$name"),
+      s"a constraint or expectation named $name already exists")
+    // the predicate must RESOLVE against the table schema now — a typo
+    // discovered at the next write would block ingest, not DDL
+    read(spark, path).filter(coalesce(expr(sqlExpr), lit(true))).queryExecution
+      .analyzed
+    commitPending(spark, path, PendingCommit(vs.last, Set.empty,
+      Seq(s"prop\texpect.$name\t$sqlExpr"), Seq.empty,
+      op = "ADD_EXPECTATION"))
+  }
+
+  /** DROP an expectation (metadata-only commit, CAS retry). */
+  def dropExpectation(spark: SparkSession, path: String, name: String,
+      maxAttempts: Int = 10): CommitResult = {
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      require(manifestEntries(spark, path, latest).props
+        .contains(s"expect.$name"),
+        s"no expectation named $name at $path")
+      val lines = manifestLines(spark, path, latest)
+        .filterNot(l => l.startsWith(s"prop\texpect.$name\t") ||
+          isMetaLine(l)) :+ "meta\top\tDROP_EXPECTATION"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up dropping expectation $name at $path after $maxAttempts attempts")
+  }
+
+  /** Enforce DROP-ROW expectations on a write batch: returns the CLEAN
+    * rows plus the per-version meta lines recording what was dropped.
+    * One aggregate pass computes every rule's violation count; only
+    * when something actually fails does a second change-scale pass
+    * land the violating rows (one row per failed rule, `_expect_failed`
+    * naming it) under `_quarantine/w<nonce>/`, referenced from the
+    * commit by a `meta expectq` line so consumers find the right
+    * side output per version ([[quarantined]]). The quarantine write
+    * happens pre-CAS; a lost commit's directory is unreferenced and
+    * vacuum sweeps it.
+    */
+  private def applyExpectations(spark: SparkSession, path: String,
+      m: TableManifest, updates: DataFrame): (DataFrame, Seq[String]) = {
+    val es = m.props.collect {
+      case (k, v) if k.startsWith("expect.") =>
+        k.stripPrefix("expect.") -> v
+    }.toSeq.sorted
+    if (es.isEmpty) return (updates, Nil)
+    val u = updates.localCheckpoint(true) // reused: counts + split
+    val isLive =
+      if (u.columns.contains("_deleted"))
+        !coalesce(col("_deleted"), lit(false))
+      else lit(true)
+    def fails(s: String): org.apache.spark.sql.Column =
+      isLive && !coalesce(expr(s), lit(true))
+    val countsRow = u.agg(
+      sum(when(fails(es.head._2), 1L).otherwise(0L)),
+      es.tail.map { case (_, s) =>
+        sum(when(fails(s), 1L).otherwise(0L)) }: _*).head()
+    val counts = es.indices.map(i =>
+      if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i))
+    val metrics = es.zip(counts).map { case ((n, _), c) =>
+      s"meta\texpect\t$n\t$c"
+    }
+    if (counts.forall(_ == 0L)) return (u, metrics)
+    val viol = es.zip(counts).collect { case ((n, s), c) if c > 0 =>
+      u.filter(fails(s)).withColumn("_expect_failed", lit(n))
+    }.reduce(_ unionByName _)
+    val qwid = nonce()
+    viol.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$QuarantineDir/w$qwid")
+    val clean = u.filter(!isLive ||
+      es.map { case (_, s) => coalesce(expr(s), lit(true)) }
+        .reduce(_ && _))
+    (clean, metrics :+ s"meta\texpectq\tw$qwid")
+  }
+
+  /** Per-version expectation metrics — (version, rule, dropped_rows),
+    * read from the `meta expect` lines each enforcing commit stamped.
+    * Metadata-scale; versions without expectations emit nothing.
+    */
+  def expectationMetrics(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, path).flatMap { v =>
+      rawManifestLines(spark, path, v)
+        .map(l => if (l.startsWith("+\t")) l.stripPrefix("+\t") else l)
+        .collect {
+          case l if l.startsWith("meta\texpect\t") =>
+            val p = l.split("\t")
+            (v, p(2), p(3).toLong)
+        }
+    }.toDF("version", "rule", "dropped_rows")
+  }
+
+  /** The rows version `v`'s write DROPPED (with `_expect_failed`
+    * naming the rule each row broke) — empty relation when that commit
+    * dropped nothing.
+    */
+  def quarantined(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val dir = rawManifestLines(spark, path, v)
+      .map(l => if (l.startsWith("+\t")) l.stripPrefix("+\t") else l)
+      .collectFirst {
+        case l if l.startsWith("meta\texpectq\t") => l.split("\t")(2)
+      }
+    dir match {
+      case Some(d) => spark.read.parquet(s"$path/$QuarantineDir/$d")
+      case None => throw new IllegalArgumentException(
+        s"version $v of $path dropped no rows — no quarantine output")
+    }
   }
 
   /** Enforce the table's CHECK constraints on a write batch BEFORE
@@ -2282,7 +2426,8 @@ object VersionedLake {
     val m = manifestEntries(spark, path, base)
     val buckets = m.numBuckets(16)
     enforceConstraints(m, content)
-    val contentP = toPhysicalDf(applyGenerated(m, content), m)
+    val (contentE, expectMeta) = applyExpectations(spark, path, m, content)
+    val contentP = toPhysicalDf(applyGenerated(m, contentE), m)
     val keyColsP = keyCols.map(toPhysicalName(m, _))
     val seqColP = toPhysicalName(m, seqCol)
     val withDel =
@@ -2309,7 +2454,7 @@ object VersionedLake {
       PendingCommit(base, touched,
         TableManifest(adopted, Map.empty,
           stats = computeStats(spark, path, adopted)).lines,
-        adopted, op = "REPLACE"))
+        adopted, op = "REPLACE", metaExtra = expectMeta))
   }
 
   /** OPTIMIZE CLUSTER BY — rewrite the table's buckets RANGE-CLUSTERED
@@ -2908,6 +3053,20 @@ object VersionedLake {
         val v = d.getPath.getName.stripPrefix("v").toInt
         if (!keep.contains(v)) f.delete(d.getPath, true)
       }
+    // quarantine side outputs follow version retention too (and the
+    // sweep collects crash/conflict orphans no manifest references)
+    val qDir = new Path(s"$path/$QuarantineDir")
+    if (f.exists(qDir)) {
+      val referenced = keep.flatMap(v =>
+        rawManifestLines(spark, path, v)
+          .map(l => if (l.startsWith("+\t")) l.stripPrefix("+\t") else l)
+          .collectFirst {
+            case l if l.startsWith("meta\texpectq\t") => l.split("\t")(2)
+          }).toSet
+      f.listStatus(qDir).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(referenced.contains)
+        .foreach(n => f.delete(new Path(qDir, n), true))
+    }
     // predicate-telemetry log: fold the per-read files into one
     // aggregate so the log stops growing one-file-per-read-forever
     compactPredLog(spark, path)
