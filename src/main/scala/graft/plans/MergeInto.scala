@@ -143,8 +143,12 @@ private[plans] case class GraftMergeIntoCommand(merge: MergeIntoTable,
           "OPTIONS (mergeKeys 'k1,k2', mergeSeq 's')"))
     require(table.asOfVersion.isEmpty,
       "cannot MERGE INTO a time-travel read")
-    require(!merge.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported on lake tables")
+    // WITH SCHEMA EVOLUTION needs no handling HERE: by post-hoc
+    // resolution time, Spark's ResolveMergeIntoSchemaEvolution has
+    // already routed the source's new columns through the catalog's
+    // alterTable(AddColumn) — the lake's metadata-only ADD_COLUMN
+    // commit — and re-resolved the target with the evolved schema,
+    // so tAttrs below already carry the new columns.
     val target = merge.targetTable
     val source = merge.sourceTable
     val tAttrs = target.output

@@ -105,7 +105,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     load(ident, None)
   }
 
-  private val MetaTables = Set("history", "tags", "partitions")
+  private val MetaTables =
+    Set("history", "tags", "partitions", "files", "snapshots")
 
   /** The registered merge contract (keys, seqCol) of `name`, for the
     * table_changes TVF; accepts the catalog-qualified form.
@@ -310,6 +311,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       fieldNames.head
     }
     changes.foreach {
+      case c: TableChange.AddColumn =>
+        VersionedLake.addColumn(spark, path, leaf(c.fieldNames),
+          c.dataType.sql.toLowerCase)
       case c: TableChange.RenameColumn =>
         VersionedLake.renameColumn(spark, path, leaf(c.fieldNames), c.newName)
       case c: TableChange.DeleteColumn =>
@@ -406,10 +410,15 @@ private[graft] class GraftLakeTable(ident: String, val path: String,
     VersionedLake.read(SparkSession.active, path, asOfVersion).schema
   override def schema(): StructType = snapshotSchema
 
+  // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE … WITH SCHEMA EVOLUTION` only
+  // evolves when the target declares it — Spark then routes the new
+  // source columns through alterTable(AddColumn) = the lake's
+  // metadata-only ADD_COLUMN commit, and re-resolves the merge
   override def capabilities(): java.util.Set[TableCapability] =
     if (mergeSpec.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE)
+        TableCapability.V1_BATCH_WRITE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(
@@ -802,6 +811,19 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
       StructField("file_count", LongType, nullable = false),
       StructField("record_count", LongType, nullable = true),
       StructField("dv_file_count", LongType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("record_count", LongType, nullable = true),
+      StructField("dv_row_count", LongType, nullable = false),
+      StructField("bounds", StringType, nullable = true)))
+    case "snapshots" => StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("commit_ts", LongType, nullable = false),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = true)))
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -827,6 +849,8 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
                   .toDF("tag_name", "version")
               case "partitions" =>
                 VersionedLake.partitionsMeta(spark, path)
+              case "files" => VersionedLake.filesMeta(spark, path)
+              case "snapshots" => VersionedLake.snapshotsMeta(spark, path)
             }
             df.select(relSchema.fieldNames.map(col).toSeq: _*).rdd
           }
@@ -1124,6 +1148,103 @@ object SqlCatalog {
        FROM ranked
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
+
+  /** `ns.t.files` + `ns.t.snapshots` — the Iceberg metadata-table
+    * family completed (pattern: history/tags/partitions). The fixture
+    * commits a COW merge, a MOR trickle (`key_id % 5`, boosted
+    * sequences) and a pure position-delete (`key_id % 9`), then
+    * engine-asserts the structural invariants the VERDICT asks for:
+    *
+    *  - Σ files.record_count == snapshots(tip).record_count
+    *    (`files_sum_matches_snapshot`);
+    *  - files aggregated per bucket == the partitions metadata table,
+    *    row for row (`files_match_partitions`);
+    *  - snapshot chain folds: Σ (files_added − files_removed) over
+    *    versions == live file count at tip, the DELETE version adds
+    *    and removes zero files, and every dv_row_count ≤ record_count
+    *    (`snapshot_chain_sane`).
+    *
+    * The emitted rows are the snapshots table's (version, operation)
+    * chain — deterministic from the construction — with the
+    * oracle-recomputed physical-row and DV-row totals.
+    */
+  def sqlFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_sqlfiles")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val live = staged.filter(col("operation") =!= "DELETE")
+      .drop("operation")
+    VersionedLake.upsert(spark, path, live,
+      Seq("key_id"), "sequence_number")
+    VersionedLake.dvUpsert(spark, path,
+      live.filter(pmod(col("key_id"), lit(5)) === 0)
+        .withColumn("sequence_number", col("sequence_number") + maxSeq),
+      Seq("key_id"), "sequence_number")
+    VersionedLake.dvDelete(spark, path,
+      live.select(col("key_id")).distinct()
+        .filter(pmod(col("key_id"), lit(9)) === 0), Seq("key_id"))
+    install(spark)
+    val t = s"$CatalogName.lakehouse.events_files"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      LOCATION '$path'""")
+    val files = spark.table(s"$t.files").localCheckpoint(true)
+    val snaps = spark.table(s"$t.snapshots").localCheckpoint(true)
+    val filesSum = files.agg(sum(col("record_count"))).head().getLong(0)
+    val dvSum = files.agg(sum(col("dv_row_count"))).head().getLong(0)
+    val tipRecords = snaps.orderBy(col("version").desc).head()
+      .getAs[Long]("record_count")
+    val sumMatches = filesSum == tipRecords
+    val fromFiles = files.groupBy(col("bucket")).agg(
+      count(lit(1)).as("file_count"),
+      sum(col("record_count")).as("record_count"),
+      sum(when(col("dv_row_count") > 0, 1L).otherwise(0L))
+        .as("dv_file_count"))
+    val parts = spark.table(s"$t.partitions")
+    val partitionsMatch =
+      fromFiles.exceptAll(parts).isEmpty && parts.exceptAll(fromFiles).isEmpty
+    val snapRows = snaps.orderBy(col("version")).collect()
+    val folded = snapRows.map(r =>
+      r.getAs[Long]("files_added") - r.getAs[Long]("files_removed")).sum
+    val deleteRow = snapRows.find(_.getAs[String]("operation") == "DELETE")
+    val chainSane = folded == files.count() &&
+      deleteRow.exists(r => r.getAs[Long]("files_added") == 0L &&
+        r.getAs[Long]("files_removed") == 0L) &&
+      files.filter(col("dv_row_count") > col("record_count")).isEmpty
+    snaps.select(col("version"), col("operation"))
+      .withColumn("n_physical_rows", lit(filesSum))
+      .withColumn("n_dv_rows", lit(dvSum))
+      .withColumn("files_sum_matches_snapshot", lit(sumMatches))
+      .withColumn("files_match_partitions", lit(partitionsMatch))
+      .withColumn("snapshot_chain_sane", lit(chainSane))
+  }
+
+  val sqlFilesSql: String =
+    """WITH stg AS (
+         SELECT user_id AS key_id,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       live AS (SELECT DISTINCT key_id FROM stg WHERE operation <> 'DELETE'),
+       tot AS (
+         SELECT CAST((SELECT COUNT(*) FROM live)
+             + (SELECT COUNT(*) FROM live WHERE key_id % 5 = 0) AS BIGINT)
+             AS n_physical_rows,
+           CAST((SELECT COUNT(*) FROM live WHERE key_id % 5 = 0)
+             + (SELECT COUNT(*) FROM live WHERE key_id % 9 = 0) AS BIGINT)
+             AS n_dv_rows)
+       SELECT v.version, v.operation, t.n_physical_rows, t.n_dv_rows,
+         true AS files_sum_matches_snapshot,
+         true AS files_match_partitions,
+         true AS snapshot_chain_sane
+       FROM (VALUES (1, 'MERGE'), (2, 'MERGE_MOR'), (3, 'DELETE'))
+         AS v(version, operation), tot t
+       ORDER BY v.version"""
 
   /** EXPECTATIONS as SQL DDL — the reference's signature clause on a
     * lake table, end to end:
@@ -1423,10 +1544,33 @@ object SqlCatalog {
           WHEN MATCHED THEN UPDATE SET value = src.value""")
         false
       } catch { case _: Exception => true }
+    // MERGE WITH SCHEMA EVOLUTION: a source batch carrying a column
+    // the target lacks ADDs it through the lake's metadata-only
+    // ADD_COLUMN commit, then merges by name — version chain +2, the
+    // evolved column lands on the touched keys, every other row reads
+    // NULL, and the pre-evolution snapshot doesn't show the column
+    val beforeEvo = VersionedLake.versions(spark, path).last
+    spark.sql(s"SELECT key_id, sequence_number FROM $t " +
+        "ORDER BY key_id LIMIT 2")
+      .withColumn("note", concat(lit("evo:"), col("key_id")))
+      .createOrReplaceTempView("sqlm_evo_feed")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t AS tgt
+      USING sqlm_evo_feed AS src ON tgt.key_id = src.key_id
+      WHEN MATCHED THEN UPDATE SET note = src.note""")
+    val evoOps = VersionedLake.history(spark, path).orderBy("version")
+      .collect().map(_.getString(1)).toSeq.takeRight(2)
+    val evolutionOk =
+      VersionedLake.versions(spark, path).last == beforeEvo + 2 &&
+        evoOps == Seq("ADD_COLUMN", "MERGE") &&
+        spark.sql(s"SELECT COUNT(*) FROM $t WHERE note IS NOT NULL")
+          .head().getLong(0) == 2L &&
+        !spark.sql(s"SELECT * FROM $t VERSION AS OF $beforeEvo")
+          .columns.contains("note")
     spark.sql(s"""SELECT key_id, value, props,
         sequence_number AS last_sequence FROM $t""")
       .withColumn("sql_merge_committed", lit(committedOne))
       .withColumn("cardinality_enforced", lit(cardinalityEnforced))
+      .withColumn("schema_evolution_ok", lit(evolutionOk))
   }
 
   val sqlMergeSql: String =
@@ -1444,7 +1588,8 @@ object SqlCatalog {
            ORDER BY sequence_number DESC) AS rn
          FROM stg s)
        SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS sql_merge_committed, true AS cardinality_enforced
+         true AS sql_merge_committed, true AS cardinality_enforced,
+         true AS schema_evolution_ok
        FROM ranked
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
@@ -1694,6 +1839,7 @@ object SqlCatalog {
     "lake_sql_update" -> ((s, d) => sqlUpdate(s, d).orderBy(col("key_id"))),
     "lake_sql_alter" -> ((s, d) => sqlAlter(s, d).orderBy(col("key_id"))),
     "lake_sql_partitions" -> ((s, d) => sqlPartitions(s, d)),
+    "lake_sql_files" -> ((s, d) => sqlFiles(s, d).orderBy(col("version"))),
     "lake_sql_metadata" -> ((s, d) =>
       sqlMetadata(s, d).orderBy(col("src"), col("version"))),
     "lake_sql_read" -> ((s, d) => sqlRead(s, d).orderBy(col("key_id"))),
@@ -1709,6 +1855,7 @@ object SqlCatalog {
     "lake_sql_update" -> sqlUpdateSql,
     "lake_sql_alter" -> sqlAlterSql,
     "lake_sql_partitions" -> sqlPartitionsSql,
+    "lake_sql_files" -> sqlFilesSql,
     "lake_sql_metadata" -> sqlMetadataSql,
     "lake_sql_read" -> sqlReadSql,
     "lake_sql_write" -> sqlWriteSql,

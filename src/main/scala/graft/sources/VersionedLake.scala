@@ -484,6 +484,78 @@ object VersionedLake {
     }.toDF("bucket", "file_count", "record_count", "dv_file_count")
   }
 
+  /** Iceberg-style `files` metadata table: one row per LIVE data file
+    * of the tip (or `asOf`) snapshot — path, bucket, footer row count
+    * (from the manifest's stats payload, null for pre-stats files),
+    * the number of position-deleted rows its DV sidecar holds, and
+    * the recorded per-column min/max bounds. Manifest-scale except the
+    * DV counts, which read only the (change-scale) sidecar parquet —
+    * the table-maintenance view every compaction runbook queries.
+    */
+  def filesMeta(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val m = manifestEntries(spark, path, asOf.getOrElse(vs.last))
+    // per mapped (file → sidecar) pair: rows of THAT sidecar for THAT
+    // file; other sidecars' stale rows for a remapped file don't count
+    val dvCounts: Map[String, Long] =
+      m.dv.groupBy(_._2).toSeq.flatMap { case (sidecar, pairs) =>
+        val files = pairs.keys.toSeq
+        spark.read.parquet(s"$path/$sidecar")
+          .filter(col("file_rel").isin(files: _*))
+          .groupBy(col("file_rel")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+      }.toMap
+    m.data.sorted.map { rel =>
+      val payload = m.stats.get(rel)
+      val rows = payload.flatMap(_.split('|').collectFirst {
+        case t if t.startsWith("__meta:") => t.split(':')(1).toLong
+      })
+      val bounds = payload.map(_.split('|').toSeq
+        .filterNot(_.startsWith("__meta:")).mkString("|"))
+        .filter(_.nonEmpty)
+      (rel, bucketOf(rel), rows, dvCounts.getOrElse(rel, 0L), bounds)
+    }.toDF("file_path", "bucket", "record_count", "dv_row_count",
+      "bounds")
+  }
+
+  /** Iceberg-style `snapshots` metadata table: one row per committed
+    * version — operation, commit wall-clock, the file delta against
+    * the previous version, and the snapshot's total footer row count
+    * (null when any live file predates stats). Pure manifest reads.
+    */
+  def snapshotsMeta(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    var prev = Set.empty[String]
+    val first = vs.headOption
+    vs.map { v =>
+      val m = manifestEntries(spark, path, v)
+      val cur = m.data.toSet
+      val added = (cur -- prev).size.toLong
+      val removed = (prev -- cur).size.toLong
+      prev = cur
+      val lines = manifestLines(spark, path, v)
+      val op = lines.find(_.startsWith("meta\top\t"))
+        .map(_.split("\t", 3)(2)).getOrElse("UNKNOWN")
+      val ts = lines.find(_.startsWith("meta\tts\t"))
+        .map(_.split("\t")(2).toLong).getOrElse(-1L)
+      val rcs = m.data.map(rel => m.stats.get(rel)
+        .flatMap(_.split('|').collectFirst {
+          case t if t.startsWith("__meta:") => t.split(':')(1).toLong
+        }))
+      val records =
+        if (first.contains(v) && m.data.isEmpty) Some(0L)
+        else if (rcs.exists(_.isEmpty)) None
+        else Some(rcs.flatten.sum)
+      (v, op, ts, added, removed, records)
+    }.toDF("version", "operation", "commit_ts", "files_added",
+      "files_removed", "record_count")
+  }
+
   private def statsAsLines(stats: Map[String, String]): Seq[String] =
     stats.toSeq.sorted.map { case (f, p) => s"stats\t$f\t$p" }
 
@@ -597,9 +669,19 @@ object VersionedLake {
     val undropped = droppedCols(m).foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d.drop(c) else d
     }
-    renameMap(m).foldLeft(undropped) { case (d, (logical, physical)) =>
-      if (d.columns.contains(physical)) d.withColumnRenamed(physical, logical)
-      else d
+    val renamed = renameMap(m).foldLeft(undropped) {
+      case (d, (logical, physical)) =>
+        if (d.columns.contains(physical))
+          d.withColumnRenamed(physical, logical)
+        else d
+    }
+    // ADD COLUMN before any data carries it: the declared column
+    // (`prop added.<name> <type>`) reads as typed NULL until a write
+    // materializes it — the no-rewrite evolution contract
+    m.props.toSeq.sorted.collect {
+      case (k, t) if k.startsWith("added.") => k.stripPrefix("added.") -> t
+    }.foldLeft(renamed) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
     }
   }
 
@@ -659,6 +741,41 @@ object VersionedLake {
     }
     throw new java.io.IOException(
       s"gave up renaming $from at $path after $maxAttempts CAS attempts")
+  }
+
+  /** ADD COLUMN — a metadata-only commit declaring a new nullable
+    * column (`prop added.<name> <type>`): zero data files move, every
+    * read backfills typed NULLs until a write materializes the column
+    * (parquet schema merge reconciles from then on), and pre-add time
+    * travel doesn't show it (the property set is versioned manifest
+    * state). This is the explicit-DDL face of the evolution the upsert
+    * path already does implicitly; `MERGE … WITH SCHEMA EVOLUTION`
+    * routes through it (Spark's ResolveMergeIntoSchemaEvolution calls
+    * the catalog's alterTable with an AddColumn change).
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      sqlType: String, maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    // the type must parse NOW, not at first read
+    org.apache.spark.sql.types.DataType.fromDDL(sqlType)
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      require(!read(spark, path).columns.contains(name),
+        s"column $name already exists at $path")
+      require(!m.props.contains(s"dropped.$name"),
+        s"physical slot $name is retained by a dropped column — " +
+          "pick a new name")
+      val lines = TableManifest(m.data, m.dv, m.txn,
+        m.props + (s"added.$name" -> sqlType), m.stats).lines :+
+        "meta\top\tADD_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up adding column $name at $path after $maxAttempts attempts")
   }
 
   /** DROP COLUMN — Delta column-mapping semantics: a metadata-only

@@ -111,6 +111,42 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("merge contract"), e2.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's new column") {
+    val (path, name) = mkTable("sqlm_evo", Seq((1L, "a1", 1L), (2L, "a2", 2L)))
+    Seq((2L, "b2", 10L, "extra2"), (3L, "b3", 11L, "extra3"))
+      .toDF("k", "x", "seq", "note").createOrReplaceTempView("m_evo_src")
+    // without the clause, the unknown column must refuse to resolve
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $name t USING m_evo_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET x = s.x, seq = s.seq, note = s.note
+        WHEN NOT MATCHED THEN INSERT (k, x, seq, note)
+          VALUES (s.k, s.x, s.seq, s.note)""")
+    }
+    assert(e.getMessage != null)
+    val before = VersionedLake.versions(spark, path).last
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $name t
+      USING m_evo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET x = s.x, seq = s.seq, note = s.note
+      WHEN NOT MATCHED THEN INSERT (k, x, seq, note)
+        VALUES (s.k, s.x, s.seq, s.note)""")
+    // version chain +2: ADD_COLUMN then the MERGE commit
+    assert(VersionedLake.versions(spark, path).last == before + 2,
+      "schema evolution is ADD_COLUMN + MERGE, two commits")
+    val ops = VersionedLake.history(spark, path).orderBy("version")
+      .collect().map(_.getString(1)).toSeq.takeRight(2)
+    assert(ops == Seq("ADD_COLUMN", "MERGE"), s"op chain: $ops")
+    val rows = spark.sql(s"SELECT k, x, note FROM $name ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    assert(rows == Seq(
+      (1L, "a1", None),           // untouched row reads NULL
+      (2L, "b2", Some("extra2")),
+      (3L, "b3", Some("extra3"))), s"evolved state: $rows")
+    // pre-evolution time travel does NOT show the column
+    assert(!spark.sql(s"SELECT * FROM $name VERSION AS OF $before")
+      .columns.contains("note"))
+  }
+
   test("MERGE cardinality counts FIRED pairs, not raw matches") {
     // Two source rows match k=1 but only one passes the WHEN MATCHED
     // AND condition — Delta/SQL accept this (one modification per
