@@ -46,7 +46,8 @@ object LakeProcedures {
 
   val Namespace = "system"
 
-  private val Names = Seq("optimize", "vacuum", "restore", "create_tag")
+  private val Names = Seq("optimize", "vacuum", "restore", "create_tag",
+    "create_branch", "fast_forward", "drop_branch")
 
   def list(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(Array(Namespace)))
@@ -63,6 +64,9 @@ object LakeProcedures {
       case "vacuum" => new VacuumProc(path)
       case "restore" => new RestoreProc(path)
       case "create_tag" => new CreateTagProc(path)
+      case "create_branch" => new BranchProc("create_branch", path)
+      case "fast_forward" => new BranchProc("fast_forward", path)
+      case "drop_branch" => new BranchProc("drop_branch", path)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $Namespace.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -233,6 +237,36 @@ object LakeProcedures {
     }
   }
 
+  // ---- branches (write-audit-publish by name) ------------------------------
+
+  /** `CALL system.create_branch(table, branch)` /
+    * `fast_forward(table, branch)` / `drop_branch(table, branch)` —
+    * the Iceberg WAP surface by NAME: a writable fork, an atomic
+    * publish-by-reference, and disposal. Returns (branch, version):
+    * the branch tip created, the main version the fast-forward landed,
+    * or -1 for a drop.
+    */
+  private final class BranchProc(procName: String,
+      resolve: String => String) extends LakeProc(procName, resolve) {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("branch", StringType))
+    private val schema = StructType.fromDDL("branch STRING, version INT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (spark, path) = pathOf(input)
+      val branch = input.getUTF8String(1).toString
+      val v = procName match {
+        case "create_branch" =>
+          VersionedLake.createBranch(spark, path, branch).version
+        case "fast_forward" =>
+          VersionedLake.fastForwardBranch(spark, path, branch).version
+        case "drop_branch" =>
+          VersionedLake.dropBranch(spark, path, branch); -1
+      }
+      result(schema, Seq(row(utf8(branch), v)))
+    }
+  }
+
   // ---- gate ----------------------------------------------------------------
 
   /** The CALL surface as a gate row — the full maintenance lifecycle
@@ -350,10 +384,130 @@ object LakeProcedures {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** BRANCH WAP as a gate row — write-audit-publish by NAME:
+    *
+    *  1. main lands the first half of the change feed (v1) and
+    *     registers;
+    *  2. `CALL system.create_branch(t, 'audit1')`; a DIRTY second half
+    *     (value nulled for `key_id % 4 = 0`) lands on the BRANCH
+    *     chain; the audit finds the nulls and the branch is dropped —
+    *     `main_untouched_by_dirty_branch` asserts main's tip manifest
+    *     is BIT-IDENTICAL before/after the whole episode and the
+    *     version chain never moved;
+    *  3. `CALL system.create_branch(t, 'audit2')`; the CLEAN second
+    *     half lands on the branch; the audit passes and
+    *     `CALL system.fast_forward(t, 'audit2')` publishes —
+    *     `ff_atomic` (exactly one new main version, op FAST_FORWARD)
+    *     and `ff_by_reference` (every branch-built data file arrives
+    *     in main as a hard link, nlink ≥ 2 — zero bytes copied) are
+    *     engine-asserted.
+    *
+    * The emitted rows are main AFTER the publish — the full-feed SCD1
+    * winners, the same state a direct write would have produced, which
+    * the oracle recomputes.
+    */
+  def branchWap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DataType
+    val path = Scratch.dir("vlake_branch")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+      .localCheckpoint(true)
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    VersionedLake.upsert(spark, path,
+      asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    SqlCatalog.install(spark)
+    val t = s"${SqlCatalog.CatalogName}.lakehouse.events_branch"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS " +
+      s"${SqlCatalog.CatalogName}.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      LOCATION '$path'""")
+    val mainLinesBefore =
+      VersionedLake.resolvedManifest(spark, path, 1)
+    val second = asChanges(staged.filter(col("sequence_number") > t1))
+      .localCheckpoint(true)
+    // dirty episode
+    spark.sql(s"CALL ${SqlCatalog.CatalogName}.system" +
+      s".create_branch('lakehouse.events_branch', 'audit1')").collect()
+    val bp1 = VersionedLake.branchPath(path, "audit1")
+    VersionedLake.upsert(spark, bp1,
+      second.withColumn("value",
+        when(pmod(col("key_id"), lit(4)) === 0,
+          lit(null).cast("double")).otherwise(col("value"))),
+      Seq("key_id"), "sequence_number")
+    val auditFailed = VersionedLake.read(spark, bp1)
+      .filter(col("value").isNull).count() > 0
+    spark.sql(s"CALL ${SqlCatalog.CatalogName}.system" +
+      s".drop_branch('lakehouse.events_branch', 'audit1')").collect()
+    val mainUntouched = auditFailed &&
+      VersionedLake.versions(spark, path) == Seq(1) &&
+      VersionedLake.resolvedManifest(spark, path, 1) == mainLinesBefore
+    // clean episode
+    spark.sql(s"CALL ${SqlCatalog.CatalogName}.system" +
+      s".create_branch('lakehouse.events_branch', 'audit2')").collect()
+    val bp2 = VersionedLake.branchPath(path, "audit2")
+    VersionedLake.upsert(spark, bp2, second,
+      Seq("key_id"), "sequence_number")
+    val auditPassed = VersionedLake.read(spark, bp2)
+      .filter(col("value").isNull).isEmpty
+    val branchData = VersionedLake
+      .resolvedManifest(spark, bp2, VersionedLake.versions(spark, bp2).last)
+      .filter(l => l.startsWith("gbucket=")).toSet
+    spark.sql(s"CALL ${SqlCatalog.CatalogName}.system" +
+      s".fast_forward('lakehouse.events_branch', 'audit2')").collect()
+    val mainVs = VersionedLake.versions(spark, path)
+    val ffAtomic = auditPassed && mainVs == Seq(1, 2) &&
+      VersionedLake.history(spark, path).orderBy("version").collect()
+        .last.getString(1) == "FAST_FORWARD"
+    val mainData = VersionedLake.resolvedManifest(spark, path, 2)
+      .filter(_.startsWith("gbucket=")).toSet
+    val ffByReference = mainData == branchData &&
+      mainData.forall { line =>
+        val rel = line.split('\t').head
+        java.nio.file.Files.getAttribute(
+          java.nio.file.Paths.get(
+            new org.apache.hadoop.fs.Path(s"$path/$rel").toUri.getPath),
+          "unix:nlink").asInstanceOf[Number].longValue >= 2
+      }
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("main_untouched_by_dirty_branch", lit(mainUntouched))
+      .withColumn("ff_atomic", lit(ffAtomic))
+      .withColumn("ff_by_reference", lit(ffByReference))
+  }
+
+  val branchWapSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS main_untouched_by_dirty_branch,
+         true AS ff_atomic, true AS ff_by_reference
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_sql_call" -> ((s, d) => sqlCall(s, d).orderBy(col("key_id"))))
+    "lake_sql_call" -> ((s, d) => sqlCall(s, d).orderBy(col("key_id"))),
+    "lake_branch_wap" -> ((s, d) => branchWap(s, d).orderBy(col("key_id"))))
 
   def oracles: Map[String, String] = Map(
-    "lake_sql_call" -> sqlCallSql)
+    "lake_sql_call" -> sqlCallSql,
+    "lake_branch_wap" -> branchWapSql)
 }

@@ -2035,6 +2035,115 @@ object VersionedLake {
     CommitResult(1, 0)
   }
 
+  // ---- branch refs (write-audit-publish by NAME) ---------------------------
+
+  private val BranchesDir = "_branches"
+
+  /** The branch's own table directory — a full lake chain under
+    * `<table>/_branches/<name>/`, so every write/read/constraint
+    * surface works on a branch unchanged.
+    */
+  def branchPath(path: String, name: String): String =
+    s"$path/$BranchesDir/$name"
+
+  /** CREATE BRANCH — a WRITABLE named ref (Iceberg branch semantics;
+    * tags are the read-only half, [[createTag]]): the branch forks
+    * from the main tip as a ZERO-COPY clone (hard links on
+    * link-capable stores) plus a `prop branch.base <v>` commit
+    * recording the fork point — the fact [[fastForwardBranch]] checks.
+    * Writes land on the branch's OWN manifest chain via every normal
+    * write surface; main never sees them until a fast-forward
+    * publishes the branch BY REFERENCE. This is [[wapPublish]]'s
+    * write-audit-publish shape with a NAME instead of a caller-managed
+    * staging path.
+    */
+  def createBranch(spark: SparkSession, path: String,
+      name: String): CommitResult = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val bp = branchPath(path, name)
+    require(versions(spark, bp).isEmpty,
+      s"branch $name already exists at $path — drop it first")
+    cloneTable(spark, path, bp)
+    commitPending(spark, bp, PendingCommit(1, Set.empty,
+      Seq(s"prop\tbranch.base\t${vs.last}"), Seq.empty, op = "BRANCH"))
+  }
+
+  /** Branch names currently present under the table. */
+  def branches(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark)
+    val dir = new Path(s"$path/$BranchesDir")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted
+  }
+
+  /** DROP BRANCH — removes the branch chain and its private files;
+    * files shared with main survive (hard links / main's own copies).
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Unit = {
+    val f = fs(spark)
+    val bp = new Path(branchPath(path, name))
+    require(f.exists(bp), s"no branch $name at $path")
+    f.delete(bp, true)
+    ()
+  }
+
+  /** FAST-FORWARD — publish the branch onto main ATOMICALLY and BY
+    * REFERENCE: requires main's tip to still be the branch's recorded
+    * fork point (anything else is not a fast-forward — the honest
+    * refusal; re-branch and replay), links the branch's new data/DV
+    * files into main's directory (invisible: no manifest references
+    * them yet), then CAS-commits main's next version with the branch
+    * tip's manifest lines. A crash before the CAS leaves only
+    * unreferenced files for vacuum; after it, main IS the branch
+    * content. The dirty-branch contract is the contrapositive: a
+    * branch that never fast-forwards leaves main's manifest
+    * bit-identical, which the gate asserts.
+    */
+  def fastForwardBranch(spark: SparkSession, path: String,
+      name: String): CommitResult = {
+    val f = fs(spark)
+    val bp = branchPath(path, name)
+    val bvs = versions(spark, bp)
+    require(bvs.nonEmpty, s"no branch $name at $path")
+    val bTip = manifestEntries(spark, bp, bvs.last)
+    val base = bTip.props.getOrElse("branch.base",
+      throw new IllegalStateException(
+        s"branch $name carries no fork-point record")).toInt
+    val mainTip = versions(spark, path).last
+    require(mainTip == base,
+      s"main advanced since branch $name forked (v$base → v$mainTip) — " +
+        "not a fast-forward; re-branch from the new tip and replay")
+    val mainData = manifestEntries(spark, path, mainTip)
+    val known = (mainData.data ++ mainData.dv.values.toSeq).toSet
+    val newFiles = (bTip.data ++ bTip.dv.values.toSeq.distinct)
+      .filterNot(known.contains).filterNot(rel => f.exists(
+        new Path(s"$path/$rel")))
+    newFiles.foreach { rel =>
+      val src = new Path(s"$bp/$rel")
+      val dst = new Path(s"$path/$rel")
+      f.mkdirs(dst.getParent)
+      if (f.getUri.getScheme == "file")
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+      else
+        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    val lines = TableManifest(bTip.data, bTip.dv, bTip.txn,
+      bTip.props - "branch.base", bTip.stats).lines :+
+      "meta\top\tFAST_FORWARD"
+    if (!casCommit(spark, path, mainTip + 1, lines))
+      throw new ConcurrentWriteConflict(
+        s"lost the fast-forward CAS at $path — main moved concurrently")
+    publishChangeLog(spark, path, mainTip + 1,
+      bTip.data.filterNot(mainData.data.toSet))
+    CommitResult(mainTip + 1, 0)
+  }
+
   /** ADD CONSTRAINT — Delta `ALTER TABLE ADD CONSTRAINT` semantics: a
     * named SQL CHECK predicate stored as a TABLE PROPERTY
     * (`prop constraint.<name> <expr>`), so every future writer —
