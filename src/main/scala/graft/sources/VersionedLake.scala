@@ -499,15 +499,25 @@ object VersionedLake {
     require(vs.nonEmpty, s"no committed versions at $path")
     val m = manifestEntries(spark, path, asOf.getOrElse(vs.last))
     // per mapped (file → sidecar) pair: rows of THAT sidecar for THAT
-    // file; other sidecars' stale rows for a remapped file don't count
+    // file; other sidecars' stale rows for a remapped file don't
+    // count. ONE job over all sidecars (input_file_name ⋈ broadcast
+    // mapping), not a job per sidecar — a trickle table can carry many
     val dvCounts: Map[String, Long] =
-      m.dv.groupBy(_._2).toSeq.flatMap { case (sidecar, pairs) =>
-        val files = pairs.keys.toSeq
-        spark.read.parquet(s"$path/$sidecar")
-          .filter(col("file_rel").isin(files: _*))
+      if (m.dv.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val mapping = m.dv.toSeq.map { case (file, sidecar) =>
+          (file, new Path(s"$path/$sidecar").toUri.getPath)
+        }.toDF("_m_file", "_sidecar")
+        val dvRows = spark.read.parquet(m.dv.values.toSeq.distinct
+            .map(r => s"$path/$r"): _*)
+          .withColumn("_src", input_file_name())
+        dvRows.join(broadcast(mapping),
+            dvRows("file_rel") === mapping("_m_file") &&
+              dvRows("_src").contains(mapping("_sidecar")), "left_semi")
           .groupBy(col("file_rel")).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1))
-      }.toMap
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     m.data.sorted.map { rel =>
       val payload = m.stats.get(rel)
       val rows = payload.flatMap(_.split('|').collectFirst {
