@@ -47,7 +47,7 @@ object LakeProcedures {
   val Namespace = "system"
 
   private val Names = Seq("optimize", "vacuum", "restore", "create_tag",
-    "create_branch", "fast_forward", "drop_branch")
+    "create_branch", "fast_forward", "drop_branch", "enable_row_tracking")
 
   def list(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(Array(Namespace)))
@@ -67,6 +67,7 @@ object LakeProcedures {
       case "create_branch" => new BranchProc("create_branch", path)
       case "fast_forward" => new BranchProc("fast_forward", path)
       case "drop_branch" => new BranchProc("drop_branch", path)
+      case "enable_row_tracking" => new EnableRowTrackingProc(path)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $Namespace.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -264,6 +265,27 @@ object LakeProcedures {
           VersionedLake.dropBranch(spark, path, branch); -1
       }
       result(schema, Seq(row(utf8(branch), v)))
+    }
+  }
+
+  // ---- row tracking --------------------------------------------------------
+
+  /** `CALL system.enable_row_tracking(table)` — one BACKFILL commit
+    * ([[VersionedLake.enableRowTracking]]): every live row gets a
+    * stable identity, every later writer preserves it, and SQL readers
+    * see it through the `ns.t.rows` metadata table. Returns
+    * (operation, version) — the backfill commit it landed.
+    */
+  private final class EnableRowTrackingProc(resolve: String => String)
+      extends LakeProc("enable_row_tracking", resolve) {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType))
+    private val schema = StructType.fromDDL("operation STRING, version INT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (spark, path) = pathOf(input)
+      val r = VersionedLake.enableRowTracking(spark, path)
+      result(schema,
+        Seq(row(utf8("ROW_TRACKING_BACKFILL"), r.version)))
     }
   }
 

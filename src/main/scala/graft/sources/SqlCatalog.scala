@@ -106,7 +106,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val MetaTables =
-    Set("history", "tags", "partitions", "files", "snapshots")
+    Set("history", "tags", "partitions", "files", "snapshots", "rows")
 
   /** The registered merge contract (keys, seqCol) of `name`, for the
     * table_changes TVF; accepts the catalog-qualified form.
@@ -824,6 +824,10 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
       StructField("files_added", LongType, nullable = false),
       StructField("files_removed", LongType, nullable = false),
       StructField("record_count", LongType, nullable = true)))
+    // the table's own rows plus the tracked identity — schema is the
+    // LIVE logical schema + row_id, so it must be computed, not pinned
+    case "rows" =>
+      VersionedLake.readWithRowIds(SparkSession.active, path).schema
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -851,6 +855,7 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
                 VersionedLake.partitionsMeta(spark, path)
               case "files" => VersionedLake.filesMeta(spark, path)
               case "snapshots" => VersionedLake.snapshotsMeta(spark, path)
+              case "rows" => VersionedLake.readWithRowIds(spark, path)
             }
             df.select(relSchema.fieldNames.map(col).toSeq: _*).rdd
           }
@@ -1594,6 +1599,96 @@ object SqlCatalog {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** ROW TRACKING spoken entirely in SQL, as a gate row:
+    * `CALL system.enable_row_tracking(t)` backfills identities,
+    * `SELECT key_id, row_id FROM t.rows` reads them (the metadata
+    * table whose schema is the LIVE logical schema + `row_id`), a SQL
+    * `MERGE INTO` updates/deletes/inserts through the tracked write
+    * path, and `CALL system.optimize(t)` rewrites the layout — with
+    * the emitted booleans pinning that surviving keys kept their ids
+    * across the MERGE, inserted keys drew above the backfill
+    * high-water mark, and the OPTIMIZE rewrite changed no identity
+    * (two-way exceptAll). Content converges to the full-feed SCD1
+    * oracle: identity plumbing must be invisible to data readers.
+    */
+  def sqlRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = Scratch.dir("vlake_sqlrows")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    VersionedLake.upsert(spark, path,
+      staged.filter(col("sequence_number") <= t1)
+        .withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation"),
+      Seq("key_id"), "sequence_number")
+    install(spark)
+    val short = "lakehouse.events_rt"
+    val t = s"$CatalogName.$short"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (key_id BIGINT, value DOUBLE,
+      props STRING, sequence_number BIGINT) USING graft
+      OPTIONS (mergeKeys 'key_id', mergeSeq 'sequence_number')
+      LOCATION '$path'""")
+    val enabled = spark.sql(
+      s"CALL $CatalogName.system.enable_row_tracking('$short')")
+      .head().getString(0) == "ROW_TRACKING_BACKFILL"
+    val idsA = spark.sql(s"SELECT key_id, row_id FROM $t.rows")
+      .localCheckpoint(true)
+    val hwmA = idsA.agg(max(col("row_id"))).head().getLong(0)
+    staged.filter(col("sequence_number") > t1)
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("key_id"))
+        .orderBy(col("sequence_number").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .createOrReplaceTempView("sqlrows_feed")
+    spark.sql(s"""MERGE INTO $t AS tgt USING sqlrows_feed AS src
+      ON tgt.key_id = src.key_id
+      WHEN MATCHED AND src.operation = 'DELETE' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = src.value, props = src.props,
+        sequence_number = src.sequence_number
+      WHEN NOT MATCHED AND src.operation <> 'DELETE' THEN
+        INSERT (key_id, value, props, sequence_number)
+        VALUES (src.key_id, src.value, src.props, src.sequence_number)""")
+    val idsB = spark.sql(s"SELECT key_id, row_id FROM $t.rows")
+      .localCheckpoint(true)
+    val stableIds = idsA.join(idsB, "key_id")
+      .filter(idsA("row_id") =!= idsB("row_id")).isEmpty
+    val freshHigh = idsB.join(idsA, Seq("key_id"), "left_anti")
+      .filter(col("row_id") <= hwmA).isEmpty
+    spark.sql(s"CALL $CatalogName.system.optimize('$short')")
+    val idsC = spark.sql(s"SELECT key_id, row_id FROM $t.rows")
+    val surviveOpt =
+      idsB.exceptAll(idsC).isEmpty && idsC.exceptAll(idsB).isEmpty
+    spark.sql(s"""SELECT key_id, value, props,
+        sequence_number AS last_sequence FROM $t""")
+      .withColumn("tracking_enabled", lit(enabled))
+      .withColumn("ids_stable_across_sql_merge", lit(stableIds))
+      .withColumn("fresh_ids_above_hwm", lit(freshHigh))
+      .withColumn("ids_survive_optimize", lit(surviveOpt))
+  }
+
+  val sqlRowsSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value, props, sequence_number AS last_sequence,
+         true AS tracking_enabled, true AS ids_stable_across_sql_merge,
+         true AS fresh_ids_above_hwm, true AS ids_survive_optimize
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
   /** SQL `DELETE FROM … WHERE` as a gate row: the pushed conjunct
     * routes through [[GraftLakeTable.deleteWhere]] → a MERGE-ON-READ
     * position-delete commit. Engine-asserted: the commit's operation is
@@ -1848,6 +1943,7 @@ object SqlCatalog {
     "lake_sql_expectations" -> ((s, d) =>
       sqlExpectations(s, d).orderBy(col("key_id"))),
     "lake_sql_merge" -> ((s, d) => sqlMerge(s, d).orderBy(col("key_id"))),
+    "lake_sql_rows" -> ((s, d) => sqlRows(s, d).orderBy(col("key_id"))),
     "lake_sql_delete" -> ((s, d) => sqlDelete(s, d).orderBy(col("key_id"))),
     "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
 
@@ -1862,6 +1958,7 @@ object SqlCatalog {
     "lake_sql_ctas" -> sqlCtasSql,
     "lake_sql_expectations" -> sqlExpectationsSql,
     "lake_sql_merge" -> sqlMergeSql,
+    "lake_sql_rows" -> sqlRowsSql,
     "lake_sql_delete" -> sqlDeleteSql,
     "lake_sql_agg_pushdown" -> sqlAggPushdownSql)
 }

@@ -110,7 +110,13 @@ object VersionedLake {
     ourLines: Seq[String], adopted: Seq[String],
     txn: Option[(String, Long)] = None,
     op: String = "MERGE",
-    metaExtra: Seq[String] = Nil) // per-version meta lines (never carry)
+    metaExtra: Seq[String] = Nil, // per-version meta lines (never carry)
+    // table-property KEYS this commit re-stamps (ourLines carries the
+    // new value): the carried-over old line is dropped, and a rebase
+    // CONFLICTS if a concurrent winner changed the same key — the
+    // row-id high-water mark needs exactly this read-modify-write
+    // safety (two writers allocating from one hwm would collide)
+    dropProps: Seq[String] = Nil)
 
   /** Parsed manifest: immutable data files, the per-file deletion
     * vector mapping (data file → DV sidecar holding (file_rel, pos)
@@ -666,6 +672,10 @@ object VersionedLake {
     // row-count entry and corrupt pruning — reserved like _deleted
     require(!df.columns.contains("__meta"),
       "column name __meta is reserved for stats bookkeeping")
+    // _row_id is the engine-assigned row-tracking column: a caller
+    // column by that name would shadow assigned identities
+    require(!df.columns.contains("_row_id"),
+      "column name _row_id is reserved for row tracking")
     renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
       if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
       else d
@@ -676,7 +686,11 @@ object VersionedLake {
     * logical names for the caller, and hide dropped columns.
     */
   private def toLogicalDf(df: DataFrame, m: TableManifest): DataFrame = {
-    val undropped = droppedCols(m).foldLeft(df) { (d, c) =>
+    // the row-tracking identity column is engine state, not schema:
+    // hidden from every logical read ([[readWithRowIds]] surfaces it
+    // under its public name before this rename reaches it)
+    val df0 = if (df.columns.contains("_row_id")) df.drop("_row_id") else df
+    val undropped = droppedCols(m).foldLeft(df0) { (d, c) =>
       if (d.columns.contains(c)) d.drop(c) else d
     }
     val renamed = renameMap(m).foldLeft(undropped) {
@@ -1405,6 +1419,141 @@ object VersionedLake {
     * state the merge assumed (`touched`) — the facts conflict
     * detection needs.
     */
+  // ---- row tracking --------------------------------------------------------
+  //
+  // Delta Row Tracking / Iceberg row-lineage semantics: once enabled
+  // (`prop rowTracking true`, [[enableRowTracking]]), every live row
+  // carries a STABLE engine-assigned identity in a hidden physical
+  // column `_row_id`, preserved across every rewrite:
+  //
+  //  - COW upsert: the per-key winner INHERITS the key's existing id
+  //    (a window max over the same key partitioning the merge already
+  //    shuffles on — no extra shuffle); genuinely new keys draw fresh
+  //    ids above the table's high-water mark (`prop rowid.hwm`).
+  //  - MOR upsert: the appended winner inherits from the row version
+  //    it supersedes (the id rides the same key join that finds the
+  //    DV positions).
+  //  - OPTIMIZE / CLUSTER BY / Z-ORDER / DV compaction: `_row_id` is a
+  //    physical column in the files, so row-preserving rewrites carry
+  //    it like any other column — zero code in those paths.
+  //  - DV deletes: positions change nothing; ids survive trivially.
+  //  - REPLACE: new content = new rows = fresh ids (Delta RTAS rule).
+  //
+  // The hwm is allocated read-modify-write: a commit that stamps a new
+  // hwm declares it via [[PendingCommit.dropProps]], and the OCC loop
+  // REFUSES to rebase over a concurrent hwm change — two writers can
+  // never publish overlapping allocations (they serialize, which is
+  // also Delta's answer). Fresh ids are assigned by a deterministic
+  // (gbucket, key) ordering; the global row_number window runs over
+  // NEW ROWS ONLY (batch-scale — at 100 TB the per-batch new-row set
+  // is what trickles in, never the table).
+
+  private def isTracked(m: TableManifest): Boolean =
+    m.props.get("rowTracking").contains("true")
+
+  private def rowIdHwm(m: TableManifest): Long =
+    m.props.get("rowid.hwm").map(_.toLong).getOrElse(0L)
+
+  private def withNullRowId(df: DataFrame): DataFrame =
+    if (df.columns.contains("_row_id")) df
+    else df.withColumn("_row_id", lit(null).cast("long"))
+
+  /** Before winner resolution: every row of a key sees the key's
+    * existing LIVE id, so the winner keeps it whichever input row wins
+    * — except across a tombstone: a delete RETIRES the id (Delta's
+    * rule: a re-insert is a new row), so only live rows donate, while
+    * a carried tombstone keeps its own id (stable across bucket
+    * rewrites, no allocation churn).
+    */
+  private def inheritRowIds(all: DataFrame,
+      keyColsP: Seq[String]): DataFrame = {
+    val liveId = when(!coalesce(col("_deleted"), lit(false)),
+      col("_row_id"))
+    withNullRowId(all).withColumn("_row_id",
+      coalesce(max(liveId).over(
+        Window.partitionBy(keyColsP.map(col): _*)), col("_row_id")))
+  }
+
+  /** After resolution: rows with no inherited id (new keys) draw
+    * consecutive ids above the high-water mark, ordered by
+    * (gbucket, key) — deterministic, and partitioning-independent
+    * because the checkpointed input is split exactly once.
+    */
+  private def assignFreshRowIds(resolved: DataFrame,
+      keyColsP: Seq[String], hwm0: Long): DataFrame = {
+    val base = withNullRowId(resolved).localCheckpoint(true)
+    val fresh = base.filter(col("_row_id").isNull)
+      .withColumn("_row_id", lit(hwm0) + row_number().over(
+        Window.orderBy((col("gbucket") +: keyColsP.map(col)): _*))
+        .cast("long"))
+    base.filter(col("_row_id").isNotNull).unionByName(fresh)
+  }
+
+  /** The committed allocation ceiling: ids land in the files, so the
+    * new hwm is read back from the adopted files' pruned `_row_id`
+    * column (no extra pass over the merge output before the write).
+    */
+  private def adoptedMaxRowId(spark: SparkSession, path: String,
+      adopted: Seq[String], hwm0: Long): Long = {
+    if (adopted.isEmpty) hwm0
+    else {
+      val r = spark.read.parquet(adopted.map(rel => s"$path/$rel"): _*)
+        .agg(max(col("_row_id"))).collect()(0)
+      math.max(hwm0, if (r.isNullAt(0)) hwm0 else r.getLong(0))
+    }
+  }
+
+  /** Enable row tracking on an existing table: one BACKFILL commit
+    * rewrites the live data with ids assigned in (file, position)
+    * order and stamps `rowTracking` + the initial hwm. Idempotent
+    * refusal if already enabled.
+    */
+  def enableRowTracking(spark: SparkSession, path: String): CommitResult = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val base = vs.last
+    val m = manifestEntries(spark, path, base)
+    require(!isTracked(m), s"row tracking already enabled at $path")
+    if (m.data.isEmpty)
+      return commitPending(spark, path, PendingCommit(base, Set.empty,
+        Seq("prop\trowTracking\ttrue", "prop\trowid.hwm\t0"),
+        Seq.empty, op = "ROW_TRACKING_BACKFILL"))
+    val df = loadWithDv(spark, path, m.data, m.dv, keepPos = true,
+      widen = widenMap(m))
+      .withColumn("_row_id", row_number().over(
+        Window.orderBy(col("_rel"), col("_pos"))).cast("long"))
+      .drop("_rel", "_pos")
+    val wid = nonce()
+    val stage = path + s"_stage_$wid"
+    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    val adopted = adoptStaged(spark, path, stage, wid)
+    val touched = (m.data.map(bucketOf) ++ adopted.map(bucketOf)).toSet
+    val hwm = adoptedMaxRowId(spark, path, adopted, 0L)
+    commitPending(spark, path, PendingCommit(base, touched,
+      TableManifest(adopted, Map.empty,
+        stats = computeStats(spark, path, adopted)).lines ++
+        Seq("prop\trowTracking\ttrue", s"prop\trowid.hwm\t$hwm"),
+      adopted, op = "ROW_TRACKING_BACKFILL"))
+  }
+
+  /** [[read]] plus the tracked identity as a `row_id` output column. */
+  def readWithRowIds(spark: SparkSession, path: String,
+      asOfVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOfVersion.getOrElse(vs.last)
+    val m = manifestEntries(spark, path, v)
+    require(isTracked(m), s"row tracking not enabled at $path")
+    val df0 = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
+      .drop("gbucket")
+    val live =
+      if (df0.columns.contains("_deleted"))
+        df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+      else df0
+    // surface under the public name BEFORE toLogicalDf hides `_row_id`
+    toLogicalDf(live.withColumnRenamed("_row_id", "row_id"), m)
+  }
+
   def prepare(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], seqCol: String,
       numBuckets: Int = 16): PendingCommit = {
@@ -1448,13 +1597,20 @@ object VersionedLake {
       else Some(loadWithDv(spark, path, replaced, prior.dv,
         widen = widenMap(prior))
         .withColumn("_is_update", lit(0)))
-    val merged = existing match {
-      case None => resolve(tagged)
+    val tracked = isTracked(prior)
+    val merged0 = existing match {
+      case None =>
+        resolve(if (tracked) withNullRowId(tagged) else tagged)
       case Some(ex) =>
         val withDel = if (ex.columns.contains("_deleted")) ex
           else ex.withColumn("_deleted", lit(false))
-        resolve(withDel.unionByName(tagged, allowMissingColumns = true))
+        val all = withDel.unionByName(tagged, allowMissingColumns = true)
+        // inherit ids pre-resolution: the winner keeps its key's id
+        resolve(if (tracked) inheritRowIds(all, keyColsP) else all)
     }
+    val merged =
+      if (tracked) assignFreshRowIds(merged0, keyColsP, rowIdHwm(prior))
+      else merged0
     // stage new bucket files, then adopt them under immutable
     // writer-nonced names; staging never touches live data, and no two
     // writers can collide on a physical name
@@ -1468,10 +1624,13 @@ object VersionedLake {
     // commit ultimately lands on (base, or the winner's on rebase).
     // The first commit also stamps the table properties.
     val propLines =
-      if (vs.isEmpty) Seq(s"prop\tnumBuckets\t$buckets") else Seq.empty
+      (if (vs.isEmpty) Seq(s"prop\tnumBuckets\t$buckets") else Seq.empty) ++
+      (if (tracked) Seq("prop\trowid.hwm\t" +
+        adoptedMaxRowId(spark, path, adopted, rowIdHwm(prior))) else Seq.empty)
     PendingCommit(vs.lastOption.getOrElse(0), touched,
       adopted ++ statsAsLines(computeStats(spark, path, adopted)) ++
-        propLines, adopted, metaExtra = expectMeta)
+        propLines, adopted, metaExtra = expectMeta,
+      dropProps = if (tracked) Seq("rowid.hwm") else Nil)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at
@@ -1503,7 +1662,8 @@ object VersionedLake {
         if (isMetaLine(l)) true // per-version bookkeeping, never carries
         else if (isTxnLine(l)) // replace only OUR app's watermark
           p.txn.exists { case (app, _) => l.startsWith(s"txn\t$app\t") }
-        else if (isPropLine(l)) false // table properties always carry
+        else if (isPropLine(l)) // properties carry unless re-stamped
+          p.dropProps.exists(k => l.startsWith(s"prop\t$k\t"))
         else p.touched.contains(bucketOfLine(l))
       }
       kept ++ p.ourLines ++
@@ -1535,6 +1695,21 @@ object VersionedLake {
           s"lost commit of v${base + 1} at $path to a writer that " +
             s"changed buckets ${overlap.toSeq.sorted.mkString(",")} — " +
             "re-merge against the new snapshot")
+      }
+      // a re-stamped property is a read-modify-write: if the winner
+      // changed the same key (e.g. both allocated row ids from one
+      // hwm), rebasing would publish overlapping allocations — conflict
+      val propConflict = p.dropProps.filter { k =>
+        latestLines.filter(_.startsWith(s"prop\t$k\t")).toSet !=
+          baseLines.filter(_.startsWith(s"prop\t$k\t"))
+      }
+      if (propConflict.nonEmpty) {
+        val f = fs(spark)
+        p.adopted.foreach(rel => f.delete(new Path(s"$path/$rel"), false))
+        throw new ConcurrentWriteConflict(
+          s"lost commit of v${base + 1} at $path to a writer that " +
+            s"re-stamped ${propConflict.mkString(",")} — re-run against " +
+            "the new snapshot")
       }
       rounds += 1
       if (rounds > maxRebase) throw new java.io.IOException(
@@ -1916,27 +2091,37 @@ object VersionedLake {
     val keyBuckets = newRows.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSet
     val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
+    val tracked = isTracked(m)
     val current = (if (candidates.isEmpty)
       // no bucket holds these keys yet: empty current, same shape
-      newRows.filter(lit(false))
+      withNullRowId(newRows.filter(lit(false)))
         .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
           lit(null).cast("string").as("_rel") :+
-          lit(null).cast("long").as("_pos")): _*)
-    else loadWithDv(spark, path, candidates, m.dv, keepPos = true,
-      widen = widenMap(m))
+          lit(null).cast("long").as("_pos") :+ col("_row_id")): _*)
+    else withNullRowId(loadWithDv(spark, path, candidates, m.dv,
+      keepPos = true, widen = widenMap(m)))
       .join(newRows.select(keyCols2.map(col): _*).distinct(),
         keyCols2, "left_semi")
       .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
-        col("_rel") :+ col("_pos")): _*))
+        col("_rel") :+ col("_pos") :+
+        // only a LIVE current row donates its id — an accepted write
+        // over a tombstone is a re-insert and draws fresh
+        when(!coalesce(col("_deleted"), lit(false)), col("_row_id"))
+          .as("_row_id")): _*))
       .localCheckpoint(true) // one scan over touched shards only
     // accept iff no current row, or new sequence wins (ties to the
-    // update — upsert's (seq DESC, _is_update DESC) order)
-    val accepted = newRows
-      .join(current.select((keyCols2.map(col) :+ col("_cur_seq")): _*),
+    // update — upsert's (seq DESC, _is_update DESC) order). When
+    // tracked, the superseded row version's id rides this same join,
+    // so the appended winner INHERITS the key's identity.
+    val accepted0 = newRows
+      .join(current.select(((keyCols2.map(col) :+ col("_cur_seq")) ++
+        (if (tracked) Seq(col("_row_id")) else Nil)): _*),
         keyCols2, "left")
       .filter(col("_cur_seq").isNull || col(seqCol2) >= col("_cur_seq"))
       .drop("_cur_seq")
-      .localCheckpoint(true)
+    val accepted =
+      if (tracked) assignFreshRowIds(accepted0, keyCols2, rowIdHwm(m))
+      else accepted0.localCheckpoint(true)
     // DV the superseded versions of accepted keys
     val hits = current
       .join(accepted.select(keyCols2.map(col): _*) , keyCols2, "left_semi")
@@ -1956,10 +2141,13 @@ object VersionedLake {
     }
     val ourLines = TableManifest(m.data ++ appended, newDv,
       stats = m.stats ++ computeStats(spark, path, appended)).lines
-      .filter(l => touched.contains(bucketOfLine(l)))
+      .filter(l => touched.contains(bucketOfLine(l))) ++
+      (if (tracked) Seq("prop\trowid.hwm\t" +
+        adoptedMaxRowId(spark, path, appended, rowIdHwm(m))) else Seq.empty)
     commitPending(spark, path, PendingCommit(base, touched, ourLines,
       appended ++ dvOut.map(_._1).toSeq, op = "MERGE_MOR",
-      metaExtra = expectMeta))
+      metaExtra = expectMeta,
+      dropProps = if (tracked) Seq("rowid.hwm") else Nil))
   }
 
   /** Fold deletion vectors back into data files: rewrite ONLY the
@@ -2672,11 +2860,16 @@ object VersionedLake {
       else contentP.withColumn("_deleted", lit(false))
     val w = Window.partitionBy(keyColsP.map(col): _*)
       .orderBy(col(seqColP).desc)
-    val resolved = withDel
+    val resolved0 = withDel
       .withColumn("gbucket",
         pmod(hash(keyColsP.map(col): _*), lit(buckets)))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    // replaced content is NEW rows: all draw fresh ids (Delta's RTAS
+    // rule — identity does not survive a whole-table content swap)
+    val resolved =
+      if (isTracked(m)) assignFreshRowIds(resolved0, keyColsP, rowIdHwm(m))
+      else resolved0
     val wid = nonce()
     val stage = path + s"_stage_$wid"
     try resolved.repartition(col("gbucket"))
@@ -2689,8 +2882,12 @@ object VersionedLake {
     commitPending(spark, path,
       PendingCommit(base, touched,
         TableManifest(adopted, Map.empty,
-          stats = computeStats(spark, path, adopted)).lines,
-        adopted, op = "REPLACE", metaExtra = expectMeta))
+          stats = computeStats(spark, path, adopted)).lines ++
+          (if (isTracked(m)) Seq("prop\trowid.hwm\t" +
+            adoptedMaxRowId(spark, path, adopted, rowIdHwm(m)))
+          else Seq.empty),
+        adopted, op = "REPLACE", metaExtra = expectMeta,
+        dropProps = if (isTracked(m)) Seq("rowid.hwm") else Nil))
   }
 
   /** OPTIMIZE CLUSTER BY — rewrite the table's buckets RANGE-CLUSTERED
@@ -3924,6 +4121,102 @@ object VersionedLake {
        SELECT key_id, value, props, sequence_number AS last_sequence,
          true AS zero_data_rewrites, true AS appends_landed,
          true AS dv_files_present
+       FROM ranked
+       WHERE rn = 1 AND operation <> 'DELETE'
+       ORDER BY key_id"""
+
+  /** ROW TRACKING as a gate row — the full identity lifecycle:
+    * v1 lands half the change feed, [[enableRowTracking]] BACKFILLS
+    * ids, a COW upsert applies the rest of the feed (updates inherit,
+    * new keys draw above the recorded hwm), a MOR touch-up bumps every
+    * live row's value (+1.0, sequence shifted by the feed's max — the
+    * appended winners must INHERIT ids through the DV join), and an
+    * OPTIMIZE rewrite must carry the ids bit-identically. The emitted
+    * booleans pin each invariant; the data columns converge to the
+    * touched-up SCD1 oracle:
+    *
+    *  - `ids_distinct`            — no duplicate identity at the tip
+    *  - `ids_stable_across_updates` — keys alive before+after the COW
+    *     merge kept their ids
+    *  - `fresh_ids_above_hwm`     — new keys' ids all exceed the hwm
+    *     recorded at backfill
+    *  - `ids_survive_mor`         — the MOR pass changed no identity
+    *  - `ids_survive_optimize`    — the rewrite changed NOTHING
+    *     (two-way exceptAll on (key, id))
+    *  - `hwm_monotone`            — the allocation mark never moved
+    *     backwards
+    */
+  def rowTracking(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Scratch.dir("vlake_rowid")
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 2
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
+      Seq("key_id"), "sequence_number")
+    enableRowTracking(spark, path)
+    def ids(): DataFrame = readWithRowIds(spark, path)
+      .select(col("key_id"), col("row_id")).localCheckpoint(true)
+    def hwmNow(): Long =
+      rowIdHwm(manifestEntries(spark, path, versions(spark, path).last))
+    val idsA = ids()
+    val hwmA = hwmNow()
+    upsert(spark, path, asChanges(staged.filter(col("sequence_number") > t1)),
+      Seq("key_id"), "sequence_number")
+    val idsB = ids()
+    val stableUpd = idsA.join(idsB, "key_id")
+      .filter(idsA("row_id") =!= idsB("row_id")).isEmpty
+    val freshHigh = idsB.join(idsA, Seq("key_id"), "left_anti")
+      .filter(col("row_id") <= hwmA).isEmpty
+    // MOR touch-up: +1.0 to every live row, sequence shifted past the
+    // whole feed so every update wins
+    val touchUp = read(spark, path)
+      .select(col("key_id"), (col("value") + lit(1.0)).as("value"),
+        col("props"),
+        (col("sequence_number") + lit(maxSeq)).as("sequence_number"))
+    dvUpsert(spark, path, touchUp, Seq("key_id"), "sequence_number")
+    val idsC = ids()
+    val stableMor = idsB.join(idsC, "key_id")
+      .filter(idsB("row_id") =!= idsC("row_id")).isEmpty
+    optimizeSmallFiles(spark, path)
+    val idsD = ids()
+    val stableOpt = idsC.exceptAll(idsD).isEmpty && idsD.exceptAll(idsC).isEmpty
+    val distinctIds =
+      idsD.count() == idsD.select(col("row_id")).distinct().count()
+    val hwmMonotone = hwmNow() >= hwmA
+    read(spark, path)
+      .select(col("key_id"), col("value"), col("props"),
+        col("sequence_number").as("last_sequence"))
+      .withColumn("ids_distinct", lit(distinctIds))
+      .withColumn("ids_stable_across_updates", lit(stableUpd))
+      .withColumn("fresh_ids_above_hwm", lit(freshHigh))
+      .withColumn("ids_survive_mor", lit(stableMor))
+      .withColumn("ids_survive_optimize", lit(stableOpt))
+      .withColumn("hwm_monotone", lit(hwmMonotone))
+  }
+
+  val rowTrackingSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id, value, props
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       ranked AS (
+         SELECT s.*, row_number() OVER (PARTITION BY key_id
+           ORDER BY sequence_number DESC) AS rn
+         FROM stg s)
+       SELECT key_id, value + 1.0 AS value, props,
+         sequence_number + (SELECT MAX(sequence_number) FROM stg)
+           AS last_sequence,
+         true AS ids_distinct, true AS ids_stable_across_updates,
+         true AS fresh_ids_above_hwm, true AS ids_survive_mor,
+         true AS ids_survive_optimize, true AS hwm_monotone
        FROM ranked
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
@@ -5366,6 +5659,8 @@ object VersionedLake {
       cdfPreimage(s, d).orderBy(col("key_id"), col("_change_type"))),
     "lake_mor_upsert" -> ((s, d) =>
       morUpsert(s, d).orderBy(col("key_id"))),
+    "lake_row_tracking" -> ((s, d) =>
+      rowTracking(s, d).orderBy(col("key_id"))),
     "lake_deletion_vectors" -> ((s, d) =>
       deletionVectors(s, d).orderBy(col("key_id"))),
     "lake_concurrent_writers" -> ((s, d) =>
@@ -5405,6 +5700,7 @@ object VersionedLake {
     "lake_incremental_cdf" -> incrementalCdfSql,
     "lake_cdf_preimage" -> cdfPreimageSql,
     "lake_mor_upsert" -> morUpsertSql,
+    "lake_row_tracking" -> rowTrackingSql,
     "lake_deletion_vectors" -> deletionVectorsSql,
     "lake_concurrent_writers" -> concurrentWritersSql,
     "lake_vacuum_lifecycle" -> vacuumLifecycleSql,
