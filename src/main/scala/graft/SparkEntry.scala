@@ -48,6 +48,7 @@ object SparkEntry {
       graft.operators.Sequences.queries ++
       graft.operators.TempSample.queries ++
       graft.operators.Drift.queries ++
+      graft.operators.QualityClassifier.queries ++
       graft.sources.CsvIngest.queries ++
       graft.sources.FileRegistry.queries ++
       graft.sources.LakeWriter.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       graft.sources.JsonlSink.queries ++
       graft.sources.Wap.queries ++
       graft.sources.VersionedLake.queries ++
+      graft.sources.TxnGroup.queries ++
       graft.sources.SqlCatalog.queries ++
       graft.sources.CdfSql.queries ++
       graft.sources.LakeProcedures.queries ++
@@ -112,6 +114,7 @@ object SparkEntry {
       graft.operators.Sequences.oracles ++
       graft.operators.TempSample.oracles ++
       graft.operators.Drift.oracles ++
+      graft.operators.QualityClassifier.oracles ++
       graft.sources.CsvIngest.oracles ++
       graft.sources.FileRegistry.oracles ++
       graft.sources.LakeWriter.oracles ++
@@ -125,6 +128,7 @@ object SparkEntry {
       graft.sources.JsonlSink.oracles ++
       graft.sources.Wap.oracles ++
       graft.sources.VersionedLake.oracles ++
+      graft.sources.TxnGroup.oracles ++
       graft.sources.SqlCatalog.oracles ++
       graft.sources.CdfSql.oracles ++
       graft.sources.LakeProcedures.oracles ++

@@ -1,0 +1,327 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** MULTI-TABLE ATOMIC TRANSACTIONS over the versioned lake — the
+  * capability Delta scopes to one table and Iceberg delegates to a
+  * multi-table-CAS catalog (Nessie / Unity commit coordinators): a
+  * write that spans several tables becomes visible ALL-OR-NOTHING.
+  *
+  * Design: a transaction GROUP owns a tiny manifest chain of its own
+  * (`_glog/v%06d.txt`), each version mapping every member table to a
+  * PUBLISHED table version (`tbl\t<name>\t<version>` lines beside
+  * immutable `member\t<name>\t<path>` registrations). Group readers
+  * resolve a member through the group tip and time-travel the table
+  * to exactly that version — so the single compare-and-swap of the
+  * next group file is the transaction's ONLY visibility point:
+  *
+  *  1. each member write lands on its table chain through the normal
+  *     [[VersionedLake.upsert]] (full OCC, constraints, expectations,
+  *     CDF, row tracking — no parallel write path), WAP-style: the
+  *     chain advances, but group readers cannot see it yet;
+  *  2. the group CAS publishes every member's new version in one
+  *     atomic file creation (same link/rename discipline as the table
+  *     commit);
+  *  3. a writer that loses the CAS re-reads the tip: disjoint-table
+  *     winners REBASE (carry the winner's entries, re-CAS — no data
+  *     work); a winner that touched one of OUR tables forces a full
+  *     retry from the new snapshot.
+  *
+  * Crash / abort safety is RESTORE-ON-WRITE: a failed or crashed
+  * transaction leaves orphan versions on member chains that no group
+  * version references. The next writer of that table finds chain tip
+  * ≠ published version and first commits a [[VersionedLake.restore]]
+  * to the published version — rolling the junk back BY REFERENCE
+  * before merging, so abandoned writes can never leak into a
+  * published state (also why a concurrent writer's in-flight chain
+  * commits cannot contaminate ours: whichever group CAS wins, the
+  * loser's chain versions get restored away before reuse).
+  *
+  * At 100 TB: the group file is O(members) lines; commit adds one
+  * metadata CAS to the member writes it coordinates; reads pay one
+  * extra small-file read to resolve versions. Contention serializes
+  * only transactions, not table IO.
+  *
+  * Reference analog: the medallion pipeline updates orders + items +
+  * gold tables as one logical refresh (ref resources/olist_jobs.yml
+  * task chain) — downstream consumers should never observe half of
+  * it.
+  */
+object TxnGroup {
+
+  private val LogDir = "_glog"
+
+  final case class GroupCommitResult(groupVersion: Int,
+    tableVersions: Map[String, Int], retries: Int)
+
+  final class ConcurrentTxnConflict(msg: String)
+    extends RuntimeException(msg)
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def gPath(groupPath: String, v: Int): Path =
+    new Path(f"$groupPath/$LogDir/v$v%06d.txt")
+
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
+  def groupVersions(spark: SparkSession, groupPath: String): Seq[Int] = {
+    val dir = new Path(s"$groupPath/$LogDir")
+    val f = fs(spark)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
+      .sorted.toSeq
+  }
+
+  private def linesAt(spark: SparkSession, groupPath: String,
+      v: Int): Seq[String] = {
+    val in = fs(spark).open(gPath(groupPath, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** (member → table path) — immutable after [[create]]. */
+  def members(spark: SparkSession, groupPath: String): Map[String, String] = {
+    val vs = groupVersions(spark, groupPath)
+    require(vs.nonEmpty, s"no transaction group at $groupPath")
+    linesAt(spark, groupPath, vs.head).collect {
+      case l if l.startsWith("member\t") =>
+        val a = l.split("\t", 3); a(1) -> a(2)
+    }.toMap
+  }
+
+  /** (group version, member → published table version). */
+  def tip(spark: SparkSession, groupPath: String): (Int, Map[String, Int]) = {
+    val vs = groupVersions(spark, groupPath)
+    require(vs.nonEmpty, s"no transaction group at $groupPath")
+    (vs.last, linesAt(spark, groupPath, vs.last).collect {
+      case l if l.startsWith("tbl\t") =>
+        val a = l.split("\t"); a(1) -> a(2).toInt
+    }.toMap)
+  }
+
+  private def casGroup(spark: SparkSession, groupPath: String, v: Int,
+      lines: Seq[String]): Boolean = {
+    val f = fs(spark)
+    f.mkdirs(new Path(s"$groupPath/$LogDir"))
+    val tmp = new Path(s"$groupPath/$LogDir/.v$v-${nonce()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = gPath(groupPath, v)
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false); true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      if (f.exists(dst)) { f.delete(tmp, false); false }
+      else { val won = f.rename(tmp, dst); if (!won) f.delete(tmp, false); won }
+    }
+  }
+
+  /** Register a group over EXISTING tables; each member's current
+    * chain tip becomes its first published version (members join with
+    * their content visible — a group over unseeded tables would have
+    * no restore anchor for first-write junk).
+    */
+  def create(spark: SparkSession, groupPath: String,
+      tables: Map[String, String]): Unit = {
+    require(tables.nonEmpty, "a transaction group needs members")
+    val entries = tables.toSeq.sorted.map { case (name, path) =>
+      val vs = VersionedLake.versions(spark, path)
+      require(vs.nonEmpty,
+        s"member $name at $path has no committed versions — seed it first")
+      (name, path, vs.last)
+    }
+    val lines =
+      entries.map { case (n, p, _) => s"member\t$n\t$p" } ++
+        entries.map { case (n, _, v) => s"tbl\t$n\t$v" } :+
+        "meta\top\tCREATE"
+    require(casGroup(spark, groupPath, 1, lines),
+      s"transaction group already exists at $groupPath")
+  }
+
+  /** Read a member THROUGH the group tip — the only read that gets
+    * the all-or-nothing guarantee.
+    */
+  def read(spark: SparkSession, groupPath: String,
+      name: String): DataFrame = {
+    val (_, map) = tip(spark, groupPath)
+    val path = members(spark, groupPath).getOrElse(name,
+      throw new IllegalArgumentException(s"no member $name"))
+    VersionedLake.read(spark, path, Some(map(name)))
+  }
+
+  /** Commit `writes` to their member tables ATOMICALLY: every batch
+    * lands on its table chain, then ONE group CAS publishes all the
+    * new versions. `keys(name) = (keyCols, seqCol)` is each member's
+    * merge contract.
+    */
+  def commit(spark: SparkSession, groupPath: String,
+      writes: Map[String, DataFrame],
+      keys: Map[String, (Seq[String], String)],
+      maxRetries: Int = 5): GroupCommitResult = {
+    val mem = members(spark, groupPath)
+    writes.keys.foreach { n =>
+      require(mem.contains(n), s"no member $n in group $groupPath") }
+    var retries = 0
+    while (retries <= maxRetries) {
+      val (gv, base) = tip(spark, groupPath)
+      // land each member write WAP-style, rolling back any orphan
+      // chain versions a failed/crashed transaction left behind
+      val written = writes.toSeq.sortBy(_._1).map { case (name, df) =>
+        val path = mem(name)
+        val pub = base(name)
+        if (VersionedLake.versions(spark, path).last != pub)
+          VersionedLake.restore(spark, path, pub)
+        val (kc, sc) = keys(name)
+        name -> VersionedLake.upsert(spark, path, df, kc, sc).version
+      }.toMap
+      // publish: one CAS, rebasing over disjoint-table winners only
+      var attemptBase = base
+      var attemptV = gv
+      var rebasing = true
+      while (rebasing) {
+        val newMap = attemptBase ++ written
+        val lines =
+          mem.toSeq.sorted.map { case (n, p) => s"member\t$n\t$p" } ++
+            newMap.toSeq.sorted.map { case (n, v) => s"tbl\t$n\t$v" } :+
+            "meta\top\tTXN"
+        if (casGroup(spark, groupPath, attemptV + 1, lines))
+          return GroupCommitResult(attemptV + 1, written, retries)
+        val (lv, latest) = tip(spark, groupPath)
+        val changed = latest.keySet.filter(k =>
+          latest(k) != attemptBase.getOrElse(k, -1))
+        if (changed.intersect(writes.keySet).nonEmpty) rebasing = false
+        else { attemptBase = latest; attemptV = lv }
+      }
+      // a winner touched one of our tables: our chain versions are
+      // now orphans (the retry's restore step reclaims them)
+      retries += 1
+    }
+    throw new ConcurrentTxnConflict(
+      s"gave up after $maxRetries retries at $groupPath")
+  }
+
+  // ---- gate ----------------------------------------------------------------
+
+  /** Multi-table atomicity as a gate row. Two member tables (orders,
+    * their line items) seeded half-full; one transaction lands the
+    * other half of BOTH atomically; a direct chain write (simulated
+    * crashed transaction: a poisoned order with o_totalprice −1) must
+    * stay INVISIBLE to group readers; the next transaction (a +1.00
+    * touch-up of low-key orders) must first RESTORE the junk away and
+    * publish clean. Emitted booleans pin: isolation (the poison never
+    * visible through the group), rollback (a RESTORE commit appears on
+    * the orders chain and the poison is absent at the end), and
+    * single-CAS atomicity (exactly three group files — CREATE, TXN,
+    * TXN — each advancing BOTH member entries together). Content
+    * converges to the joined orders⋈lines oracle.
+    */
+  def multiTxn(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Scratch.dir("vlake_group")
+    val pa = s"$root/orders_t"
+    val pb = s"$root/lines_t"
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // testdata line numbers repeat within an order, and an upsert key
+    // must be unique — pre-aggregate to the (order, line) grain
+    // (DECIMAL-exact qty) before the member write
+    val lines = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("qty"))
+    def withSeq(df: DataFrame, s: Int): DataFrame =
+      df.withColumn("seq", lit(s.toLong))
+    // seed: even keys published at group creation
+    VersionedLake.upsert(spark, pa,
+      withSeq(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), 1),
+      Seq("o_orderkey"), "seq")
+    VersionedLake.upsert(spark, pb,
+      withSeq(lines.filter(pmod(col("l_orderkey"), lit(2)) === 0), 1),
+      Seq("l_orderkey", "l_linenumber"), "seq")
+    create(spark, root, Map("orders" -> pa, "lines" -> pb))
+    val contracts = Map(
+      "orders" -> (Seq("o_orderkey"), "seq"),
+      "lines" -> (Seq("l_orderkey", "l_linenumber"), "seq"))
+    // txn 1: the odd half of BOTH tables, atomically
+    commit(spark, root, Map(
+      "orders" -> withSeq(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), 2),
+      "lines" -> withSeq(lines.filter(pmod(col("l_orderkey"), lit(2)) === 1), 2)),
+      contracts)
+    // simulated crashed transaction: lands on the chain, not the group
+    import spark.implicits._
+    VersionedLake.upsert(spark, pa,
+      Seq((-999L, -1.0, 3L)).toDF("o_orderkey", "o_totalprice", "seq"),
+      Seq("o_orderkey"), "seq")
+    val isolated = read(spark, root, "orders")
+      .filter(col("o_orderkey") === -999L).isEmpty
+    // txn 2: touch-up through the group — must restore the junk first
+    val touch = read(spark, root, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+    commit(spark, root, Map("orders" -> withSeq(touch, 4)), contracts)
+    val rolledBack = read(spark, root, "orders")
+      .filter(col("o_orderkey") === -999L).isEmpty &&
+      VersionedLake.history(spark, pa)
+        .filter(col("operation") === "RESTORE").count() >= 1
+    // structural atomicity: 3 group files; both members move in txn 1
+    val gvs = groupVersions(spark, root)
+    val m1 = linesAt(spark, root, 1).filter(_.startsWith("tbl\t")).toSet
+    val m2 = linesAt(spark, root, 2).filter(_.startsWith("tbl\t")).toSet
+    val atomic = gvs == Seq(1, 2, 3) &&
+      (m1.map(_.split("\t")(1)) diff m2.map(_.split("\t")(1))).isEmpty &&
+      m1.intersect(m2).isEmpty // every member advanced in the one CAS
+    val lo = read(spark, root, "lines")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("line_count"),
+        sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"))
+    read(spark, root, "orders")
+      .join(lo, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("line_count"), col("sum_qty"))
+      .withColumn("txn_isolated", lit(isolated))
+      .withColumn("junk_rolled_back", lit(rolledBack))
+      .withColumn("atomic_single_cas", lit(atomic))
+  }
+
+  val multiTxnSql: String =
+    """WITH li AS (
+         SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS qty
+         FROM lineitem GROUP BY 1, 2),
+       lo AS (
+         SELECT l_orderkey, COUNT(*) AS line_count,
+           CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
+         FROM li GROUP BY 1)
+       SELECT o_orderkey,
+         o_totalprice + CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
+           AS o_totalprice,
+         line_count, sum_qty,
+         true AS txn_isolated, true AS junk_rolled_back,
+         true AS atomic_single_cas
+       FROM orders JOIN lo ON o_orderkey = l_orderkey
+       ORDER BY o_orderkey"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_multi_txn" -> ((s, d) =>
+      multiTxn(s, d).orderBy(col("o_orderkey"))))
+
+  def oracles: Map[String, String] = Map(
+    "lake_multi_txn" -> multiTxnSql)
+}
