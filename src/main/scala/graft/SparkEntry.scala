@@ -66,6 +66,7 @@ object SparkEntry {
       graft.sources.SqlCatalog.queries ++
       graft.sources.CdfSql.queries ++
       graft.sources.LakeProcedures.queries ++
+      graft.sources.BranchSql.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
       graft.plans.Schedule.queries ++
@@ -132,6 +133,7 @@ object SparkEntry {
       graft.sources.SqlCatalog.oracles ++
       graft.sources.CdfSql.oracles ++
       graft.sources.LakeProcedures.oracles ++
+      graft.sources.BranchSql.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
       graft.plans.Schedule.oracles ++

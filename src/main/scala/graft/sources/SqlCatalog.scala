@@ -101,12 +101,27 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       // stream by CdfSql.ResolveLakeStreams during analysis.
       if (parentPath != null && ident.name() == "changes")
         return new GraftLakeChangesTable(key(parent), parentPath)
+      // `ns.t.branch_<name>` — the BRANCH as an ordinary table
+      // identifier (Iceberg's branch_ identifier convention): every
+      // read AND write surface (SELECT, INSERT, MERGE, metadata) works
+      // on the branch chain unchanged, because a branch IS a full lake
+      // chain under `_branches/<name>`; the parent's merge contract
+      // carries over so keyed DML keeps its semantics on the branch
+      if (parentPath != null && ident.name().startsWith("branch_")) {
+        val b = ident.name().stripPrefix("branch_")
+        val bp = VersionedLake.branchPath(parentPath, b)
+        if (VersionedLake.versions(SparkSession.active, bp).isEmpty)
+          throw new NoSuchTableException(ident)
+        return new GraftLakeTable(s"${key(parent)}.branch_$b", bp, None,
+          Option(mergeSpecs.get(key(parent))))
+      }
     }
     load(ident, None)
   }
 
   private val MetaTables =
-    Set("history", "tags", "partitions", "files", "snapshots", "rows")
+    Set("history", "tags", "partitions", "files", "snapshots", "rows",
+      "refs")
 
   /** The registered merge contract (keys, seqCol) of `name`, for the
     * table_changes TVF; accepts the catalog-qualified form.
@@ -172,19 +187,32 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     spec.foreach(mergeSpecs.put(identKey, _))
   }
 
-  /** SQL `VERSION AS OF n` — or `VERSION AS OF 'tag'`, the Iceberg
+  /** SQL `VERSION AS OF n` — or `VERSION AS OF '<ref>'`, the Iceberg
     * ref-name form: a non-numeric version resolves through the tip's
-    * tag table ([[VersionedLake.tags]]), so an audit snapshot is
-    * addressable from SQL by MEANING.
+    * tag table ([[VersionedLake.tags]]) first, then through the BRANCH
+    * list — so an audit snapshot OR a branch tip is addressable from
+    * SQL by MEANING (a branch read is the branch chain's tip, the same
+    * relation `ns.t.branch_<name>` serves).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toInt catch {
       case _: NumberFormatException =>
         val path = pathOf(ident)
-        val t = VersionedLake.tags(SparkSession.active, path)
-        t.getOrElse(version, throw new IllegalArgumentException(
-          s"'$version' is neither a version number nor a tag of " +
-            s"${key(ident)} (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
+        val spark = SparkSession.active
+        val t = VersionedLake.tags(spark, path)
+        t.get(version) match {
+          case Some(tv) => tv
+          case None if VersionedLake.branches(spark, path)
+              .contains(version) =>
+            return new GraftLakeTable(s"${key(ident)}.branch_$version",
+              VersionedLake.branchPath(path, version), None,
+              Option(mergeSpecs.get(key(ident))))
+          case None => throw new IllegalArgumentException(
+            s"'$version' is neither a version number, a tag nor a " +
+              s"branch of ${key(ident)} (tags: " +
+              s"${t.keys.toSeq.sorted.mkString(", ")}; branches: " +
+              s"${VersionedLake.branches(spark, path).mkString(", ")})")
+        }
     }
     load(ident, Some(v))
   }
@@ -806,6 +834,11 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
     case "tags" => StructType(Seq(
       StructField("tag_name", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("base_version", IntegerType, nullable = true)))
     case "partitions" => StructType(Seq(
       StructField("bucket", IntegerType, nullable = false),
       StructField("file_count", LongType, nullable = false),
@@ -851,6 +884,7 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
                 import spark.implicits._
                 VersionedLake.tags(spark, path).toSeq.sorted
                   .toDF("tag_name", "version")
+              case "refs" => VersionedLake.refsMeta(spark, path)
               case "partitions" =>
                 VersionedLake.partitionsMeta(spark, path)
               case "files" => VersionedLake.filesMeta(spark, path)

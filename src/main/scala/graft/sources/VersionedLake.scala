@@ -2277,6 +2277,30 @@ object VersionedLake {
       .toSeq.sorted
   }
 
+  /** The table's REFS as a relation (Iceberg `refs` metadata-table
+    * shape): `main` + every branch as type BRANCH (version = the ref's
+    * chain tip; a branch also reports its recorded fork point), every
+    * tag as type TAG pinned to its version. Metadata-scale — one
+    * manifest read per branch, no data IO.
+    */
+  def refsMeta(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val main = ("main", "BRANCH", vs.last, None: Option[Int])
+    val branchRows = branches(spark, path).map { b =>
+      val bp = branchPath(path, b)
+      val bvs = versions(spark, bp)
+      val base = manifestEntries(spark, bp, bvs.last)
+        .props.get("branch.base").map(_.toInt)
+      (b, "BRANCH", bvs.last, base)
+    }
+    val tagRows = tags(spark, path).toSeq.sorted
+      .map { case (n, v) => (n, "TAG", v, None: Option[Int]) }
+    (main +: (branchRows ++ tagRows))
+      .toDF("name", "type", "version", "base_version")
+  }
+
   /** DROP BRANCH — removes the branch chain and its private files;
     * files shared with main survive (hard links / main's own copies).
     */
