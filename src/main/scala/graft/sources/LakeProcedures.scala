@@ -47,7 +47,8 @@ object LakeProcedures {
   val Namespace = "system"
 
   private val Names = Seq("optimize", "vacuum", "restore", "create_tag",
-    "create_branch", "fast_forward", "drop_branch", "enable_row_tracking")
+    "create_branch", "fast_forward", "drop_branch", "enable_row_tracking",
+    "txn_create", "txn_begin", "txn_commit")
 
   def list(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(Array(Namespace)))
@@ -68,6 +69,9 @@ object LakeProcedures {
       case "fast_forward" => new BranchProc("fast_forward", path)
       case "drop_branch" => new BranchProc("drop_branch", path)
       case "enable_row_tracking" => new EnableRowTrackingProc(path)
+      case "txn_create" => new TxnCreateProc(path)
+      case "txn_begin" => new TxnBeginProc
+      case "txn_commit" => new TxnCommitProc
       case other => throw new IllegalArgumentException(
         s"unknown procedure $Namespace.$other " +
           s"(have: ${Names.mkString(", ")})")

@@ -216,6 +216,60 @@ object TxnGroup {
       s"gave up after $maxRetries retries at $groupPath")
   }
 
+  /** SQL-transaction PROLOGUE: roll every member whose chain tip is
+    * not its published version back BY REFERENCE (the restore-on-write
+    * rule run eagerly), so the statements that follow start from the
+    * published state and orphans of failed transactions are reclaimed.
+    * Returns (member, published version, whether a restore landed).
+    */
+  def begin(spark: SparkSession,
+      groupPath: String): Seq[(String, Int, Boolean)] = {
+    val mem = members(spark, groupPath)
+    val (_, pub) = tip(spark, groupPath)
+    mem.toSeq.sorted.map { case (name, path) =>
+      val p = pub(name)
+      val dirty = VersionedLake.versions(spark, path).last != p
+      if (dirty) VersionedLake.restore(spark, path, p)
+      (name, p, dirty)
+    }
+  }
+
+  /** SQL-transaction EPILOGUE: publish every member's CURRENT chain
+    * tip in one group CAS — the all-or-nothing visibility point for
+    * writes that landed through ordinary SQL DML between [[begin]] and
+    * here. Losers rebase over winners that touched only OTHER members;
+    * a winner that moved one of the tables this transaction advanced
+    * is a real conflict and throws ([[ConcurrentTxnConflict]]) — the
+    * caller's next [[begin]] restores the junk away and the
+    * transaction replays.
+    */
+  def commitTips(spark: SparkSession,
+      groupPath: String): GroupCommitResult = {
+    val mem = members(spark, groupPath)
+    val current = mem.map { case (n, p) =>
+      n -> VersionedLake.versions(spark, p).last }
+    var (attemptV, attemptBase) = tip(spark, groupPath)
+    val written = current.filter { case (n, v) => v != attemptBase(n) }
+    while (true) {
+      val newMap = attemptBase ++ written
+      val lines =
+        mem.toSeq.sorted.map { case (n, p) => s"member\t$n\t$p" } ++
+          newMap.toSeq.sorted.map { case (n, v) => s"tbl\t$n\t$v" } :+
+          "meta\top\tTXN"
+      if (casGroup(spark, groupPath, attemptV + 1, lines))
+        return GroupCommitResult(attemptV + 1, written, 0)
+      val (lv, latest) = tip(spark, groupPath)
+      val changed = latest.keySet.filter(k =>
+        latest(k) != attemptBase.getOrElse(k, -1))
+      if (changed.intersect(written.keySet).nonEmpty)
+        throw new ConcurrentTxnConflict(
+          s"a concurrent transaction advanced ${changed.mkString(", ")} " +
+            s"at $groupPath — begin again and replay")
+      attemptBase = latest; attemptV = lv
+    }
+    sys.error("unreachable")
+  }
+
   // ---- gate ----------------------------------------------------------------
 
   /** Multi-table atomicity as a gate row. Two member tables (orders,
