@@ -107,6 +107,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_changes"),
       (children: Seq[Expression]) =>
         graft.sources.CdfSql.tableChangesPlan(children)))
+    // event_log('pipeline') — run/flow/quality observability as a
+    // queryable relation (the reference's DLT event_log surface)
+    ext.injectTableFunction((
+      new FunctionIdentifier("event_log"),
+      new ExpressionInfo(graft.plans.EventLog.getClass.getName,
+        "event_log"),
+      (children: Seq[Expression]) =>
+        graft.plans.EventLog.eventLogPlan(children)))
     // readStream.table("graft_lake.ns.t[.changes]") — named streaming
     // reads resolve onto the _changes/ file stream
     ext.injectResolutionRule(session =>

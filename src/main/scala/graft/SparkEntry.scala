@@ -69,6 +69,7 @@ object SparkEntry {
       graft.sources.BranchSql.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
+      graft.plans.EventLog.queries ++
       graft.plans.Schedule.queries ++
       graft.plans.ConfigLint.queries ++
       graft.streaming.EventStreams.queries ++
@@ -136,6 +137,7 @@ object SparkEntry {
       graft.sources.BranchSql.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
+      graft.plans.EventLog.oracles ++
       graft.plans.Schedule.oracles ++
       graft.plans.ConfigLint.oracles ++
       graft.streaming.EventStreams.oracles ++

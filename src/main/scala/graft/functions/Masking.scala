@@ -99,19 +99,23 @@ object Masking {
   /** Principal-aware row filter over `region_name`: privileged or
     * region-unrestricted principals see every row; a `region-*` group
     * member sees its regions (ref pii_masking.sql:80-103). The
-    * "region-unrestricted" probe must test whole elements too — a
-    * group merely CONTAINING 'region-' as a substring is not a region
-    * grant — so it checks exact membership of each KNOWN region group
-    * (the same universe [[regionFilter]] consults; array_contains
-    * only, so the whole filter still constant-folds per principal).
+    * "region-unrestricted" probe must test whole elements — a group
+    * merely CONTAINING 'region-' as a substring is not a region grant
+    * — AND it must fail CLOSED for region grants outside the known
+    * universe: a principal whose only grant is `region-oceania`
+    * carries a region restriction that maps to no rows, not to all
+    * rows. Element-anchored LIKEs (list start / after a comma) detect
+    * any `region-*` element without enumerating the universe, and the
+    * whole filter still constant-folds per principal.
     */
   lazy val govRowFilterSql: String = {
     val sorted = RegionGroups.toSeq.sortBy(_._1)
     val perGroup = sorted.map { case (g, r) =>
       s"(${memberSql(g)} AND trim(region_name) = '$r')"
     }.mkString("\n        OR ")
-    val anyRegionGroup = sorted.map { case (g, _) => memberSql(g) }
-      .mkString("(", "\n          OR ", ")")
+    val anyRegionGroup =
+      """(caller_groups() LIKE 'region-%'
+          OR caller_groups() LIKE '%,region-%')"""
     s"""${memberSql("admin")}
         OR ${memberSql("pii-readers")}
         OR NOT $anyRegionGroup
@@ -149,7 +153,9 @@ object Masking {
     groups.contains("admin") || groups.contains("pii-readers")
 
   /** Row filter (ref pii_masking.sql:80-103): which region a group may
-    * see; groups with no region restriction see everything.
+    * see; groups with no region restriction see everything. A
+    * `region-*` grant OUTSIDE the known universe fails CLOSED (zero
+    * rows) — it is a restriction we cannot map, not an absence of one.
     */
   def regionFilter(regionName: Column, groups: Set[String]): Column = {
     if (isPrivileged(groups)) lit(true)
@@ -157,7 +163,9 @@ object Masking {
       val allowed = RegionGroups.collect {
         case (g, r) if groups.contains(g) => r
       }.toSeq
-      if (allowed.isEmpty) lit(true) // default: all rows, masked PII
+      if (!groups.exists(_.startsWith("region-")))
+        lit(true) // unrestricted: all rows, masked PII
+      else if (allowed.isEmpty) lit(false) // unknown region grant
       else trim(regionName).isin(allowed: _*)
     }
   }
@@ -188,14 +196,18 @@ object Masking {
        ELSE substring(s, 1, 10) || '****-****'
        END"""
 
-  /** The row filter as a WHERE-clause fragment over `region_name`. */
+  /** The row filter as a WHERE-clause fragment over `region_name`;
+    * same fail-closed rule as [[regionFilter]] for unknown `region-*`
+    * grants.
+    */
   def regionFilterSql(groups: Set[String]): String =
     if (isPrivileged(groups)) "true"
     else {
       val allowed = RegionGroups.collect {
         case (g, r) if groups.contains(g) => r
       }.toSeq.sorted
-      if (allowed.isEmpty) "true"
+      if (!groups.exists(_.startsWith("region-"))) "true"
+      else if (allowed.isEmpty) "false"
       else s"trim(region_name) IN (${allowed.map(r => s"'$r'").mkString(", ")})"
     }
 

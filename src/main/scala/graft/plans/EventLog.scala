@@ -1,0 +1,216 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PIPELINE OBSERVABILITY AS SQL — the reference exposes every
+  * pipeline's run/flow/quality events as a queryable relation
+  * (`SELECT * FROM event_log(TABLE(olist_main_pipeline))` — ref
+  * docs/DEPLOYMENT.md:192, docs/CDC_GUIDE.md:323, the DLT event log).
+  * This is that surface for the engine's own orchestration: a
+  * process-global append-only EVENT LEDGER that [[Pipeline]] writes
+  * (run lifecycle + one `flow_progress` row per table, topo-ordered)
+  * and the DQ surfaces write (`expectation` rows, one per rule), read
+  * back through an injected `event_log('<pipeline>')` table-valued
+  * function (the `table_changes` pattern —
+  * [[graft.sources.CdfSql.tableChangesPlan]]).
+  *
+  * Scale: the ledger is METADATA-sized — O(tables + rules) rows per
+  * run, never row-path data — so a LocalRelation is the right physical
+  * shape (same class as SHOW-style commands); a shared-metastore
+  * deployment would persist the same rows to a lake table instead.
+  * `seq` is the event's position within ITS pipeline's ledger, so the
+  * relation is deterministically ordered however many pipelines share
+  * the process.
+  */
+object EventLog {
+
+  /** One observable pipeline event. Flow rows carry status/attempts/
+    * message; expectation rows carry metric_name (the rule) and
+    * metric_value (its violation count).
+    */
+  final case class Event(
+      pipeline: String,
+      seq: Long,
+      event_type: String,
+      table_name: String,
+      layer: String,
+      status: String,
+      attempts: Int,
+      message: String,
+      metric_name: String,
+      metric_value: Long)
+
+  // append-only, process-global (the builtin-registry discipline:
+  // sessions share it); CopyOnWrite because writers are rare and
+  // readers snapshot
+  private val ledger =
+    new java.util.concurrent.CopyOnWriteArrayList[Event]()
+
+  /** Append one event; `seq` is assigned at read time (position within
+    * the pipeline's own ledger), so callers never coordinate.
+    */
+  def record(pipeline: String, eventType: String, tableName: String = "",
+      layer: String = "", status: String = "", attempts: Int = 0,
+      message: String = "", metricName: String = "",
+      metricValue: Long = 0L): Unit =
+    ledger.add(Event(pipeline, -1L, eventType, tableName, layer, status,
+      attempts, message, metricName, metricValue))
+
+  /** One `expectation` event per rule — the DQ-monitor rollup shape
+    * (`flow_progress.data_quality` in the reference's event log).
+    */
+  def recordExpectations(pipeline: String, tableName: String,
+      metrics: Seq[(String, Long)]): Unit =
+    metrics.foreach { case (rule, violations) =>
+      record(pipeline, "expectation", tableName = tableName,
+        status = "warn", metricName = rule, metricValue = violations)
+    }
+
+  /** Drop a pipeline's events — gates clear before a scripted run so
+    * re-runs in one process stay deterministic.
+    */
+  def clear(pipeline: String): Unit =
+    ledger.removeIf(_.pipeline == pipeline)
+
+  /** The pipeline's events in recorded order, seq assigned. */
+  def eventsFor(pipeline: String): Seq[Event] =
+    ledger.iterator().asScala.filter(_.pipeline == pipeline)
+      .zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }.toSeq
+
+  /** Builder for the `event_log('<pipeline>')` table-valued function
+    * (injected via `injectTableFunction`, resolved on the driver during
+    * analysis like `table_changes`). Errors loudly on an unknown
+    * pipeline — an empty observability read is a misconfiguration, not
+    * an empty result.
+    */
+  def eventLogPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"event_log(pipeline) takes 1 argument, got ${args.size}")
+    val name = args.head match {
+      case Literal(v, _) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"event_log pipeline name must be a non-null literal, got $other")
+    }
+    val evs = eventsFor(name)
+    require(evs.nonEmpty, s"no recorded events for pipeline '$name' " +
+      "(known: " + ledger.iterator().asScala.map(_.pipeline)
+        .toSeq.distinct.sorted.mkString(", ") + ")")
+    SparkSession.active.createDataFrame(evs).queryExecution.analyzed
+  }
+
+  // ---- gate ----------------------------------------------------------------
+
+  /** `pipeline_event_log` — the observability surface over a SCRIPTED
+    * DAG run, read back entirely through SQL:
+    *
+    *  1. a five-table DAG (two real silver tables landing to a scratch
+    *     lake, a gold rollup, a node that fails deterministically with
+    *     one retry, and its downstream — skipped) runs under
+    *     `continueOnFailure` with the ledger attached
+    *     (`RunPolicy.pipelineName`);
+    *  2. the DQ rules ([[graft.streaming.DqMonitor.rules]]) are rolled
+    *     up over the raw events feed — the same batch-boundary-
+    *     independent numbers the streaming monitor accumulates — and
+    *     recorded as `expectation` events;
+    *  3. `SELECT * FROM event_log('…')` serves the whole story as
+    *     ordered rows: run_started → flow_progress per table in topo
+    *     order (ok ×3 / failed with attempts=2 / skipped with the
+    *     upstream named) → run_completed with the status tally →
+    *     expectations with oracle-recomputable violation counts.
+    *
+    * Every row is deterministic: statuses and messages are pinned by
+    * the script, violation counts recompute in SQL from the raw feed.
+    */
+  def eventLogGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import Pipeline.{RunPolicy, TableDef}
+    import graft.operators.Medallion
+    val name = "gate_evlog"
+    clear(name)
+    val lake = graft.sources.Scratch.dir("evlog_lake")
+    val defs = Seq(
+      TableDef("silver_orders", "silver", Nil,
+        (s, _) => Medallion.silverOrders(Tables.orders(s, sfDir)),
+        sources = Seq(s"$sfDir/orders.parquet")),
+      TableDef("silver_lineitem", "silver", Nil,
+        (s, _) => Medallion.silverLineitem(Tables.lineitem(s, sfDir)),
+        sources = Seq(s"$sfDir/lineitem.parquet")),
+      TableDef("broken_feed", "silver", Nil,
+        (_, _) => sys.error("synthetic failure: upstream unavailable"),
+        sources = Seq(s"$sfDir/events.parquet")),
+      TableDef("gold_order_volume", "gold", Seq("silver_orders"),
+        (_, t) => t("silver_orders").groupBy(col("order_status"))
+          .agg(count(lit(1)).as("n_orders"))),
+      TableDef("gold_broken_rollup", "gold", Seq("broken_feed"),
+        (_, t) => t("broken_feed")))
+    Pipeline.runWithReport(spark, defs, lakeDir = Some(lake),
+      policy = RunPolicy(maxRetries = 1, continueOnFailure = true,
+        pipelineName = Some(name)))
+    // the DQ rollup, one aggregate pass (identical numbers to the
+    // streaming monitor's accumulation — batch-boundary-independent)
+    val rules = graft.streaming.DqMonitor.rules
+    val aggs = rules.map(r =>
+      sum(when(!coalesce(r.predicate, lit(false)), 1L).otherwise(0L))
+        .as(r.name))
+    val row = Tables.events(spark, sfDir)
+      .filter(col("event_id").isNotNull)
+      .agg(aggs.head, aggs.tail: _*).head()
+    recordExpectations(name, "bronze_events",
+      rules.map(r => r.name -> row.getAs[Long](r.name)).sortBy(_._1))
+    spark.sql(s"SELECT * FROM event_log('$name')")
+  }
+
+  val eventLogGateSql: String =
+    """WITH flows AS (
+         SELECT * FROM (VALUES
+           (0, 'run_started', '', '', '', 0, 'tables=5', '', 0),
+           (1, 'flow_progress', 'silver_orders', 'silver', 'ok', 1, '', '', 0),
+           (2, 'flow_progress', 'silver_lineitem', 'silver', 'ok', 1, '', '', 0),
+           (3, 'flow_progress', 'broken_feed', 'silver', 'failed', 2,
+            'java.lang.RuntimeException: synthetic failure: upstream unavailable', '', 0),
+           (4, 'flow_progress', 'gold_order_volume', 'gold', 'ok', 1, '', '', 0),
+           (5, 'flow_progress', 'gold_broken_rollup', 'gold', 'skipped', 0,
+            'upstream failed: broken_feed', '', 0),
+           (6, 'run_completed', '', '', '', 0,
+            'ok=3 failed=1 skipped=1 fresh=0', '', 0)
+         ) AS t(seq, event_type, table_name, layer, status, attempts,
+                message, metric_name, metric_value)),
+       e AS (SELECT user_id, event_type, value FROM events
+             WHERE event_id IS NOT NULL),
+       dq AS (
+         SELECT * FROM (
+           SELECT 7 AS seq, 'event_type_present' AS metric_name,
+             CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS metric_value FROM e
+           UNION ALL
+           SELECT 8, 'user_present',
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) FROM e
+           UNION ALL
+           SELECT 9, 'value_nonneg',
+             CAST(SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM e))
+       SELECT 'gate_evlog' AS pipeline, CAST(seq AS BIGINT) AS seq,
+         event_type, table_name, layer, status, attempts, message,
+         metric_name, metric_value
+       FROM flows
+       UNION ALL
+       SELECT 'gate_evlog', CAST(seq AS BIGINT), 'expectation',
+         'bronze_events', '', 'warn', 0, '', metric_name, metric_value
+       FROM dq
+       ORDER BY seq"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_event_log" -> ((s, d) =>
+      eventLogGate(s, d).orderBy(col("seq"))))
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_event_log" -> eventLogGateSql)
+}

@@ -106,6 +106,12 @@ object Pipeline {
     *                          exhausted (the email_notifications
     *                          delivery hook); exceptions it throws are
     *                          logged, never propagated into the DAG
+    * @param pipelineName      when set, the run writes its lifecycle +
+    *                          per-table flow_progress events to the
+    *                          [[EventLog]] ledger under this name, so
+    *                          `SELECT * FROM event_log('<name>')`
+    *                          serves the run — the reference's
+    *                          event_log observability surface
     */
   final case class RunPolicy(
       maxRetries: Int = 0,
@@ -114,7 +120,8 @@ object Pipeline {
       mode: RunMode = FullRefresh,
       timeoutSeconds: Option[Long] = None,
       retryOnTimeout: Boolean = false,
-      onFailure: NodeReport => Unit = _ => ())
+      onFailure: NodeReport => Unit = _ => (),
+      pipelineName: Option[String] = None)
 
   /** Per-table outcome of a DAG run: status ∈ ok | failed | skipped |
     * fresh (skipped = an upstream dependency failed; fresh = an
@@ -266,8 +273,25 @@ object Pipeline {
             lakeDir, policy, fps.get(d.name))
         }
       }
+      policy.pipelineName.foreach(pn => EventLog.record(pn, "run_started",
+        message = s"tables=${ordered.size}"))
       val outcomes =
         Await.result(Future.sequence(futures.values.toSeq), Duration.Inf)
+      // ledger rows land AFTER the DAG settles, in TOPO order — builds
+      // interleave nondeterministically, the observability record must
+      // not (the event_log oracle depends on it)
+      policy.pipelineName.foreach { pn =>
+        outcomes.map(_.report).foreach { r =>
+          EventLog.record(pn, "flow_progress", tableName = r.name,
+            layer = r.layer, status = r.status, attempts = r.attempts,
+            message = r.error.getOrElse(""))
+        }
+        val tally = outcomes.map(_.report).groupBy(_.status)
+          .view.mapValues(_.size).toMap
+        EventLog.record(pn, "run_completed", message =
+          Seq("ok", "failed", "skipped", "fresh")
+            .map(s => s"$s=${tally.getOrElse(s, 0)}").mkString(" "))
+      }
       val results = mutable.LinkedHashMap.empty[String, DataFrame]
       outcomes.foreach(o => o.df.foreach(results += o.report.name -> _))
       (results.toMap, outcomes.map(_.report))

@@ -293,6 +293,104 @@ object LakeProcedures {
     }
   }
 
+  // ---- multi-table transactions ---------------------------------------------
+
+  /** Transaction groups are addressed by NAME; their manifest chain
+    * lives under the warehouse (`<warehouse>/_txn_groups/<group>`), so
+    * `txn_begin`/`txn_commit` need no path and no catalog entry — the
+    * group is pure coordination metadata, not a table.
+    */
+  def txnGroupPath(group: String): String = {
+    require(group.nonEmpty && !group.contains('/') && !group.contains('.'),
+      s"transaction group must be a simple name, got '$group'")
+    val wh = SparkSession.active.conf.get("spark.graft.warehouse",
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    s"$wh/_txn_groups/$group"
+  }
+
+  /** `CALL system.txn_create(group, members)` — register a multi-table
+    * transaction group over EXISTING catalog tables. `members` is a
+    * comma-separated list of `alias=ns.table` entries (bare `ns.table`
+    * aliases to its last name segment). Each member's current chain
+    * tip becomes its first published version ([[TxnGroup.create]]).
+    * Returns one row per member: (member, table, version).
+    */
+  private final class TxnCreateProc(resolve: String => String)
+      extends LakeProc("txn_create", resolve) {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("group", StringType),
+      p("members", StringType))
+    private val schema = StructType.fromDDL(
+      "member STRING, table STRING, version INT")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val group = input.getUTF8String(0).toString
+      val named = input.getUTF8String(1).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+          s.split('=') match {
+            case Array(alias, tbl) => (alias.trim, tbl.trim)
+            case Array(tbl) => (tbl.split('.').last, tbl)
+            case _ => throw new IllegalArgumentException(
+              s"member spec '$s' is not alias=table or table")
+          }
+        }
+      require(named.map(_._1).distinct.size == named.size,
+        s"duplicate member aliases in ${named.map(_._1).mkString(",")}")
+      val gp = txnGroupPath(group)
+      TxnGroup.create(spark, gp,
+        named.map { case (a, t) => a -> resolve(t) }.toMap)
+      val (_, pub) = TxnGroup.tip(spark, gp)
+      result(schema, named.sortBy(_._1).map { case (a, t) =>
+        row(utf8(a), utf8(t), pub(a)) })
+    }
+  }
+
+  /** `CALL system.txn_begin(group)` — transaction PROLOGUE
+    * ([[TxnGroup.begin]]): every member whose chain tip drifted from
+    * its published version is rolled back BY REFERENCE, reclaiming
+    * orphan versions of failed/crashed transactions, so the DML that
+    * follows starts from the published state. Returns one row per
+    * member: (member, published_version, restored).
+    */
+  private final class TxnBeginProc
+      extends LakeProc("txn_begin", identity) {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("group", StringType))
+    private val schema = StructType.fromDDL(
+      "member STRING, published_version INT, restored BOOLEAN")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val gp = txnGroupPath(input.getUTF8String(0).toString)
+      result(schema, TxnGroup.begin(spark, gp).map { case (n, v, d) =>
+        row(utf8(n), v, d) })
+    }
+  }
+
+  /** `CALL system.txn_commit(group)` — transaction EPILOGUE
+    * ([[TxnGroup.commitTips]]): ONE group CAS publishes every member's
+    * current chain tip — the all-or-nothing visibility point for the
+    * SQL DML that landed since [[TxnBeginProc]]. A concurrent winner
+    * that moved one of the advanced tables throws
+    * ([[TxnGroup.ConcurrentTxnConflict]]); begin again and replay.
+    * Returns one row per member: (group_version, member, version,
+    * advanced).
+    */
+  private final class TxnCommitProc
+      extends LakeProc("txn_commit", identity) {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("group", StringType))
+    private val schema = StructType.fromDDL(
+      "group_version INT, member STRING, version INT, advanced BOOLEAN")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val gp = txnGroupPath(input.getUTF8String(0).toString)
+      val r = TxnGroup.commitTips(spark, gp)
+      val (_, pub) = TxnGroup.tip(spark, gp)
+      result(schema, pub.toSeq.sortBy(_._1).map { case (n, v) =>
+        row(r.groupVersion, utf8(n), v, r.tableVersions.contains(n)) })
+    }
+  }
+
   // ---- gate ----------------------------------------------------------------
 
   /** The CALL surface as a gate row — the full maintenance lifecycle
@@ -528,12 +626,170 @@ object LakeProcedures {
        WHERE rn = 1 AND operation <> 'DELETE'
        ORDER BY key_id"""
 
+  /** The SQL TRANSACTION LIFECYCLE as a gate row — multi-table
+    * atomicity spoken entirely by name ([[TxnGroup]]'s engine proof is
+    * `lake_multi_txn`; this is its CALL face, the shape a SQL user of
+    * the reference's multi-table refresh chain actually types — ref
+    * resources/olist_jobs.yml):
+    *
+    *  1. two catalog tables (orders + their line items) seeded with
+    *     the even keys; `CALL system.txn_create(g, members)` registers
+    *     the group — each member's tip becomes its published version;
+    *  2. `CALL system.txn_begin(g)` (clean: zero restores), then
+    *     ordinary SQL MERGE lands the odd half on BOTH member chains —
+    *     `sql_txn_isolated` asserts group readers still see only the
+    *     even half until `CALL system.txn_commit(g)` publishes both in
+    *     ONE group CAS (both members flagged `advanced` in the CALL's
+    *     own result);
+    *  3. a crashed transaction (a poisoned direct INSERT that never
+    *     commits) is reclaimed by the NEXT `txn_begin`:
+    *     `orphan_restored_by_begin` asserts the begin row reports the
+    *     restore AND the poison is gone from the chain itself;
+    *  4. a SQL UPDATE (+1.00 on low-key orders) rides the replayed
+    *     transaction; `atomic_single_cas` asserts the group log is
+    *     exactly CREATE + one CAS per commit, the first advancing both
+    *     members together.
+    *
+    * Emitted rows are the published orders⋈lines state, which the
+    * oracle recomputes from the raw feed.
+    */
+  def sqlTxn(spark: SparkSession, sfDir: String): DataFrame = {
+    import SqlCatalog.CatalogName
+    import org.apache.spark.sql.types.DecimalType
+    val root = Scratch.dir("vlake_sqltxn")
+    val pa = s"$root/orders_t"
+    val pb = s"$root/lines_t"
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val lines = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("qty"))
+    def withSeq(df: DataFrame, s: Int): DataFrame =
+      df.withColumn("seq", lit(s.toLong))
+    VersionedLake.upsert(spark, pa,
+      withSeq(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), 1),
+      Seq("o_orderkey"), "seq")
+    VersionedLake.upsert(spark, pb,
+      withSeq(lines.filter(pmod(col("l_orderkey"), lit(2)) === 0), 1),
+      Seq("l_orderkey", "l_linenumber"), "seq")
+    SqlCatalog.install(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CatalogName.lakehouse")
+    val ta = s"$CatalogName.lakehouse.orders_txn"
+    val tb = s"$CatalogName.lakehouse.lines_txn"
+    spark.sql(s"DROP TABLE IF EXISTS $ta")
+    spark.sql(s"DROP TABLE IF EXISTS $tb")
+    spark.sql(s"""CREATE TABLE $ta (o_orderkey BIGINT,
+      o_totalprice DOUBLE, seq BIGINT) USING graft
+      OPTIONS (mergeKeys 'o_orderkey', mergeSeq 'seq') LOCATION '$pa'""")
+    spark.sql(s"""CREATE TABLE $tb (l_orderkey BIGINT, l_linenumber INT,
+      qty DECIMAL(18,2), seq BIGINT) USING graft
+      OPTIONS (mergeKeys 'l_orderkey,l_linenumber', mergeSeq 'seq')
+      LOCATION '$pb'""")
+    val g = "txngate" +
+      java.util.UUID.randomUUID.toString.replace("-", "").substring(0, 8)
+    val gp = txnGroupPath(g)
+    val created = spark.sql(s"""CALL $CatalogName.system.txn_create('$g',
+      'orders=lakehouse.orders_txn,lines=lakehouse.lines_txn')""").collect()
+    require(created.length == 2 && created.forall(_.getInt(2) == 1),
+      s"txn_create must report both members at their seed version: " +
+        created.mkString(","))
+
+    // txn 1: the odd half of BOTH tables through ordinary SQL MERGE
+    val begin1 = spark.sql(
+      s"CALL $CatalogName.system.txn_begin('$g')").collect()
+    require(begin1.forall(!_.getBoolean(2)),
+      s"a clean begin must restore nothing: ${begin1.mkString(",")}")
+    withSeq(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), 2)
+      .createOrReplaceTempView("txn_orders_feed")
+    withSeq(lines.filter(pmod(col("l_orderkey"), lit(2)) === 1), 2)
+      .createOrReplaceTempView("txn_lines_feed")
+    spark.sql(s"""MERGE INTO $ta AS t USING txn_orders_feed AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql(s"""MERGE INTO $tb AS t USING txn_lines_feed AS s
+      ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val evenOnly = orders
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0).count()
+    val isolated =
+      TxnGroup.read(spark, gp, "orders").count() == evenOnly &&
+        TxnGroup.read(spark, gp, "lines")
+          .filter(pmod(col("l_orderkey"), lit(2)) === 1).isEmpty
+    val commit1 = spark.sql(
+      s"CALL $CatalogName.system.txn_commit('$g')").collect()
+    require(commit1.length == 2 &&
+      commit1.forall(r => r.getInt(0) == 2 && r.getBoolean(3)),
+      s"txn_commit must advance both members in group v2: " +
+        commit1.mkString(","))
+
+    // crashed transaction: a poisoned INSERT that never commits
+    spark.sql(s"INSERT INTO $ta VALUES (-999, -1.0, 99)")
+    val poisonInvisible = TxnGroup.read(spark, gp, "orders")
+      .filter(col("o_orderkey") === -999L).isEmpty
+
+    // txn 2: begin reclaims the orphan, a SQL UPDATE rides the replay
+    val begin2 = spark.sql(
+      s"CALL $CatalogName.system.txn_begin('$g')").collect()
+    val orphanRestored = poisonInvisible &&
+      begin2.exists(r => r.getString(0) == "orders" && r.getBoolean(2)) &&
+      spark.sql(s"SELECT * FROM $ta WHERE o_orderkey = -999").isEmpty
+    spark.sql(
+      s"UPDATE $ta SET o_totalprice = o_totalprice + 1.0, seq = 100 " +
+        "WHERE o_orderkey < 500")
+    spark.sql(s"CALL $CatalogName.system.txn_commit('$g')").collect()
+
+    // structural atomicity: CREATE + one CAS per commit; the first
+    // CAS moved BOTH members together
+    val gvs = TxnGroup.groupVersions(spark, gp)
+    val atomic = gvs == Seq(1, 2, 3) && {
+      val v1 = TxnGroup.tipAt(spark, gp, 1)
+      val v2 = TxnGroup.tipAt(spark, gp, 2)
+      v2.keySet == v1.keySet && v1.keySet.forall(k => v2(k) > v1(k))
+    }
+
+    val lo = TxnGroup.read(spark, gp, "lines")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("line_count"),
+        sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"))
+    TxnGroup.read(spark, gp, "orders")
+      .join(lo, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("line_count"), col("sum_qty"))
+      .withColumn("sql_txn_isolated", lit(isolated))
+      .withColumn("orphan_restored_by_begin", lit(orphanRestored))
+      .withColumn("atomic_single_cas", lit(atomic))
+  }
+
+  val sqlTxnSql: String =
+    """WITH li AS (
+         SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS qty
+         FROM lineitem GROUP BY 1, 2),
+       lo AS (
+         SELECT l_orderkey, COUNT(*) AS line_count,
+           CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
+         FROM li GROUP BY 1)
+       SELECT o_orderkey,
+         o_totalprice + CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
+           AS o_totalprice,
+         line_count, sum_qty,
+         true AS sql_txn_isolated, true AS orphan_restored_by_begin,
+         true AS atomic_single_cas
+       FROM orders JOIN lo ON o_orderkey = l_orderkey
+       ORDER BY o_orderkey"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_sql_call" -> ((s, d) => sqlCall(s, d).orderBy(col("key_id"))),
-    "lake_branch_wap" -> ((s, d) => branchWap(s, d).orderBy(col("key_id"))))
+    "lake_branch_wap" -> ((s, d) => branchWap(s, d).orderBy(col("key_id"))),
+    "lake_sql_txn" -> ((s, d) => sqlTxn(s, d).orderBy(col("o_orderkey"))))
 
   def oracles: Map[String, String] = Map(
     "lake_sql_call" -> sqlCallSql,
-    "lake_branch_wap" -> branchWapSql)
+    "lake_branch_wap" -> branchWapSql,
+    "lake_sql_txn" -> sqlTxnSql)
 }

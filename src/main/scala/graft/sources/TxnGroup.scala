@@ -97,14 +97,19 @@ object TxnGroup {
     }.toMap
   }
 
+  /** (member → published table version) at a given group version. */
+  def tipAt(spark: SparkSession, groupPath: String,
+      v: Int): Map[String, Int] =
+    linesAt(spark, groupPath, v).collect {
+      case l if l.startsWith("tbl\t") =>
+        val a = l.split("\t"); a(1) -> a(2).toInt
+    }.toMap
+
   /** (group version, member → published table version). */
   def tip(spark: SparkSession, groupPath: String): (Int, Map[String, Int]) = {
     val vs = groupVersions(spark, groupPath)
     require(vs.nonEmpty, s"no transaction group at $groupPath")
-    (vs.last, linesAt(spark, groupPath, vs.last).collect {
-      case l if l.startsWith("tbl\t") =>
-        val a = l.split("\t"); a(1) -> a(2).toInt
-    }.toMap)
+    (vs.last, tipAt(spark, groupPath, vs.last))
   }
 
   private def casGroup(spark: SparkSession, groupPath: String, v: Int,

@@ -1765,6 +1765,27 @@ object VersionedLake {
     }
   }
 
+  /** Durable marker for a change-feed GAP — a version whose change
+    * files can never be published (see [[repairDeleteTombstones]]).
+    * Underscore-prefixed so the `v*` parquet glob and Spark's file
+    * index never read it as data; a FILE, so vacuum's change-DIRECTORY
+    * sweep leaves it standing until its version falls below the
+    * retention floor.
+    */
+  private def gapMarkerPath(path: String, version: Int): Path =
+    new Path(f"$path/$ChangesDir/_gap_v$version%06d.txt")
+
+  /** Versions with a recorded change-feed gap (oldest first). */
+  def changeFeedGaps(spark: SparkSession, path: String): Seq[Int] = {
+    val f = fs(spark)
+    val chDir = new Path(s"$path/$ChangesDir")
+    if (!f.exists(chDir)) Seq.empty
+    else f.listStatus(chDir).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith("_gap_v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("_gap_v").stripSuffix(".txt").toInt)
+      .sorted.toSeq
+  }
+
   /** The table's commit log as a STREAMING SOURCE — the Delta
     * `readChangeFeed` streaming shape: a file stream over the
     * per-version change directories. The returned stream delivers every
@@ -1793,6 +1814,12 @@ object VersionedLake {
     * tip manifest, so the stream always speaks the current names.
     */
   def streamChanges(spark: SparkSession, path: String): DataFrame = {
+    val gaps = changeFeedGaps(spark, path)
+    require(gaps.isEmpty,
+      s"change feed at $path has unpublishable gaps at version(s) " +
+        s"${gaps.mkString(", ")} (delete tombstones lost to tag-pinned " +
+        "vacuum retention) — a stream from here would silently miss " +
+        "those deletes; re-seed the consumer from a snapshot instead")
     val f = fs(spark)
     val chDir = new Path(s"$path/$ChangesDir")
     val dirs =
@@ -1805,9 +1832,14 @@ object VersionedLake {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no committed versions at $path")
     val m = manifestEntries(spark, path, vs.last)
+    // anchor the version capture to the _changes directory — an
+    // unanchored /v<digits>/ would match a path segment of the table
+    // ROOT (e.g. a table under /data/v2/...) and stamp every row with
+    // that foreign number
     toLogicalDf(streamSource(spark, path, phys), m)
       .withColumn("_commit_version",
-        regexp_extract(input_file_name(), "/v(\\d+)/", 1).cast("int"))
+        regexp_extract(input_file_name(),
+          s"/$ChangesDir/v(\\d+)/", 1).cast("int"))
   }
 
   /** Adopt every staged bucket file under immutable writer-nonced
@@ -2020,9 +2052,19 @@ object VersionedLake {
       // wedges every future dvDelete on this table behind an
       // unrepairable crash remnant.
       if (isDelete && !vs.contains(v - 1)) {
+        // the gap is permanent — record it DURABLY so change-feed
+        // consumers fail on it instead of silently missing the
+        // version's tombstones (a log line is not a queryable signal)
+        val marker = gapMarkerPath(path, v)
+        if (!f.exists(marker)) {
+          val out = f.create(marker, true)
+          try out.write((s"delete tombstones for v$v are unpublishable: " +
+            s"predecessor manifest v${v - 1} was vacuumed").getBytes("UTF-8"))
+          finally out.close()
+        }
         log.warn(s"cannot repair lost delete tombstones for v$v at " +
           s"$path: predecessor manifest v${v - 1} was vacuumed; " +
-          "change feed for that version stays unpublished")
+          s"gap recorded at $marker")
       } else if (isDelete) {
         val m = manifestEntries(spark, path, v)
         val mPrev = manifestEntries(spark, path, v - 1)
@@ -2203,13 +2245,19 @@ object VersionedLake {
     * costs O(#files) metadata operations, not O(bytes).
     */
   def cloneTable(spark: SparkSession, source: String,
-      dest: String): CommitResult = {
+      dest: String, atVersion: Option[Int] = None): CommitResult = {
     val f = fs(spark)
     val vs = versions(spark, source)
     require(vs.nonEmpty, s"no committed versions at $source")
+    // a caller that also RECORDS the cloned version (createBranch's
+    // branch.base) must pin it here — re-reading the tip in two places
+    // races a concurrent commit into a fork point that never existed
+    val cloneV = atVersion.getOrElse(vs.last)
+    require(vs.contains(cloneV),
+      s"clone source version $cloneV is not committed at $source")
     require(versions(spark, dest).isEmpty,
       s"$dest already has committed versions — clone targets a fresh path")
-    val m = manifestEntries(spark, source, vs.last)
+    val m = manifestEntries(spark, source, cloneV)
     (m.data ++ m.dv.values.toSeq.distinct).foreach { rel =>
       val src = new Path(s"$source/$rel")
       val dst = new Path(s"$dest/$rel")
@@ -2263,9 +2311,14 @@ object VersionedLake {
     val bp = branchPath(path, name)
     require(versions(spark, bp).isEmpty,
       s"branch $name already exists at $path — drop it first")
-    cloneTable(spark, path, bp)
+    // read the fork point ONCE and clone exactly it: a concurrent main
+    // commit between "record base" and "clone tip" would otherwise
+    // produce a branch whose content is tip N+1 but whose recorded
+    // base is N — fastForwardBranch could then never publish it
+    val base = vs.last
+    cloneTable(spark, path, bp, Some(base))
     commitPending(spark, bp, PendingCommit(1, Set.empty,
-      Seq(s"prop\tbranch.base\t${vs.last}"), Seq.empty, op = "BRANCH"))
+      Seq(s"prop\tbranch.base\t$base"), Seq.empty, op = "BRANCH"))
   }
 
   /** Branch names currently present under the table. */
@@ -3505,11 +3558,16 @@ object VersionedLake {
     // change-log retention follows version retention: consumers lagging
     // behind the vacuum floor lose history, exactly as in Delta CDF
     val chDir = new Path(s"$path/$ChangesDir")
-    if (f.exists(chDir))
+    if (f.exists(chDir)) {
       f.listStatus(chDir).filter(_.isDirectory).foreach { d =>
         val v = d.getPath.getName.stripPrefix("v").toInt
         if (!keep.contains(v)) f.delete(d.getPath, true)
       }
+      // gap markers expire with their version: below the retention
+      // floor the gap is ordinary lost-history, not a silent hole
+      changeFeedGaps(spark, path).filterNot(keep.contains)
+        .foreach(v => f.delete(gapMarkerPath(path, v), false))
+    }
     // quarantine side outputs follow version retention too (and the
     // sweep collects crash/conflict orphans no manifest references)
     val qDir = new Path(s"$path/$QuarantineDir")

@@ -76,12 +76,23 @@ object DqMonitor {
     val wide = spark.read.parquet(metrics)
       .groupBy(col("feed_bucket"))
       .agg(rollup.head, rollup.tail: _*)
-    rules.map { r =>
+    val out = rules.map { r =>
       wide.select(col("feed_bucket").cast("long").as("feed_bucket"),
         lit(r.name).as("rule_name"),
         col("n_rows").cast("long").as("n_rows"),
         col(s"v_${r.name}").cast("long").as("n_violations"))
     }.reduce(_.unionByName(_))
+    // the monitor's accumulated metrics are ALSO observability events:
+    // publish the rollup to the event_log ledger so
+    // `SELECT * FROM event_log('stream_dq_monitor')` serves them (the
+    // reference's flow_progress.data_quality surface)
+    graft.plans.EventLog.clear("stream_dq_monitor")
+    graft.plans.EventLog.recordExpectations("stream_dq_monitor",
+      "events_feed",
+      out.groupBy(col("rule_name"))
+        .agg(sum(col("n_violations")).as("v")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq)
+    out
   }
 
   val streamDqMonitorSql: String =

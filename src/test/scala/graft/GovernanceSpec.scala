@@ -72,21 +72,27 @@ class GovernanceSpec extends AnyFunSuite {
   }
 
   test("substring-colliding group names grant nothing (exact membership)") {
-    // 'admin-interns' contains 'admin', 'region-americas' contains
-    // 'region-america': contains()-based membership would hand the
-    // first raw PII and the second AMERICA rows — both must behave as
-    // unprivileged, unrestricted principals (all rows, masked PII)
-    for (groups <- Seq("admin-interns", "region-americas")) {
-      val (email, regionCount) = asPrincipal(groups) {
-        val df = spark.table(viewName)
-        (df.orderBy("customer_id").limit(1).collect().head
-          .getAs[String]("customer_email"),
-          df.select("region_name").distinct().count())
-      }
-      assert(email.contains("****@"),
-        s"'$groups' must NOT read raw PII (exact membership), got $email")
-      assert(regionCount > 1,
-        s"'$groups' is not a region grant and must see every region")
+    // 'admin-interns' contains 'admin': contains()-based membership
+    // would hand it raw PII — exact membership treats it as an
+    // unprivileged, unrestricted principal (all rows, masked PII)
+    val (email0, regionCount) = asPrincipal("admin-interns") {
+      val df = spark.table(viewName)
+      (df.orderBy("customer_id").limit(1).collect().head
+        .getAs[String]("customer_email"),
+        df.select("region_name").distinct().count())
+    }
+    assert(email0.contains("****@"),
+      s"'admin-interns' must NOT read raw PII (exact membership), got $email0")
+    assert(regionCount > 1,
+      "'admin-interns' is not a region grant and must see every region")
+    // 'region-americas' IS a region-shaped grant (element prefix) that
+    // maps to no known region: it must fail CLOSED — zero rows — not
+    // fall open to every region (and certainly not to AMERICA's rows)
+    for (groups <- Seq("region-americas", "region-oceania",
+        "analysts,region-oceania")) {
+      val rows = asPrincipal(groups) { spark.table(viewName).count() }
+      assert(rows == 0,
+        s"unknown region grant '$groups' must fail closed, saw $rows rows")
     }
     // multi-group principals still resolve by element
     val email = asPrincipal("interns,admin") {

@@ -92,6 +92,76 @@ class LakeProceduresSpec extends AnyFunSuite {
     assert(n == spark.table(t).count())
   }
 
+  private def freshTxnPair(tag: String): (String, String, String, String) = {
+    val ra = graft.sources.Scratch.dir(s"${tag}_a")
+    val rb = graft.sources.Scratch.dir(s"${tag}_b")
+    VersionedLake.upsert(spark, ra,
+      Seq((1L, 1.0, 1L)).toDF("id", "v", "seq"), Seq("id"), "seq")
+    VersionedLake.upsert(spark, rb,
+      Seq((1L, 10.0, 1L)).toDF("id", "x", "seq"), Seq("id"), "seq")
+    SqlCatalog.install(spark)
+    val cat = SqlCatalog.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lakehouse")
+    val (ta, tb) = (s"$cat.lakehouse.txp_${tag}_a", s"$cat.lakehouse.txp_${tag}_b")
+    spark.sql(s"DROP TABLE IF EXISTS $ta")
+    spark.sql(s"DROP TABLE IF EXISTS $tb")
+    spark.sql(s"""CREATE TABLE $ta (id BIGINT, v DOUBLE, seq BIGINT)
+      USING graft OPTIONS (mergeKeys 'id', mergeSeq 'seq') LOCATION '$ra'""")
+    spark.sql(s"""CREATE TABLE $tb (id BIGINT, x DOUBLE, seq BIGINT)
+      USING graft OPTIONS (mergeKeys 'id', mergeSeq 'seq') LOCATION '$rb'""")
+    (ta, tb, ra, rb)
+  }
+
+  test("txn_create / txn_begin / txn_commit speak the TxnGroup lifecycle") {
+    val (ta, tb, ra, _) = freshTxnPair("life")
+    val cat = SqlCatalog.CatalogName
+    val g = "spec" + java.util.UUID.randomUUID.toString.take(8).replace("-", "")
+    val created = spark.sql(s"CALL $cat.system.txn_create('$g', " +
+      s"'a=lakehouse.txp_life_a,b=lakehouse.txp_life_b')").collect()
+    assert(created.length == 2 && created.forall(_.getInt(2) == 1),
+      created.mkString(","))
+    // clean begin: nothing restored
+    val b1 = spark.sql(s"CALL $cat.system.txn_begin('$g')").collect()
+    assert(b1.length == 2 && b1.forall(!_.getBoolean(2)), b1.mkString(","))
+    // DML on both members, then one commit publishes both
+    spark.sql(s"INSERT INTO $ta VALUES (2, 2.0, 2)")
+    spark.sql(s"INSERT INTO $tb VALUES (2, 20.0, 2)")
+    val gp = graft.sources.LakeProcedures.txnGroupPath(g)
+    assert(graft.sources.TxnGroup.read(spark, gp, "a").count() == 1,
+      "uncommitted DML must stay invisible through the group")
+    val c1 = spark.sql(s"CALL $cat.system.txn_commit('$g')").collect()
+    assert(c1.length == 2 &&
+      c1.forall(r => r.getInt(0) == 2 && r.getBoolean(3)), c1.mkString(","))
+    assert(graft.sources.TxnGroup.read(spark, gp, "a").count() == 2)
+    // crashed transaction: chain write with no commit → next begin
+    // reports the restore and the chain is clean again
+    spark.sql(s"INSERT INTO $ta VALUES (-9, -1.0, 9)")
+    val b2 = spark.sql(s"CALL $cat.system.txn_begin('$g')").collect()
+    assert(b2.exists(r => r.getString(0) == "a" && r.getBoolean(2)),
+      b2.mkString(","))
+    assert(spark.sql(s"SELECT * FROM $ta WHERE id = -9").isEmpty)
+    assert(VersionedLake.history(spark, ra)
+      .filter(col("operation") === "RESTORE").count() >= 1)
+  }
+
+  test("txn procedures refuse bad groups and bad member specs") {
+    freshTxnPair("err")
+    val cat = SqlCatalog.CatalogName
+    intercept[Exception] { // path-shaped group name
+      spark.sql(s"CALL $cat.system.txn_create('a/b', 'a=lakehouse.txp_err_a')")
+    }
+    intercept[Exception] { // unregistered member table
+      spark.sql(s"CALL $cat.system.txn_create('gnope', 'a=lakehouse.nope')")
+    }
+    intercept[Exception] { // duplicate aliases
+      spark.sql(s"CALL $cat.system.txn_create('gdup', " +
+        "'a=lakehouse.txp_err_a,a=lakehouse.txp_err_b')")
+    }
+    intercept[Exception] { // begin of a group that was never created
+      spark.sql(s"CALL $cat.system.txn_begin('gmissing')")
+    }
+  }
+
   test("bad modes, unknown procedures and unknown tables are refused") {
     val (t, _) = freshTable("errspec")
     val cat = SqlCatalog.CatalogName

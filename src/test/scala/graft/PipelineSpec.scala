@@ -76,6 +76,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("flaky"))
   }
 
+  test("event_log: a named run writes the ledger; the TVF serves it ordered") {
+    import graft.plans.EventLog
+    val failures = new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
+    EventLog.clear("spec_run")
+    Pipeline.runWithReport(spark, flakyDefs(failures),
+      policy = Pipeline.RunPolicy(maxRetries = 1, continueOnFailure = true,
+        pipelineName = Some("spec_run")))
+    EventLog.recordExpectations("spec_run", "a",
+      Seq("ids_nonneg" -> 0L, "ids_present" -> 0L))
+    val rows = spark.sql("SELECT * FROM event_log('spec_run')")
+      .orderBy("seq").collect()
+    val types = rows.map(_.getAs[String]("event_type")).toSeq
+    assert(types == Seq("run_started") ++ Seq.fill(5)("flow_progress") ++
+      Seq("run_completed", "expectation", "expectation"), types.toString)
+    // flow rows land in TOPO order with the real statuses
+    val flows = rows.filter(_.getAs[String]("event_type") == "flow_progress")
+      .map(r => r.getAs[String]("table_name") -> r.getAs[String]("status"))
+    assert(flows.toSeq == Seq("a" -> "ok", "b" -> "ok", "flaky" -> "failed",
+      "d" -> "skipped", "e" -> "ok"), flows.mkString(","))
+    assert(rows.last.getAs[String]("metric_name") == "ids_present")
+    val completed = rows.find(
+      _.getAs[String]("event_type") == "run_completed").get
+    assert(completed.getAs[String]("message") ==
+      "ok=3 failed=1 skipped=1 fresh=0", completed.toString)
+    // the failed flow carries attempts and the error message
+    val failed = rows.find(_.getAs[String]("status") == "failed").get
+    assert(failed.getAs[Int]("attempts") == 2 &&
+      failed.getAs[String]("message").contains("injected build failure"))
+    // an unnamed run writes nothing; an unknown pipeline errors loudly
+    Pipeline.runWithReport(spark, flakyDefs(
+      new java.util.concurrent.atomic.AtomicInteger(0)))
+    assert(EventLog.eventsFor("spec_run").size == rows.length)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM event_log('no_such_pipeline')").collect()
+    }
+    assert(e.getMessage.contains("no recorded events"), e.getMessage)
+    // clear() scopes to its pipeline
+    EventLog.record("spec_other", "run_started")
+    EventLog.clear("spec_run")
+    assert(EventLog.eventsFor("spec_run").isEmpty)
+    assert(EventLog.eventsFor("spec_other").nonEmpty)
+    EventLog.clear("spec_other")
+  }
+
   test("per-table timeout: hung build times out, retries per policy, notifies once") {
     val notifications =
       new java.util.concurrent.ConcurrentLinkedQueue[Pipeline.NodeReport]()

@@ -461,6 +461,41 @@ class VersionedLakeSpec extends AnyFunSuite {
       s"stream-rebuilt state wrong: $rebuilt")
   }
 
+  test("change-feed gaps are durable, fail the stream, and expire with vacuum") {
+    val path = graft.sources.Scratch.dir("vlake_gap_spec")
+    VersionedLake.upsert(spark, path,
+      (1L to 4L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    VersionedLake.upsert(spark, path,
+      Seq((5L, "a5", 5L)).toDF("k", "x", "seq"), Seq("k"), "seq",
+      numBuckets = 2)
+    assert(VersionedLake.changeFeedGaps(spark, path).isEmpty)
+    // a recorded gap (the repair path writes this marker when a DELETE
+    // version's tombstones are unreconstructable — predecessor manifest
+    // vacuumed under a tag pin); the marker contract is what consumers
+    // see, so pin it directly
+    val marker = new java.io.File(s"$path/_changes/_gap_v000002.txt")
+    java.nio.file.Files.writeString(marker.toPath, "test gap")
+    assert(VersionedLake.changeFeedGaps(spark, path) == Seq(2))
+    // a stream from a gapped feed must FAIL, not silently miss deletes
+    val e = intercept[IllegalArgumentException] {
+      VersionedLake.streamChanges(spark, path)
+    }
+    assert(e.getMessage.contains("gap"), e.getMessage)
+    // snapshot readers are unaffected (the gap is a FEED defect)
+    assert(VersionedLake.read(spark, path).count() == 5)
+    // the marker is invisible to the change-dir parquet glob
+    assert(spark.read.parquet(s"$path/_changes/v*").count() > 0)
+    // vacuum below the retention floor expires the marker with its
+    // version — lost history is no longer a silent hole
+    VersionedLake.upsert(spark, path,
+      Seq((6L, "a6", 6L)).toDF("k", "x", "seq"), Seq("k"), "seq",
+      numBuckets = 2)
+    VersionedLake.vacuum(spark, path, retainLast = 1)
+    assert(VersionedLake.changeFeedGaps(spark, path).isEmpty)
+    assert(!marker.exists())
+  }
+
   test("check constraints: stored as property, enforced on both write paths") {
     val path = graft.sources.Scratch.dir("vlake_ck_spec")
     VersionedLake.upsert(spark, path,

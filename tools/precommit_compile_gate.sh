@@ -1,0 +1,28 @@
+#!/bin/bash
+# Pre-commit compile gate: a commit that touches Scala/sbt sources must
+# compile (main + test) before it can land. This exists because an
+# end-of-round snapshot commit once referenced three classes that were
+# never written, voiding the round's entire verify/bench artifacts.
+#
+# Install: ln -sf ../../tools/precommit_compile_gate.sh .git/hooks/pre-commit
+# Skip (docs-only emergencies): GRAFT_SKIP_COMPILE_GATE=1 git commit ...
+set -e
+cd "$(git rev-parse --show-toplevel)"
+
+if [ "${GRAFT_SKIP_COMPILE_GATE:-0}" = "1" ]; then
+  echo "[compile-gate] skipped via GRAFT_SKIP_COMPILE_GATE=1"
+  exit 0
+fi
+
+# Only gate commits that touch compilable sources.
+if ! git diff --cached --name-only | grep -qE '\.(scala|sbt)$|project/'; then
+  exit 0
+fi
+
+echo "[compile-gate] staged Scala/sbt changes — running sbt Test/compile ..."
+if ! sbt -batch Test/compile > /tmp/graft_compile_gate.log 2>&1; then
+  tail -40 /tmp/graft_compile_gate.log
+  echo "[compile-gate] FAILED — commit refused. Full log: /tmp/graft_compile_gate.log"
+  exit 1
+fi
+echo "[compile-gate] OK"
