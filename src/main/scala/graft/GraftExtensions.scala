@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BloomBuildAgg, BloomMightContain, Fnv1a64,
-  HashSample, SortedIntersectCount, VecDot}
+  HammingWords, HashSample, SortedIntersectCount, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions so SQL users (`SELECT fnv1a64(text) FROM docs`,
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hamming_words"),
+      new ExpressionInfo(classOf[HammingWords].getName, "hamming_words"),
+      (children: Seq[Expression]) => HammingWords(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,

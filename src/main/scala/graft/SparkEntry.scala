@@ -39,7 +39,7 @@ object SparkEntry {
       graft.operators.DocsGraph.queries ++
       graft.operators.GapFill.queries ++
       Multimodal.queries ++ Ivf.queries ++ graft.operators.Pq.queries ++
-      graft.operators.Sq.queries ++
+      graft.operators.Sq.queries ++ graft.operators.Bq.queries ++
       Decontaminate.queries ++ Clusters.queries ++
       graft.operators.Skew.queries ++
       graft.operators.AqeSkew.queries ++
@@ -107,7 +107,7 @@ object SparkEntry {
       graft.operators.DocsGraph.oracles ++
       graft.operators.GapFill.oracles ++
       Multimodal.oracles ++ Ivf.oracles ++ graft.operators.Pq.oracles ++
-      graft.operators.Sq.oracles ++
+      graft.operators.Sq.oracles ++ graft.operators.Bq.oracles ++
       Decontaminate.oracles ++ Clusters.oracles ++
       graft.operators.Skew.oracles ++
       graft.operators.AqeSkew.oracles ++

@@ -88,28 +88,33 @@ object Similarity {
        FROM ranked WHERE rank <= 5
        ORDER BY probe_id, rank"""
 
-  /** Deterministic ±1 hyperplane row for one plane: component i is BIT
-    * 32 of fnv1a64("<planeId>,<i>"). Derived once in the DRIVER — it is
-    * a pure function of the constants (planes×dim doubles, kilobytes of
-    * model state, like IVF's centroids) — and embedded as a literal
-    * array, so the per-row work is one fold per plane with no
-    * per-element hashing. The DuckDB oracle re-derives the identical
-    * matrix from the same strings via the OracleFnv HUGEINT fold.
+  /** Deterministic ±1 hyperplane row for one plane: component i is the
+    * POPCOUNT PARITY of fnv1a64("<planeId>,<i>"). Derived once in the
+    * DRIVER — it is a pure function of the constants (planes×dim
+    * doubles, kilobytes of model state, like IVF's centroids) — and
+    * embedded as a literal array, so the per-row work is one fold per
+    * plane with no per-element hashing. The DuckDB oracle re-derives
+    * the identical matrix from the same strings via the OracleFnv
+    * HUGEINT fold.
     *
-    * Bit 32, NOT bit 0: FNV-1a's odd-prime multiply preserves the low
-    * bit of `h ^ byte`, so bit 0 of the final hash is just the parity
-    * of the input bytes' low bits — which made every "<planeId>,<i>"
-    * plane the SAME vector up to a global sign flip (sign = parity of
-    * planeId's digits ⊕ parity of i's digits). All tables then hashed
-    * on one effective hyperplane: buckets split the corpus roughly in
-    * half regardless of planes×tables, candidate sets stayed ~50% of
-    * all pairs, and recall at the cosine threshold was coin-flip. A
-    * middle bit gets full avalanche from the multiply's carries.
+    * Parity of ALL 64 bits, not any single bit: FNV-1a is a fold, not
+    * an avalanche hash, and for these short near-identical strings
+    * every individual output bit carries heavy input structure. Bit 0
+    * degenerated to the input bytes' low-bit parity (one effective
+    * hyperplane up to sign). Bit 32 — this generator's first repair —
+    * still yielded only FOUR distinct planes over any tested id range
+    * (measured: 4/256 unique, pairwise correlations ±1, hamming↔cosine
+    * correlation ≈ 0), which silently made every "independent table"
+    * draw from a 4-plane family: candidate sets stayed huge and recall
+    * came from brute-force-like coverage, not from the hash. XOR-ing
+    * all 64 bits mixes every multiply carry into the sign: measured
+    * 256/256 unique planes, mean pairwise correlation 0.00, and
+    * hamming tracking cosine as sign-LSH theory predicts.
     */
-  private[operators] def planeSigns(planeId: Int, dim: Int): Array[Double] =
+  private[graft] def planeSigns(planeId: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
       val h = graft.functions.Fnv1a64.hashBytes(s"$planeId,$i".getBytes("UTF-8"))
-      if (((h >>> 32) & 1L) == 1L) 1.0 else -1.0
+      if ((java.lang.Long.bitCount(h) & 1) == 1) 1.0 else -1.0
     }
 
   /** Sign-LSH bucket id from `planes` hyperplanes (plane ids offset by
@@ -186,10 +191,14 @@ object Similarity {
                    UNNEST(generate_series(0, ${planes - 1})) p(p)),
        signs AS (
          SELECT tp.tbl, tp.p,
-           list_transform(generate_series(1, (SELECT n FROM dimn)),
-             j -> CASE WHEN (${OracleFnv.fold(s"hex(encode($planeStr))")}
-                             // CAST(4294967296 AS HUGEINT)) % 2 = 1
-                       THEN 1.0 ELSE -1.0 END) AS sv
+           list_transform(
+             list_transform(generate_series(1, (SELECT n FROM dimn)),
+               j -> ${OracleFnv.fold(s"hex(encode($planeStr))")}),
+             h -> CASE WHEN
+                 (bit_count(CAST(h // CAST(4294967296 AS HUGEINT) AS BIGINT))
+                  + bit_count(CAST(h % CAST(4294967296 AS HUGEINT) AS BIGINT)))
+                 % 2 = 1
+               THEN 1.0 ELSE -1.0 END) AS sv
          FROM tp),
        projs AS (
          SELECT v.vec_id, s.tbl, s.p,
