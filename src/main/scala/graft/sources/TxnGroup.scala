@@ -69,6 +69,20 @@ object TxnGroup {
   private def nonce(): String =
     java.util.UUID.randomUUID().toString.substring(0, 8)
 
+  /** Transactions are observable through the same SQL surface as
+    * pipeline runs: every begin/commit appends to the
+    * [[graft.plans.EventLog]] ledger under `txn:<group>`, so
+    * `SELECT * FROM event_log('txn:<group>')` serves the group's
+    * lifecycle (the reference's event_log discipline applied to the
+    * multi-table refresh chain).
+    */
+  private def logEvent(groupPath: String, eventType: String,
+      member: String, status: String, version: Int, msg: String): Unit =
+    graft.plans.EventLog.record(
+      "txn:" + new Path(groupPath).getName, eventType,
+      tableName = member, status = status, message = msg,
+      metricName = "version", metricValue = version.toLong)
+
   def groupVersions(spark: SparkSession, groupPath: String): Seq[Int] = {
     val dir = new Path(s"$groupPath/$LogDir")
     val f = fs(spark)
@@ -205,8 +219,14 @@ object TxnGroup {
           mem.toSeq.sorted.map { case (n, p) => s"member\t$n\t$p" } ++
             newMap.toSeq.sorted.map { case (n, v) => s"tbl\t$n\t$v" } :+
             "meta\top\tTXN"
-        if (casGroup(spark, groupPath, attemptV + 1, lines))
+        if (casGroup(spark, groupPath, attemptV + 1, lines)) {
+          newMap.toSeq.sorted.foreach { case (n, v) =>
+            logEvent(groupPath, "txn_commit", n,
+              if (written.contains(n)) "advanced" else "carried", v,
+              s"group_version=${attemptV + 1} retries=$retries")
+          }
           return GroupCommitResult(attemptV + 1, written, retries)
+        }
         val (lv, latest) = tip(spark, groupPath)
         val changed = latest.keySet.filter(k =>
           latest(k) != attemptBase.getOrElse(k, -1))
@@ -235,6 +255,9 @@ object TxnGroup {
       val p = pub(name)
       val dirty = VersionedLake.versions(spark, path).last != p
       if (dirty) VersionedLake.restore(spark, path, p)
+      logEvent(groupPath, "txn_begin", name,
+        if (dirty) "restored" else "clean", p,
+        if (dirty) "orphan chain versions reclaimed" else "")
       (name, p, dirty)
     }
   }
@@ -261,8 +284,14 @@ object TxnGroup {
         mem.toSeq.sorted.map { case (n, p) => s"member\t$n\t$p" } ++
           newMap.toSeq.sorted.map { case (n, v) => s"tbl\t$n\t$v" } :+
           "meta\top\tTXN"
-      if (casGroup(spark, groupPath, attemptV + 1, lines))
+      if (casGroup(spark, groupPath, attemptV + 1, lines)) {
+        newMap.toSeq.sorted.foreach { case (n, v) =>
+          logEvent(groupPath, "txn_commit", n,
+            if (written.contains(n)) "advanced" else "carried", v,
+            s"group_version=${attemptV + 1}")
+        }
         return GroupCommitResult(attemptV + 1, written, 0)
+      }
       val (lv, latest) = tip(spark, groupPath)
       val changed = latest.keySet.filter(k =>
         latest(k) != attemptBase.getOrElse(k, -1))

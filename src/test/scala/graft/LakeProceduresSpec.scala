@@ -142,6 +142,19 @@ class LakeProceduresSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM $ta WHERE id = -9").isEmpty)
     assert(VersionedLake.history(spark, ra)
       .filter(col("operation") === "RESTORE").count() >= 1)
+    // the transaction lifecycle is observable through event_log:
+    // begin/commit rows under txn:<group>, the reclaim visible as a
+    // 'restored' begin event
+    val ev = spark.sql(s"SELECT * FROM event_log('txn:$g')")
+      .orderBy("seq").collect()
+    val types = ev.map(_.getAs[String]("event_type")).toSeq
+    assert(types == Seq("txn_begin", "txn_begin", "txn_commit",
+      "txn_commit", "txn_begin", "txn_begin"), types.toString)
+    assert(ev.count(r => r.getAs[String]("event_type") == "txn_commit" &&
+      r.getAs[String]("status") == "advanced") == 2, ev.mkString(","))
+    assert(ev.exists(r => r.getAs[String]("table_name") == "a" &&
+      r.getAs[String]("status") == "restored"), ev.mkString(","))
+    graft.plans.EventLog.clear(s"txn:$g")
   }
 
   test("txn procedures refuse bad groups and bad member specs") {
