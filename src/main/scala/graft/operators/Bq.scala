@@ -206,10 +206,189 @@ object Bq {
        ORDER BY probe_id, rank"""
   }
 
+  // ---- IVF-routed BQ — the production composition ---------------------------
+
+  val IvfNlist = 16
+  val IvfIters = 5
+  val Nprobe = 4
+  val IvfC = 50 // hamming survivors per probe within the probed lists
+  /** Floor for the ROUTED path: recall is bounded by IVF routing
+    * (ann_ivf's own floor is 0.3 at Nprobe=4/16) intersected with the
+    * binary-code cut.
+    */
+  val IvfRecallFloor = 0.25
+
+  /** Coarse quantizer OVER binary codes — how production systems
+    * actually deploy BQ (Lucene joins it to HNSW, Milvus/Faiss to IVF):
+    * the [[Ivf]] k-means router prunes the corpus to `Nprobe/Nlist`,
+    * the 32-byte signatures make the within-list scan two instructions
+    * per pair, and only `IvfC` survivors per probe touch float data.
+    * At 100 TB the scan stage reads `Nprobe/Nlist × 32 bytes` per
+    * corpus vector — routing and compression multiply. Candidates come
+    * from key-equality joins on the probed cluster; the only broadcast
+    * is the probe set. Same determinism story as [[bqRerank]] +
+    * [[Ivf]] (integer-exact hamming, decimal-exact centroids,
+    * left-fold cosines).
+    */
+  def bqIvfTopK(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = Ivf.toVec(emb).as[(Long, Array[Double])]
+    graft.Caching.withCached(base) {
+      val coarse = Ivf.kmeansVectors(base, IvfNlist, IvfIters)
+      val bc = spark.sparkContext.broadcast(coarse)
+      val dim = coarse(0).length
+      val enc = base.mapPartitions(_.map { case (id, v) =>
+        (id, Ivf.argminCentroid(v, bc.value), v)
+      }).toDF("vec_id", "cluster", "v")
+        .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+        .withColumn("sig",
+          array((0 until Bits / 64).map(w => sigWord(col("v"), w, dim)): _*))
+      val probeRoutes = base.filter(_._1 % 50 == 0)
+        .mapPartitions(_.flatMap { case (id, v) =>
+          bc.value.indices
+            .map(c => (c, Ivf.sqDist(v, bc.value(c))))
+            .sortBy { case (c, d) => (d, c) }
+            .take(Nprobe)
+            .map { case (c, _) => (id, c) }
+        }).toDF("probe_id", "cluster")
+      val probeData = enc.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("sig").as("psig"),
+          col("v").as("pv"), col("nrm").as("pnrm"))
+      // stage 1: within the probed lists only — cluster-key join, then
+      // the two-instruction hamming scan over packed codes
+      val cand = enc.select(col("vec_id"), col("cluster"), col("sig"))
+        .join(broadcast(probeRoutes
+          .join(probeData.select(col("probe_id"), col("psig")), "probe_id")),
+          Seq("cluster"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          call_function("hamming_words", col("sig"), col("psig"))
+            .as("hamming"))
+      val wc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))
+      val survivors = cand.withColumn("rn", row_number().over(wc))
+        .filter(col("rn") <= IvfC).drop("rn")
+      // stage 2: exact rerank of the survivors only
+      val rer = survivors
+        .join(enc.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("nrm")), Seq("neighbor_id"))
+        .join(broadcast(probeData.select(col("probe_id"), col("pv"),
+          col("pnrm"))), Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), col("hamming"),
+          when(col("pnrm") * col("nrm") > 0,
+            Similarity.cosinePre(Similarity.dot(col("pv"), col("v")),
+              col("pnrm"), col("nrm"))).otherwise(lit(0.0)).as("cosine"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      rer.withColumn("rank", row_number().over(wr).cast("int"))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"),
+          col("hamming"), col("cosine"))
+    }
+  }
+
+  /** [[bqIvfTopK]] plus the in-gate recall honesty check. */
+  def bqIvfGate(emb: DataFrame): DataFrame = {
+    val out = bqIvfTopK(emb)
+    val truth = Similarity.bruteForceTopK(emb, K)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = out.select(col("probe_id"), col("neighbor_id"))
+      .intersect(truth).count()
+    val total = truth.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    require(recall >= IvfRecallFloor,
+      f"IVF-BQ recall@$K $recall%.3f below floor $IvfRecallFloor " +
+        s"($hits/$total exact neighbors recovered)")
+    out
+  }
+
+  /** Oracle: the [[Ivf]] k-means + routing CTEs (shared with the
+    * PQ/SQ family) composed with the BQ sign CTEs; hamming within the
+    * probed lists via the sign-vector identity, rerank exact.
+    */
+  val bqIvfTopKSql: String = {
+    val planeStr = "CAST(pl.p AS VARCHAR) || ',' || CAST(j - 1 AS VARCHAR)"
+    s"""WITH vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       ${Ivf.kmeansCtesSql("km", "vec", IvfNlist, IvfIters)},
+       assignf AS (
+         SELECT vec_id, cluster FROM (
+           SELECT v.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY ${Ivf.sqdistSql("v.v", "c.c")}, c.cluster) AS rn
+           FROM vec v CROSS JOIN km_cent$IvfIters c)
+         WHERE rn = 1),
+       probe_lists AS (
+         SELECT probe_id, cluster FROM (
+           SELECT p.vec_id AS probe_id, c.cluster,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY ${Ivf.sqdistSql("p.v", "c.c")}, c.cluster) AS rn
+           FROM vec p CROSS JOIN km_cent$IvfIters c
+           WHERE p.vec_id % 50 = 0)
+         WHERE rn <= $Nprobe),
+       dimn AS (SELECT max(len(v)) AS n FROM vec),
+       pl AS (SELECT p FROM UNNEST(generate_series(0, ${Bits - 1})) t(p)),
+       signs AS (
+         SELECT pl.p,
+           list_transform(
+             list_transform(generate_series(1, (SELECT n FROM dimn)),
+               j -> ${OracleFnv.fold(s"hex(encode($planeStr))")}),
+             h -> CASE WHEN
+                 (bit_count(CAST(h // CAST(4294967296 AS HUGEINT) AS BIGINT))
+                  + bit_count(CAST(h % CAST(4294967296 AS HUGEINT) AS BIGINT)))
+                 % 2 = 1
+               THEN 1.0 ELSE -1.0 END) AS sv
+         FROM pl),
+       sbits AS (
+         SELECT v.vec_id,
+           list(CASE WHEN list_dot_product(v.v, s.sv) > 0
+                THEN 1.0 ELSE -1.0 END ORDER BY s.p) AS bs
+         FROM vec v CROSS JOIN signs s
+         GROUP BY v.vec_id),
+       cand AS (
+         SELECT probe_id, neighbor_id, hamming FROM (
+           SELECT pls.probe_id, a.vec_id AS neighbor_id,
+             CAST(($Bits - list_dot_product(pb.bs, ab.bs)) / 2 AS INT)
+               AS hamming,
+             row_number() OVER (PARTITION BY pls.probe_id
+               ORDER BY ($Bits - list_dot_product(pb.bs, ab.bs)) / 2,
+                 a.vec_id) AS rn
+           FROM probe_lists pls
+           JOIN assignf a USING (cluster)
+           JOIN sbits ab ON ab.vec_id = a.vec_id
+           JOIN sbits pb ON pb.vec_id = pls.probe_id
+           WHERE a.vec_id <> pls.probe_id)
+         WHERE rn <= $IvfC),
+       rer AS (
+         SELECT c.probe_id, c.neighbor_id, c.hamming,
+           CASE WHEN sqrt(list_dot_product(pv.v, pv.v))
+               * sqrt(list_dot_product(av.v, av.v)) > 0
+             THEN list_dot_product(pv.v, av.v)
+               / (sqrt(list_dot_product(pv.v, pv.v))
+                 * sqrt(list_dot_product(av.v, av.v)))
+             ELSE 0.0 END AS cosine
+         FROM cand c
+         JOIN vec pv ON pv.vec_id = c.probe_id
+         JOIN vec av ON av.vec_id = c.neighbor_id)
+       SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, hamming,
+         cosine
+       FROM (
+         SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM rer)
+       WHERE rank <= $K
+       ORDER BY probe_id, rank"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bq_rerank" -> ((s, d) =>
       bqRerankGate(graft.Tables.embeddings(s, d))
+        .orderBy(col("probe_id"), col("rank"))),
+    "ann_bq_ivf" -> ((s, d) =>
+      bqIvfGate(graft.Tables.embeddings(s, d))
         .orderBy(col("probe_id"), col("rank"))))
 
-  def oracles: Map[String, String] = Map("ann_bq_rerank" -> bqRerankSql)
+  def oracles: Map[String, String] = Map(
+    "ann_bq_rerank" -> bqRerankSql,
+    "ann_bq_ivf" -> bqIvfTopKSql)
 }

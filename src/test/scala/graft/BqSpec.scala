@@ -55,6 +55,22 @@ class BqSpec extends AnyFunSuite {
       col("hamming") > graft.operators.Bq.Bits).isEmpty)
   }
 
+  test("IVF-routed BQ: routing-bounded recall floor holds, shape is exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = graft.operators.Bq.bqIvfGate(emb) // asserts the floor
+    val probes = emb.filter(col("vec_id") % 50 === 0).count()
+    assert(out.count() == probes * graft.operators.Bq.K)
+    // the routed path's candidates are a SUBSET of the unrouted scan's
+    // corpus, so per (probe, neighbor) the hamming must agree with the
+    // full-scan variant wherever both emit the pair
+    val full = graft.operators.Bq.bqRerank(emb)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("hamming").as("h_full"))
+    val joined = out.join(full, Seq("probe_id", "neighbor_id"))
+    assert(joined.filter(col("hamming") =!= col("h_full")).isEmpty,
+      "routed and unrouted hamming disagree on shared pairs")
+  }
+
   test("the parity plane family is non-degenerate (the bit-32 regression guard)") {
     // 4-unique-planes was the failure mode twice (bit 0, then bit 32):
     // assert the family stays diverse so a future "simplification" of
