@@ -138,6 +138,8 @@ object Bq {
       .intersect(truth).count()
     val total = truth.count()
     val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(
+      f"[ann_bq_rerank] recall@$K=$recall%.4f ($hits/$total) floor=$RecallFloor")
     require(recall >= RecallFloor,
       f"BQ recall@$K $recall%.3f below floor $RecallFloor " +
         s"($hits/$total exact neighbors recovered)")
@@ -297,6 +299,8 @@ object Bq {
       .intersect(truth).count()
     val total = truth.count()
     val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(
+      f"[ann_bq_ivf] recall@$K=$recall%.4f ($hits/$total) floor=$IvfRecallFloor")
     require(recall >= IvfRecallFloor,
       f"IVF-BQ recall@$K $recall%.3f below floor $IvfRecallFloor " +
         s"($hits/$total exact neighbors recovered)")
