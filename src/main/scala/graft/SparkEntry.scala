@@ -14,8 +14,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Gold.queries("gold_daily_orders")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * SORTED-ORDER MAP: Verify/Bench/PlanAudit iterate this registry,
+    * and a plain HashMap's iteration order is an un-pinned degree of
+    * freedom — two runs of the same build could execute the 270 gates
+    * in different sequences, which makes any order-dependent
+    * interference (shared-session catalog state, ledger contents, JVM
+    * code-cache pressure) unbisectable. ListMap over name-sorted
+    * entries makes execution order a deterministic, documented part of
+    * the contract (spec: SurveyInventorySpec).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(unorderedQueries.toSeq.sortBy(_._1): _*)
+
+  private def unorderedQueries
+      : Map[String, (SparkSession, String) => DataFrame] =
     Medallion.queries ++ Gold.queries ++
       graft.operators.GoldIncr.queries ++ Analytics.queries ++
       Insights.queries ++ graft.operators.BloomJoin.queries ++

@@ -28,9 +28,24 @@ case class CallerGroups()
   override def foldable: Boolean = true
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
       : Any = org.apache.spark.unsafe.types.UTF8String.fromString(
-    org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.caller.groups", ""))
+    CallerGroups.canonical(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.caller.groups", "")))
   override def prettyName: String = "caller_groups"
+}
+
+object CallerGroups {
+  /** One canonical group-list form at the binding boundary, shared by
+    * the foldable expression and the analysis-time rule: elements
+    * trimmed, empties dropped, joined with bare commas. Without this,
+    * a conf like `analysts, region-europe` (space after the comma)
+    * evades BOTH the SQL row filter's `%,region-%` probe and
+    * `memberSql`'s untrimmed split — the restricted principal would
+    * see every region's rows (fail OPEN). Normalizing once where the
+    * value is read keeps every downstream SQL/Scala consumer on the
+    * same form.
+    */
+  def canonical(raw: String): String =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).mkString(",")
 }
 
 /** Analyzer rule binding `caller_groups()` to the current principal's
@@ -55,8 +70,8 @@ case class BindCallerGroups(session: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     lazy val bound = org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(
-        session.sessionState.conf
-          .getConfString("spark.graft.caller.groups", "")),
+        CallerGroups.canonical(session.sessionState.conf
+          .getConfString("spark.graft.caller.groups", ""))),
       org.apache.spark.sql.types.StringType)
     plan.transformUpWithSubqueries {
       case p => p.transformExpressions { case CallerGroups() => bound }

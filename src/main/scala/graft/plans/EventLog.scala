@@ -47,21 +47,45 @@ object EventLog {
       metric_name: String,
       metric_value: Long)
 
-  // append-only, process-global (the builtin-registry discipline:
-  // sessions share it); CopyOnWrite because writers are rare and
-  // readers snapshot
-  private val ledger =
-    new java.util.concurrent.CopyOnWriteArrayList[Event]()
+  // Process-global, ONE bounded deque per pipeline (the builtin-
+  // registry discipline: sessions share it). Per-pipeline storage
+  // keeps append O(1) — the previous single CopyOnWriteArrayList paid
+  // an O(total) array copy per append — and makes retention natural:
+  // a long-lived process running many transactions (each `txn:<group>`
+  // is its own pipeline name) can never grow the ledger without bound.
+  private val MaxEventsPerPipeline = 10000
+  private val MaxPipelines = 512
+  private val ledger = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.LinkedBlockingDeque[Event]]()
+  // insertion order of pipeline names, for oldest-first eviction
+  private val pipelineOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** Append one event; `seq` is assigned at read time (position within
-    * the pipeline's own ledger), so callers never coordinate.
+    * the pipeline's own ledger), so callers never coordinate. Retention:
+    * oldest events beyond [[MaxEventsPerPipeline]] drop per pipeline,
+    * and the oldest PIPELINES beyond [[MaxPipelines]] drop entirely —
+    * observability is a window, not an archive (a shared-metastore
+    * deployment would persist the full history to a lake table).
     */
   def record(pipeline: String, eventType: String, tableName: String = "",
       layer: String = "", status: String = "", attempts: Int = 0,
       message: String = "", metricName: String = "",
-      metricValue: Long = 0L): Unit =
-    ledger.add(Event(pipeline, -1L, eventType, tableName, layer, status,
+      metricValue: Long = 0L): Unit = {
+    val q = ledger.computeIfAbsent(pipeline, p => {
+      pipelineOrder.add(p)
+      new java.util.concurrent.LinkedBlockingDeque[Event]()
+    })
+    q.add(Event(pipeline, -1L, eventType, tableName, layer, status,
       attempts, message, metricName, metricValue))
+    while (q.size > MaxEventsPerPipeline) q.pollFirst()
+    while (ledger.size > MaxPipelines) {
+      val oldest = pipelineOrder.poll()
+      if (oldest == null) return
+      if (oldest != pipeline) ledger.remove(oldest)
+      else pipelineOrder.add(oldest) // never evict the active writer
+    }
+  }
 
   /** One `expectation` event per rule — the DQ-monitor rollup shape
     * (`flow_progress.data_quality` in the reference's event log).
@@ -73,16 +97,36 @@ object EventLog {
         status = "warn", metricName = rule, metricValue = violations)
     }
 
+  /** ATOMICALLY replace a pipeline's ledger with one `expectation` row
+    * per rule — a single map swap, so a concurrent reader (or a second
+    * run of the same monitor) sees either run's COMPLETE event set,
+    * never a clear/record interleaving.
+    */
+  def replaceExpectations(pipeline: String, tableName: String,
+      metrics: Seq[(String, Long)]): Unit = {
+    val q = new java.util.concurrent.LinkedBlockingDeque[Event]()
+    metrics.foreach { case (rule, violations) =>
+      q.add(Event(pipeline, -1L, "expectation", tableName, "", "warn",
+        0, "", rule, violations))
+    }
+    if (ledger.put(pipeline, q) == null) pipelineOrder.add(pipeline)
+  }
+
   /** Drop a pipeline's events — gates clear before a scripted run so
-    * re-runs in one process stay deterministic.
+    * re-runs in one process stay deterministic, and transaction gates
+    * clear their random `txn:<group>` name when done so gate churn
+    * never consumes retention budget.
     */
   def clear(pipeline: String): Unit =
-    ledger.removeIf(_.pipeline == pipeline)
+    ledger.remove(pipeline)
 
   /** The pipeline's events in recorded order, seq assigned. */
-  def eventsFor(pipeline: String): Seq[Event] =
-    ledger.iterator().asScala.filter(_.pipeline == pipeline)
-      .zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) }.toSeq
+  def eventsFor(pipeline: String): Seq[Event] = {
+    val q = ledger.get(pipeline)
+    if (q == null) Seq.empty
+    else q.iterator().asScala.zipWithIndex
+      .map { case (e, i) => e.copy(seq = i.toLong) }.toSeq
+  }
 
   /** Builder for the `event_log('<pipeline>')` table-valued function
     * (injected via `injectTableFunction`, resolved on the driver during
@@ -100,9 +144,82 @@ object EventLog {
     }
     val evs = eventsFor(name)
     require(evs.nonEmpty, s"no recorded events for pipeline '$name' " +
-      "(known: " + ledger.iterator().asScala.map(_.pipeline)
-        .toSeq.distinct.sorted.mkString(", ") + ")")
+      "(known: " + ledger.keySet().asScala.toSeq.sorted.mkString(", ")
+      + ")")
     SparkSession.active.createDataFrame(evs).queryExecution.analyzed
+  }
+
+  // ---- alerts --------------------------------------------------------------
+
+  /** One actionable alert derived from a run's ledger — the queryable
+    * half of the reference's `email_notifications.on_failure` (ref
+    * resources/olist_jobs.yml:50-53): the reference pages a mailbox;
+    * this engine derives the same incidents as ROWS a monitor can poll,
+    * join, or forward. Severities: `failure` (a flow exhausted its
+    * retries), `skipped_upstream` (a downstream flow never ran because
+    * its dependency failed), `recovered_retry` (the flow landed, but
+    * only after retrying — the flakiness signal a healthy-looking run
+    * would otherwise hide). Each alert carries the run's final tally so
+    * the receiver can judge blast radius without a second query.
+    */
+  final case class Alert(
+      pipeline: String,
+      alert_seq: Long,
+      severity: String,
+      table_name: String,
+      layer: String,
+      status: String,
+      attempts: Int,
+      error: String,
+      run_ok: Long,
+      run_failed: Long,
+      run_skipped: Long)
+
+  /** Alerts for a pipeline's recorded run: every `flow_progress` row
+    * that should page (failed), warn (skipped downstream), or annotate
+    * (ok after retries), in ledger order, stamped with the
+    * `run_completed` tally.
+    */
+  def alertsFor(pipeline: String): Seq[Alert] = {
+    val evs = eventsFor(pipeline)
+    val tally = evs.filter(_.event_type == "run_completed")
+      .lastOption.map(_.message).getOrElse("")
+    def t(k: String): Long = s"$k=(\\d+)".r.findFirstMatchIn(tally)
+      .map(_.group(1).toLong).getOrElse(0L)
+    evs.filter(_.event_type == "flow_progress")
+      .filter(e => e.status == "failed" || e.status == "skipped" ||
+        (e.status == "ok" && e.attempts > 1))
+      .zipWithIndex.map { case (e, i) =>
+        Alert(pipeline, i.toLong,
+          e.status match {
+            case "failed" => "failure"
+            case "skipped" => "skipped_upstream"
+            case _ => "recovered_retry"
+          },
+          e.table_name, e.layer, e.status, e.attempts, e.message,
+          t("ok"), t("failed"), t("skipped"))
+      }
+  }
+
+  /** Builder for the `alerts('<pipeline>')` table-valued function.
+    * Unknown pipeline errors loudly (same rule as [[eventLogPlan]]);
+    * a known pipeline with a CLEAN run yields zero rows — that is the
+    * healthy answer, not an error.
+    */
+  def alertsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"alerts(pipeline) takes 1 argument, got ${args.size}")
+    val name = args.head match {
+      case Literal(v, _) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"alerts pipeline name must be a non-null literal, got $other")
+    }
+    require(eventsFor(name).nonEmpty,
+      s"no recorded events for pipeline '$name' " +
+        "(known: " + ledger.keySet().asScala.toSeq.sorted.mkString(", ")
+        + ")")
+    SparkSession.active.createDataFrame(alertsFor(name))
+      .queryExecution.analyzed
   }
 
   // ---- gate ----------------------------------------------------------------

@@ -385,9 +385,12 @@ object LakeProcedures {
       val spark = SparkSession.active
       val gp = txnGroupPath(input.getUTF8String(0).toString)
       val r = TxnGroup.commitTips(spark, gp)
-      val (_, pub) = TxnGroup.tip(spark, gp)
-      result(schema, pub.toSeq.sortBy(_._1).map { case (n, v) =>
-        row(r.groupVersion, utf8(n), v, r.tableVersions.contains(n)) })
+      // report from the CAS the commit itself won — a fresh tip read
+      // here could observe a NEWER concurrent commit and desynchronize
+      // the rows from the returned group_version
+      result(schema, r.publishedVersions.toSeq.sortBy(_._1).map {
+        case (n, v) =>
+          row(r.groupVersion, utf8(n), v, r.tableVersions.contains(n)) })
     }
   }
 
@@ -714,10 +717,18 @@ object LakeProcedures {
       WHEN NOT MATCHED THEN INSERT *""")
     val evenOnly = orders
       .filter(pmod(col("o_orderkey"), lit(2)) === 0).count()
+    val groupOrdersPreCommit = TxnGroup.read(spark, gp, "orders").count()
+    val groupOddLinesPreCommit = TxnGroup.read(spark, gp, "lines")
+      .filter(pmod(col("l_orderkey"), lit(2)) === 1).count()
     val isolated =
-      TxnGroup.read(spark, gp, "orders").count() == evenOnly &&
-        TxnGroup.read(spark, gp, "lines")
-          .filter(pmod(col("l_orderkey"), lit(2)) === 1).isEmpty
+      groupOrdersPreCommit == evenOnly && groupOddLinesPreCommit == 0L
+    // Oracle pins the flag true — flip must be a LOUD diagnostic error,
+    // not a hash mismatch (r10 verdict task 1).
+    if (!isolated) throw new IllegalStateException(
+      s"sql_txn_isolated flipped: groupOrdersPreCommit=" +
+        s"$groupOrdersPreCommit evenOnly=$evenOnly " +
+        s"groupOddLinesPreCommit=$groupOddLinesPreCommit " +
+        s"group tip=${TxnGroup.tip(spark, gp)}")
     val commit1 = spark.sql(
       s"CALL $CatalogName.system.txn_commit('$g')").collect()
     require(commit1.length == 2 &&
@@ -733,9 +744,17 @@ object LakeProcedures {
     // txn 2: begin reclaims the orphan, a SQL UPDATE rides the replay
     val begin2 = spark.sql(
       s"CALL $CatalogName.system.txn_begin('$g')").collect()
-    val orphanRestored = poisonInvisible &&
-      begin2.exists(r => r.getString(0) == "orders" && r.getBoolean(2)) &&
-      spark.sql(s"SELECT * FROM $ta WHERE o_orderkey = -999").isEmpty
+    val beginReportedRestore =
+      begin2.exists(r => r.getString(0) == "orders" && r.getBoolean(2))
+    val poisonOnChainAfterBegin = spark.sql(
+      s"SELECT * FROM $ta WHERE o_orderkey = -999").count()
+    val orphanRestored = poisonInvisible && beginReportedRestore &&
+      poisonOnChainAfterBegin == 0L
+    if (!orphanRestored) throw new IllegalStateException(
+      s"orphan_restored_by_begin flipped: poisonInvisible=" +
+        s"$poisonInvisible beginReportedRestore=$beginReportedRestore " +
+        s"poisonOnChainAfterBegin=$poisonOnChainAfterBegin " +
+        s"begin2=${begin2.mkString(",")}")
     spark.sql(
       s"UPDATE $ta SET o_totalprice = o_totalprice + 1.0, seq = 100 " +
         "WHERE o_orderkey < 500")
@@ -749,7 +768,13 @@ object LakeProcedures {
       val v2 = TxnGroup.tipAt(spark, gp, 2)
       v2.keySet == v1.keySet && v1.keySet.forall(k => v2(k) > v1(k))
     }
+    if (!atomic) throw new IllegalStateException(
+      s"atomic_single_cas flipped: gvs=$gvs " +
+        s"v1=${TxnGroup.tipAt(spark, gp, 1)} " +
+        s"v2=${if (gvs.contains(2)) TxnGroup.tipAt(spark, gp, 2) else Map.empty}")
 
+    // the gate's group name is random — release its ledger window
+    graft.plans.EventLog.clear(s"txn:$g")
     val lo = TxnGroup.read(spark, gp, "lines")
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("line_count"),

@@ -54,8 +54,15 @@ object TxnGroup {
 
   private val LogDir = "_glog"
 
+  /** `tableVersions` = members this commit ADVANCED; `publishedVersions`
+    * = the full member→version map the winning CAS published (advanced +
+    * carried) — callers reporting the commit must use this snapshot, not
+    * a fresh [[tip]] read (a concurrent commit landing between the CAS
+    * and the re-read would make the report internally inconsistent).
+    */
   final case class GroupCommitResult(groupVersion: Int,
-    tableVersions: Map[String, Int], retries: Int)
+    tableVersions: Map[String, Int], retries: Int,
+    publishedVersions: Map[String, Int] = Map.empty)
 
   final class ConcurrentTxnConflict(msg: String)
     extends RuntimeException(msg)
@@ -225,7 +232,7 @@ object TxnGroup {
               if (written.contains(n)) "advanced" else "carried", v,
               s"group_version=${attemptV + 1} retries=$retries")
           }
-          return GroupCommitResult(attemptV + 1, written, retries)
+          return GroupCommitResult(attemptV + 1, written, retries, newMap)
         }
         val (lv, latest) = tip(spark, groupPath)
         val changed = latest.keySet.filter(k =>
@@ -290,7 +297,7 @@ object TxnGroup {
             if (written.contains(n)) "advanced" else "carried", v,
             s"group_version=${attemptV + 1}")
         }
-        return GroupCommitResult(attemptV + 1, written, 0)
+        return GroupCommitResult(attemptV + 1, written, 0, newMap)
       }
       val (lv, latest) = tip(spark, groupPath)
       val changed = latest.keySet.filter(k =>
@@ -355,18 +362,31 @@ object TxnGroup {
     VersionedLake.upsert(spark, pa,
       Seq((-999L, -1.0, 3L)).toDF("o_orderkey", "o_totalprice", "seq"),
       Seq("o_orderkey"), "seq")
-    val isolated = read(spark, root, "orders")
-      .filter(col("o_orderkey") === -999L).isEmpty
+    val poisonSeenPreTxn2 = read(spark, root, "orders")
+      .filter(col("o_orderkey") === -999L).count()
+    val isolated = poisonSeenPreTxn2 == 0L
+    // The oracle pins this flag true — a flip must be a LOUD error with
+    // the evidence attached, never a forensically-opaque hash mismatch
+    // (r10 verdict task 1).
+    if (!isolated) throw new IllegalStateException(
+      s"txn_isolated flipped: group read at $root sees $poisonSeenPreTxn2 " +
+        s"poison row(s) pre-commit; group tip=${tip(spark, root)}, " +
+        s"orders chain=${VersionedLake.versions(spark, pa)}")
     // txn 2: touch-up through the group — must restore the junk first
     val touch = read(spark, root, "orders")
       .filter(col("o_orderkey") < 500)
       .select(col("o_orderkey"),
         (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
     commit(spark, root, Map("orders" -> withSeq(touch, 4)), contracts)
-    val rolledBack = read(spark, root, "orders")
-      .filter(col("o_orderkey") === -999L).isEmpty &&
-      VersionedLake.history(spark, pa)
-        .filter(col("operation") === "RESTORE").count() >= 1
+    val poisonSeenFinal = read(spark, root, "orders")
+      .filter(col("o_orderkey") === -999L).count()
+    val restoreCommits = VersionedLake.history(spark, pa)
+      .filter(col("operation") === "RESTORE").count()
+    val rolledBack = poisonSeenFinal == 0L && restoreCommits >= 1
+    if (!rolledBack) throw new IllegalStateException(
+      s"junk_rolled_back flipped: poisonSeenFinal=$poisonSeenFinal " +
+        s"restoreCommits=$restoreCommits group tip=${tip(spark, root)} " +
+        s"orders chain=${VersionedLake.versions(spark, pa)}")
     // structural atomicity: 3 group files; both members move in txn 1
     val gvs = groupVersions(spark, root)
     val m1 = linesAt(spark, root, 1).filter(_.startsWith("tbl\t")).toSet
@@ -374,6 +394,10 @@ object TxnGroup {
     val atomic = gvs == Seq(1, 2, 3) &&
       (m1.map(_.split("\t")(1)) diff m2.map(_.split("\t")(1))).isEmpty &&
       m1.intersect(m2).isEmpty // every member advanced in the one CAS
+    if (!atomic) throw new IllegalStateException(
+      s"atomic_single_cas flipped: gvs=$gvs v1tbl=$m1 v2tbl=$m2")
+    // the gate's group name is random — release its ledger window
+    graft.plans.EventLog.clear("txn:" + new Path(root).getName)
     val lo = read(spark, root, "lines")
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("line_count"),

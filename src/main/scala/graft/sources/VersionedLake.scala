@@ -1814,6 +1814,17 @@ object VersionedLake {
     * tip manifest, so the stream always speaks the current names.
     */
   def streamChanges(spark: SparkSession, path: String): DataFrame = {
+    // Gap-freedom is checked at STREAM CONSTRUCTION only: a gap marker
+    // written by repairDeleteTombstones AFTER the stream starts is not
+    // observed until the next (re)start. This matches the marker's
+    // causal window — a gap can only be recorded for a version whose
+    // predecessor manifest a tag-pinned vacuum already removed, and
+    // vacuum's retention floor is far older than any live microbatch,
+    // so a RUNNING stream has necessarily already consumed (or will
+    // consume, from still-present change files) the affected version.
+    // Restart-time is therefore the correct enforcement point; checking
+    // per microbatch would add a listing per trigger to re-verify
+    // versions the checkpoint has already sealed.
     val gaps = changeFeedGaps(spark, path)
     require(gaps.isEmpty,
       s"change feed at $path has unpublishable gaps at version(s) " +

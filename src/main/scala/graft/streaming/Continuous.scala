@@ -1,0 +1,319 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.plans.EventLog
+import graft.sources.{Scratch, VersionedLake}
+
+/** CONTINUOUS-MODE PIPELINE EXECUTION — the reference's
+  * `continuous: false` pipeline flag flipped ON (ref
+  * resources/olist_pipeline.yml:24): instead of the triggered-batch
+  * [[graft.plans.Pipeline]] runner (build each table once, in topo
+  * order, then exit), every flow of the DAG runs as an ALWAYS-ON
+  * Structured Streaming query, all active at the same time, each
+  * landing microbatches into its lake table as upstream data arrives —
+  * DLT's continuous pipelines, re-expressed as one StreamingQuery per
+  * flow over the [[VersionedLake]] connectors.
+  *
+  * Semantics carried over from the triggered runner:
+  *  - **exactly-once per flow**: each microbatch lands through
+  *    [[VersionedLake.upsertTxn]] keyed (appId = pipeline/flow,
+  *    txnVersion = batchId), so a crash/restart replay of a committed
+  *    batch is an idempotent skip — the streaming file-source
+  *    checkpoint plus the transaction watermark cover both halves of
+  *    the contract;
+  *  - **observability**: the run writes the same [[EventLog]] surface
+  *    as triggered runs (`run_started` / `flow_started` per flow in
+  *    DAG order / `flow_progress` with a deterministic metric /
+  *    `run_stopped` / `run_completed`), so
+  *    `SELECT * FROM event_log('<pipeline>')` serves a continuous run
+  *    the way it serves a batch one;
+  *  - **restart = resume**: a new [[Runner]] over the same checkpoints
+  *    continues each flow from its sealed offsets — only data that
+  *    arrived since the stop is processed (proven by the gate's
+  *    per-run row counters).
+  *
+  * At 100 TB: per-flow progress metrics here are read from in-process
+  * counters because the gate needs exact, oracle-recomputable numbers;
+  * a production deployment would read the same numbers from each
+  * query's `StreamingQueryProgress.numInputRows` (no extra pass). The
+  * flows themselves shuffle only inside their own microbatch merges —
+  * the always-on topology adds no cross-flow shuffles; change files
+  * hard-link, so the bronze→silver edge moves metadata, not data.
+  */
+object Continuous {
+
+  /** One always-on flow: a streaming source (file feed or an upstream
+    * table's change log) merged into `target` under the flow's own
+    * (key, sequence) contract.
+    */
+  final case class FlowDef(
+      name: String,
+      layer: String,
+      source: SparkSession => DataFrame,
+      target: String,
+      keyCols: Seq[String],
+      seqCol: String,
+      transform: DataFrame => DataFrame = identity)
+
+  /** One continuous run: all flows started (and active) together,
+    * drained on demand, stopped gracefully. A second Runner over the
+    * same checkpoints resumes.
+    */
+  final class Runner(spark: SparkSession, pipeline: String,
+      flows: Seq[FlowDef], checkpointRoot: String, resume: Boolean) {
+
+    private val counters = flows.map(f =>
+      f.name -> new java.util.concurrent.atomic.AtomicLong()).toMap
+    private var queries: Seq[(FlowDef, StreamingQuery)] = Nil
+
+    def start(): this.type = {
+      EventLog.record(pipeline, "run_started",
+        message = s"flows=${flows.size} resume=$resume")
+      queries = flows.map { f =>
+        val q = f.transform(f.source(spark)).writeStream
+          .option("checkpointLocation", s"$checkpointRoot/${f.name}")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // count + land: the foreachBatch relation is a small
+            // microbatch; production would read numInputRows instead
+            val n = batch.count()
+            if (n > 0) {
+              VersionedLake.upsertTxn(spark, f.target, batch,
+                f.keyCols, f.seqCol, s"$pipeline/${f.name}", id)
+              counters(f.name).addAndGet(n)
+            }
+            ()
+          }
+          .start() // default trigger: always-on microbatches
+        EventLog.record(pipeline, "flow_started", f.name, f.layer,
+          status = "running")
+        f -> q
+      }
+      this
+    }
+
+    /** All flows active at once — the property that distinguishes
+      * continuous mode from the topo-ordered triggered runner.
+      */
+    def allActive: Boolean = queries.nonEmpty && queries.forall(_._2.isActive)
+
+    /** Block until every flow has consumed everything currently
+      * available, in DAG order (upstream first, so a downstream flow's
+      * drain observes the upstream commits this drain produced), then
+      * record one `flow_progress` row per flow with its target's LIVE
+      * row count — the convergence witness, deterministic for every
+      * flow (rows-PROCESSED would not be: a COW upstream's change log
+      * legitimately re-delivers whole touched buckets, so a downstream
+      * flow's input cardinality depends on bucket hashing; per-run
+      * processed counts stay available via [[rowsThisRun]] for callers
+      * that know their flow's input is deterministic, e.g. the gate's
+      * exactly-once assertion on the root feed).
+      */
+    def drain(): this.type = {
+      queries.foreach { case (f, q) =>
+        q.processAllAvailable()
+        EventLog.record(pipeline, "flow_progress", f.name, f.layer,
+          status = "ok", metricName = "live_rows",
+          metricValue = VersionedLake.read(spark, f.target).count())
+      }
+      this
+    }
+
+    def rowsThisRun(flow: String): Long = counters(flow).get
+
+    def stop(eventType: String, message: String): Unit = {
+      queries.foreach(_._2.stop())
+      queries.foreach(_._2.awaitTermination())
+      EventLog.record(pipeline, eventType, message = message)
+    }
+  }
+
+  // ---- gate ----------------------------------------------------------------
+
+  /** `pipeline_continuous` — the always-on medallion DAG, proven in one
+    * scripted pass with a mid-run restart:
+    *
+    *  1. a 2-flow DAG (bronze: CDC feed files → lake table; silver:
+    *     bronze's change log → `value_band` transform → lake table)
+    *     starts; BOTH queries are concurrently active (asserted);
+    *  2. feed third A arrives → drain → flow_progress rows carry each
+    *     flow's live-row count (= A's live SCD1 winners, both layers);
+    *     third B arrives WHILE THE QUERIES RUN (the continuous part) →
+    *     drain again → counts advance to the ≤t2 state;
+    *  3. graceful stop; third C arrives while the pipeline is DOWN;
+    *  4. a resumed run over the same checkpoints processes EXACTLY |C|
+    *     feed rows (bronze per-run counter — a batch-A/B replay would
+    *     inflate it; flip is a loud error and the pinned
+    *     `exactly_once=true` completion message), converging silver to
+    *     the full-feed SCD1 state (asserted against the batch
+    *     recompute, column-for-column).
+    *
+    * The gate emits the run's ORDERED EVENT ROWS; every metric value is
+    * recomputed by the DuckDB oracle from the raw feed at the same
+    * sequence thresholds.
+    */
+  def continuousGate(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val pipeline = "gate_continuous"
+    EventLog.clear(pipeline)
+    val feed = Scratch.dir("cont_feed")
+    val bronze = Scratch.dir("cont_bronze")
+    val silver = Scratch.dir("cont_silver")
+    val ckpt = Files.createTempDirectory("graft_cont_ckpt").toString
+
+    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, dir))
+    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
+    val t1 = maxSeq / 3
+    val t2 = maxSeq * 2 / 3
+    def asChanges(df: DataFrame): DataFrame =
+      df.withColumn("_deleted", col("operation") === "DELETE")
+        .drop("operation")
+    val changes = asChanges(staged)
+    def arrive(lo: Long, hi: Long): Long = {
+      val part = changes.filter(col("sequence_number") > lo &&
+        col("sequence_number") <= hi)
+      part.repartition(1).write.mode("append").parquet(feed)
+      part.count()
+    }
+    val feedSchema = changes.schema
+    // the silver stream's change-log glob must have a listable parent
+    // before bronze's first commit creates it (flow start is concurrent)
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(s"$bronze/_changes"))
+
+    val flows = Seq(
+      FlowDef("bronze_events", "bronze",
+        s => s.readStream.schema(feedSchema).parquet(feed),
+        bronze, Seq("key_id"), "sequence_number"),
+      FlowDef("silver_events", "silver",
+        s => VersionedLake.streamSource(s, bronze, feedSchema),
+        silver, Seq("key_id"), "sequence_number",
+        transform = _.withColumn("value_band", floor(col("value")))))
+
+    // run 1: A arrives, both flows start, B arrives while running
+    val nA = arrive(Long.MinValue, t1)
+    val run1 = new Runner(spark, pipeline, flows, ckpt, resume = false)
+      .start()
+    val concurrent1 = run1.allActive
+    run1.drain()
+    arrive(t1, t2) // lands while both queries are live — continuous
+    run1.drain()
+    val concurrent2 = run1.allActive
+    if (!(concurrent1 && concurrent2)) {
+      run1.stop("run_stopped", "concurrent=false")
+      throw new IllegalStateException(
+        s"continuous flows not concurrently active: " +
+          s"start=$concurrent1 after-drain=$concurrent2")
+    }
+    run1.stop("run_stopped", "concurrent=true")
+
+    // C arrives while the pipeline is DOWN; the resumed run must
+    // process exactly it
+    val nC = arrive(t2, Long.MaxValue)
+    val run2 = new Runner(spark, pipeline, flows, ckpt, resume = true)
+      .start()
+    run2.drain()
+    val exactlyOnce = run2.rowsThisRun("bronze_events") == nC
+    if (!exactlyOnce) {
+      run2.stop("run_completed", "exactly_once=false")
+      throw new IllegalStateException(
+        s"restart reprocessed sealed data: run2 bronze rows = " +
+          s"${run2.rowsThisRun("bronze_events")}, expected $nC (nA=$nA)")
+    }
+    run2.stop("run_completed", "flows_ok=2 exactly_once=true")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+
+    // convergence: silver ≡ the batch SCD1 recompute, transform included
+    val truth = graft.operators.Cdc
+      .scd1Current(graft.Tables.events(spark, dir))
+      .withColumnRenamed("last_sequence", "sequence_number")
+      .withColumn("value_band", floor(col("value")))
+    val got = VersionedLake.read(spark, silver)
+      .select(truth.columns.map(col): _*)
+    val missing = truth.exceptAll(got).count()
+    val extra = got.exceptAll(truth).count()
+    if (missing != 0 || extra != 0) throw new IllegalStateException(
+      s"silver diverged from batch recompute: missing=$missing extra=$extra")
+
+    spark.sql(s"SELECT * FROM event_log('$pipeline')")
+  }
+
+  val continuousGateSql: String =
+    """WITH stg AS (
+         SELECT event_id AS sequence_number,
+           CASE WHEN event_type = 'signup' THEN 'INSERT'
+                WHEN event_type = 'error' THEN 'DELETE'
+                ELSE 'UPDATE' END AS operation,
+           user_id AS key_id
+         FROM events
+         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+           AND event_type IS NOT NULL AND value IS NOT NULL),
+       th AS (SELECT MAX(sequence_number) // 3 AS t1,
+                     (MAX(sequence_number) * 2) // 3 AS t2 FROM stg),
+       live AS (SELECT
+         (SELECT COUNT(*) FROM (
+            SELECT key_id, operation,
+              row_number() OVER (PARTITION BY key_id
+                ORDER BY sequence_number DESC) AS rn
+            FROM stg, th WHERE sequence_number <= t1)
+          WHERE rn = 1 AND operation <> 'DELETE') AS l1,
+         (SELECT COUNT(*) FROM (
+            SELECT key_id, operation,
+              row_number() OVER (PARTITION BY key_id
+                ORDER BY sequence_number DESC) AS rn
+            FROM stg, th WHERE sequence_number <= t2)
+          WHERE rn = 1 AND operation <> 'DELETE') AS l2,
+         (SELECT COUNT(*) FROM (
+            SELECT key_id, operation,
+              row_number() OVER (PARTITION BY key_id
+                ORDER BY sequence_number DESC) AS rn
+            FROM stg)
+          WHERE rn = 1 AND operation <> 'DELETE') AS l3)
+       SELECT 'gate_continuous' AS pipeline, CAST(seq AS BIGINT) AS seq,
+         event_type, table_name, layer, status, attempts, message,
+         metric_name,
+         CAST(CASE seq
+           WHEN 3 THEN l1 WHEN 4 THEN l1
+           WHEN 5 THEN l2 WHEN 6 THEN l2
+           WHEN 11 THEN l3 WHEN 12 THEN l3
+           ELSE 0 END AS BIGINT) AS metric_value
+       FROM live, (VALUES
+         (0, 'run_started', '', '', '', 0, 'flows=2 resume=false', ''),
+         (1, 'flow_started', 'bronze_events', 'bronze', 'running', 0, '', ''),
+         (2, 'flow_started', 'silver_events', 'silver', 'running', 0, '', ''),
+         (3, 'flow_progress', 'bronze_events', 'bronze', 'ok', 0, '',
+          'live_rows'),
+         (4, 'flow_progress', 'silver_events', 'silver', 'ok', 0, '',
+          'live_rows'),
+         (5, 'flow_progress', 'bronze_events', 'bronze', 'ok', 0, '',
+          'live_rows'),
+         (6, 'flow_progress', 'silver_events', 'silver', 'ok', 0, '',
+          'live_rows'),
+         (7, 'run_stopped', '', '', '', 0, 'concurrent=true', ''),
+         (8, 'run_started', '', '', '', 0, 'flows=2 resume=true', ''),
+         (9, 'flow_started', 'bronze_events', 'bronze', 'running', 0, '', ''),
+         (10, 'flow_started', 'silver_events', 'silver', 'running', 0, '', ''),
+         (11, 'flow_progress', 'bronze_events', 'bronze', 'ok', 0, '',
+          'live_rows'),
+         (12, 'flow_progress', 'silver_events', 'silver', 'ok', 0, '',
+          'live_rows'),
+         (13, 'run_completed', '', '', '', 0,
+          'flows_ok=2 exactly_once=true', '')
+       ) AS t(seq, event_type, table_name, layer, status, attempts,
+              message, metric_name)
+       ORDER BY seq"""
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_continuous" -> ((s, d) =>
+      continuousGate(s, d).orderBy(col("seq"))))
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_continuous" -> continuousGateSql)
+}

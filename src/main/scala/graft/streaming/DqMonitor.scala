@@ -73,25 +73,32 @@ object DqMonitor {
     // rollup + melt to the per-rule grain (batch-boundary independent)
     val rollup = sum(col("n_rows")).as("n_rows") +:
       rules.map(r => sum(col(s"v_${r.name}")).as(s"v_${r.name}"))
-    val wide = spark.read.parquet(metrics)
+    // ONE aggregate pass serves both surfaces: the collected rollup is
+    // metadata-sized (one row per feed bucket), and melts on the driver
+    // to the per-rule gate grain AND to the ledger sums — the previous
+    // shape re-ran the whole aggregation a second time just to publish
+    // the event_log rows.
+    val wideRows = spark.read.parquet(metrics)
       .groupBy(col("feed_bucket"))
       .agg(rollup.head, rollup.tail: _*)
-    val out = rules.map { r =>
-      wide.select(col("feed_bucket").cast("long").as("feed_bucket"),
-        lit(r.name).as("rule_name"),
-        col("n_rows").cast("long").as("n_rows"),
-        col(s"v_${r.name}").cast("long").as("n_violations"))
-    }.reduce(_.unionByName(_))
+      .collect().toSeq
+    import spark.implicits._
+    val out = (for {
+      row <- wideRows; r <- rules
+    } yield (row.getAs[Long]("feed_bucket"), r.name,
+      row.getAs[Long]("n_rows"), row.getAs[Long](s"v_${r.name}")))
+      .toDF("feed_bucket", "rule_name", "n_rows", "n_violations")
     // the monitor's accumulated metrics are ALSO observability events:
     // publish the rollup to the event_log ledger so
     // `SELECT * FROM event_log('stream_dq_monitor')` serves them (the
-    // reference's flow_progress.data_quality surface)
-    graft.plans.EventLog.clear("stream_dq_monitor")
-    graft.plans.EventLog.recordExpectations("stream_dq_monitor",
+    // reference's flow_progress.data_quality surface). The replace is
+    // ATOMIC (one map swap) — concurrent invocations serve either run's
+    // complete event set, never an interleaving.
+    graft.plans.EventLog.replaceExpectations("stream_dq_monitor",
       "events_feed",
-      out.groupBy(col("rule_name"))
-        .agg(sum(col("n_violations")).as("v")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq)
+      rules.map(r =>
+        r.name -> wideRows.map(_.getAs[Long](s"v_${r.name}")).sum)
+        .sortBy(_._1))
     out
   }
 

@@ -94,6 +94,22 @@ class GovernanceSpec extends AnyFunSuite {
       assert(rows == 0,
         s"unknown region grant '$groups' must fail closed, saw $rows rows")
     }
+    // whitespace around the comma must not evade the region probe: a
+    // padded list is canonicalized at the caller_groups() binding, so
+    // the restricted principal keeps its restriction (fail CLOSED for
+    // the unknown grant, region-scoped for the known one) instead of
+    // falling open to every region
+    val paddedUnknown = asPrincipal("analysts, region-oceania") {
+      spark.table(viewName).count()
+    }
+    assert(paddedUnknown == 0,
+      s"padded unknown region grant must fail closed, saw $paddedUnknown rows")
+    val paddedKnown = asPrincipal(" analysts , region-europe ") {
+      spark.table(viewName).select("region_name").distinct().collect()
+        .map(_.getString(0)).toSet
+    }
+    assert(paddedKnown == Set("EUROPE"),
+      s"padded known region grant must stay region-scoped, saw $paddedKnown")
     // multi-group principals still resolve by element
     val email = asPrincipal("interns,admin") {
       spark.table(viewName).orderBy("customer_id").limit(1).collect().head

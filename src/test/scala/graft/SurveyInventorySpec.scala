@@ -39,4 +39,14 @@ class SurveyInventorySpec extends AnyFunSuite {
     assert(noOracle.isEmpty,
       s"queries without a DuckDB oracle: ${noOracle.toSeq.sorted}")
   }
+
+  test("registry iteration order is pinned (sorted by name)") {
+    // Verify/Bench/PlanAudit execute gates in registry iteration order;
+    // an unordered Map makes that order an unbisectable degree of
+    // freedom when diagnosing shared-session interference (r10 verdict
+    // task 8). The registry must iterate name-sorted, every time.
+    val keys = SparkEntry.queries.keys.toSeq
+    assert(keys == keys.sorted,
+      "SparkEntry.queries must iterate in sorted-name order")
+  }
 }
