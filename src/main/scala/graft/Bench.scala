@@ -86,7 +86,9 @@ object Bench {
     // survives if the repo itself carries it. Committed each round;
     // the idle-box run additionally lands as BENCH_IDLE_r<N>.json (set
     // SPARK_GRAFT_BENCH_OUT), a name the driver never overwrites.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r10.json")
+    // round-neutral default (the literal r10 name shipped stale for a
+    // round); the idle-box protocol overrides via SPARK_GRAFT_BENCH_OUT
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try Files.write(Paths.get(outFile), (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }

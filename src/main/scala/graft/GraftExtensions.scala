@@ -119,6 +119,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "event_log"),
       (children: Seq[Expression]) =>
         graft.plans.EventLog.eventLogPlan(children)))
+    // alerts('pipeline') — the actionable incidents derived from the
+    // ledger (the reference's email_notifications.on_failure analog,
+    // ref resources/olist_jobs.yml:50-53), as pollable rows
+    ext.injectTableFunction((
+      new FunctionIdentifier("alerts"),
+      new ExpressionInfo(graft.plans.EventLog.getClass.getName,
+        "alerts"),
+      (children: Seq[Expression]) =>
+        graft.plans.EventLog.alertsPlan(children)))
     // readStream.table("graft_lake.ns.t[.changes]") — named streaming
     // reads resolve onto the _changes/ file stream
     ext.injectResolutionRule(session =>

@@ -92,7 +92,8 @@ object SparkEntry {
       graft.streaming.LakeChain.queries ++
       graft.streaming.ScdEnrich.queries ++
       graft.streaming.Scd2Apply.queries ++
-      graft.streaming.DqMonitor.queries
+      graft.streaming.DqMonitor.queries ++
+      graft.streaming.Continuous.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -160,5 +161,6 @@ object SparkEntry {
       graft.streaming.LakeChain.oracles ++
       graft.streaming.ScdEnrich.oracles ++
       graft.streaming.Scd2Apply.oracles ++
-      graft.streaming.DqMonitor.oracles
+      graft.streaming.DqMonitor.oracles ++
+      graft.streaming.Continuous.oracles
 }

@@ -25,7 +25,26 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown query must land on the board as a RED row, never as
+        // absence (r11: stream_dq_monitor threw, wrote no parquet, and
+        // silently VANISHED from CORRECTNESS_r11.json). Two markers:
+        // a one-row parquet whose (_graft_error) schema can never match
+        // any oracle — the driver's compare renders it as a loud FAIL —
+        // and a plain-text stack beside it for forensics.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"$name threw ${e.getClass.getName}: ${e.getMessage}")
+            .toDF("_graft_error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          val sw = new java.io.StringWriter()
+          e.printStackTrace(new java.io.PrintWriter(sw))
+          Files.createDirectories(Paths.get(s"$outDir/_errors"))
+          Files.writeString(Paths.get(s"$outDir/_errors/$name.txt"),
+            sw.toString)
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: $m")
+        }
       }
       spark.catalog.clearCache() // per-query isolation
       Caching.releaseAll(spark) // incl. localCheckpoint block storage

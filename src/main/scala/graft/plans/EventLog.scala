@@ -72,18 +72,39 @@ object EventLog {
       layer: String = "", status: String = "", attempts: Int = 0,
       message: String = "", metricName: String = "",
       metricValue: Long = 0L): Unit = {
-    val q = ledger.computeIfAbsent(pipeline, p => {
-      pipelineOrder.add(p)
-      new java.util.concurrent.LinkedBlockingDeque[Event]()
-    })
-    q.add(Event(pipeline, -1L, eventType, tableName, layer, status,
-      attempts, message, metricName, metricValue))
-    while (q.size > MaxEventsPerPipeline) q.pollFirst()
+    val ev = Event(pipeline, -1L, eventType, tableName, layer, status,
+      attempts, message, metricName, metricValue)
+    // Append-then-verify: between computeIfAbsent and add, a concurrent
+    // eviction / clear() / replaceExpectations() can detach the deque —
+    // an event appended to an orphan would be silently lost. If the map
+    // no longer holds OUR deque after the add, retry against the live
+    // one (bounded: churn on one pipeline name is gate-scoped).
+    var appended = false
+    while (!appended) {
+      val q = ledger.computeIfAbsent(pipeline, p => {
+        pipelineOrder.add(p)
+        new java.util.concurrent.LinkedBlockingDeque[Event]()
+      })
+      q.add(ev)
+      if (ledger.get(pipeline) eq q) {
+        appended = true
+        while (q.size > MaxEventsPerPipeline) q.pollFirst()
+      }
+    }
+    evictBeyondCap(active = pipeline)
+  }
+
+  /** Oldest-first pipeline eviction, shared by every ledger mutation
+    * that can grow the map. Names popped from [[pipelineOrder]] that no
+    * longer exist in the ledger (cleared gates) are simply discarded —
+    * they must not count against, or trigger, eviction of live entries.
+    */
+  private def evictBeyondCap(active: String): Unit = {
     while (ledger.size > MaxPipelines) {
       val oldest = pipelineOrder.poll()
       if (oldest == null) return
-      if (oldest != pipeline) ledger.remove(oldest)
-      else pipelineOrder.add(oldest) // never evict the active writer
+      if (oldest == active) pipelineOrder.add(oldest) // never the writer
+      else ledger.remove(oldest)
     }
   }
 
@@ -110,6 +131,7 @@ object EventLog {
         0, "", rule, violations))
     }
     if (ledger.put(pipeline, q) == null) pipelineOrder.add(pipeline)
+    evictBeyondCap(active = pipeline)
   }
 
   /** Drop a pipeline's events — gates clear before a scripted run so
@@ -117,8 +139,15 @@ object EventLog {
     * clear their random `txn:<group>` name when done so gate churn
     * never consumes retention budget.
     */
-  def clear(pipeline: String): Unit =
+  def clear(pipeline: String): Unit = {
     ledger.remove(pipeline)
+    // also release the name's eviction-order slot: every random
+    // `txn:<group>` gate run would otherwise leak a string into
+    // pipelineOrder forever, and a cleared-then-recreated pipeline
+    // would hold DUPLICATE order entries — evicted prematurely the
+    // moment the cap is hit.
+    pipelineOrder.remove(pipeline)
+  }
 
   /** The pipeline's events in recorded order, seq assigned. */
   def eventsFor(pipeline: String): Seq[Event] = {
@@ -184,8 +213,11 @@ object EventLog {
     val evs = eventsFor(pipeline)
     val tally = evs.filter(_.event_type == "run_completed")
       .lastOption.map(_.message).getOrElse("")
-    def t(k: String): Long = s"$k=(\\d+)".r.findFirstMatchIn(tally)
-      .map(_.group(1).toLong).getOrElse(0L)
+    // token-anchored: a bare "ok=(\d+)" would also match inside
+    // "flows_ok=2" (Continuous's completion message) and miscount
+    def t(k: String): Long =
+      s"(?<![A-Za-z0-9_])$k=(\\d+)".r.findFirstMatchIn(tally)
+        .map(_.group(1).toLong).getOrElse(0L)
     evs.filter(_.event_type == "flow_progress")
       .filter(e => e.status == "failed" || e.status == "skipped" ||
         (e.status == "ok" && e.attempts > 1))
@@ -323,11 +355,73 @@ object EventLog {
        FROM dq
        ORDER BY seq"""
 
+  /** `pipeline_alerts` — the failure-notification surface proven over a
+    * scripted run that trips every severity exactly once:
+    *
+    *  1. a four-table DAG runs under `continueOnFailure` with the
+    *     ledger attached: one clean table, one FLAKY table (fails its
+    *     first attempt, lands on the retry — the signal a
+    *     healthy-looking run hides), one deterministic permanent
+    *     failure, and its downstream (skipped);
+    *  2. `SELECT * FROM alerts('…')` derives the pageable incidents in
+    *     ledger order — `recovered_retry`, `failure`,
+    *     `skipped_upstream` — each stamped with the run's final tally
+    *     (ok=2 failed=1 skipped=1) so a receiver can judge blast radius
+    *     without a second query; the clean table produces NO row.
+    *
+    * Every value is pinned by the script: statuses, attempt counts,
+    * error strings, and tallies are deterministic, so the oracle is a
+    * literal VALUES relation.
+    */
+  def alertsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import Pipeline.{RunPolicy, TableDef}
+    import graft.operators.Medallion
+    val name = "gate_alerts"
+    clear(name)
+    // first attempt throws, the retry succeeds — deterministic within
+    // the run because the counter is scoped to this gate invocation
+    val flakyTries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val defs = Seq(
+      TableDef("alrt_orders", "silver", Nil,
+        (s, _) => Medallion.silverOrders(Tables.orders(s, sfDir))),
+      TableDef("alrt_flaky", "silver", Nil,
+        (s, _) => {
+          if (flakyTries.getAndIncrement() == 0)
+            sys.error("synthetic failure: transient")
+          Medallion.silverOrders(Tables.orders(s, sfDir))
+        }),
+      TableDef("alrt_broken", "silver", Nil,
+        (_, _) => sys.error("synthetic failure: permanent")),
+      TableDef("alrt_rollup", "gold", Seq("alrt_broken"),
+        (_, t) => t("alrt_broken")))
+    Pipeline.runWithReport(spark, defs,
+      policy = RunPolicy(maxRetries = 1, continueOnFailure = true,
+        pipelineName = Some(name)))
+    spark.sql(s"SELECT * FROM alerts('$name')")
+  }
+
+  val alertsGateSql: String =
+    """SELECT * FROM (VALUES
+         ('gate_alerts', CAST(0 AS BIGINT), 'recovered_retry',
+          'alrt_flaky', 'silver', 'ok', 2, '',
+          CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+         ('gate_alerts', 1, 'failure', 'alrt_broken', 'silver', 'failed',
+          2, 'java.lang.RuntimeException: synthetic failure: permanent',
+          2, 1, 1),
+         ('gate_alerts', 2, 'skipped_upstream', 'alrt_rollup', 'gold',
+          'skipped', 0, 'upstream failed: alrt_broken', 2, 1, 1)
+       ) AS t(pipeline, alert_seq, severity, table_name, layer, status,
+              attempts, error, run_ok, run_failed, run_skipped)
+       ORDER BY alert_seq"""
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_event_log" -> ((s, d) =>
-      eventLogGate(s, d).orderBy(col("seq"))))
+      eventLogGate(s, d).orderBy(col("seq"))),
+    "pipeline_alerts" -> ((s, d) =>
+      alertsGate(s, d).orderBy(col("alert_seq"))))
 
   def oracles: Map[String, String] = Map(
-    "pipeline_event_log" -> eventLogGateSql)
+    "pipeline_event_log" -> eventLogGateSql,
+    "pipeline_alerts" -> alertsGateSql)
 }

@@ -779,17 +779,21 @@ object LakeProcedures {
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("line_count"),
         sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"))
-    TxnGroup.read(spark, gp, "orders")
+    // DECIMAL(18,2) + per-column fingerprint rows, exactly as the
+    // lake_multi_txn gate — see TxnGroup.withColumnFingerprints.
+    val base = TxnGroup.read(spark, gp, "orders")
       .join(lo, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_orderkey"), col("o_totalprice"),
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
         col("line_count"), col("sum_qty"))
       .withColumn("sql_txn_isolated", lit(isolated))
       .withColumn("orphan_restored_by_begin", lit(orphanRestored))
       .withColumn("atomic_single_cas", lit(atomic))
+    TxnGroup.withColumnFingerprints(spark, base)
   }
 
   val sqlTxnSql: String =
-    """WITH li AS (
+    s"""WITH li AS (
          SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
              AS qty
@@ -797,15 +801,17 @@ object LakeProcedures {
        lo AS (
          SELECT l_orderkey, COUNT(*) AS line_count,
            CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
-         FROM li GROUP BY 1)
-       SELECT o_orderkey,
-         o_totalprice + CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
-           AS o_totalprice,
-         line_count, sum_qty,
-         true AS sql_txn_isolated, true AS orphan_restored_by_begin,
-         true AS atomic_single_cas
-       FROM orders JOIN lo ON o_orderkey = l_orderkey
-       ORDER BY o_orderkey"""
+         FROM li GROUP BY 1),
+       base AS (
+         SELECT o_orderkey,
+           CAST(o_totalprice +
+                CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
+             AS DECIMAL(18,2)) AS o_totalprice,
+           line_count, sum_qty
+         FROM orders JOIN lo ON o_orderkey = l_orderkey)
+       ${TxnGroup.fingerprintSql(
+        "true AS sql_txn_isolated, true AS orphan_restored_by_begin, " +
+          "true AS atomic_single_cas")}"""
 
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -402,17 +402,100 @@ object TxnGroup {
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("line_count"),
         sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"))
-    read(spark, root, "orders")
+    // o_totalprice is a raw DOUBLE after the lake round-trips; §3 rule 1
+    // keeps raw doubles out of compared output — emit DECIMAL(18,2) on
+    // both sides (r11 verdict task 3).
+    val base = read(spark, root, "orders")
       .join(lo, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_orderkey"), col("o_totalprice"),
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
         col("line_count"), col("sum_qty"))
       .withColumn("txn_isolated", lit(isolated))
       .withColumn("junk_rolled_back", lit(rolledBack))
       .withColumn("atomic_single_cas", lit(atomic))
+    withColumnFingerprints(spark, base)
+  }
+
+  /** FNV-prime keyed per-column fingerprints, appended as extra rows.
+    *
+    * The two txn gates are the only gates whose compared output carries
+    * a per-row fact column through lake round-trips, and r10/r11 showed
+    * that a DRIVER-side hash mismatch on them is forensically opaque:
+    * the artifact says "hash differs" and nothing else, while every
+    * local reproduction passes. Each appended row pins ONE data column
+    * to `SUM((o_orderkey % P) * (value % P) % P) % P` (P = the 32-bit
+    * FNV prime 16777619; DECIMAL columns contribute integer pennies),
+    * and the DuckDB oracle recomputes the identical integer arithmetic
+    * — so a future mismatch names its column in the artifact itself
+    * instead of demanding forensics (r11 verdict task 3). Data rows
+    * carry NULL `fp_col`/`fp`; fingerprint rows sort first on their
+    * sentinel keys and hold neutral values elsewhere.
+    */
+  def withColumnFingerprints(spark: SparkSession, out: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val P = 16777619L
+    val key = pmod(col("o_orderkey").cast("long"), lit(P))
+    def term(v: org.apache.spark.sql.Column) =
+      pmod(key * pmod(v, lit(P)), lit(P))
+    val tracked: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "o_orderkey" -> col("o_orderkey").cast("long"),
+      "o_totalprice" -> (col("o_totalprice") * 100).cast("long"),
+      "line_count" -> col("line_count").cast("long"),
+      "sum_qty" -> (col("sum_qty") * 100).cast("long"))
+    val aggs = tracked.map { case (n, v) =>
+      pmod(sum(term(v)), lit(P)).as(n)
+    }
+    val sums = out.agg(aggs.head, aggs.tail: _*).head()
+    val flagNames = out.columns.filter(c =>
+      out.schema(c).dataType == org.apache.spark.sql.types.BooleanType)
+    val fpBase = tracked.zipWithIndex.map { case ((n, _), i) =>
+      (-900001L - i, n, sums.getAs[Long](n))
+    }.toDF("o_orderkey", "fp_col", "fp")
+      .withColumn("o_totalprice", lit(0).cast(DecimalType(18, 2)))
+      .withColumn("line_count", lit(0L))
+      .withColumn("sum_qty", lit(0).cast(DecimalType(18, 2)))
+    val fpRows = flagNames.foldLeft(fpBase)((d, f) =>
+      d.withColumn(f, lit(true)))
+    val dataRows = out
+      .withColumn("fp_col", lit(null).cast("string"))
+      .withColumn("fp", lit(null).cast("long"))
+    dataRows.unionByName(fpRows.select(dataRows.columns.map(col): _*))
+  }
+
+  /** The oracle half of [[withColumnFingerprints]]: SQL fragments the
+    * two txn oracles share, parameterized by their flag columns. `base`
+    * must expose o_orderkey BIGINT, o_totalprice/sum_qty DECIMAL(18,2),
+    * line_count BIGINT.
+    */
+  def fingerprintSql(flagCols: String): String = {
+    val P = "16777619"
+    def fp(v: String) =
+      s"(SELECT SUM((o_orderkey % $P) * ($v % $P) % $P) % $P FROM base)"
+    s"""SELECT o_orderkey, o_totalprice, line_count, sum_qty, $flagCols,
+         CAST(NULL AS VARCHAR) AS fp_col, CAST(NULL AS BIGINT) AS fp
+       FROM base
+       UNION ALL
+       SELECT CAST(-900001 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
+         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
+         'o_orderkey', ${fp("o_orderkey")}
+       UNION ALL
+       SELECT CAST(-900002 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
+         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
+         'o_totalprice', ${fp("CAST(o_totalprice * 100 AS BIGINT)")}
+       UNION ALL
+       SELECT CAST(-900003 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
+         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
+         'line_count', ${fp("line_count")}
+       UNION ALL
+       SELECT CAST(-900004 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
+         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
+         'sum_qty', ${fp("CAST(sum_qty * 100 AS BIGINT)")}
+       ORDER BY o_orderkey"""
   }
 
   val multiTxnSql: String =
-    """WITH li AS (
+    s"""WITH li AS (
          SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
              AS qty
@@ -420,15 +503,17 @@ object TxnGroup {
        lo AS (
          SELECT l_orderkey, COUNT(*) AS line_count,
            CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
-         FROM li GROUP BY 1)
-       SELECT o_orderkey,
-         o_totalprice + CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
-           AS o_totalprice,
-         line_count, sum_qty,
-         true AS txn_isolated, true AS junk_rolled_back,
-         true AS atomic_single_cas
-       FROM orders JOIN lo ON o_orderkey = l_orderkey
-       ORDER BY o_orderkey"""
+         FROM li GROUP BY 1),
+       base AS (
+         SELECT o_orderkey,
+           CAST(o_totalprice +
+                CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
+             AS DECIMAL(18,2)) AS o_totalprice,
+           line_count, sum_qty
+         FROM orders JOIN lo ON o_orderkey = l_orderkey)
+       ${fingerprintSql(
+        "true AS txn_isolated, true AS junk_rolled_back, " +
+          "true AS atomic_single_cas")}"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_multi_txn" -> ((s, d) =>

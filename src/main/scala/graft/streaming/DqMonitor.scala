@@ -78,8 +78,11 @@ object DqMonitor {
     // to the per-rule gate grain AND to the ledger sums — the previous
     // shape re-ran the whole aggregation a second time just to publish
     // the event_log rows.
+    // feed_bucket is IntegerType (declared in the stream schema above) —
+    // cast to long HERE so the collected rows box java.lang.Long and the
+    // getAs[Long] reads below cannot ClassCastException.
     val wideRows = spark.read.parquet(metrics)
-      .groupBy(col("feed_bucket"))
+      .groupBy(col("feed_bucket").cast("long").as("feed_bucket"))
       .agg(rollup.head, rollup.tail: _*)
       .collect().toSeq
     import spark.implicits._

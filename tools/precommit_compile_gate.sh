@@ -26,3 +26,20 @@ if ! sbt -batch Test/compile > /tmp/graft_compile_gate.log 2>&1; then
   exit 1
 fi
 echo "[compile-gate] OK"
+
+# All-queries smoke (CoreSpec at sf0.001, ~3 min): compiling is not
+# verifying — r11's snapshot shipped a runtime-broken operator and a
+# red suite through the compile-only gate. Skip for INTERMEDIATE
+# commits with GRAFT_SKIP_SMOKE=1; the final commits of a round must
+# run it.
+if [ "${GRAFT_SKIP_SMOKE:-0}" = "1" ]; then
+  echo "[smoke-gate] skipped via GRAFT_SKIP_SMOKE=1 (intermediate commit)"
+  exit 0
+fi
+echo "[smoke-gate] running CoreSpec (all registered queries at sf0.001) ..."
+if ! sbt -batch "Test/testOnly graft.CoreSpec" > /tmp/graft_smoke_gate.log 2>&1; then
+  tail -40 /tmp/graft_smoke_gate.log
+  echo "[smoke-gate] FAILED — commit refused. Full log: /tmp/graft_smoke_gate.log"
+  exit 1
+fi
+echo "[smoke-gate] OK"
