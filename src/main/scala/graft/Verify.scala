@@ -27,14 +27,15 @@ object Verify {
       catch { case e: Throwable =>
         // A thrown query must land on the board as a RED row, never as
         // absence (r11: stream_dq_monitor threw, wrote no parquet, and
-        // silently VANISHED from CORRECTNESS_r11.json). Two markers:
-        // a one-row parquet whose (_graft_error) schema can never match
-        // any oracle — the driver's compare renders it as a loud FAIL —
-        // and a plain-text stack beside it for forensics.
+        // silently VANISHED from CORRECTNESS_r11.json). Two markers: a
+        // ZERO-row parquet whose (_graft_error) schema can never match
+        // any oracle — zero rows also fails the weaker rows-only check,
+        // so the marker can never masquerade as a pass — and a
+        // plain-text stack under _errors/ for forensics.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         try {
           import spark.implicits._
-          Seq(s"$name threw ${e.getClass.getName}: ${e.getMessage}")
+          Seq.empty[String]
             .toDF("_graft_error").coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           val sw = new java.io.StringWriter()

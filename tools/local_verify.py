@@ -26,13 +26,19 @@ def main():
     # rows-only queries (no oracle): flag empty/missing output
     for d in sorted(os.listdir(out)):
         full = os.path.join(out, d)
-        if not os.path.isdir(full) or d in oracle:
+        # _errors/ holds per-query stack traces, not a query output
+        if not os.path.isdir(full) or d in oracle or d.startswith("_"):
             continue
         try:
+            cols = [r[0] for r in con.sql(
+                f"DESCRIBE SELECT * FROM '{full}/*.parquet'").fetchall()]
             n = con.sql(f"SELECT count(*) FROM '{full}/*.parquet'").fetchone()[0]
         except Exception as e:
             print(f"FAIL {d} (rows-only): unreadable {e}"); n_fail += 1; continue
-        if n == 0:
+        if "_graft_error" in cols:
+            print(f"FAIL {d} (rows-only): Verify error marker "
+                  f"(see {out}/_errors/{d}.txt)"); n_fail += 1
+        elif n == 0:
             print(f"FAIL {d} (rows-only): 0 rows"); n_fail += 1
         else:
             print(f"PASS {d} (rows-only, {n} rows)"); n_pass += 1
