@@ -22,6 +22,14 @@ object GraftSession {
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // full-registry sessions (Verify/Bench: 272 queries) generate
+    // thousands of codegen'd classes; the default 100-entry class cache
+    // measured 8069 compiles per session and forces every late query to
+    // recompile its whole plan (BimodalProbe A/B, r12: 4096 entries →
+    // 4377 compiles, post-churn family runs at +0 compiles and the
+    // first-execution penalty gone). Static conf — must be set before
+    // session creation, which this builder hook guarantees.
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

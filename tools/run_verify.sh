@@ -13,5 +13,7 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
   java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
   java.base/sun.util.calendar; do OPENS="$OPENS --add-opens $p=ALL-UNNAMED"; done
+# GRAFT_JAVA_OPTS: extra JVM flags (e.g. -Dspark.sql.* A/B probes)
 exec java $OPENS -Xmx${GRAFT_XMX:-8g} -Dspark.ui.enabled=false \
-  -Dspark.sql.session.timeZone=UTC -cp "$CP" "$MAIN" "$SF" "$OUT"
+  -Dspark.sql.session.timeZone=UTC ${GRAFT_JAVA_OPTS:-} \
+  -cp "$CP" "$MAIN" "$SF" "$OUT"
