@@ -47,6 +47,7 @@ object SparkEntry {
       graft.operators.GoldIncr.queries ++ Analytics.queries ++
       Insights.queries ++ graft.operators.BloomJoin.queries ++
       Cdc.queries ++ graft.operators.CdcGen.queries ++
+      graft.operators.CdcSnapshot.queries ++
       Quality.queries ++ Masking.queries ++
       Dedup.queries ++ graft.operators.PrefixJoin.queries ++
       graft.operators.Pagerank.queries ++
@@ -116,6 +117,7 @@ object SparkEntry {
       graft.operators.GoldIncr.oracles ++ Analytics.oracles ++
       Insights.oracles ++ graft.operators.BloomJoin.oracles ++
       Cdc.oracles ++ graft.operators.CdcGen.oracles ++
+      graft.operators.CdcSnapshot.oracles ++
       Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ graft.operators.PrefixJoin.oracles ++
       graft.operators.Pagerank.oracles ++

@@ -201,6 +201,26 @@ object Clusters {
   private val labelStore =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Store-or-reuse for a label artifact: first computation per key
+    * lands to scratch parquet, later callers read it. On a cache hit
+    * the path is re-verified on disk — Scratch.sweep (2h age) or
+    * another harness may have reclaimed it mid-session, and a stale
+    * map entry must mean "recompute and re-store", never a read
+    * failure (r12 advice).
+    */
+  private def storedArtifact(spark: org.apache.spark.sql.SparkSession,
+      key: String, compute: () => DataFrame): DataFrame = {
+    val path = labelStore.compute(key, (_, old) => {
+      if (old != null && new java.io.File(old).exists()) old
+      else {
+        val p = graft.sources.Scratch.dir("cluster_labels")
+        compute().write.mode("overwrite").parquet(p)
+        p
+      }
+    })
+    spark.read.parquet(path)
+  }
+
   private def corpusLabels(docs: DataFrame, key: Option[String])
       : DataFrame = {
     def compute(): DataFrame = connectedComponents(
@@ -210,13 +230,7 @@ object Clusters {
       .select(col("node").as("doc_id"), col("cluster_id"))
     key match {
       case None => compute()
-      case Some(k) =>
-        val path = labelStore.computeIfAbsent(k, _ => {
-          val p = graft.sources.Scratch.dir("cluster_labels")
-          compute().write.mode("overwrite").parquet(p)
-          p
-        })
-        docs.sparkSession.read.parquet(path)
+      case Some(k) => storedArtifact(docs.sparkSession, k, compute)
     }
   }
 
@@ -282,17 +296,27 @@ object Clusters {
     * count is at most (batch docs) + (old labels incident to batch
     * edges) — each measured independently of the reduced set itself.
     */
-  def incrementalClusters(docs: DataFrame): DataFrame = {
+  def incrementalClusters(docs: DataFrame,
+      labelKey: Option[String] = None): DataFrame = {
     val isBatch: Column => Column = c => c % 5 === 0
     val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
     // pre-batch FIXTURE state: the old corpus's verified labels from a
-    // prefix join over the OLD docs only (the stored label table)
-    val oldLabels = connectedComponents(
+    // prefix join over the OLD docs only — in production the STORED
+    // label table, so with a labelKey it goes through the same
+    // write-once scratch artifact dedup_clusters/dedup_canonical share
+    // (r12 verdict task 3: this gate's solo time trended 10.5 → 13.4s
+    // re-deriving in-gate a fixture that is definitionally a stored
+    // input; the oracle still re-derives everything from raw docs)
+    def computeOld(): DataFrame = connectedComponents(
       PrefixJoin.prefixFilterPairs(oldDocs)
         .select(col("doc_a"), col("doc_b")),
       "doc_a", "doc_b", oldDocs.select(col("doc_id")), "doc_id")
-      .select(col("node").as("doc_id"), col("cluster_id").as("old_lbl"))
-      .localCheckpoint(true)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val oldLabels = (labelKey match {
+      case Some(k) => storedArtifact(docs.sparkSession, k + "#old5",
+        computeOld)
+      case None => computeOld().localCheckpoint(true)
+    }).select(col("doc_id"), col("cluster_id").as("old_lbl"))
     // the batch's incident edges: batch prefixes PROBE the cumulative
     // prefix index — never a corpus self-join
     val s = docs.sparkSession
@@ -407,7 +431,8 @@ object Clusters {
       canonicalDocs(Tables.documents(s, d), labelKey = Some(d))
         .orderBy(col("doc_id"))),
     "dedup_clusters_incremental" -> ((s, d) =>
-      incrementalClusters(Tables.documents(s, d)).orderBy(col("doc_id"))))
+      incrementalClusters(Tables.documents(s, d), labelKey = Some(d))
+        .orderBy(col("doc_id"))))
 
   def oracles: Map[String, String] = Map(
     "dedup_clusters" -> dupClustersSql,

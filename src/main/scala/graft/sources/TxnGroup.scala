@@ -413,7 +413,7 @@ object TxnGroup {
       .withColumn("txn_isolated", lit(isolated))
       .withColumn("junk_rolled_back", lit(rolledBack))
       .withColumn("atomic_single_cas", lit(atomic))
-    withColumnFingerprints(spark, base)
+    storeDiag(spark, sfDir, withColumnFingerprints(spark, base))
   }
 
   /** FNV-prime keyed per-column fingerprints, appended as extra rows.
@@ -443,8 +443,11 @@ object TxnGroup {
       "o_totalprice" -> (col("o_totalprice") * 100).cast("long"),
       "line_count" -> col("line_count").cast("long"),
       "sum_qty" -> (col("sum_qty") * 100).cast("long"))
+    // coalesce: on an empty base sum() is NULL and getAs[Long] would
+    // null-unbox to 0 by accident while the oracle's SUM stays NULL —
+    // pin the degenerate case to 0 EXPLICITLY on both sides (r12 advice)
     val aggs = tracked.map { case (n, v) =>
-      pmod(sum(term(v)), lit(P)).as(n)
+      coalesce(pmod(sum(term(v)), lit(P)), lit(0L)).as(n)
     }
     val sums = out.agg(aggs.head, aggs.tail: _*).head()
     val flagNames = out.columns.filter(c =>
@@ -468,10 +471,34 @@ object TxnGroup {
     * must expose o_orderkey BIGINT, o_totalprice/sum_qty DECIMAL(18,2),
     * line_count BIGINT.
     */
-  def fingerprintSql(flagCols: String): String = {
+  /** The tracked columns' integer-pennies SQL forms, in sentinel-key
+    * order (fingerprint row i carries key -900001-i).
+    */
+  private val trackedSql: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "o_orderkey",
+    "o_totalprice" -> "CAST(o_totalprice * 100 AS BIGINT)",
+    "line_count" -> "line_count",
+    "sum_qty" -> "CAST(sum_qty * 100 AS BIGINT)")
+
+  /** One column fingerprint over `base`, same COALESCE(…, 0) empty-set
+    * pin as the Spark side. The outer CAST is load-bearing: DuckDB's
+    * SUM(BIGINT) is HUGEINT, and un-cast it infects the unioned `fp`
+    * column's type (BIGINT NULLs ∪ HUGEINT → HUGEINT) — value-equal to
+    * Spark's int64 under pandas comparison (both → float64) but NOT
+    * under a type-tagged hash. r12 shipped the fingerprint rows without
+    * this cast, which is the prime suspect for the driver-only
+    * hash_match=false on both txn gates (every other oracle follows §3
+    * and CASTs its SUMs; the r13 diag_fp slice caught this one the
+    * moment the fp column stood alone).
+    */
+  private def fpSql(v: String): String = {
     val P = "16777619"
-    def fp(v: String) =
-      s"(SELECT SUM((o_orderkey % $P) * ($v % $P) % $P) % $P FROM base)"
+    s"CAST(COALESCE((SELECT SUM((o_orderkey % $P) * ($v % $P) % $P) % $P " +
+      s"FROM base), 0) AS BIGINT)"
+  }
+
+  def fingerprintSql(flagCols: String): String = {
+    def fp(v: String) = fpSql(v)
     s"""SELECT o_orderkey, o_totalprice, line_count, sum_qty, $flagCols,
          CAST(NULL AS VARCHAR) AS fp_col, CAST(NULL AS BIGINT) AS fp
        FROM base
@@ -494,8 +521,11 @@ object TxnGroup {
        ORDER BY o_orderkey"""
   }
 
-  val multiTxnSql: String =
-    s"""WITH li AS (
+  /** Both txn gates converge to the SAME oracle data: orders⋈lines
+    * with +1.00 touched onto low-key orders — shared CTE block.
+    */
+  val txnBaseCtes: String =
+    """li AS (
          SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
              AS qty
@@ -510,15 +540,113 @@ object TxnGroup {
                 CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
              AS DECIMAL(18,2)) AS o_totalprice,
            line_count, sum_qty
-         FROM orders JOIN lo ON o_orderkey = l_orderkey)
+         FROM orders JOIN lo ON o_orderkey = l_orderkey)"""
+
+  val multiTxnSql: String =
+    s"""WITH $txnBaseCtes
        ${fingerprintSql(
         "true AS txn_isolated, true AS junk_rolled_back, " +
           "true AS atomic_single_cas")}"""
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_multi_txn" -> ((s, d) =>
+  // ---- driver-side bisect (r12 verdict task 1, TEMPORARY) -------------------
+  // `lake_multi_txn`/`lake_sql_txn` have hash-failed the DRIVER compare
+  // for three rounds while rows/schema pass and every local repro
+  // (full-registry sorted-order single-JVM sf0.01, solo, min-of-N)
+  // passes value-exactly — and the driver artifact publishes only a
+  // boolean hash_match, so the r12 in-band fingerprint rows cannot
+  // speak through it. The next signal MUST come through the driver's
+  // per-query verdicts: each entry below slices ONE stored copy of the
+  // gate's own compared output, so CORRECTNESS_r13 itself names the
+  // differing column — or exonerates every column and flag, implicating
+  // the unioned null-carrying shape (fp_col/fp), which diag_union then
+  // isolates. Verify/Bench run the registry in sorted name order, so
+  // `lake_multi_txn` lands the store before any `lake_txn_diag_*` reads
+  // it; a solo diag run rebuilds through the gate. Remove this block
+  // and the SURVEY §2 diagnostic rows once the mismatch is solved.
+
+  private val diagStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeDiag(spark: SparkSession, sfDir: String,
+      out: DataFrame): DataFrame = {
+    val p = Scratch.dir("txn_diag")
+    out.write.mode("overwrite").parquet(p)
+    diagStore.put(sfDir, p)
+    spark.read.parquet(p)
+  }
+
+  private def diagOutput(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = diagStore.get(sfDir)
+    // path-existence check on hit: Scratch.sweep (2h age) may reclaim
+    // the artifact mid-session — recompute, never fail (r12 advice)
+    if (p != null && new java.io.File(p).exists()) spark.read.parquet(p)
+    else multiTxn(spark, sfDir)
+  }
+
+  private def dataRows(df: DataFrame): DataFrame =
+    df.filter(col("fp_col").isNull)
+
+  private def diagSql(body: String): String =
+    s"WITH $txnBaseCtes $body"
+
+  private val diagQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_txn_diag_key" -> ((s, d) => dataRows(diagOutput(s, d))
+      .select(col("o_orderkey")).orderBy(col("o_orderkey"))),
+    "lake_txn_diag_price" -> ((s, d) => dataRows(diagOutput(s, d))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))),
+    "lake_txn_diag_lines" -> ((s, d) => dataRows(diagOutput(s, d))
+      .select(col("o_orderkey"), col("line_count"))
+      .orderBy(col("o_orderkey"))),
+    "lake_txn_diag_qty" -> ((s, d) => dataRows(diagOutput(s, d))
+      .select(col("o_orderkey"), col("sum_qty"))
+      .orderBy(col("o_orderkey"))),
+    "lake_txn_diag_data" -> ((s, d) => dataRows(diagOutput(s, d))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("line_count"), col("sum_qty"))
+      .orderBy(col("o_orderkey"))),
+    "lake_txn_diag_fp" -> ((s, d) => diagOutput(s, d)
+      .filter(col("fp_col").isNotNull)
+      .select(col("fp_col"), col("fp")).orderBy(col("fp_col"))),
+    "lake_txn_diag_flags" -> ((s, d) => dataRows(diagOutput(s, d))
+      .select(col("txn_isolated"), col("junk_rolled_back"),
+        col("atomic_single_cas")).distinct()),
+    "lake_txn_diag_union" -> ((s, d) => diagOutput(s, d)
+      .select(col("o_orderkey"), col("fp_col"), col("fp"))
+      .orderBy(col("o_orderkey"))))
+
+  private val diagOracles: Map[String, String] = Map(
+    "lake_txn_diag_key" -> diagSql(
+      "SELECT o_orderkey FROM base ORDER BY o_orderkey"),
+    "lake_txn_diag_price" -> diagSql(
+      "SELECT o_orderkey, o_totalprice FROM base ORDER BY o_orderkey"),
+    "lake_txn_diag_lines" -> diagSql(
+      "SELECT o_orderkey, line_count FROM base ORDER BY o_orderkey"),
+    "lake_txn_diag_qty" -> diagSql(
+      "SELECT o_orderkey, sum_qty FROM base ORDER BY o_orderkey"),
+    "lake_txn_diag_data" -> diagSql(
+      "SELECT o_orderkey, o_totalprice, line_count, sum_qty " +
+        "FROM base ORDER BY o_orderkey"),
+    "lake_txn_diag_fp" -> diagSql(
+      trackedSql.map { case (n, v) =>
+        s"SELECT '$n' AS fp_col, ${fpSql(v)} AS fp"
+      }.mkString("", " UNION ALL ", " ORDER BY fp_col")),
+    "lake_txn_diag_flags" ->
+      ("SELECT true AS txn_isolated, true AS junk_rolled_back, " +
+        "true AS atomic_single_cas"),
+    "lake_txn_diag_union" -> diagSql(
+      "SELECT o_orderkey, CAST(NULL AS VARCHAR) AS fp_col, " +
+        "CAST(NULL AS BIGINT) AS fp FROM base UNION ALL " +
+        trackedSql.zipWithIndex.map { case ((n, v), i) =>
+          s"SELECT CAST(${-900001 - i} AS BIGINT), '$n', ${fpSql(v)}"
+        }.mkString(" UNION ALL ") +
+        " ORDER BY o_orderkey"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    diagQueries + ("lake_multi_txn" -> ((s, d) =>
       multiTxn(s, d).orderBy(col("o_orderkey"))))
 
-  def oracles: Map[String, String] = Map(
-    "lake_multi_txn" -> multiTxnSql)
+  def oracles: Map[String, String] =
+    diagOracles + ("lake_multi_txn" -> multiTxnSql)
 }

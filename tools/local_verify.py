@@ -63,6 +63,23 @@ def main():
             c = dt[0]
             print(f"FAIL {name}: dtype {c} spark={got[c].dtype} "
                   f"oracle={exp[c].dtype}"); n_fail += 1; continue
+        # duckdb-level base-type parity: a column carrying NULLs lands as
+        # float64/object in pandas on BOTH sides, masking e.g. BIGINT vs
+        # HUGEINT (r12: the txn gates' un-cast fingerprint subquery made
+        # the oracle's unioned fp column HUGEINT — pandas-equal, but a
+        # type-tagged driver hash fails). Compare DESCRIBE base types
+        # (precision stripped: DECIMAL(18,2) vs DECIMAL(38,2) is fine —
+        # pandas dtype above already guards the value representation).
+        def base_types(rel_sql):
+            return {r[0]: r[1].split("(")[0]
+                    for r in con.sql(f"DESCRIBE {rel_sql}").fetchall()}
+        bt_g = base_types(f"SELECT * FROM '{pq}/*.parquet'")
+        bt_e = base_types(sql)
+        bd = [c for c in gc if bt_g[c] != bt_e[c]]
+        if bd:
+            c = bd[0]
+            print(f"FAIL {name}: duckdb type {c} spark={bt_g[c]} "
+                  f"oracle={bt_e[c]}"); n_fail += 1; continue
         g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
         e = exp[ec].sort_values(by=ec, kind="mergesort").reset_index(drop=True)
         bad = []
