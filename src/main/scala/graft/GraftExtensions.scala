@@ -96,6 +96,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
         .registerFunction(cgId, cgInfo, cgBuilder)
     ext.injectFunction((cgId, cgInfo, cgBuilder))
+    // has_privilege(securable, priv, groups) — the GRANT check; a
+    // built-in for the same reason as caller_groups (persistent
+    // governed views reference it in their guard predicate)
+    val hpId = new FunctionIdentifier("has_privilege")
+    val hpInfo = new ExpressionInfo(
+      classOf[graft.functions.HasPrivilege].getName, "has_privilege")
+    val hpBuilder = (children: Seq[Expression]) =>
+      graft.functions.HasPrivilege(children(0), children(1), children(2))
+    if (!org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .functionExists(hpId))
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .registerFunction(hpId, hpInfo, hpBuilder)
+    ext.injectFunction((hpId, hpInfo, hpBuilder))
     // Bind caller_groups() to a literal during ANALYSIS (not just
     // optimizer constant folding): CacheManager matches on the
     // canonicalized analyzed plan, so an unbound CallerGroups() node

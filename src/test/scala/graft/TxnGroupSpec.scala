@@ -141,4 +141,27 @@ class TxnGroupSpec extends AnyFunSuite {
       TxnGroup.create(spark, root, Map("a" -> pa))
     }
   }
+
+  test("diag slices recompose the gate output exactly (r13 bisect)") {
+    import org.apache.spark.sql.functions.col
+    val sf = TestSpark.sf
+    // run the gate once (stores the diag artifact), slice through the
+    // registry entries, and prove the slices partition the full output
+    val full = TxnGroup.queries("lake_multi_txn")(spark, sf)
+      .localCheckpoint(true)
+    val data = TxnGroup.queries("lake_txn_diag_data")(spark, sf)
+    val fp = TxnGroup.queries("lake_txn_diag_fp")(spark, sf)
+    val flags = TxnGroup.queries("lake_txn_diag_flags")(spark, sf)
+    assert(fp.count() == 4)
+    assert(flags.count() == 1)
+    assert(data.count() == full.count() - 4)
+    val fromFull = full.filter(col("fp_col").isNull)
+      .select(data.columns.map(col): _*)
+    assert(fromFull.exceptAll(data).isEmpty &&
+      data.exceptAll(fromFull).isEmpty)
+    // the fp slice carries the same fingerprints the full output embeds
+    val fpFull = full.filter(col("fp_col").isNotNull)
+      .select(col("fp_col"), col("fp"))
+    assert(fpFull.exceptAll(fp).isEmpty && fp.exceptAll(fpFull).isEmpty)
+  }
 }

@@ -70,8 +70,15 @@ def main():
         # type-tagged driver hash fails). Compare DESCRIBE base types
         # (precision stripped: DECIMAL(18,2) vs DECIMAL(38,2) is fine —
         # pandas dtype above already guards the value representation).
+        # DATE vs TIMESTAMP is driver-proven benign (six date_trunc
+        # queries have passed the driver hash since r1 with exactly this
+        # split — both land as datetime64 wherever the driver compares);
+        # numeric base-type splits are NOT known benign, keep them hard.
+        EQUIV = {"DATE": "DATETIME", "TIMESTAMP": "DATETIME",
+                 "TIMESTAMP_NS": "DATETIME", "TIMESTAMP WITH TIME ZONE":
+                 "DATETIME"}
         def base_types(rel_sql):
-            return {r[0]: r[1].split("(")[0]
+            return {r[0]: EQUIV.get(r[1].split("(")[0], r[1].split("(")[0])
                     for r in con.sql(f"DESCRIBE {rel_sql}").fetchall()}
         bt_g = base_types(f"SELECT * FROM '{pq}/*.parquet'")
         bt_e = base_types(sql)
