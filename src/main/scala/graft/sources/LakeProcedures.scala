@@ -793,22 +793,7 @@ object LakeProcedures {
   }
 
   val sqlTxnSql: String =
-    s"""WITH li AS (
-         SELECT l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-             AS qty
-         FROM lineitem GROUP BY 1, 2),
-       lo AS (
-         SELECT l_orderkey, COUNT(*) AS line_count,
-           CAST(SUM(qty) AS DECIMAL(18,2)) AS sum_qty
-         FROM li GROUP BY 1),
-       base AS (
-         SELECT o_orderkey,
-           CAST(o_totalprice +
-                CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
-             AS DECIMAL(18,2)) AS o_totalprice,
-           line_count, sum_qty
-         FROM orders JOIN lo ON o_orderkey = l_orderkey)
+    s"""WITH ${TxnGroup.txnBaseCtes}
        ${TxnGroup.fingerprintSql(
         "true AS sql_txn_isolated, true AS orphan_restored_by_begin, " +
           "true AS atomic_single_cas")}"""

@@ -537,7 +537,8 @@ object TxnGroup {
        base AS (
          SELECT o_orderkey,
            CAST(o_totalprice +
-                CASE WHEN o_orderkey < 500 THEN 1.0 ELSE 0.0 END
+                CAST(CASE WHEN o_orderkey < 500
+                     THEN 1.0 ELSE 0.0 END AS DOUBLE)
              AS DECIMAL(18,2)) AS o_totalprice,
            line_count, sum_qty
          FROM orders JOIN lo ON o_orderkey = l_orderkey)"""
