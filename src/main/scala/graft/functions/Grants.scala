@@ -58,6 +58,19 @@ object Grants {
     granted.keySet.removeIf(k => k._1.startsWith(p))
   }
 
+  /** Every grant on securables under `prefix`, sorted —
+    * (securable, privilege, group) rows for `SHOW GRANTS`-style
+    * introspection.
+    */
+  def list(prefix: String): Seq[(String, String, String)] = {
+    val p = prefix.trim.toLowerCase
+    import scala.jdk.CollectionConverters._
+    granted.entrySet().asScala.toSeq
+      .filter(_.getKey._1.startsWith(p))
+      .flatMap(e => e.getValue.toSeq.map(g => (e.getKey._1, e.getKey._2, g)))
+      .sorted
+  }
+
   /** Does a caller holding `callerGroups` (comma-separated, canonical
     * or raw) hold `privilege` on `securable`? Fails CLOSED: an unknown
     * securable has no grants and refuses everyone but admin.

@@ -340,9 +340,19 @@ object CatalogSetup {
     val name = bindAclCustomers(spark, sfDir)
     val silver = Prod.db("silver")
     Grants.clear(silver) // re-entrant gate: fresh grant window
-    Grants.grant(silver, "USE", "analysts")
-    Grants.grant(name, "SELECT", "analysts")
-    Grants.grant(silver, "USE", "contractors") // USE but NOT SELECT
+    // grants land through the SQL face — the reference's GRANT
+    // statements as CALL procedures (unity_catalog_setup.py:152-164)
+    SqlCatalog.install(spark)
+    val cat = SqlCatalog.CatalogName
+    spark.sql(s"CALL $cat.system.grant('$silver', 'USE', 'analysts')")
+    spark.sql(s"CALL $cat.system.grant('$name', 'SELECT', 'analysts')")
+    spark.sql(
+      s"CALL $cat.system.grant('$silver', 'USE', 'contractors')")
+    // introspection agrees with what was granted (USE×2 + SELECT×1)
+    val shown = spark.sql(
+      s"CALL $cat.system.show_grants('$silver')").collect()
+    if (shown.length != 3) throw new IllegalStateException(
+      s"show_grants disagrees: ${shown.mkString(",")}")
     def as(principal: String, groups: String): DataFrame = {
       spark.conf.set("spark.graft.caller.groups", groups)
       try spark.table(name)

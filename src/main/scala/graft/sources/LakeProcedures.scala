@@ -48,7 +48,8 @@ object LakeProcedures {
 
   private val Names = Seq("optimize", "vacuum", "restore", "create_tag",
     "create_branch", "fast_forward", "drop_branch", "enable_row_tracking",
-    "txn_create", "txn_begin", "txn_commit")
+    "txn_create", "txn_begin", "txn_commit", "grant", "revoke",
+    "show_grants")
 
   def list(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(Array(Namespace)))
@@ -72,6 +73,9 @@ object LakeProcedures {
       case "txn_create" => new TxnCreateProc(path)
       case "txn_begin" => new TxnBeginProc
       case "txn_commit" => new TxnCommitProc
+      case "grant" => new GrantProc("grant")
+      case "revoke" => new GrantProc("revoke")
+      case "show_grants" => new ShowGrantsProc
       case other => throw new IllegalArgumentException(
         s"unknown procedure $Namespace.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -363,6 +367,47 @@ object LakeProcedures {
       val gp = txnGroupPath(input.getUTF8String(0).toString)
       result(schema, TxnGroup.begin(spark, gp).map { case (n, v, d) =>
         row(utf8(n), v, d) })
+    }
+  }
+
+  /** `CALL system.grant(securable, privilege, group)` /
+    * `CALL system.revoke(...)` — the reference's GRANT statements (ref
+    * unity_catalog_setup.py:152-164) as procedures over the
+    * [[graft.functions.Grants]] registry; enforcement happens in the
+    * governed views' `has_privilege` guards (CatalogSetup.bindAclCustomers).
+    * Returns the grant row it landed (or removed).
+    */
+  private final class GrantProc(op: String)
+      extends LakeProc(op, identity) {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("securable", StringType), p("privilege", StringType),
+      p("group", StringType))
+    private val schema = StructType.fromDDL(
+      "securable STRING, privilege STRING, grantee STRING, granted BOOLEAN")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val sec = input.getUTF8String(0).toString
+      val priv = input.getUTF8String(1).toString
+      val grp = input.getUTF8String(2).toString
+      if (op == "grant") graft.functions.Grants.grant(sec, priv, grp)
+      else graft.functions.Grants.revoke(sec, priv, grp)
+      result(schema, Seq(row(utf8(sec.trim.toLowerCase),
+        utf8(priv.trim.toUpperCase), utf8(grp.trim), op == "grant")))
+    }
+  }
+
+  /** `CALL system.show_grants(prefix)` — every grant under a securable
+    * prefix, one row each.
+    */
+  private final class ShowGrantsProc
+      extends LakeProc("show_grants", identity) {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("prefix", StringType))
+    private val schema = StructType.fromDDL(
+      "securable STRING, privilege STRING, grantee STRING")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val prefix = input.getUTF8String(0).toString
+      result(schema, graft.functions.Grants.list(prefix).map {
+        case (s, pv, g) => row(utf8(s), utf8(pv), utf8(g)) })
     }
   }
 

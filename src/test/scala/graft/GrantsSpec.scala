@@ -65,6 +65,27 @@ class GrantsSpec extends AnyFunSuite {
     Grants.clear(silver)
   }
 
+  test("SQL face: CALL system.grant/revoke/show_grants round-trip") {
+    graft.sources.SqlCatalog.install(spark)
+    val cat = graft.sources.SqlCatalog.CatalogName
+    Grants.clear("spec_sql_db")
+    val g = spark.sql(
+      s"CALL $cat.system.grant('Spec_SQL_db.T', 'select', 'readers')")
+      .head()
+    assert(g.getString(0) == "spec_sql_db.t" && g.getString(1) == "SELECT"
+      && g.getString(2) == "readers" && g.getBoolean(3))
+    assert(Grants.check("spec_sql_db.t", "SELECT", "readers"))
+    val shown = spark.sql(
+      s"CALL $cat.system.show_grants('spec_sql_db')").collect()
+    assert(shown.length == 1 && shown.head.getString(2) == "readers")
+    spark.sql(
+      s"CALL $cat.system.revoke('spec_sql_db.t', 'SELECT', 'readers')")
+    assert(!Grants.check("spec_sql_db.t", "SELECT", "readers"))
+    assert(spark.sql(
+      s"CALL $cat.system.show_grants('spec_sql_db')").isEmpty)
+    Grants.clear("spec_sql_db")
+  }
+
   test("catalog_grants gate output: two granted principals, flags pinned") {
     val out = CatalogSetup.queries("catalog_grants")(spark, sf).collect()
     val principals = out.map(_.getAs[String]("principal")).distinct.sorted
