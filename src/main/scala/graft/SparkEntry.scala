@@ -51,7 +51,9 @@ object SparkEntry {
       Quality.queries ++ Masking.queries ++
       Dedup.queries ++ graft.operators.PrefixJoin.queries ++
       graft.operators.Pagerank.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++
+      Similarity.queries ++ graft.operators.Retrieval.queries ++
+      graft.operators.GraphAnn.queries ++
+      graft.operators.Shards.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
       graft.operators.LineDedup.queries ++
@@ -121,7 +123,9 @@ object SparkEntry {
       Quality.oracles ++ Masking.oracles ++
       Dedup.oracles ++ graft.operators.PrefixJoin.oracles ++
       graft.operators.Pagerank.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++
+      Similarity.oracles ++ graft.operators.Retrieval.oracles ++
+      graft.operators.GraphAnn.oracles ++
+      graft.operators.Shards.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
       graft.operators.LineDedup.oracles ++

@@ -1,0 +1,449 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph-based ANN — the remaining family on the quantization/routing
+  * ladder (the NSW/HNSW shape behind Lucene, Vespa and pgvector's
+  * index): a bounded-degree neighbor GRAPH replaces the coarse
+  * quantizer, and search is greedy BEAM expansion from fixed entry
+  * points, touching O(entries + rounds·beam·degree) vectors per probe
+  * instead of Nprobe/Nlist of the corpus.
+  *
+  * Two halves, graded separately:
+  *  - BUILD ([[knnEdges]]): an exact symmetric k-NN graph. At gate
+  *    scale this is the brute-force baseline (the corpus broadcast
+  *    against itself — same explicit-baseline license as
+  *    [[Similarity.bruteForceTopK]]); at 100 TB the build is
+  *    NN-descent or LSH/IVF-blocked candidate refinement (linear
+  *    passes), and the graph is a stored artifact like IVF's
+  *    centroids. Symmetrization (knn ∪ reverse-knn) is load-bearing:
+  *    directed k-NN graphs strand low-in-degree nodes, the classic
+  *    NSW navigability fix.
+  *  - SEARCH ([[graphTopK]]): the operator under test — [[Rounds]]
+  *    rounds of {take the [[Beam]] best visited, expand their edges,
+  *    score, dedup}, a fixed-depth unroll of HNSW's layer-0 loop
+  *    (fixed depth so both engines run the IDENTICAL expansion; the
+  *    termination heuristic is a serving knob, not semantics). Every
+  *    expansion is a key-equality join (frontier broadcast against
+  *    the edge list; candidates key-joined to vectors); nothing
+  *    corpus×corpus in the search path.
+  *
+  * Determinism: cosines via the fold-exact [[Similarity.dot]] with
+  * per-vector norms folded once ([[Similarity.cosinePre]]); every
+  * top-N (graph ranks, beam, final ranks) ties-broken by id; the
+  * visited set dedups on (probe, node, cosine) where cosine is a pure
+  * function of the pair — bit-identical in both engines. In-gate
+  * honesty: recall@5 vs the exact brute-force ranks is asserted
+  * against [[RecallFloor]] (measured 1.000/1.000/0.995 at
+  * sf0.001/0.01/0.1 — gate-scale graphs cover iid probes easily; the
+  * floor pins the DISCIPLINE, the print shows drift).
+  */
+object GraphAnn {
+
+  /** Out-degree of the directed k-NN build (symmetrized ≤ 2·M). */
+  val M = 8
+
+  /** Long-range links per node — NSW's small-world ingredient. A pure
+    * k-NN graph DISCONNECTS on clustered data (every edge is
+    * intra-cluster, so a beam can never leave the entry points'
+    * clusters — measured: recall collapses on the mixture-of-centers
+    * fixture) and percolates poorly on iid data (measured 0.35@sf0.1
+    * with knn-only edges). Each node adds [[LongLinks]] deterministic
+    * pseudo-random jumps dst = rank⁻¹(fnv1a64("long:<seed>:<src>") mod
+    * N) — Kleinberg-style shortcuts that make the graph connected and
+    * give the beam cluster-crossing hops; both engines derive the
+    * identical links from the identical hash.
+    */
+  val LongLinks = 2
+
+  /** Fixed entry points: vec_id ∈ [0, Entries) — deterministic, and
+    * multi-entry is the standard local-minimum mitigation.
+    */
+  val Entries = 4
+
+  val Beam = 8
+
+  /** Insert-time beam — HNSW's efConstruction > efSearch: wiring
+    * quality is paid once per vector at write time, so the maintenance
+    * path searches twice as wide as serving.
+    */
+  val InsertBeam = 16
+
+  val Rounds = 4
+  val K = 5
+
+  /** Recall floors per regime, recallBounds discipline: iid is the
+    * navigability worst case (floors prove survival), the clustered
+    * mixture is the regime neighbor graphs exist for (floor proves the
+    * graph actually NAVIGATES). Pinned under the min measured across
+    * sf0.001/0.01/0.1 with margin — measured values print in-gate.
+    */
+  val RecallFloorIid = 0.4
+  val RecallFloorClustered = 0.9
+
+  private def asDouble(emb: Column): Column =
+    transform(emb, x => x.cast("double"))
+
+  private def baseOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .repartition(col("vec_id"))
+
+  /** Exact symmetric M-NN graph plus [[LongLinks]] pseudo-random
+    * long-range links over a [[baseOf]] frame (see the object doc for
+    * the build-vs-search scale split). The rank⁻¹ lookup resolving a
+    * long link's hash to an actual id (no density assumption on
+    * vec_id) is one global id-order window — a build-time cost on the
+    * stored-artifact path, like the knn pass itself.
+    */
+  private[graft] def buildEdges(base: DataFrame, m: Int = M): DataFrame = {
+    val a = base.select(col("vec_id").as("src"), col("v").as("av"),
+      col("nrm").as("anrm"))
+    val b = base.select(col("vec_id").as("dst"), col("v").as("bv"),
+      col("nrm").as("bnrm"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    val knn = a.join(broadcast(b), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Similarity.cosinePre(Similarity.dot(col("av"), col("bv")),
+          col("anrm"), col("bnrm")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("dst"))
+    val n = base.count()
+    val ranked = base.select(col("vec_id").as("dst"))
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("dst"))) - 1)
+    val longe = base.select(col("vec_id").as("src"))
+      .withColumn("seed",
+        explode(sequence(lit(0), lit(LongLinks - 1))))
+      .withColumn("r", pmod(call_function("fnv1a64",
+        concat(lit("long:"), col("seed").cast("string"), lit(":"),
+          col("src").cast("string"))), lit(n)))
+      .join(ranked, Seq("r"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val fwd = knn.unionByName(longe)
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** The beam loop shared by serving ([[graphTopK]]) and index
+    * maintenance ([[graphInsert]]): from per-probe `entries`
+    * (probe_id, node), run [[Rounds]] rounds of {beam-[[Beam]] best
+    * visited, expand `edges`, score against `base`, dedup}, and rank
+    * the final visited set. Every step is a key-equality join; the
+    * frontier (≤ probes·Beam rows) broadcasts against the edge list.
+    */
+  private def beamSearch(base: DataFrame, edges: DataFrame,
+      probes: DataFrame, entries: DataFrame, k: Int,
+      beam: Int = Beam): DataFrame = {
+    // (probe_id, node) → scored (probe_id, node, cosine)
+    def score(cands: DataFrame): DataFrame = cands
+      .join(base.select(col("vec_id").as("node"), col("v"),
+        col("nrm")), Seq("node"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("node"),
+        Similarity.cosinePre(Similarity.dot(col("pv"), col("v")),
+          col("pnrm"), col("nrm")).as("cosine"))
+    var visited = score(entries)
+    val bw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("node"))
+    (1 to Rounds).foreach { _ =>
+      val frontier = visited
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= beam)
+        .select(col("probe_id"), col("node"))
+      val cands = broadcast(
+          frontier.select(col("probe_id"), col("node").as("src")))
+        .join(edges, Seq("src"))
+        .select(col("probe_id"), col("dst").as("node"))
+        .distinct()
+      visited = visited.unionByName(score(cands)).distinct()
+    }
+    visited.filter(col("node") =!= col("probe_id"))
+      .withColumn("rank", row_number().over(bw).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"),
+        col("node").as("neighbor_id"), col("cosine"))
+  }
+
+  def graphTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val base = baseOf(emb)
+    graft.Caching.withCached(base) {
+      val edges = buildEdges(base)
+      graft.Caching.withCached(edges) {
+        val probes = base.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("nrm").as("pnrm"))
+        val entries = probes.select(col("probe_id"),
+          explode(sequence(lit(0L), lit(Entries - 1L))).as("node"))
+        beamSearch(base, edges, probes, entries, k)
+      }
+    }
+  }
+
+  /** Measured recall@k of an already-computed [[graphTopK]] frame vs
+    * the exact brute-force ranks on the same embedding frame. Takes
+    * the search OUTPUT (eagerly checkpointed by withCached) rather
+    * than recomputing it, so the gate's returned rows and its iid
+    * recall share ONE search run.
+    */
+  private def recallOf(out: DataFrame, emb: DataFrame, k: Int): Double = {
+    val truth = Similarity.bruteForceTopK(emb, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = out.select(col("probe_id"), col("neighbor_id"))
+      .intersect(truth).count()
+    val total = truth.count()
+    if (total == 0) 1.0 else hits.toDouble / total
+  }
+
+  /** [[graphTopK]] plus the in-gate recall honesty checks on BOTH
+    * embedding regimes (the ann_recall_bounds discipline): iid — the
+    * navigability worst case — against [[RecallFloorIid]], and the
+    * mixture-of-centers clustered fixture — the regime neighbor graphs
+    * exist for, where the long links must carry the beam ACROSS
+    * clusters — against [[RecallFloorClustered]]. Candidate collapse
+    * (a disconnected graph, a broken expansion join) cannot ship as a
+    * quietly-wrong-but-plausible neighbor list.
+    */
+  def graphTopKGate(emb: DataFrame): DataFrame = {
+    val out = graphTopK(emb, K)
+    val iid = recallOf(out, emb, K)
+    val fx = Similarity.clusteredFixture(emb)
+    val clustered = recallOf(graphTopK(fx, K), fx, K)
+    System.err.println(f"[ann_graph_topk] recall@$K iid=$iid%.3f " +
+      f"(floor $RecallFloorIid) clustered=$clustered%.3f " +
+      f"(floor $RecallFloorClustered)")
+    require(iid >= RecallFloorIid,
+      f"graph-ANN iid recall@$K $iid%.3f under floor $RecallFloorIid")
+    require(clustered >= RecallFloorClustered,
+      f"graph-ANN clustered recall@$K $clustered%.3f under floor " +
+        f"$RecallFloorClustered")
+    out
+  }
+
+  /** Deterministic old/new split for the maintenance gate: vec_id ≡ 3
+    * (mod 5) plays the newly-arrived 20% batch (the
+    * dedup_incremental bucket convention).
+    */
+  val BatchMod = 5L
+  val BatchRem = 3L
+
+  /** Wiring-quality floor for [[graphInsert]]: fraction of the M new
+    * edges that are true M-NN of their node over the old corpus.
+    * Pinned under the min measured across sf0.001/0.01/0.1 with
+    * margin; measured values print in-gate.
+    */
+  val InsertRecallFloor = 0.4
+
+  /** INCREMENTAL index maintenance — the HNSW insert path, which is
+    * why graph indexes win at serving time: adding a batch does NOT
+    * rebuild the graph. Each new vector beam-searches the STORED old
+    * graph (the same [[beamSearch]] serving runs, probes = the batch)
+    * and wires itself to the top-[[M]] of its visited set; reverse
+    * edges and degree compaction are the background-merge half of the
+    * contract (same split as the lake's MOR story). Cost is
+    * O(batch · rounds·beam·degree) — never O(corpus), never a rebuild.
+    *
+    * Emits the wiring itself: (new_id, rank, neighbor_id, cosine), M
+    * rows per batch vector. In-gate honesty: wiring recall vs the
+    * exact M-NN of each batch vector over the old corpus is asserted
+    * against [[InsertRecallFloor]] — a beam that stops navigating
+    * cannot ship plausible-but-wrong adjacency.
+    */
+  def graphInsert(emb: DataFrame, m: Int = M): DataFrame = {
+    val old = emb.filter(pmod(col("vec_id"), lit(BatchMod)) =!= BatchRem)
+    val batch = emb.filter(pmod(col("vec_id"), lit(BatchMod)) === BatchRem)
+    val base = baseOf(old)
+    graft.Caching.withCached(base) {
+      val edges = buildEdges(base)
+      graft.Caching.withCached(edges) {
+        val probes = baseOf(batch)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("nrm").as("pnrm"))
+        // entry points = first Entries ids OF THE OLD CORPUS (the
+        // fixed-id rule could land on batch members); kilobyte-scale
+        // driver state, like IVF's centroids
+        val entryIds = base.select(col("vec_id"))
+          .orderBy(col("vec_id")).limit(Entries)
+          .collect().map(_.getLong(0))
+        val entries = probes.select(col("probe_id"))
+          .withColumn("node", explode(lit(entryIds)))
+        beamSearch(base, edges, probes, entries, m, InsertBeam)
+          .withColumnRenamed("probe_id", "new_id")
+      }
+    }
+  }
+
+  /** [[graphInsert]] plus the in-gate wiring-recall check. */
+  def graphInsertGate(emb: DataFrame): DataFrame = {
+    val out = graphInsert(emb)
+    // exact M-NN truth of each batch vector over the old corpus —
+    // batch broadcast against the old side, the bruteforce license
+    val old = baseOf(
+      emb.filter(pmod(col("vec_id"), lit(BatchMod)) =!= BatchRem))
+    val batch = baseOf(
+      emb.filter(pmod(col("vec_id"), lit(BatchMod)) === BatchRem))
+      .select(col("vec_id").as("new_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = old.join(broadcast(batch), col("vec_id") =!= col("new_id"))
+      .select(col("new_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosinePre(Similarity.dot(col("pv"), col("v")),
+          col("pnrm"), col("nrm")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= M)
+      .select(col("new_id"), col("neighbor_id"))
+    val hits = out.select(col("new_id"), col("neighbor_id"))
+      .intersect(truth).count()
+    val total = truth.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(f"[ann_graph_incremental] wiring recall@$M=" +
+      f"$recall%.3f ($hits/$total) floor=$InsertRecallFloor")
+    require(recall >= InsertRecallFloor,
+      f"graph insert wiring recall@$M $recall%.3f under floor " +
+        f"$InsertRecallFloor")
+    out
+  }
+
+  /** Full DuckDB oracle: the exact symmetric knn build, then the
+    * [[Rounds]] beam rounds unrolled as CTE blocks (frontier → expand
+    * → score → dedup), exactly the kmeans-unroll discipline of
+    * [[Ivf.kmeansCtesSql]]. Norms fold once in `nv` so the all-pairs
+    * build pays one dot per pair, not three. Every CTE is pinned
+    * MATERIALIZED: each round references its predecessor twice
+    * (frontier + union), so inlined CTEs re-evaluate the whole chain
+    * 2^rounds times — with the all-pairs knn at the bottom, that took
+    * the sf0.1 oracle from 7s (materialized) past 300s.
+    */
+  private def oracleCos(p: String, n: String): String =
+    s"list_dot_product($p.pv, $n.v) / ($p.pnrm * $n.nrm)"
+
+  /** Shared oracle text — corpus (vec/nv) + graph build
+    * (knn/long-links/edges), the corpus filtered by `vecWhere`
+    * (serving: the whole table; maintenance: the old split).
+    */
+  private def oracleBuildCtes(vecWhere: String): String =
+    s"""vec AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings$vecWhere),
+       nv AS (
+         SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec),
+       knn AS (
+         SELECT src, dst FROM (
+           SELECT a.vec_id AS src, b.vec_id AS dst,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+               b.vec_id) AS rn
+           FROM nv a JOIN nv b ON a.vec_id <> b.vec_id)
+         WHERE rn <= $M),
+       rankedv AS (
+         SELECT vec_id AS dst, row_number() OVER (ORDER BY vec_id) - 1 AS r
+         FROM vec),
+       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vec),
+       longh AS (
+         -- the FNV fold lands in a PROJECTED column so the longe join
+         -- below is a plain equi-join on r; folding inside the join
+         -- condition degrades to a nested-loop join that re-evaluates
+         -- the fold per candidate pair (measured 30x on the full gate)
+         SELECT v.vec_id AS src,
+           ((${OracleFnv.ofText(
+              "'long:' || CAST(s.seed AS VARCHAR) || ':' || CAST(v.vec_id AS VARCHAR)")}
+             % (SELECT n FROM nn)) + (SELECT n FROM nn))
+             % (SELECT n FROM nn) AS r
+         FROM vec v CROSS JOIN unnest(range(0, $LongLinks)) AS s(seed)),
+       longe AS (
+         SELECT h.src, rk.dst FROM longh h JOIN rankedv rk USING (r)
+         WHERE h.src <> rk.dst),
+       fwd AS (
+         SELECT src, dst FROM knn UNION ALL SELECT src, dst FROM longe),
+       edges AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM fwd
+           UNION ALL SELECT dst AS src, src AS dst FROM fwd))"""
+
+  /** Shared oracle text — the [[Rounds]] beam rounds unrolled (frontier
+    * → expand → score → dedup); splices after a `probes` and `v0` CTE.
+    */
+  private def oracleRoundCtes(beam: Int): String = (1 to Rounds).map { i =>
+    s"""f$i AS (
+         SELECT probe_id, node FROM (
+           SELECT probe_id, node, row_number() OVER (PARTITION BY probe_id
+             ORDER BY cosine DESC, node) AS rn
+           FROM v${i - 1})
+         WHERE rn <= $beam),
+       c$i AS (
+         SELECT DISTINCT f.probe_id, e.dst AS node
+         FROM f$i f JOIN edges e ON e.src = f.node),
+       s$i AS (
+         SELECT c.probe_id, c.node, ${oracleCos("p", "n")} AS cosine
+         FROM c$i c
+         JOIN probes p USING (probe_id)
+         JOIN nv n ON n.vec_id = c.node),
+       v$i AS (
+         SELECT DISTINCT probe_id, node, cosine FROM (
+           SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i))"""
+  }.mkString(",\n       ")
+
+  val graphTopKSql: String =
+    s"""WITH ${oracleBuildCtes("")},
+       probes AS (
+         SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+         FROM nv WHERE vec_id % 50 = 0),
+       v0 AS (
+         SELECT p.probe_id, n.vec_id AS node, ${oracleCos("p", "n")} AS cosine
+         FROM probes p JOIN nv n ON n.vec_id < $Entries),
+       ${oracleRoundCtes(Beam)}
+       SELECT probe_id,
+         CAST(row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, node) AS INT) AS rank,
+         node AS neighbor_id, cosine
+       FROM v$Rounds
+       WHERE node <> probe_id
+       QUALIFY rank <= $K
+       ORDER BY probe_id, rank"""
+      .replace(" AS (", " AS MATERIALIZED (")
+
+  val graphInsertSql: String =
+    s"""WITH ${oracleBuildCtes(s" WHERE vec_id % $BatchMod <> $BatchRem")},
+       bvec AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id % $BatchMod = $BatchRem),
+       probes AS (
+         SELECT vec_id AS probe_id, v AS pv,
+           sqrt(list_dot_product(v, v)) AS pnrm
+         FROM bvec),
+       v0 AS (
+         SELECT p.probe_id, n.vec_id AS node, ${oracleCos("p", "n")} AS cosine
+         FROM probes p CROSS JOIN (
+           SELECT vec_id, v, nrm FROM nv ORDER BY vec_id LIMIT $Entries) n),
+       ${oracleRoundCtes(InsertBeam)}
+       SELECT probe_id AS new_id,
+         CAST(row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, node) AS INT) AS rank,
+         node AS neighbor_id, cosine
+       FROM v$Rounds
+       QUALIFY rank <= $M
+       ORDER BY new_id, rank"""
+      .replace(" AS (", " AS MATERIALIZED (")
+
+  // ---- registry ------------------------------------------------------------
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String)
+      => DataFrame] = Map(
+    "ann_graph_topk" -> ((s, d) =>
+      graphTopKGate(Tables.embeddings(s, d))
+        .orderBy(col("probe_id"), col("rank"))),
+    "ann_graph_incremental" -> ((s, d) =>
+      graphInsertGate(Tables.embeddings(s, d))
+        .orderBy(col("new_id"), col("rank"))))
+
+  def oracles: Map[String, String] = Map(
+    "ann_graph_topk" -> graphTopKSql,
+    "ann_graph_incremental" -> graphInsertSql)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphAnn, Similarity}
+
+class GraphAnnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("edge list: symmetric, knn out-degree, long links present") {
+    val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val edges = GraphAnn.buildEdges(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty)
+    edges.foreach { case (s, d) =>
+      assert(s != d, "self-loop")
+      assert(edges.contains((d, s)), s"edge ($s,$d) not symmetric")
+    }
+    // every node carries at least its M knn out-edges, and long links
+    // push SOME nodes beyond knn-only degree
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size)
+    assert(outDeg.values.forall(_ >= GraphAnn.M))
+    assert(outDeg.values.exists(_ > GraphAnn.M),
+      "no node exceeds knn degree — long links missing")
+  }
+
+  test("beam search: k ranked rows per probe, deterministic, floors hold") {
+    val out = GraphAnn.graphTopKGate(emb)
+      .orderBy(col("probe_id"), col("rank"))
+    val rows = out.collect()
+    val nProbes = emb.filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length == nProbes * GraphAnn.K)
+    rows.groupBy(_.getLong(0)).foreach { case (p, g) =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to GraphAnn.K))
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ =>
+      }
+      g.foreach(r => assert(r.getLong(2) != p, "probe returned itself"))
+    }
+    // determinism across a second full evaluation
+    val again = GraphAnn.graphTopK(emb)
+      .orderBy(col("probe_id"), col("rank")).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("incremental insert: batch-only probes, old-only wiring, floor") {
+    val rows = GraphAnn.graphInsertGate(emb)
+      .orderBy(col("new_id"), col("rank")).collect()
+    val batch = emb
+      .filter(pmod(col("vec_id"), lit(GraphAnn.BatchMod)) ===
+        GraphAnn.BatchRem)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.nonEmpty)
+    // every batch vector gets exactly M wiring rows; neighbors come
+    // from the OLD graph only (never another batch member)
+    assert(rows.map(_.getLong(0)).toSet == batch)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to GraphAnn.M))
+    }
+    rows.foreach { r =>
+      assert(!batch.contains(r.getLong(2)),
+        s"wired to batch member ${r.getLong(2)}")
+    }
+  }
+}
