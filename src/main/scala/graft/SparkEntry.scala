@@ -53,7 +53,8 @@ object SparkEntry {
       graft.operators.Pagerank.queries ++
       Similarity.queries ++ graft.operators.Retrieval.queries ++
       graft.operators.GraphAnn.queries ++
-      graft.operators.Shards.queries ++ TextAnalysis.queries ++
+      graft.operators.Shards.queries ++
+      graft.operators.EmbeddingDrift.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
       graft.operators.LineDedup.queries ++
@@ -125,7 +126,8 @@ object SparkEntry {
       graft.operators.Pagerank.oracles ++
       Similarity.oracles ++ graft.operators.Retrieval.oracles ++
       graft.operators.GraphAnn.oracles ++
-      graft.operators.Shards.oracles ++ TextAnalysis.oracles ++
+      graft.operators.Shards.oracles ++
+      graft.operators.EmbeddingDrift.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
       graft.operators.LineDedup.oracles ++

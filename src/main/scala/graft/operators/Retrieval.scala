@@ -340,6 +340,76 @@ object Retrieval {
        GROUP BY f.probe_id
        ORDER BY f.probe_id"""
 
+  /** Ranked candidates considered for context assembly. */
+  val PackCandidates = 20
+
+  /** Token budget one assembled context may spend. */
+  val PackBudget = 128
+
+  /** RAG context assembly under a token budget — the serving step
+    * between retrieval and the model: the top-[[PackCandidates]]
+    * retrieved documents per probe are packed IN RANK ORDER while the
+    * running token total stays within [[PackBudget]] (prefix rule:
+    * stop at the first overflow — skipping past it would reorder what
+    * the model sees vs what the ranker chose). Emits the packed
+    * manifest (probe_id, position, doc_id, n_toks, cum_toks) — all
+    * integer arithmetic over the exact ranks, one running-sum window
+    * per probe.
+    *
+    * Scale: candidates are probe-bounded (|probes|·C rows) before the
+    * token join, so the pack itself is metadata-scale at any corpus
+    * size; the ranker is the exact baseline here (swap the IVF/graph
+    * path in production).
+    */
+  def contextPack(docs: DataFrame, emb: DataFrame,
+      c: Int = PackCandidates, budget: Int = PackBudget): DataFrame = {
+    val ranked = Similarity.bruteForceTopK(emb, c)
+      .select(col("probe_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    val toks = docs.select(col("doc_id"),
+      size(split(Dedup.normText(col("text")), " ")).cast("long")
+        .as("n_toks"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(toks, Seq("doc_id"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+      .select(col("probe_id"), col("rank").as("position"), col("doc_id"),
+        col("n_toks"), col("cum_toks"))
+  }
+
+  val contextPackSql: String = {
+    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    s"""WITH base AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       probes AS (
+         SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id % 50 = 0),
+       ranked AS (
+         SELECT probe_id, neighbor_id AS doc_id, rank FROM (
+           SELECT p.probe_id, b.vec_id AS neighbor_id,
+             CAST(row_number() OVER (PARTITION BY p.probe_id ORDER BY
+               list_dot_product(p.pv, b.v)
+                 / (sqrt(list_dot_product(p.pv, p.pv))
+                    * sqrt(list_dot_product(b.v, b.v))) DESC,
+               b.vec_id) AS INT) AS rank
+           FROM base b JOIN probes p ON b.vec_id <> p.probe_id)
+         WHERE rank <= $PackCandidates),
+       toks AS (
+         SELECT doc_id,
+           CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_toks
+         FROM documents),
+       packed AS (
+         SELECT r.probe_id, r.rank AS position, r.doc_id, t.n_toks,
+           CAST(SUM(t.n_toks) OVER (PARTITION BY r.probe_id
+             ORDER BY r.rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_toks
+         FROM ranked r JOIN toks t USING (doc_id))
+       SELECT probe_id, position, doc_id, n_toks, cum_toks
+       FROM packed
+       WHERE cum_toks <= $PackBudget
+       ORDER BY probe_id, position"""
+  }
+
   // ---- registry ------------------------------------------------------------
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
@@ -351,10 +421,14 @@ object Retrieval {
         .orderBy(col("probe_id"), col("rank"))),
     "emb_matryoshka_recall" -> ((s, d) =>
       matryoshkaRecall(Tables.embeddings(s, d))
-        .orderBy(col("probe_id"))))
+        .orderBy(col("probe_id"))),
+    "docs_context_pack" -> ((s, d) =>
+      contextPack(Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy(col("probe_id"), col("position"))))
 
   def oracles: Map[String, String] = Map(
     "ann_hybrid_rrf" -> hybridRrfSql,
     "ann_filtered_topk" -> filteredTopKSql,
-    "emb_matryoshka_recall" -> matryoshkaRecallSql)
+    "emb_matryoshka_recall" -> matryoshkaRecallSql,
+    "docs_context_pack" -> contextPackSql)
 }

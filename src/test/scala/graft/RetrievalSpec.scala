@@ -76,4 +76,30 @@ class RetrievalSpec extends AnyFunSuite {
       assert(r.getDouble(2) == 1.0, s"full-dim recall != 1.0: $r")
     }
   }
+
+  test("context pack: contiguous prefix, budget-maximal, exact cumsum") {
+    val packed = Retrieval.contextPack(docs, emb)
+      .orderBy(col("probe_id"), col("position")).collect()
+    assert(packed.nonEmpty)
+    // the same candidates with an unbounded budget — for maximality
+    val all = Retrieval.contextPack(docs, emb, budget = Int.MaxValue)
+      .orderBy(col("probe_id"), col("position")).collect()
+      .groupBy(_.getLong(0))
+    packed.groupBy(_.getLong(0)).foreach { case (p, g) =>
+      val sorted = g.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to sorted.length),
+        s"probe $p kept set is not a rank prefix")
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getLong(4) == cum, s"cum_toks mismatch on $r")
+      }
+      assert(cum <= Retrieval.PackBudget)
+      // maximal: the next-ranked candidate (if any) must overflow
+      all(p).find(_.getInt(1) == sorted.length + 1).foreach { nxt =>
+        assert(cum + nxt.getLong(3) > Retrieval.PackBudget,
+          s"probe $p stopped early: rank ${nxt.getInt(1)} still fits")
+      }
+    }
+  }
 }
