@@ -211,7 +211,105 @@ object Multimodal {
        ORDER BY content_hash"""
   }
 
+  /** PAIR CURATION — the LAION-shape filter stage that turns raw
+    * (media, caption) pairs into a training set, one decision per
+    * pair with the FIRST failing rule as its reason (the
+    * corpus_filter_decisions funnel discipline):
+    *
+    *  1. `drop_not_image`    — modality filter (image-caption runs
+    *     train on images; audio/video route to their own pipelines);
+    *  2. `drop_caption_len`  — caption outside [3, 64] tokens;
+    *  3. `drop_dup_payload`  — byte-identical media (smallest doc_id
+    *     keeps, everyone else drops — [[payloadDedup]]'s rule);
+    *  4. `drop_no_embedding` — missing modality row (real crawls have
+    *     them; at sf0.1 docs outnumber embeddings 5000 vs 2000, so
+    *     this branch is exercised by the data, not injected);
+    *  5. `drop_low_alignment`— the CLIP-score gate, STUBBED like every
+    *     decode in this file: agreement between the caption
+    *     embedding's first 8 sign bits and 8 bits of the payload hash
+    *     (integer-exact, oracle-mirrored; a real scorer replaces the
+    *     expression, the decision plumbing stays);
+    *  6. else `kept`.
+    *
+    * Emits the per-(source, decision) funnel — the dataset-card
+    * numbers a curation run publishes. One doc↔embedding key join +
+    * one hash-grain window + one count aggregate; payload bytes never
+    * shuffle.
+    */
+  def pairCuration(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.Fingerprint.register(s)
+    val base = docs.select(col("doc_id"), col("source"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      size(split(Dedup.normText(col("text")), " ")).cast("long")
+        .as("n_toks"),
+      call_function("fnv1a64", col("text")).as("content_hash"))
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    val signs = emb.select(col("vec_id").as("doc_id") +:
+      (0 until 8).map(i =>
+        (element_at(col("embedding"), i + 1) >= 0).cast("int")
+          .as(s"sb_$i")): _*)
+    val align = (0 until 8).map(i =>
+      when(shiftright(col("content_hash"), i).bitwiseAND(lit(1L))
+        === col(s"sb_$i").cast("long"), 1).otherwise(0))
+      .reduce(_ + _)
+    base
+      .withColumn("keeper", min(col("doc_id")).over(dupW))
+      .join(signs, Seq("doc_id"), "left")
+      .withColumn("decision",
+        when(col("media_type") =!= "image", "drop_not_image")
+          .when(col("n_toks") < 3 || col("n_toks") > 64,
+            "drop_caption_len")
+          .when(col("keeper") =!= col("doc_id"), "drop_dup_payload")
+          .when(col("sb_0").isNull, "drop_no_embedding")
+          .when(align < 4, "drop_low_alignment")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("decision"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val pairCurationSql: String = {
+    import graft.operators.OracleFnv
+    val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    val align = (0 until 8).map(i =>
+      s"""CASE WHEN ((content_hash >> $i) & 1) =
+            (CASE WHEN embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END)
+          THEN 1 ELSE 0 END""").mkString(" + ")
+    s"""WITH base AS (
+         SELECT doc_id, source,
+           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]
+             AS media_type,
+           CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_toks,
+           ${OracleFnv.ofText("text")} AS content_hash
+         FROM documents),
+       dup AS (
+         SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper
+         FROM base),
+       decided AS (
+         SELECT d.source,
+           CASE
+             WHEN d.media_type <> 'image' THEN 'drop_not_image'
+             WHEN d.n_toks < 3 OR d.n_toks > 64 THEN 'drop_caption_len'
+             WHEN d.keeper <> d.doc_id THEN 'drop_dup_payload'
+             WHEN e.vec_id IS NULL THEN 'drop_no_embedding'
+             WHEN ($align) < 4 THEN 'drop_low_alignment'
+             ELSE 'kept'
+           END AS decision
+         FROM dup d
+         LEFT JOIN embeddings e ON e.vec_id = d.doc_id)
+       SELECT source, decision, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM decided
+       GROUP BY source, decision
+       ORDER BY source, decision"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_pair_curation" -> ((s, d) =>
+      pairCuration(graft.Tables.documents(s, d),
+        graft.Tables.embeddings(s, d))
+        .orderBy(col("source"), col("decision"))),
     "multimodal_payload_dedup" -> ((s, d) =>
       payloadDedup(graft.Tables.documents(s, d))
         .orderBy(col("content_hash"))),
@@ -309,6 +407,7 @@ object Multimodal {
        ORDER BY doc_id, seg_index"""
 
   def oracles: Map[String, String] = Map(
+    "multimodal_pair_curation" -> pairCurationSql,
     "multimodal_payload_dedup" -> payloadDedupSql,
     "multimodal_pipeline" -> pipelineSql,
     "multimodal_frames" -> framesSql,

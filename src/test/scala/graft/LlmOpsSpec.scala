@@ -449,6 +449,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out("exact_canonical")._2 == out("low_repetition")._2)
   }
 
+  test("pair curation: decisions partition the corpus, one reason each") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val out = Multimodal.pairCuration(docs, emb).collect()
+    // the funnel partitions the corpus exactly: Σ n_pairs == |docs|
+    assert(out.map(_.getLong(2)).sum == docs.count())
+    val decisions = out.map(_.getString(1)).toSet
+    assert(decisions.subsetOf(Set("kept", "drop_not_image",
+      "drop_caption_len", "drop_dup_payload", "drop_no_embedding",
+      "drop_low_alignment")))
+    // the fixture must exercise the keep branch and the modality drop
+    assert(decisions.contains("kept") && decisions.contains("drop_not_image"))
+    // non-image pairs can never be kept: kept count ≤ image share
+    val kept = out.filter(_.getString(1) == "kept").map(_.getLong(2)).sum
+    val images = docs.filter(col("doc_id") % 3 === 0).count()
+    assert(kept <= images)
+  }
+
   test("bm25 top-k ranks are dense with non-increasing scores") {
     val out = operators.Bm25.bm25TopK(Tables.documents(spark, sf))
       .orderBy(col("rank")).collect()
