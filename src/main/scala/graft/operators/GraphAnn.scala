@@ -13,9 +13,10 @@ import graft.Tables
   * points, touching O(entries + rounds·beam·degree) vectors per probe
   * instead of Nprobe/Nlist of the corpus.
   *
-  * Two halves, graded separately:
-  *  - BUILD ([[knnEdges]]): an exact symmetric k-NN graph. At gate
-  *    scale this is the brute-force baseline (the corpus broadcast
+  * Three halves, graded separately:
+  *  - BUILD ([[buildEdges]]): an exact symmetric k-NN graph plus
+  *    [[LongLinks]] deterministic long-range links. At gate scale the
+  *    knn pass is the brute-force baseline (the corpus broadcast
   *    against itself — same explicit-baseline license as
   *    [[Similarity.bruteForceTopK]]); at 100 TB the build is
   *    NN-descent or LSH/IVF-blocked candidate refinement (linear
@@ -23,24 +24,25 @@ import graft.Tables
   *    centroids. Symmetrization (knn ∪ reverse-knn) is load-bearing:
   *    directed k-NN graphs strand low-in-degree nodes, the classic
   *    NSW navigability fix.
-  *  - SEARCH ([[graphTopK]]): the operator under test — [[Rounds]]
-  *    rounds of {take the [[Beam]] best visited, expand their edges,
-  *    score, dedup}, a fixed-depth unroll of HNSW's layer-0 loop
-  *    (fixed depth so both engines run the IDENTICAL expansion; the
-  *    termination heuristic is a serving knob, not semantics). Every
-  *    expansion is a key-equality join (frontier broadcast against
-  *    the edge list; candidates key-joined to vectors); nothing
-  *    corpus×corpus in the search path.
+  *  - SEARCH ([[graphTopK]]): [[Rounds]] rounds of {take the [[Beam]]
+  *    best visited, expand their edges, score, dedup}, a fixed-depth
+  *    unroll of HNSW's layer-0 loop (fixed depth so both engines run
+  *    the IDENTICAL expansion; the termination heuristic is a serving
+  *    knob, not semantics). Every expansion is a key-equality join
+  *    (frontier broadcast against the edge list; candidates
+  *    key-joined to vectors); nothing corpus×corpus in the search
+  *    path.
+  *  - MAINTENANCE ([[graphInsert]]): batch insert wires new vectors
+  *    through the stored graph at the wider [[InsertBeam]] — never a
+  *    rebuild.
   *
   * Determinism: cosines via the fold-exact [[Similarity.dot]] with
   * per-vector norms folded once ([[Similarity.cosinePre]]); every
   * top-N (graph ranks, beam, final ranks) ties-broken by id; the
   * visited set dedups on (probe, node, cosine) where cosine is a pure
   * function of the pair — bit-identical in both engines. In-gate
-  * honesty: recall@5 vs the exact brute-force ranks is asserted
-  * against [[RecallFloor]] (measured 1.000/1.000/0.995 at
-  * sf0.001/0.01/0.1 — gate-scale graphs cover iid probes easily; the
-  * floor pins the DISCIPLINE, the print shows drift).
+  * honesty: [[graphTopKGate]] asserts recall floors on BOTH embedding
+  * regimes, [[graphInsertGate]] asserts the wiring-recall floor.
   */
 object GraphAnn {
 
