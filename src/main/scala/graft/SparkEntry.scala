@@ -110,7 +110,8 @@ object SparkEntry {
       graft.streaming.ScdEnrich.queries ++
       graft.streaming.Scd2Apply.queries ++
       graft.streaming.DqMonitor.queries ++
-      graft.streaming.Continuous.queries
+      graft.streaming.Continuous.queries ++
+      graft.streaming.CorpusStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -183,5 +184,6 @@ object SparkEntry {
       graft.streaming.ScdEnrich.oracles ++
       graft.streaming.Scd2Apply.oracles ++
       graft.streaming.DqMonitor.oracles ++
-      graft.streaming.Continuous.oracles
+      graft.streaming.Continuous.oracles ++
+      graft.streaming.CorpusStream.oracles
 }
