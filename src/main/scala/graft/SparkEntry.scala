@@ -54,7 +54,8 @@ object SparkEntry {
       Similarity.queries ++ graft.operators.Retrieval.queries ++
       graft.operators.GraphAnn.queries ++
       graft.operators.Shards.queries ++
-      graft.operators.EmbeddingDrift.queries ++ TextAnalysis.queries ++
+      graft.operators.EmbeddingDrift.queries ++
+      graft.operators.FeatureStore.queries ++ TextAnalysis.queries ++
       graft.operators.Bpe.queries ++ graft.operators.Bm25.queries ++
       graft.operators.SubstringDedup.queries ++
       graft.operators.LineDedup.queries ++
@@ -128,7 +129,8 @@ object SparkEntry {
       Similarity.oracles ++ graft.operators.Retrieval.oracles ++
       graft.operators.GraphAnn.oracles ++
       graft.operators.Shards.oracles ++
-      graft.operators.EmbeddingDrift.oracles ++ TextAnalysis.oracles ++
+      graft.operators.EmbeddingDrift.oracles ++
+      graft.operators.FeatureStore.oracles ++ TextAnalysis.oracles ++
       graft.operators.Bpe.oracles ++ graft.operators.Bm25.oracles ++
       graft.operators.SubstringDedup.oracles ++
       graft.operators.LineDedup.oracles ++
