@@ -110,6 +110,7 @@ object SparkEntry {
       graft.streaming.LakeChain.queries ++
       graft.streaming.ScdEnrich.queries ++
       graft.streaming.Scd2Apply.queries ++
+      graft.streaming.MultiEntityCdc.queries ++
       graft.streaming.DqMonitor.queries ++
       graft.streaming.Continuous.queries ++
       graft.streaming.CorpusStream.queries
@@ -185,6 +186,7 @@ object SparkEntry {
       graft.streaming.LakeChain.oracles ++
       graft.streaming.ScdEnrich.oracles ++
       graft.streaming.Scd2Apply.oracles ++
+      graft.streaming.MultiEntityCdc.oracles ++
       graft.streaming.DqMonitor.oracles ++
       graft.streaming.Continuous.oracles ++
       graft.streaming.CorpusStream.oracles

@@ -14,16 +14,19 @@ import graft.Tables
   * instead of Nprobe/Nlist of the corpus.
   *
   * Three halves, graded separately:
-  *  - BUILD ([[buildEdges]]): an exact symmetric k-NN graph plus
-  *    [[LongLinks]] deterministic long-range links. At gate scale the
-  *    knn pass is the brute-force baseline (the corpus broadcast
-  *    against itself — same explicit-baseline license as
-  *    [[Similarity.bruteForceTopK]]); at 100 TB the build is
-  *    NN-descent or LSH/IVF-blocked candidate refinement (linear
-  *    passes), and the graph is a stored artifact like IVF's
-  *    centroids. Symmetrization (knn ∪ reverse-knn) is load-bearing:
-  *    directed k-NN graphs strand low-in-degree nodes, the classic
-  *    NSW navigability fix.
+  *  - BUILD ([[buildEdges]]): an LSH-BLOCKED approximate k-NN graph
+  *    plus [[LongLinks]] deterministic long-range links (r13 verdict
+  *    task 2 — the all-pairs baseline retired to the spec-side truth
+  *    [[buildEdgesExactKnn]]). Candidates come from the sign-LSH
+  *    bucket rule ([[BuildTables]] tables × [[BuildPlanes]] bits, the
+  *    [[Similarity.lshBucket]] plane family), refined to the top-[[M]]
+  *    by exact cosine — bucket-equality joins and linear passes only,
+  *    never corpus×corpus, so the build survives 100 TB the same way
+  *    the dedup LSH family does (planes scale ~log N to bound bucket
+  *    sizes); the graph is a stored artifact like IVF's centroids.
+  *    Symmetrization (knn ∪ reverse-knn) is load-bearing: directed
+  *    k-NN graphs strand low-in-degree nodes, the classic NSW
+  *    navigability fix.
   *  - SEARCH ([[graphTopK]]): [[Rounds]] rounds of {take the [[Beam]]
   *    best visited, expand their edges, score, dedup}, a fixed-depth
   *    unroll of HNSW's layer-0 loop (fixed depth so both engines run
@@ -95,27 +98,35 @@ object GraphAnn {
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
       .repartition(col("vec_id"))
 
-  /** Exact symmetric M-NN graph plus [[LongLinks]] pseudo-random
-    * long-range links over a [[baseOf]] frame (see the object doc for
-    * the build-vs-search scale split). The rank⁻¹ lookup resolving a
-    * long link's hash to an actual id (no density assumption on
-    * vec_id) is one global id-order window — a build-time cost on the
-    * stored-artifact path, like the knn pass itself.
+  /** Sign-LSH blocking config for the graph BUILD: [[BuildTables]]
+    * independent tables of [[BuildPlanes]] hyperplane bits each
+    * (the [[Similarity.lshBucket]] family — plane ids
+    * `tbl·BuildPlanes + p`, so the build's plane set is disjoint from
+    * none and identical in both engines). Candidate pairs are vectors
+    * sharing a (table, bucket) key — the banded-LSH candidate rule the
+    * dedup family uses — refined to the top-[[M]] by exact cosine.
+    * Recall dials up with tables, candidate cost down with planes;
+    * at 100 TB planes grows ~log N so per-bucket size (and therefore
+    * per-node candidate count) stays bounded.
+    */
+  val BuildPlanes = 6
+  val BuildTables = 8
+
+  /** Blocked approximate M-NN graph plus [[LongLinks]] pseudo-random
+    * long-range links over a [[baseOf]] frame. Since r14 the knn half
+    * is LSH-BLOCKED (r13 verdict task 2): sign-LSH bucket assignment →
+    * bucket-equality candidate join → exact cosine refinement to
+    * top-M — linear passes and key-equality joins only, never
+    * corpus×corpus; the exact build remains available as
+    * [[buildEdgesExact]] (the spec-side truth which
+    * GraphAnnSpec's edge-recall floor measures the blocked build
+    * against). The rank⁻¹ lookup resolving a long link's hash to an
+    * actual id (no density assumption on vec_id) is one global
+    * id-order window — a build-time cost on the stored-artifact path,
+    * like the bucket pass itself.
     */
   private[graft] def buildEdges(base: DataFrame, m: Int = M): DataFrame = {
-    val a = base.select(col("vec_id").as("src"), col("v").as("av"),
-      col("nrm").as("anrm"))
-    val b = base.select(col("vec_id").as("dst"), col("v").as("bv"),
-      col("nrm").as("bnrm"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cosine").desc, col("dst"))
-    val knn = a.join(broadcast(b), col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        Similarity.cosinePre(Similarity.dot(col("av"), col("bv")),
-          col("anrm"), col("bnrm")).as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= m)
-      .select(col("src"), col("dst"))
+    val knn = buildKnnBlocked(base, m)
     val n = base.count()
     val ranked = base.select(col("vec_id").as("dst"))
       .withColumn("r",
@@ -132,6 +143,64 @@ object GraphAnn {
     val fwd = knn.unionByName(longe)
     fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+  }
+
+  /** The EXACT M-NN build (corpus broadcast against itself) — the
+    * pre-r14 [[buildEdges]], retained as the spec-side truth: the
+    * blocked build's directed knn edges are measured against these in
+    * GraphAnnSpec's edge-recall floor. Never on the gate path — the
+    * gate builds blocked, and the gate-level recall floors
+    * ([[RecallFloorIid]] / [[RecallFloorClustered]]) hold end-to-end.
+    */
+  private[graft] def buildEdgesExactKnn(base: DataFrame,
+      m: Int = M): DataFrame = {
+    val a = base.select(col("vec_id").as("src"), col("v").as("av"),
+      col("nrm").as("anrm"))
+    val b = base.select(col("vec_id").as("dst"), col("v").as("bv"),
+      col("nrm").as("bnrm"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    a.join(broadcast(b), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Similarity.cosinePre(Similarity.dot(col("av"), col("bv")),
+          col("anrm"), col("bnrm")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("dst"))
+  }
+
+  /** The blocked build's directed knn half alone (no long links, no
+    * symmetrization) — what GraphAnnSpec compares against
+    * [[buildEdgesExactKnn]].
+    */
+  private[graft] def buildKnnBlocked(base: DataFrame,
+      m: Int = M): DataFrame = {
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val bucketed = base.select(col("vec_id"),
+      explode(array((0 until BuildTables).map(t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col("v"), BuildPlanes, t, dim)
+            .as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    val cand = bucketed
+      .join(bucketed.select(col("tbl"), col("bucket"),
+        col("vec_id").as("dst")), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"))
+      .distinct()
+    val a = base.select(col("vec_id").as("src"), col("v").as("av"),
+      col("nrm").as("anrm"))
+    val b = base.select(col("vec_id").as("dst"), col("v").as("bv"),
+      col("nrm").as("bnrm"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    cand.join(a, Seq("src")).join(b, Seq("dst"))
+      .select(col("src"), col("dst"),
+        Similarity.cosinePre(Similarity.dot(col("av"), col("bv")),
+          col("anrm"), col("bnrm")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("dst"))
   }
 
   /** The beam loop shared by serving ([[graphTopK]]) and index
@@ -314,15 +383,17 @@ object GraphAnn {
     out
   }
 
-  /** Full DuckDB oracle: the exact symmetric knn build, then the
-    * [[Rounds]] beam rounds unrolled as CTE blocks (frontier → expand
-    * → score → dedup), exactly the kmeans-unroll discipline of
-    * [[Ivf.kmeansCtesSql]]. Norms fold once in `nv` so the all-pairs
-    * build pays one dot per pair, not three. Every CTE is pinned
-    * MATERIALIZED: each round references its predecessor twice
-    * (frontier + union), so inlined CTEs re-evaluate the whole chain
-    * 2^rounds times — with the all-pairs knn at the bottom, that took
-    * the sf0.1 oracle from 7s (materialized) past 300s.
+  /** Full DuckDB oracle: the LSH-blocked knn build (sign-bucket CTEs
+    * shared with [[Similarity.signBucketCtesSql]] so the two engines'
+    * bucket rules cannot drift), then the [[Rounds]] beam rounds
+    * unrolled as CTE blocks (frontier → expand → score → dedup),
+    * exactly the kmeans-unroll discipline of [[Ivf.kmeansCtesSql]].
+    * Norms fold once in `nv` so the candidate refinement pays one dot
+    * per pair, not three. Every CTE is pinned MATERIALIZED: each round
+    * references its predecessor twice (frontier + union), so inlined
+    * CTEs re-evaluate the whole chain 2^rounds times — with the knn
+    * build at the bottom, that took the sf0.1 oracle from 7s
+    * (materialized) past 300s.
     */
   private def oracleCos(p: String, n: String): String =
     s"list_dot_product($p.pv, $n.v) / ($p.pnrm * $n.nrm)"
@@ -332,18 +403,23 @@ object GraphAnn {
     * (serving: the whole table; maintenance: the old split).
     */
   private def oracleBuildCtes(vecWhere: String): String =
-    s"""vec AS (
-         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         FROM embeddings$vecWhere),
+    s"""${Similarity.signBucketCtesSql(BuildPlanes, BuildTables, vecWhere)},
        nv AS (
          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec),
+       cand AS (
+         SELECT DISTINCT ba.vec_id AS src, bb.vec_id AS dst
+         FROM buckets ba JOIN buckets bb
+           ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+         WHERE ba.vec_id <> bb.vec_id),
        knn AS (
          SELECT src, dst FROM (
-           SELECT a.vec_id AS src, b.vec_id AS dst,
-             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           SELECT c.src, c.dst,
+             row_number() OVER (PARTITION BY c.src ORDER BY
                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
-               b.vec_id) AS rn
-           FROM nv a JOIN nv b ON a.vec_id <> b.vec_id)
+               c.dst) AS rn
+           FROM cand c
+           JOIN nv a ON a.vec_id = c.src
+           JOIN nv b ON b.vec_id = c.dst)
          WHERE rn <= $M),
        rankedv AS (
          SELECT vec_id AS dst, row_number() OVER (ORDER BY vec_id) - 1 AS r

@@ -105,12 +105,11 @@ object Retrieval {
     * itself is a key-equality full-outer join on (probe, cand) + a
     * per-probe window over ≤ 2·C rows. Nothing corpus×corpus.
     */
-  def hybridRrf(docs: DataFrame, emb: DataFrame,
-      depth: Int = FuseDepth, k: Int = FuseK): DataFrame = {
-    val lex = lexicalRanks(docs, depth)
-    val vec = Similarity.bruteForceTopK(emb, depth)
-      .select(col("probe_id"), col("neighbor_id").as("cand_id"),
-        col("rank").as("vec_rank"))
+  /** The RRF fusion itself, shared by the exact and routed gates so
+    * the fusion rule has one definition: depth-C rank lists fused as
+    * `Σ 1/(60 + rank)`, absent rank contributing 0, ties to doc_id.
+    */
+  private def fuseRrf(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
     val fused = lex.join(vec, Seq("probe_id", "cand_id"), "full_outer")
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank").cast("double")),
@@ -125,12 +124,87 @@ object Retrieval {
         col("rrf_score"), col("lex_rank"), col("vec_rank"))
   }
 
-  val hybridRrfSql: String = {
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+      depth: Int = FuseDepth, k: Int = FuseK): DataFrame = {
+    val lex = lexicalRanks(docs, depth)
+    val vec = Similarity.bruteForceTopK(emb, depth)
+      .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("vec_rank"))
+    fuseRrf(lex, vec, k)
+  }
+
+  /** Agreement floor of the routed fusion vs the exact fusion,
+    * [[hybridRrfRoutedGate]]'s in-gate honesty check (the
+    * `emb_knn_classifier_ann` discipline). Pinned under the min
+    * measured across sf0.001/0.01/0.1 with margin; measured values
+    * print in-gate.
+    */
+  val RoutedAgreementFloor = 0.6
+
+  /** THE PRODUCTION COMPOSITION of hybrid retrieval (r13 verdict task
+    * 5): [[hybridRrf]]'s vector leg is exact-by-license so its oracle
+    * can re-derive it; this gate swaps the leg for the ROUTED
+    * candidates — [[Ivf.ivfTopK]] at fusion depth, each probe scoring
+    * only its nprobe inverted lists, never the corpus — and fuses with
+    * the identical [[fuseRrf]] rule. The lexical leg (df-capped
+    * posting lists) is shared, computed ONCE for both fusions.
+    *
+    * Honesty: the gate computes the exact fusion in the same run and
+    * asserts top-[[FuseK]] (probe, doc) agreement ≥
+    * [[RoutedAgreementFloor]] — a routed candidate collapse cannot
+    * ship as a plausible-but-degraded ranking. The emitted rows are
+    * the routed fusion itself, deterministic end to end (fold-exact
+    * k-means, id-tiebroken ranks, one IEEE division per reciprocal),
+    * so the DuckDB oracle mirrors the routed rule exactly —
+    * hash-equality, not just the floor.
+    */
+  def hybridRrfRouted(docs: DataFrame, emb: DataFrame,
+      depth: Int = FuseDepth, k: Int = FuseK): DataFrame = {
+    val lex = lexicalRanks(docs, depth)
+    val vec = Ivf.ivfTopK(emb, depth)
+      .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("vec_rank"))
+    fuseRrf(lex, vec, k)
+  }
+
+  /** [[hybridRrfRouted]] plus the in-gate agreement assertion; the
+    * shared lexical leg runs once.
+    */
+  def hybridRrfRoutedGate(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val lex = lexicalRanks(docs, FuseDepth)
+    graft.Caching.withCached(lex) {
+      val routed = fuseRrf(lex,
+        Ivf.ivfTopK(emb, FuseDepth)
+          .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+            col("rank").as("vec_rank")), FuseK)
+      val exact = fuseRrf(lex,
+        Similarity.bruteForceTopK(emb, FuseDepth)
+          .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+            col("rank").as("vec_rank")), FuseK)
+      val a = routed.select(col("probe_id"), col("doc_id"))
+      val b = exact.select(col("probe_id"), col("doc_id"))
+      val total = b.count()
+      val hits = a.intersect(b).count()
+      val agreement = if (total == 0) 1.0 else hits.toDouble / total
+      System.err.println(f"[ann_hybrid_rrf_routed] top-$FuseK agreement " +
+        f"vs exact fusion: $agreement%.3f ($hits/$total) " +
+        f"floor=$RoutedAgreementFloor")
+      require(agreement >= RoutedAgreementFloor,
+        f"routed fusion agreement $agreement%.3f under floor " +
+          f"$RoutedAgreementFloor")
+      routed
+    }
+  }
+
+  /** Lexical-leg oracle CTEs (`ts` → `lex`), shared by the exact and
+    * routed fusion oracles so the lexical rule has one definition.
+    */
+  private val lexCtesSql: String = {
     val norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
     // trigram mirror of Dedup.hashedNgrams: 1-based ts[i]..ts[i+2]
     // windows (range upper bound len-1 exclusive == Spark's
     // sequence(1, size-2) inclusive), FNV-hashed, DISTINCT over hashes
-    s"""WITH ts AS (
+    s"""ts AS (
          SELECT doc_id, string_split($norm, ' ') AS ts FROM documents),
        toks AS (
          SELECT DISTINCT doc_id,
@@ -165,23 +239,14 @@ object Retrieval {
            FROM inter i
            JOIN sizes ps ON ps.doc_id = i.probe_id
            JOIN sizes cs ON cs.doc_id = i.cand_id)
-         QUALIFY lex_rank <= $FuseDepth),
-       base AS (
-         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       probes AS (
-         SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id % 50 = 0),
-       vecranked AS (
-         SELECT probe_id, cand_id,
-           CAST(row_number() OVER (PARTITION BY probe_id
-             ORDER BY cosine DESC, cand_id) AS INT) AS vec_rank
-         FROM (
-           SELECT p.probe_id, b.vec_id AS cand_id,
-             list_dot_product(p.pv, b.v)
-               / (sqrt(list_dot_product(p.pv, p.pv))
-                  * sqrt(list_dot_product(b.v, b.v))) AS cosine
-           FROM base b JOIN probes p ON b.vec_id <> p.probe_id)
-         QUALIFY vec_rank <= $FuseDepth),
-       fused AS (
+         QUALIFY lex_rank <= $FuseDepth)"""
+  }
+
+  /** Fusion-tail oracle (the `fused` CTE + final ranking), shared by
+    * both hybrid oracles; expects `lex` and `vecranked` CTEs.
+    */
+  private val rrfFusionTailSql: String =
+    s"""fused AS (
          SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
            COALESCE(l.cand_id, v.cand_id) AS cand_id,
            l.lex_rank, v.vec_rank,
@@ -197,6 +262,69 @@ object Retrieval {
        FROM fused
        QUALIFY rank <= $FuseK
        ORDER BY probe_id, rank"""
+
+  val hybridRrfSql: String =
+    s"""WITH $lexCtesSql,
+       base AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       probes AS (
+         SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id % 50 = 0),
+       vecranked AS (
+         SELECT probe_id, cand_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+             ORDER BY cosine DESC, cand_id) AS INT) AS vec_rank
+         FROM (
+           SELECT p.probe_id, b.vec_id AS cand_id,
+             list_dot_product(p.pv, b.v)
+               / (sqrt(list_dot_product(p.pv, p.pv))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cosine
+           FROM base b JOIN probes p ON b.vec_id <> p.probe_id)
+         QUALIFY vec_rank <= $FuseDepth),
+       $rrfFusionTailSql"""
+
+  /** Routed-fusion oracle: the IVF candidate stage ([[Ivf]]'s k-means
+    * + inverted-list CTEs with the registered defaults, shared via
+    * [[Ivf.kmeansCtesSql]] so the training rule cannot drift) ranked
+    * to fusion depth, then the identical fusion tail.
+    */
+  val hybridRrfRoutedSql: String = {
+    val nlist = 16; val nprobe = 4; val iters = 5
+    s"""WITH $lexCtesSql,
+       vec AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       ${Ivf.kmeansCtesSql("km", "vec", nlist, iters)},
+       assignf AS (
+         SELECT vec_id, cluster FROM (
+           SELECT v.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY ${Ivf.sqdistSql("v.v", "c.c")}, c.cluster) AS rn
+           FROM vec v CROSS JOIN km_cent$iters c)
+         WHERE rn = 1),
+       probe_lists AS (
+         SELECT probe_id, cluster FROM (
+           SELECT p.vec_id AS probe_id, c.cluster,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY ${Ivf.sqdistSql("p.v", "c.c")}, c.cluster) AS rn
+           FROM vec p CROSS JOIN km_cent$iters c
+           WHERE p.vec_id % 50 = 0)
+         WHERE rn <= $nprobe),
+       scoredivf AS (
+         SELECT pl.probe_id, a.vec_id AS cand_id,
+           list_dot_product(pv.v, nv.v)
+             / (sqrt(list_dot_product(pv.v, pv.v))
+                * sqrt(list_dot_product(nv.v, nv.v))) AS cosine
+         FROM probe_lists pl
+         JOIN assignf a USING (cluster)
+         JOIN vec pv ON pv.vec_id = pl.probe_id
+         JOIN vec nv ON nv.vec_id = a.vec_id
+         WHERE a.vec_id != pl.probe_id),
+       vecranked AS (
+         SELECT probe_id, cand_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+             ORDER BY cosine DESC, cand_id) AS INT) AS vec_rank
+         FROM scoredivf
+         QUALIFY vec_rank <= $FuseDepth),
+       $rrfFusionTailSql"""
   }
 
   /** Metadata-filtered vector search: exact cosine top-k restricted to
@@ -416,6 +544,9 @@ object Retrieval {
     "ann_hybrid_rrf" -> ((s, d) =>
       hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))
         .orderBy(col("probe_id"), col("rank"))),
+    "ann_hybrid_rrf_routed" -> ((s, d) =>
+      hybridRrfRoutedGate(Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy(col("probe_id"), col("rank"))),
     "ann_filtered_topk" -> ((s, d) =>
       filteredTopK(Tables.documents(s, d), Tables.embeddings(s, d))
         .orderBy(col("probe_id"), col("rank"))),
@@ -428,6 +559,7 @@ object Retrieval {
 
   def oracles: Map[String, String] = Map(
     "ann_hybrid_rrf" -> hybridRrfSql,
+    "ann_hybrid_rrf_routed" -> hybridRrfRoutedSql,
     "ann_filtered_topk" -> filteredTopKSql,
     "emb_matryoshka_recall" -> matryoshkaRecallSql,
     "docs_context_pack" -> contextPackSql)

@@ -181,10 +181,12 @@ object Similarity {
     * [[lshTopKSql]] and [[Dedup.embeddingLshPairsSql]] so the two LSH
     * oracles cannot drift.
     */
-  private[operators] def signBucketCtesSql(planes: Int, tables: Int): String = {
+  private[operators] def signBucketCtesSql(planes: Int, tables: Int,
+      vecWhere: String = ""): String = {
     val planeStr =
       s"CAST(tp.tbl * $planes + tp.p AS VARCHAR) || ',' || CAST(j - 1 AS VARCHAR)"
-    s"""vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         FROM embeddings$vecWhere),
        dimn AS (SELECT max(len(v)) AS n FROM vec),
        tp AS (SELECT t.tbl, p.p
               FROM UNNEST(generate_series(0, ${tables - 1})) t(tbl),

@@ -824,13 +824,16 @@ object LakeProcedures {
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("line_count"),
         sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"))
-    // DECIMAL(18,2) + per-column fingerprint rows, exactly as the
-    // lake_multi_txn gate — see TxnGroup.withColumnFingerprints.
+    // BIGINT integer cents + per-column fingerprint rows, exactly as
+    // the lake_multi_txn gate — see TxnGroup.withColumnFingerprints
+    // (r13 verdict task 1: decimals stay internal, cents compare).
     val base = TxnGroup.read(spark, gp, "orders")
       .join(lo, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
-        col("line_count"), col("sum_qty"))
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("o_totalprice_cents"),
+        col("line_count"),
+        (col("sum_qty") * 100).cast("long").as("sum_qty_cents"))
       .withColumn("sql_txn_isolated", lit(isolated))
       .withColumn("orphan_restored_by_begin", lit(orphanRestored))
       .withColumn("atomic_single_cas", lit(atomic))

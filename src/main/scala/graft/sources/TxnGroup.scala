@@ -402,18 +402,23 @@ object TxnGroup {
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("line_count"),
         sum(col("qty")).cast(DecimalType(18, 2)).as("sum_qty"))
-    // o_totalprice is a raw DOUBLE after the lake round-trips; §3 rule 1
-    // keeps raw doubles out of compared output — emit DECIMAL(18,2) on
-    // both sides (r11 verdict task 3).
+    // o_totalprice is a raw DOUBLE after the lake round-trips. The r13
+    // bisect proved the penny VALUES identical across engines
+    // (diag_fp green) while every DECIMAL(18,2)-carrying slice failed
+    // the driver's type-tagged hash — so the COMPARED output ships
+    // integer CENTS as BIGINT on both sides (r13 verdict task 1); all
+    // decimal arithmetic stays internal to the gate.
     val base = read(spark, root, "orders")
       .join(lo, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
-        col("line_count"), col("sum_qty"))
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("o_totalprice_cents"),
+        col("line_count"),
+        (col("sum_qty") * 100).cast("long").as("sum_qty_cents"))
       .withColumn("txn_isolated", lit(isolated))
       .withColumn("junk_rolled_back", lit(rolledBack))
       .withColumn("atomic_single_cas", lit(atomic))
-    storeDiag(spark, sfDir, withColumnFingerprints(spark, base))
+    withColumnFingerprints(spark, base)
   }
 
   /** FNV-prime keyed per-column fingerprints, appended as extra rows.
@@ -424,12 +429,13 @@ object TxnGroup {
     * the artifact says "hash differs" and nothing else, while every
     * local reproduction passes. Each appended row pins ONE data column
     * to `SUM((o_orderkey % P) * (value % P) % P) % P` (P = the 32-bit
-    * FNV prime 16777619; DECIMAL columns contribute integer pennies),
-    * and the DuckDB oracle recomputes the identical integer arithmetic
-    * — so a future mismatch names its column in the artifact itself
-    * instead of demanding forensics (r11 verdict task 3). Data rows
-    * carry NULL `fp_col`/`fp`; fingerprint rows sort first on their
-    * sentinel keys and hold neutral values elsewhere.
+    * FNV prime 16777619), and the DuckDB oracle recomputes the
+    * identical integer arithmetic — so a future mismatch names its
+    * column in the artifact itself instead of demanding forensics
+    * (r11 verdict task 3). Since r14 every tracked column is already
+    * BIGINT cents (r13 verdict task 1), so fingerprints and data share
+    * one domain. Data rows carry NULL `fp_col`/`fp`; fingerprint rows
+    * sort first on their sentinel keys and hold zero values elsewhere.
     */
   def withColumnFingerprints(spark: SparkSession, out: DataFrame)
       : DataFrame = {
@@ -440,9 +446,9 @@ object TxnGroup {
       pmod(key * pmod(v, lit(P)), lit(P))
     val tracked: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "o_orderkey" -> col("o_orderkey").cast("long"),
-      "o_totalprice" -> (col("o_totalprice") * 100).cast("long"),
+      "o_totalprice_cents" -> col("o_totalprice_cents"),
       "line_count" -> col("line_count").cast("long"),
-      "sum_qty" -> (col("sum_qty") * 100).cast("long"))
+      "sum_qty_cents" -> col("sum_qty_cents"))
     // coalesce: on an empty base sum() is NULL and getAs[Long] would
     // null-unbox to 0 by accident while the oracle's SUM stays NULL —
     // pin the degenerate case to 0 EXPLICITLY on both sides (r12 advice)
@@ -455,9 +461,9 @@ object TxnGroup {
     val fpBase = tracked.zipWithIndex.map { case ((n, _), i) =>
       (-900001L - i, n, sums.getAs[Long](n))
     }.toDF("o_orderkey", "fp_col", "fp")
-      .withColumn("o_totalprice", lit(0).cast(DecimalType(18, 2)))
+      .withColumn("o_totalprice_cents", lit(0L))
       .withColumn("line_count", lit(0L))
-      .withColumn("sum_qty", lit(0).cast(DecimalType(18, 2)))
+      .withColumn("sum_qty_cents", lit(0L))
     val fpRows = flagNames.foldLeft(fpBase)((d, f) =>
       d.withColumn(f, lit(true)))
     val dataRows = out
@@ -468,17 +474,17 @@ object TxnGroup {
 
   /** The oracle half of [[withColumnFingerprints]]: SQL fragments the
     * two txn oracles share, parameterized by their flag columns. `base`
-    * must expose o_orderkey BIGINT, o_totalprice/sum_qty DECIMAL(18,2),
-    * line_count BIGINT.
+    * must expose o_orderkey, o_totalprice_cents, line_count,
+    * sum_qty_cents — all BIGINT (integer cents since r14).
     */
-  /** The tracked columns' integer-pennies SQL forms, in sentinel-key
-    * order (fingerprint row i carries key -900001-i).
+  /** The tracked columns' SQL forms, in sentinel-key order
+    * (fingerprint row i carries key -900001-i).
     */
   private val trackedSql: Seq[(String, String)] = Seq(
     "o_orderkey" -> "o_orderkey",
-    "o_totalprice" -> "CAST(o_totalprice * 100 AS BIGINT)",
+    "o_totalprice_cents" -> "o_totalprice_cents",
     "line_count" -> "line_count",
-    "sum_qty" -> "CAST(sum_qty * 100 AS BIGINT)")
+    "sum_qty_cents" -> "sum_qty_cents")
 
   /** One column fingerprint over `base`, same COALESCE(…, 0) empty-set
     * pin as the Spark side. The outer CAST is load-bearing: DuckDB's
@@ -498,26 +504,17 @@ object TxnGroup {
   }
 
   def fingerprintSql(flagCols: String): String = {
-    def fp(v: String) = fpSql(v)
-    s"""SELECT o_orderkey, o_totalprice, line_count, sum_qty, $flagCols,
+    val fpRows = trackedSql.zipWithIndex.map { case ((n, v), i) =>
+      s"""SELECT CAST(${-900001 - i} AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), $flagCols,
+         '$n', ${fpSql(v)}"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""SELECT o_orderkey, o_totalprice_cents, line_count, sum_qty_cents,
+         $flagCols,
          CAST(NULL AS VARCHAR) AS fp_col, CAST(NULL AS BIGINT) AS fp
        FROM base
        UNION ALL
-       SELECT CAST(-900001 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
-         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
-         'o_orderkey', ${fp("o_orderkey")}
-       UNION ALL
-       SELECT CAST(-900002 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
-         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
-         'o_totalprice', ${fp("CAST(o_totalprice * 100 AS BIGINT)")}
-       UNION ALL
-       SELECT CAST(-900003 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
-         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
-         'line_count', ${fp("line_count")}
-       UNION ALL
-       SELECT CAST(-900004 AS BIGINT), CAST(0 AS DECIMAL(18,2)),
-         CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,2)), $flagCols,
-         'sum_qty', ${fp("CAST(sum_qty * 100 AS BIGINT)")}
+       $fpRows
        ORDER BY o_orderkey"""
   }
 
@@ -536,11 +533,12 @@ object TxnGroup {
          FROM li GROUP BY 1),
        base AS (
          SELECT o_orderkey,
-           CAST(o_totalprice +
+           CAST(CAST(o_totalprice +
                 CAST(CASE WHEN o_orderkey < 500
                      THEN 1.0 ELSE 0.0 END AS DOUBLE)
-             AS DECIMAL(18,2)) AS o_totalprice,
-           line_count, sum_qty
+             AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice_cents,
+           line_count,
+           CAST(sum_qty * 100 AS BIGINT) AS sum_qty_cents
          FROM orders JOIN lo ON o_orderkey = l_orderkey)"""
 
   val multiTxnSql: String =
@@ -549,105 +547,10 @@ object TxnGroup {
         "true AS txn_isolated, true AS junk_rolled_back, " +
           "true AS atomic_single_cas")}"""
 
-  // ---- driver-side bisect (r12 verdict task 1, TEMPORARY) -------------------
-  // `lake_multi_txn`/`lake_sql_txn` have hash-failed the DRIVER compare
-  // for three rounds while rows/schema pass and every local repro
-  // (full-registry sorted-order single-JVM sf0.01, solo, min-of-N)
-  // passes value-exactly — and the driver artifact publishes only a
-  // boolean hash_match, so the r12 in-band fingerprint rows cannot
-  // speak through it. The next signal MUST come through the driver's
-  // per-query verdicts: each entry below slices ONE stored copy of the
-  // gate's own compared output, so CORRECTNESS_r13 itself names the
-  // differing column — or exonerates every column and flag, implicating
-  // the unioned null-carrying shape (fp_col/fp), which diag_union then
-  // isolates. Verify/Bench run the registry in sorted name order, so
-  // `lake_multi_txn` lands the store before any `lake_txn_diag_*` reads
-  // it; a solo diag run rebuilds through the gate. Remove this block
-  // and the SURVEY §2 diagnostic rows once the mismatch is solved.
-
-  private val diagStore =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def storeDiag(spark: SparkSession, sfDir: String,
-      out: DataFrame): DataFrame = {
-    val p = Scratch.dir("txn_diag")
-    out.write.mode("overwrite").parquet(p)
-    diagStore.put(sfDir, p)
-    spark.read.parquet(p)
-  }
-
-  private def diagOutput(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = diagStore.get(sfDir)
-    // path-existence check on hit: Scratch.sweep (2h age) may reclaim
-    // the artifact mid-session — recompute, never fail (r12 advice)
-    if (p != null && new java.io.File(p).exists()) spark.read.parquet(p)
-    else multiTxn(spark, sfDir)
-  }
-
-  private def dataRows(df: DataFrame): DataFrame =
-    df.filter(col("fp_col").isNull)
-
-  private def diagSql(body: String): String =
-    s"WITH $txnBaseCtes $body"
-
-  private val diagQueries
-      : Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_txn_diag_key" -> ((s, d) => dataRows(diagOutput(s, d))
-      .select(col("o_orderkey")).orderBy(col("o_orderkey"))),
-    "lake_txn_diag_price" -> ((s, d) => dataRows(diagOutput(s, d))
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))),
-    "lake_txn_diag_lines" -> ((s, d) => dataRows(diagOutput(s, d))
-      .select(col("o_orderkey"), col("line_count"))
-      .orderBy(col("o_orderkey"))),
-    "lake_txn_diag_qty" -> ((s, d) => dataRows(diagOutput(s, d))
-      .select(col("o_orderkey"), col("sum_qty"))
-      .orderBy(col("o_orderkey"))),
-    "lake_txn_diag_data" -> ((s, d) => dataRows(diagOutput(s, d))
-      .select(col("o_orderkey"), col("o_totalprice"),
-        col("line_count"), col("sum_qty"))
-      .orderBy(col("o_orderkey"))),
-    "lake_txn_diag_fp" -> ((s, d) => diagOutput(s, d)
-      .filter(col("fp_col").isNotNull)
-      .select(col("fp_col"), col("fp")).orderBy(col("fp_col"))),
-    "lake_txn_diag_flags" -> ((s, d) => dataRows(diagOutput(s, d))
-      .select(col("txn_isolated"), col("junk_rolled_back"),
-        col("atomic_single_cas")).distinct()),
-    "lake_txn_diag_union" -> ((s, d) => diagOutput(s, d)
-      .select(col("o_orderkey"), col("fp_col"), col("fp"))
-      .orderBy(col("o_orderkey"))))
-
-  private val diagOracles: Map[String, String] = Map(
-    "lake_txn_diag_key" -> diagSql(
-      "SELECT o_orderkey FROM base ORDER BY o_orderkey"),
-    "lake_txn_diag_price" -> diagSql(
-      "SELECT o_orderkey, o_totalprice FROM base ORDER BY o_orderkey"),
-    "lake_txn_diag_lines" -> diagSql(
-      "SELECT o_orderkey, line_count FROM base ORDER BY o_orderkey"),
-    "lake_txn_diag_qty" -> diagSql(
-      "SELECT o_orderkey, sum_qty FROM base ORDER BY o_orderkey"),
-    "lake_txn_diag_data" -> diagSql(
-      "SELECT o_orderkey, o_totalprice, line_count, sum_qty " +
-        "FROM base ORDER BY o_orderkey"),
-    "lake_txn_diag_fp" -> diagSql(
-      trackedSql.map { case (n, v) =>
-        s"SELECT '$n' AS fp_col, ${fpSql(v)} AS fp"
-      }.mkString("", " UNION ALL ", " ORDER BY fp_col")),
-    "lake_txn_diag_flags" ->
-      ("SELECT true AS txn_isolated, true AS junk_rolled_back, " +
-        "true AS atomic_single_cas"),
-    "lake_txn_diag_union" -> diagSql(
-      "SELECT o_orderkey, CAST(NULL AS VARCHAR) AS fp_col, " +
-        "CAST(NULL AS BIGINT) AS fp FROM base UNION ALL " +
-        trackedSql.zipWithIndex.map { case ((n, v), i) =>
-          s"SELECT CAST(${-900001 - i} AS BIGINT), '$n', ${fpSql(v)}"
-        }.mkString(" UNION ALL ") +
-        " ORDER BY o_orderkey"))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    diagQueries + ("lake_multi_txn" -> ((s, d) =>
+    Map("lake_multi_txn" -> ((s, d) =>
       multiTxn(s, d).orderBy(col("o_orderkey"))))
 
   def oracles: Map[String, String] =
-    diagOracles + ("lake_multi_txn" -> multiTxnSql)
+    Map("lake_multi_txn" -> multiTxnSql)
 }

@@ -29,6 +29,34 @@ class GraphAnnSpec extends AnyFunSuite {
       "no node exceeds knn degree — long links missing")
   }
 
+  test("blocked knn build: edge recall vs the exact all-pairs truth") {
+    // r13 verdict task 2: the gate build is LSH-blocked; the exact
+    // build survives ONLY as this truth. Directed-edge recall of the
+    // blocked top-M against the exact top-M must clear the floor on
+    // both regimes (iid worst case; clustered is the design case where
+    // bucket-mates ARE the cluster).
+    val baseIid = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val fx = Similarity.clusteredFixture(emb)
+    val baseCl = fx.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    def edgeRecall(base: org.apache.spark.sql.DataFrame): Double = {
+      val truth = GraphAnn.buildEdgesExactKnn(base)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = GraphAnn.buildKnnBlocked(base)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val iid = edgeRecall(baseIid)
+    val clustered = edgeRecall(baseCl)
+    info(f"blocked-build edge recall: iid=$iid%.3f clustered=$clustered%.3f")
+    assert(iid >= 0.5, f"iid edge recall $iid%.3f under floor 0.5")
+    assert(clustered >= 0.8,
+      f"clustered edge recall $clustered%.3f under floor 0.8")
+  }
+
   test("beam search: k ranked rows per probe, deterministic, floors hold") {
     val out = GraphAnn.graphTopKGate(emb)
       .orderBy(col("probe_id"), col("rank"))
