@@ -136,10 +136,10 @@ object Retrieval {
   /** Agreement floor of the routed fusion vs the exact fusion,
     * [[hybridRrfRoutedGate]]'s in-gate honesty check (the
     * `emb_knn_classifier_ann` discipline). Pinned under the min
-    * measured across sf0.001/0.01/0.1 with margin; measured values
-    * print in-gate.
+    * measured across sf0.001/0.01/0.1 with margin (r14 measured
+    * 0.700/0.640/0.906); measured values print in-gate.
     */
-  val RoutedAgreementFloor = 0.6
+  val RoutedAgreementFloor = 0.55
 
   /** THE PRODUCTION COMPOSITION of hybrid retrieval (r13 verdict task
     * 5): [[hybridRrf]]'s vector leg is exact-by-license so its oracle

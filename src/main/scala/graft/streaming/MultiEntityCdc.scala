@@ -53,7 +53,7 @@ object MultiEntityCdc {
     * ([[graft.operators.Cdc.stage]]) filtered to the entity's key
     * partition.
     */
-  private[streaming] def entityFeed(spark: SparkSession, dir: String,
+  private[graft] def entityFeed(spark: SparkSession, dir: String,
       rem: Long): DataFrame =
     graft.operators.Cdc.stage(graft.Tables.events(spark, dir))
       .filter(pmod(col("key_id"), lit(2)) === rem)
