@@ -221,7 +221,14 @@ object GraphAnn {
       .select(col("probe_id"), col("node"),
         Similarity.cosinePre(Similarity.dot(col("pv"), col("v")),
           col("pnrm"), col("nrm")).as("cosine"))
-    var visited = score(entries)
+    // Per-round EAGER materialization is load-bearing — the Spark twin
+    // of the oracle's MATERIALIZED CTE pin: each round references its
+    // predecessor twice (frontier + union), so a lazy chain re-executes
+    // the whole prior plan 2^rounds times (measured ~17s → ~4s on the
+    // sf0.1 gate). Round frames are probe-bounded (≤ probes ·
+    // (entries + rounds·beam·degree) rows); blocks release via
+    // Caching.releaseAll between queries.
+    var visited = score(entries).localCheckpoint(true)
     val bw = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("node"))
     (1 to Rounds).foreach { _ =>
@@ -235,6 +242,7 @@ object GraphAnn {
         .select(col("probe_id"), col("dst").as("node"))
         .distinct()
       visited = visited.unionByName(score(cands)).distinct()
+        .localCheckpoint(true)
     }
     visited.filter(col("node") =!= col("probe_id"))
       .withColumn("rank", row_number().over(bw).cast("int"))
