@@ -66,6 +66,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val namespaces =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // COMMENT metadata (ref unity_catalog_setup.py:42-72 stamps COMMENTs
+  // on catalog objects and introspects them): per-object comment text,
+  // session-scoped like the registration maps above
+  private val tableComments =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nsComments =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = { catalogName = name }
@@ -94,7 +101,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       val parentPath = tables.get(key(parent))
       if (parentPath != null && MetaTables.contains(ident.name()))
         return new GraftLakeMetaTable(key(parent), parentPath,
-          ident.name())
+          ident.name(),
+          () => Option(tableComments.get(key(parent))))
       // `ns.t.changes` — the table's CHANGE FEED as a STREAMING
       // relation (Delta readChangeFeed by name): tombstones and
       // commit versions included. Resolved onto the `_changes/` file
@@ -121,7 +129,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
 
   private val MetaTables =
     Set("history", "tags", "partitions", "files", "snapshots", "rows",
-      "refs")
+      "refs", "describe")
 
   /** The registered merge contract (keys, seqCol) of `name`, for the
     * table_changes TVF; accepts the catalog-qualified form.
@@ -349,16 +357,23 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.UpdateColumnType =>
         VersionedLake.widenColumn(spark, path, leaf(c.fieldNames),
           c.newDataType.sql.toLowerCase)
+      // COMMENT ON TABLE arrives as SetProperty("comment") — catalog
+      // metadata, not a lake commit
+      case c: TableChange.SetProperty if c.property == "comment" =>
+        tableComments.put(key(ident), c.value)
+      case c: TableChange.RemoveProperty if c.property == "comment" =>
+        tableComments.remove(key(ident))
       case other => throw new UnsupportedOperationException(
         s"ALTER change ${other.getClass.getSimpleName} is not a lake " +
           "operation (supported: RENAME COLUMN, DROP COLUMN, " +
-          "ALTER COLUMN TYPE widening)")
+          "ALTER COLUMN TYPE widening, COMMENT)")
     }
     loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     mergeSpecs.remove(key(ident))
+    tableComments.remove(key(ident))
     tables.remove(key(ident)) != null
   }
 
@@ -368,6 +383,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     tables.remove(key(from))
     Option(mergeSpecs.remove(key(from)))
       .foreach(mergeSpecs.put(key(to), _))
+    Option(tableComments.remove(key(from)))
+      .foreach(tableComments.put(key(to), _))
   }
 
   // -- SupportsNamespaces (permissive in-memory semantics) ------------------
@@ -383,14 +400,30 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   override def loadNamespaceMetadata(
       ns: Array[String]): JMap[String, String] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
-    java.util.Collections.emptyMap()
+    val m = new java.util.HashMap[String, String]()
+    Option(nsComments.get(ns.mkString("."))).foreach(m.put("comment", _))
+    m
   }
   override def createNamespace(ns: Array[String],
-      metadata: JMap[String, String]): Unit =
+      metadata: JMap[String, String]): Unit = {
     namespaces.add(ns.mkString("."))
+    // CREATE NAMESPACE ... COMMENT 'x' arrives as metadata("comment")
+    Option(metadata.get("comment"))
+      .foreach(nsComments.put(ns.mkString("."), _))
+  }
+  /** COMMENT ON NAMESPACE routes here as a SetProperty("comment");
+    * other namespace metadata stays immutable.
+    */
   override def alterNamespace(ns: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("namespace metadata is immutable")
+      changes: NamespaceChange*): Unit = changes.foreach {
+    case c: NamespaceChange.SetProperty if c.property == "comment" =>
+      nsComments.put(ns.mkString("."), c.value)
+    case c: NamespaceChange.RemoveProperty if c.property == "comment" =>
+      nsComments.remove(ns.mkString("."))
+    case other => throw new UnsupportedOperationException(
+      s"namespace metadata is immutable (got $other); only COMMENT " +
+        "is mutable")
+  }
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     val existed = namespaceExists(ns)
     val prefix = ns.mkString(".") + "."
@@ -820,7 +853,8 @@ private[graft] class GraftLakeChangesTable(ident: String,
 }
 
 private[sources] class GraftLakeMetaTable(ident: String, path: String,
-    meta: String) extends Table with SupportsRead {
+    meta: String, comment: () => Option[String] = () => None)
+    extends Table with SupportsRead {
   import org.apache.spark.sql.types.{LongType, IntegerType, StringType,
     StructField}
 
@@ -834,6 +868,11 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
     case "tags" => StructType(Seq(
       StructField("tag_name", StringType, nullable = false),
       StructField("version", IntegerType, nullable = false)))
+    // `ns.t.describe` — catalog metadata (COMMENT, location, format)
+    // as a relation, the SHOW/DESCRIBE introspection surface
+    case "describe" => StructType(Seq(
+      StructField("prop_key", StringType, nullable = false),
+      StructField("prop_value", StringType, nullable = true)))
     case "refs" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
@@ -884,6 +923,12 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
                 import spark.implicits._
                 VersionedLake.tags(spark, path).toSeq.sorted
                   .toDF("tag_name", "version")
+              case "describe" =>
+                import spark.implicits._
+                (Seq(("comment", comment().orNull),
+                  ("format", "graft-lake"),
+                  ("location", path))
+                  : Seq[(String, String)]).toDF("prop_key", "prop_value")
               case "refs" => VersionedLake.refsMeta(spark, path)
               case "partitions" =>
                 VersionedLake.partitionsMeta(spark, path)
@@ -1964,6 +2009,94 @@ object SqlCatalog {
          true AS buckets_sane, true AS dv_visible
        FROM stg WHERE operation <> 'DELETE'"""
 
+  /** CATALOG COMMENT METADATA as a gate row (r13 verdict task 8 — ref
+    * unity_catalog_setup.py:42-72,193 stamps COMMENTs on the catalog,
+    * schemas and volume and introspects them): a namespace is created
+    * WITH a comment (CREATE NAMESPACE ... COMMENT), one table comment
+    * lands via COMMENT ON TABLE, a second is stamped then UPDATED
+    * (last writer wins), and the introspection surface reads back
+    * through ordinary SQL — `DESCRIBE NAMESPACE EXTENDED` for the
+    * namespace, the `ns.t.describe` metadata relation (the
+    * house-style Iceberg metadata-table form) for tables. Emitted
+    * rows carry the comments plus schema width and a COUNT(*) per
+    * table (the pushed metadata count), so the oracle pins both the
+    * comment plumbing and the real row counts; everything is
+    * metadata-scale except the seed writes.
+    */
+  def catalogComments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pa = Scratch.dir("vlake_cmt_orders")
+    val pb = Scratch.dir("vlake_cmt_cust")
+    VersionedLake.upsert(spark, pa,
+      graft.Tables.orders(spark, sfDir)
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .withColumn("seq", lit(1L)),
+      Seq("o_orderkey"), "seq")
+    VersionedLake.upsert(spark, pb,
+      graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("seq", lit(1L)),
+      Seq("c_custkey"), "seq")
+    install(spark)
+    val ns = s"$CatalogName.meta_demo"
+    val ta = s"$ns.orders_fact"
+    val tb = s"$ns.customers_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $ta")
+    spark.sql(s"DROP TABLE IF EXISTS $tb")
+    spark.sql(s"DROP NAMESPACE IF EXISTS $ns")
+    spark.sql(
+      s"CREATE NAMESPACE $ns COMMENT 'curated commerce layer'")
+    spark.sql(s"""CREATE TABLE $ta (o_orderkey BIGINT,
+      o_totalprice DOUBLE, o_orderstatus STRING, seq BIGINT)
+      USING graft LOCATION '$pa'""")
+    spark.sql(s"""CREATE TABLE $tb (c_custkey BIGINT, c_name STRING,
+      seq BIGINT) USING graft LOCATION '$pb'""")
+    spark.sql(
+      s"COMMENT ON TABLE $tb IS 'customer dimension - one row per customer'")
+    spark.sql(s"COMMENT ON TABLE $ta IS 'orders fact - draft'")
+    // last writer wins - the update path
+    spark.sql(s"COMMENT ON TABLE $ta IS 'orders fact - even keys slice'")
+    val nsComment = spark.sql(s"DESCRIBE NAMESPACE EXTENDED $ns")
+      .filter(lower(col("info_name")) === "comment")
+      .select(col("info_value")).head().getString(0)
+    def tableRow(t: String, name: String, nCols: Long): DataFrame = {
+      val comment = spark
+        .sql(s"SELECT prop_value FROM $t.describe " +
+          "WHERE prop_key = 'comment'")
+        .head().getString(0)
+      val n = spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0)
+      Seq(("table", name, comment, nCols, n))
+        .toDF("object_type", "object_name", "comment", "n_cols", "n_rows")
+        .select(col("object_type"), col("object_name"), col("comment"),
+          col("n_cols"), col("n_rows"))
+    }
+    val nsRow = Seq(("namespace", "meta_demo", nsComment))
+      .toDF("object_type", "object_name", "comment")
+      .withColumn("n_cols", lit(null).cast("long"))
+      .withColumn("n_rows", lit(null).cast("long"))
+    nsRow
+      .unionByName(tableRow(ta, "orders_fact", 4L))
+      .unionByName(tableRow(tb, "customers_dim", 3L))
+  }
+
+  val catalogCommentsSql: String =
+    """SELECT 'namespace' AS object_type, 'meta_demo' AS object_name,
+         'curated commerce layer' AS comment,
+         CAST(NULL AS BIGINT) AS n_cols, CAST(NULL AS BIGINT) AS n_rows
+       UNION ALL
+       SELECT 'table', 'orders_fact', 'orders fact - even keys slice',
+         CAST(4 AS BIGINT),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_orderkey % 2 = 0)
+       UNION ALL
+       SELECT 'table', 'customers_dim',
+         'customer dimension - one row per customer',
+         CAST(3 AS BIGINT),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+       ORDER BY object_type, object_name"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_sql_update" -> ((s, d) => sqlUpdate(s, d).orderBy(col("key_id"))),
     "lake_sql_alter" -> ((s, d) => sqlAlter(s, d).orderBy(col("key_id"))),
@@ -1979,7 +2112,9 @@ object SqlCatalog {
     "lake_sql_merge" -> ((s, d) => sqlMerge(s, d).orderBy(col("key_id"))),
     "lake_sql_rows" -> ((s, d) => sqlRows(s, d).orderBy(col("key_id"))),
     "lake_sql_delete" -> ((s, d) => sqlDelete(s, d).orderBy(col("key_id"))),
-    "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)))
+    "lake_sql_agg_pushdown" -> ((s, d) => sqlAggPushdown(s, d)),
+    "catalog_comments" -> ((s, d) => catalogComments(s, d)
+      .orderBy(col("object_type"), col("object_name"))))
 
   def oracles: Map[String, String] = Map(
     "lake_sql_update" -> sqlUpdateSql,
@@ -1994,5 +2129,6 @@ object SqlCatalog {
     "lake_sql_merge" -> sqlMergeSql,
     "lake_sql_rows" -> sqlRowsSql,
     "lake_sql_delete" -> sqlDeleteSql,
-    "lake_sql_agg_pushdown" -> sqlAggPushdownSql)
+    "lake_sql_agg_pushdown" -> sqlAggPushdownSql,
+    "catalog_comments" -> catalogCommentsSql)
 }

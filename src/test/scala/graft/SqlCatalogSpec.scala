@@ -128,4 +128,45 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM $name VERSION AS OF 1").columns
       .contains("v"))
   }
+
+  test("COMMENT metadata: set, update, rename-carry, drop, describe") {
+    val (path, name) = freshTable("sqlcat_cmt")
+    VersionedLake.upsert(spark, path,
+      (1L to 3L).map(i => (i, s"a$i", i)).toDF("k", "x", "seq"),
+      Seq("k"), "seq", numBuckets = 2)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (k BIGINT, x STRING, seq BIGINT) " +
+      s"USING graft LOCATION '$path'")
+    // unset comment reads back NULL through the describe relation
+    assert(spark.sql(s"SELECT prop_value FROM $name.describe " +
+      "WHERE prop_key = 'comment'").head().isNullAt(0))
+    spark.sql(s"COMMENT ON TABLE $name IS 'first'")
+    spark.sql(s"COMMENT ON TABLE $name IS 'second'") // last writer wins
+    def comment(t: String): String =
+      spark.sql(s"SELECT prop_value FROM $t.describe " +
+        "WHERE prop_key = 'comment'").head().getString(0)
+    assert(comment(name) == "second")
+    // the comment travels with RENAME
+    val renamed = name + "_r"
+    spark.sql(s"DROP TABLE IF EXISTS $renamed")
+    spark.sql(s"ALTER TABLE $name RENAME TO t.sqlcat_cmt_r")
+    assert(comment(renamed) == "second")
+    // DROP forgets it: a re-registration starts comment-less
+    spark.sql(s"DROP TABLE $renamed")
+    spark.sql(s"CREATE TABLE $renamed (k BIGINT, x STRING, seq BIGINT) " +
+      s"USING graft LOCATION '$path'")
+    assert(spark.sql(s"SELECT prop_value FROM $renamed.describe " +
+      "WHERE prop_key = 'comment'").head().isNullAt(0))
+    // namespace comments: CREATE ... COMMENT and COMMENT ON NAMESPACE
+    val ns = s"${SqlCatalog.CatalogName}.cmt_ns"
+    spark.sql(s"DROP NAMESPACE IF EXISTS $ns")
+    spark.sql(s"CREATE NAMESPACE $ns COMMENT 'born documented'")
+    def nsComment(): String = spark
+      .sql(s"DESCRIBE NAMESPACE EXTENDED $ns")
+      .filter(lower(col("info_name")) === "comment")
+      .head().getString(1)
+    assert(nsComment() == "born documented")
+    spark.sql(s"COMMENT ON NAMESPACE $ns IS 'updated'")
+    assert(nsComment() == "updated")
+  }
 }
