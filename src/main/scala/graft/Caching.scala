@@ -39,6 +39,14 @@ object Caching {
   private def disabled: Boolean =
     java.lang.Boolean.getBoolean("graft.caching.disable")
 
+  /** Eagerly materialize one intermediate frame (iterative operators'
+    * per-round cut against plan-doubling self-references — see
+    * GraphAnn.beamSearch). Honors the same disable flag as
+    * [[withCached]] so plan-inspection tools see the full lineage.
+    */
+  def materialize(df: DataFrame): DataFrame =
+    if (disabled) df else df.localCheckpoint(eager = true)
+
   def withCached(inputs: Dataset[_]*)(f: => DataFrame): DataFrame = {
     if (disabled) f
     else {

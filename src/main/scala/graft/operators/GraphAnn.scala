@@ -118,7 +118,7 @@ object GraphAnn {
     * bucket-equality candidate join → exact cosine refinement to
     * top-M — linear passes and key-equality joins only, never
     * corpus×corpus; the exact build remains available as
-    * [[buildEdgesExact]] (the spec-side truth which
+    * [[buildEdgesExactKnn]] (the spec-side truth which
     * GraphAnnSpec's edge-recall floor measures the blocked build
     * against). The rank⁻¹ lookup resolving a long link's hash to an
     * actual id (no density assumption on vec_id) is one global
@@ -228,7 +228,7 @@ object GraphAnn {
     // sf0.1 gate). Round frames are probe-bounded (≤ probes ·
     // (entries + rounds·beam·degree) rows); blocks release via
     // Caching.releaseAll between queries.
-    var visited = score(entries).localCheckpoint(true)
+    var visited = graft.Caching.materialize(score(entries))
     val bw = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("node"))
     (1 to Rounds).foreach { _ =>
@@ -241,8 +241,8 @@ object GraphAnn {
         .join(edges, Seq("src"))
         .select(col("probe_id"), col("dst").as("node"))
         .distinct()
-      visited = visited.unionByName(score(cands)).distinct()
-        .localCheckpoint(true)
+      visited = graft.Caching.materialize(
+        visited.unionByName(score(cands)).distinct())
     }
     visited.filter(col("node") =!= col("probe_id"))
       .withColumn("rank", row_number().over(bw).cast("int"))
