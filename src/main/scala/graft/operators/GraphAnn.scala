@@ -110,7 +110,7 @@ object GraphAnn {
     * per-node candidate count) stays bounded.
     */
   val BuildPlanes = 6
-  val BuildTables = 8
+  val BuildTables = 12
 
   /** Blocked approximate M-NN graph plus [[LongLinks]] pseudo-random
     * long-range links over a [[baseOf]] frame. Since r14 the knn half

@@ -53,11 +53,11 @@ class GraphAnnSpec extends AnyFunSuite {
     val clustered = edgeRecall(baseCl)
     info(f"blocked-build edge recall: iid=$iid%.3f clustered=$clustered%.3f")
     // iid DIRECTED-EDGE recall is the LSH worst case (random directions
-    // rarely co-bucket; r14 measured 0.308 at spec scale) — the
-    // END-TO-END search floors in the gate stay 0.49-0.70 because long
+    // rarely co-bucket; r14 measured 0.422 at spec scale, 12-table config) — the
+    // END-TO-END search floors in the gate stay 0.58-0.76 because long
     // links + the beam compensate, which is the architecture's point.
     // Clustered is the design case (bucket-mates ARE the cluster;
-    // measured 0.996).
+    // measured 1.000).
     assert(iid >= 0.25, f"iid edge recall $iid%.3f under floor 0.25")
     assert(clustered >= 0.8,
       f"clustered edge recall $clustered%.3f under floor 0.8")
