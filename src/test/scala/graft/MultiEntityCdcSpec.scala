@@ -11,16 +11,17 @@ class MultiEntityCdcSpec extends AnyFunSuite {
   test("concurrent entity applies: each equals its SOLO batch resolution") {
     val out = MultiEntityCdc.multiEntityDag(spark, sf).localCheckpoint(true)
     // structural isolation: entities partition the key space
-    val cust = out.filter(col("entity") === "customers")
-    val supp = out.filter(col("entity") === "suppliers")
-    assert(cust.count() > 0 && supp.count() > 0)
-    assert(cust.filter(pmod(col("key_id"), lit(2)) =!= 0).isEmpty)
-    assert(supp.filter(pmod(col("key_id"), lit(2)) =!= 1).isEmpty)
+    MultiEntityCdc.Entities.foreach { case (name, rem) =>
+      val slice = out.filter(col("entity") === name)
+      assert(slice.count() > 0, s"entity $name is empty")
+      assert(slice.filter(pmod(col("key_id"), lit(3)) =!= rem).isEmpty,
+        s"entity $name carries foreign keys")
+    }
     // semantic isolation: the CONCURRENT result of each entity equals
     // the entity's batch SCD2 resolution computed alone — any state
-    // bleed between the two live applies (shared checkpoint, shared
+    // bleed between the three live applies (shared checkpoint, shared
     // bucket table, misrouted batch) breaks this equality
-    Seq(("customers", 0L), ("suppliers", 1L)).foreach { case (name, rem) =>
+    MultiEntityCdc.Entities.foreach { case (name, rem) =>
       val solo = graft.operators.Cdc
         .scd2FromStaged(MultiEntityCdc.entityFeed(spark, sf, rem))
         .filter(col("operation") =!= "DELETE")
