@@ -125,12 +125,44 @@ object GraphAnn {
     * id-order window — a build-time cost on the stored-artifact path,
     * like the bucket pass itself.
     */
+  /** Range partitions for the distributed id-rank pass. */
+  private val RankParts = 16
+
+  /** Distributed dense rank of the corpus ids (0-based, ordered by
+    * vec_id) — the long-link resolver's rank⁻¹ table WITHOUT a global
+    * single-partition window: range-partition by id, rank within each
+    * partition, add driver-side partition offsets (RankParts longs
+    * through the driver, centroid-scale). Ranks depend only on the
+    * global id order, which range partitioning preserves (every id in
+    * partition i sorts before partition i+1), so the output is
+    * bit-identical to a global row_number at any partition count —
+    * and the pass stays distributed at 100 TB where a corpus-wide
+    * single-partition window would serialize the build.
+    */
+  private[graft] def rankedIds(base: DataFrame): DataFrame = {
+    val parts = base.select(col("vec_id").as("dst"))
+      .repartitionByRange(RankParts, col("dst"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    graft.Caching.withCached(parts) {
+      val counts = parts.groupBy(col("pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until RankParts).map { p =>
+        (p, (0 until p).map(counts.getOrElse(_, 0L)).sum)
+      }.toMap
+      val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
+        when(col("pid") === p, lit(off)).otherwise(e)
+      }
+      val pw = Window.partitionBy(col("pid")).orderBy(col("dst"))
+      parts.withColumn("r",
+          row_number().over(pw).cast("long") - 1 + offsetExpr)
+        .select(col("dst"), col("r"))
+    }
+  }
+
   private[graft] def buildEdges(base: DataFrame, m: Int = M): DataFrame = {
     val knn = buildKnnBlocked(base, m)
     val n = base.count()
-    val ranked = base.select(col("vec_id").as("dst"))
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("dst"))) - 1)
+    val ranked = rankedIds(base)
     val longe = base.select(col("vec_id").as("src"))
       .withColumn("seed",
         explode(sequence(lit(0), lit(LongLinks - 1))))

@@ -29,6 +29,20 @@ class GraphAnnSpec extends AnyFunSuite {
       "no node exceeds knn degree — long links missing")
   }
 
+  test("distributed id-rank equals the global row_number exactly") {
+    val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val got = GraphAnn.rankedIds(base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ids = base.select(col("vec_id")).collect()
+      .map(_.getLong(0)).sorted
+    ids.zipWithIndex.foreach { case (id, i) =>
+      assert(got(id) == i.toLong, s"id $id ranked ${got(id)}, want $i")
+    }
+    assert(got.size == ids.length)
+  }
+
   test("blocked knn build: edge recall vs the exact all-pairs truth") {
     // r13 verdict task 2: the gate build is LSH-blocked; the exact
     // build survives ONLY as this truth. Directed-edge recall of the
