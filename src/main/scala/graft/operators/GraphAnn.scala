@@ -121,48 +121,41 @@ object GraphAnn {
     * [[buildEdgesExactKnn]] (the spec-side truth which
     * GraphAnnSpec's edge-recall floor measures the blocked build
     * against). The rank⁻¹ lookup resolving a long link's hash to an
-    * actual id (no density assumption on vec_id) is one global
-    * id-order window — a build-time cost on the stored-artifact path,
-    * like the bucket pass itself.
+    * actual id (no density assumption on vec_id) goes through
+    * [[rankedIds]] — distributed above [[RankDistThreshold]], a
+    * one-partition window below it where the shuffle would cost more
+    * than it saves.
     */
-  /** Range partitions for the distributed id-rank pass. */
-  private val RankParts = 16
+  /** Corpora at or above this size rank through the distributed
+    * [[graft.Dist.globalRowNumber]]; below it the one-partition window
+    * is cheaper (the distributed pass pays a range-partition sample +
+    * shuffle + counts job — ~1.5s of fixed cost per build at gate
+    * scale, pure overhead on a 2k-vector corpus). Both forms are
+    * bit-identical (DistSpec + the rank test below), so the switch is
+    * pure cost policy, never semantics — the same discipline as
+    * [[graft.sources.VersionedLake]]'s fresh-id allocation.
+    */
+  private[graft] val RankDistThreshold = 2000000L
 
-  /** Distributed dense rank of the corpus ids (0-based, ordered by
-    * vec_id) — the long-link resolver's rank⁻¹ table WITHOUT a global
-    * single-partition window: range-partition by id, rank within each
-    * partition, add driver-side partition offsets (RankParts longs
-    * through the driver, centroid-scale). Ranks depend only on the
-    * global id order, which range partitioning preserves (every id in
-    * partition i sorts before partition i+1), so the output is
-    * bit-identical to a global row_number at any partition count —
-    * and the pass stays distributed at 100 TB where a corpus-wide
-    * single-partition window would serialize the build.
+  /** Dense rank of the corpus ids (0-based, ordered by vec_id) — the
+    * long-link resolver's rank⁻¹ table. Above [[RankDistThreshold]]
+    * the pass is distributed ([[graft.Dist.globalRowNumber]]), so the
+    * build never serializes a 100 TB corpus through one partition.
     */
-  private[graft] def rankedIds(base: DataFrame): DataFrame = {
-    val parts = base.select(col("vec_id").as("dst"))
-      .repartitionByRange(RankParts, col("dst"))
-      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
-    graft.Caching.withCached(parts) {
-      val counts = parts.groupBy(col("pid")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = (0 until RankParts).map { p =>
-        (p, (0 until p).map(counts.getOrElse(_, 0L)).sum)
-      }.toMap
-      val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
-        when(col("pid") === p, lit(off)).otherwise(e)
-      }
-      val pw = Window.partitionBy(col("pid")).orderBy(col("dst"))
-      parts.withColumn("r",
-          row_number().over(pw).cast("long") - 1 + offsetExpr)
-        .select(col("dst"), col("r"))
-    }
+  private[graft] def rankedIds(base: DataFrame, n: Long): DataFrame = {
+    val ids = base.select(col("vec_id").as("dst"))
+    if (n >= RankDistThreshold)
+      graft.Dist.globalRowNumber(ids, Seq(col("dst")), 32, "r")
+        .select(col("dst"), (col("r") - 1).as("r"))
+    else
+      ids.withColumn("r",
+        row_number().over(Window.orderBy(col("dst"))).cast("long") - 1)
   }
 
   private[graft] def buildEdges(base: DataFrame, m: Int = M): DataFrame = {
     val knn = buildKnnBlocked(base, m)
     val n = base.count()
-    val ranked = rankedIds(base)
+    val ranked = rankedIds(base, n)
     val longe = base.select(col("vec_id").as("src"))
       .withColumn("seed",
         explode(sequence(lit(0), lit(LongLinks - 1))))

@@ -1474,6 +1474,16 @@ object VersionedLake {
         Window.partitionBy(keyColsP.map(col): _*)), col("_row_id")))
   }
 
+  /** Fresh-id batches at or above this row count rank through the
+    * distributed [[graft.Dist.globalRowNumber]] instead of a
+    * one-partition window: the allocation stays shuffle-parallel on
+    * bulk loads (the 100 TB initial-ingest shape) while ordinary
+    * incremental batches keep the cheaper single window. Both forms
+    * are bit-identical (DistSpec proves it), so the switch is pure
+    * cost policy, never semantics.
+    */
+  private[sources] val FreshIdDistThreshold = 2000000L
+
   /** After resolution: rows with no inherited id (new keys) draw
     * consecutive ids above the high-water mark, ordered by
     * (gbucket, key) — deterministic, and partitioning-independent
@@ -1482,10 +1492,15 @@ object VersionedLake {
   private def assignFreshRowIds(resolved: DataFrame,
       keyColsP: Seq[String], hwm0: Long): DataFrame = {
     val base = withNullRowId(resolved).localCheckpoint(true)
-    val fresh = base.filter(col("_row_id").isNull)
-      .withColumn("_row_id", lit(hwm0) + row_number().over(
-        Window.orderBy((col("gbucket") +: keyColsP.map(col)): _*))
-        .cast("long"))
+    val fresh0 = base.filter(col("_row_id").isNull)
+    val order = col("gbucket") +: keyColsP.map(col)
+    val fresh =
+      if (fresh0.count() >= FreshIdDistThreshold)
+        graft.Dist.globalRowNumber(fresh0, order, 32, "_grn")
+          .withColumn("_row_id", lit(hwm0) + col("_grn"))
+          .drop("_grn")
+      else fresh0.withColumn("_row_id", lit(hwm0) + row_number().over(
+        Window.orderBy(order: _*)).cast("long"))
     base.filter(col("_row_id").isNotNull).unionByName(fresh)
   }
 
@@ -1506,7 +1521,11 @@ object VersionedLake {
   /** Enable row tracking on an existing table: one BACKFILL commit
     * rewrites the live data with ids assigned in (file, position)
     * order and stamps `rowTracking` + the initial hwm. Idempotent
-    * refusal if already enabled.
+    * refusal if already enabled. The one-partition ranking window is
+    * acceptable here because backfill is a ONE-TIME migration commit;
+    * a table too large for it swaps in [[graft.Dist.globalRowNumber]]
+    * over the same (_rel, _pos) order — bit-identical ids (DistSpec),
+    * pure cost policy like [[FreshIdDistThreshold]].
     */
   def enableRowTracking(spark: SparkSession, path: String): CommitResult = {
     val vs = versions(spark, path)

@@ -33,7 +33,10 @@ class GraphAnnSpec extends AnyFunSuite {
     val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-    val got = GraphAnn.rankedIds(base)
+    // force the DISTRIBUTED branch regardless of corpus size, and
+    // prove it against the plain sorted expectation; the window
+    // branch is the expectation itself (bit-identical by DistSpec)
+    val got = GraphAnn.rankedIds(base, Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val ids = base.select(col("vec_id")).collect()
       .map(_.getLong(0)).sorted
