@@ -1474,33 +1474,26 @@ object VersionedLake {
         Window.partitionBy(keyColsP.map(col): _*)), col("_row_id")))
   }
 
-  /** Fresh-id batches at or above this row count rank through the
-    * distributed [[graft.Dist.globalRowNumber]] instead of a
-    * one-partition window: the allocation stays shuffle-parallel on
-    * bulk loads (the 100 TB initial-ingest shape) while ordinary
-    * incremental batches keep the cheaper single window. Both forms
-    * are bit-identical (DistSpec proves it), so the switch is pure
-    * cost policy, never semantics.
-    */
-  private[sources] val FreshIdDistThreshold = 2000000L
-
   /** After resolution: rows with no inherited id (new keys) draw
     * consecutive ids above the high-water mark, ordered by
     * (gbucket, key) — deterministic, and partitioning-independent
-    * because the checkpointed input is split exactly once.
+    * because the checkpointed input is split exactly once. The
+    * one-partition ranking window is the right cost at the
+    * incremental-batch grain this path serves (fresh rows = the
+    * batch's NEW keys; a sizing probe costs a job per commit — r14
+    * measured it at ~10-25% on the multi-commit gates, all overhead);
+    * a bulk initial load swaps in [[graft.Dist.globalRowNumber]] over
+    * the same (gbucket, key) order — bit-identical ids (DistSpec
+    * proves both forms equal on exactly this frame shape), pure cost
+    * policy like the backfill note on [[enableRowTracking]].
     */
   private def assignFreshRowIds(resolved: DataFrame,
       keyColsP: Seq[String], hwm0: Long): DataFrame = {
     val base = withNullRowId(resolved).localCheckpoint(true)
-    val fresh0 = base.filter(col("_row_id").isNull)
-    val order = col("gbucket") +: keyColsP.map(col)
-    val fresh =
-      if (fresh0.count() >= FreshIdDistThreshold)
-        graft.Dist.globalRowNumber(fresh0, order, 32, "_grn")
-          .withColumn("_row_id", lit(hwm0) + col("_grn"))
-          .drop("_grn")
-      else fresh0.withColumn("_row_id", lit(hwm0) + row_number().over(
-        Window.orderBy(order: _*)).cast("long"))
+    val fresh = base.filter(col("_row_id").isNull)
+      .withColumn("_row_id", lit(hwm0) + row_number().over(
+        Window.orderBy((col("gbucket") +: keyColsP.map(col)): _*))
+        .cast("long"))
     base.filter(col("_row_id").isNotNull).unionByName(fresh)
   }
 
