@@ -51,10 +51,12 @@ object Bench {
     // Optional local-iteration filter (driver sets nothing → full run)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val order = SparkEntry.queries.keys.toSeq.sorted
+    // benchQueries = queries minus in-gate exact-baseline honesty
+    // assertions (Verify still runs them); key sets are spec-pinned equal
+    val order = SparkEntry.benchQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = order.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.benchQueries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // a failed run must NOT be reported as a (fast) success: -1 marks it

@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * (every row in partition i sorts before partition i+1), so the
   * output is bit-identical to the global window at any partition
   * count — provided the order columns are unique per row (ties would
-  * make BOTH forms partition-dependent). Callers: the graph-ANN
-  * long-link rank table (always) and the lake's fresh row-id
-  * allocation (above [[graft.sources.VersionedLake]]'s batch-size
-  * threshold — small batches keep the one-partition window, which is
-  * cheaper than a shuffle at gate scale).
+  * make BOTH forms partition-dependent). Sole caller today: the
+  * graph-ANN long-link rank table, above
+  * [[graft.operators.GraphAnn]]'s `RankDistThreshold` (small corpora
+  * keep the one-partition window, which is cheaper than a shuffle at
+  * gate scale). The lake's fresh row-id allocation stays window-only
+  * by design — its allocations are batch-grain, never corpus-grain.
   */
 object Dist {
 

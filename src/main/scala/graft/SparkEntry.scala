@@ -41,6 +41,33 @@ object SparkEntry {
     else Map("zz_induced_throw" -> ((_, _) =>
       sys.error("induced failure: GRAFT_INDUCE_THROW is set")))
 
+  /** Bench-time registry: identical to [[queries]] except where a
+    * gate's registered query carries an in-gate honesty assertion that
+    * itself computes an EXACT baseline (ann_hybrid_rrf_routed's
+    * agreement check re-runs the brute-force fusion). Benching the
+    * registered gate would time the O(probes × corpus) exact leg the
+    * routed operator exists to avoid — so Bench measures the operator
+    * alone, and Verify (the correctness gate) always runs [[queries]],
+    * keeping the honesty assertion on every driver round.
+    * SurveyInventorySpec pins the key sets equal and pins each
+    * override's output identical to its gate's emitted rows.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ benchOverrides
+
+  /** The override entries behind [[benchQueries]] — kept separately
+    * visible so the spec can pin the set of overridden names (each one
+    * must be a deliberate, documented honesty-assertion split, never
+    * an accidental shadow).
+    */
+  private[graft] def benchOverrides
+      : Map[String, (SparkSession, String) => DataFrame] =
+    Map("ann_hybrid_rrf_routed" -> ((s, d) =>
+      graft.operators.Retrieval.hybridRrfRouted(
+          Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+          org.apache.spark.sql.functions.col("rank"))))
+
   private def unorderedQueries
       : Map[String, (SparkSession, String) => DataFrame] =
     Medallion.queries ++ Gold.queries ++
@@ -87,6 +114,7 @@ object SparkEntry {
       graft.sources.Bucketed.queries ++
       graft.sources.Dpp.queries ++
       graft.sources.CatalogSetup.queries ++
+      graft.sources.Volumes.queries ++
       graft.sources.StatsSkipping.queries ++
       graft.sources.BloomSkip.queries ++
       graft.sources.PartitionEvolution.queries ++
@@ -101,6 +129,7 @@ object SparkEntry {
       graft.sources.BranchSql.queries ++
       graft.sources.ZOrder.queries ++
       graft.plans.Pipeline.queries ++
+      graft.plans.Promotion.queries ++
       graft.plans.EventLog.queries ++
       graft.plans.Schedule.queries ++
       graft.plans.ConfigLint.queries ++
@@ -163,6 +192,7 @@ object SparkEntry {
       graft.sources.Bucketed.oracles ++
       graft.sources.Dpp.oracles ++
       graft.sources.CatalogSetup.oracles ++
+      graft.sources.Volumes.oracles ++
       graft.sources.StatsSkipping.oracles ++
       graft.sources.BloomSkip.oracles ++
       graft.sources.PartitionEvolution.oracles ++
@@ -177,6 +207,7 @@ object SparkEntry {
       graft.sources.BranchSql.oracles ++
       graft.sources.ZOrder.oracles ++
       graft.plans.Pipeline.oracles ++
+      graft.plans.Promotion.oracles ++
       graft.plans.EventLog.oracles ++
       graft.plans.Schedule.oracles ++
       graft.plans.ConfigLint.oracles ++

@@ -112,6 +112,36 @@ object GraphAnn {
   val BuildPlanes = 6
   val BuildTables = 12
 
+  /** Expected per-bucket occupancy the exact refinement can afford:
+    * with 2^planes buckets per table, candidate generation inside one
+    * bucket is O(occupancy²) pairs, so occupancy must stay bounded as
+    * the corpus grows. Calibrated to the pinned config: 2000 vectors /
+    * 2^6 buckets ≈ 31 per bucket.
+    */
+  val BuildBucketTarget = 32L
+
+  /** Planes for a corpus of `n` vectors — the "planes grow ~log₂ N"
+    * claim as CODE, not scaladoc (r14 verdict task 2): the smallest
+    * plane count whose 2^planes buckets hold occupancy ≤
+    * [[BuildBucketTarget]], floored at [[BuildPlanes]]. Every gate
+    * corpus (≤ 2048 vectors at sf0.1, including the clustered fixture
+    * and the insert gate's old split) reproduces the pinned 6-plane
+    * config EXACTLY, so pins, floors and the static oracle SQL are
+    * bit-identical (GraphAnnSpec pins this function at three Ns).
+    * Tables stay [[BuildTables]]: the table count is the recall knob
+    * (independent retries of the same blocking), not a load knob — it
+    * does not need to scale with n. Decided from the `n` the build
+    * already counts — no extra job (the r14 sizing-probe lesson).
+    */
+  private[graft] def buildPlanesFor(n: Long): Int = {
+    // ceil-divide so occupancy n/2^planes never exceeds the target
+    val buckets =
+      math.max(1L, (n + BuildBucketTarget - 1L) / BuildBucketTarget)
+    val needed = if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
+    math.max(BuildPlanes, needed)
+  }
+
   /** Blocked approximate M-NN graph plus [[LongLinks]] pseudo-random
     * long-range links over a [[baseOf]] frame. Since r14 the knn half
     * is LSH-BLOCKED (r13 verdict task 2): sign-LSH bucket assignment →
@@ -153,8 +183,8 @@ object GraphAnn {
   }
 
   private[graft] def buildEdges(base: DataFrame, m: Int = M): DataFrame = {
-    val knn = buildKnnBlocked(base, m)
     val n = base.count()
+    val knn = buildKnnBlocked(base, m, buildPlanesFor(n))
     val ranked = rankedIds(base, n)
     val longe = base.select(col("vec_id").as("src"))
       .withColumn("seed",
@@ -199,12 +229,12 @@ object GraphAnn {
     * [[buildEdgesExactKnn]].
     */
   private[graft] def buildKnnBlocked(base: DataFrame,
-      m: Int = M): DataFrame = {
+      m: Int = M, planes: Int = BuildPlanes): DataFrame = {
     val dim = base.select(size(col("v"))).head().getInt(0)
     val bucketed = base.select(col("vec_id"),
       explode(array((0 until BuildTables).map(t =>
         struct(lit(t).as("tbl"),
-          Similarity.lshBucket(col("v"), BuildPlanes, t, dim)
+          Similarity.lshBucket(col("v"), planes, t, dim)
             .as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
     val cand = bucketed
@@ -315,11 +345,32 @@ object GraphAnn {
     * (a disconnected graph, a broken expansion join) cannot ship as a
     * quietly-wrong-but-plausible neighbor list.
     */
-  def graphTopKGate(emb: DataFrame): DataFrame = {
+  /** Once-per-corpus memo of the clustered-regime recall — the
+    * dedup_clusters stored-artifact discipline applied to the honesty
+    * fixture (r14 verdict task 7): the clustered fixture is a PURE
+    * function of the corpus (deterministic mixture-of-centers), so its
+    * build + search + exact truth measure the same number every run;
+    * the first run per corpus key measures it, later runs in the same
+    * process assert against the stored measurement. The gate's emitted
+    * rows and the iid floor always come from a fresh search over the
+    * REAL corpus — only the fixture's re-measurement is shared.
+    */
+  private val clusteredRecallStore =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  def graphTopKGate(emb: DataFrame,
+      corpusKey: Option[String] = None): DataFrame = {
     val out = graphTopK(emb, K)
     val iid = recallOf(out, emb, K)
-    val fx = Similarity.clusteredFixture(emb)
-    val clustered = recallOf(graphTopK(fx, K), fx, K)
+    def measureClustered(): Double = {
+      val fx = Similarity.clusteredFixture(emb)
+      recallOf(graphTopK(fx, K), fx, K)
+    }
+    val clustered = corpusKey match {
+      case Some(k) => clusteredRecallStore
+        .computeIfAbsent(k, _ => measureClustered()).doubleValue()
+      case None => measureClustered()
+    }
     System.err.println(f"[ann_graph_topk] recall@$K iid=$iid%.3f " +
       f"(floor $RecallFloorIid) clustered=$clustered%.3f " +
       f"(floor $RecallFloorClustered)")
@@ -548,7 +599,7 @@ object GraphAnn {
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String)
       => DataFrame] = Map(
     "ann_graph_topk" -> ((s, d) =>
-      graphTopKGate(Tables.embeddings(s, d))
+      graphTopKGate(Tables.embeddings(s, d), Some(d))
         .orderBy(col("probe_id"), col("rank"))),
     "ann_graph_incremental" -> ((s, d) =>
       graphInsertGate(Tables.embeddings(s, d))

@@ -36,6 +36,30 @@ import org.apache.spark.sql.functions._
   */
 object FileRegistry {
 
+  /** `volume://<ns.volume>[/sub]` → the volume's filesystem location,
+    * resolved through the installed graft_lake catalog — the Unity
+    * Volume addressing contract (ref unity_catalog_setup.py:96-120):
+    * ingest configuration names the VOLUME, never a raw path, so
+    * re-pointing storage is one catalog statement and the pipeline
+    * config survives it. Any other string passes through unchanged.
+    */
+  def resolveDir(spark: SparkSession, dir: String): String =
+    if (!dir.startsWith("volume://")) dir
+    else {
+      val rest = dir.stripPrefix("volume://")
+      val (fq, sub) = rest.split("/", 2) match {
+        case Array(v) => (v, "")
+        case Array(v, s) => (v, s)
+      }
+      val cat = spark.sessionState.catalogManager
+        .catalog(SqlCatalog.CatalogName).asInstanceOf[GraftLakeCatalog]
+      val base = cat.volumeLocation(fq).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown volume '$fq' (CALL ${SqlCatalog.CatalogName}" +
+            s".system.create_volume first)"))
+      if (sub.isEmpty) base else s"$base/$sub"
+    }
+
   /** Data files under `dir` (recursive), excluding hidden/metadata
     * files — the listing half of discovery.
     */
@@ -81,7 +105,7 @@ object FileRegistry {
       sinkDir: String, reader: Seq[String] => DataFrame): IngestResult = {
     new File(registryDir).mkdirs()
     val seen = registered(registryDir)
-    val fresh = listDataFiles(srcDir).filterNot(seen)
+    val fresh = listDataFiles(resolveDir(spark, srcDir)).filterNot(seen)
     val runId = manifests(registryDir).size + 1
     if (fresh.isEmpty) return IngestResult(runId - 1, Seq.empty, 0L)
     val batch = reader(fresh)

@@ -49,7 +49,7 @@ object LakeProcedures {
   private val Names = Seq("optimize", "vacuum", "restore", "create_tag",
     "create_branch", "fast_forward", "drop_branch", "enable_row_tracking",
     "txn_create", "txn_begin", "txn_commit", "grant", "revoke",
-    "show_grants")
+    "show_grants", "create_volume", "drop_volume")
 
   def list(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(Array(Namespace)))
@@ -76,6 +76,8 @@ object LakeProcedures {
       case "grant" => new GrantProc("grant")
       case "revoke" => new GrantProc("revoke")
       case "show_grants" => new ShowGrantsProc
+      case "create_volume" => new VolumeProc("create_volume", catalog)
+      case "drop_volume" => new VolumeProc("drop_volume", catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $Namespace.$other " +
           s"(have: ${Names.mkString(", ")})")
@@ -408,6 +410,40 @@ object LakeProcedures {
       val prefix = input.getUTF8String(0).toString
       result(schema, graft.functions.Grants.list(prefix).map {
         case (s, pv, g) => row(utf8(s), utf8(pv), utf8(g)) })
+    }
+  }
+
+  /** `CALL system.create_volume(name, location)` /
+    * `CALL system.drop_volume(name)` — the reference's managed-volume
+    * object (ref unity_catalog_setup.py:96-120 `CREATE VOLUME …
+    * landing`): a named storage location under a catalog namespace.
+    * `name` is namespace-qualified (`lakehouse.raw`); CREATE refuses a
+    * duplicate (the Unity CREATE VOLUME contract — drop first to
+    * re-point), DROP reports whether the name existed. Once created,
+    * ingest addresses the volume by NAME through
+    * [[FileRegistry]]'s `volume://` scheme and the inventory reads
+    * back as the `ns.volumes` relation ([[GraftVolumesTable]]).
+    */
+  private final class VolumeProc(op: String, catalog: GraftLakeCatalog)
+      extends LakeProc(op, identity) {
+    override def parameters(): Array[ProcedureParameter] =
+      if (op == "create_volume")
+        Array(p("name", StringType), p("location", StringType))
+      else Array(p("name", StringType))
+    private val schema = StructType.fromDDL(
+      "volume_name STRING, changed BOOLEAN")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val fq = input.getUTF8String(0).toString.trim
+      require(fq.contains("."),
+        s"volume name must be namespace-qualified (ns.volume): $fq")
+      val changed =
+        if (op == "create_volume") {
+          val loc = input.getUTF8String(1).toString
+          val ok = catalog.createVolume(fq, loc)
+          require(ok, s"volume $fq already exists (drop it first)")
+          ok
+        } else catalog.dropVolume(fq)
+      result(schema, Seq(row(utf8(fq), changed)))
     }
   }
 

@@ -73,6 +73,25 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val nsComments =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // VOLUMES — named storage-location objects (ref
+  // unity_catalog_setup.py:96-120 creates the raw landing VOLUME):
+  // fully-qualified "ns.volume" → filesystem location. Volumes are
+  // ingest-addressable by NAME (FileRegistry's volume:// scheme), so
+  // pipelines never carry raw paths — the Unity Volume contract.
+  private val volumes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[sources] def createVolume(fq: String, location: String): Boolean =
+    volumes.putIfAbsent(fq, location) == null
+  private[sources] def dropVolume(fq: String): Boolean =
+    volumes.remove(fq) != null
+  private[graft] def volumeLocation(fq: String): Option[String] =
+    Option(volumes.get(fq))
+  private[sources] def volumesOf(ns: String): Seq[(String, String, String)] =
+    volumes.asScala.toSeq.collect {
+      case (fq, loc) if fq.startsWith(ns + ".") =>
+        (ns, fq.stripPrefix(ns + "."), loc)
+    }.sortBy(_._2)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = { catalogName = name }
@@ -123,6 +142,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         return new GraftLakeTable(s"${key(parent)}.branch_$b", bp, None,
           Option(mergeSpecs.get(key(parent))))
       }
+    }
+    // `ns.volumes` — the namespace's volume inventory as a relation
+    // (SHOW VOLUMES / DESCRIBE VOLUME introspection surface)
+    if (tables.get(key(ident)) == null && ident.name() == "volumes" &&
+        ident.namespace().nonEmpty && namespaceExists(ident.namespace())) {
+      val ns = ident.namespace().mkString(".")
+      return new GraftVolumesTable(ns, () => volumesOf(ns))
     }
     load(ident, None)
   }
@@ -433,9 +459,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && (memberTables.nonEmpty || childNs.nonEmpty))
       throw new org.apache.spark.sql.catalyst.analysis
         .NonEmptyNamespaceException(ns)
-    memberTables.foreach { k => tables.remove(k); mergeSpecs.remove(k) }
-    childNs.foreach(namespaces.remove) // descendants go with the parent
+    memberTables.foreach { k =>
+      tables.remove(k); mergeSpecs.remove(k); tableComments.remove(k)
+    }
+    volumes.keySet().asScala.filter(_.startsWith(prefix)).toSeq
+      .foreach(volumes.remove)
+    childNs.foreach { c => namespaces.remove(c); nsComments.remove(c) }
     namespaces.remove(ns.mkString("."))
+    nsComments.remove(ns.mkString("."))
     existed
   }
 }
@@ -937,6 +968,49 @@ private[sources] class GraftLakeMetaTable(ident: String, path: String,
               case "rows" => VersionedLake.readWithRowIds(spark, path)
             }
             df.select(relSchema.fieldNames.map(col).toSeq: _*).rdd
+          }
+        }.asInstanceOf[T]
+      }
+    }
+  }
+}
+
+/** `ns.volumes` — the namespace's registered volumes as an ordinary
+  * relation (name, location): the SHOW VOLUMES / DESCRIBE VOLUME
+  * introspection surface over [[GraftLakeCatalog]]'s volume registry.
+  * Volume inventories are metadata-scale, so the scan is a driver-side
+  * snapshot taken at scan time (`rows()` re-reads the registry, so a
+  * CALL create_volume in the same session is immediately visible).
+  */
+private[sources] class GraftVolumesTable(ns: String,
+    rows: () => Seq[(String, String, String)])
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{StringType, StructField}
+
+  override def name(): String = s"$ns.volumes"
+
+  override def schema(): StructType = StructType(Seq(
+    StructField("namespace", StringType, nullable = false),
+    StructField("volume_name", StringType, nullable = false),
+    StructField("location", StringType, nullable = false)))
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = { () =>
+    new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val relSchema = readSchema()
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = relSchema
+          override def buildScan(): RDD[Row] = {
+            val spark = context.sparkSession
+            import spark.implicits._
+            rows().toDF("namespace", "volume_name", "location").rdd
           }
         }.asInstanceOf[T]
       }

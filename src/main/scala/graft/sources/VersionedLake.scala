@@ -1516,9 +1516,11 @@ object VersionedLake {
     * order and stamps `rowTracking` + the initial hwm. Idempotent
     * refusal if already enabled. The one-partition ranking window is
     * acceptable here because backfill is a ONE-TIME migration commit;
-    * a table too large for it swaps in [[graft.Dist.globalRowNumber]]
-    * over the same (_rel, _pos) order — bit-identical ids (DistSpec),
-    * pure cost policy like [[FreshIdDistThreshold]].
+    * a table too large for it could swap in
+    * [[graft.Dist.globalRowNumber]] over the same (_rel, _pos) order —
+    * bit-identical ids (DistSpec) — but the lake paths are window-only
+    * by design today (batch-grain allocations are small); only
+    * [[graft.operators.GraphAnn]]'s rank table switches adaptively.
     */
   def enableRowTracking(spark: SparkSession, path: String): CommitResult = {
     val vs = versions(spark, path)

@@ -70,7 +70,12 @@ object MultiEntityCdc {
       entityFeed(spark, dir, rem)
         .withColumn("b", pmod(col("sequence_number"), lit(3)))
         .repartition(1).write.partitionBy("b").parquet(feed)
-      val schema = spark.read.parquet(s"$feed/b=0").schema
+      // infer from the feed root, not a hardcoded partition — a residue
+      // feed whose b=0 slice happens to be empty must not kill the
+      // gate. The stream reads through the b=* glob, so the supplied
+      // schema is the DATA schema (partition col excluded).
+      val schema = spark.read.option("basePath", feed).parquet(feed)
+        .drop("b").schema
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$feed/b=*")
         .writeStream
@@ -85,9 +90,13 @@ object MultiEntityCdc {
     // all entity queries are LIVE before any is drained — the parallel
     // pipeline topology, not a sequential loop of solo applies
     try handles.foreach(_._4.processAllAvailable())
-    finally handles.foreach(_._4.stop())
-    handles.foreach { case (_, _, ckpt, _) =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    finally {
+      handles.foreach(_._4.stop())
+      // checkpoint temp dirs must not leak even when a drain fails
+      handles.foreach { case (_, _, ckpt, _) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(ckpt))
+      }
     }
     handles.map { case (name, table, _, _) =>
       Scd2Apply.readHistory(spark, table).withColumn("entity", lit(name))

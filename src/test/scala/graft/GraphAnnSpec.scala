@@ -101,6 +101,27 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("adaptive plane count: pinned at gate Ns, widens ~log2 above") {
+    // every corpus a gate runs (500, 2000, the 1600-vector old split,
+    // the clustered fixture) must reproduce the pinned 6-plane config
+    // EXACTLY — pins, floors and the static oracle SQL depend on it
+    assert(GraphAnn.buildPlanesFor(500L) == GraphAnn.BuildPlanes)
+    assert(GraphAnn.buildPlanesFor(2000L) == GraphAnn.BuildPlanes)
+    assert(GraphAnn.buildPlanesFor(2048L) == GraphAnn.BuildPlanes)
+    // above the pinned regime, planes grow with ceil(log2(n/target)):
+    // occupancy n/2^planes stays <= BuildBucketTarget
+    assert(GraphAnn.buildPlanesFor(131072L) == 12)
+    assert(GraphAnn.buildPlanesFor(10000000L) == 19)
+    Seq(4097L, 100000L, 10000000L, 3000000000L).foreach { n =>
+      val planes = GraphAnn.buildPlanesFor(n)
+      assert(n.toDouble / math.pow(2.0, planes.toDouble)
+        <= GraphAnn.BuildBucketTarget,
+        s"occupancy unbounded at n=$n planes=$planes")
+    }
+    // monotone: more corpus never narrows the blocking
+    assert(GraphAnn.buildPlanesFor(4096L) <= GraphAnn.buildPlanesFor(8192L))
+  }
+
   test("incremental insert: batch-only probes, old-only wiring, floor") {
     val rows = GraphAnn.graphInsertGate(emb)
       .orderBy(col("new_id"), col("rank")).collect()

@@ -42,6 +42,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.exists(r => r.isNullAt(4) && !r.isNullAt(5)))
   }
 
+  test("bench override emits exactly the routed gate's rows") {
+    // SparkEntry.benchOverrides swaps the registered gate (routed
+    // fusion + exact-fusion agreement assertion) for the bare routed
+    // fusion at bench time; the swap must be timing-only — identical
+    // emitted rows — or BENCH_* would measure a different operator
+    // than CORRECTNESS_* verifies.
+    val gate = SparkEntry.queries("ann_hybrid_rrf_routed")(spark, sf)
+    val bench = SparkEntry.benchQueries("ann_hybrid_rrf_routed")(spark, sf)
+    assert(gate.collect().toSeq == bench.collect().toSeq)
+  }
+
   test("filtered top-k: every neighbor passes the metadata predicate") {
     val out = Retrieval.filteredTopK(docs, emb)
     val rows = out.collect()

@@ -168,5 +168,23 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(nsComment() == "born documented")
     spark.sql(s"COMMENT ON NAMESPACE $ns IS 'updated'")
     assert(nsComment() == "updated")
+    // DROP NAMESPACE forgets comments too — both the namespace's own
+    // and its member tables' (the r14 advice leak): re-creating either
+    // at the same identifier must start comment-less
+    val nsTable = s"$ns.member"
+    spark.sql(s"CREATE TABLE $nsTable (k BIGINT, x STRING, seq BIGINT) " +
+      s"USING graft LOCATION '$path'")
+    spark.sql(s"COMMENT ON TABLE $nsTable IS 'member note'")
+    assert(comment(nsTable) == "member note")
+    spark.sql(s"DROP NAMESPACE $ns CASCADE")
+    spark.sql(s"CREATE NAMESPACE $ns")
+    assert(spark.sql(s"DESCRIBE NAMESPACE EXTENDED $ns")
+      .filter(lower(col("info_name")) === "comment").isEmpty,
+      "re-created namespace inherited the dropped namespace's comment")
+    spark.sql(s"CREATE TABLE $nsTable (k BIGINT, x STRING, seq BIGINT) " +
+      s"USING graft LOCATION '$path'")
+    assert(spark.sql(s"SELECT prop_value FROM $nsTable.describe " +
+      "WHERE prop_key = 'comment'").head().isNullAt(0),
+      "re-created member table inherited the dropped table's comment")
   }
 }

@@ -40,6 +40,20 @@ class SurveyInventorySpec extends AnyFunSuite {
       s"queries without a DuckDB oracle: ${noOracle.toSeq.sorted}")
   }
 
+  test("benchQueries covers exactly the queries keys") {
+    // Bench runs benchQueries (honesty-assertion-free overrides where
+    // the assertion computes an exact baseline); a bench registry that
+    // gained or lost a name vs the correctness registry would silently
+    // desync BENCH_* from CORRECTNESS_* rows.
+    assert(SparkEntry.benchQueries.keySet == SparkEntry.queries.keySet)
+    // overrides must stay rare and deliberate — each one is a gate
+    // whose Verify path pays an exact-baseline honesty check
+    assert(SparkEntry.benchOverrides.keySet == Set("ann_hybrid_rrf_routed"),
+      s"unexpected bench overrides: ${SparkEntry.benchOverrides.keySet}")
+    assert(SparkEntry.benchOverrides.keySet
+      .subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("registry iteration order is pinned (sorted by name)") {
     // Verify/Bench/PlanAudit execute gates in registry iteration order;
     // an unordered Map makes that order an unbisectable degree of

@@ -171,9 +171,15 @@ class TxnGroupSpec extends AnyFunSuite {
     val data = full.filter(col("fp_col").isNull)
     assert(data.filter(col("o_totalprice_cents") <= 0).isEmpty)
     assert(data.filter(col("sum_qty_cents") <= 0).isEmpty)
-    // the +1.00 touch-up is visible in cents: every low-key order's
-    // price ends in the touched value (checked via the fingerprint
-    // being stable across two runs of the same slice)
     assert(data.count() > 0)
+    // the +1.00 touch-up lands deterministically: the four fingerprint
+    // rows are bit-stable across two independent runs of the same slice
+    val fp2 = TxnGroup.queries("lake_multi_txn")(spark, sf)
+      .filter(col("fp_col").isNotNull)
+      .select("fp_col", "fp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fp1 = fp.select("fp_col", "fp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
   }
 }
