@@ -142,6 +142,39 @@ object GraphAnn {
     math.max(BuildPlanes, needed)
   }
 
+  /** Corpus size up to which the pinned gate config (12 tables /
+    * 6 planes / 4 rounds) is reproduced exactly; above it the three
+    * knobs widen together. 2048 = the largest n where 6 planes already
+    * satisfy the occupancy bound, so the pivot is derived from the
+    * plane rule, not a second tuning constant.
+    */
+  private[graft] val AdaptPivot = 2048L
+
+  private def log2ceil(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1L)
+
+  /** LSH tables for a corpus of `n` vectors. Occupancy-bounded planes
+    * alone do NOT hold iid recall as n grows: per-node candidate count
+    * stays tables×occupancy while the corpus grows, so the covered
+    * FRACTION collapses (measured in the r15 scale bench: recall
+    * 0.505 at n=4000, 0.359 at n=8000 with tables pinned at 12 — the
+    * honesty floor caught it). Tables therefore grow +4 per corpus
+    * doubling past [[AdaptPivot]]: per-node candidates ≈
+    * tables(n)·occupancy ≈ O(log n), total build O(n log n) — the ANN
+    * literature's cost shape, still never corpus×corpus.
+    */
+  private[graft] def buildTablesFor(n: Long): Int =
+    BuildTables + 4 * log2ceil(
+      (n + AdaptPivot - 1L) / AdaptPivot)
+
+  /** Beam rounds for a corpus of `n` vectors: graph diameter grows
+    * ~log n, so the search deepens one round per corpus doubling past
+    * [[AdaptPivot]]. Gate Ns keep [[Rounds]] exactly (the oracle's
+    * unrolled CTE blocks depend on it).
+    */
+  private[graft] def roundsFor(n: Long): Int =
+    Rounds + log2ceil((n + AdaptPivot - 1L) / AdaptPivot)
+
   /** Blocked approximate M-NN graph plus [[LongLinks]] pseudo-random
     * long-range links over a [[baseOf]] frame. Since r14 the knn half
     * is LSH-BLOCKED (r13 verdict task 2): sign-LSH bucket assignment →
@@ -182,9 +215,11 @@ object GraphAnn {
         row_number().over(Window.orderBy(col("dst"))).cast("long") - 1)
   }
 
-  private[graft] def buildEdges(base: DataFrame, m: Int = M): DataFrame = {
-    val n = base.count()
-    val knn = buildKnnBlocked(base, m, buildPlanesFor(n))
+  private[graft] def buildEdges(base: DataFrame, m: Int = M,
+      nOpt: Option[Long] = None): DataFrame = {
+    val n = nOpt.getOrElse(base.count())
+    val knn = buildKnnBlocked(base, m, buildPlanesFor(n),
+      buildTablesFor(n))
     val ranked = rankedIds(base, n)
     val longe = base.select(col("vec_id").as("src"))
       .withColumn("seed",
@@ -229,10 +264,11 @@ object GraphAnn {
     * [[buildEdgesExactKnn]].
     */
   private[graft] def buildKnnBlocked(base: DataFrame,
-      m: Int = M, planes: Int = BuildPlanes): DataFrame = {
+      m: Int = M, planes: Int = BuildPlanes,
+      tables: Int = BuildTables): DataFrame = {
     val dim = base.select(size(col("v"))).head().getInt(0)
     val bucketed = base.select(col("vec_id"),
-      explode(array((0 until BuildTables).map(t =>
+      explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           Similarity.lshBucket(col("v"), planes, t, dim)
             .as("bucket"))): _*)).as("tb"))
@@ -267,7 +303,7 @@ object GraphAnn {
     */
   private def beamSearch(base: DataFrame, edges: DataFrame,
       probes: DataFrame, entries: DataFrame, k: Int,
-      beam: Int = Beam): DataFrame = {
+      beam: Int = Beam, rounds: Int = Rounds): DataFrame = {
     // (probe_id, node) → scored (probe_id, node, cosine)
     def score(cands: DataFrame): DataFrame = cands
       .join(base.select(col("vec_id").as("node"), col("v"),
@@ -286,7 +322,7 @@ object GraphAnn {
     var visited = graft.Caching.materialize(score(entries))
     val bw = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("node"))
-    (1 to Rounds).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val frontier = visited
         .withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= beam)
@@ -309,14 +345,16 @@ object GraphAnn {
   def graphTopK(emb: DataFrame, k: Int = K): DataFrame = {
     val base = baseOf(emb)
     graft.Caching.withCached(base) {
-      val edges = buildEdges(base)
+      val n = base.count() // cached: one cheap job, reused by the build
+      val edges = buildEdges(base, M, Some(n))
       graft.Caching.withCached(edges) {
         val probes = base.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("probe_id"), col("v").as("pv"),
             col("nrm").as("pnrm"))
         val entries = probes.select(col("probe_id"),
           explode(sequence(lit(0L), lit(Entries - 1L))).as("node"))
-        beamSearch(base, edges, probes, entries, k)
+        beamSearch(base, edges, probes, entries, k,
+          rounds = roundsFor(n))
       }
     }
   }
@@ -416,7 +454,8 @@ object GraphAnn {
     val batch = emb.filter(pmod(col("vec_id"), lit(BatchMod)) === BatchRem)
     val base = baseOf(old)
     graft.Caching.withCached(base) {
-      val edges = buildEdges(base)
+      val n = base.count()
+      val edges = buildEdges(base, M, Some(n))
       graft.Caching.withCached(edges) {
         val probes = baseOf(batch)
           .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -429,7 +468,8 @@ object GraphAnn {
           .collect().map(_.getLong(0))
         val entries = probes.select(col("probe_id"))
           .withColumn("node", explode(lit(entryIds)))
-        beamSearch(base, edges, probes, entries, m, InsertBeam)
+        beamSearch(base, edges, probes, entries, m, InsertBeam,
+          rounds = roundsFor(n))
           .withColumnRenamed("probe_id", "new_id")
       }
     }

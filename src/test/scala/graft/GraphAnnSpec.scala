@@ -122,6 +122,25 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(GraphAnn.buildPlanesFor(4096L) <= GraphAnn.buildPlanesFor(8192L))
   }
 
+  test("adaptive tables/rounds: pinned at gate Ns, +log2 above") {
+    // gate corpora reproduce the 12-table / 4-round config exactly —
+    // the oracle's unrolled round CTEs and every pin depend on it
+    Seq(500L, 1600L, 2000L, 2048L).foreach { n =>
+      assert(GraphAnn.buildTablesFor(n) == GraphAnn.BuildTables)
+      assert(GraphAnn.roundsFor(n) == GraphAnn.Rounds)
+    }
+    // past the pivot: +4 tables and +1 round per corpus doubling —
+    // per-node candidates grow O(log n) so iid coverage doesn't
+    // collapse (the r15 scale-bench finding: 12 fixed tables measured
+    // recall 0.359 < 0.4 floor at n=8000)
+    assert(GraphAnn.buildTablesFor(4000L) == 16)
+    assert(GraphAnn.roundsFor(4000L) == 5)
+    assert(GraphAnn.buildTablesFor(8000L) == 20)
+    assert(GraphAnn.roundsFor(8000L) == 6)
+    assert(GraphAnn.buildTablesFor(16000L) == 24)
+    assert(GraphAnn.roundsFor(16000L) == 7)
+  }
+
   test("incremental insert: batch-only probes, old-only wiring, floor") {
     val rows = GraphAnn.graphInsertGate(emb)
       .orderBy(col("new_id"), col("rank")).collect()
