@@ -148,6 +148,35 @@ object ScaleBench {
         band = 4.0 * 1.8, points = pts)
     }
 
+    // -- 1b. graph search on the CLUSTERED regime (the regime neighbor
+    // graphs exist for; gate floor 0.9) — the floor must survive the
+    // widened blocking configs, not just the iid worst case
+    {
+      val pts = Seq(4000L, 16000L).map { n =>
+        val fx = operators.Similarity.clusteredFixture(
+          spark.read.parquet(landed(s"emb_$n")))
+          .localCheckpoint(true)
+        val (sec, out) = timed {
+          operators.GraphAnn.graphTopK(fx).localCheckpoint(true)
+        }
+        val truth = operators.Similarity.bruteForceTopK(fx, 5)
+          .select(col("probe_id"), col("neighbor_id"))
+        val hits = out.select(col("probe_id"), col("neighbor_id"))
+          .intersect(truth).count()
+        val recall = hits.toDouble / math.max(1L, truth.count())
+        System.err.println(
+          f"[scale] graph_clustered n=$n sec=$sec%.2f recall=$recall%.3f")
+        require(recall >= operators.GraphAnn.RecallFloorClustered,
+          f"clustered recall $recall%.3f under floor at n=$n")
+        release()
+        Point(n, sec, Map("recall" -> recall))
+      }
+      sb += Family("graph_clustered_search",
+        "linear in corpus; clustered-regime recall floor (0.9) holds " +
+          "under the widened blocking",
+        band = 4.0 * 1.8, points = pts)
+    }
+
     // -- 2. incremental connected components (claim: far sublinear) ---------
     // Fixed 2000-doc batch (ids ≡ 0 mod 5 by construction) over a
     // growing old corpus whose stored labels pre-warm untimed (the
@@ -258,6 +287,31 @@ object ScaleBench {
         band = 4.0 * 1.8, points = pts)
     }
 
+    // -- 5b. binary-quantized rerank (claim: ≈ linear — packed
+    // signatures × the native XOR+POPCNT kernel, exact rerank only on
+    // the top-C survivors)
+    {
+      val pts = Seq(4000L, 8000L, 16000L).map { n =>
+        val emb = spark.read.parquet(landed(s"emb_$n"))
+        val (sec, out) = timed {
+          operators.Bq.bqRerank(emb).localCheckpoint(true)
+        }
+        val truth = operators.Similarity.bruteForceTopK(emb, 5)
+          .select(col("probe_id"), col("neighbor_id"))
+        val hits = out.select(col("probe_id"), col("neighbor_id"))
+          .intersect(truth).count()
+        val recall = hits.toDouble / math.max(1L, truth.count())
+        System.err.println(
+          f"[scale] bq_rerank n=$n sec=$sec%.2f recall=$recall%.3f")
+        release()
+        Point(n, sec, Map("recall" -> recall))
+      }
+      sb += Family("bq_rerank",
+        "linear in corpus (hamming scan over packed signatures + " +
+          "candidate-bounded exact rerank)",
+        band = 4.0 * 1.8, points = pts)
+    }
+
     // -- 6. lake trickle → OPTIMIZE (claim: flat in table size) -------------
     // Bucket count scales with the table (constant bucket size — the
     // production sizing rule), the trickle's keys live in ONE bucket
@@ -271,6 +325,13 @@ object ScaleBench {
             fnvCol("v", col("id")).as("value"), lit(1L).as("seq"))
           sources.VersionedLake.upsert(spark, path, seed, Seq("key_id"),
             "seq", numBuckets = buckets)
+          // one-time bulk-load compaction, untimed: the seed write is
+          // task-fragmented (~tasks files per bucket) and compacting
+          // that is O(table) BY DEFINITION — run 5 measured exactly
+          // that (opt removed 515/1027/2051 files ∝ table). The cycle
+          // under measurement is the STEADY STATE: trickle → compact
+          // the trickle's fragmentation.
+          sources.VersionedLake.optimizeSmallFiles(spark, path)
           // 2000 keys all hashing to bucket 0 of this table
           val trickleKeys = spark.range(1, n + 1)
             .filter(pmod(hash(col("id")), lit(buckets)) === 0)
@@ -288,8 +349,13 @@ object ScaleBench {
           val (optSec, _) = timed {
             sources.VersionedLake.optimizeSmallFiles(spark, path)
           }
+          // what did OPTIMIZE actually rewrite? (flat-claim evidence)
+          val opt = sources.VersionedLake.snapshotsMeta(spark, path)
+            .orderBy(col("version").desc).limit(1).head()
           System.err.println(f"[scale] lake n=$n buckets=$buckets " +
-            f"trickle3=$trickleSec%.2f optimize=$optSec%.2f")
+            f"trickle3=$trickleSec%.2f optimize=$optSec%.2f " +
+            f"opt_files_added=${opt.getLong(3)} " +
+            f"opt_files_removed=${opt.getLong(4)}")
           release()
           Point(n, trickleSec, Map("optimize_sec" -> optSec,
             "buckets" -> buckets.toDouble))
