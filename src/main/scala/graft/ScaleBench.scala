@@ -40,7 +40,7 @@ object ScaleBench {
   /** iid float vectors: value(id, d) = fnv(id, d) folded into
     * [-1, 1] — the navigability worst case for LSH blocking.
     */
-  private def synthEmbeddings(spark: SparkSession, n: Long,
+  private[graft] def synthEmbeddings(spark: SparkSession, n: Long,
       dim: Int = 64): DataFrame =
     spark.range(1, n + 1).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(dim - 1)), d =>
@@ -53,7 +53,7 @@ object ScaleBench {
     * blocked-dedup recall against the planted truth is measurable at
     * any size. Token t of the BASE doc b is `w<fnv(b,t) mod vocab>`.
     */
-  private def synthDocs(spark: SparkSession, n: Long, toks: Int = 40,
+  private[graft] def synthDocs(spark: SparkSession, n: Long, toks: Int = 40,
       vocab: Int = 5000): DataFrame = {
     val base = when(pmod(col("id"), lit(5L)) === 4L, col("id") - 4L)
       .otherwise(col("id"))
