@@ -301,9 +301,16 @@ object GraphAnn {
     * the final visited set. Every step is a key-equality join; the
     * frontier (≤ probes·Beam rows) broadcasts against the edge list.
     */
+  /** `resultFilter`: allowed node ids — the filtered-HNSW serving
+    * shape: the beam NAVIGATES the full graph (a filter-blind frontier
+    * keeps the graph navigable at any selectivity), and only allowed
+    * nodes may enter the emitted top-k. A key-equality left-semi join
+    * applied once, after the rounds.
+    */
   private def beamSearch(base: DataFrame, edges: DataFrame,
       probes: DataFrame, entries: DataFrame, k: Int,
-      beam: Int = Beam, rounds: Int = Rounds): DataFrame = {
+      beam: Int = Beam, rounds: Int = Rounds,
+      resultFilter: Option[DataFrame] = None): DataFrame = {
     // (probe_id, node) → scored (probe_id, node, cosine)
     def score(cands: DataFrame): DataFrame = cands
       .join(base.select(col("vec_id").as("node"), col("v"),
@@ -335,7 +342,9 @@ object GraphAnn {
       visited = graft.Caching.materialize(
         visited.unionByName(score(cands)).distinct())
     }
-    visited.filter(col("node") =!= col("probe_id"))
+    resultFilter.fold(visited)(a =>
+        visited.join(a.select(col("node")), Seq("node"), "left_semi"))
+      .filter(col("node") =!= col("probe_id"))
       .withColumn("rank", row_number().over(bw).cast("int"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"),
@@ -417,6 +426,64 @@ object GraphAnn {
     require(clustered >= RecallFloorClustered,
       f"graph-ANN clustered recall@$K $clustered%.3f under floor " +
         f"$RecallFloorClustered")
+    out
+  }
+
+  /** Recall floor for the FILTERED graph search vs the exact filtered
+    * truth. Pinned under the min measured across sf0.001/0.01/0.1 with
+    * margin; measured values print in-gate. Filtering costs recall vs
+    * the unfiltered search only through allowed-set thinning of the
+    * visited set, so the iid floor carries.
+    */
+  val FilteredRecallFloor = 0.4
+
+  /** FILTERED graph search — the production serving composition
+    * (metadata predicate × graph index, the filtered-HNSW shape;
+    * `ann_filtered_topk`'s pre-filter strategy is the exact-scan twin):
+    * the beam navigates the FULL graph — filter-blind navigation keeps
+    * the index navigable at any predicate selectivity — and the
+    * metadata filter gates only which visited nodes may enter the
+    * emitted top-k (one key-equality semi join after the rounds).
+    * The filter rule is shared with ann_filtered_topk: allowed =
+    * documents with `lang = 'en'`, ids joined to vec_id.
+    */
+  def graphTopKFiltered(docs: DataFrame, emb: DataFrame,
+      lang: String = "en", k: Int = K): DataFrame = {
+    val allowed = docs.filter(col("lang") === lang)
+      .select(col("doc_id").as("node"))
+    val base = baseOf(emb)
+    graft.Caching.withCached(base) {
+      val n = base.count()
+      val edges = buildEdges(base, M, Some(n))
+      graft.Caching.withCached(edges) {
+        val probes = base.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+            col("nrm").as("pnrm"))
+        val entries = probes.select(col("probe_id"),
+          explode(sequence(lit(0L), lit(Entries - 1L))).as("node"))
+        beamSearch(base, edges, probes, entries, k,
+          rounds = roundsFor(n), resultFilter = Some(allowed))
+      }
+    }
+  }
+
+  /** [[graphTopKFiltered]] plus the in-gate recall honesty check vs
+    * the EXACT filtered truth (allowed-only brute force — the
+    * ann_filtered_topk rule, so the truth itself is oracle-licensed).
+    */
+  def graphTopKFilteredGate(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val out = graphTopKFiltered(docs, emb)
+    val truth = graft.operators.Retrieval.filteredTopK(docs, emb)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = out.select(col("probe_id"), col("neighbor_id"))
+      .intersect(truth).count()
+    val total = truth.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    System.err.println(f"[ann_graph_filtered] filtered recall@$K=" +
+      f"$recall%.3f ($hits/$total) floor=$FilteredRecallFloor")
+    require(recall >= FilteredRecallFloor,
+      f"filtered graph recall@$K $recall%.3f under floor " +
+        f"$FilteredRecallFloor")
     out
   }
 
@@ -612,6 +679,32 @@ object GraphAnn {
        ORDER BY probe_id, rank"""
       .replace(" AS (", " AS MATERIALIZED (")
 
+  /** Filtered-search oracle: the identical build + beam rounds, the
+    * allowed set joined only into the FINAL rank — mirroring the
+    * engine's filter-blind navigation exactly.
+    */
+  val graphTopKFilteredSql: String =
+    s"""WITH ${oracleBuildCtes("")},
+       fallowed AS (
+         SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+       probes AS (
+         SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+         FROM nv WHERE vec_id % 50 = 0),
+       v0 AS (
+         SELECT p.probe_id, n.vec_id AS node, ${oracleCos("p", "n")} AS cosine
+         FROM probes p JOIN nv n ON n.vec_id < $Entries),
+       ${oracleRoundCtes(Beam)}
+       SELECT probe_id,
+         CAST(row_number() OVER (PARTITION BY probe_id
+           ORDER BY cosine DESC, node) AS INT) AS rank,
+         node AS neighbor_id, cosine
+       FROM v$Rounds
+       JOIN fallowed f ON f.vec_id = v$Rounds.node
+       WHERE node <> probe_id
+       QUALIFY rank <= $K
+       ORDER BY probe_id, rank"""
+      .replace(" AS (", " AS MATERIALIZED (")
+
   val graphInsertSql: String =
     s"""WITH ${oracleBuildCtes(s" WHERE vec_id % $BatchMod <> $BatchRem")},
        bvec AS (
@@ -643,9 +736,14 @@ object GraphAnn {
         .orderBy(col("probe_id"), col("rank"))),
     "ann_graph_incremental" -> ((s, d) =>
       graphInsertGate(Tables.embeddings(s, d))
-        .orderBy(col("new_id"), col("rank"))))
+        .orderBy(col("new_id"), col("rank"))),
+    "ann_graph_filtered" -> ((s, d) =>
+      graphTopKFilteredGate(Tables.documents(s, d),
+          Tables.embeddings(s, d))
+        .orderBy(col("probe_id"), col("rank"))))
 
   def oracles: Map[String, String] = Map(
     "ann_graph_topk" -> graphTopKSql,
-    "ann_graph_incremental" -> graphInsertSql)
+    "ann_graph_incremental" -> graphInsertSql,
+    "ann_graph_filtered" -> graphTopKFilteredSql)
 }

@@ -141,6 +141,27 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(GraphAnn.roundsFor(16000L) == 7)
   }
 
+  test("filtered search: every neighbor passes the filter, floor holds") {
+    val docs = Tables.documents(spark, sf)
+    val allowed = docs.filter(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(allowed.nonEmpty && allowed.size < docs.count(),
+      "fixture must make the filter selective but non-empty")
+    val rows = GraphAnn.queries("ann_graph_filtered")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(allowed.contains(r.getLong(2)),
+        s"emitted neighbor ${r.getLong(2)} fails the metadata filter")
+    }
+    // at most k ranked rows per probe, ranks contiguous from 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val ranks = g.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+      assert(ranks.size <= GraphAnn.K)
+    }
+  }
+
   test("incremental insert: batch-only probes, old-only wiring, floor") {
     val rows = GraphAnn.graphInsertGate(emb)
       .orderBy(col("new_id"), col("rank")).collect()
