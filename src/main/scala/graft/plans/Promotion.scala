@@ -80,11 +80,15 @@ object Promotion {
     path
   }
 
+  /** The name switch is ONE statement (CREATE OR REPLACE VIEW over the
+    * artifact path), so a concurrent reader resolves either the old
+    * artifact or the new one — never a missing name. The staged/prod
+    * names are pure pointers; data never moves.
+    */
   private def register(spark: SparkSession, name: String,
-      path: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
-  }
+      path: String): Unit =
+    spark.sql(
+      s"CREATE OR REPLACE VIEW $name AS SELECT * FROM parquet.`$path`")
 
   /** The promotion gate's validation: pr-validation lint over the real
     * pipeline config (zero findings required) + the DQ smoke over the
@@ -136,7 +140,7 @@ object Promotion {
   def promoteLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
     val warehouse = graft.sources.Scratch.dir("promo_wh")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${Prod.db("gold")}")
-    spark.sql(s"DROP TABLE IF EXISTS $prodName")
+    spark.sql(s"DROP VIEW IF EXISTS $prodName")
 
     // v1: the clean candidate, deployed to staging and promoted
     val v1 = deploy(spark, Staging, stagingName,
