@@ -110,18 +110,27 @@ object ScaleBench {
     // Scratch.dir mints a fresh unique dir per call — landed synthetic
     // tables are shared across families through this map
     val landed = scala.collection.mutable.Map.empty[String, String]
+    def embAt(n: Long): DataFrame = spark.read.parquet(
+      landed.getOrElseUpdate(s"emb_$n",
+        land(synthEmbeddings(spark, n),
+          graft.sources.Scratch.dir(s"sc_emb_$n"))))
+    // local-iteration filter: GRAFT_SCALE_FAMILIES=graph_build_search
+    // runs one family; GRAFT_SCALE_GRAPH_SIZES=32000 probes an extra
+    // config point. Unset (the committed artifact) = full run.
+    val only = sys.env.get("GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
 
     // -- 1. blocked graph build + beam search (claim: ≈ linear) -------------
     // Also the first run of the ADAPTIVE plane widening (9/10 planes vs
     // the gates' pinned 6) — the iid recall floor is asserted at every
     // size, so a widened config that stopped navigating aborts the run.
-    {
-      val sizes = Seq(4000L, 8000L, 16000L)
+    if (want("graph_build_search")) {
+      val sizes = sys.env.get("GRAFT_SCALE_GRAPH_SIZES")
+        .map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Seq(4000L, 8000L, 16000L))
       val pts = sizes.map { n =>
-        val p = landed.getOrElseUpdate(s"emb_$n",
-          land(synthEmbeddings(spark, n),
-            graft.sources.Scratch.dir(s"sc_emb_$n")))
-        val emb = spark.read.parquet(p)
+        val emb = embAt(n)
         val (sec, out) = timed {
           operators.GraphAnn.graphTopK(emb).localCheckpoint(true)
         }
@@ -151,10 +160,9 @@ object ScaleBench {
     // -- 1b. graph search on the CLUSTERED regime (the regime neighbor
     // graphs exist for; gate floor 0.9) — the floor must survive the
     // widened blocking configs, not just the iid worst case
-    {
+    if (want("graph_clustered_search")) {
       val pts = Seq(4000L, 16000L).map { n =>
-        val fx = operators.Similarity.clusteredFixture(
-          spark.read.parquet(landed(s"emb_$n")))
+        val fx = operators.Similarity.clusteredFixture(embAt(n))
           .localCheckpoint(true)
         val (sec, out) = timed {
           operators.GraphAnn.graphTopK(fx).localCheckpoint(true)
@@ -183,7 +191,7 @@ object ScaleBench {
     // production stored-artifact shape). The full recompute runs at
     // the same sizes as the comparison baseline: the incremental step
     // must grow SLOWER than the full build.
-    {
+    if (want("incremental_cc")) {
       val olds = Seq(10000L, 20000L, 40000L)
       val batch = 2000L
       var fullSecs = List.empty[Double]
@@ -225,10 +233,11 @@ object ScaleBench {
     }
 
     // -- 3/4. blocked text dedup (claims: ≈ linear, never all-pairs) --------
-    {
+    if (want("minhash_dedup") || want("prefix_dedup")) {
       val sizes = Seq(10000L, 20000L, 40000L)
       def docsAt(n: Long): DataFrame = spark.read.parquet(
-        land(synthDocs(spark, n), graft.sources.Scratch.dir(s"sc_docs_$n")))
+        landed.getOrElseUpdate(s"docs_$n", land(synthDocs(spark, n),
+          graft.sources.Scratch.dir(s"sc_docs_$n"))))
       val planted = (n: Long) => (n / 5).toDouble // docs ≡ 4 (mod 5)
       val mh = sizes.map { n =>
         val docs = docsAt(n)
@@ -249,8 +258,9 @@ object ScaleBench {
         release()
         Point(n, sec, Map("planted_recall" -> recall))
       }
-      sb += Family("minhash_dedup", "linear in corpus (banded LSH)",
-        band = 4.0 * 1.8, points = mh)
+      if (want("minhash_dedup"))
+        sb += Family("minhash_dedup", "linear in corpus (banded LSH)",
+          band = 4.0 * 1.8, points = mh)
       val pf = sizes.map { n =>
         val docs = docsAt(n)
         val (sec, cnt) = timed {
@@ -260,15 +270,16 @@ object ScaleBench {
         release()
         Point(n, sec, Map("pairs" -> cnt.toDouble))
       }
-      sb += Family("prefix_dedup",
-        "linear in corpus (complete prefix-filter candidates)",
-        band = 4.0 * 1.8, points = pf)
+      if (want("prefix_dedup"))
+        sb += Family("prefix_dedup",
+          "linear in corpus (complete prefix-filter candidates)",
+          band = 4.0 * 1.8, points = pf)
     }
 
     // -- 5. IVF routing (claim: ≈ linear build, probe-bounded scoring) ------
-    {
+    if (want("ivf_topk")) {
       val pts = Seq(4000L, 8000L, 16000L).map { n =>
-        val emb = spark.read.parquet(landed(s"emb_$n")) // from family 1
+        val emb = embAt(n)
         val (sec, out) = timed {
           operators.Ivf.ivfTopK(emb).localCheckpoint(true)
         }
@@ -290,9 +301,9 @@ object ScaleBench {
     // -- 5b. binary-quantized rerank (claim: ≈ linear — packed
     // signatures × the native XOR+POPCNT kernel, exact rerank only on
     // the top-C survivors)
-    {
+    if (want("bq_rerank")) {
       val pts = Seq(4000L, 8000L, 16000L).map { n =>
-        val emb = spark.read.parquet(landed(s"emb_$n"))
+        val emb = embAt(n)
         val (sec, out) = timed {
           operators.Bq.bqRerank(emb).localCheckpoint(true)
         }
@@ -317,7 +328,7 @@ object ScaleBench {
     // production sizing rule), the trickle's keys live in ONE bucket
     // (dvUpsert's bucket pruning makes the commit O(touched bucket)),
     // and OPTIMIZE compacts only the fragmented bucket.
-    {
+    if (want("lake_trickle_optimize")) {
       val pts = Seq((100000L, 16), (200000L, 32), (400000L, 64)).map {
         case (n, buckets) =>
           val path = graft.sources.Scratch.dir(s"sc_lake_$n")
