@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * from "≈ quadratic" and "≈ flat" from "grows with the table", not
   * ±10% precision.
   *
-  * Output: one JSON line (stdout) + BENCH_SCALE_r15.json (override
-  * with SPARK_GRAFT_SCALE_OUT).
+  * Output: one JSON line (stdout) + BENCH_SCALE_LOCAL.json (the
+  * committed per-round artifact name is set via SPARK_GRAFT_SCALE_OUT,
+  * e.g. BENCH_SCALE_r15.json).
   */
 object ScaleBench {
 
@@ -394,8 +395,11 @@ object ScaleBench {
     val out =
       s"""{"metric":"scale","families":$json,"load":$load}"""
     println(out)
+    // round-neutral default (the committed artifact name is set via
+    // SPARK_GRAFT_SCALE_OUT — a literal r<N> default ships stale the
+    // next round, the Bench.scala r10 lesson)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
-      "BENCH_SCALE_r15.json")
+      "BENCH_SCALE_LOCAL.json")
     try Files.write(Paths.get(outFile), (out + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[scale] could not write $outFile: $e") }
