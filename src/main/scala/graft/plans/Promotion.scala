@@ -33,12 +33,14 @@ import graft.sources.CatalogSetup.CatalogEnv
   *    artifact (engine-asserted in the gate, spec-asserted in
   *    PromotionSpec).
   *
-  * The gate runs the full lifecycle: deploy v1 to staging → promote
-  * (passes) → prove prod rows == staged rows → deploy a BROKEN v2 to
-  * staging (a negative-revenue corruption that trips the smoke) →
-  * promotion REFUSED → prove prod still serves v1. The compared output
-  * is the promoted prod table plus the three lifecycle flags, so the
-  * DuckDB oracle re-derives the promoted state independently.
+  * The gate runs the full three-environment chain: deploy v1 to DEV →
+  * promote dev→staging (validated hop) → promote staging→prod
+  * (validated hop) → prove prod == staging == dev rows → deploy a
+  * BROKEN v2 to dev (a negative-revenue corruption that trips the
+  * smoke) → the dev→staging hop is REFUSED → prove BOTH downstream
+  * environments still serve v1. The compared output is the promoted
+  * prod table plus the three lifecycle flags, so the DuckDB oracle
+  * re-derives the promoted state independently.
   */
 object Promotion {
 
@@ -46,6 +48,7 @@ object Promotion {
     extends RuntimeException(
       s"promotion refused: ${failures.mkString("; ")}")
 
+  val Dev: CatalogEnv = CatalogEnv("dev")
   val Staging: CatalogEnv = CatalogEnv("staging")
   val Prod: CatalogEnv = CatalogEnv("prod")
 
@@ -54,6 +57,7 @@ object Promotion {
     */
   def prodName: String = s"${Prod.db("gold")}.daily_orders_promoted"
 
+  private def devName: String = s"${Dev.db("gold")}.daily_orders"
   private def stagingName: String =
     s"${Staging.db("gold")}.daily_orders"
 
@@ -121,16 +125,21 @@ object Promotion {
       .collect { case (failed, msg) if failed => msg }
   }
 
-  /** Promote the staged artifact to prod: validate, then switch the
-    * prod-facing name. Refusal throws BEFORE any prod mutation — the
-    * isolation contract is structural (the name re-registration is the
-    * last statement), not a rollback.
+  /** Promote the staged artifact one environment hop: validate, then
+    * switch the TARGET env's facing name (default: prod). Refusal
+    * throws BEFORE any target mutation — the isolation contract is
+    * structural (the name re-registration is the last statement), not
+    * a rollback. The same hop runs dev→staging and staging→prod: the
+    * reference's three deploy workflows are one mechanism applied per
+    * target.
     */
-  def promote(spark: SparkSession, sfDir: String,
-      stagedPath: String): Unit = {
+  def promote(spark: SparkSession, sfDir: String, stagedPath: String,
+      target: String = ""): Unit = {
     val failures = validate(spark, sfDir, stagedPath)
     if (failures.nonEmpty) throw new PromotionRefused(failures)
-    register(spark, prodName, stagedPath)
+    val name = if (target.isEmpty) prodName else target
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${name.split('.').head}")
+    register(spark, name, stagedPath)
   }
 
   /** Gate body — the full dev→staging→prod lifecycle with the failed
@@ -142,34 +151,41 @@ object Promotion {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${Prod.db("gold")}")
     spark.sql(s"DROP VIEW IF EXISTS $prodName")
 
-    // v1: the clean candidate, deployed to staging and promoted
-    val v1 = deploy(spark, Staging, stagingName,
+    // v1: the clean candidate lands in DEV, then promotes through the
+    // FULL chain — dev→staging (validated hop), staging→prod
+    // (validated hop) — the reference's three-workflow topology with
+    // one hop mechanism
+    val v1 = deploy(spark, Dev, devName,
       candidate(spark, sfDir), warehouse, "v1")
-    promote(spark, sfDir, v1)
+    promote(spark, sfDir, v1, stagingName)
+    promote(spark, sfDir, v1, prodName)
     def snap(name: String): Seq[org.apache.spark.sql.Row] =
       spark.table(name).orderBy(col("order_date")).collect().toSeq
     val promoted = snap(prodName)
-    val prodEqualsStaged = promoted == snap(stagingName)
+    val prodEqualsStaged = promoted == snap(stagingName) &&
+      promoted == snap(devName)
     if (!prodEqualsStaged) throw new IllegalStateException(
-      "promoted prod rows differ from the staged artifact")
+      "promoted prod rows differ from the staged/dev artifact")
 
-    // v2: a broken candidate — revenue corrupted negative on a slice —
-    // deploys to STAGING fine (that is what staging is for), but the
-    // promotion smoke must refuse it
+    // v2: a broken candidate — revenue corrupted negative — lands in
+    // DEV fine (that is what dev is for), but the dev→staging hop must
+    // refuse it, and BOTH downstream environments must keep serving v1
     val broken = spark.read.parquet(v1).withColumn("total_revenue",
       -abs(col("total_revenue")) - lit(1.0)) // unconditionally negative
 
-    deploy(spark, Staging, stagingName, broken, warehouse, "v2")
+    deploy(spark, Dev, devName, broken, warehouse, "v2")
     val refused =
-      try { promote(spark, sfDir, s"$warehouse/staging/daily_orders_v2")
+      try { promote(spark, sfDir, s"$warehouse/dev/daily_orders_v2",
+              stagingName)
             false }
       catch { case e: PromotionRefused =>
         e.failures.exists(_.contains("negative total_revenue")) }
     if (!refused) throw new IllegalStateException(
       "broken candidate was not refused (or refused for the wrong rule)")
-    val isolated = snap(prodName) == promoted
+    val isolated = snap(prodName) == promoted &&
+      snap(stagingName) == promoted
     if (!isolated) throw new IllegalStateException(
-      "refused promotion mutated the prod-facing table")
+      "refused promotion mutated a downstream environment")
 
     spark.table(prodName)
       .withColumn("promoted", lit(true))
