@@ -80,8 +80,13 @@ object Bench {
     val load = try Files.readString(Paths.get("/proc/loadavg"))
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
+    // Testdata-layout stamp: the driver regenerates the testdata and
+    // layout shifts (row-group collapse, file splits) move sub-second
+    // pins with zero code change — carry the footer fingerprint so a
+    // regeneration is visible in the artifact diff itself.
+    val layout = Layout.json(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir","load":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir","load":$load,"layout":$layout}"""
     println(json)
     // Persist the artifact too: the driver's stdout tail-capture has
     // truncated the JSON two rounds running, so per-query history only

@@ -173,10 +173,9 @@ object Promotion {
     val broken = spark.read.parquet(v1).withColumn("total_revenue",
       -abs(col("total_revenue")) - lit(1.0)) // unconditionally negative
 
-    deploy(spark, Dev, devName, broken, warehouse, "v2")
+    val v2 = deploy(spark, Dev, devName, broken, warehouse, "v2")
     val refused =
-      try { promote(spark, sfDir, s"$warehouse/dev/daily_orders_v2",
-              stagingName)
+      try { promote(spark, sfDir, v2, stagingName)
             false }
       catch { case e: PromotionRefused =>
         e.failures.exists(_.contains("negative total_revenue")) }

@@ -89,7 +89,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     Option(volumes.get(fq))
   private[sources] def volumesOf(ns: String): Seq[(String, String, String)] =
     volumes.asScala.toSeq.collect {
-      case (fq, loc) if fq.startsWith(ns + ".") =>
+      // exactly one remaining segment: a volume under a NESTED
+      // namespace ("a.b.v") must not list in the parent's a.volumes
+      case (fq, loc) if fq.startsWith(ns + ".") &&
+          !fq.stripPrefix(ns + ".").contains('.') =>
         (ns, fq.stripPrefix(ns + "."), loc)
     }.sortBy(_._2)
 

@@ -44,6 +44,39 @@ class PromotionSpec extends AnyFunSuite {
     assert(failures.exists(_.contains("fulfilled > total")))
   }
 
+  test("subtle corruption: ONE null date among the real candidate's " +
+      "rows is read and refused") {
+    // the r15 gate proves refusal on an unconditionally-corrupted v2;
+    // this pins that the smoke actually SCANS the staged rows (not
+    // metadata or a sample): the same real candidate passes clean,
+    // then fails when exactly one row's order_date goes NULL
+    val wh = graft.sources.Scratch.dir("promo_spec_subtle")
+    val cand = operators.Gold.dailyOrders(
+      operators.Medallion.silverOrdersEnrichedItems(
+        Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    val n = cand.count()
+    assert(n >= 100, s"candidate too small for a subtle test: $n rows")
+    cand.write.mode("overwrite").parquet(s"$wh/clean")
+    assert(Promotion.validate(spark, sf, s"$wh/clean").isEmpty,
+      "the real candidate must pass the smoke clean")
+    // corrupt exactly one row, deterministically (a fixed rank)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("order_date"))
+    cand.withColumn("rn", row_number().over(w))
+      .withColumn("order_date",
+        when(col("rn") === lit((n / 2).toInt), lit(null)
+          .cast("date")).otherwise(col("order_date")))
+      .drop("rn")
+      .write.mode("overwrite").parquet(s"$wh/subtle")
+    val failures = Promotion.validate(spark, sf, s"$wh/subtle")
+    assert(failures == Seq("smoke: 1 NULL order_date"),
+      s"expected exactly the one-null finding, got: $failures")
+    val refused = intercept[Promotion.PromotionRefused] {
+      Promotion.promote(spark, sf, s"$wh/subtle")
+    }
+    assert(refused.failures == Seq("smoke: 1 NULL order_date"))
+  }
+
   test("a refused promotion never re-registers the prod name") {
     val wh = graft.sources.Scratch.dir("promo_spec_iso")
     import spark.implicits._

@@ -47,6 +47,27 @@ class VolumesSpec extends AnyFunSuite {
       .head().getBoolean(1))
   }
 
+  test("nested-namespace volume does not list in the parent inventory") {
+    SqlCatalog.install(spark)
+    val cat = SqlCatalog.CatalogName
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.volnest")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.volnest.sub")
+    spark.sql(s"CALL $cat.system.drop_volume('volnest.direct')").collect()
+    spark.sql(s"CALL $cat.system.drop_volume('volnest.sub.deep')").collect()
+    spark.sql(s"CALL $cat.system.create_volume('volnest.direct', '/tmp/d')")
+      .collect()
+    spark.sql(s"CALL $cat.system.create_volume('volnest.sub.deep', '/tmp/e')")
+      .collect()
+    // the parent's inventory carries ONLY its single-segment member;
+    // 'sub.deep' belongs to volnest.sub and must not alias into it
+    val parent = spark.sql(s"SELECT * FROM $cat.volnest.volumes").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(parent == Seq(("direct", "/tmp/d")), s"parent rows: $parent")
+    val sub = spark.sql(s"SELECT * FROM $cat.volnest.sub.volumes")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(sub == Seq(("deep", "/tmp/e")), s"sub rows: $sub")
+  }
+
   test("DROP NAMESPACE CASCADE forgets member volumes") {
     SqlCatalog.install(spark)
     val cat = SqlCatalog.CatalogName

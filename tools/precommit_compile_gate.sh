@@ -36,8 +36,8 @@ if [ "${GRAFT_SKIP_SMOKE:-0}" = "1" ]; then
   echo "[smoke-gate] skipped via GRAFT_SKIP_SMOKE=1 (intermediate commit)"
   exit 0
 fi
-echo "[smoke-gate] running CoreSpec (all registered queries at sf0.001) ..."
-if ! sbt -batch "Test/testOnly graft.CoreSpec" > /tmp/graft_smoke_gate.log 2>&1; then
+echo "[smoke-gate] running CoreSpec + PlanAuditSpec (all registered queries at sf0.001) ..."
+if ! sbt -batch "Test/testOnly graft.CoreSpec graft.PlanAuditSpec" > /tmp/graft_smoke_gate.log 2>&1; then
   tail -40 /tmp/graft_smoke_gate.log
   echo "[smoke-gate] FAILED — commit refused. Full log: /tmp/graft_smoke_gate.log"
   exit 1
