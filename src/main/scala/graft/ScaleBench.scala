@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * scale factors prove CORRECTNESS; this main measures the GROWTH
   * CURVES the 100 TB design claims predict, on synthetic sf1-class
   * slices of the scale-sensitive tables. Each family runs the SAME
-  * operator code the gates run, at 3 geometric sizes, and reports
-  * per-size wall seconds, the growth ratio over the 4× size span, the
-  * documented complexity claim, and whether the measurement sits
-  * inside the claim's band. Honesty floors re-measure at the widened
+  * operator code the gates run, at 3-5 geometric sizes (graph/ANN
+  * pushed to 32k-64k and prefix-dedup to 80k in r16, plus a streaming
+  * SCD2 family), and reports per-size wall seconds, the growth ratio
+  * over the measured size span, the documented complexity claim,
+  * whether the measurement sits inside the claim's band, and any
+  * family-specific `checks` (incremental-vs-full growth,
+  * time-tracks-pairs) that fold into the within_band verdict. Honesty floors re-measure at the widened
   * sizes (the graph family's iid recall floor is ASSERTED, at
   * configurations the adaptive plane rule widens beyond the gate
   * regime — the first empirical exercise of [[graft.operators
@@ -84,13 +87,24 @@ object ScaleBench {
       extra: Map[String, Double] = Map.empty)
 
   private final case class Family(name: String, claim: String,
-      band: Double, points: Seq[Point]) {
+      band: Double, points: Seq[Point],
+      checks: Map[String, Boolean] = Map.empty) {
     // measured growth over the size span vs the band: `band` is the
-    // max allowed time-ratio across the full span (e.g. a 4× size span
-    // with claim "linear" gets band 4×1.8; claim "flat" gets ~2)
+    // max allowed time-ratio across the full span (a linear claim over
+    // an S× size span gets band S×1.8; claim "flat" gets ~2). `checks`
+    // are named family-specific verdicts (e.g. incremental-vs-full
+    // growth) — ALL must hold for within_band, so a failed comparison
+    // is machine-visible in the artifact, not just an stderr note.
     def ratio: Double = points.last.sec / math.max(1e-9, points.head.sec)
-    def within: Boolean = ratio <= band
+    def within: Boolean = ratio <= band && checks.values.forall(identity)
   }
+
+  /** Band for a "≈ linear" claim over the ACTUAL measured size span
+    * (sizes grew beyond the original 4× span in r16, so a fixed 7.2
+    * band would mis-grade a 16× span).
+    */
+  private def linearBand(sizes: Seq[Long], slack: Double = 1.8): Double =
+    sizes.last.toDouble / sizes.head * slack
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -129,7 +143,7 @@ object ScaleBench {
     if (want("graph_build_search")) {
       val sizes = sys.env.get("GRAFT_SCALE_GRAPH_SIZES")
         .map(_.split(",").map(_.trim.toLong).toSeq)
-        .getOrElse(Seq(4000L, 8000L, 16000L))
+        .getOrElse(Seq(4000L, 8000L, 16000L, 32000L, 64000L))
       val pts = sizes.map { n =>
         val emb = embAt(n)
         val (sec, out) = timed {
@@ -155,14 +169,15 @@ object ScaleBench {
       }
       sb += Family("graph_build_search",
         "linear in corpus (blocked build, probe-bounded search)",
-        band = 4.0 * 1.8, points = pts)
+        band = linearBand(sizes), points = pts)
     }
 
     // -- 1b. graph search on the CLUSTERED regime (the regime neighbor
     // graphs exist for; gate floor 0.9) — the floor must survive the
     // widened blocking configs, not just the iid worst case
     if (want("graph_clustered_search")) {
-      val pts = Seq(4000L, 16000L).map { n =>
+      val cSizes = Seq(4000L, 16000L, 64000L)
+      val pts = cSizes.map { n =>
         val fx = operators.Similarity.clusteredFixture(embAt(n))
           .localCheckpoint(true)
         val (sec, out) = timed {
@@ -183,7 +198,7 @@ object ScaleBench {
       sb += Family("graph_clustered_search",
         "linear in corpus; clustered-regime recall floor (0.9) holds " +
           "under the widened blocking",
-        band = 4.0 * 1.8, points = pts)
+        band = linearBand(cSizes), points = pts)
     }
 
     // -- 2. incremental connected components (claim: far sublinear) ---------
@@ -227,15 +242,31 @@ object ScaleBench {
         release()
         Point(nOld, sec, Map("full_recompute_sec" -> fullSec))
       }
+      // the incr-vs-full comparison is part of the VERDICT, not just a
+      // stderr note (r15 advice): the incremental step's growth across
+      // the span must not exceed the full rebuild's growth. Growth, not
+      // per-point time — at small sizes fixed overheads let a single
+      // incremental point read above its full rebuild (r15 measured
+      // exactly that at 20k) without the claim being wrong.
+      val incrSpan = pts.last.sec / math.max(1e-9, pts.head.sec)
+      val fullSpan = pts.last.extra("full_recompute_sec") /
+        math.max(1e-9, pts.head.extra("full_recompute_sec"))
       sb += Family("incremental_cc",
         "O(batch + affected) pairing atop one corpus gram scan; " +
           "grows slower than the full recompute",
-        band = 4.0, points = pts)
+        band = 4.0, points = pts,
+        checks = Map("incr_grows_slower_than_full" ->
+          (incrSpan <= fullSpan)))
     }
 
     // -- 3/4. blocked text dedup (claims: ≈ linear, never all-pairs) --------
     if (want("minhash_dedup") || want("prefix_dedup")) {
-      val sizes = Seq(10000L, 20000L, 40000L)
+      // 80k added in r16 to adjudicate prefix_dedup's 1.84 span at 4×:
+      // candidate pairs grow with the corpus, so part of the time
+      // growth is output size — the explicit check below separates the
+      // two (time growth must not outrun pair growth by more than the
+      // linear slack)
+      val sizes = Seq(10000L, 20000L, 40000L, 80000L)
       def docsAt(n: Long): DataFrame = spark.read.parquet(
         landed.getOrElseUpdate(s"docs_$n", land(synthDocs(spark, n),
           graft.sources.Scratch.dir(s"sc_docs_$n"))))
@@ -261,7 +292,7 @@ object ScaleBench {
       }
       if (want("minhash_dedup"))
         sb += Family("minhash_dedup", "linear in corpus (banded LSH)",
-          band = 4.0 * 1.8, points = mh)
+          band = linearBand(sizes), points = mh)
       val pf = sizes.map { n =>
         val docs = docsAt(n)
         val (sec, cnt) = timed {
@@ -271,15 +302,66 @@ object ScaleBench {
         release()
         Point(n, sec, Map("pairs" -> cnt.toDouble))
       }
-      if (want("prefix_dedup"))
+      if (want("prefix_dedup")) {
+        // r16 adjudication of the r15 1.84-span question: the fixed
+        // 5000-token UNIFORM vocab makes every token's df grow ∝ n, so
+        // the AllPairs candidate bound Σ df_prefix² is QUADRATIC here
+        // by arithmetic (measured 4.05× time per 2× docs at 40k→80k) —
+        // superlinear candidate generation in that regime, NOT output
+        // size. That regime is measured honestly below
+        // (prefix_dedup_fixed_vocab); the LINEAR claim is for real
+        // text, where vocabulary grows with the corpus (Heaps' law)
+        // and rare-token df stays bounded — measured here on a
+        // vocab ∝ n corpus (df ≈ 80 at every size).
+        def heapsAt(n: Long): DataFrame = spark.read.parquet(
+          landed.getOrElseUpdate(s"docsh_$n",
+            land(synthDocs(spark, n, vocab = (n / 2).toInt),
+              graft.sources.Scratch.dir(s"sc_docsh_$n"))))
+        val pfh = sizes.map { n =>
+          val docs = heapsAt(n)
+          val (sec, cnt) = timed {
+            operators.PrefixJoin.prefixFilterPairs(docs).count()
+          }
+          System.err.println(
+            f"[scale] prefix_heaps n=$n sec=$sec%.2f pairs=$cnt")
+          release()
+          Point(n, sec, Map("pairs" -> cnt.toDouble))
+        }
+        // candidate PAIRS grow with the corpus by construction
+        // (planted dupes ∝ n), so time may grow with them — but time
+        // growing FASTER than pairs × slack would be superlinear
+        // candidate generation, which Heaps-law df bounds forbid
+        val timeSpan = pfh.last.sec / math.max(1e-9, pfh.head.sec)
+        val pairSpan = pfh.last.extra("pairs") /
+          math.max(1.0, pfh.head.extra("pairs"))
         sb += Family("prefix_dedup",
-          "linear in corpus (complete prefix-filter candidates)",
-          band = 4.0 * 1.8, points = pf)
+          "linear in corpus under Heaps-law vocabulary growth " +
+            "(rare-token df bounded — the real-text regime); " +
+            "Σ df_prefix² (AllPairs bound) in general",
+          band = linearBand(sizes), points = pfh,
+          checks = Map("time_tracks_pairs" ->
+            (timeSpan <= pairSpan * 1.8)))
+        // the adversarial regime, measured and named: uniform fixed
+        // vocab ⇒ df ∝ n ⇒ Σ df² ∝ n² — the documented boundary where
+        // the dedup ladder hands off to banded LSH (minhash_dedup
+        // above stays linear on exactly this corpus). Band = the
+        // quadratic envelope; a measurement ABOVE it would mean worse
+        // than the AllPairs bound (a real defect), below-linear would
+        // mean the fixture stopped stressing df.
+        val quadBand = math.pow(sizes.last.toDouble / sizes.head, 2) * 1.8
+        sb += Family("prefix_dedup_fixed_vocab",
+          "quadratic in corpus when vocabulary is FIXED and uniform " +
+            "(df ∝ n ⇒ AllPairs candidate bound Σ df_prefix² ∝ n²; " +
+            "complete-candidate generation cannot beat it — the " +
+            "regime boundary where dedup hands off to minhash LSH)",
+          band = quadBand, points = pf)
+      }
     }
 
     // -- 5. IVF routing (claim: ≈ linear build, probe-bounded scoring) ------
     if (want("ivf_topk")) {
-      val pts = Seq(4000L, 8000L, 16000L).map { n =>
+      val iSizes = Seq(4000L, 8000L, 16000L, 32000L)
+      val pts = iSizes.map { n =>
         val emb = embAt(n)
         val (sec, out) = timed {
           operators.Ivf.ivfTopK(emb).localCheckpoint(true)
@@ -296,14 +378,15 @@ object ScaleBench {
       }
       sb += Family("ivf_topk",
         "linear in corpus (k-means assign + nprobe/nlist scoring)",
-        band = 4.0 * 1.8, points = pts)
+        band = linearBand(iSizes), points = pts)
     }
 
     // -- 5b. binary-quantized rerank (claim: ≈ linear — packed
     // signatures × the native XOR+POPCNT kernel, exact rerank only on
     // the top-C survivors)
     if (want("bq_rerank")) {
-      val pts = Seq(4000L, 8000L, 16000L).map { n =>
+      val bSizes = Seq(4000L, 8000L, 16000L, 32000L)
+      val pts = bSizes.map { n =>
         val emb = embAt(n)
         val (sec, out) = timed {
           operators.Bq.bqRerank(emb).localCheckpoint(true)
@@ -321,7 +404,7 @@ object ScaleBench {
       sb += Family("bq_rerank",
         "linear in corpus (hamming scan over packed signatures + " +
           "candidate-bounded exact rerank)",
-        band = 4.0 * 1.8, points = pts)
+        band = linearBand(bSizes), points = pts)
     }
 
     // -- 6. lake trickle → OPTIMIZE (claim: flat in table size) -------------
@@ -378,6 +461,65 @@ object ScaleBench {
         band = 2.0, points = pts)
     }
 
+    // -- 7. streaming SCD2 maintenance (claim: flat per batch at the
+    // production bucket sizing). Each point seeds an H-key history
+    // through the SAME applyBatch path the stream_scd2_apply gate
+    // drives, with bucket count ∝ keys (constant per-bucket history —
+    // the sizing rule Scd2Apply's scaladoc documents), then times 3
+    // update batches of 2000 keys that all hash to ONE bucket: the
+    // measured per-batch cost is O(batch keys' history + batch)
+    // resolution + O(1 touched bucket) rewrite — never O(table). The
+    // maintained history is verified after the timed region (every
+    // updated key must carry exactly seed + 3 update versions with one
+    // current row), so a batch that silently dropped work cannot
+    // report a fast point.
+    if (want("scd2_apply")) {
+      val pts = Seq((50000L, 16), (100000L, 32), (200000L, 64)).map {
+        case (h, nb) =>
+          val table = graft.sources.Scratch.dir(s"sc_scd2_$h")
+          val seed = spark.range(1, h + 1).select(
+            col("id").as("key_id"), lit("INSERT").as("operation"),
+            (pmod(fnvCol("sv", col("id")), lit(10000L)).cast("double")
+              / lit(100.0)).as("value"),
+            concat(lit("p"), col("id").cast("string")).as("props"),
+            lit(1L).as("sequence_number"))
+          streaming.Scd2Apply.applyBatch(spark, table, seed, nb)
+          release()
+          val keys = spark.range(1, h + 1)
+            .filter(pmod(hash(col("id")), lit(nb)) === 0)
+            .limit(2000).select(col("id").as("key_id"))
+            .localCheckpoint(true)
+          val (sec, _) = timed {
+            (1 to 3).foreach { i =>
+              streaming.Scd2Apply.applyBatch(spark, table,
+                keys.select(col("key_id"),
+                  lit("UPDATE").as("operation"),
+                  (pmod(fnvCol(s"u$i", col("key_id")), lit(10000L))
+                    .cast("double") / lit(100.0)).as("value"),
+                  concat(lit(s"u$i-"), col("key_id").cast("string"))
+                    .as("props"),
+                  lit(1L + i).as("sequence_number")), nb)
+            }
+          }
+          // post-timed honesty: 4 versions per updated key, 1 current
+          val hist = streaming.Scd2Apply.readHistory(spark, table)
+            .join(broadcast(keys), Seq("key_id"))
+          val versions = hist.count()
+          val current = hist.filter(col("__is_current")).count()
+          require(versions == 4 * 2000 && current == 2000,
+            s"scd2 history drifted at h=$h: versions=$versions " +
+              s"(want 8000) current=$current (want 2000)")
+          System.err.println(f"[scale] scd2 h=$h nb=$nb " +
+            f"trickle3=$sec%.2f versions=$versions current=$current")
+          release()
+          Point(h, sec, Map("buckets" -> nb.toDouble))
+      }
+      sb += Family("scd2_apply",
+        "flat in stored-history size (per batch: O(batch keys' " +
+          "history + batch) resolution + O(touched buckets) rewrite)",
+        band = 2.0, points = pts)
+    }
+
     // ---- emit --------------------------------------------------------------
     val fams = sb.result()
     val json = fams.map { f =>
@@ -386,8 +528,13 @@ object ScaleBench {
           .map { case (k, v) => s""","$k":$v""" }.mkString
         s"""{"size":${p.size},"sec":${p.sec}$extras}"""
       }.mkString("[", ",", "]")
+      val checks =
+        if (f.checks.isEmpty) ""
+        else f.checks.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","checks":{""", ",", "}")
       s""""${f.name}":{"claim":"${f.claim}","points":$pts,""" +
-        s""""span_ratio":${f.ratio},"band":${f.band},""" +
+        s""""span_ratio":${f.ratio},"band":${f.band}$checks,""" +
         s""""within_band":${f.within}}"""
     }.mkString("{", ",", "}")
     val load = try Files.readString(Paths.get("/proc/loadavg"))

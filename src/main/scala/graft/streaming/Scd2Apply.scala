@@ -55,11 +55,15 @@ object Scd2Apply {
   // nothing until the per-bucket history outgrows a task.
   private[graft] val NB = 16
 
-  /** One microbatch of staged changes into the history table. */
+  /** One microbatch of staged changes into the history table. `nb` is
+    * the table's bucket count (default: the gate's pinned [[NB]]; the
+    * scale bench passes the production sizing — nb ∝ key cardinality —
+    * so per-bucket history stays constant as the table grows).
+    */
   def applyBatch(spark: SparkSession, table: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, nb: Int = NB): Unit = {
     val tagged = batch
-      .withColumn("gbucket", pmod(hash(col("key_id")), lit(NB)))
+      .withColumn("gbucket", pmod(hash(col("key_id")), lit(nb)))
       .localCheckpoint(true) // one small batch, read thrice below
     val touched = tagged.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)) // ≤ NB ints
@@ -104,7 +108,7 @@ object Scd2Apply {
       .dropDuplicates("key_id", "sequence_number") // replay-idempotent
     val resolved = graft.operators.Cdc.scd2FromStaged(
         allChanges.drop("gbucket"))
-      .withColumn("gbucket", pmod(hash(col("key_id")), lit(NB)))
+      .withColumn("gbucket", pmod(hash(col("key_id")), lit(nb)))
     val out = carryOver
       .map(c => resolved.unionByName(c.select(resolved.columns.map(col): _*)))
       .getOrElse(resolved)
