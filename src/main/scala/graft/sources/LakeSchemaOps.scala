@@ -1,0 +1,820 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import LakeModel._
+
+/** Schema evolution without rewrite: column mapping (rename/add/drop), type widening, generated columns, predicate/range reads, keyed upsert entry points.
+  *
+  * One slice of the [[VersionedLake]] surface (r15 verdict task 6
+  * split the 5.8k-line object into focused concern files with zero
+  * behavior change); self-typed to the object so cross-concern calls
+  * resolve exactly as before.
+  */
+trait LakeSchemaOps { this: VersionedLake.type =>
+
+  // ---- column mapping (rename without rewrite) -----------------------------
+
+  /** logical → physical column map from `prop rename.<logical> <physical>`
+    * lines. Data files always store PHYSICAL names (fixed at first
+    * write, like Delta column-mapping ids); a rename is a
+    * metadata-only commit that re-points the logical name. Columns
+    * with no entry are identical under both names.
+    */
+  private[sources] def renameMap(m: TableManifest): Map[String, String] =
+    m.props.collect {
+      case (k, v) if k.startsWith("rename.") =>
+        k.stripPrefix("rename.") -> v
+    }
+
+  private[sources] def toPhysicalName(m: TableManifest, logical: String): String =
+    renameMap(m).getOrElse(logical, logical)
+
+  /** Rename update-batch columns (callers speak logical) to the
+    * physical names the files store.
+    */
+  /** Physical names of DROPPED columns (`prop dropped.<physical> 1`):
+    * the data stays in the files (zero rewrite — Delta column-mapping
+    * DROP COLUMN), the name is logically hidden, and the physical slot
+    * is reserved so no writer can collide with the retained data.
+    */
+  private[sources] def droppedCols(m: TableManifest): Set[String] =
+    m.props.keySet.collect {
+      case k if k.startsWith("dropped.") => k.stripPrefix("dropped.")
+    }
+
+  private[sources] def toPhysicalDf(df: DataFrame, m: TableManifest): DataFrame = {
+    // pinned physical names are RESERVED: a batch column named after a
+    // renamed column's physical slot would collide with the retained
+    // physical data (and with the logical column's rename below),
+    // producing a duplicate-name DataFrame that breaks every later read
+    renameMap(m).foreach { case (logical, physical) =>
+      require(physical == logical || !df.columns.contains(physical),
+        s"column name $physical is reserved as the physical slot of " +
+          s"renamed column $logical — write batches must speak logical " +
+          "names")
+    }
+    // dropped physical slots are reserved too: re-adding the same
+    // physical name would resurrect the hidden data under a new
+    // logical column — a rewrite (or a fresh name) is required
+    droppedCols(m).foreach { c =>
+      require(!df.columns.contains(c),
+        s"column $c was DROPPED — its physical slot is retained in " +
+          "data files; re-adding it requires a table rewrite or a " +
+          "different name")
+    }
+    // __meta is the stats-payload bookkeeping pseudo-column
+    // ([[computeStats]]); a real column by that name would shadow the
+    // row-count entry and corrupt pruning — reserved like _deleted
+    require(!df.columns.contains("__meta"),
+      "column name __meta is reserved for stats bookkeeping")
+    // _row_id is the engine-assigned row-tracking column: a caller
+    // column by that name would shadow assigned identities
+    require(!df.columns.contains("_row_id"),
+      "column name _row_id is reserved for row tracking")
+    renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
+      if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
+      else d
+    }
+  }
+
+  /** Rename a scanned DataFrame's physical columns back to their
+    * logical names for the caller, and hide dropped columns.
+    */
+  private[sources] def toLogicalDf(df: DataFrame, m: TableManifest): DataFrame = {
+    // the row-tracking identity column is engine state, not schema:
+    // hidden from every logical read ([[readWithRowIds]] surfaces it
+    // under its public name before this rename reaches it)
+    val df0 = if (df.columns.contains("_row_id")) df.drop("_row_id") else df
+    val undropped = droppedCols(m).foldLeft(df0) { (d, c) =>
+      if (d.columns.contains(c)) d.drop(c) else d
+    }
+    val renamed = renameMap(m).foldLeft(undropped) {
+      case (d, (logical, physical)) =>
+        if (d.columns.contains(physical))
+          d.withColumnRenamed(physical, logical)
+        else d
+    }
+    // ADD COLUMN before any data carries it: the declared column
+    // (`prop added.<name> <type>`) reads as typed NULL until a write
+    // materializes it — the no-rewrite evolution contract
+    m.props.toSeq.sorted.collect {
+      case (k, t) if k.startsWith("added.") => k.stripPrefix("added.") -> t
+    }.foldLeft(renamed) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+    }
+  }
+
+  /** RENAME COLUMN — Delta column-mapping semantics: a metadata-only
+    * commit re-points the logical name at the unchanged physical
+    * column; zero data files move, history and time travel intact,
+    * every read/write surface speaks the new name immediately. The
+    * physical name is pinned by the FIRST mapping (renaming a→b→c
+    * keeps physical `a`), so chained renames never touch data either.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String, maxAttempts: Int = 10): CommitResult = {
+    require(from.matches("[A-Za-z0-9_]+") && to.matches("[A-Za-z0-9_]+"),
+      s"bad column name in rename $from -> $to")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      val map = renameMap(m)
+      require(to != from, s"rename to self: $from")
+      require(!map.contains(to),
+        s"logical column $to already exists at $path")
+      // the destination must be free in the FULL logical schema, not
+      // just the rename map: renaming value→props while a plain props
+      // column exists would alias two physical columns to one logical
+      // name and break every subsequent read
+      val logicalCols = read(spark, path).columns.toSet
+      require(!logicalCols.contains(to),
+        s"logical column $to already exists in the table schema at $path")
+      // a DROPPED column's physical slot is hidden from the logical
+      // schema but still occupied in the files — renaming onto it
+      // would resurrect the hidden data under the new name
+      require(!droppedCols(m).contains(to),
+        s"$to is the retained physical slot of a dropped column")
+      // the freed physical slot stays reserved (toPhysicalDf refuses
+      // batches that re-introduce it), so no later writer can collide
+      // with the retained physical data
+      // CHECK constraints are written against logical names and are
+      // not rewritten here — renaming a constrained column would break
+      // enforcement silently, so refuse (drop the constraint first)
+      m.props.foreach { case (k, v) =>
+        require(!k.startsWith("constraint.") ||
+          !s" $v ".matches(s".*\\b$from\\b.*"),
+          s"constraint ${k.stripPrefix("constraint.")} references " +
+            s"$from — drop it before renaming")
+      }
+      val physical = map.getOrElse(from, from)
+      val newProps = (m.props - s"rename.$from") +
+        (s"rename.$to" -> physical)
+      val lines = TableManifest(m.data, m.dv, m.txn, newProps,
+        m.stats).lines :+ "meta\top\tRENAME_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up renaming $from at $path after $maxAttempts CAS attempts")
+  }
+
+  /** ADD COLUMN — a metadata-only commit declaring a new nullable
+    * column (`prop added.<name> <type>`): zero data files move, every
+    * read backfills typed NULLs until a write materializes the column
+    * (parquet schema merge reconciles from then on), and pre-add time
+    * travel doesn't show it (the property set is versioned manifest
+    * state). This is the explicit-DDL face of the evolution the upsert
+    * path already does implicitly; `MERGE … WITH SCHEMA EVOLUTION`
+    * routes through it (Spark's ResolveMergeIntoSchemaEvolution calls
+    * the catalog's alterTable with an AddColumn change).
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      sqlType: String, maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    // the type must parse NOW, not at first read
+    org.apache.spark.sql.types.DataType.fromDDL(sqlType)
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      require(!read(spark, path).columns.contains(name),
+        s"column $name already exists at $path")
+      require(!m.props.contains(s"dropped.$name"),
+        s"physical slot $name is retained by a dropped column — " +
+          "pick a new name")
+      val lines = TableManifest(m.data, m.dv, m.txn,
+        m.props + (s"added.$name" -> sqlType), m.stats).lines :+
+        "meta\top\tADD_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up adding column $name at $path after $maxAttempts attempts")
+  }
+
+  /** DROP COLUMN — Delta column-mapping semantics: a metadata-only
+    * commit hides the column behind a `dropped.<physical>` table
+    * property. ZERO data files move; the physical bytes stay in place
+    * (and stay visible through pre-drop time travel, because the
+    * property set is versioned manifest state). Every read surface
+    * hides the column from that commit on; write batches carrying the
+    * name are refused ([[toPhysicalDf]]) because the physical slot is
+    * retained — re-adding the name requires a rewrite or a new name,
+    * the honest contract for rewrite-free drops.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    require(name != "_deleted" && name != "gbucket",
+      s"$name is engine bookkeeping — not droppable")
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      val logicalCols = read(spark, path).columns.toSet
+      require(logicalCols.contains(name),
+        s"column $name does not exist at $path")
+      // constraints and generated columns are written against logical
+      // names — dropping a column they mention would break enforcement
+      // silently, so refuse (drop the constraint/definition first)
+      m.props.foreach { case (k, v) =>
+        val governs = k.startsWith("constraint.") ||
+          k.startsWith("generated.")
+        require(!governs || (!s" $v ".matches(s".*\\b$name\\b.*") &&
+          k != s"generated.$name"),
+          s"$k references $name — drop it before dropping the column")
+      }
+      val physical = toPhysicalName(m, name)
+      val newProps = (m.props - s"rename.$name") +
+        (s"dropped.$physical" -> "1")
+      val lines = TableManifest(m.data, m.dv, m.txn, newProps,
+        m.stats).lines :+ "meta\top\tDROP_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up dropping $name at $path after $maxAttempts CAS attempts")
+  }
+
+  // ---- type widening -------------------------------------------------------
+
+  import org.apache.spark.sql.types._
+
+  /** Widening promotions allowed without rewrite — the Delta
+    * type-widening lattice restricted to exact embeddings (every value
+    * of the narrow type is exactly representable in the wide type).
+    */
+  private[sources] val WidenTargets: Map[String, DataType] =
+    Map("long" -> LongType, "bigint" -> LongType, "double" -> DoubleType)
+
+  private[sources] def promotable(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType,
+        DoubleType) => true
+      case (a, b) => a == b
+    }
+
+  /** logical→target overrides from `widen.<physical> <type>` props. */
+  private[sources] def widenMap(m: TableManifest): Map[String, DataType] =
+    m.props.collect {
+      case (k, v) if k.startsWith("widen.") =>
+        k.stripPrefix("widen.") -> WidenTargets(v)
+    }
+
+  /** WIDEN COLUMN TYPE — a metadata-only commit (Delta type widening):
+    * old files keep their narrow physical encoding and are read
+    * through the widened schema (Spark's parquet readers upcast
+    * INT32→long etc. when the requested schema is wider — SPARK-40876);
+    * new files land wide. Zero data motion, engine-asserted in the
+    * gate; pre-widen time travel still reads the narrow type because
+    * the property set is versioned manifest state.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      toType: String, maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    val target = WidenTargets.getOrElse(toType.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unsupported widen target $toType (allowed: ${WidenTargets.keys.toSeq.sorted.mkString(", ")})"))
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val cur = read(spark, path).schema
+    val field = cur.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name does not exist at $path"))
+    require(promotable(field.dataType, target),
+      s"cannot widen $name from ${field.dataType.simpleString} to " +
+        s"${target.simpleString} — only exact embeddings are allowed")
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      val physical = toPhysicalName(m, name)
+      val lines = TableManifest(m.data, m.dv, m.txn,
+        m.props + (s"widen.$physical" -> target.simpleString),
+        m.stats).lines :+ "meta\top\tWIDEN_COLUMN"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up widening $name at $path after $maxAttempts CAS attempts")
+  }
+
+  /** The read schema of `files` under widening overrides: per-file
+    * parquet footer schemas (driver-side, the same metadata reads
+    * [[computeStats]] does at write time) merged field-by-field, with
+    * conflicts resolved along the widening lattice and `widen.*`
+    * overrides applied last — so reads surface the WIDENED logical
+    * type even before any wide file exists. O(#files) driver metadata
+    * ops, paid only by tables that declared a widening; a production
+    * variant would checkpoint the merged schema into the manifest.
+    */
+  private[sources] def widenedReadSchema(spark: SparkSession, path: String,
+      files: Seq[String], widen: Map[String, DataType]): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val conv = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter()
+    val acc = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    files.foreach { rel =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(s"$path/$rel"), conf))
+      val schema =
+        try conv.convert(reader.getFooter.getFileMetaData.getSchema)
+        finally reader.close()
+      schema.fields.foreach { f =>
+        acc.get(f.name) match {
+          case None => acc(f.name) = f.copy(nullable = true)
+          case Some(prev) if prev.dataType == f.dataType => ()
+          case Some(prev) if promotable(prev.dataType, f.dataType) =>
+            acc(f.name) = f.copy(nullable = true)
+          case Some(prev) if promotable(f.dataType, prev.dataType) => ()
+          case Some(prev) => throw new IllegalStateException(
+            s"files disagree on ${f.name}: ${prev.dataType.simpleString} " +
+              s"vs ${f.dataType.simpleString} and neither widens the other")
+        }
+      }
+    }
+    widen.foreach { case (c, t) =>
+      acc.get(c).foreach { f =>
+        require(promotable(f.dataType, t),
+          s"stored files hold $c as ${f.dataType.simpleString}, which " +
+            s"does not widen to ${t.simpleString}")
+        acc(c) = f.copy(dataType = t)
+      }
+    }
+    // gbucket is a partition DIRECTORY, not a footer column — include
+    // it so the explicit schema covers the full output
+    acc("gbucket") = StructField("gbucket", IntegerType, nullable = true)
+    StructType(acc.values.toSeq)
+  }
+
+  // ---- generated columns ---------------------------------------------------
+
+  private[sources] def generatedCols(m: TableManifest): Map[String, String] =
+    m.props.collect {
+      case (k, v) if k.startsWith("generated.") =>
+        k.stripPrefix("generated.") -> v
+    }
+
+  /** Enforce the table's generated-column definitions on a write batch
+    * (Delta generated-column semantics): a batch that OMITS the column
+    * gets it computed from the stored expression; a batch that
+    * SUPPLIES it is validated row-for-row (null-safe equality) and
+    * rejected wholesale on any mismatch — a generated column that
+    * writers can silently contradict is not generated. One
+    * change-scale count job per supplied generated column.
+    */
+  private[sources] def applyGenerated(m: TableManifest,
+      updates: DataFrame): DataFrame =
+    generatedCols(m).foldLeft(updates) { case (df, (name, ex)) =>
+      if (!df.columns.contains(name)) df.withColumn(name, expr(ex))
+      else {
+        val bad = df.filter(!(col(name) <=> expr(ex))).count()
+        if (bad > 0) throw new ConstraintViolation(
+          s"generated column $name: $bad row(s) contradict `$ex`")
+        df
+      }
+    }
+
+  /** ADD a generated column: a metadata-only commit storing the
+    * defining expression as a table property. Existing rows that
+    * already carry the column are validated first; rows written before
+    * the definition (and never rewritten since) read the column as
+    * NULL via schema-evolution backfill — the documented, honest
+    * semantic for retrofitted generation.
+    */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+      sqlExpr: String, maxAttempts: Int = 10): CommitResult = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
+    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "generated-column expression must be a single tab-free line")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val cur = read(spark, path)
+    if (cur.columns.contains(name)) {
+      val bad = cur.filter(!(col(name) <=> expr(sqlExpr))).count()
+      if (bad > 0) throw new ConstraintViolation(
+        s"cannot define generated column $name: $bad existing row(s) " +
+          s"contradict `$sqlExpr`")
+    }
+    var attempts = 0
+    while (attempts <= maxAttempts) {
+      val latest = versions(spark, path).last
+      val m = manifestEntries(spark, path, latest)
+      require(!m.props.contains(s"generated.$name"),
+        s"generated column $name already defined — no redefinition")
+      val lines = TableManifest(m.data, m.dv, m.txn,
+        m.props + (s"generated.$name" -> sqlExpr), m.stats).lines :+
+        "meta\top\tADD_GENERATED"
+      if (casCommit(spark, path, latest + 1, lines))
+        return CommitResult(latest + 1, attempts)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"gave up adding generated column $name after $maxAttempts attempts")
+  }
+
+  /** Per-column [lo, hi] bounds IMPLIED by a Catalyst predicate tree —
+    * the Delta data-skipping extraction. Conjuncts intersect their
+    * bounds; a disjunction bounds a column only when BOTH branches
+    * bound it (union); any node we don't understand contributes no
+    * bounds. The result is a NECESSARY condition on matching rows, so
+    * pruning with it is always conservative — the full predicate is
+    * still applied row-level after the file cut.
+    */
+  /** One column's extracted range: optional bounds plus strictness
+    * flags (`k > 5` excludes a file whose maximum IS 5; `k >= 5` keeps
+    * it).
+    */
+  private[sources] final case class ColBound(lo: Option[BigDecimal],
+      loStrict: Boolean, hi: Option[BigDecimal], hiStrict: Boolean)
+
+  private[sources] def predicateBounds(e: org.apache.spark.sql.catalyst.expressions
+      .Expression): Map[String, ColBound] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    type B = Map[String, ColBound]
+    def num(l: Literal): Option[BigDecimal] = l.value match {
+      case null => None
+      case i: Int => Some(BigDecimal(i))
+      case i: Long => Some(BigDecimal(i))
+      case i: Short => Some(BigDecimal(i.toInt))
+      case i: Byte => Some(BigDecimal(i.toInt))
+      // EXACT binary expansion, matching what computeStats records: the
+      // shortest-decimal rendering (scala BigDecimal(d)) of e.g. 0.3 is
+      // strictly ABOVE the stored exact expansion of 0.3d, so `v >= 0.3`
+      // would wrongly prune a file whose max is exactly 0.3d
+      case d: Double if !d.isNaN && !d.isInfinite =>
+        Some(BigDecimal(new java.math.BigDecimal(d)))
+      case f: Float if !f.isNaN && !f.isInfinite =>
+        Some(BigDecimal(new java.math.BigDecimal(f.toDouble)))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      case _ => None
+    }
+    def col(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lower(c: Option[String], v: Option[BigDecimal], strict: Boolean): B =
+      (for (cc <- c; vv <- v)
+        yield Map(cc -> ColBound(Some(vv), strict, None, false)))
+        .getOrElse(Map.empty)
+    def upper(c: Option[String], v: Option[BigDecimal], strict: Boolean): B =
+      (for (cc <- c; vv <- v)
+        yield Map(cc -> ColBound(None, false, Some(vv), strict)))
+        .getOrElse(Map.empty)
+    def point(c: Option[String], lo: Option[BigDecimal],
+        hi: Option[BigDecimal]): B =
+      (for (cc <- c; l <- lo; h <- hi)
+        yield Map(cc -> ColBound(Some(l), false, Some(h), false)))
+        .getOrElse(Map.empty)
+    // tighter lower bound wins; at a tie, strict is tighter
+    def maxLo(a: ColBound, b: ColBound): (Option[BigDecimal], Boolean) =
+      (a.lo, b.lo) match {
+        case (Some(x), Some(y)) =>
+          if (x > y) (Some(x), a.loStrict)
+          else if (y > x) (Some(y), b.loStrict)
+          else (Some(x), a.loStrict || b.loStrict)
+        case (Some(x), None) => (Some(x), a.loStrict)
+        case (None, Some(y)) => (Some(y), b.loStrict)
+        case _ => (None, false)
+      }
+    def minHi(a: ColBound, b: ColBound): (Option[BigDecimal], Boolean) =
+      (a.hi, b.hi) match {
+        case (Some(x), Some(y)) =>
+          if (x < y) (Some(x), a.hiStrict)
+          else if (y < x) (Some(y), b.hiStrict)
+          else (Some(x), a.hiStrict || b.hiStrict)
+        case (Some(x), None) => (Some(x), a.hiStrict)
+        case (None, Some(y)) => (Some(y), b.hiStrict)
+        case _ => (None, false)
+      }
+    def intersect(a: B, b: B): B =
+      (a.keySet ++ b.keySet).map { k =>
+        val ab = a.getOrElse(k, ColBound(None, false, None, false))
+        val bb = b.getOrElse(k, ColBound(None, false, None, false))
+        val (lo, los) = maxLo(ab, bb)
+        val (hi, his) = minHi(ab, bb)
+        k -> ColBound(lo, los, hi, his)
+      }.toMap
+    // a disjunction widens: looser bound wins; at a tie, non-strict
+    def union(a: B, b: B): B =
+      a.keySet.intersect(b.keySet).flatMap { k =>
+        val ab = a(k); val bb = b(k)
+        val lo = for (x <- ab.lo; y <- bb.lo) yield
+          if (x < y) (x, ab.loStrict) else if (y < x) (y, bb.loStrict)
+          else (x, ab.loStrict && bb.loStrict)
+        val hi = for (x <- ab.hi; y <- bb.hi) yield
+          if (x > y) (x, ab.hiStrict) else if (y > x) (y, bb.hiStrict)
+          else (x, ab.hiStrict && bb.hiStrict)
+        if (lo.isEmpty && hi.isEmpty) None
+        else Some(k -> ColBound(lo.map(_._1),
+          lo.exists(_._2), hi.map(_._1), hi.exists(_._2)))
+      }.toMap
+    e match {
+      case And(l, r) => intersect(predicateBounds(l), predicateBounds(r))
+      case Or(l, r) => union(predicateBounds(l), predicateBounds(r))
+      case EqualTo(a, l: Literal) => point(col(a), num(l), num(l))
+      case EqualTo(l: Literal, a) => point(col(a), num(l), num(l))
+      case GreaterThan(a, l: Literal) => lower(col(a), num(l), strict = true)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        lower(col(a), num(l), strict = false)
+      case LessThan(a, l: Literal) => upper(col(a), num(l), strict = true)
+      case LessThanOrEqual(a, l: Literal) =>
+        upper(col(a), num(l), strict = false)
+      case GreaterThan(l: Literal, a) => upper(col(a), num(l), strict = true)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        upper(col(a), num(l), strict = false)
+      case LessThan(l: Literal, a) => lower(col(a), num(l), strict = true)
+      case LessThanOrEqual(l: Literal, a) =>
+        lower(col(a), num(l), strict = false)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val nums = vs.map(v => num(v.asInstanceOf[Literal]))
+        if (nums.exists(_.isEmpty)) Map.empty
+        else point(col(a), Some(nums.flatten.min), Some(nums.flatten.max))
+      case _ => Map.empty
+    }
+  }
+
+  /** The data files a SQL predicate can touch at `asOfVersion`:
+    * extract per-column range bounds from the predicate's expression
+    * tree and cut files whose recorded stats are disjoint with any of
+    * them. Public so callers and the gate can assert the prune.
+    */
+  def predicateCandidates(spark: SparkSession, path: String,
+      predicateSql: String, asOfVersion: Option[Int] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
+    val bounds = predicateBounds(
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
+    // predicates speak logical names; stats lines carry physical
+    m.data.filter { rel =>
+      bounds.forall { case (c, b) =>
+        fileMayMatchBound(m, rel, toPhysicalName(m, c), b)
+      }
+    }
+  }
+
+  /** Snapshot read under an arbitrary SQL predicate with automatic
+    * DATA SKIPPING: Catalyst-extracted column bounds cut the file
+    * list, then the FULL predicate runs row-level over the survivors —
+    * the user writes one WHERE clause and the manifest stats do the
+    * rest, exactly Delta's read path. DVs and tombstones honored as in
+    * [[read]].
+    */
+  def readWhere(spark: SparkSession, path: String, predicateSql: String,
+      asOfVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOfVersion.getOrElse(vs.last)
+    val m = manifestEntries(spark, path, v)
+    // feed the CLUSTER BY AUTO history: the columns this read BOUNDED
+    recordPredicateUse(spark, path, predicateBounds(
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
+      .keys.toSeq)
+    val candidates = predicateCandidates(spark, path, predicateSql, Some(v))
+    if (candidates.isEmpty)
+      return read(spark, path, Some(v)).filter(lit(false))
+    // rename to logical BEFORE the row filter: the predicate speaks
+    // logical names
+    val df0 = toLogicalDf(
+      loadWithDv(spark, path, candidates, m.dv,
+        widen = widenMap(m)).drop("gbucket"), m)
+      .filter(expr(predicateSql))
+    if (df0.columns.contains("_deleted"))
+      df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
+    else df0
+  }
+
+  /** Snapshot read with DATA SKIPPING: scan only the files whose
+    * recorded `column` range intersects [lo, hi] (both bounds
+    * inclusive; either side open), then apply the exact row-level
+    * filter. The serving path for time-window and range queries: a
+    * trickle-ingested 100 TB table whose arrival order correlates with
+    * the predicate column answers a narrow range from a handful of
+    * files, manifest-resolved, no listing, no full scan. DVs and
+    * tombstones honored exactly as in [[read]].
+    */
+  def readRange(spark: SparkSession, path: String, column: String,
+      lo: Option[BigDecimal], hi: Option[BigDecimal],
+      asOfVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOfVersion.getOrElse(vs.last)
+    val m = manifestEntries(spark, path, v)
+    val columnP = toPhysicalName(m, column)
+    // feed the CLUSTER BY AUTO history
+    if (lo.nonEmpty || hi.nonEmpty)
+      recordPredicateUse(spark, path, Seq(column))
+    val candidates = rangeCandidates(spark, path, column, lo, hi, Some(v))
+    if (candidates.isEmpty)
+      return read(spark, path, Some(v)).filter(lit(false))
+    val ranged = loadWithDv(spark, path, candidates, m.dv,
+      widen = widenMap(m))
+      .filter(lo.map(b => col(columnP) >= lit(b.underlying()))
+        .getOrElse(lit(true)) &&
+        hi.map(b => col(columnP) <= lit(b.underlying())).getOrElse(lit(true)))
+      .drop("gbucket")
+    val live =
+      if (ranged.columns.contains("_deleted"))
+        ranged.filter(!coalesce(col("_deleted"), lit(false)))
+          .drop("_deleted")
+      else ranged
+    toLogicalDf(live, m)
+  }
+
+  /** Scan `dataFiles` with their deletion vectors anti-joined out.
+    * The DV-CARRYING files alone pay the (file_rel, row_index)
+    * anti-join — clean files stream straight through and union in
+    * (manifest-level split, zero per-row cost for them), which is the
+    * read shape that matters at 100 TB where DVs touch a sliver of the
+    * table. The delete side is |deleted rows|, broadcast-small in the
+    * trickle regime. Deletes are MONOTONE (no undelete), so a stale
+    * sidecar row for a since-remapped file is a harmless duplicate —
+    * the union never over-deletes.
+    *
+    * @param dv per-data-file sidecar mapping (the manifest's)
+    */
+  private[sources] def loadWithDv(spark: SparkSession, path: String,
+      dataFiles: Seq[String], dv: Map[String, String],
+      keepPos: Boolean = false,
+      widen: Map[String, DataType] = Map.empty): DataFrame = {
+    // position columns must come straight off the scan relation:
+    // metadata columns do not survive a join
+    def scan(files: Seq[String]): DataFrame = {
+      val rdr0 = spark.read.option("basePath", path)
+      // a widened table mixes physical encodings (old files narrow,
+      // new files wide), which schema MERGE refuses — read through the
+      // explicit widened schema instead (parquet readers upcast)
+      val rdr = if (widen.isEmpty) rdr0.option("mergeSchema", "true")
+        else rdr0.schema(widenedReadSchema(spark, path, files, widen))
+      rdr.parquet(files.map(r => s"$path/$r"): _*)
+        .withColumn("_rel", relCol)
+        .withColumn("_pos", col("_metadata.row_index"))
+    }
+    val (dirty, clean) = dataFiles.partition(dv.contains)
+    val cleanDf = if (clean.isEmpty) None else Some(scan(clean))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else {
+        val dvFiles = dirty.flatMap(dv.get).distinct
+        val dels = spark.read.parquet(dvFiles.map(r => s"$path/$r"): _*)
+          .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
+          .distinct()
+        Some(scan(dirty).join(dels, Seq("_rel", "_pos"), "left_anti"))
+      }
+    val alive = (cleanDf, dirtyDf) match {
+      case (Some(c), Some(d)) =>
+        c.unionByName(d, allowMissingColumns = true)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) =>
+        throw new IllegalArgumentException("no data files to scan")
+    }
+    if (keepPos) alive else alive.drop("_rel", "_pos")
+  }
+
+  /** Compare-and-swap commit: write the full file list to a
+    * writer-private temp manifest, then PUBLISH it at the target
+    * version with an operation that atomically fails if that version
+    * already exists — Delta-style optimistic concurrency, where the
+    * version slot is the lock. Returns false when another writer owns
+    * the version (the caller rebases or aborts); the losing temp is
+    * removed, so a lost race leaves no litter.
+    *
+    * Publish primitive by filesystem: on local files, `link(2)` via
+    * `Files.createLink` — POSIX guarantees EEXIST atomically, and the
+    * link exposes the COMPLETE temp content in one step (a plain
+    * `rename(2)` would silently REPLACE an existing manifest — exactly
+    * the lost-update race this exists to close). On HDFS-like stores,
+    * `rename` itself refuses an existing destination atomically, so it
+    * is the CAS.
+    */
+  /** Choose the physical encoding for a manifest about to land as
+    * `version`: a delta against the parent slot when that is smaller,
+    * a full snapshot on checkpoint versions, for v1, when the parent is
+    * unreadable, or when line multiplicity would make set-diff lossy.
+    */
+  private[sources] def encodeManifest(spark: SparkSession, path: String,
+      version: Int, sorted: Seq[String]): Seq[String] = {
+    if (version <= 1 || version % ManifestCheckpointInterval == 0)
+      return sorted
+    scala.util.Try(manifestLines(spark, path, version - 1)).toOption match {
+      case None => sorted
+      case Some(parent) =>
+        val pSet = parent.toSet
+        val cSet = sorted.toSet
+        if (pSet.size != parent.length || cSet.size != sorted.length) sorted
+        else {
+          val removed = parent.filterNot(cSet)
+          val added = sorted.filterNot(pSet)
+          val delta = s"$DeltaHeaderPrefix${version - 1}" +:
+            (removed.map("-\t" + _) ++ added.map("+\t" + _))
+          if (delta.length < sorted.length) delta else sorted
+        }
+    }
+  }
+
+  private[sources] def casCommit(spark: SparkSession, path: String, version: Int,
+      files: Seq[String]): Boolean = {
+    val f = fs(spark)
+    f.mkdirs(new Path(s"$path/$LogDir"))
+    val tmp = new Path(s"$path/$LogDir/.v$version-${nonce()}.tmp")
+    // central commit-time stamp: every commit path flows through here
+    val content = encodeManifest(spark, path, version,
+      (files.filterNot(_.startsWith("meta\tts\t")) :+
+        s"meta\tts\t${clockFor(path)}").sorted)
+    val out = f.create(tmp, true)
+    try out.write(content.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = manifestPath(path, version)
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      // HDFS rename is atomic and refuses an existing destination
+      if (f.exists(dst)) { f.delete(tmp, false); false }
+      else {
+        val won = f.rename(tmp, dst)
+        if (!won) f.delete(tmp, false)
+        won
+      }
+    }
+  }
+
+  /** MERGE-style upsert committing a new version. Same contract as
+    * [[LakeWriter.upsert]] (keys + sequence, `_deleted` for deletes),
+    * but immutable-file/log-structured: untouched buckets' files carry
+    * over into the new manifest by reference, not by rewrite.
+    * [[prepare]] + [[commitPending]] under the hood, so every upsert
+    * gets optimistic concurrency: a sequential caller wins the first
+    * CAS; a racing caller auto-rebases when the winner's buckets are
+    * disjoint from its own, and gets [[ConcurrentWriteConflict]] (merge
+    * again off the new snapshot) when they overlap.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], seqCol: String,
+      numBuckets: Int = 16): CommitResult =
+    commitPending(spark, path,
+      prepare(spark, path, updates, keyCols, seqCol, numBuckets))
+
+  /** Idempotent transactional upsert — Delta's txnAppId/txnVersion
+    * discipline for exactly-once writers: the manifest carries each
+    * application's highest committed transaction version, and a commit
+    * whose `txnVersion` is ≤ that watermark is SKIPPED (returns None)
+    * instead of applied twice. This is what makes a restarted
+    * streaming query's foreachBatch replay a no-op: the batch id is
+    * the transaction version, so re-delivering a committed microbatch
+    * cannot double-apply it. Writers sharing an appId are sequential
+    * by contract (one streaming query); distinct appIds commute and
+    * their watermark lines never conflict in the OCC loop.
+    */
+  def upsertTxn(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], seqCol: String, appId: String,
+      txnVersion: Long, numBuckets: Int = 16): Option[CommitResult] = {
+    val vs = versions(spark, path)
+    val committed = vs.lastOption
+      .map(v => manifestEntries(spark, path, v).txn
+        .getOrElse(appId, Long.MinValue))
+      .getOrElse(Long.MinValue)
+    if (committed >= txnVersion) None // already applied: idempotent skip
+    else {
+      val p = prepare(spark, path, updates, keyCols, seqCol, numBuckets)
+        .copy(txn = Some(appId -> txnVersion), op = "STREAMING_UPDATE")
+      Some(commitPending(spark, path, p))
+    }
+  }
+
+  /** Phase 1 of an optimistic write: merge `updates` against the
+    * CURRENT snapshot and adopt the resulting bucket files under
+    * writer-unique immutable names. Nothing becomes visible — data
+    * files are dead weight until a manifest references them (crash or
+    * abort ⇒ orphans for [[vacuum]]). The returned [[PendingCommit]]
+    * records the snapshot read (`baseVersion`) and the buckets whose
+    * state the merge assumed (`touched`) — the facts conflict
+    * detection needs.
+    */
+}

@@ -33,5695 +33,21 @@ import org.apache.spark.sql.functions._
   * tombstones retained so late-arriving older changes cannot resurrect
   * a deleted key; readers filter tombstones.
   */
-object VersionedLake {
-
-  private lazy val log =
-    org.slf4j.LoggerFactory.getLogger(VersionedLake.getClass)
-
-  private val LogDir = "_log"
-  private val DvDir = "_dv"
-  private val ChangesDir = "_changes"
-
-  /** Every Nth version is stored as a FULL manifest snapshot (a
-    * checkpoint); the versions between store line DELTAS against their
-    * parent. Bounds delta-chain resolution to < N metadata reads while
-    * keeping trickle-commit manifest WRITES at O(changed lines) — the
-    * Delta-log commit-plus-checkpoint discipline. A 100 TB table is
-    * ~10⁶ data files; without deltas every one-row trickle commit
-    * rewrites a million-line manifest.
-    */
-  val ManifestCheckpointInterval = 8
-
-  /** Commit-time clock, injectable for deterministic tests/gates: every
-    * CAS winner stamps `meta\tts\t<millis>` into its manifest, which
-    * [[readAsOfTimestamp]] and [[history]] read back. Monotonicity is
-    * not assumed — AS OF picks the LAST version at-or-before the
-    * target, exactly Delta's TIMESTAMP AS OF resolution.
-    *
-    * The override is scoped PER TABLE PATH (not process-global): a gate
-    * injecting a fake clock for its own table cannot corrupt the
-    * TIMESTAMP AS OF stamps of a concurrently committing table in the
-    * same JVM.
-    */
-  @volatile private var clockOverrides: Map[String, () => Long] = Map.empty
-
-  /** Install (Some) or clear (None) the commit clock for one table. */
-  def setClockOverride(path: String, c: Option[() => Long]): Unit =
-    synchronized {
-      clockOverrides = c match {
-        case Some(f) => clockOverrides + (path -> f)
-        case None => clockOverrides - path
-      }
-    }
-
-  private def clockFor(path: String): Long =
-    clockOverrides.get(path).map(_()).getOrElse(System.currentTimeMillis())
-
-  /** A writer lost the commit race to another writer whose changes
-    * overlap its touched buckets — the table state it merged against is
-    * stale in a way a rebase cannot repair. The caller retries the
-    * whole merge against the new snapshot (plain [[upsert]] does
-    * exactly that).
-    */
-  final class ConcurrentWriteConflict(msg: String)
-    extends RuntimeException(msg)
-
-  /** Outcome of a committed write: the version it landed as and how
-    * many disjoint-bucket rebase rounds the commit loop needed (0 =
-    * won the first CAS).
-    */
-  final case class CommitResult(version: Int, rebaseRounds: Int)
-
-  /** A write batch (or an ADD CONSTRAINT over existing data) violated
-    * a table CHECK constraint. The whole commit is rejected — ACID
-    * atomicity: no partial batch ever lands.
-    */
-  final class ConstraintViolation(msg: String)
-    extends RuntimeException(msg)
-
-  /** A prepared-but-uncommitted write: the snapshot it merged against,
-    * the buckets whose state it assumed, the manifest LINES that must
-    * represent those buckets in the committed version (data files
-    * and/or DV mappings — fixed at prepare time), and the physical
-    * files it adopted (for cleanup if the commit conflicts; invisible
-    * until a manifest references them).
-    */
-  final case class PendingCommit(baseVersion: Int, touched: Set[Int],
-    ourLines: Seq[String], adopted: Seq[String],
-    txn: Option[(String, Long)] = None,
-    op: String = "MERGE",
-    metaExtra: Seq[String] = Nil, // per-version meta lines (never carry)
-    // table-property KEYS this commit re-stamps (ourLines carries the
-    // new value): the carried-over old line is dropped, and a rebase
-    // CONFLICTS if a concurrent winner changed the same key — the
-    // row-id high-water mark needs exactly this read-modify-write
-    // safety (two writers allocating from one hwm would collide)
-    dropProps: Seq[String] = Nil)
-
-  /** Parsed manifest: immutable data files, the per-file deletion
-    * vector mapping (data file → DV sidecar holding (file_rel, pos)
-    * position-deletes), and per-application transaction watermarks
-    * (the Delta txnAppId/txnVersion idempotence ledger). Serialized as
-    * plain data lines, `dv\t<data>\t<sidecar>` lines and
-    * `txn\t<appId>\t<version>` lines.
-    */
-  final case class TableManifest(data: Seq[String], dv: Map[String, String],
-      txn: Map[String, Long] = Map.empty,
-      props: Map[String, String] = Map.empty,
-      stats: Map[String, String] = Map.empty) {
-    def lines: Seq[String] =
-      data ++ dv.toSeq.sorted.map { case (d, s) => s"dv\t$d\t$s" } ++
-        txn.toSeq.sorted.map { case (a, v) => s"txn\t$a\t$v" } ++
-        props.toSeq.sorted.map { case (k, v) => s"prop\t$k\t$v" } ++
-        stats.toSeq.sorted.map { case (f, p) => s"stats\t$f\t$p" }
-    def allFiles: Seq[String] = data ++ dv.values.toSeq.distinct
-    /** The table's bucket modulus — fixed at creation, carried in
-      * every manifest: key→file pruning is only sound when every
-      * writer hashes with the SAME modulus, so it is a TABLE property
-      * (Delta table-properties style), not a per-call argument.
-      */
-    def numBuckets(fallback: Int): Int =
-      props.get("numBuckets").map(_.toInt).getOrElse(fallback)
-  }
-
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
-
-  private def manifestPath(path: String, v: Int): Path =
-    new Path(f"$path/$LogDir/v$v%06d.txt")
-
-  /** Durable full-snapshot SIDECAR for a vacuum-re-rooted retention
-    * floor on stores whose rename cannot atomically replace: readers
-    * prefer it over the (possibly delta-encoded) primary, so the
-    * re-root never has to delete the primary first — there is no
-    * instant with no readable floor (the metadata-loss window a
-    * delete-then-rename would open).
-    */
-  private def fullSidecarPath(path: String, v: Int): Path =
-    new Path(f"$path/$LogDir/v$v%06d.full")
-
-  private def bucketOf(rel: String): Int =
-    rel.split("/")(0).stripPrefix("gbucket=").toInt
-
-  /** Short per-writer nonce: staging dirs, in-flight temp manifests and
-    * adopted data-file names all embed it, so two concurrent writers
-    * can never collide on ANY physical name — the only contended
-    * resource left is the version slot itself, and that is settled by
-    * the CAS.
-    */
-  private def nonce(): String =
-    java.util.UUID.randomUUID().toString.substring(0, 8)
-
-  /** Committed versions, ascending (empty → table does not exist). */
-  def versions(spark: SparkSession, path: String): Seq[Int] = {
-    val dir = new Path(s"$path/$LogDir")
-    val f = fs(spark)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("v").stripSuffix(".txt").toInt)
-      .sorted.toSeq
-  }
-
-  /** Physical bytes of the version file, line-split — either a FULL
-    * snapshot (legacy format: the logical lines verbatim) or a DELTA
-    * (`format\tdelta\t<parent>` header + `+\t`/`-\t` edit lines).
-    */
-  private def rawManifestLines(spark: SparkSession, path: String,
-      version: Int): Seq[String] = {
-    val f = fs(spark)
-    // a vacuum re-root on a non-atomic-replace store leaves the full
-    // snapshot as a sidecar; it is authoritative when present
-    val side = fullSidecarPath(path, version)
-    val in = f.open(if (f.exists(side)) side else manifestPath(path, version))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
-  }
-
-  private val DeltaHeaderPrefix = "format\tdelta\t"
-
-  /** LOGICAL manifest lines at `version` — resolves delta-encoded
-    * manifests against their parent chain. Every commit between two
-    * checkpoints stores only its edit set (O(changed lines), not
-    * O(table files) — the property that keeps trickle-commit metadata
-    * writes at change scale on a million-file table); resolution walks
-    * parents until the nearest full snapshot, which
-    * [[ManifestCheckpointInterval]] bounds to a constant chain length.
-    */
-  private def manifestLines(spark: SparkSession, path: String,
-      version: Int): Seq[String] = {
-    val raw = rawManifestLines(spark, path, version)
-    raw.headOption match {
-      case Some(h) if h.startsWith(DeltaHeaderPrefix) =>
-        val parent = h.stripPrefix(DeltaHeaderPrefix).toInt
-        require(parent < version, s"delta manifest v$version of $path " +
-          s"points forward to v$parent — corrupt log")
-        val base = manifestLines(spark, path, parent).toSet
-        val removed = raw.collect {
-          case l if l.startsWith("-\t") => l.substring(2) }.toSet
-        val added = raw.collect {
-          case l if l.startsWith("+\t") => l.substring(2) }
-        ((base -- removed) ++ added).toSeq.sorted
-      case _ => raw
-    }
-  }
-
-  /** The logical manifest at `version`, public for tests and tooling:
-    * the physical file may be a delta, but callers always see the
-    * resolved full line set.
-    */
-  def resolvedManifest(spark: SparkSession, path: String,
-      version: Int): Seq[String] = manifestLines(spark, path, version)
-
-  /** Parsed manifest at `version`. */
-  private[sources] def manifestEntries(spark: SparkSession, path: String,
-      version: Int): TableManifest =
-    parseManifest(manifestLines(spark, path, version))
-
-  private def parseManifest(lines0: Seq[String]): TableManifest = {
-    // meta lines (per-version operation record — see [[history]]) are
-    // commit bookkeeping, not table state: stripped here, never carried
-    val lines = lines0.filterNot(isMetaLine)
-    val (statsLines, lines1) = lines.partition(_.startsWith("stats\t"))
-    val (propLines, rest0) = lines1.partition(_.startsWith("prop\t"))
-    val (txnLines, rest) = rest0.partition(_.startsWith("txn\t"))
-    val (dvLines, dataLines) = rest.partition(_.startsWith("dv\t"))
-    TableManifest(dataLines,
-      dvLines.map { l =>
-        val a = l.split("\t"); a(1) -> a(2)
-      }.toMap,
-      txnLines.map { l =>
-        val a = l.split("\t"); a(1) -> a(2).toLong
-      }.toMap,
-      propLines.map { l => // value may contain anything but tab/newline
-        val a = l.split("\t", 3); a(1) -> a(2)
-      }.toMap,
-      statsLines.map { l =>
-        val a = l.split("\t", 3); a(1) -> a(2)
-      }.toMap)
-  }
-
-  private def isTxnLine(l: String): Boolean = l.startsWith("txn\t")
-  private def isPropLine(l: String): Boolean = l.startsWith("prop\t")
-  private def isMetaLine(l: String): Boolean = l.startsWith("meta\t")
-
-  private def bucketOfLine(line: String): Int =
-    if (line.startsWith("dv\t") || line.startsWith("stats\t"))
-      bucketOf(line.split("\t")(1))
-    else bucketOf(line)
-
-  /** `gbucket=N/<name>` of the file a row came from — the manifest-
-    * relative identity DV sidecars record (relocatable, unlike the
-    * absolute `_metadata.file_path`).
-    */
-  private def relCol: org.apache.spark.sql.Column = {
-    val parts = split(col("_metadata.file_path"), "/")
-    concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
-  }
-
-  /** Per-file min/max statistics for every NUMERIC column of freshly
-    * adopted data files — the Delta/Iceberg data-skipping substrate,
-    * carried as `stats\t<file>\t<col>:<lo>:<hi>|...` manifest lines.
-    * Read from the PARQUET FOOTERS on the driver (row-group column
-    * statistics merged per file): zero Spark jobs, milliseconds per
-    * adopted file, change-scale by construction — a trickle commit
-    * stats its own appends, never the table. Floats are recorded as
-    * their EXACT binary expansion, so a recorded bound can never
-    * narrow the true range; a column whose row groups lack stats (or
-    * carry NaN/∞) is dropped for that file and the file is
-    * conservatively kept at prune time. DV'd rows may widen a file's
-    * stored range beyond its live rows — also conservative.
-    */
-  private def computeStats(spark: SparkSession, path: String,
-      adopted: Seq[String]): Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val dataFiles = adopted.filter(_.startsWith("gbucket="))
-    val conf = spark.sparkContext.hadoopConfiguration
-    dataFiles.flatMap { rel =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(s"$path/$rel"), conf))
-      try {
-        // per-column accumulated (min, max); a column survives only if
-        // EVERY row group carries stats for it (a gap would make the
-        // recorded range a lie about uncovered rows)
-        val acc = scala.collection.mutable.LinkedHashMap[String,
-          Option[(BigDecimal, BigDecimal)]]()
-        // file row count + may-hold-tombstones flag, for the
-        // metadata-only COUNT(*) path ([[metadataCount]]): a file whose
-        // `_deleted` boolean stats prove max=false (or whose rows never
-        // carried the column / only nulls — both read as not-deleted)
-        // contributes its footer row count without being opened
-        var totalRows = 0L
-        var tombSeen = false
-        var tombUnknown = false
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          totalRows += block.getRowCount
-          block.getColumns.asScala.foreach { c =>
-            if (c.getPath.size == 1 && c.getPath.toDotString == "_deleted") {
-              val st = c.getStatistics
-              if (st == null || st.isEmpty) tombUnknown = true
-              else if (!st.hasNonNullValue) () // all null ⇒ not deleted
-              else c.getPrimitiveType.getPrimitiveTypeName match {
-                case BOOLEAN =>
-                  if (st.genericGetMax.asInstanceOf[java.lang.Boolean]
-                    .booleanValue()) tombSeen = true
-                case _ => tombUnknown = true
-              }
-            }
-          }
-        }
-        val tombFlag = if (tombUnknown || tombSeen) 1 else 0
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          block.getColumns.asScala.foreach { c =>
-            // "__meta" guard: defense in depth beside the toPhysicalDf
-            // reservation — never let a column shadow the bookkeeping
-            if (c.getPath.size == 1 &&
-              c.getPath.toDotString != "__meta") {
-              val name = c.getPath.toDotString
-              val st = c.getStatistics
-              // exact BINARY expansion for floats (BigDecimal(double)),
-              // so a recorded bound never narrows the true range the
-              // way a shortest-string rendering could
-              // Stats must live in the LOGICAL value space the query's
-              // literals speak: an INT32/INT64 column annotated DECIMAL
-              // stores the UNSCALED integer (12.34 as 1234), so record
-              // it rescaled by 10^-scale; an UNSIGNED annotation makes
-              // the raw signed min/max a misread — skip the column
-              // (conservative: the file is always kept at prune time).
-              import org.apache.parquet.schema.LogicalTypeAnnotation.{
-                DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
-              val ann = c.getPrimitiveType.getLogicalTypeAnnotation
-              val decScale: Option[Int] = ann match {
-                case d: DecimalLogicalTypeAnnotation => Some(d.getScale)
-                case _ => None
-              }
-              val unsigned = ann match {
-                case i: IntLogicalTypeAnnotation => !i.isSigned
-                case _ => false
-              }
-              def scaled(v: Long): BigDecimal = decScale match {
-                case Some(s) =>
-                  BigDecimal(java.math.BigDecimal.valueOf(v, s))
-                case None => BigDecimal(v)
-              }
-              val mm: Option[(BigDecimal, BigDecimal)] =
-                if (st == null || st.isEmpty || !st.hasNonNullValue ||
-                  unsigned) None
-                else c.getPrimitiveType.getPrimitiveTypeName match {
-                  case INT32 => Some((
-                    scaled(st.genericGetMin.asInstanceOf[Integer].toLong),
-                    scaled(st.genericGetMax.asInstanceOf[Integer].toLong)))
-                  case INT64 => Some((
-                    scaled(st.genericGetMin.asInstanceOf[java.lang.Long]
-                      .toLong),
-                    scaled(st.genericGetMax.asInstanceOf[java.lang.Long]
-                      .toLong)))
-                  case DOUBLE =>
-                    val lo = st.genericGetMin
-                      .asInstanceOf[java.lang.Double].toDouble
-                    val hi = st.genericGetMax
-                      .asInstanceOf[java.lang.Double].toDouble
-                    if (lo.isNaN || hi.isNaN || lo.isInfinite ||
-                      hi.isInfinite) None
-                    else Some((BigDecimal(new java.math.BigDecimal(lo)),
-                      BigDecimal(new java.math.BigDecimal(hi))))
-                  case FLOAT =>
-                    val lo = st.genericGetMin
-                      .asInstanceOf[java.lang.Float].toFloat
-                    val hi = st.genericGetMax
-                      .asInstanceOf[java.lang.Float].toFloat
-                    if (lo.isNaN || hi.isNaN || lo.isInfinite ||
-                      hi.isInfinite) None
-                    else Some((
-                      BigDecimal(new java.math.BigDecimal(lo.toDouble)),
-                      BigDecimal(new java.math.BigDecimal(hi.toDouble))))
-                  case _ => None
-                }
-              val merged: Option[(BigDecimal, BigDecimal)] =
-                if (!acc.contains(name)) mm
-                else for ((alo, ahi) <- acc(name); (blo, bhi) <- mm)
-                  yield (alo min blo, ahi max bhi)
-              acc(name) = merged
-            }
-          }
-        }
-        val colPayload = acc.flatMap {
-          case (name, Some((lo, hi))) =>
-            // ':' and '|' are the payload separators; plain decimal
-            // renderings of numeric bounds never contain either
-            Some(s"$name:${lo.underlying.toPlainString}:" +
-              hi.underlying.toPlainString)
-          case _ => None
-        }
-        // pseudo-column entry; never matches a query column name
-        val payload = (Seq(s"__meta:$totalRows:$tombFlag") ++ colPayload)
-          .mkString("|")
-        Some(rel -> payload)
-      } finally reader.close()
-    }.toMap
-  }
-
-  /** Exact COUNT(*) of the live snapshot at METADATA COST where the
-    * manifest proves it, scanning only the files it cannot: a data
-    * file contributes its footer row count (recorded at write time in
-    * the `__meta` stats entry) when it has NO deletion vector and its
-    * `_deleted` stats prove it holds no tombstones; DV-carrying or
-    * tombstone-possible files are counted by a scan restricted to
-    * exactly them. A trickle-maintained 100 TB table answers COUNT(*)
-    * from its manifest plus a sliver of recently-deleted files —
-    * Delta's numRecords-from-stats fast path. Returns None when any
-    * file predates the `__meta` record (conservative: caller falls
-    * back to a full count).
-    */
-  def metadataCount(spark: SparkSession, path: String,
-      asOfVersion: Option[Int] = None): Option[Long] = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
-    def metaOf(rel: String): Option[(Long, Int)] =
-      m.stats.get(rel).flatMap(_.split('|').collectFirst {
-        case t if t.startsWith("__meta:") =>
-          val a = t.split(':'); (a(1).toLong, a(2).toInt)
-      })
-    if (m.data.isEmpty) return Some(0L)
-    val metas = m.data.map(rel => rel -> metaOf(rel)).toMap
-    if (metas.valuesIterator.exists(_.isEmpty)) return None
-    val (mustScan, clean) = m.data.partition(rel =>
-      m.dv.contains(rel) || metas(rel).get._2 == 1)
-    val cleanRows = clean.iterator.map(rel => metas(rel).get._1).sum
-    val scannedRows =
-      if (mustScan.isEmpty) 0L
-      else {
-        val df0 = loadWithDv(spark, path, mustScan, m.dv,
-          widen = widenMap(m))
-        val live =
-          if (df0.columns.contains("_deleted"))
-            df0.filter(!coalesce(col("_deleted"), lit(false)))
-          else df0
-        live.count()
-      }
-    Some(cleanRows + scannedRows)
-  }
-
-  /** Iceberg `partitions`-style metadata relation: one row per hash
-    * bucket of the CURRENT version — file count, physical record count
-    * (from the per-file `__meta` stats entries; NULL when any of the
-    * bucket's files predates the stats format — conservative, never
-    * wrong), and how many files carry a deletion vector. Metadata-
-    * scale: manifests only, never data.
-    */
-  def partitionsMeta(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val m = manifestEntries(spark, path, vs.last)
-    def rowsOf(rel: String): Option[Long] =
-      m.stats.get(rel).flatMap(_.split('|').collectFirst {
-        case t if t.startsWith("__meta:") => t.split(':')(1).toLong
-      })
-    m.data.groupBy(bucketOf).toSeq.sortBy(_._1).map { case (b, files) =>
-      val rcs = files.map(rowsOf)
-      (b, files.size.toLong,
-        if (rcs.exists(_.isEmpty)) None else Some(rcs.flatten.sum),
-        files.count(m.dv.contains).toLong)
-    }.toDF("bucket", "file_count", "record_count", "dv_file_count")
-  }
-
-  /** Iceberg-style `files` metadata table: one row per LIVE data file
-    * of the tip (or `asOf`) snapshot — path, bucket, footer row count
-    * (from the manifest's stats payload, null for pre-stats files),
-    * the number of position-deleted rows its DV sidecar holds, and
-    * the recorded per-column min/max bounds. Manifest-scale except the
-    * DV counts, which read only the (change-scale) sidecar parquet —
-    * the table-maintenance view every compaction runbook queries.
-    */
-  def filesMeta(spark: SparkSession, path: String,
-      asOf: Option[Int] = None): DataFrame = {
-    import spark.implicits._
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val m = manifestEntries(spark, path, asOf.getOrElse(vs.last))
-    // per mapped (file → sidecar) pair: rows of THAT sidecar for THAT
-    // file; other sidecars' stale rows for a remapped file don't
-    // count. ONE job over all sidecars (input_file_name ⋈ broadcast
-    // mapping), not a job per sidecar — a trickle table can carry many
-    val dvCounts: Map[String, Long] =
-      if (m.dv.isEmpty) Map.empty
-      else {
-        import spark.implicits._
-        val mapping = m.dv.toSeq.map { case (file, sidecar) =>
-          (file, new Path(s"$path/$sidecar").toUri.getPath)
-        }.toDF("_m_file", "_sidecar")
-        val dvRows = spark.read.parquet(m.dv.values.toSeq.distinct
-            .map(r => s"$path/$r"): _*)
-          .withColumn("_src", input_file_name())
-        dvRows.join(broadcast(mapping),
-            dvRows("file_rel") === mapping("_m_file") &&
-              dvRows("_src").contains(mapping("_sidecar")), "left_semi")
-          .groupBy(col("file_rel")).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-    m.data.sorted.map { rel =>
-      val payload = m.stats.get(rel)
-      val rows = payload.flatMap(_.split('|').collectFirst {
-        case t if t.startsWith("__meta:") => t.split(':')(1).toLong
-      })
-      val bounds = payload.map(_.split('|').toSeq
-        .filterNot(_.startsWith("__meta:")).mkString("|"))
-        .filter(_.nonEmpty)
-      (rel, bucketOf(rel), rows, dvCounts.getOrElse(rel, 0L), bounds)
-    }.toDF("file_path", "bucket", "record_count", "dv_row_count",
-      "bounds")
-  }
-
-  /** Iceberg-style `snapshots` metadata table: one row per committed
-    * version — operation, commit wall-clock, the file delta against
-    * the previous version, and the snapshot's total footer row count
-    * (null when any live file predates stats). Pure manifest reads.
-    */
-  def snapshotsMeta(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    var prev = Set.empty[String]
-    val first = vs.headOption
-    vs.map { v =>
-      val m = manifestEntries(spark, path, v)
-      val cur = m.data.toSet
-      val added = (cur -- prev).size.toLong
-      val removed = (prev -- cur).size.toLong
-      prev = cur
-      val lines = manifestLines(spark, path, v)
-      val op = lines.find(_.startsWith("meta\top\t"))
-        .map(_.split("\t", 3)(2)).getOrElse("UNKNOWN")
-      val ts = lines.find(_.startsWith("meta\tts\t"))
-        .map(_.split("\t")(2).toLong).getOrElse(-1L)
-      val rcs = m.data.map(rel => m.stats.get(rel)
-        .flatMap(_.split('|').collectFirst {
-          case t if t.startsWith("__meta:") => t.split(':')(1).toLong
-        }))
-      val records =
-        if (first.contains(v) && m.data.isEmpty) Some(0L)
-        else if (rcs.exists(_.isEmpty)) None
-        else Some(rcs.flatten.sum)
-      (v, op, ts, added, removed, records)
-    }.toDF("version", "operation", "commit_ts", "files_added",
-      "files_removed", "record_count")
-  }
-
-  private def statsAsLines(stats: Map[String, String]): Seq[String] =
-    stats.toSeq.sorted.map { case (f, p) => s"stats\t$f\t$p" }
-
-  /** Can `rel` hold a row with `column` in [lo, hi]? False only when
-    * the file's recorded range and the query range are provably
-    * disjoint; missing or unparseable stats keep the file.
-    */
-  private def fileMayMatch(m: TableManifest, rel: String, column: String,
-      lo: Option[BigDecimal], hi: Option[BigDecimal]): Boolean =
-    fileMayMatchBound(m, rel, column, ColBound(lo, false, hi, false))
-
-  private def fileMayMatchBound(m: TableManifest, rel: String,
-      column: String, b: ColBound): Boolean =
-    m.stats.get(rel).flatMap { payload =>
-      // stats format versioning: payloads without the leading __meta
-      // entry predate the decimal-rescale fix (r7) — their
-      // decimal-column bounds live in UNSCALED space, and nothing in
-      // the payload says which columns those are, so legacy stats are
-      // ignored wholesale (conservative keep; re-stat by rewriting)
-      if (!payload.startsWith("__meta:")) Some(true)
-      else payload.split('|').collectFirst {
-        case t if t.startsWith(column + ":") =>
-          val a = t.split(':')
-          scala.util.Try {
-            val fLo = BigDecimal(a(1)); val fHi = BigDecimal(a(2))
-            b.lo.forall(v => if (b.loStrict) v < fHi else v <= fHi) &&
-              b.hi.forall(v => if (b.hiStrict) v > fLo else v >= fLo)
-          }.getOrElse(true)
-      }
-    }.getOrElse(true)
-
-  /** The data files a `[lo, hi]` range predicate on `column` can
-    * touch at `asOfVersion` — public so callers (and the gate) can
-    * assert the pruning itself.
-    */
-  def rangeCandidates(spark: SparkSession, path: String, column: String,
-      lo: Option[BigDecimal], hi: Option[BigDecimal],
-      asOfVersion: Option[Int] = None): Seq[String] = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
-    val columnP = toPhysicalName(m, column)
-    m.data.filter(rel => fileMayMatch(m, rel, columnP, lo, hi))
-  }
-
-  // ---- column mapping (rename without rewrite) -----------------------------
-
-  /** logical → physical column map from `prop rename.<logical> <physical>`
-    * lines. Data files always store PHYSICAL names (fixed at first
-    * write, like Delta column-mapping ids); a rename is a
-    * metadata-only commit that re-points the logical name. Columns
-    * with no entry are identical under both names.
-    */
-  private def renameMap(m: TableManifest): Map[String, String] =
-    m.props.collect {
-      case (k, v) if k.startsWith("rename.") =>
-        k.stripPrefix("rename.") -> v
-    }
-
-  private def toPhysicalName(m: TableManifest, logical: String): String =
-    renameMap(m).getOrElse(logical, logical)
-
-  /** Rename update-batch columns (callers speak logical) to the
-    * physical names the files store.
-    */
-  /** Physical names of DROPPED columns (`prop dropped.<physical> 1`):
-    * the data stays in the files (zero rewrite — Delta column-mapping
-    * DROP COLUMN), the name is logically hidden, and the physical slot
-    * is reserved so no writer can collide with the retained data.
-    */
-  private def droppedCols(m: TableManifest): Set[String] =
-    m.props.keySet.collect {
-      case k if k.startsWith("dropped.") => k.stripPrefix("dropped.")
-    }
-
-  private def toPhysicalDf(df: DataFrame, m: TableManifest): DataFrame = {
-    // pinned physical names are RESERVED: a batch column named after a
-    // renamed column's physical slot would collide with the retained
-    // physical data (and with the logical column's rename below),
-    // producing a duplicate-name DataFrame that breaks every later read
-    renameMap(m).foreach { case (logical, physical) =>
-      require(physical == logical || !df.columns.contains(physical),
-        s"column name $physical is reserved as the physical slot of " +
-          s"renamed column $logical — write batches must speak logical " +
-          "names")
-    }
-    // dropped physical slots are reserved too: re-adding the same
-    // physical name would resurrect the hidden data under a new
-    // logical column — a rewrite (or a fresh name) is required
-    droppedCols(m).foreach { c =>
-      require(!df.columns.contains(c),
-        s"column $c was DROPPED — its physical slot is retained in " +
-          "data files; re-adding it requires a table rewrite or a " +
-          "different name")
-    }
-    // __meta is the stats-payload bookkeeping pseudo-column
-    // ([[computeStats]]); a real column by that name would shadow the
-    // row-count entry and corrupt pruning — reserved like _deleted
-    require(!df.columns.contains("__meta"),
-      "column name __meta is reserved for stats bookkeeping")
-    // _row_id is the engine-assigned row-tracking column: a caller
-    // column by that name would shadow assigned identities
-    require(!df.columns.contains("_row_id"),
-      "column name _row_id is reserved for row tracking")
-    renameMap(m).foldLeft(df) { case (d, (logical, physical)) =>
-      if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
-      else d
-    }
-  }
-
-  /** Rename a scanned DataFrame's physical columns back to their
-    * logical names for the caller, and hide dropped columns.
-    */
-  private def toLogicalDf(df: DataFrame, m: TableManifest): DataFrame = {
-    // the row-tracking identity column is engine state, not schema:
-    // hidden from every logical read ([[readWithRowIds]] surfaces it
-    // under its public name before this rename reaches it)
-    val df0 = if (df.columns.contains("_row_id")) df.drop("_row_id") else df
-    val undropped = droppedCols(m).foldLeft(df0) { (d, c) =>
-      if (d.columns.contains(c)) d.drop(c) else d
-    }
-    val renamed = renameMap(m).foldLeft(undropped) {
-      case (d, (logical, physical)) =>
-        if (d.columns.contains(physical))
-          d.withColumnRenamed(physical, logical)
-        else d
-    }
-    // ADD COLUMN before any data carries it: the declared column
-    // (`prop added.<name> <type>`) reads as typed NULL until a write
-    // materializes it — the no-rewrite evolution contract
-    m.props.toSeq.sorted.collect {
-      case (k, t) if k.startsWith("added.") => k.stripPrefix("added.") -> t
-    }.foldLeft(renamed) { case (d, (n, t)) =>
-      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
-    }
-  }
-
-  /** RENAME COLUMN — Delta column-mapping semantics: a metadata-only
-    * commit re-points the logical name at the unchanged physical
-    * column; zero data files move, history and time travel intact,
-    * every read/write surface speaks the new name immediately. The
-    * physical name is pinned by the FIRST mapping (renaming a→b→c
-    * keeps physical `a`), so chained renames never touch data either.
-    */
-  def renameColumn(spark: SparkSession, path: String, from: String,
-      to: String, maxAttempts: Int = 10): CommitResult = {
-    require(from.matches("[A-Za-z0-9_]+") && to.matches("[A-Za-z0-9_]+"),
-      s"bad column name in rename $from -> $to")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val m = manifestEntries(spark, path, latest)
-      val map = renameMap(m)
-      require(to != from, s"rename to self: $from")
-      require(!map.contains(to),
-        s"logical column $to already exists at $path")
-      // the destination must be free in the FULL logical schema, not
-      // just the rename map: renaming value→props while a plain props
-      // column exists would alias two physical columns to one logical
-      // name and break every subsequent read
-      val logicalCols = read(spark, path).columns.toSet
-      require(!logicalCols.contains(to),
-        s"logical column $to already exists in the table schema at $path")
-      // a DROPPED column's physical slot is hidden from the logical
-      // schema but still occupied in the files — renaming onto it
-      // would resurrect the hidden data under the new name
-      require(!droppedCols(m).contains(to),
-        s"$to is the retained physical slot of a dropped column")
-      // the freed physical slot stays reserved (toPhysicalDf refuses
-      // batches that re-introduce it), so no later writer can collide
-      // with the retained physical data
-      // CHECK constraints are written against logical names and are
-      // not rewritten here — renaming a constrained column would break
-      // enforcement silently, so refuse (drop the constraint first)
-      m.props.foreach { case (k, v) =>
-        require(!k.startsWith("constraint.") ||
-          !s" $v ".matches(s".*\\b$from\\b.*"),
-          s"constraint ${k.stripPrefix("constraint.")} references " +
-            s"$from — drop it before renaming")
-      }
-      val physical = map.getOrElse(from, from)
-      val newProps = (m.props - s"rename.$from") +
-        (s"rename.$to" -> physical)
-      val lines = TableManifest(m.data, m.dv, m.txn, newProps,
-        m.stats).lines :+ "meta\top\tRENAME_COLUMN"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up renaming $from at $path after $maxAttempts CAS attempts")
-  }
-
-  /** ADD COLUMN — a metadata-only commit declaring a new nullable
-    * column (`prop added.<name> <type>`): zero data files move, every
-    * read backfills typed NULLs until a write materializes the column
-    * (parquet schema merge reconciles from then on), and pre-add time
-    * travel doesn't show it (the property set is versioned manifest
-    * state). This is the explicit-DDL face of the evolution the upsert
-    * path already does implicitly; `MERGE … WITH SCHEMA EVOLUTION`
-    * routes through it (Spark's ResolveMergeIntoSchemaEvolution calls
-    * the catalog's alterTable with an AddColumn change).
-    */
-  def addColumn(spark: SparkSession, path: String, name: String,
-      sqlType: String, maxAttempts: Int = 10): CommitResult = {
-    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
-    // the type must parse NOW, not at first read
-    org.apache.spark.sql.types.DataType.fromDDL(sqlType)
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val m = manifestEntries(spark, path, latest)
-      require(!read(spark, path).columns.contains(name),
-        s"column $name already exists at $path")
-      require(!m.props.contains(s"dropped.$name"),
-        s"physical slot $name is retained by a dropped column — " +
-          "pick a new name")
-      val lines = TableManifest(m.data, m.dv, m.txn,
-        m.props + (s"added.$name" -> sqlType), m.stats).lines :+
-        "meta\top\tADD_COLUMN"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up adding column $name at $path after $maxAttempts attempts")
-  }
-
-  /** DROP COLUMN — Delta column-mapping semantics: a metadata-only
-    * commit hides the column behind a `dropped.<physical>` table
-    * property. ZERO data files move; the physical bytes stay in place
-    * (and stay visible through pre-drop time travel, because the
-    * property set is versioned manifest state). Every read surface
-    * hides the column from that commit on; write batches carrying the
-    * name are refused ([[toPhysicalDf]]) because the physical slot is
-    * retained — re-adding the name requires a rewrite or a new name,
-    * the honest contract for rewrite-free drops.
-    */
-  def dropColumn(spark: SparkSession, path: String, name: String,
-      maxAttempts: Int = 10): CommitResult = {
-    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    require(name != "_deleted" && name != "gbucket",
-      s"$name is engine bookkeeping — not droppable")
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val m = manifestEntries(spark, path, latest)
-      val logicalCols = read(spark, path).columns.toSet
-      require(logicalCols.contains(name),
-        s"column $name does not exist at $path")
-      // constraints and generated columns are written against logical
-      // names — dropping a column they mention would break enforcement
-      // silently, so refuse (drop the constraint/definition first)
-      m.props.foreach { case (k, v) =>
-        val governs = k.startsWith("constraint.") ||
-          k.startsWith("generated.")
-        require(!governs || (!s" $v ".matches(s".*\\b$name\\b.*") &&
-          k != s"generated.$name"),
-          s"$k references $name — drop it before dropping the column")
-      }
-      val physical = toPhysicalName(m, name)
-      val newProps = (m.props - s"rename.$name") +
-        (s"dropped.$physical" -> "1")
-      val lines = TableManifest(m.data, m.dv, m.txn, newProps,
-        m.stats).lines :+ "meta\top\tDROP_COLUMN"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up dropping $name at $path after $maxAttempts CAS attempts")
-  }
-
-  // ---- type widening -------------------------------------------------------
-
-  import org.apache.spark.sql.types._
-
-  /** Widening promotions allowed without rewrite — the Delta
-    * type-widening lattice restricted to exact embeddings (every value
-    * of the narrow type is exactly representable in the wide type).
-    */
-  private val WidenTargets: Map[String, DataType] =
-    Map("long" -> LongType, "bigint" -> LongType, "double" -> DoubleType)
-
-  private def promotable(from: DataType, to: DataType): Boolean =
-    (from, to) match {
-      case (ByteType | ShortType | IntegerType, LongType) => true
-      case (ByteType | ShortType | IntegerType | FloatType,
-        DoubleType) => true
-      case (a, b) => a == b
-    }
-
-  /** logical→target overrides from `widen.<physical> <type>` props. */
-  private def widenMap(m: TableManifest): Map[String, DataType] =
-    m.props.collect {
-      case (k, v) if k.startsWith("widen.") =>
-        k.stripPrefix("widen.") -> WidenTargets(v)
-    }
-
-  /** WIDEN COLUMN TYPE — a metadata-only commit (Delta type widening):
-    * old files keep their narrow physical encoding and are read
-    * through the widened schema (Spark's parquet readers upcast
-    * INT32→long etc. when the requested schema is wider — SPARK-40876);
-    * new files land wide. Zero data motion, engine-asserted in the
-    * gate; pre-widen time travel still reads the narrow type because
-    * the property set is versioned manifest state.
-    */
-  def widenColumn(spark: SparkSession, path: String, name: String,
-      toType: String, maxAttempts: Int = 10): CommitResult = {
-    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
-    val target = WidenTargets.getOrElse(toType.toLowerCase,
-      throw new IllegalArgumentException(
-        s"unsupported widen target $toType (allowed: ${WidenTargets.keys.toSeq.sorted.mkString(", ")})"))
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val cur = read(spark, path).schema
-    val field = cur.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $name does not exist at $path"))
-    require(promotable(field.dataType, target),
-      s"cannot widen $name from ${field.dataType.simpleString} to " +
-        s"${target.simpleString} — only exact embeddings are allowed")
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val m = manifestEntries(spark, path, latest)
-      val physical = toPhysicalName(m, name)
-      val lines = TableManifest(m.data, m.dv, m.txn,
-        m.props + (s"widen.$physical" -> target.simpleString),
-        m.stats).lines :+ "meta\top\tWIDEN_COLUMN"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up widening $name at $path after $maxAttempts CAS attempts")
-  }
-
-  /** The read schema of `files` under widening overrides: per-file
-    * parquet footer schemas (driver-side, the same metadata reads
-    * [[computeStats]] does at write time) merged field-by-field, with
-    * conflicts resolved along the widening lattice and `widen.*`
-    * overrides applied last — so reads surface the WIDENED logical
-    * type even before any wide file exists. O(#files) driver metadata
-    * ops, paid only by tables that declared a widening; a production
-    * variant would checkpoint the merged schema into the manifest.
-    */
-  private def widenedReadSchema(spark: SparkSession, path: String,
-      files: Seq[String], widen: Map[String, DataType]): StructType = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val conv = new org.apache.spark.sql.execution.datasources.parquet
-      .ParquetToSparkSchemaConverter()
-    val acc = scala.collection.mutable.LinkedHashMap[String, StructField]()
-    files.foreach { rel =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(s"$path/$rel"), conf))
-      val schema =
-        try conv.convert(reader.getFooter.getFileMetaData.getSchema)
-        finally reader.close()
-      schema.fields.foreach { f =>
-        acc.get(f.name) match {
-          case None => acc(f.name) = f.copy(nullable = true)
-          case Some(prev) if prev.dataType == f.dataType => ()
-          case Some(prev) if promotable(prev.dataType, f.dataType) =>
-            acc(f.name) = f.copy(nullable = true)
-          case Some(prev) if promotable(f.dataType, prev.dataType) => ()
-          case Some(prev) => throw new IllegalStateException(
-            s"files disagree on ${f.name}: ${prev.dataType.simpleString} " +
-              s"vs ${f.dataType.simpleString} and neither widens the other")
-        }
-      }
-    }
-    widen.foreach { case (c, t) =>
-      acc.get(c).foreach { f =>
-        require(promotable(f.dataType, t),
-          s"stored files hold $c as ${f.dataType.simpleString}, which " +
-            s"does not widen to ${t.simpleString}")
-        acc(c) = f.copy(dataType = t)
-      }
-    }
-    // gbucket is a partition DIRECTORY, not a footer column — include
-    // it so the explicit schema covers the full output
-    acc("gbucket") = StructField("gbucket", IntegerType, nullable = true)
-    StructType(acc.values.toSeq)
-  }
-
-  // ---- generated columns ---------------------------------------------------
-
-  private def generatedCols(m: TableManifest): Map[String, String] =
-    m.props.collect {
-      case (k, v) if k.startsWith("generated.") =>
-        k.stripPrefix("generated.") -> v
-    }
-
-  /** Enforce the table's generated-column definitions on a write batch
-    * (Delta generated-column semantics): a batch that OMITS the column
-    * gets it computed from the stored expression; a batch that
-    * SUPPLIES it is validated row-for-row (null-safe equality) and
-    * rejected wholesale on any mismatch — a generated column that
-    * writers can silently contradict is not generated. One
-    * change-scale count job per supplied generated column.
-    */
-  private def applyGenerated(m: TableManifest,
-      updates: DataFrame): DataFrame =
-    generatedCols(m).foldLeft(updates) { case (df, (name, ex)) =>
-      if (!df.columns.contains(name)) df.withColumn(name, expr(ex))
-      else {
-        val bad = df.filter(!(col(name) <=> expr(ex))).count()
-        if (bad > 0) throw new ConstraintViolation(
-          s"generated column $name: $bad row(s) contradict `$ex`")
-        df
-      }
-    }
-
-  /** ADD a generated column: a metadata-only commit storing the
-    * defining expression as a table property. Existing rows that
-    * already carry the column are validated first; rows written before
-    * the definition (and never rewritten since) read the column as
-    * NULL via schema-evolution backfill — the documented, honest
-    * semantic for retrofitted generation.
-    */
-  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
-      sqlExpr: String, maxAttempts: Int = 10): CommitResult = {
-    require(name.matches("[A-Za-z0-9_]+"), s"bad column name: $name")
-    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      "generated-column expression must be a single tab-free line")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val cur = read(spark, path)
-    if (cur.columns.contains(name)) {
-      val bad = cur.filter(!(col(name) <=> expr(sqlExpr))).count()
-      if (bad > 0) throw new ConstraintViolation(
-        s"cannot define generated column $name: $bad existing row(s) " +
-          s"contradict `$sqlExpr`")
-    }
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val m = manifestEntries(spark, path, latest)
-      require(!m.props.contains(s"generated.$name"),
-        s"generated column $name already defined — no redefinition")
-      val lines = TableManifest(m.data, m.dv, m.txn,
-        m.props + (s"generated.$name" -> sqlExpr), m.stats).lines :+
-        "meta\top\tADD_GENERATED"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up adding generated column $name after $maxAttempts attempts")
-  }
-
-  /** Per-column [lo, hi] bounds IMPLIED by a Catalyst predicate tree —
-    * the Delta data-skipping extraction. Conjuncts intersect their
-    * bounds; a disjunction bounds a column only when BOTH branches
-    * bound it (union); any node we don't understand contributes no
-    * bounds. The result is a NECESSARY condition on matching rows, so
-    * pruning with it is always conservative — the full predicate is
-    * still applied row-level after the file cut.
-    */
-  /** One column's extracted range: optional bounds plus strictness
-    * flags (`k > 5` excludes a file whose maximum IS 5; `k >= 5` keeps
-    * it).
-    */
-  private final case class ColBound(lo: Option[BigDecimal],
-      loStrict: Boolean, hi: Option[BigDecimal], hiStrict: Boolean)
-
-  private def predicateBounds(e: org.apache.spark.sql.catalyst.expressions
-      .Expression): Map[String, ColBound] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions._
-    type B = Map[String, ColBound]
-    def num(l: Literal): Option[BigDecimal] = l.value match {
-      case null => None
-      case i: Int => Some(BigDecimal(i))
-      case i: Long => Some(BigDecimal(i))
-      case i: Short => Some(BigDecimal(i.toInt))
-      case i: Byte => Some(BigDecimal(i.toInt))
-      // EXACT binary expansion, matching what computeStats records: the
-      // shortest-decimal rendering (scala BigDecimal(d)) of e.g. 0.3 is
-      // strictly ABOVE the stored exact expansion of 0.3d, so `v >= 0.3`
-      // would wrongly prune a file whose max is exactly 0.3d
-      case d: Double if !d.isNaN && !d.isInfinite =>
-        Some(BigDecimal(new java.math.BigDecimal(d)))
-      case f: Float if !f.isNaN && !f.isInfinite =>
-        Some(BigDecimal(new java.math.BigDecimal(f.toDouble)))
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
-      case _ => None
-    }
-    def col(x: Expression): Option[String] = x match {
-      case a: UnresolvedAttribute => Some(a.name)
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
-    def lower(c: Option[String], v: Option[BigDecimal], strict: Boolean): B =
-      (for (cc <- c; vv <- v)
-        yield Map(cc -> ColBound(Some(vv), strict, None, false)))
-        .getOrElse(Map.empty)
-    def upper(c: Option[String], v: Option[BigDecimal], strict: Boolean): B =
-      (for (cc <- c; vv <- v)
-        yield Map(cc -> ColBound(None, false, Some(vv), strict)))
-        .getOrElse(Map.empty)
-    def point(c: Option[String], lo: Option[BigDecimal],
-        hi: Option[BigDecimal]): B =
-      (for (cc <- c; l <- lo; h <- hi)
-        yield Map(cc -> ColBound(Some(l), false, Some(h), false)))
-        .getOrElse(Map.empty)
-    // tighter lower bound wins; at a tie, strict is tighter
-    def maxLo(a: ColBound, b: ColBound): (Option[BigDecimal], Boolean) =
-      (a.lo, b.lo) match {
-        case (Some(x), Some(y)) =>
-          if (x > y) (Some(x), a.loStrict)
-          else if (y > x) (Some(y), b.loStrict)
-          else (Some(x), a.loStrict || b.loStrict)
-        case (Some(x), None) => (Some(x), a.loStrict)
-        case (None, Some(y)) => (Some(y), b.loStrict)
-        case _ => (None, false)
-      }
-    def minHi(a: ColBound, b: ColBound): (Option[BigDecimal], Boolean) =
-      (a.hi, b.hi) match {
-        case (Some(x), Some(y)) =>
-          if (x < y) (Some(x), a.hiStrict)
-          else if (y < x) (Some(y), b.hiStrict)
-          else (Some(x), a.hiStrict || b.hiStrict)
-        case (Some(x), None) => (Some(x), a.hiStrict)
-        case (None, Some(y)) => (Some(y), b.hiStrict)
-        case _ => (None, false)
-      }
-    def intersect(a: B, b: B): B =
-      (a.keySet ++ b.keySet).map { k =>
-        val ab = a.getOrElse(k, ColBound(None, false, None, false))
-        val bb = b.getOrElse(k, ColBound(None, false, None, false))
-        val (lo, los) = maxLo(ab, bb)
-        val (hi, his) = minHi(ab, bb)
-        k -> ColBound(lo, los, hi, his)
-      }.toMap
-    // a disjunction widens: looser bound wins; at a tie, non-strict
-    def union(a: B, b: B): B =
-      a.keySet.intersect(b.keySet).flatMap { k =>
-        val ab = a(k); val bb = b(k)
-        val lo = for (x <- ab.lo; y <- bb.lo) yield
-          if (x < y) (x, ab.loStrict) else if (y < x) (y, bb.loStrict)
-          else (x, ab.loStrict && bb.loStrict)
-        val hi = for (x <- ab.hi; y <- bb.hi) yield
-          if (x > y) (x, ab.hiStrict) else if (y > x) (y, bb.hiStrict)
-          else (x, ab.hiStrict && bb.hiStrict)
-        if (lo.isEmpty && hi.isEmpty) None
-        else Some(k -> ColBound(lo.map(_._1),
-          lo.exists(_._2), hi.map(_._1), hi.exists(_._2)))
-      }.toMap
-    e match {
-      case And(l, r) => intersect(predicateBounds(l), predicateBounds(r))
-      case Or(l, r) => union(predicateBounds(l), predicateBounds(r))
-      case EqualTo(a, l: Literal) => point(col(a), num(l), num(l))
-      case EqualTo(l: Literal, a) => point(col(a), num(l), num(l))
-      case GreaterThan(a, l: Literal) => lower(col(a), num(l), strict = true)
-      case GreaterThanOrEqual(a, l: Literal) =>
-        lower(col(a), num(l), strict = false)
-      case LessThan(a, l: Literal) => upper(col(a), num(l), strict = true)
-      case LessThanOrEqual(a, l: Literal) =>
-        upper(col(a), num(l), strict = false)
-      case GreaterThan(l: Literal, a) => upper(col(a), num(l), strict = true)
-      case GreaterThanOrEqual(l: Literal, a) =>
-        upper(col(a), num(l), strict = false)
-      case LessThan(l: Literal, a) => lower(col(a), num(l), strict = true)
-      case LessThanOrEqual(l: Literal, a) =>
-        lower(col(a), num(l), strict = false)
-      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val nums = vs.map(v => num(v.asInstanceOf[Literal]))
-        if (nums.exists(_.isEmpty)) Map.empty
-        else point(col(a), Some(nums.flatten.min), Some(nums.flatten.max))
-      case _ => Map.empty
-    }
-  }
-
-  /** The data files a SQL predicate can touch at `asOfVersion`:
-    * extract per-column range bounds from the predicate's expression
-    * tree and cut files whose recorded stats are disjoint with any of
-    * them. Public so callers and the gate can assert the prune.
-    */
-  def predicateCandidates(spark: SparkSession, path: String,
-      predicateSql: String, asOfVersion: Option[Int] = None): Seq[String] = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val m = manifestEntries(spark, path, asOfVersion.getOrElse(vs.last))
-    val bounds = predicateBounds(
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
-    // predicates speak logical names; stats lines carry physical
-    m.data.filter { rel =>
-      bounds.forall { case (c, b) =>
-        fileMayMatchBound(m, rel, toPhysicalName(m, c), b)
-      }
-    }
-  }
-
-  /** Snapshot read under an arbitrary SQL predicate with automatic
-    * DATA SKIPPING: Catalyst-extracted column bounds cut the file
-    * list, then the FULL predicate runs row-level over the survivors —
-    * the user writes one WHERE clause and the manifest stats do the
-    * rest, exactly Delta's read path. DVs and tombstones honored as in
-    * [[read]].
-    */
-  def readWhere(spark: SparkSession, path: String, predicateSql: String,
-      asOfVersion: Option[Int] = None): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val v = asOfVersion.getOrElse(vs.last)
-    val m = manifestEntries(spark, path, v)
-    // feed the CLUSTER BY AUTO history: the columns this read BOUNDED
-    recordPredicateUse(spark, path, predicateBounds(
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
-      .keys.toSeq)
-    val candidates = predicateCandidates(spark, path, predicateSql, Some(v))
-    if (candidates.isEmpty)
-      return read(spark, path, Some(v)).filter(lit(false))
-    // rename to logical BEFORE the row filter: the predicate speaks
-    // logical names
-    val df0 = toLogicalDf(
-      loadWithDv(spark, path, candidates, m.dv,
-        widen = widenMap(m)).drop("gbucket"), m)
-      .filter(expr(predicateSql))
-    if (df0.columns.contains("_deleted"))
-      df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-    else df0
-  }
-
-  /** Snapshot read with DATA SKIPPING: scan only the files whose
-    * recorded `column` range intersects [lo, hi] (both bounds
-    * inclusive; either side open), then apply the exact row-level
-    * filter. The serving path for time-window and range queries: a
-    * trickle-ingested 100 TB table whose arrival order correlates with
-    * the predicate column answers a narrow range from a handful of
-    * files, manifest-resolved, no listing, no full scan. DVs and
-    * tombstones honored exactly as in [[read]].
-    */
-  def readRange(spark: SparkSession, path: String, column: String,
-      lo: Option[BigDecimal], hi: Option[BigDecimal],
-      asOfVersion: Option[Int] = None): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val v = asOfVersion.getOrElse(vs.last)
-    val m = manifestEntries(spark, path, v)
-    val columnP = toPhysicalName(m, column)
-    // feed the CLUSTER BY AUTO history
-    if (lo.nonEmpty || hi.nonEmpty)
-      recordPredicateUse(spark, path, Seq(column))
-    val candidates = rangeCandidates(spark, path, column, lo, hi, Some(v))
-    if (candidates.isEmpty)
-      return read(spark, path, Some(v)).filter(lit(false))
-    val ranged = loadWithDv(spark, path, candidates, m.dv,
-      widen = widenMap(m))
-      .filter(lo.map(b => col(columnP) >= lit(b.underlying()))
-        .getOrElse(lit(true)) &&
-        hi.map(b => col(columnP) <= lit(b.underlying())).getOrElse(lit(true)))
-      .drop("gbucket")
-    val live =
-      if (ranged.columns.contains("_deleted"))
-        ranged.filter(!coalesce(col("_deleted"), lit(false)))
-          .drop("_deleted")
-      else ranged
-    toLogicalDf(live, m)
-  }
-
-  /** Scan `dataFiles` with their deletion vectors anti-joined out.
-    * The DV-CARRYING files alone pay the (file_rel, row_index)
-    * anti-join — clean files stream straight through and union in
-    * (manifest-level split, zero per-row cost for them), which is the
-    * read shape that matters at 100 TB where DVs touch a sliver of the
-    * table. The delete side is |deleted rows|, broadcast-small in the
-    * trickle regime. Deletes are MONOTONE (no undelete), so a stale
-    * sidecar row for a since-remapped file is a harmless duplicate —
-    * the union never over-deletes.
-    *
-    * @param dv per-data-file sidecar mapping (the manifest's)
-    */
-  private def loadWithDv(spark: SparkSession, path: String,
-      dataFiles: Seq[String], dv: Map[String, String],
-      keepPos: Boolean = false,
-      widen: Map[String, DataType] = Map.empty): DataFrame = {
-    // position columns must come straight off the scan relation:
-    // metadata columns do not survive a join
-    def scan(files: Seq[String]): DataFrame = {
-      val rdr0 = spark.read.option("basePath", path)
-      // a widened table mixes physical encodings (old files narrow,
-      // new files wide), which schema MERGE refuses — read through the
-      // explicit widened schema instead (parquet readers upcast)
-      val rdr = if (widen.isEmpty) rdr0.option("mergeSchema", "true")
-        else rdr0.schema(widenedReadSchema(spark, path, files, widen))
-      rdr.parquet(files.map(r => s"$path/$r"): _*)
-        .withColumn("_rel", relCol)
-        .withColumn("_pos", col("_metadata.row_index"))
-    }
-    val (dirty, clean) = dataFiles.partition(dv.contains)
-    val cleanDf = if (clean.isEmpty) None else Some(scan(clean))
-    val dirtyDf =
-      if (dirty.isEmpty) None
-      else {
-        val dvFiles = dirty.flatMap(dv.get).distinct
-        val dels = spark.read.parquet(dvFiles.map(r => s"$path/$r"): _*)
-          .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
-          .distinct()
-        Some(scan(dirty).join(dels, Seq("_rel", "_pos"), "left_anti"))
-      }
-    val alive = (cleanDf, dirtyDf) match {
-      case (Some(c), Some(d)) =>
-        c.unionByName(d, allowMissingColumns = true)
-      case (Some(c), None) => c
-      case (None, Some(d)) => d
-      case (None, None) =>
-        throw new IllegalArgumentException("no data files to scan")
-    }
-    if (keepPos) alive else alive.drop("_rel", "_pos")
-  }
-
-  /** Compare-and-swap commit: write the full file list to a
-    * writer-private temp manifest, then PUBLISH it at the target
-    * version with an operation that atomically fails if that version
-    * already exists — Delta-style optimistic concurrency, where the
-    * version slot is the lock. Returns false when another writer owns
-    * the version (the caller rebases or aborts); the losing temp is
-    * removed, so a lost race leaves no litter.
-    *
-    * Publish primitive by filesystem: on local files, `link(2)` via
-    * `Files.createLink` — POSIX guarantees EEXIST atomically, and the
-    * link exposes the COMPLETE temp content in one step (a plain
-    * `rename(2)` would silently REPLACE an existing manifest — exactly
-    * the lost-update race this exists to close). On HDFS-like stores,
-    * `rename` itself refuses an existing destination atomically, so it
-    * is the CAS.
-    */
-  /** Choose the physical encoding for a manifest about to land as
-    * `version`: a delta against the parent slot when that is smaller,
-    * a full snapshot on checkpoint versions, for v1, when the parent is
-    * unreadable, or when line multiplicity would make set-diff lossy.
-    */
-  private def encodeManifest(spark: SparkSession, path: String,
-      version: Int, sorted: Seq[String]): Seq[String] = {
-    if (version <= 1 || version % ManifestCheckpointInterval == 0)
-      return sorted
-    scala.util.Try(manifestLines(spark, path, version - 1)).toOption match {
-      case None => sorted
-      case Some(parent) =>
-        val pSet = parent.toSet
-        val cSet = sorted.toSet
-        if (pSet.size != parent.length || cSet.size != sorted.length) sorted
-        else {
-          val removed = parent.filterNot(cSet)
-          val added = sorted.filterNot(pSet)
-          val delta = s"$DeltaHeaderPrefix${version - 1}" +:
-            (removed.map("-\t" + _) ++ added.map("+\t" + _))
-          if (delta.length < sorted.length) delta else sorted
-        }
-    }
-  }
-
-  private def casCommit(spark: SparkSession, path: String, version: Int,
-      files: Seq[String]): Boolean = {
-    val f = fs(spark)
-    f.mkdirs(new Path(s"$path/$LogDir"))
-    val tmp = new Path(s"$path/$LogDir/.v$version-${nonce()}.tmp")
-    // central commit-time stamp: every commit path flows through here
-    val content = encodeManifest(spark, path, version,
-      (files.filterNot(_.startsWith("meta\tts\t")) :+
-        s"meta\tts\t${clockFor(path)}").sorted)
-    val out = f.create(tmp, true)
-    try out.write(content.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = manifestPath(path, version)
-    if (f.getUri.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        f.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false); false
-      }
-    } else {
-      // HDFS rename is atomic and refuses an existing destination
-      if (f.exists(dst)) { f.delete(tmp, false); false }
-      else {
-        val won = f.rename(tmp, dst)
-        if (!won) f.delete(tmp, false)
-        won
-      }
-    }
-  }
-
-  /** MERGE-style upsert committing a new version. Same contract as
-    * [[LakeWriter.upsert]] (keys + sequence, `_deleted` for deletes),
-    * but immutable-file/log-structured: untouched buckets' files carry
-    * over into the new manifest by reference, not by rewrite.
-    * [[prepare]] + [[commitPending]] under the hood, so every upsert
-    * gets optimistic concurrency: a sequential caller wins the first
-    * CAS; a racing caller auto-rebases when the winner's buckets are
-    * disjoint from its own, and gets [[ConcurrentWriteConflict]] (merge
-    * again off the new snapshot) when they overlap.
-    */
-  def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], seqCol: String,
-      numBuckets: Int = 16): CommitResult =
-    commitPending(spark, path,
-      prepare(spark, path, updates, keyCols, seqCol, numBuckets))
-
-  /** Idempotent transactional upsert — Delta's txnAppId/txnVersion
-    * discipline for exactly-once writers: the manifest carries each
-    * application's highest committed transaction version, and a commit
-    * whose `txnVersion` is ≤ that watermark is SKIPPED (returns None)
-    * instead of applied twice. This is what makes a restarted
-    * streaming query's foreachBatch replay a no-op: the batch id is
-    * the transaction version, so re-delivering a committed microbatch
-    * cannot double-apply it. Writers sharing an appId are sequential
-    * by contract (one streaming query); distinct appIds commute and
-    * their watermark lines never conflict in the OCC loop.
-    */
-  def upsertTxn(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], seqCol: String, appId: String,
-      txnVersion: Long, numBuckets: Int = 16): Option[CommitResult] = {
-    val vs = versions(spark, path)
-    val committed = vs.lastOption
-      .map(v => manifestEntries(spark, path, v).txn
-        .getOrElse(appId, Long.MinValue))
-      .getOrElse(Long.MinValue)
-    if (committed >= txnVersion) None // already applied: idempotent skip
-    else {
-      val p = prepare(spark, path, updates, keyCols, seqCol, numBuckets)
-        .copy(txn = Some(appId -> txnVersion), op = "STREAMING_UPDATE")
-      Some(commitPending(spark, path, p))
-    }
-  }
-
-  /** Phase 1 of an optimistic write: merge `updates` against the
-    * CURRENT snapshot and adopt the resulting bucket files under
-    * writer-unique immutable names. Nothing becomes visible — data
-    * files are dead weight until a manifest references them (crash or
-    * abort ⇒ orphans for [[vacuum]]). The returned [[PendingCommit]]
-    * records the snapshot read (`baseVersion`) and the buckets whose
-    * state the merge assumed (`touched`) — the facts conflict
-    * detection needs.
-    */
-  // ---- row tracking --------------------------------------------------------
-  //
-  // Delta Row Tracking / Iceberg row-lineage semantics: once enabled
-  // (`prop rowTracking true`, [[enableRowTracking]]), every live row
-  // carries a STABLE engine-assigned identity in a hidden physical
-  // column `_row_id`, preserved across every rewrite:
-  //
-  //  - COW upsert: the per-key winner INHERITS the key's existing id
-  //    (a window max over the same key partitioning the merge already
-  //    shuffles on — no extra shuffle); genuinely new keys draw fresh
-  //    ids above the table's high-water mark (`prop rowid.hwm`).
-  //  - MOR upsert: the appended winner inherits from the row version
-  //    it supersedes (the id rides the same key join that finds the
-  //    DV positions).
-  //  - OPTIMIZE / CLUSTER BY / Z-ORDER / DV compaction: `_row_id` is a
-  //    physical column in the files, so row-preserving rewrites carry
-  //    it like any other column — zero code in those paths.
-  //  - DV deletes: positions change nothing; ids survive trivially.
-  //  - REPLACE: new content = new rows = fresh ids (Delta RTAS rule).
-  //
-  // The hwm is allocated read-modify-write: a commit that stamps a new
-  // hwm declares it via [[PendingCommit.dropProps]], and the OCC loop
-  // REFUSES to rebase over a concurrent hwm change — two writers can
-  // never publish overlapping allocations (they serialize, which is
-  // also Delta's answer). Fresh ids are assigned by a deterministic
-  // (gbucket, key) ordering; the global row_number window runs over
-  // NEW ROWS ONLY (batch-scale — at 100 TB the per-batch new-row set
-  // is what trickles in, never the table).
-
-  private def isTracked(m: TableManifest): Boolean =
-    m.props.get("rowTracking").contains("true")
-
-  private def rowIdHwm(m: TableManifest): Long =
-    m.props.get("rowid.hwm").map(_.toLong).getOrElse(0L)
-
-  private def withNullRowId(df: DataFrame): DataFrame =
-    if (df.columns.contains("_row_id")) df
-    else df.withColumn("_row_id", lit(null).cast("long"))
-
-  /** Before winner resolution: every row of a key sees the key's
-    * existing LIVE id, so the winner keeps it whichever input row wins
-    * — except across a tombstone: a delete RETIRES the id (Delta's
-    * rule: a re-insert is a new row), so only live rows donate, while
-    * a carried tombstone keeps its own id (stable across bucket
-    * rewrites, no allocation churn).
-    */
-  private def inheritRowIds(all: DataFrame,
-      keyColsP: Seq[String]): DataFrame = {
-    val liveId = when(!coalesce(col("_deleted"), lit(false)),
-      col("_row_id"))
-    withNullRowId(all).withColumn("_row_id",
-      coalesce(max(liveId).over(
-        Window.partitionBy(keyColsP.map(col): _*)), col("_row_id")))
-  }
-
-  /** After resolution: rows with no inherited id (new keys) draw
-    * consecutive ids above the high-water mark, ordered by
-    * (gbucket, key) — deterministic, and partitioning-independent
-    * because the checkpointed input is split exactly once. The
-    * one-partition ranking window is the right cost at the
-    * incremental-batch grain this path serves (fresh rows = the
-    * batch's NEW keys; a sizing probe costs a job per commit — r14
-    * measured it at ~10-25% on the multi-commit gates, all overhead);
-    * a bulk initial load swaps in [[graft.Dist.globalRowNumber]] over
-    * the same (gbucket, key) order — bit-identical ids (DistSpec
-    * proves both forms equal on exactly this frame shape), pure cost
-    * policy like the backfill note on [[enableRowTracking]].
-    */
-  private def assignFreshRowIds(resolved: DataFrame,
-      keyColsP: Seq[String], hwm0: Long): DataFrame = {
-    val base = withNullRowId(resolved).localCheckpoint(true)
-    val fresh = base.filter(col("_row_id").isNull)
-      .withColumn("_row_id", lit(hwm0) + row_number().over(
-        Window.orderBy((col("gbucket") +: keyColsP.map(col)): _*))
-        .cast("long"))
-    base.filter(col("_row_id").isNotNull).unionByName(fresh)
-  }
-
-  /** The committed allocation ceiling: ids land in the files, so the
-    * new hwm is read back from the adopted files' pruned `_row_id`
-    * column (no extra pass over the merge output before the write).
-    */
-  private def adoptedMaxRowId(spark: SparkSession, path: String,
-      adopted: Seq[String], hwm0: Long): Long = {
-    if (adopted.isEmpty) hwm0
-    else {
-      val r = spark.read.parquet(adopted.map(rel => s"$path/$rel"): _*)
-        .agg(max(col("_row_id"))).collect()(0)
-      math.max(hwm0, if (r.isNullAt(0)) hwm0 else r.getLong(0))
-    }
-  }
-
-  /** Enable row tracking on an existing table: one BACKFILL commit
-    * rewrites the live data with ids assigned in (file, position)
-    * order and stamps `rowTracking` + the initial hwm. Idempotent
-    * refusal if already enabled. The one-partition ranking window is
-    * acceptable here because backfill is a ONE-TIME migration commit;
-    * a table too large for it could swap in
-    * [[graft.Dist.globalRowNumber]] over the same (_rel, _pos) order —
-    * bit-identical ids (DistSpec) — but the lake paths are window-only
-    * by design today (batch-grain allocations are small); only
-    * [[graft.operators.GraphAnn]]'s rank table switches adaptively.
-    */
-  def enableRowTracking(spark: SparkSession, path: String): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    require(!isTracked(m), s"row tracking already enabled at $path")
-    if (m.data.isEmpty)
-      return commitPending(spark, path, PendingCommit(base, Set.empty,
-        Seq("prop\trowTracking\ttrue", "prop\trowid.hwm\t0"),
-        Seq.empty, op = "ROW_TRACKING_BACKFILL"))
-    val df = loadWithDv(spark, path, m.data, m.dv, keepPos = true,
-      widen = widenMap(m))
-      .withColumn("_row_id", row_number().over(
-        Window.orderBy(col("_rel"), col("_pos"))).cast("long"))
-      .drop("_rel", "_pos")
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    val adopted = adoptStaged(spark, path, stage, wid)
-    val touched = (m.data.map(bucketOf) ++ adopted.map(bucketOf)).toSet
-    val hwm = adoptedMaxRowId(spark, path, adopted, 0L)
-    commitPending(spark, path, PendingCommit(base, touched,
-      TableManifest(adopted, Map.empty,
-        stats = computeStats(spark, path, adopted)).lines ++
-        Seq("prop\trowTracking\ttrue", s"prop\trowid.hwm\t$hwm"),
-      adopted, op = "ROW_TRACKING_BACKFILL"))
-  }
-
-  /** [[read]] plus the tracked identity as a `row_id` output column. */
-  def readWithRowIds(spark: SparkSession, path: String,
-      asOfVersion: Option[Int] = None): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val v = asOfVersion.getOrElse(vs.last)
-    val m = manifestEntries(spark, path, v)
-    require(isTracked(m), s"row tracking not enabled at $path")
-    val df0 = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
-      .drop("gbucket")
-    val live =
-      if (df0.columns.contains("_deleted"))
-        df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-      else df0
-    // surface under the public name BEFORE toLogicalDf hides `_row_id`
-    toLogicalDf(live.withColumnRenamed("_row_id", "row_id"), m)
-  }
-
-  def prepare(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], seqCol: String,
-      numBuckets: Int = 16): PendingCommit = {
-    val f = fs(spark)
-    val vs = versions(spark, path)
-    val prior0: TableManifest = vs.lastOption
-      .map(v => manifestEntries(spark, path, v))
-      .getOrElse(TableManifest(Seq.empty, Map.empty))
-    // the bucket modulus is a TABLE property: the first commit stamps
-    // it, every later writer uses the stored value (a mismatched
-    // per-call argument would silently break key→bucket pruning)
-    val buckets = prior0.numBuckets(numBuckets)
-    enforceConstraints(prior0, updates)
-    val (updatesE, expectMeta) =
-      applyExpectations(spark, path, prior0, updates)
-    // callers speak logical names; files store the pinned physical ones
-    val updatesP = toPhysicalDf(applyGenerated(prior0, updatesE), prior0)
-    val keyColsP = keyCols.map(toPhysicalName(prior0, _))
-    val seqColP = toPhysicalName(prior0, seqCol)
-    val tagged0 = updatesP.withColumn("_is_update", lit(1))
-    val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
-      else tagged0.withColumn("_deleted", lit(false)))
-      .withColumn("gbucket", pmod(hash(keyColsP.map(col): _*), lit(buckets)))
-    def resolve(all: DataFrame): DataFrame = {
-      val w = Window.partitionBy(keyColsP.map(col): _*)
-        .orderBy(col(seqColP).desc, col("_is_update").desc)
-      all.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_rn", "_is_update")
-        .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
-    }
-    val prior = prior0
-    // the buckets this merge WRITES (and whose prior state it read —
-    // for a first commit that state is "empty", which a concurrent
-    // writer can still invalidate, so touched is computed regardless)
-    val touched: Set[Int] = tagged.select(col("gbucket")).distinct()
-      .collect().map(_.getInt(0)).toSet // ≤ numBuckets ints
-    val replaced = prior.data.filter(rel => touched.contains(bucketOf(rel)))
-    val existing =
-      if (replaced.isEmpty) None
-      else Some(loadWithDv(spark, path, replaced, prior.dv,
-        widen = widenMap(prior))
-        .withColumn("_is_update", lit(0)))
-    val tracked = isTracked(prior)
-    val merged0 = existing match {
-      case None =>
-        resolve(if (tracked) withNullRowId(tagged) else tagged)
-      case Some(ex) =>
-        val withDel = if (ex.columns.contains("_deleted")) ex
-          else ex.withColumn("_deleted", lit(false))
-        val all = withDel.unionByName(tagged, allowMissingColumns = true)
-        // inherit ids pre-resolution: the winner keeps its key's id
-        resolve(if (tracked) inheritRowIds(all, keyColsP) else all)
-    }
-    val merged =
-      if (tracked) assignFreshRowIds(merged0, keyColsP, rowIdHwm(prior))
-      else merged0
-    // stage new bucket files, then adopt them under immutable
-    // writer-nonced names; staging never touches live data, and no two
-    // writers can collide on a physical name
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    merged.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    val adopted = adoptStaged(spark, path, stage, wid)
-    // ourLines = the touched buckets' complete new representation: the
-    // adopted files, no DV lines (the rewrite materialized deletes).
-    // Untouched-bucket lines are re-derived from whatever manifest the
-    // commit ultimately lands on (base, or the winner's on rebase).
-    // The first commit also stamps the table properties.
-    val propLines =
-      (if (vs.isEmpty) Seq(s"prop\tnumBuckets\t$buckets") else Seq.empty) ++
-      (if (tracked) Seq("prop\trowid.hwm\t" +
-        adoptedMaxRowId(spark, path, adopted, rowIdHwm(prior))) else Seq.empty)
-    PendingCommit(vs.lastOption.getOrElse(0), touched,
-      adopted ++ statsAsLines(computeStats(spark, path, adopted)) ++
-        propLines, adopted, metaExtra = expectMeta,
-      dropProps = if (tracked) Seq("rowid.hwm") else Nil)
-  }
-
-  /** Phase 2: the optimistic commit loop. Try the CAS at
-    * baseVersion + 1; on loss, classify the conflict against what
-    * actually changed since the base snapshot:
-    *
-    *  - DISJOINT buckets — the winner's merge and ours commute (a
-    *    key's resolution only ever reads its own bucket), so REBASE:
-    *    re-point the untouched-bucket carryover at the winner's
-    *    manifest and CAS the next slot. O(manifest) metadata per
-    *    round, no data re-read, no re-merge.
-    *  - OVERLAPPING buckets — our merge read state the winner
-    *    replaced; its output is stale. Clean up the adopted files and
-    *    raise [[ConcurrentWriteConflict]]; the caller re-merges from
-    *    the new snapshot (plain [[upsert]] does).
-    *
-    * This is Delta/Iceberg commit-conflict semantics with the bucket
-    * as the conflict granule. At 100 TB the rebase path is what makes
-    * trickle writers scale: disjoint-shard ingest never re-reads data,
-    * only re-lists the manifest.
-    */
-  def commitPending(spark: SparkSession, path: String, p: PendingCommit,
-      maxRebase: Int = 10): CommitResult = {
-    val baseLines: Set[String] =
-      if (p.baseVersion == 0) Set.empty
-      else manifestLines(spark, path, p.baseVersion).toSet
-    def assemble(from: Seq[String]): Seq[String] = {
-      val kept = from.filterNot { l =>
-        if (isMetaLine(l)) true // per-version bookkeeping, never carries
-        else if (isTxnLine(l)) // replace only OUR app's watermark
-          p.txn.exists { case (app, _) => l.startsWith(s"txn\t$app\t") }
-        else if (isPropLine(l)) // properties carry unless re-stamped
-          p.dropProps.exists(k => l.startsWith(s"prop\t$k\t"))
-        else p.touched.contains(bucketOfLine(l))
-      }
-      kept ++ p.ourLines ++
-        p.txn.map { case (a, v) => s"txn\t$a\t$v" }.toSeq ++
-        p.metaExtra :+
-        s"meta\top\t${p.op}"
-    }
-    var base = p.baseVersion
-    var manifest = assemble(baseLines.toSeq)
-    var rounds = 0
-    while (true) {
-      if (casCommit(spark, path, base + 1, manifest)) {
-        publishChangeLog(spark, path, base + 1, p.adopted)
-        return CommitResult(base + 1, rounds)
-      }
-      val latest = versions(spark, path).last
-      val latestLines = manifestLines(spark, path, latest)
-      val changedBuckets =
-        ((latestLines.toSet diff baseLines) ++
-          (baseLines diff latestLines.toSet))
-          .filterNot(l => // bookkeeping lines never conflict
-            isTxnLine(l) || isPropLine(l) || isMetaLine(l))
-          .map(bucketOfLine)
-      val overlap = changedBuckets.intersect(p.touched)
-      if (overlap.nonEmpty) {
-        val f = fs(spark)
-        p.adopted.foreach(rel => f.delete(new Path(s"$path/$rel"), false))
-        throw new ConcurrentWriteConflict(
-          s"lost commit of v${base + 1} at $path to a writer that " +
-            s"changed buckets ${overlap.toSeq.sorted.mkString(",")} — " +
-            "re-merge against the new snapshot")
-      }
-      // a re-stamped property is a read-modify-write: if the winner
-      // changed the same key (e.g. both allocated row ids from one
-      // hwm), rebasing would publish overlapping allocations — conflict
-      val propConflict = p.dropProps.filter { k =>
-        latestLines.filter(_.startsWith(s"prop\t$k\t")).toSet !=
-          baseLines.filter(_.startsWith(s"prop\t$k\t"))
-      }
-      if (propConflict.nonEmpty) {
-        val f = fs(spark)
-        p.adopted.foreach(rel => f.delete(new Path(s"$path/$rel"), false))
-        throw new ConcurrentWriteConflict(
-          s"lost commit of v${base + 1} at $path to a writer that " +
-            s"re-stamped ${propConflict.mkString(",")} — re-run against " +
-            "the new snapshot")
-      }
-      rounds += 1
-      if (rounds > maxRebase) throw new java.io.IOException(
-        s"gave up after $maxRebase rebase rounds at $path")
-      manifest = assemble(latestLines)
-      base = latest
-    }
-    throw new IllegalStateException("unreachable")
-  }
-
-  /** Commit-time CHANGE LOG: hard-link each data file the committed
-    * version ADDED into `_changes/v<N>/` — the structure that makes the
-    * table a Structured Streaming SOURCE (see [[streamSource]]). Links
-    * are metadata-scale (no bytes copied) and land strictly AFTER the
-    * CAS, so a file appears in the log iff its commit won; conflicted
-    * writers' adopted files are deleted before ever being linked. File
-    * streams track progress by path, so the per-version directory plus
-    * writer-nonced names give a checkpointed reader exactly-once
-    * delivery across restarts.
-    *
-    * Grain contract: the log carries the rows each commit ACCEPTED.
-    * For [[dvUpsert]] trickle commits that is exactly the appended
-    * winners (tombstones included — a CDC stream); a pure
-    * position-delete [[dvDelete]] commit appends no data file and
-    * instead publishes its doomed rows as tombstones via
-    * [[publishDeleteTombstones]] (same sequence, `_deleted=true`,
-    * delete-wins-tie at the consumer); a
-    * copy-on-write [[upsert]] or [[compactDvs]] rewrite re-delivers its
-    * whole touched bucket, which sequence-resolving consumers absorb
-    * idempotently (re-delivered rows lose or tie on the sequence).
-    * [[restore]] commits by reference and so emits nothing — rollback
-    * is a snapshot-level event, not a row-level one. A crash in the
-    * window between CAS and link can omit a commit's links; the window
-    * is one process step, and re-linking from the manifest diff is
-    * idempotent (links are keyed by the immutable file name).
-    */
-  private def publishChangeLog(spark: SparkSession, path: String,
-      version: Int, adopted: Seq[String]): Unit = {
-    val dataFiles = adopted.filter(_.startsWith("gbucket="))
-    if (dataFiles.isEmpty) return
-    val f = fs(spark)
-    val dir = new Path(f"$path/$ChangesDir/v$version%06d")
-    f.mkdirs(dir)
-    dataFiles.foreach { rel =>
-      val dst = new Path(dir, rel.replace('/', '_'))
-      if (f.getUri.getScheme == "file")
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(s"$path/$rel"))
-      else // no hard links on object stores: copy (change-scale bytes)
-        org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$path/$rel"),
-          f, dst, false, spark.sparkContext.hadoopConfiguration)
-    }
-  }
-
-  /** Durable marker for a change-feed GAP — a version whose change
-    * files can never be published (see [[repairDeleteTombstones]]).
-    * Underscore-prefixed so the `v*` parquet glob and Spark's file
-    * index never read it as data; a FILE, so vacuum's change-DIRECTORY
-    * sweep leaves it standing until its version falls below the
-    * retention floor.
-    */
-  private def gapMarkerPath(path: String, version: Int): Path =
-    new Path(f"$path/$ChangesDir/_gap_v$version%06d.txt")
-
-  /** Versions with a recorded change-feed gap (oldest first). */
-  def changeFeedGaps(spark: SparkSession, path: String): Seq[Int] = {
-    val f = fs(spark)
-    val chDir = new Path(s"$path/$ChangesDir")
-    if (!f.exists(chDir)) Seq.empty
-    else f.listStatus(chDir).filter(_.isFile).map(_.getPath.getName)
-      .filter(n => n.startsWith("_gap_v") && n.endsWith(".txt"))
-      .map(_.stripPrefix("_gap_v").stripSuffix(".txt").toInt)
-      .sorted.toSeq
-  }
-
-  /** The table's commit log as a STREAMING SOURCE — the Delta
-    * `readChangeFeed` streaming shape: a file stream over the
-    * per-version change directories. The returned stream delivers every
-    * appended row exactly once per checkpoint (Spark's file-stream seen-
-    * files ledger), resumes incrementally after a restart (only
-    * versions committed since the checkpoint arrive), and carries
-    * tombstones so a downstream consumer can maintain SCD state. The
-    * schema must be supplied (file streams cannot infer), normally from
-    * `read(spark, path).schema` plus the bookkeeping columns.
-    */
-  def streamSource(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(s"$path/$ChangesDir/v*")
-
-  /** [[streamSource]] under the table's LOGICAL column names, with the
-    * bookkeeping a change-feed consumer needs: `_deleted` tombstone
-    * marks survive, and `_commit_version` (parsed from the per-version
-    * change directory each file lives in) says which commit produced
-    * each row. This is the plan `spark.readStream.table("graft_lake.
-    * ns.t[.changes]")` resolves to (see [[CdfSql.ResolveLakeStreams]]):
-    * the physical file schema comes from the NEWEST change directory —
-    * older files missing later-added columns read as NULL (parquet
-    * by-name) — and column-mapping renames/drops are applied from the
-    * tip manifest, so the stream always speaks the current names.
-    */
-  def streamChanges(spark: SparkSession, path: String): DataFrame = {
-    // Gap-freedom is checked at STREAM CONSTRUCTION only: a gap marker
-    // written by repairDeleteTombstones AFTER the stream starts is not
-    // observed until the next (re)start. This matches the marker's
-    // causal window — a gap can only be recorded for a version whose
-    // predecessor manifest a tag-pinned vacuum already removed, and
-    // vacuum's retention floor is far older than any live microbatch,
-    // so a RUNNING stream has necessarily already consumed (or will
-    // consume, from still-present change files) the affected version.
-    // Restart-time is therefore the correct enforcement point; checking
-    // per microbatch would add a listing per trigger to re-verify
-    // versions the checkpoint has already sealed.
-    val gaps = changeFeedGaps(spark, path)
-    require(gaps.isEmpty,
-      s"change feed at $path has unpublishable gaps at version(s) " +
-        s"${gaps.mkString(", ")} (delete tombstones lost to tag-pinned " +
-        "vacuum retention) — a stream from here would silently miss " +
-        "those deletes; re-seed the consumer from a snapshot instead")
-    val f = fs(spark)
-    val chDir = new Path(s"$path/$ChangesDir")
-    val dirs =
-      if (!f.exists(chDir)) Array.empty[Path]
-      else f.listStatus(chDir).filter(_.isDirectory).map(_.getPath)
-        .sortBy(_.getName)
-    require(dirs.nonEmpty,
-      s"no published change versions at $path — nothing to stream")
-    val phys = spark.read.parquet(dirs.last.toString).schema
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val m = manifestEntries(spark, path, vs.last)
-    // anchor the version capture to the _changes directory — an
-    // unanchored /v<digits>/ would match a path segment of the table
-    // ROOT (e.g. a table under /data/v2/...) and stamp every row with
-    // that foreign number
-    toLogicalDf(streamSource(spark, path, phys), m)
-      .withColumn("_commit_version",
-        regexp_extract(input_file_name(),
-          s"/$ChangesDir/v(\\d+)/", 1).cast("int"))
-  }
-
-  /** Adopt every staged bucket file under immutable writer-nonced
-    * names; returns the adopted relative paths.
-    */
-  private def adoptStaged(spark: SparkSession, path: String, stage: String,
-      wid: String): Seq[String] = {
-    val f = fs(spark)
-    val adopted = scala.collection.mutable.ArrayBuffer[String]()
-    f.listStatus(new Path(stage)).filter(_.isDirectory).foreach { d =>
-      val bucketDir = d.getPath.getName // gbucket=N
-      f.mkdirs(new Path(s"$path/$bucketDir"))
-      f.listStatus(d.getPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (s, i) =>
-          val rel = f"$bucketDir/w$wid-$i%04d.parquet"
-          if (!f.rename(s.getPath, new Path(s"$path/$rel")))
-            throw new java.io.IOException(s"cannot adopt $rel")
-          adopted += rel
-        }
-    }
-    f.delete(new Path(stage), true)
-    adopted.toSeq
-  }
-
-  /** Land one DV sidecar: `hits` (file_rel, pos) unioned with the
-    * affected files' existing DV rows, one parquet under [[DvDir]].
-    * Returns (sidecar rel, affected data files); None when `hits` is
-    * empty. The sidecar is deleted-rows-scale — metadata, not data.
-    */
-  private def writeDvSidecar(spark: SparkSession, path: String,
-      hits: DataFrame, m: TableManifest): Option[(String, Seq[String])] = {
-    val f = fs(spark)
-    val affected = hits.select(col("file_rel")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq // metadata scale
-    if (affected.isEmpty) return None
-    val priorDv = affected.flatMap(m.dv.get).distinct
-    val merged =
-      if (priorDv.isEmpty) hits
-      else hits.unionByName(
-        spark.read.parquet(priorDv.map(r => s"$path/$r"): _*)
-          .filter(col("file_rel").isin(affected: _*))).distinct()
-    val wid = nonce()
-    val stage = path + s"_dvstage_$wid"
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-    f.mkdirs(new Path(s"$path/$DvDir"))
-    val dvRel = s"$DvDir/w$wid.parquet"
-    val part = f.listStatus(new Path(stage))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    require(part.length == 1, s"expected one DV part, got ${part.length}")
-    if (!f.rename(part.head.getPath, new Path(s"$path/$dvRel")))
-      throw new java.io.IOException(s"cannot adopt $dvRel")
-    f.delete(new Path(stage), true)
-    Some((dvRel, affected))
-  }
-
-  /** MERGE-ON-READ delete: mark the current rows of `deleteKeys` in a
-    * deletion-vector sidecar instead of rewriting their data files —
-    * Delta deletion vectors / Iceberg position deletes. The commit
-    * touches ZERO data files: one metadata-scale scan finds the
-    * (file_rel, row_index) positions, ONE sidecar parquet lands the
-    * union of those positions with the affected files' existing DV
-    * rows (DV sidecars are immutable too — a re-delete writes a new
-    * sidecar and re-points the mapping), and the new manifest carries
-    * the same data lines with updated `dv` mappings. At 100 TB with
-    * trickle CDC this is the difference between O(rows-deleted) and
-    * O(files-touched × file-size) per batch; the read-side cost (one
-    * anti-join against |deleted rows|) is repaid at [[compactDvs]]
-    * time. Same OCC loop as every commit: disjoint-bucket writers
-    * rebase past us, overlapping ones conflict.
-    */
-  def dvDelete(spark: SparkSession, path: String, deleteKeys: DataFrame,
-      keyCols: Seq[String], numBuckets: Int = 16): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    // heal any prior DELETE whose tombstone link was lost to a crash
-    // before adding a new one (change-scale; see the method doc)
-    repairDeleteTombstones(spark, path)
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    // callers speak logical names; files store the pinned physical ones
-    val deleteKeysP = toPhysicalDf(deleteKeys, m)
-    val keyColsP = keyCols.map(toPhysicalName(m, _))
-    // BUCKET PRUNING: the keys' hash buckets bound which files can
-    // hold their rows — the position scan reads only those, so a
-    // trickle delete against a 100 TB table scans the touched shards,
-    // not the table (≤ numBuckets ints through the driver)
-    val keyBuckets = deleteKeysP
-      .select(pmod(hash(keyColsP.map(col): _*),
-        lit(m.numBuckets(numBuckets))).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
-    if (candidates.isEmpty) return CommitResult(base, 0)
-    // the keys' CURRENT rows (already-deleted positions are excluded
-    // by loadWithDv; re-marking them would be harmless) — one scan
-    // over the touched shards; the result is change-scale
-    val snap = loadWithDv(spark, path, candidates, m.dv, keepPos = true,
-      widen = widenMap(m))
-    val doomed = snap
-      .join(deleteKeysP.select(keyColsP.map(col): _*).distinct(),
-        keyColsP, "left_semi")
-      .localCheckpoint(true)
-    val hits = doomed
-      .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
-    writeDvSidecar(spark, path, hits, m) match {
-      case None => CommitResult(base, 0)
-      case Some((dvRel, affected)) =>
-        val touched = affected.map(bucketOf).toSet
-        // our touched buckets' lines: every base line of those buckets,
-        // with the affected files' DV mappings re-pointed at the new
-        // sidecar (data files UNCHANGED — that is the point)
-        val newDv = m.dv ++ affected.map(_ -> dvRel)
-        val ourLines = TableManifest(m.data, newDv, stats = m.stats).lines
-          .filter(l => touched.contains(bucketOfLine(l)))
-        // a pure position-delete commit appends NO data file, so
-        // without tombstones it would be INVISIBLE to the change
-        // stream: a downstream SCD consumer would retain deleted keys
-        // forever. STAGE the tombstone file BEFORE the CAS — the Spark
-        // write is the only slow step, so after the commit a
-        // metadata-scale rename is all that remains of the old
-        // post-CAS crash window; [[repairDeleteTombstones]] (run at
-        // the top of this method) heals even that residue, so a
-        // DELETE's change-stream entry can be late but never lost.
-        val stagedTomb = stageDeleteTombstones(spark, path, doomed)
-        val res =
-          try commitPending(spark, path,
-            PendingCommit(base, touched, ourLines, Seq(dvRel),
-              op = "DELETE"))
-          catch { case e: Throwable =>
-            fs(spark).delete(stagedTomb.getParent, true) // lost commit
-            throw e
-          }
-        linkDeleteTombstones(spark, path, res.version, stagedTomb)
-        res
-    }
-  }
-
-  /** Pre-CAS half of a delete commit's change-log entry: the doomed
-    * rows as TOMBSTONES (`_deleted=true`, original sequence) written to
-    * a writer-nonced staging dir — deleted-rows-scale, invisible until
-    * [[linkDeleteTombstones]] renames the part into
-    * `_changes/v<version>/`. Consumers resolve ties in favor of the
-    * tombstone (a delete of the current row beats the row), which
-    * [[streamSourceGate]] exercises and the `stream_lake_source`
-    * oracle pins. Returns the staged parquet part's path.
-    */
-  private def stageDeleteTombstones(spark: SparkSession, path: String,
-      doomed: DataFrame): Path = {
-    val f = fs(spark)
-    val tomb = doomed.drop("_rel", "_pos", "gbucket")
-      .withColumn("_deleted", lit(true))
-    val stage = path + s"_tombstage_${nonce()}"
-    tomb.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
-    val part = f.listStatus(new Path(stage))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    require(part.length == 1,
-      s"expected one tombstone part, got ${part.length}")
-    part.head.getPath
-  }
-
-  /** Post-CAS half: rename the staged tombstone part into the winning
-    * version's change directory (metadata-scale).
-    */
-  private def linkDeleteTombstones(spark: SparkSession, path: String,
-      version: Int, stagedPart: Path): Unit = {
-    val f = fs(spark)
-    val dir = new Path(f"$path/$ChangesDir/v$version%06d")
-    f.mkdirs(dir)
-    if (!f.rename(stagedPart,
-        new Path(dir, s"tomb-${stagedPart.getParent.getName}.parquet")))
-      throw new java.io.IOException(
-        s"cannot publish delete tombstones for v$version at $path")
-    f.delete(stagedPart.getParent, true)
-  }
-
-  /** Crash HEALING for the residual rename window: a DELETE-op commit
-    * whose `_changes/v<N>/` directory is missing (the writer died
-    * between its CAS and the tombstone link) is detectable precisely
-    * because [[dvDelete]] never commits a zero-row delete — so every
-    * DELETE version must have a change entry. Re-derive the doomed
-    * rows from the commit's own immutable state: the rows of files
-    * whose DV mapping changed at `v`, restricted to the positions the
-    * new sidecar added — exactly the rows the lost tombstone file
-    * carried — and publish them under the original version number.
-    * Runs at the top of [[dvDelete]] (change-scale: only unpublished
-    * DELETE versions are touched; the op probe reads raw manifest
-    * heads, not resolved manifests).
-    */
-  private def repairDeleteTombstones(spark: SparkSession,
-      path: String): Unit = {
-    val f = fs(spark)
-    val vs = versions(spark, path)
-    if (vs.size < 2) return
-    val chDir = new Path(s"$path/$ChangesDir")
-    val published: Set[Int] =
-      if (!f.exists(chDir)) Set.empty
-      else f.listStatus(chDir).filter(_.isDirectory)
-        .map(_.getPath.getName.stripPrefix("v").toInt).toSet
-    val unpublished = vs.drop(1).filterNot(published.contains)
-    unpublished.foreach { v =>
-      // op from the RAW lines: delta manifests re-add their meta lines
-      // (per-version bookkeeping never carries), so the probe is
-      // change-scale even on delta-encoded logs
-      val isDelete = rawManifestLines(spark, path, v)
-        .exists(l => l == "meta\top\tDELETE" || l == "+\tmeta\top\tDELETE")
-      // Tag-pinned vacuum retention is NON-contiguous: a kept DELETE
-      // version can outlive its predecessor's manifest. Repair needs
-      // v-1 to reconstruct the lost tombstones; without it, skip with
-      // a warning instead of throwing — the alternative permanently
-      // wedges every future dvDelete on this table behind an
-      // unrepairable crash remnant.
-      if (isDelete && !vs.contains(v - 1)) {
-        // the gap is permanent — record it DURABLY so change-feed
-        // consumers fail on it instead of silently missing the
-        // version's tombstones (a log line is not a queryable signal)
-        val marker = gapMarkerPath(path, v)
-        if (!f.exists(marker)) {
-          val out = f.create(marker, true)
-          try out.write((s"delete tombstones for v$v are unpublishable: " +
-            s"predecessor manifest v${v - 1} was vacuumed").getBytes("UTF-8"))
-          finally out.close()
-        }
-        log.warn(s"cannot repair lost delete tombstones for v$v at " +
-          s"$path: predecessor manifest v${v - 1} was vacuumed; " +
-          s"gap recorded at $marker")
-      } else if (isDelete) {
-        val m = manifestEntries(spark, path, v)
-        val mPrev = manifestEntries(spark, path, v - 1)
-        val grew = m.data.filter(r => m.dv.get(r) != mPrev.dv.get(r))
-        if (grew.nonEmpty) {
-          // rows live at v-1 whose position the new sidecar added
-          val rows = loadWithDv(spark, path, grew, mPrev.dv,
-            keepPos = true, widen = widenMap(m))
-          val newDels = spark.read
-            .parquet(grew.flatMap(m.dv.get).distinct.map(r => s"$path/$r"): _*)
-            .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
-            .distinct()
-          val doomed = rows.join(newDels, Seq("_rel", "_pos"), "left_semi")
-          linkDeleteTombstones(spark, path, v,
-            stageDeleteTombstones(spark, path, doomed))
-        }
-      }
-    }
-  }
-
-  /** MERGE-ON-READ upsert — the MOR form of [[upsert]]'s MERGE: the
-    * superseded versions of the changed keys are DV-marked and the
-    * winning rows APPEND as new files; no existing data file is ever
-    * rewritten. Per key the commit is O(changed rows), not
-    * O(bucket-file size) — the write path a trickle-CDC feed needs at
-    * 100 TB, with [[compactDvs]] amortizing the read-side anti-join.
-    *
-    * Semantics mirror [[upsert]] exactly: last-writer-wins on `seqCol`
-    * with update-wins-tie (a change is ACCEPTED iff its sequence ≥ the
-    * key's current row's), `_deleted` deletes append as TOMBSTONE rows
-    * — retained, sequence and all, so a late-arriving OLDER change for
-    * a deleted key is rejected by the same comparison (the
-    * anti-resurrection contract), and readers filter them. Stale
-    * changes are dropped. One snapshot scan finds the current rows of
-    * the touched keys; everything else is change-scale.
-    */
-  def dvUpsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String], seqCol: String,
-      numBuckets: Int = 16): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty,
-      s"no committed versions at $path — land the initial snapshot with upsert")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    enforceConstraints(m, updates)
-    val (updatesE, expectMeta) = applyExpectations(spark, path, m, updates)
-    // callers speak logical names; files store the pinned physical ones
-    val updatesP = toPhysicalDf(applyGenerated(m, updatesE), m)
-    val keyCols2 = keyCols.map(toPhysicalName(m, _))
-    val seqCol2 = toPhysicalName(m, seqCol)
-    val tagged0 = updatesP
-    val tagged = (if (tagged0.columns.contains("_deleted")) tagged0
-      else tagged0.withColumn("_deleted", lit(false)))
-      .withColumn("gbucket", pmod(hash(keyCols2.map(col): _*),
-        lit(m.numBuckets(numBuckets))))
-    // winner per key WITHIN the batch (same resolve as upsert)
-    val wInner = Window.partitionBy(keyCols2.map(col): _*)
-      .orderBy(col(seqCol2).desc)
-    val newRows = tagged.withColumn("_rn", row_number().over(wInner))
-      .filter(col("_rn") === 1).drop("_rn")
-      .localCheckpoint(true)
-    // current rows (tombstones INCLUDED — they carry the sequence that
-    // rejects late older changes) of the touched keys, with positions.
-    // BUCKET PRUNING: only the changed keys' hash buckets can hold
-    // them — the scan reads those shards, never the whole table.
-    val keyBuckets = newRows.select(col("gbucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
-    val tracked = isTracked(m)
-    val current = (if (candidates.isEmpty)
-      // no bucket holds these keys yet: empty current, same shape
-      withNullRowId(newRows.filter(lit(false)))
-        .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
-          lit(null).cast("string").as("_rel") :+
-          lit(null).cast("long").as("_pos") :+ col("_row_id")): _*)
-    else withNullRowId(loadWithDv(spark, path, candidates, m.dv,
-      keepPos = true, widen = widenMap(m)))
-      .join(newRows.select(keyCols2.map(col): _*).distinct(),
-        keyCols2, "left_semi")
-      .select((keyCols2.map(col) :+ col(seqCol2).as("_cur_seq") :+
-        col("_rel") :+ col("_pos") :+
-        // only a LIVE current row donates its id — an accepted write
-        // over a tombstone is a re-insert and draws fresh
-        when(!coalesce(col("_deleted"), lit(false)), col("_row_id"))
-          .as("_row_id")): _*))
-      .localCheckpoint(true) // one scan over touched shards only
-    // accept iff no current row, or new sequence wins (ties to the
-    // update — upsert's (seq DESC, _is_update DESC) order). When
-    // tracked, the superseded row version's id rides this same join,
-    // so the appended winner INHERITS the key's identity.
-    val accepted0 = newRows
-      .join(current.select(((keyCols2.map(col) :+ col("_cur_seq")) ++
-        (if (tracked) Seq(col("_row_id")) else Nil)): _*),
-        keyCols2, "left")
-      .filter(col("_cur_seq").isNull || col(seqCol2) >= col("_cur_seq"))
-      .drop("_cur_seq")
-    val accepted =
-      if (tracked) assignFreshRowIds(accepted0, keyCols2, rowIdHwm(m))
-      else accepted0.localCheckpoint(true)
-    // DV the superseded versions of accepted keys
-    val hits = current
-      .join(accepted.select(keyCols2.map(col): _*) , keyCols2, "left_semi")
-      .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
-    val dvOut = writeDvSidecar(spark, path, hits, m)
-    // append the winners (deletes as tombstone rows) as NEW files
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    accepted.write.partitionBy("gbucket").mode(SaveMode.Overwrite)
-      .parquet(stage)
-    val appended = adoptStaged(spark, path, stage, wid)
-    if (dvOut.isEmpty && appended.isEmpty) return CommitResult(base, 0)
-    val dvAffected = dvOut.map(_._2).getOrElse(Seq.empty)
-    val touched = (dvAffected.map(bucketOf) ++ appended.map(bucketOf)).toSet
-    val newDv = m.dv ++ dvOut.toSeq.flatMap { case (rel, aff) =>
-      aff.map(_ -> rel)
-    }
-    val ourLines = TableManifest(m.data ++ appended, newDv,
-      stats = m.stats ++ computeStats(spark, path, appended)).lines
-      .filter(l => touched.contains(bucketOfLine(l))) ++
-      (if (tracked) Seq("prop\trowid.hwm\t" +
-        adoptedMaxRowId(spark, path, appended, rowIdHwm(m))) else Seq.empty)
-    commitPending(spark, path, PendingCommit(base, touched, ourLines,
-      appended ++ dvOut.map(_._1).toSeq, op = "MERGE_MOR",
-      metaExtra = expectMeta,
-      dropProps = if (tracked) Seq("rowid.hwm") else Nil))
-  }
-
-  /** Fold deletion vectors back into data files: rewrite ONLY the
-    * DV-carrying files with their deletes applied, carry every clean
-    * file by reference, and commit a DV-free representation of the
-    * touched buckets. This is the compaction half of the
-    * merge-on-read bargain — reads pay the anti-join until compaction
-    * amortizes it away.
-    */
-  def compactDvs(spark: SparkSession, path: String,
-      numBuckets: Int = 16): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    if (m.dv.isEmpty) return CommitResult(base, 0)
-    val dvFiles = m.dv.keys.toSeq.sorted
-    val touched = dvFiles.map(bucketOf).toSet
-    val cleanCarried = m.data
-      .filter(rel => touched.contains(bucketOf(rel)) && !m.dv.contains(rel))
-    val df = loadWithDv(spark, path, dvFiles, m.dv, widen = widenMap(m))
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    val adopted = adoptStaged(spark, path, stage, wid)
-    val carriedStats = m.stats.view
-      .filterKeys(cleanCarried.toSet).toMap
-    commitPending(spark, path, PendingCommit(base, touched,
-      TableManifest(cleanCarried ++ adopted, Map.empty,
-        stats = carriedStats ++ computeStats(spark, path, adopted)).lines,
-      adopted, op = "OPTIMIZE"))
-  }
-
-  /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE` semantics:
-    * `dest` becomes an independent table whose v1 references the
-    * source tip's data and DV files with ZERO bytes copied. On a local
-    * filesystem the references are HARD LINKS (one directory entry per
-    * file — the inode is shared, so the clone stays readable even
-    * after the source rewrites and vacuums those files: the link keeps
-    * the data alive, which is strictly safer than Delta's path-based
-    * shallow clones, where a source VACUUM breaks the clone); object
-    * stores fall back to server-side copy. Table properties (bucket
-    * modulus, constraints) carry — the clone must merge with the same
-    * key→bucket mapping or its pruning would be wrong. The transaction
-    * ledger does NOT carry: a clone is a NEW table and a streaming
-    * writer's watermarks on the source say nothing about batches
-    * applied to the clone.
-    *
-    * After the clone, the two tables' histories are fully independent:
-    * each has its own `_log/`, OCC version chain, change log, and
-    * vacuum lifecycle. This is the zero-cost dev/test-sandbox and
-    * what-if-experiment primitive a 100 TB table needs — cloning it
-    * costs O(#files) metadata operations, not O(bytes).
-    */
-  def cloneTable(spark: SparkSession, source: String,
-      dest: String, atVersion: Option[Int] = None): CommitResult = {
-    val f = fs(spark)
-    val vs = versions(spark, source)
-    require(vs.nonEmpty, s"no committed versions at $source")
-    // a caller that also RECORDS the cloned version (createBranch's
-    // branch.base) must pin it here — re-reading the tip in two places
-    // races a concurrent commit into a fork point that never existed
-    val cloneV = atVersion.getOrElse(vs.last)
-    require(vs.contains(cloneV),
-      s"clone source version $cloneV is not committed at $source")
-    require(versions(spark, dest).isEmpty,
-      s"$dest already has committed versions — clone targets a fresh path")
-    val m = manifestEntries(spark, source, cloneV)
-    (m.data ++ m.dv.values.toSeq.distinct).foreach { rel =>
-      val src = new Path(s"$source/$rel")
-      val dst = new Path(s"$dest/$rel")
-      f.mkdirs(dst.getParent)
-      if (f.getUri.getScheme == "file")
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(src.toUri.getPath))
-      else
-        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
-          spark.sparkContext.hadoopConfiguration)
-    }
-    val lines = TableManifest(m.data, m.dv, Map.empty, m.props,
-      m.stats).lines :+ "meta\top\tCLONE"
-    if (!casCommit(spark, dest, 1, lines))
-      throw new java.io.IOException(
-        s"clone race: another writer created $dest concurrently")
-    // the clone's v1 "appends" its whole snapshot as far as a change-
-    // stream consumer of the NEW table is concerned
-    publishChangeLog(spark, dest, 1, m.data)
-    CommitResult(1, 0)
-  }
-
-  // ---- branch refs (write-audit-publish by NAME) ---------------------------
-
-  private val BranchesDir = "_branches"
-
-  /** The branch's own table directory — a full lake chain under
-    * `<table>/_branches/<name>/`, so every write/read/constraint
-    * surface works on a branch unchanged.
-    */
-  def branchPath(path: String, name: String): String =
-    s"$path/$BranchesDir/$name"
-
-  /** CREATE BRANCH — a WRITABLE named ref (Iceberg branch semantics;
-    * tags are the read-only half, [[createTag]]): the branch forks
-    * from the main tip as a ZERO-COPY clone (hard links on
-    * link-capable stores) plus a `prop branch.base <v>` commit
-    * recording the fork point — the fact [[fastForwardBranch]] checks.
-    * Writes land on the branch's OWN manifest chain via every normal
-    * write surface; main never sees them until a fast-forward
-    * publishes the branch BY REFERENCE. This is [[wapPublish]]'s
-    * write-audit-publish shape with a NAME instead of a caller-managed
-    * staging path.
-    */
-  def createBranch(spark: SparkSession, path: String,
-      name: String): CommitResult = {
-    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val bp = branchPath(path, name)
-    require(versions(spark, bp).isEmpty,
-      s"branch $name already exists at $path — drop it first")
-    // read the fork point ONCE and clone exactly it: a concurrent main
-    // commit between "record base" and "clone tip" would otherwise
-    // produce a branch whose content is tip N+1 but whose recorded
-    // base is N — fastForwardBranch could then never publish it
-    val base = vs.last
-    cloneTable(spark, path, bp, Some(base))
-    commitPending(spark, bp, PendingCommit(1, Set.empty,
-      Seq(s"prop\tbranch.base\t$base"), Seq.empty, op = "BRANCH"))
-  }
-
-  /** Branch names currently present under the table. */
-  def branches(spark: SparkSession, path: String): Seq[String] = {
-    val f = fs(spark)
-    val dir = new Path(s"$path/$BranchesDir")
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .toSeq.sorted
-  }
-
-  /** The table's REFS as a relation (Iceberg `refs` metadata-table
-    * shape): `main` + every branch as type BRANCH (version = the ref's
-    * chain tip; a branch also reports its recorded fork point), every
-    * tag as type TAG pinned to its version. Metadata-scale — one
-    * manifest read per branch, no data IO.
-    */
-  def refsMeta(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val main = ("main", "BRANCH", vs.last, None: Option[Int])
-    val branchRows = branches(spark, path).map { b =>
-      val bp = branchPath(path, b)
-      val bvs = versions(spark, bp)
-      val base = manifestEntries(spark, bp, bvs.last)
-        .props.get("branch.base").map(_.toInt)
-      (b, "BRANCH", bvs.last, base)
-    }
-    val tagRows = tags(spark, path).toSeq.sorted
-      .map { case (n, v) => (n, "TAG", v, None: Option[Int]) }
-    (main +: (branchRows ++ tagRows))
-      .toDF("name", "type", "version", "base_version")
-  }
-
-  /** DROP BRANCH — removes the branch chain and its private files;
-    * files shared with main survive (hard links / main's own copies).
-    */
-  def dropBranch(spark: SparkSession, path: String, name: String): Unit = {
-    val f = fs(spark)
-    val bp = new Path(branchPath(path, name))
-    require(f.exists(bp), s"no branch $name at $path")
-    f.delete(bp, true)
-    ()
-  }
-
-  /** FAST-FORWARD — publish the branch onto main ATOMICALLY and BY
-    * REFERENCE: requires main's tip to still be the branch's recorded
-    * fork point (anything else is not a fast-forward — the honest
-    * refusal; re-branch and replay), links the branch's new data/DV
-    * files into main's directory (invisible: no manifest references
-    * them yet), then CAS-commits main's next version with the branch
-    * tip's manifest lines. A crash before the CAS leaves only
-    * unreferenced files for vacuum; after it, main IS the branch
-    * content. The dirty-branch contract is the contrapositive: a
-    * branch that never fast-forwards leaves main's manifest
-    * bit-identical, which the gate asserts.
-    */
-  def fastForwardBranch(spark: SparkSession, path: String,
-      name: String): CommitResult = {
-    val f = fs(spark)
-    val bp = branchPath(path, name)
-    val bvs = versions(spark, bp)
-    require(bvs.nonEmpty, s"no branch $name at $path")
-    val bTip = manifestEntries(spark, bp, bvs.last)
-    val base = bTip.props.getOrElse("branch.base",
-      throw new IllegalStateException(
-        s"branch $name carries no fork-point record")).toInt
-    val mainTip = versions(spark, path).last
-    require(mainTip == base,
-      s"main advanced since branch $name forked (v$base → v$mainTip) — " +
-        "not a fast-forward; re-branch from the new tip and replay")
-    val mainData = manifestEntries(spark, path, mainTip)
-    val known = (mainData.data ++ mainData.dv.values.toSeq).toSet
-    val newFiles = (bTip.data ++ bTip.dv.values.toSeq.distinct)
-      .filterNot(known.contains).filterNot(rel => f.exists(
-        new Path(s"$path/$rel")))
-    newFiles.foreach { rel =>
-      val src = new Path(s"$bp/$rel")
-      val dst = new Path(s"$path/$rel")
-      f.mkdirs(dst.getParent)
-      if (f.getUri.getScheme == "file")
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(src.toUri.getPath))
-      else
-        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
-          spark.sparkContext.hadoopConfiguration)
-    }
-    val lines = TableManifest(bTip.data, bTip.dv, bTip.txn,
-      bTip.props - "branch.base", bTip.stats).lines :+
-      "meta\top\tFAST_FORWARD"
-    if (!casCommit(spark, path, mainTip + 1, lines))
-      throw new ConcurrentWriteConflict(
-        s"lost the fast-forward CAS at $path — main moved concurrently")
-    publishChangeLog(spark, path, mainTip + 1,
-      bTip.data.filterNot(mainData.data.toSet))
-    CommitResult(mainTip + 1, 0)
-  }
-
-  /** ADD CONSTRAINT — Delta `ALTER TABLE ADD CONSTRAINT` semantics: a
-    * named SQL CHECK predicate stored as a TABLE PROPERTY
-    * (`prop constraint.<name> <expr>`), so every future writer —
-    * whatever process it runs in — enforces it; a constraint that only
-    * lives in application code is not a constraint. Existing data is
-    * validated first (a constraint the table already violates must not
-    * land), then the property commits as a metadata-only version.
-    * SQL-CHECK null semantics: a row fails only when the predicate is
-    * FALSE; NULL passes (use `x IS NOT NULL` to forbid nulls).
-    */
-  def addConstraint(spark: SparkSession, path: String, name: String,
-      sqlExpr: String): CommitResult = {
-    require(name.matches("[A-Za-z0-9_]+"), s"bad constraint name: $name")
-    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      "constraint expression must be a single tab-free line")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val tip = manifestEntries(spark, path, vs.last)
-    require(!tip.props.contains(s"constraint.$name"),
-      s"constraint $name already exists — drop it first")
-    val bad = read(spark, path)
-      .filter(!coalesce(expr(sqlExpr), lit(true))).count()
-    if (bad > 0) throw new ConstraintViolation(
-      s"cannot add constraint $name ($sqlExpr): " +
-        s"$bad existing row(s) violate it")
-    commitPending(spark, path, PendingCommit(vs.last, Set.empty,
-      Seq(s"prop\tconstraint.$name\t$sqlExpr"), Seq.empty,
-      op = "ADD_CONSTRAINT"))
-  }
-
-  /** DROP CONSTRAINT: remove the property as a metadata-only commit
-    * (same CAS retry discipline as [[restore]] — property changes
-    * never conflict with data writes).
-    */
-  def dropConstraint(spark: SparkSession, path: String, name: String,
-      maxAttempts: Int = 10): CommitResult = {
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val lines = manifestLines(spark, path, latest)
-        .filterNot(l => l.startsWith(s"prop\tconstraint.$name\t") ||
-          isMetaLine(l)) :+ "meta\top\tDROP_CONSTRAINT"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up dropping constraint $name at $path after $maxAttempts attempts")
-  }
-
-  // ---- EXPECTATIONS (ON VIOLATION DROP ROW) --------------------------------
-
-  private val QuarantineDir = "_quarantine"
-
-  /** ADD an EXPECTATION — the reference's `CONSTRAINT c EXPECT (pred)
-    * ON VIOLATION DROP ROW` (ref src/pipelines/silver/order_items.sql):
-    * a named predicate stored as a table property (`prop expect.<name>
-    * <expr>`) that every writer enforces by DROPPING violating rows
-    * into the quarantine side output with per-rule metrics, instead of
-    * rejecting the batch wholesale (that is the CHECK constraint /
-    * FAIL UPDATE mode, [[addConstraint]]). Unlike CHECK, existing data
-    * is NOT validated: an expectation governs FLOWING data from this
-    * version on — the DLT semantic. SQL-CHECK null rule applies: a row
-    * fails only when the predicate is FALSE; NULL passes. Tombstones
-    * are exempt (a delete removes the row; the predicate has nothing
-    * left to hold over).
-    */
-  def addExpectation(spark: SparkSession, path: String, name: String,
-      sqlExpr: String): CommitResult = {
-    require(name.matches("[A-Za-z0-9_]+"), s"bad expectation name: $name")
-    require(!sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      "expectation predicate must be a single tab-free line")
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val tip = manifestEntries(spark, path, vs.last)
-    require(!tip.props.contains(s"expect.$name") &&
-      !tip.props.contains(s"constraint.$name"),
-      s"a constraint or expectation named $name already exists")
-    // the predicate must RESOLVE against the table schema now — a typo
-    // discovered at the next write would block ingest, not DDL
-    read(spark, path).filter(coalesce(expr(sqlExpr), lit(true))).queryExecution
-      .analyzed
-    commitPending(spark, path, PendingCommit(vs.last, Set.empty,
-      Seq(s"prop\texpect.$name\t$sqlExpr"), Seq.empty,
-      op = "ADD_EXPECTATION"))
-  }
-
-  /** DROP an expectation (metadata-only commit, CAS retry). */
-  def dropExpectation(spark: SparkSession, path: String, name: String,
-      maxAttempts: Int = 10): CommitResult = {
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      require(manifestEntries(spark, path, latest).props
-        .contains(s"expect.$name"),
-        s"no expectation named $name at $path")
-      val lines = manifestLines(spark, path, latest)
-        .filterNot(l => l.startsWith(s"prop\texpect.$name\t") ||
-          isMetaLine(l)) :+ "meta\top\tDROP_EXPECTATION"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up dropping expectation $name at $path after $maxAttempts attempts")
-  }
-
-  /** Enforce DROP-ROW expectations on a write batch: returns the CLEAN
-    * rows plus the per-version meta lines recording what was dropped.
-    * One aggregate pass computes every rule's violation count; only
-    * when something actually fails does a second change-scale pass
-    * land the violating rows (one row per failed rule, `_expect_failed`
-    * naming it) under `_quarantine/w<nonce>/`, referenced from the
-    * commit by a `meta expectq` line so consumers find the right
-    * side output per version ([[quarantined]]). The quarantine write
-    * happens pre-CAS; a lost commit's directory is unreferenced and
-    * vacuum sweeps it.
-    */
-  private def applyExpectations(spark: SparkSession, path: String,
-      m: TableManifest, updates: DataFrame): (DataFrame, Seq[String]) = {
-    val es = m.props.collect {
-      case (k, v) if k.startsWith("expect.") =>
-        k.stripPrefix("expect.") -> v
-    }.toSeq.sorted
-    if (es.isEmpty) return (updates, Nil)
-    val u = updates.localCheckpoint(true) // reused: counts + split
-    val isLive =
-      if (u.columns.contains("_deleted"))
-        !coalesce(col("_deleted"), lit(false))
-      else lit(true)
-    def fails(s: String): org.apache.spark.sql.Column =
-      isLive && !coalesce(expr(s), lit(true))
-    val countsRow = u.agg(
-      sum(when(fails(es.head._2), 1L).otherwise(0L)),
-      es.tail.map { case (_, s) =>
-        sum(when(fails(s), 1L).otherwise(0L)) }: _*).head()
-    val counts = es.indices.map(i =>
-      if (countsRow.isNullAt(i)) 0L else countsRow.getLong(i))
-    val metrics = es.zip(counts).map { case ((n, _), c) =>
-      s"meta\texpect\t$n\t$c"
-    }
-    if (counts.forall(_ == 0L)) return (u, metrics)
-    val viol = es.zip(counts).collect { case ((n, s), c) if c > 0 =>
-      u.filter(fails(s)).withColumn("_expect_failed", lit(n))
-    }.reduce(_ unionByName _)
-    val qwid = nonce()
-    viol.write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/$QuarantineDir/w$qwid")
-    val clean = u.filter(!isLive ||
-      es.map { case (_, s) => coalesce(expr(s), lit(true)) }
-        .reduce(_ && _))
-    (clean, metrics :+ s"meta\texpectq\tw$qwid")
-  }
-
-  /** Per-version expectation metrics — (version, rule, dropped_rows),
-    * read from the `meta expect` lines each enforcing commit stamped.
-    * Metadata-scale; versions without expectations emit nothing.
-    */
-  def expectationMetrics(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    versions(spark, path).flatMap { v =>
-      rawManifestLines(spark, path, v)
-        .map(l => if (l.startsWith("+\t")) l.stripPrefix("+\t") else l)
-        .collect {
-          case l if l.startsWith("meta\texpect\t") =>
-            val p = l.split("\t")
-            (v, p(2), p(3).toLong)
-        }
-    }.toDF("version", "rule", "dropped_rows")
-  }
-
-  /** The rows version `v`'s write DROPPED (with `_expect_failed`
-    * naming the rule each row broke) — empty relation when that commit
-    * dropped nothing.
-    */
-  def quarantined(spark: SparkSession, path: String, v: Int): DataFrame = {
-    val dir = rawManifestLines(spark, path, v)
-      .map(l => if (l.startsWith("+\t")) l.stripPrefix("+\t") else l)
-      .collectFirst {
-        case l if l.startsWith("meta\texpectq\t") => l.split("\t")(2)
-      }
-    dir match {
-      case Some(d) => spark.read.parquet(s"$path/$QuarantineDir/$d")
-      case None => throw new IllegalArgumentException(
-        s"version $v of $path dropped no rows — no quarantine output")
-    }
-  }
-
-  /** Enforce the table's CHECK constraints on a write batch BEFORE
-    * anything stages: one change-scale job over the batch's live rows
-    * (tombstones exempt — a delete removes the row, the predicate has
-    * nothing left to hold over). A violation aborts the whole commit
-    * with nothing staged or visible — atomicity by construction, since
-    * data only becomes real when a manifest references it.
-    *
-    * Scope contract: the check validates the INCOMING batch, which is
-    * O(changes) — stricter than checking post-merge winners (a stale
-    * row that would lose the merge still fails the batch), and the
-    * fail-fast behavior a CDC pipeline wants: reject bad input at the
-    * gate, not after it has raced a valid write.
-    */
-  private def enforceConstraints(m: TableManifest,
-      updates: DataFrame): Unit = {
-    val cs = m.props.collect {
-      case (k, v) if k.startsWith("constraint.") =>
-        k.stripPrefix("constraint.") -> v
-    }.toSeq.sorted
-    if (cs.isEmpty) return
-    val live =
-      if (updates.columns.contains("_deleted"))
-        updates.filter(!coalesce(col("_deleted"), lit(false)))
-      else updates
-    val anyBad = live.filter(
-      cs.map { case (_, s) => !coalesce(expr(s), lit(true)) }
-        .reduce(_ || _)).count() // single pass over the batch when clean
-    if (anyBad > 0) {
-      val detail = cs.map { case (n, s) =>
-        val b = live.filter(!coalesce(expr(s), lit(true))).count()
-        s"$n ($s): $b"
-      }.mkString("; ")
-      throw new ConstraintViolation(
-        s"write batch violates table constraints [$detail] — " +
-          "commit aborted, nothing landed")
-    }
-  }
-
-  /** RESTORE TABLE to `toVersion` as a NEW commit — Delta/Iceberg
-    * rollback semantics: the tip moves forward to a version whose data
-    * and DV lines are exactly the target snapshot's, BY REFERENCE (zero
-    * data files copied or rewritten — immutability makes rollback a
-    * metadata operation, the reason log-structured tables can undo a
-    * bad batch on a 100 TB table in milliseconds). History is
-    * preserved: the rolled-back versions remain time-travelable until
-    * vacuum, and the restored version's files are in the live set of
-    * the NEW tip, so retention keeps them even after the original
-    * version's manifest is dropped.
-    *
-    * Transaction watermarks and table properties carry from the CURRENT
-    * tip, not the target: restore rolls back DATA, not the idempotence
-    * ledger — a restarted streaming writer must still skip its already-
-    * delivered batches, or the rollback would double-apply them on
-    * replay.
-    *
-    * Concurrency: restore is an intentional last-writer-wins overwrite
-    * of every bucket (that is its semantic — roll the whole table
-    * back), so on a lost CAS it re-reads the tip and retries rather
-    * than classifying conflicts; concurrent writers' commits landed
-    * before the restore are rolled back with everything else.
-    */
-  def restore(spark: SparkSession, path: String, toVersion: Int,
-      maxAttempts: Int = 10): CommitResult = {
-    val vs0 = versions(spark, path)
-    require(vs0.contains(toVersion),
-      s"version $toVersion not in $vs0 (vacuumed or never committed)")
-    val target = manifestEntries(spark, path, toVersion)
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val cur = manifestEntries(spark, path, latest)
-      val lines =
-        TableManifest(target.data, target.dv, cur.txn, cur.props,
-          target.stats).lines :+ "meta\top\tRESTORE"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up restoring $path to v$toVersion after $maxAttempts CAS attempts")
-  }
-
-  /** CHANGE DATA FEED between two committed versions, computed from the
-    * MANIFEST DIFF — the incremental form of [[versionDiff]]'s
-    * snapshot-join CDF. Immutable files + monotone DVs mean the only
-    * rows that can have changed live in files the manifests disagree
-    * on, so the scan cost is O(changed data), not O(table):
-    *
-    *  - OLD side (visible at `from`, gone at `to`): rows of files
-    *    REMOVED from the manifest (bucket rewrites), plus rows of kept
-    *    files at positions newly marked in `to`'s deletion vectors
-    *    (DV mappings are re-pointed on every delete, so a changed
-    *    mapping is exactly "this file has new deletes");
-    *  - NEW side (visible at `to`, absent at `from`): rows of ADDED
-    *    files, minus `to`'s DVs on them (a later batch may already
-    *    have superseded an earlier batch's append).
-    *
-    * A full-outer join on the key classifies each changed key as
-    * insert / update / delete; rows carried verbatim through a
-    * compaction rewrite appear on both sides with the SAME sequence and
-    * are filtered out by the seq-change predicate, so compaction
-    * commits produce no spurious CDF rows. Tombstones are invisible on
-    * both sides: a key whose old row was a tombstone reads as `insert`,
-    * one whose new current is a tombstone reads as `delete` — the
-    * user-facing semantics, matching [[versionDiff]].
-    *
-    * At 100 TB with trickle MOR writes this reads the appended files
-    * and the DV'd shards — megabytes — where the snapshot-join form
-    * reads two full table scans.
-    */
-  def changes(spark: SparkSession, path: String, fromVersion: Int,
-      toVersion: Int, keyCols: Seq[String], seqCol: String,
-      valueCols: Seq[String]): DataFrame = {
-    val mA = manifestEntries(spark, path, fromVersion)
-    val mB = manifestEntries(spark, path, toVersion)
-    val aData = mA.data.toSet
-    val bData = mB.data.toSet
-    val removed = mA.data.filterNot(bData)
-    val added = mB.data.filterNot(aData)
-    val dvGrew = mA.data.filter(f => bData(f) && mB.dv.get(f) != mA.dv.get(f))
-    def visible(df: DataFrame): DataFrame =
-      if (df.columns.contains("_deleted"))
-        df.filter(!coalesce(col("_deleted"), lit(false)))
-      else df
-    val oldSel = keyCols.map(col) ++
-      valueCols.map(c => col(c).as(s"old_$c")) :+
-      col(seqCol).as("old_sequence")
-    val newSel = keyCols.map(col) ++
-      valueCols.map(c => col(c).as(s"new_$c")) :+
-      col(seqCol).as("new_sequence")
-    val oldParts = Seq(
-      if (removed.isEmpty) None
-      else Some(toLogicalDf(
-        loadWithDv(spark, path, removed, mA.dv, keepPos = true,
-          widen = widenMap(mB)), mB)),
-      if (dvGrew.isEmpty) None
-      else {
-        val visA = toLogicalDf(
-          loadWithDv(spark, path, dvGrew, mA.dv, keepPos = true,
-            widen = widenMap(mB)), mB)
-        val delsB = spark.read
-          .parquet(dvGrew.flatMap(mB.dv.get).distinct.map(r => s"$path/$r"): _*)
-          .select(col("file_rel").as("_rel"), col("pos").as("_pos"))
-          .distinct()
-        Some(visA.join(delsB, Seq("_rel", "_pos"), "left_semi"))
-      }).flatten
-    val oldSide = oldParts
-      .reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .map(df => visible(df).select(oldSel: _*))
-    val newSide =
-      if (added.isEmpty) None
-      else Some(visible(toLogicalDf(
-        loadWithDv(spark, path, added, mB.dv,
-          widen = widenMap(mB)), mB))
-        .select(newSel: _*))
-    require(oldSide.nonEmpty || newSide.nonEmpty,
-      s"manifests v$fromVersion and v$toVersion of $path are identical — " +
-        "no files changed, so the change feed is empty")
-    // a missing side is an empty relation with the mirrored schema
-    def mirror(df: DataFrame, fromPfx: String, toPfx: String,
-        fromSeq: String, toSeq: String): DataFrame =
-      df.select(keyCols.map(col) ++
-        valueCols.map(c => col(s"$fromPfx$c").as(s"$toPfx$c")) :+
-        col(fromSeq).as(toSeq): _*).filter(lit(false))
-    val o = oldSide.getOrElse(
-      mirror(newSide.get, "new_", "old_", "new_sequence", "old_sequence"))
-    val n = newSide.getOrElse(
-      mirror(oldSide.get, "old_", "new_", "old_sequence", "new_sequence"))
-    o.join(n, keyCols, "full_outer")
-      .filter(col("old_sequence").isNull || col("new_sequence").isNull ||
-        col("old_sequence") =!= col("new_sequence"))
-      .select(keyCols.map(col) ++
-        Seq(when(col("old_sequence").isNull, "insert")
-          .when(col("new_sequence").isNull, "delete")
-          .otherwise("update").as("change_type")) ++
-        valueCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))) ++
-        Seq(col("old_sequence"), col("new_sequence")): _*)
-  }
-
-  /** Delta-style CDF LONG FORM of [[changes]]: one row per change
-    * event with `_change_type` ∈ insert / delete / update_preimage /
-    * update_postimage — an update emits BOTH the old row (preimage)
-    * and the new row (postimage), the shape downstream auditing and
-    * reversible-apply consumers need (Delta `readChangeFeed` emits
-    * exactly these four types). The preimage is nearly free: the old
-    * side is already present in [[changes]]' full-outer join; this
-    * unpivots the wide row into events in the same change-scale pass.
-    *
-    * Apply and un-apply are exact inverses — v2 = v1 minus
-    * (preimage ∪ delete) keys plus (postimage ∪ insert) rows, and
-    * v1 = v2 minus (postimage ∪ insert) keys plus (preimage ∪ delete)
-    * rows — spec-proven in both directions.
-    */
-  def changesCdf(spark: SparkSession, path: String, fromVersion: Int,
-      toVersion: Int, keyCols: Seq[String], seqCol: String,
-      valueCols: Seq[String]): DataFrame = {
-    val wide = changes(spark, path, fromVersion, toVersion, keyCols,
-      seqCol, valueCols)
-    def ev(tpe: String, pfx: String) =
-      struct((lit(tpe).as("_change_type") +:
-        valueCols.map(c => col(s"$pfx$c").as(c))) :+
-        col(s"${pfx}sequence").as("_commit_sequence"): _*)
-    wide.select(keyCols.map(col) :+ explode(
-      when(col("change_type") === "insert", array(ev("insert", "new_")))
-        .when(col("change_type") === "delete", array(ev("delete", "old_")))
-        .otherwise(array(ev("update_preimage", "old_"),
-          ev("update_postimage", "new_")))).as("_e"): _*)
-      .select((keyCols.map(col) :+ col("_e.*")): _*)
-  }
-
-  /** DESCRIBE HISTORY — the table's commit audit: every version with
-    * the operation that produced it, read from the per-version
-    * `meta\top` manifest line each commit path stamps. Metadata-scale
-    * (reads manifests, never data); versions older than the vacuum
-    * floor are gone, exactly like Delta's history after VACUUM.
-    * Manifests from before this record existed read as UNKNOWN.
-    */
-  def history(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    versions(spark, path).map { v =>
-      val lines = manifestLines(spark, path, v)
-      val op = lines.find(_.startsWith("meta\top\t"))
-        .map(_.split("\t", 3)(2)).getOrElse("UNKNOWN")
-      val ts = lines.find(_.startsWith("meta\tts\t"))
-        .map(_.split("\t")(2).toLong).getOrElse(-1L)
-      (v, op, ts)
-    }.toDF("version", "operation", "commit_ts")
-  }
-
-  /** Commit wall-clock of `version` (from its `meta ts` stamp). */
-  private def commitTimeOf(spark: SparkSession, path: String,
-      v: Int): Option[Long] =
-    manifestLines(spark, path, v).collectFirst {
-      case l if l.startsWith("meta\tts\t") => l.split("\t")(2).toLong
-    }
-
-  /** The version a `TIMESTAMP AS OF ts` read resolves to: the LAST
-    * committed version whose stamp is at-or-before `ts` — Delta's
-    * resolution rule, robust to non-monotone clocks.
-    */
-  def versionAtTimestamp(spark: SparkSession, path: String,
-      ts: Long): Int = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val at = vs.filter(v => commitTimeOf(spark, path, v).exists(_ <= ts))
-    require(at.nonEmpty,
-      s"no version of $path committed at or before timestamp $ts")
-    at.max
-  }
-
-  /** TIMESTAMP AS OF — time travel by wall-clock instead of version. */
-  def readAsOfTimestamp(spark: SparkSession, path: String,
-      ts: Long): DataFrame =
-    read(spark, path, Some(versionAtTimestamp(spark, path, ts)))
-
-  /** OPTIMIZE (bin-pack) — fold each fragmented bucket's files into
-    * ONE, applying deletion vectors along the way. Trickle MOR writes
-    * are O(changed rows) per commit precisely because they append
-    * small files; this is the other half of that bargain — without
-    * periodic compaction a year of trickle turns a 100 TB table into
-    * millions of KB-files and every scan into an open()-storm. Buckets
-    * already at one clean file carry over untouched (their rewrite
-    * would be pure churn); the commit is the same OCC loop as any
-    * write, so compaction can run concurrently with disjoint-bucket
-    * ingest and rebase past it.
-    */
-  def optimizeSmallFiles(spark: SparkSession, path: String,
-      targetFilesPerBucket: Int = 1): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    val byBucket = m.data.groupBy(bucketOf)
-    val touched = byBucket.collect {
-      case (b, files)
-        if files.size > targetFilesPerBucket ||
-          files.exists(m.dv.contains) => b
-    }.toSet
-    if (touched.isEmpty) return CommitResult(base, 0)
-    val files = m.data.filter(rel => touched.contains(bucketOf(rel)))
-    // one shuffle task per bucket value ⇒ exactly one output file per
-    // bucket — the point of the exercise
-    val df = loadWithDv(spark, path, files, m.dv, widen = widenMap(m))
-      .repartition(col("gbucket"))
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    val adopted = adoptStaged(spark, path, stage, wid)
-    commitPending(spark, path,
-      PendingCommit(base, touched,
-        TableManifest(adopted, Map.empty,
-          stats = computeStats(spark, path, adopted)).lines,
-        adopted, op = "OPTIMIZE"))
-  }
-
-  /** REPLACE TABLE (AS SELECT) — swap the table's CONTENT in ONE
-    * commit while PRESERVING its history: the new manifest references
-    * only the newly adopted files (`op REPLACE`), every older version
-    * stays time-travelable until vacuum, and table properties —
-    * numBuckets, CHECK constraints, generated columns, column
-    * mapping, tags — carry through [[commitPending]]'s assemble like
-    * any other write. Content is resolved to the key-unique winner
-    * per key (the table contract), constraints and generated columns
-    * run exactly as on the upsert path, and the commit is the same
-    * OCC loop (a concurrent disjoint-bucket writer CONFLICTS here by
-    * construction: REPLACE touches every bucket, which is the honest
-    * answer — replacing a table out from under a concurrent ingest is
-    * a real conflict). Used by the SQL catalog's atomic RTAS.
-    */
-  def replaceSnapshot(spark: SparkSession, path: String,
-      content: DataFrame, keyCols: Seq[String],
-      seqCol: String): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty,
-      s"no committed versions at $path — land the initial snapshot " +
-        "with upsert (CREATE, not REPLACE)")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    val buckets = m.numBuckets(16)
-    enforceConstraints(m, content)
-    val (contentE, expectMeta) = applyExpectations(spark, path, m, content)
-    val contentP = toPhysicalDf(applyGenerated(m, contentE), m)
-    val keyColsP = keyCols.map(toPhysicalName(m, _))
-    val seqColP = toPhysicalName(m, seqCol)
-    val withDel =
-      if (contentP.columns.contains("_deleted")) contentP
-        .withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
-      else contentP.withColumn("_deleted", lit(false))
-    val w = Window.partitionBy(keyColsP.map(col): _*)
-      .orderBy(col(seqColP).desc)
-    val resolved0 = withDel
-      .withColumn("gbucket",
-        pmod(hash(keyColsP.map(col): _*), lit(buckets)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-    // replaced content is NEW rows: all draw fresh ids (Delta's RTAS
-    // rule — identity does not survive a whole-table content swap)
-    val resolved =
-      if (isTracked(m)) assignFreshRowIds(resolved0, keyColsP, rowIdHwm(m))
-      else resolved0
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    try resolved.repartition(col("gbucket"))
-      .write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    catch { case e: Throwable =>
-      fs(spark).delete(new Path(stage), true); throw e
-    }
-    val adopted = adoptStaged(spark, path, stage, wid)
-    val touched = (m.data.map(bucketOf) ++ adopted.map(bucketOf)).toSet
-    commitPending(spark, path,
-      PendingCommit(base, touched,
-        TableManifest(adopted, Map.empty,
-          stats = computeStats(spark, path, adopted)).lines ++
-          (if (isTracked(m)) Seq("prop\trowid.hwm\t" +
-            adoptedMaxRowId(spark, path, adopted, rowIdHwm(m)))
-          else Seq.empty),
-        adopted, op = "REPLACE", metaExtra = expectMeta,
-        dropProps = if (isTracked(m)) Seq("rowid.hwm") else Nil))
-  }
-
-  /** OPTIMIZE CLUSTER BY — rewrite the table's buckets RANGE-CLUSTERED
-    * on `column`: `repartitionByRange(gbucket, column)` makes each
-    * output file cover a contiguous column slice within its bucket, so
-    * the per-file stats become narrow and disjoint and [[readRange]] /
-    * [[readWhere]] prune INSIDE buckets — the liquid-clustering role:
-    * trickle ingest loses arrival correlation at compaction, and this
-    * is the maintenance pass that restores (or creates) skipping power
-    * for the serving predicate. DVs are applied, tombstones carried,
-    * and the commit is the same OCC loop as every write.
-    */
-  def optimizeCluster(spark: SparkSession, path: String, column: String,
-      slicesPerBucket: Int = 4): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    val columnP = toPhysicalName(m, column)
-    val nb = m.numBuckets(16)
-    val touched = m.data.map(bucketOf).toSet
-    val df = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
-      .repartitionByRange(nb * slicesPerBucket,
-        col("gbucket"), col(columnP))
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
-    val adopted = adoptStaged(spark, path, stage, wid)
-    commitPending(spark, path, PendingCommit(base, touched,
-      TableManifest(adopted, Map.empty,
-        stats = computeStats(spark, path, adopted)).lines,
-      adopted, op = "OPTIMIZE"))
-  }
-
-  // ---- CLUSTER BY AUTO -----------------------------------------------------
-
-  private val PredLogDir = "_predlog"
-
-  /** Record the columns a predicate read actually BOUNDED — one tiny
-    * file per read under `_predlog/`, the raw material for
-    * [[clusterByAuto]]'s key selection (Databricks' CLUSTER BY AUTO
-    * mines the query history the same way; a production deployment
-    * would batch or sample the writes, the format is the contract).
-    * Recording is metadata-scale, never on the row path, and BEST
-    * EFFORT: a read must never fail because telemetry could not be
-    * written (read-only storage, read-only credentials, a full disk),
-    * so IO failures here are swallowed. [[vacuum]] compacts the log
-    * (one aggregated `c-*.txt` replaces the per-read files), bounding
-    * growth to one tiny file per vacuum cycle plus reads since.
-    */
-  private def recordPredicateUse(spark: SparkSession, path: String,
-      cols: Seq[String]): Unit = if (cols.nonEmpty) {
-    try {
-      val f = fs(spark)
-      val dir = new Path(s"$path/$PredLogDir")
-      f.mkdirs(dir)
-      val out = f.create(new Path(dir, s"p-${nonce()}.txt"), false)
-      try out.write(cols.distinct.sorted.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
-  }
-
-  /** The recorded predicate history: bounded column → read count.
-    * Two line formats coexist: per-read files carry one bare column
-    * name per line (count 1 each); vacuum-compacted files carry
-    * `column<TAB>count` aggregates.
-    */
-  def predicateHistory(spark: SparkSession,
-      path: String): Map[String, Long] = {
-    val f = fs(spark)
-    val dir = new Path(s"$path/$PredLogDir")
-    if (!f.exists(dir)) return Map.empty
-    f.listStatus(dir).filter(_.isFile).toSeq.flatMap { s =>
-      val in = f.open(s.getPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    }.filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(c, n) => c -> n.toLong
-        case _ => line -> 1L
-      }
-    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
-  }
-
-  /** Compact `_predlog/` to a single aggregated file. Lists first,
-    * then deletes EXACTLY the listed files, so a concurrent read's
-    * fresh `p-*.txt` landing mid-compaction survives untouched; the
-    * aggregate lands before any delete, so a crash anywhere leaves
-    * counts over-complete (duplicate aggregation of a not-yet-deleted
-    * file inflates a count until the next vacuum), never lost — the
-    * acceptable direction for telemetry that only elects cluster keys.
-    */
-  private def compactPredLog(spark: SparkSession, path: String): Unit = {
-    try {
-      val f = fs(spark)
-      val dir = new Path(s"$path/$PredLogDir")
-      if (!f.exists(dir)) return
-      val files = f.listStatus(dir).filter(_.isFile).map(_.getPath).toSeq
-      if (files.size <= 1) return
-      val counts = files.flatMap { p =>
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }.filter(_.nonEmpty).map { line =>
-        line.split('\t') match {
-          case Array(c, n) => c -> n.toLong
-          case _ => line -> 1L
-        }
-      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
-      val out = f.create(new Path(dir, s"c-${nonce()}.txt"), false)
-      try out.write(counts.toSeq.sorted
-        .map { case (c, n) => s"$c\t$n" }.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      files.foreach(p => f.delete(p, false))
-    } catch { case scala.util.control.NonFatal(_) => () }
-  }
-
-  /** CLUSTER BY AUTO — clustering-key selection from the table's OWN
-    * observed workload, then delegation to [[optimizeCluster]]: the
-    * reference's gold tables declare `CLUSTER BY AUTO` (ref
-    * src/pipelines/gold/monthly_orders.sql) and let the platform pick
-    * the key from predicate history; here the history is the
-    * `_predlog` record of which columns [[readWhere]]/[[readRange]]
-    * actually bounded, the candidate set is restricted to columns of
-    * the CURRENT logical schema (a renamed/dropped column's history
-    * cannot elect it), and the most-frequently-bounded column wins
-    * (ties to the lexicographically smaller — deterministic).
-    * Returns the chosen column with the OPTIMIZE commit. The gate
-    * proves the choice is not just plausible but OPTIMAL on a
-    * two-workload fixture: the auto key's post-OPTIMIZE prune factor
-    * equals the best manual choice over every candidate column,
-    * measured on shallow clones that share the exact same data files.
-    */
-  def clusterByAuto(spark: SparkSession, path: String,
-      slicesPerBucket: Int = 4): (String, CommitResult) = {
-    val hist = predicateHistory(spark, path)
-    require(hist.nonEmpty,
-      s"no predicate history at $path — CLUSTER BY AUTO needs observed " +
-        "readWhere/readRange workloads to choose a key")
-    val schema = read(spark, path).schema.fieldNames.toSet
-    val eligible = hist.filter { case (c, _) => schema.contains(c) }
-    require(eligible.nonEmpty,
-      s"predicate history at $path names no current column " +
-        s"(history: ${hist.keys.toSeq.sorted.mkString(", ")})")
-    val chosen = eligible.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
-    (chosen, optimizeCluster(spark, path, chosen, slicesPerBucket))
-  }
-
-  /** OPTIMIZE ZORDER BY — TWO-dimensional clustering rewrite (Delta
-    * `OPTIMIZE … ZORDER BY (a, b)`): each bucket's rows are laid out
-    * along the Morton curve of the two columns' rank-normalized values
-    * (the same codegen'd [[ZOrder.interleave16]] expression the
-    * standalone z-order path uses), so per-file stats become narrow on
-    * BOTH dimensions and [[readRange]]/[[readWhere]] prune files for
-    * predicates on EITHER — the multi-column form of
-    * [[optimizeCluster]], which can only serve one. The Morton key is
-    * a transient layout expression (never stored); DVs are applied,
-    * tombstones carried, same OCC commit loop as every write.
-    */
-  def optimizeZorder(spark: SparkSession, path: String, colA: String,
-      colB: String, slicesPerBucket: Int = 16): CommitResult = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val base = vs.last
-    val m = manifestEntries(spark, path, base)
-    val (aP, bP) = (toPhysicalName(m, colA), toPhysicalName(m, colB))
-    val nb = m.numBuckets(16)
-    val touched = m.data.map(bucketOf).toSet
-    val df0 = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
-    val (aD, bD) = (col(aP).cast("double"), col(bP).cast("double"))
-    // rank-normalization bounds: one tiny aggregate of table metadata
-    val bnd = df0.agg(min(aD), max(aD), min(bD), max(bD)).head()
-    // a constant dimension contributes nothing to the curve — and
-    // norm16's (v-lo)/(hi-lo) would be 0/0 = NaN, which the INT cast
-    // rejects under ANSI mode — so it collapses to a zero key
-    def rank(c: org.apache.spark.sql.Column, lo: Double,
-        hi: Double): org.apache.spark.sql.Column =
-      if (hi > lo) ZOrder.norm16(c, lo, hi) else lit(0)
-    val z = ZOrder.interleave16(
-      rank(aD, bnd.getDouble(0), bnd.getDouble(1)),
-      rank(bD, bnd.getDouble(2), bnd.getDouble(3)))
-    val clustered = df0.withColumn("_zkey", z)
-      .repartitionByRange(nb * slicesPerBucket, col("gbucket"), col("_zkey"))
-      .drop("_zkey")
-    val wid = nonce()
-    val stage = path + s"_stage_$wid"
-    clustered.write.partitionBy("gbucket").mode(SaveMode.Overwrite)
-      .parquet(stage)
-    val adopted = adoptStaged(spark, path, stage, wid)
-    commitPending(spark, path, PendingCommit(base, touched,
-      TableManifest(adopted, Map.empty,
-        stats = computeStats(spark, path, adopted)).lines,
-      adopted, op = "OPTIMIZE"))
-  }
-
-  /** OPTIMIZE ZORDER as a gate row: orders land key-interleaved (even
-    * keys copy-on-write, odd keys MOR — arrival order correlates with
-    * NEITHER query dimension), so narrow bands on `o_custkey` and on
-    * `o_totalprice` both scan ~every file. One [[optimizeZorder]] on
-    * (o_custkey, o_totalprice) later, BOTH dimensions prune
-    * (engine-asserted: custkey candidates ≥1.5× cut, totalprice ≥2× —
-    * the single-column [[clusterBy]] can only ever serve one), and the
-    * custkey-band read hash-matches the oracle's plain filter.
-    */
-  def zorderOptimize(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_zorder")
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    upsert(spark, path, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
-      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
-    dvUpsert(spark, path,
-      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
-      Seq("o_orderkey"), "o_orderkey")
-    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
-    val custHi = BigDecimal(maxCust / 8)
-    val pb = orders.agg(min(col("o_totalprice")), max(col("o_totalprice")))
-      .head()
-    val (pLo, pHi) = (BigDecimal(pb.getDouble(0)),
-      BigDecimal(pb.getDouble(0) + (pb.getDouble(1) - pb.getDouble(0)) / 8))
-    def cands(column: String, lo: BigDecimal, hi: BigDecimal): Int =
-      rangeCandidates(spark, path, column, Some(lo), Some(hi)).size
-    val totalBefore = manifestEntries(spark, path,
-      versions(spark, path).last).data.size
-    val custBefore = cands("o_custkey", BigDecimal(0), custHi)
-    val priceBefore = cands("o_totalprice", pLo, pHi)
-    optimizeZorder(spark, path, "o_custkey", "o_totalprice")
-    val totalAfter = manifestEntries(spark, path,
-      versions(spark, path).last).data.size
-    val custAfter = cands("o_custkey", BigDecimal(0), custHi)
-    val priceAfter = cands("o_totalprice", pLo, pHi)
-    val noPruneBefore = custBefore * 2 > totalBefore &&
-      priceBefore * 2 > totalBefore
-    val custPrunes = custAfter * 3 <= totalAfter * 2 && custAfter > 0
-    val pricePrunes = priceAfter * 2 <= totalAfter && priceAfter > 0
-    readRange(spark, path, "o_custkey", Some(BigDecimal(0)), Some(custHi))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("unzordered_no_prune", lit(noPruneBefore))
-      .withColumn("custkey_prunes", lit(custPrunes))
-      .withColumn("price_prunes", lit(pricePrunes))
-  }
-
-  val zorderOptimizeSql: String =
-    """SELECT o_orderkey, o_custkey, o_totalprice,
-         true AS unzordered_no_prune,
-         true AS custkey_prunes,
-         true AS price_prunes
-       FROM orders
-       WHERE o_custkey <= (SELECT MAX(o_custkey) // 8 FROM orders)
-       ORDER BY o_orderkey"""
-
-  /** TAGS as a gate row: three sequence-ranged commits, then v1 is
-    * tagged `audit_baseline` and the table is vacuumed to
-    * `retainLast=1`. The tag is a RETENTION ROOT: v1's manifest and
-    * files survive while untagged v2/v3 drop (engine-asserted from the
-    * version list), and `readTag` — time travel by NAME — returns
-    * exactly the first-third SCD1 state the oracle computes. Dropping
-    * the tag releases the pin: the next vacuum removes v1
-    * (engine-asserted). The returned frame is the tag read, checkpointed
-    * before the pin is released.
-    */
-  def tagsGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_tags")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val (t1, t2) = (maxSeq / 3, maxSeq * 2 / 3)
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    Seq(
-      staged.filter(col("sequence_number") <= t1),
-      staged.filter(col("sequence_number") > t1 &&
-        col("sequence_number") <= t2),
-      staged.filter(col("sequence_number") > t2)).foreach { b =>
-      upsert(spark, path, asChanges(b), Seq("key_id"), "sequence_number")
-    }
-    createTag(spark, path, "audit_baseline", version = 1)
-    vacuum(spark, path, retainLast = 1)
-    val after = versions(spark, path)
-    val taggedSurvives = after.contains(1) && !after.contains(2) &&
-      !after.contains(3)
-    val tagRead = readTag(spark, path, "audit_baseline")
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .localCheckpoint(true) // materialize before the pin is released
-    dropTag(spark, path, "audit_baseline")
-    vacuum(spark, path, retainLast = 1)
-    val releasedAfterDrop = !versions(spark, path).contains(1)
-    tagRead
-      .withColumn("tagged_survives_vacuum", lit(taggedSurvives))
-      .withColumn("drop_releases_retention", lit(releasedAfterDrop))
-  }
-
-  val tagsGateSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) // 3 AS t1 FROM stg),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t1)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS tagged_survives_vacuum, true AS drop_releases_retention
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** POINT LOOKUP — read only the hash buckets that can hold `keys`:
-    * the serving-path read. The same modulus every writer used (a
-    * table property) bounds each key to one bucket, so a lookup of k
-    * keys against a 100 TB table scans ≤ k shards — manifest-resolved,
-    * no directory listing, no full scan. DVs and tombstones are
-    * honored exactly as in [[read]].
-    */
-  def readKeys(spark: SparkSession, path: String, keys: DataFrame,
-      keyCols: Seq[String], asOfVersion: Option[Int] = None): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val v = asOfVersion.getOrElse(vs.last)
-    val m = manifestEntries(spark, path, v)
-    val nb = m.numBuckets(16)
-    // callers speak logical names; files and the bucket hash use the
-    // pinned physical names
-    val keyColsP = keyCols.map(toPhysicalName(m, _))
-    val keysP = toPhysicalDf(keys, m)
-    val keyBuckets = keysP
-      .select(pmod(hash(keyColsP.map(col): _*), lit(nb)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet // ≤ |keys| ints
-    val candidates = m.data.filter(rel => keyBuckets.contains(bucketOf(rel)))
-    if (candidates.isEmpty)
-      return read(spark, path, asOfVersion).filter(lit(false))
-    val df0 = loadWithDv(spark, path, candidates, m.dv,
-        widen = widenMap(m))
-      .join(keysP.select(keyColsP.map(col): _*).distinct(), keyColsP,
-        "left_semi")
-      .drop("gbucket")
-    val live =
-      if (df0.columns.contains("_deleted"))
-        df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-      else df0
-    toLogicalDf(live, m)
-  }
-
-  /** Snapshot read — latest version, or time travel to `asOfVersion`.
-    * Tombstones filtered; bucket/bookkeeping columns dropped.
-    */
-  def read(spark: SparkSession, path: String,
-      asOfVersion: Option[Int] = None): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val v = asOfVersion.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs (vacuumed or never committed)")
-    val m = manifestEntries(spark, path, v)
-    val df0 = loadWithDv(spark, path, m.data, m.dv, widen = widenMap(m))
-      .drop("gbucket")
-    val live =
-      if (df0.columns.contains("_deleted"))
-        df0.filter(!coalesce(col("_deleted"), lit(false))).drop("_deleted")
-      else df0
-    toLogicalDf(live, m)
-  }
-
-  // ---- tags (named version refs) -------------------------------------------
-
-  /** CREATE TAG — an Iceberg-style NAMED REF pinning a committed
-    * version (`prop tag.<name> <version>`, a metadata-only commit).
-    * Tags make a snapshot addressable by meaning ("v2024-audit",
-    * "pre-migration") instead of number, and — the part that matters
-    * operationally — they are RETENTION ROOTS: [[vacuum]] keeps a
-    * tagged version's manifest and files alive past the retainLast
-    * horizon until the tag is dropped, so an audit snapshot cannot be
-    * garbage-collected out from under its name.
-    */
-  def createTag(spark: SparkSession, path: String, name: String,
-      version: Int, maxAttempts: Int = 10): CommitResult = {
-    require(name.matches("[A-Za-z0-9_-]+"), s"bad tag name: $name")
-    require(versions(spark, path).contains(version),
-      s"cannot tag version $version of $path — not committed (or vacuumed)")
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val m = manifestEntries(spark, path, latest)
-      require(!m.props.contains(s"tag.$name"),
-        s"tag $name already exists at $path — drop it first")
-      val lines = TableManifest(m.data, m.dv, m.txn,
-        m.props + (s"tag.$name" -> version.toString), m.stats).lines :+
-        "meta\top\tCREATE_TAG"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up tagging $name at $path after $maxAttempts CAS attempts")
-  }
-
-  /** DROP TAG — releases the name AND the retention pin. Dropping a
-    * tag that does not exist is refused: a silently-successful no-op
-    * here would leave the REAL tag (typo'd name) pinning files
-    * forever with no error anywhere.
-    */
-  def dropTag(spark: SparkSession, path: String, name: String,
-      maxAttempts: Int = 10): CommitResult = {
-    require(tags(spark, path).contains(name),
-      s"no tag $name at $path (tags: " +
-        s"${tags(spark, path).keys.toSeq.sorted.mkString(", ")})")
-    var attempts = 0
-    while (attempts <= maxAttempts) {
-      val latest = versions(spark, path).last
-      val lines = manifestLines(spark, path, latest)
-        .filterNot(l => l.startsWith(s"prop\ttag.$name\t") ||
-          isMetaLine(l)) :+ "meta\top\tDROP_TAG"
-      if (casCommit(spark, path, latest + 1, lines))
-        return CommitResult(latest + 1, attempts)
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"gave up dropping tag $name at $path after $maxAttempts CAS attempts")
-  }
-
-  /** The tip's tag table: name → pinned version. */
-  def tags(spark: SparkSession, path: String): Map[String, Int] = {
-    val vs = versions(spark, path)
-    if (vs.isEmpty) Map.empty
-    else manifestEntries(spark, path, vs.last).props.collect {
-      case (k, v) if k.startsWith("tag.") => k.stripPrefix("tag.") -> v.toInt
-    }
-  }
-
-  /** Snapshot read by TAG name (time travel by meaning). */
-  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
-    val t = tags(spark, path)
-    val v = t.getOrElse(name, throw new IllegalArgumentException(
-      s"no tag $name at $path (tags: ${t.keys.toSeq.sorted.mkString(", ")})"))
-    read(spark, path, Some(v))
-  }
-
-  /** Versions protected from [[vacuum]]: the retainLast newest PLUS
-    * every version pinned by a tip tag.
-    */
-  private def retainedVersions(spark: SparkSession, path: String,
-      retainLast: Int): Seq[Int] = {
-    val vs = versions(spark, path)
-    val tagged = tags(spark, path).values.toSet
-    (vs.takeRight(math.max(retainLast, 1)).toSet ++
-      tagged.filter(vs.contains)).toSeq.sorted
-  }
-
-  /** Retention: keep `retainLast` newest versions (plus tag-pinned
-    * ones); delete every data file referenced ONLY by dropped manifests
-    * (plus crash-orphaned files no manifest references at all), then
-    * drop the old manifests.
-    */
-  /** VACUUM DRY RUN — the exact deletion plan [[vacuum]] would execute
-    * (unreferenced data files, DV sidecars, expiring manifests and
-    * change-log dirs), computed read-only: the operational safety
-    * valve before an irreversible retention pass. Returns
-    * (category, relative-path) pairs.
-    */
-  def vacuumPlan(spark: SparkSession, path: String,
-      retainLast: Int): Seq[(String, String)] = {
-    val f = fs(spark)
-    val vs = versions(spark, path)
-    val keep = retainedVersions(spark, path, retainLast)
-    val live: Set[String] =
-      keep.flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
-    val dataDead = f.listStatus(new Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
-      .flatMap(d => f.listStatus(d.getPath).filter(_.isFile)
-        .map(s => s"${d.getPath.getName}/${s.getPath.getName}"))
-      .filterNot(live.contains).map("data_file" -> _).toSeq
-    val dvDir = new Path(s"$path/$DvDir")
-    val dvDead =
-      if (!f.exists(dvDir)) Seq.empty
-      else f.listStatus(dvDir).filter(_.isFile)
-        .map(s => s"$DvDir/${s.getPath.getName}")
-        .filterNot(live.contains).map("dv_file" -> _).toSeq
-    val manifestsDead = vs.filterNot(keep.contains)
-      .flatMap { v =>
-        // the plan lists the `.full` re-root sidecar alongside its
-        // primary — vacuum deletes both, so the dry run must show both
-        val side = fullSidecarPath(path, v)
-        Seq("manifest" -> f"$LogDir/v$v%06d.txt") ++
-          (if (f.exists(side)) Seq("manifest" -> f"$LogDir/v$v%06d.full")
-           else Seq.empty)
-      }
-    // crash-orphaned sidecars: a `.full` whose `.txt` primary is gone
-    // (an earlier vacuum died between the two deletes) — versions()
-    // lists only primaries, so without this sweep the orphan would
-    // never be revisited
-    val logDir = new Path(s"$path/$LogDir")
-    val orphanSidecars =
-      if (!f.exists(logDir)) Seq.empty
-      else f.listStatus(logDir).filter(_.isFile)
-        .map(_.getPath.getName)
-        .filter(n => n.endsWith(".full") &&
-          !f.exists(new Path(logDir, n.stripSuffix(".full") + ".txt")))
-        .map(n => "manifest" -> s"$LogDir/$n").toSeq
-    val chDir = new Path(s"$path/$ChangesDir")
-    val chDead =
-      if (!f.exists(chDir)) Seq.empty
-      else f.listStatus(chDir).filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(n => !keep.contains(n.stripPrefix("v").toInt))
-        .map(n => "change_dir" -> s"$ChangesDir/$n").toSeq
-    dataDead ++ dvDead ++ manifestsDead ++ orphanSidecars ++ chDead
-  }
-
-  def vacuum(spark: SparkSession, path: String, retainLast: Int): Unit = {
-    val f = fs(spark)
-    val vs = versions(spark, path)
-    val keep = retainedVersions(spark, path, retainLast)
-    val live: Set[String] =
-      keep.flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
-    f.listStatus(new Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
-      .foreach { d =>
-        f.listStatus(d.getPath).filter(_.isFile).foreach { s =>
-          val rel = s"${d.getPath.getName}/${s.getPath.getName}"
-          if (!live.contains(rel)) f.delete(s.getPath, false)
-        }
-      }
-    val dvDir = new Path(s"$path/$DvDir")
-    if (f.exists(dvDir))
-      f.listStatus(dvDir).filter(_.isFile).foreach { s =>
-        val rel = s"$DvDir/${s.getPath.getName}"
-        if (!live.contains(rel)) f.delete(s.getPath, false)
-      }
-    // re-root the retained chain before dropping ancestors: a kept
-    // version may be delta-encoded against a manifest this vacuum is
-    // about to delete — the oldest kept one always was, and with TAG
-    // pins the kept set can be non-contiguous, so EVERY kept delta
-    // whose parent is dropped materializes as a full snapshot first
-    // (logical content identical — an atomic in-place re-encode; every
-    // newer delta's parent chain then terminates inside the kept set)
-    val keptSet = keep.toSet
-    keep.foreach { floor =>
-      val raw = rawManifestLines(spark, path, floor)
-      val deltaParent = raw.headOption
-        .filter(_.startsWith(DeltaHeaderPrefix))
-        .map(_.stripPrefix(DeltaHeaderPrefix).toInt)
-      if (deltaParent.exists(p => !keptSet.contains(p))) {
-        val resolved = manifestLines(spark, path, floor)
-        val tmp = new Path(s"$path/$LogDir/.v$floor-${nonce()}.reroot")
-        val out = f.create(tmp, true)
-        try out.write(resolved.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        val dst = manifestPath(path, floor)
-        if (f.getUri.getScheme == "file")
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        else {
-          // object stores: rename cannot atomically replace, and a
-          // delete-then-rename would open a window with NO readable
-          // floor (a crash there strands every newer delta's parent
-          // chain). Instead the snapshot lands as a durable `.full`
-          // sidecar that rawManifestLines prefers; the delta primary
-          // is never deleted, so the floor is readable at every instant
-          val side = fullSidecarPath(path, floor)
-          if (f.exists(side)) f.delete(side, false) // stale crash remnant
-          if (!f.rename(tmp, side)) throw new java.io.IOException(
-            s"cannot re-root manifest v$floor at $path")
-        }
-      }
-    }
-    vs.filterNot(keep.contains).foreach { v =>
-      // SIDECAR FIRST: versions() lists only `.txt` primaries, so a
-      // crash after deleting the primary would orphan the sidecar
-      // forever; crashing after the sidecar delete leaves the primary
-      // listed and the next vacuum retries both
-      f.delete(fullSidecarPath(path, v), false) // no-op when absent
-      f.delete(manifestPath(path, v), false)
-    }
-    // and sweep orphans older crashes may have left (a `.full` whose
-    // `.txt` is already gone is unreachable by the loop above)
-    val logDir = new Path(s"$path/$LogDir")
-    if (f.exists(logDir))
-      f.listStatus(logDir).filter(_.isFile).map(_.getPath.getName)
-        .filter(n => n.endsWith(".full") &&
-          !f.exists(new Path(logDir, n.stripSuffix(".full") + ".txt")))
-        .foreach(n => f.delete(new Path(logDir, n), false))
-    // change-log retention follows version retention: consumers lagging
-    // behind the vacuum floor lose history, exactly as in Delta CDF
-    val chDir = new Path(s"$path/$ChangesDir")
-    if (f.exists(chDir)) {
-      f.listStatus(chDir).filter(_.isDirectory).foreach { d =>
-        val v = d.getPath.getName.stripPrefix("v").toInt
-        if (!keep.contains(v)) f.delete(d.getPath, true)
-      }
-      // gap markers expire with their version: below the retention
-      // floor the gap is ordinary lost-history, not a silent hole
-      changeFeedGaps(spark, path).filterNot(keep.contains)
-        .foreach(v => f.delete(gapMarkerPath(path, v), false))
-    }
-    // quarantine side outputs follow version retention too (and the
-    // sweep collects crash/conflict orphans no manifest references)
-    val qDir = new Path(s"$path/$QuarantineDir")
-    if (f.exists(qDir)) {
-      val referenced = keep.flatMap(v =>
-        rawManifestLines(spark, path, v)
-          .map(l => if (l.startsWith("+\t")) l.stripPrefix("+\t") else l)
-          .collectFirst {
-            case l if l.startsWith("meta\texpectq\t") => l.split("\t")(2)
-          }).toSet
-      f.listStatus(qDir).filter(_.isDirectory).map(_.getPath.getName)
-        .filterNot(referenced.contains)
-        .foreach(n => f.delete(new Path(qDir, n), true))
-    }
-    // predicate-telemetry log: fold the per-read files into one
-    // aggregate so the log stops growing one-file-per-read-forever
-    compactPredLog(spark, path)
-  }
-
-  // ---- registered end-to-end demonstration ---------------------------------
-
-  /** Three sequence-ranged merges into a versioned table, then TIME
-    * TRAVEL to version 2: the result must equal the batch SCD1 state
-    * over only the first two thirds of the change feed — history is
-    * reconstructed from retained immutable files, not recomputed. The
-    * thresholds are integer arithmetic on max(sequence) so the oracle
-    * derives them identically.
-    */
-  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 3
-    val t2 = maxSeq * 2 / 3
-    val batches = Seq(
-      staged.filter(col("sequence_number") <= t1),
-      staged.filter(col("sequence_number") > t1 &&
-        col("sequence_number") <= t2),
-      staged.filter(col("sequence_number") > t2))
-    batches.foreach { b =>
-      upsert(spark, path,
-        b.withColumn("_deleted", col("operation") === "DELETE")
-          .drop("operation"),
-        keyCols = Seq("key_id"), seqCol = "sequence_number")
-    }
-    // retention inside the verified path: v1-only files are deleted,
-    // and v2 must still reconstruct exactly from what vacuum retained
-    vacuum(spark, path, retainLast = 2)
-    read(spark, path, asOfVersion = Some(2))
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-  }
-
-  val timeTravelSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) * 2 // 3 AS t2 FROM stg),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t2)
-       SELECT key_id, value, props, sequence_number AS last_sequence
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** Schema evolution through the versioned upsert, gate-verified: the
-    * second merge batch carries a column (`note`) the first never had.
-    * Touched buckets rewrite with the union schema (null where the
-    * winning row predates the column); untouched buckets keep their
-    * old-schema files byte-identical, and the snapshot read reconciles
-    * the two via parquet schema merge — the log-less equivalent of a
-    * table format's ADD COLUMN, no table rewrite. A key's winner has
-    * `note` iff its last change arrived in the evolved batch, which the
-    * oracle derives from the same integer sequence cutoff.
-    */
-  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_evo")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    val b1 = staged.filter(col("sequence_number") <= t1)
-    val b2 = staged.filter(col("sequence_number") > t1)
-      .withColumn("note", concat(lit("v2:"), col("key_id").cast("string")))
-    Seq(b1, b2).foreach { b =>
-      upsert(spark, path,
-        b.withColumn("_deleted", col("operation") === "DELETE")
-          .drop("operation"),
-        keyCols = Seq("key_id"), seqCol = "sequence_number")
-    }
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"), col("note"))
-  }
-
-  val schemaEvolutionSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         CASE WHEN sequence_number > (SELECT t1 FROM cutoff)
-              THEN 'v2:' || CAST(key_id AS VARCHAR) END AS note
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** DROP COLUMN as a gate row — completing the schema-evolution
-    * triangle (ADD / RENAME / DROP) on the versioned lake. v1 lands
-    * the first half of the feed WITH `props`; [[dropColumn]] hides it
-    * as a metadata-only commit (zero data motion engine-asserted: the
-    * manifest's data lines are unchanged); the current read no longer
-    * shows the column while time travel to v1 still does (the property
-    * set is versioned state); a writer trying to RE-INTRODUCE the name
-    * is refused with the version chain unchanged (the physical slot is
-    * retained — rewrite-free drops cannot hand the name out again);
-    * and the second half trickles in without the column. The final
-    * state hash-matches the full-feed SCD1 oracle speaking the evolved
-    * (props-free) schema.
-    */
-  def columnDrop(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_drop")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    val dataBefore = manifestEntries(spark, path, 1).data.toSet
-    dropColumn(spark, path, "props")
-    val tip = versions(spark, path).last
-    val zeroMotion =
-      manifestEntries(spark, path, tip).data.toSet == dataBefore
-    val hiddenNow = !read(spark, path).columns.contains("props")
-    val travelShowsIt = read(spark, path, Some(1)).columns.contains("props")
-    val second = asChanges(staged.filter(col("sequence_number") > t1))
-      .localCheckpoint(true)
-    val reintroduceBlocked =
-      try { upsert(spark, path, second, Seq("key_id"), "sequence_number")
-        false }
-      catch { case _: IllegalArgumentException => true }
-    val blockedAtomic = versions(spark, path).last == tip
-    dvUpsert(spark, path, second.drop("props"),
-      Seq("key_id"), "sequence_number")
-    read(spark, path)
-      .select(col("key_id"), col("value"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("zero_data_motion", lit(zeroMotion))
-      .withColumn("hidden_after_drop", lit(hiddenNow))
-      .withColumn("time_travel_shows_column", lit(travelShowsIt))
-      .withColumn("reintroduce_blocked", lit(reintroduceBlocked))
-      .withColumn("blocked_was_atomic", lit(blockedAtomic))
-  }
-
-  val columnDropSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, sequence_number AS last_sequence,
-         true AS zero_data_motion, true AS hidden_after_drop,
-         true AS time_travel_shows_column, true AS reintroduce_blocked,
-         true AS blocked_was_atomic
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** TYPE WIDENING as a gate row — the third side of rewrite-free
-    * schema evolution. v1 lands the first half of the feed carrying an
-    * INT column (`ival = key_id % 1000`); [[widenColumn]] promotes it
-    * to BIGINT as a metadata-only commit (zero data motion
-    * engine-asserted); the current read surfaces BIGINT — including
-    * for the all-narrow v1 files, which the parquet readers upcast —
-    * while time travel to v1 still reads INT (versioned property
-    * state); then the second half trickles in with values BEYOND the
-    * int32 range (`key_id % 1000 + 5_000_000_000`), so the final
-    * snapshot mixes int32 and int64 physical encodings in one scan.
-    * Hash-matched against the oracle computing the same winner-typed
-    * values from the sequence cutoff.
-    */
-  def typeWidening(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_widen")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") <= t1))
-        .withColumn("ival", pmod(col("key_id"), lit(1000)).cast("int")),
-      Seq("key_id"), "sequence_number")
-    val narrowBefore =
-      read(spark, path).schema("ival").dataType == IntegerType
-    val dataBefore = manifestEntries(spark, path, 1).data.toSet
-    widenColumn(spark, path, "ival", "long")
-    val tip = versions(spark, path).last
-    val zeroMotion =
-      manifestEntries(spark, path, tip).data.toSet == dataBefore
-    val wideAfter = read(spark, path).schema("ival").dataType == LongType
-    val travelNarrow =
-      read(spark, path, Some(1)).schema("ival").dataType == IntegerType
-    dvUpsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") > t1))
-        .withColumn("ival",
-          pmod(col("key_id"), lit(1000)) + lit(5000000000L)),
-      Seq("key_id"), "sequence_number")
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("ival"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("narrow_before_widen", lit(narrowBefore))
-      .withColumn("zero_data_motion", lit(zeroMotion))
-      .withColumn("wide_after_widen", lit(wideAfter))
-      .withColumn("time_travel_reads_narrow", lit(travelNarrow))
-  }
-
-  val typeWideningSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value,
-         CASE WHEN sequence_number <= (SELECT t1 FROM cutoff)
-              THEN ((key_id % 1000) + 1000) % 1000
-              ELSE ((key_id % 1000) + 1000) % 1000 + 5000000000
-         END AS ival,
-         sequence_number AS last_sequence,
-         true AS narrow_before_widen, true AS zero_data_motion,
-         true AS wide_after_widen, true AS time_travel_reads_narrow
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** CHANGE DATA FEED analog: the row-level diff between two committed
-    * versions, reconstructed purely from retained snapshots — what a
-    * downstream incremental consumer reads instead of the full table
-    * (ref docs/CDC_GUIDE.md positions Delta CDF the same way). Two
-    * sequence-ranged merges create v1 and v2; the diff is a full-outer
-    * join of the snapshot reads on the key, classifying each changed
-    * key as insert / update / delete. A key's winning sequence number
-    * changes iff its visible row changed, so the seq comparison is the
-    * exact change predicate — no column-by-column compare.
-    *
-    * Scale: both snapshots are bucket-partitioned by the same key hash,
-    * so at scale the join shuffles neither side more than once and a
-    * bucket-aware reader could co-locate it entirely.
-    */
-  def versionDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_cdf")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    val batches = Seq(
-      staged.filter(col("sequence_number") <= t1),
-      staged.filter(col("sequence_number") > t1))
-    batches.foreach { b =>
-      upsert(spark, path,
-        b.withColumn("_deleted", col("operation") === "DELETE")
-          .drop("operation"),
-        keyCols = Seq("key_id"), seqCol = "sequence_number")
-    }
-    val v1 = read(spark, path, asOfVersion = Some(1))
-      .select(col("key_id"), col("value").as("old_value"),
-        col("sequence_number").as("old_sequence"))
-    val v2 = read(spark, path, asOfVersion = Some(2))
-      .select(col("key_id"), col("value").as("new_value"),
-        col("sequence_number").as("new_sequence"))
-    v1.join(v2, Seq("key_id"), "full_outer")
-      .filter(col("old_sequence").isNull || col("new_sequence").isNull ||
-        col("old_sequence") =!= col("new_sequence"))
-      .select(col("key_id"),
-        when(col("old_sequence").isNull, "insert")
-          .when(col("new_sequence").isNull, "delete")
-          .otherwise("update").as("change_type"),
-        col("old_value"), col("new_value"),
-        col("old_sequence"), col("new_sequence"))
-  }
-
-  val versionDiffSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
-       r1 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t1),
-       v1 AS (
-         SELECT key_id, value AS old_value, sequence_number AS old_sequence
-         FROM r1 WHERE rn = 1 AND operation <> 'DELETE'),
-       r2 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s),
-       v2 AS (
-         SELECT key_id, value AS new_value, sequence_number AS new_sequence
-         FROM r2 WHERE rn = 1 AND operation <> 'DELETE')
-       SELECT COALESCE(v1.key_id, v2.key_id) AS key_id,
-         CASE WHEN v1.old_sequence IS NULL THEN 'insert'
-              WHEN v2.new_sequence IS NULL THEN 'delete'
-              ELSE 'update' END AS change_type,
-         v1.old_value, v2.new_value, v1.old_sequence, v2.new_sequence
-       FROM v1
-       FULL JOIN v2 ON v1.key_id = v2.key_id
-       WHERE v1.old_sequence IS NULL OR v2.new_sequence IS NULL
-          OR v1.old_sequence <> v2.new_sequence
-       ORDER BY key_id"""
-
-  /** VACUUM lifecycle made visible as its own gate row (retention also
-    * runs inside [[timeTravel]], but there only the retained read is
-    * checked): three merges commit v1..v3, `vacuum(retainLast = 1)`
-    * drops v1/v2, and the report proves (a) exactly v3 remains
-    * readable, (b) its row count equals the full-feed SCD1 state, and
-    * (c) the DISK holds precisely the retained manifest's files — no
-    * orphan survived, no live file was deleted. The physical-state
-    * boolean is computable only engine-side; the oracle pins it true,
-    * the availability/row columns exactly.
-    */
-  def vacuumLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val path = Scratch.dir("vlake_vac")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 3
-    val t2 = maxSeq * 2 / 3
-    Seq(
-      staged.filter(col("sequence_number") <= t1),
-      staged.filter(col("sequence_number") > t1 &&
-        col("sequence_number") <= t2),
-      staged.filter(col("sequence_number") > t2))
-      .foreach { b =>
-        upsert(spark, path,
-          b.withColumn("_deleted", col("operation") === "DELETE")
-            .drop("operation"),
-          keyCols = Seq("key_id"), seqCol = "sequence_number")
-      }
-    vacuum(spark, path, retainLast = 1)
-    val remaining = versions(spark, path)
-    val live = remaining.flatMap(v =>
-      manifestEntries(spark, path, v).data).toSet
-    val f = fs(spark)
-    val onDisk = f.listStatus(new Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
-      .flatMap(d => f.listStatus(d.getPath).filter(_.isFile)
-        .map(s => s"${d.getPath.getName}/${s.getPath.getName}"))
-      .toSet
-    val diskMatches = onDisk == live
-    (1 to 3).map { v =>
-      val available = remaining.contains(v)
-      val rows: Option[Long] =
-        if (available) Some(read(spark, path, Some(v)).count()) else None
-      (v, available, rows, diskMatches)
-    }.toDF("version", "available", "n_rows", "disk_matches_manifest")
-  }
-
-  val vacuumLifecycleSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s),
-       final_rows AS (
-         SELECT COUNT(*) AS n FROM ranked
-         WHERE rn = 1 AND operation <> 'DELETE')
-       SELECT * FROM (
-         SELECT 1 AS version, false AS available,
-           CAST(NULL AS BIGINT) AS n_rows, true AS disk_matches_manifest
-         UNION ALL
-         SELECT 2, false, CAST(NULL AS BIGINT), true
-         UNION ALL
-         SELECT 3, true, (SELECT n FROM final_rows), true)
-       ORDER BY version"""
-
-  /** OPTIMISTIC CONCURRENCY made visible as a gate row. Four writers
-    * exercise every commit path, interleaved the way real racing
-    * writers interleave (each `prepare` reads its snapshot BEFORE the
-    * competing commit lands):
-    *
-    *  1. writers A and B split the first half of the change feed by
-    *     BUCKET (hash shards 0-7 vs 8-15 — the disjoint-shard ingest
-    *     topology) and both prepare against the empty table; A commits
-    *     v1, B loses the CAS and must REBASE (exactly one round) to
-    *     land v2 — no lost update, both shards visible;
-    *  2. writers C and D split the second half by sequence parity
-    *     (keys overlap ⇒ buckets overlap) and both prepare against v2;
-    *     C commits v3, D's commit must DETECT the conflict and fail
-    *     cleanly; the clean retry (a fresh merge off v3) lands v4.
-    *
-    * The returned table is the converged snapshot — hash-matched
-    * against the SEQUENTIAL full-feed SCD1 oracle, which is the
-    * serializability proof — plus the commit-path telemetry
-    * (n_versions / B's rebase rounds / D's conflict) as constant
-    * columns the oracle pins.
-    */
-  def concurrentWriters(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_occ")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    val bucket = pmod(hash(col("key_id")), lit(16))
-    val first = staged.filter(col("sequence_number") <= t1)
-    val second = staged.filter(col("sequence_number") > t1)
-    val a = asChanges(first.filter(bucket < 8))
-    val b = asChanges(first.filter(bucket >= 8))
-    // both writers read the SAME (empty) snapshot before either commits
-    val pa = prepare(spark, path, a, Seq("key_id"), "sequence_number")
-    val pb = prepare(spark, path, b, Seq("key_id"), "sequence_number")
-    val ra = commitPending(spark, path, pa)
-    val rb = commitPending(spark, path, pb)
-    require(ra.version == 1 && ra.rebaseRounds == 0, s"writer A: $ra")
-    val c = asChanges(second.filter(col("sequence_number") % 2 === 0))
-    val d = asChanges(second.filter(col("sequence_number") % 2 === 1))
-    val pc = prepare(spark, path, c, Seq("key_id"), "sequence_number")
-    val pd = prepare(spark, path, d, Seq("key_id"), "sequence_number")
-    commitPending(spark, path, pc)
-    val conflicted =
-      try { commitPending(spark, path, pd); false }
-      catch { case _: ConcurrentWriteConflict => true }
-    if (conflicted) // clean retry: fresh merge against the new snapshot
-      upsert(spark, path, d, Seq("key_id"), "sequence_number")
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("n_versions", lit(versions(spark, path).size))
-      .withColumn("b_rebase_rounds", lit(rb.rebaseRounds))
-      .withColumn("overlap_conflict_detected", lit(conflicted))
-  }
-
-  val concurrentWritersSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         4 AS n_versions, 1 AS b_rebase_rounds,
-         true AS overlap_conflict_detected
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** MERGE-ON-READ as a gate row. v1 lands every key's best non-delete
-    * row; the keys whose final CDC op is DELETE then trickle in as
-    * three [[dvDelete]] batches — each committing a version that
-    * touches ZERO data files (asserted engine-side against the v1
-    * manifest and pinned by the oracle). The pre-compact snapshot is
-    * captured, [[compactDvs]] folds the DVs into rewritten files, and
-    * the post-compact read is proven row-identical (exceptAll both
-    * ways) and DV-free. The returned table is the converged snapshot,
-    * hash-matched against the full-feed SCD1 oracle — the same final
-    * state copy-on-write would have produced, reached at
-    * O(rows-deleted) commit cost instead of O(files × file-size).
-    */
-  def deletionVectors(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_dv")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    upsert(spark, path,
-      staged.filter(col("operation") =!= "DELETE").drop("operation"),
-      Seq("key_id"), "sequence_number")
-    val filesV1 = manifestEntries(spark, path, 1).data.toSet
-    val w = Window.partitionBy(col("key_id"))
-      .orderBy(col("sequence_number").desc)
-    val delKeys = staged
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("operation") === "DELETE")
-      .select(col("key_id"))
-      .localCheckpoint(true)
-    (0 to 2).foreach { i =>
-      dvDelete(spark, path,
-        delKeys.filter(pmod(col("key_id"), lit(3)) === i), Seq("key_id"))
-    }
-    val mAfter = manifestEntries(spark, path, versions(spark, path).last)
-    val zeroRewrites = mAfter.data.toSet == filesV1
-    val hadDvs = mAfter.dv.nonEmpty
-    val before = read(spark, path).localCheckpoint(true)
-    compactDvs(spark, path)
-    val after = read(spark, path)
-    val identical = before.exceptAll(after).isEmpty &&
-      after.exceptAll(before).isEmpty
-    val dvFree =
-      manifestEntries(spark, path, versions(spark, path).last).dv.isEmpty
-    after
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("zero_data_rewrites_before_compact", lit(zeroRewrites))
-      .withColumn("dv_files_present_before_compact", lit(hadDvs))
-      .withColumn("post_compact_identical", lit(identical))
-      .withColumn("dv_free_after_compact", lit(dvFree))
-  }
-
-  val deletionVectorsSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS zero_data_rewrites_before_compact,
-         true AS dv_files_present_before_compact,
-         true AS post_compact_identical,
-         true AS dv_free_after_compact
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** MOR UPSERT as a gate row: v1 lands HALF the change feed
-    * copy-on-write, then the second half trickles in as three
-    * [[dvUpsert]] batches SPLIT BY SEQUENCE PARITY-OF-THREE — i.e.
-    * deliberately out of order, so late-arriving older changes, ties,
-    * tombstone retention and re-updates of deleted keys all occur and
-    * must resolve to the same winners a sequential merge picks. The
-    * engine asserts v1's data files all survive untouched (MOR appends,
-    * never rewrites) and that DV mappings exist; the converged snapshot
-    * hash-matches the full-feed SCD1 oracle.
-    */
-  def morUpsert(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_mor")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    val filesV1 = manifestEntries(spark, path, 1).data.toSet
-    val second = staged.filter(col("sequence_number") > t1)
-    (0 to 2).foreach { i => // parity split ⇒ out-of-order arrival
-      dvUpsert(spark, path,
-        asChanges(second.filter(pmod(col("sequence_number"), lit(3)) === i)),
-        Seq("key_id"), "sequence_number")
-    }
-    val mAfter = manifestEntries(spark, path, versions(spark, path).last)
-    val zeroRewrites = filesV1.subsetOf(mAfter.data.toSet)
-    val appendsLanded = mAfter.data.size > filesV1.size
-    val hadDvs = mAfter.dv.nonEmpty
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("zero_data_rewrites", lit(zeroRewrites))
-      .withColumn("appends_landed", lit(appendsLanded))
-      .withColumn("dv_files_present", lit(hadDvs))
-  }
-
-  val morUpsertSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS zero_data_rewrites, true AS appends_landed,
-         true AS dv_files_present
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** ROW TRACKING as a gate row — the full identity lifecycle:
-    * v1 lands half the change feed, [[enableRowTracking]] BACKFILLS
-    * ids, a COW upsert applies the rest of the feed (updates inherit,
-    * new keys draw above the recorded hwm), a MOR touch-up bumps every
-    * live row's value (+1.0, sequence shifted by the feed's max — the
-    * appended winners must INHERIT ids through the DV join), and an
-    * OPTIMIZE rewrite must carry the ids bit-identically. The emitted
-    * booleans pin each invariant; the data columns converge to the
-    * touched-up SCD1 oracle:
-    *
-    *  - `ids_distinct`            — no duplicate identity at the tip
-    *  - `ids_stable_across_updates` — keys alive before+after the COW
-    *     merge kept their ids
-    *  - `fresh_ids_above_hwm`     — new keys' ids all exceed the hwm
-    *     recorded at backfill
-    *  - `ids_survive_mor`         — the MOR pass changed no identity
-    *  - `ids_survive_optimize`    — the rewrite changed NOTHING
-    *     (two-way exceptAll on (key, id))
-    *  - `hwm_monotone`            — the allocation mark never moved
-    *     backwards
-    */
-  def rowTracking(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_rowid")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    enableRowTracking(spark, path)
-    def ids(): DataFrame = readWithRowIds(spark, path)
-      .select(col("key_id"), col("row_id")).localCheckpoint(true)
-    def hwmNow(): Long =
-      rowIdHwm(manifestEntries(spark, path, versions(spark, path).last))
-    val idsA = ids()
-    val hwmA = hwmNow()
-    upsert(spark, path, asChanges(staged.filter(col("sequence_number") > t1)),
-      Seq("key_id"), "sequence_number")
-    val idsB = ids()
-    val stableUpd = idsA.join(idsB, "key_id")
-      .filter(idsA("row_id") =!= idsB("row_id")).isEmpty
-    val freshHigh = idsB.join(idsA, Seq("key_id"), "left_anti")
-      .filter(col("row_id") <= hwmA).isEmpty
-    // MOR touch-up: +1.0 to every live row, sequence shifted past the
-    // whole feed so every update wins
-    val touchUp = read(spark, path)
-      .select(col("key_id"), (col("value") + lit(1.0)).as("value"),
-        col("props"),
-        (col("sequence_number") + lit(maxSeq)).as("sequence_number"))
-    dvUpsert(spark, path, touchUp, Seq("key_id"), "sequence_number")
-    val idsC = ids()
-    val stableMor = idsB.join(idsC, "key_id")
-      .filter(idsB("row_id") =!= idsC("row_id")).isEmpty
-    optimizeSmallFiles(spark, path)
-    val idsD = ids()
-    val stableOpt = idsC.exceptAll(idsD).isEmpty && idsD.exceptAll(idsC).isEmpty
-    val distinctIds =
-      idsD.count() == idsD.select(col("row_id")).distinct().count()
-    val hwmMonotone = hwmNow() >= hwmA
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("ids_distinct", lit(distinctIds))
-      .withColumn("ids_stable_across_updates", lit(stableUpd))
-      .withColumn("fresh_ids_above_hwm", lit(freshHigh))
-      .withColumn("ids_survive_mor", lit(stableMor))
-      .withColumn("ids_survive_optimize", lit(stableOpt))
-      .withColumn("hwm_monotone", lit(hwmMonotone))
-  }
-
-  val rowTrackingSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value + 1.0 AS value, props,
-         sequence_number + (SELECT MAX(sequence_number) FROM stg)
-           AS last_sequence,
-         true AS ids_distinct, true AS ids_stable_across_updates,
-         true AS fresh_ids_above_hwm, true AS ids_survive_mor,
-         true AS ids_survive_optimize, true AS hwm_monotone
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** RESTORE as a gate row: three sequence-ranged merges commit v1..v3,
-    * [[restore]] rolls the table back to v1 as v4, and the read of the
-    * new tip must equal the FIRST-THIRD SCD1 state — the proof that
-    * rollback reconstructs old data exactly. Engine-side assertions the
-    * oracle pins: the restore commit references v1's files VERBATIM
-    * (`restore_by_reference` — zero data movement), and after
-    * `vacuum(retainLast = 1)` drops every older manifest the restored
-    * tip still reads intact with the disk holding exactly its live set
-    * (`survives_vacuum`) — retention follows manifest REFERENCES, not
-    * write time, so files first committed at v1 are kept alive by v4.
-    */
-  def restoreRollback(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_restore")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 3
-    val t2 = maxSeq * 2 / 3
-    Seq(
-      staged.filter(col("sequence_number") <= t1),
-      staged.filter(col("sequence_number") > t1 &&
-        col("sequence_number") <= t2),
-      staged.filter(col("sequence_number") > t2))
-      .foreach { b =>
-        upsert(spark, path,
-          b.withColumn("_deleted", col("operation") === "DELETE")
-            .drop("operation"),
-          keyCols = Seq("key_id"), seqCol = "sequence_number")
-      }
-    val r = restore(spark, path, toVersion = 1)
-    val m1 = manifestEntries(spark, path, 1)
-    val m4 = manifestEntries(spark, path, r.version)
-    val byReference = m4.data == m1.data && m4.dv == m1.dv
-    vacuum(spark, path, retainLast = 1)
-    val remaining = versions(spark, path)
-    val live = remaining
-      .flatMap(v => manifestEntries(spark, path, v).allFiles).toSet
-    val f = fs(spark)
-    val onDisk = f.listStatus(new Path(path))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
-      .flatMap(d => f.listStatus(d.getPath).filter(_.isFile)
-        .map(s => s"${d.getPath.getName}/${s.getPath.getName}"))
-      .toSet
-    val survivesVacuum = remaining == Seq(r.version) && onDisk == live
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("restored_as_version", lit(r.version))
-      .withColumn("restore_by_reference", lit(byReference))
-      .withColumn("survives_vacuum", lit(survivesVacuum))
-  }
-
-  val restoreRollbackSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) // 3 AS t1 FROM stg),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t1)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         4 AS restored_as_version, true AS restore_by_reference,
-         true AS survives_vacuum
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** INCREMENTAL CDF as a gate row — the same change classification
-    * [[versionDiff]] proves, now computed by [[changes]] from the
-    * manifest diff instead of two full snapshot scans. v1 lands the
-    * first half of the feed copy-on-write over 64 buckets; the second
-    * half, RESTRICTED to a sparse key subset (`key_id % 10 = 0`, so
-    * most buckets never change), trickles in as two parity-split
-    * [[dvUpsert]] batches. The engine then asserts what makes the
-    * incremental form matter: the files [[changes]] scanned (added +
-    * removed + DV-repointed) are STRICTLY FEWER than one full snapshot
-    * of either endpoint (`scan_pruned`) — at 100 TB that is megabytes
-    * instead of two table scans. The change rows themselves hash-match
-    * the oracle's diff of the two SCD1 states.
-    */
-  /** The sparse-trickle CDF fixture (v1 = first half of the feed,
-    * copy-on-write over 64 buckets; then the second half restricted to
-    * `key_id % 10 = 0` as two parity-split MOR commits), built ONCE
-    * per JVM and shared by the two change-feed gates
-    * ([[incrementalCdf]], [[cdfPreimage]]) and their bench repeat
-    * runs. The table is immutable after construction — both gates only
-    * READ it — so sharing changes nothing semantically, and the
-    * measured cost of each row becomes the CHANGE-FEED READ it exists
-    * to prove, not a rebuild of the same fixture (a production
-    * consumer does not rebuild the table to read its CDF).
-    */
-  private val sparseTrickleMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def sparseTrickleTable(spark: SparkSession,
-      sfDir: String): String = {
-    // a memoized fixture can be swept from /tmp by another harness
-    // process's Scratch.sweep while this JVM still holds the path —
-    // validate and rebuild rather than read a vanished table
-    val cached = sparseTrickleMemo.get(sfDir)
-    if (cached != null && versions(spark, cached).isEmpty)
-      sparseTrickleMemo.remove(sfDir, cached)
-    sparseTrickleMemo.computeIfAbsent(sfDir, _ => {
-      val path = Scratch.dir("vlake_icdf")
-      val staged =
-        graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-      val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-      val t1 = maxSeq / 2
-      def asChanges(df: DataFrame): DataFrame =
-        df.withColumn("_deleted", col("operation") === "DELETE")
-          .drop("operation")
-      upsert(spark, path,
-        asChanges(staged.filter(col("sequence_number") <= t1)),
-        Seq("key_id"), "sequence_number", numBuckets = 64)
-      val trickle = staged.filter(col("sequence_number") > t1 &&
-        col("key_id") % 10 === 0)
-      (0 to 1).foreach { i => // parity split ⇒ out-of-order arrival
-        dvUpsert(spark, path,
-          asChanges(
-            trickle.filter(pmod(col("sequence_number"), lit(2)) === i)),
-          Seq("key_id"), "sequence_number")
-      }
-      path
-    })
-  }
-
-  /** The shared immutable sparse-trickle CDF fixture, for gates in
-    * sibling files (`lake_sql_cdf` reads it through the SQL catalog).
-    * READ-ONLY by contract: both CDF gates and the SQL TVF gate share
-    * the table; committing to it would corrupt their oracles.
-    */
-  private[sources] def cdfFixtureTable(spark: SparkSession,
-      sfDir: String): String = sparseTrickleTable(spark, sfDir)
-
-  def incrementalCdf(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = sparseTrickleTable(spark, sfDir)
-    val last = versions(spark, path).last
-    val mA = manifestEntries(spark, path, 1)
-    val mB = manifestEntries(spark, path, last)
-    val scanned = // exactly the files [[changes]] opens, from the same diff
-      mA.data.filterNot(mB.data.toSet).size +
-        mB.data.filterNot(mA.data.toSet).size +
-        mA.data.count(f =>
-          mB.data.toSet(f) && mB.dv.get(f) != mA.dv.get(f))
-    val pruned = scanned < mA.data.size && scanned < mB.data.size
-    changes(spark, path, fromVersion = 1, toVersion = last,
-      keyCols = Seq("key_id"), seqCol = "sequence_number",
-      valueCols = Seq("value"))
-      .withColumn("scan_pruned", lit(pruned))
-  }
-
-  val incrementalCdfSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
-       r1 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t1),
-       v1 AS (
-         SELECT key_id, value AS old_value, sequence_number AS old_sequence
-         FROM r1 WHERE rn = 1 AND operation <> 'DELETE'),
-       feed2 AS (
-         SELECT s.* FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t1
-            OR (s.sequence_number > c.t1 AND s.key_id % 10 = 0)),
-       r2 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM feed2 s),
-       v2 AS (
-         SELECT key_id, value AS new_value, sequence_number AS new_sequence
-         FROM r2 WHERE rn = 1 AND operation <> 'DELETE')
-       SELECT COALESCE(v1.key_id, v2.key_id) AS key_id,
-         CASE WHEN v1.old_sequence IS NULL THEN 'insert'
-              WHEN v2.new_sequence IS NULL THEN 'delete'
-              ELSE 'update' END AS change_type,
-         v1.old_value, v2.new_value, v1.old_sequence, v2.new_sequence,
-         true AS scan_pruned
-       FROM v1
-       FULL JOIN v2 ON v1.key_id = v2.key_id
-       WHERE v1.old_sequence IS NULL OR v2.new_sequence IS NULL
-          OR v1.old_sequence <> v2.new_sequence
-       ORDER BY key_id"""
-
-  /** CDF UPDATE PREIMAGES as a gate row: the same sparse-trickle
-    * construction as [[incrementalCdf]], consumed through
-    * [[changesCdf]]'s long form — insert / delete / update_preimage /
-    * update_postimage, Delta's `readChangeFeed` event grain. The
-    * engine asserts the preimage half against the table itself (every
-    * `update_preimage` row equals the v1 snapshot's row for that key —
-    * one change-scale anti-join), and the oracle independently
-    * re-derives all four event types from the two SCD1 states, so a
-    * wrong or missing preimage fails both ways.
-    */
-  def cdfPreimage(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = sparseTrickleTable(spark, sfDir) // shared, read-only
-    val last = versions(spark, path).last
-    val cdf = changesCdf(spark, path, fromVersion = 1, toVersion = last,
-      keyCols = Seq("key_id"), seqCol = "sequence_number",
-      valueCols = Seq("value")).localCheckpoint(true)
-    val pre = cdf.filter(col("_change_type") === "update_preimage")
-      .select(col("key_id"), col("value"), col("_commit_sequence"))
-    val v1rows = read(spark, path, Some(1))
-      .select(col("key_id"), col("value"),
-        col("sequence_number").as("_commit_sequence"))
-    val preOk = pre.join(v1rows,
-      Seq("key_id", "value", "_commit_sequence"), "left_anti").isEmpty
-    cdf.withColumn("preimage_equals_v1", lit(preOk))
-  }
-
-  val cdfPreimageSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cutoff AS (SELECT MAX(sequence_number) // 2 AS t1 FROM stg),
-       r1 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t1),
-       v1 AS (
-         SELECT key_id, value AS old_value, sequence_number AS old_sequence
-         FROM r1 WHERE rn = 1 AND operation <> 'DELETE'),
-       feed2 AS (
-         SELECT s.* FROM stg s, cutoff c
-         WHERE s.sequence_number <= c.t1
-            OR (s.sequence_number > c.t1 AND s.key_id % 10 = 0)),
-       r2 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM feed2 s),
-       v2 AS (
-         SELECT key_id, value AS new_value, sequence_number AS new_sequence
-         FROM r2 WHERE rn = 1 AND operation <> 'DELETE'),
-       j AS (
-         SELECT COALESCE(v1.key_id, v2.key_id) AS key_id,
-           CASE WHEN v1.old_sequence IS NULL THEN 'insert'
-                WHEN v2.new_sequence IS NULL THEN 'delete'
-                ELSE 'update' END AS ct,
-           old_value, new_value, old_sequence, new_sequence
-         FROM v1
-         FULL JOIN v2 ON v1.key_id = v2.key_id
-         WHERE v1.old_sequence IS NULL OR v2.new_sequence IS NULL
-            OR v1.old_sequence <> v2.new_sequence)
-       SELECT key_id, 'insert' AS _change_type, new_value AS value,
-         new_sequence AS _commit_sequence, true AS preimage_equals_v1
-       FROM j WHERE ct = 'insert'
-       UNION ALL
-       SELECT key_id, 'delete', old_value, old_sequence, true
-       FROM j WHERE ct = 'delete'
-       UNION ALL
-       SELECT key_id, 'update_preimage', old_value, old_sequence, true
-       FROM j WHERE ct = 'update'
-       UNION ALL
-       SELECT key_id, 'update_postimage', new_value, new_sequence, true
-       FROM j WHERE ct = 'update'
-       ORDER BY key_id, _change_type"""
-
-  /** The STREAMING SOURCE as a gate row: the commit log of a lake table
-    * is consumed by four Structured Streaming runs sharing one
-    * checkpoint, proving the four properties a streaming source owes
-    * its consumers:
-    *
-    *  1. run 1 (after v1 copy-on-write + v2 MOR) delivers both
-    *     versions' change rows;
-    *  2. a version committed BETWEEN runs (v3) is delivered by run 2
-    *     ALONE — `resumed_only_new_version`: the checkpoint resumes
-    *     incrementally, delivered rows = exactly the new version's
-    *     accepted changes;
-    *  3. a PURE POSITION-DELETE commit (v4, [[dvDelete]] of
-    *     `key_id % 10 = 0`) — which appends NO data file — still
-    *     delivers exactly one tombstone per doomed current row
-    *     (`delete_delivered_tombstones`): the trickle-delete grain the
-    *     r6 change log silently dropped;
-    *  4. run 4, with nothing new committed, delivers ZERO rows —
-    *     `replay_delivered_zero`: at-most-once per checkpoint.
-    *
-    * The accumulated stream output (a parquet sink with its own
-    * exactly-once metadata log) is then resolved SCD1-style — winner
-    * per key by (sequence, delete-wins-tie), tombstones dropped — and
-    * must hash-match the full-feed-minus-deleted-keys oracle state:
-    * the proof that the change stream carries ENOUGH to rebuild the
-    * table, position deletes included. `n_change_rows` is
-    * oracle-computed (one change row per distinct key per third, plus
-    * one tombstone per deleted key), so over- or under-delivery fails
-    * the gate numerically, not just boolean-ly.
-    */
-  def streamSourceGate(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val path = Scratch.dir("vlake_src")
-    val ckpt = Scratch.dir("vlake_src_ckpt")
-    val acc = Scratch.dir("vlake_src_acc")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 3
-    val t2 = maxSeq * 2 / 3
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    dvUpsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") > t1 &&
-        col("sequence_number") <= t2)),
-      Seq("key_id"), "sequence_number")
-    val schema = spark.read.parquet(s"$path/$ChangesDir/v000001").schema
-    def runOnce(): Long = {
-      val q = streamSource(spark, path, schema)
-        .writeStream.format("parquet")
-        .option("path", acc).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.read.parquet(acc).count()
-    }
-    val n1 = runOnce() // v1 + v2 change rows
-    val third3 = asChanges(staged.filter(col("sequence_number") > t2))
-      .localCheckpoint(true)
-    dvUpsert(spark, path, third3, Seq("key_id"), "sequence_number")
-    val n2 = runOnce() // resumes: v3's rows alone
-    // v4: a PURE position delete — no data file appended, only a DV
-    // sidecar; the change log must still carry its tombstones
-    val doomKeys = staged.filter(pmod(col("key_id"), lit(10)) === 0)
-      .select(col("key_id")).distinct().localCheckpoint(true)
-    dvDelete(spark, path, doomKeys, Seq("key_id"))
-    val n3 = runOnce() // v4's tombstones alone
-    val n4 = runOnce() // replay: nothing new committed
-    val d3 = third3.select(col("key_id")).distinct().count()
-    val resumedOnlyNew = (n2 - n1) == d3
-    val deleteDelivered = (n3 - n2) == doomKeys.count()
-    val replayZero = n4 == n3
-    // SCD1 resolution with DELETE-WINS-TIE: a dvDelete tombstone
-    // carries the doomed row's own sequence, so at equal sequence the
-    // tombstone supersedes the row it deletes
-    val w = Window.partitionBy(col("key_id"))
-      .orderBy(col("sequence_number").desc,
-        coalesce(col("_deleted"), lit(false)).desc)
-    spark.read.parquet(acc)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !coalesce(col("_deleted"), lit(false)))
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("n_change_rows", lit(n3))
-      .withColumn("resumed_only_new_version", lit(resumedOnlyNew))
-      .withColumn("delete_delivered_tombstones", lit(deleteDelivered))
-      .withColumn("replay_delivered_zero", lit(replayZero))
-  }
-
-  val streamSourceGateSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cut AS (SELECT MAX(sequence_number) // 3 AS t1,
-                      MAX(sequence_number) * 2 // 3 AS t2 FROM stg),
-       chg AS (
-         SELECT
-           (SELECT COUNT(DISTINCT key_id) FROM stg, cut
-             WHERE sequence_number <= t1)
-           + (SELECT COUNT(DISTINCT key_id) FROM stg, cut
-               WHERE sequence_number > t1 AND sequence_number <= t2)
-           + (SELECT COUNT(DISTINCT key_id) FROM stg, cut
-               WHERE sequence_number > t2)
-           + (SELECT COUNT(DISTINCT key_id) FROM stg
-               WHERE key_id % 10 = 0) AS n),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         (SELECT n FROM chg) AS n_change_rows,
-         true AS resumed_only_new_version,
-         true AS delete_delivered_tombstones,
-         true AS replay_delivered_zero
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE' AND key_id % 10 <> 0
-       ORDER BY key_id"""
-
-  /** CHECK constraints as a gate row. v1 lands the first third; a
-    * `value IS NOT NULL` constraint is added (existing data validated
-    * first), and then every enforcement property is exercised:
-    *
-    *  - an ADD whose predicate existing rows violate is itself
-    *    rejected (`invalid_add_rejected`) — a constraint the table
-    *    already breaks must never land;
-    *  - a dirtied second third (nulls injected into `value` for
-    *    `key_id % 3 = 0`) is rejected WHOLESALE by both the
-    *    copy-on-write and the merge-on-read write paths
-    *    (`cow_dirty_rejected` / `mor_dirty_rejected`);
-    *  - both rejections are ATOMIC: the version chain is unchanged
-    *    afterwards (`reject_was_atomic`) — no partial batch, no
-    *    orphan manifest.
-    *
-    * The clean second and third thirds then commit through both paths,
-    * and the final state hash-matches the full-feed SCD1 oracle — the
-    * proof that enforcement never dropped or altered valid changes.
-    * Enforcement itself is one change-scale job per write (see
-    * [[enforceConstraints]]), the cost profile a 100 TB trickle
-    * pipeline needs.
-    */
-  def writeConstraints(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_ck")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 3
-    val t2 = maxSeq * 2 / 3
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    addConstraint(spark, path, "value_present", "value IS NOT NULL")
-    val invalidAddRejected =
-      try {
-        addConstraint(spark, path, "value_below", "value < -1e18"); false
-      } catch { case _: ConstraintViolation => true }
-    val second = asChanges(staged.filter(col("sequence_number") > t1 &&
-      col("sequence_number") <= t2)).localCheckpoint(true)
-    val dirty = second.withColumn("value",
-      when(col("key_id") % 3 === 0, lit(null).cast("double"))
-        .otherwise(col("value")))
-    val vBefore = versions(spark, path).last
-    val cowRejected =
-      try { upsert(spark, path, dirty, Seq("key_id"), "sequence_number"); false }
-      catch { case _: ConstraintViolation => true }
-    val morRejected =
-      try {
-        dvUpsert(spark, path, dirty, Seq("key_id"), "sequence_number"); false
-      } catch { case _: ConstraintViolation => true }
-    val atomic = versions(spark, path).last == vBefore
-    upsert(spark, path, second, Seq("key_id"), "sequence_number")
-    dvUpsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") > t2)),
-      Seq("key_id"), "sequence_number")
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("invalid_add_rejected", lit(invalidAddRejected))
-      .withColumn("cow_dirty_rejected", lit(cowRejected))
-      .withColumn("mor_dirty_rejected", lit(morRejected))
-      .withColumn("reject_was_atomic", lit(atomic))
-  }
-
-  val writeConstraintsSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS invalid_add_rejected, true AS cow_dirty_rejected,
-         true AS mor_dirty_rejected, true AS reject_was_atomic
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** SHALLOW CLONE as a gate row. The source lands two thirds of the
-    * feed (v1, v2); [[cloneTable]] forks it; then both histories
-    * diverge and every independence property is engine-asserted:
-    *
-    *  - `cloned_zero_copy`: every cloned data file shares its inode
-    *    with the source (hard-link nlink ≥ 2) — O(#files) metadata,
-    *    zero bytes;
-    *  - `clone_write_isolated`: the clone absorbing the final third
-    *    (MOR) leaves the source's manifest byte-identical;
-    *  - `source_files_reclaimed`: the source is then poisoned (every
-    *    key overwritten at higher sequence — would corrupt the clone
-    *    if any path were shared) and VACUUMED down to the poisoned
-    *    tip, which physically deletes every pre-clone file from the
-    *    source directory — and the clone STILL reads intact (the
-    *    links keep the shared inodes alive; Delta's path-based
-    *    shallow clones break exactly here).
-    *
-    * The clone's final read hash-matches the full-feed SCD1 oracle;
-    * the poison (value −99999 at shifted sequences) is chosen so any
-    * leak across table boundaries fails the hash numerically.
-    */
-  def shallowClone(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = Scratch.dir("vlake_cls")
-    val dst = Scratch.dir("vlake_cld")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-      .localCheckpoint(true)
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 3
-    val t2 = maxSeq * 2 / 3
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, src,
-      asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    upsert(spark, src,
-      asChanges(staged.filter(col("sequence_number") > t1 &&
-        col("sequence_number") <= t2)),
-      Seq("key_id"), "sequence_number")
-    cloneTable(spark, src, dst)
-    val m1 = manifestEntries(spark, dst, 1)
-    val zeroCopy = m1.data.forall { rel =>
-      java.nio.file.Files.getAttribute(
-        java.nio.file.Paths.get(new Path(s"$dst/$rel").toUri.getPath),
-        "unix:nlink").asInstanceOf[Number].longValue >= 2
-    }
-    val srcTip = versions(spark, src).last
-    val srcLines = manifestLines(spark, src, srcTip)
-    dvUpsert(spark, dst,
-      asChanges(staged.filter(col("sequence_number") > t2)),
-      Seq("key_id"), "sequence_number")
-    val writeIsolated = versions(spark, src).last == srcTip &&
-      manifestLines(spark, src, srcTip) == srcLines
-    // poison the source: every key overwritten at a winning sequence
-    val poison = staged.select(col("key_id"),
-      (col("sequence_number") + maxSeq).as("sequence_number"),
-      lit(-99999.0).as("value"), col("props"))
-      .withColumn("_deleted", lit(false))
-    upsert(spark, src, poison, Seq("key_id"), "sequence_number")
-    vacuum(spark, src, retainLast = 1)
-    val f = fs(spark)
-    val reclaimed = m1.data.forall(rel =>
-      !f.exists(new Path(s"$src/$rel")))
-    read(spark, dst)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("cloned_zero_copy", lit(zeroCopy))
-      .withColumn("clone_write_isolated", lit(writeIsolated))
-      .withColumn("source_files_reclaimed", lit(reclaimed))
-  }
-
-  val shallowCloneSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS cloned_zero_copy, true AS clone_write_isolated,
-         true AS source_files_reclaimed
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** DESCRIBE HISTORY as a gate row: one scripted pass drives every
-    * commit path — COW merge, MOR merge, trickle delete, constraint
-    * add, compaction, restore — and the audit must report each version
-    * with its operation name AND the row count visible at that
-    * version, all six of which the oracle derives independently from
-    * the feed (counts c1/c2/c3 are the SCD1 cardinalities at the
-    * sequence cutoffs, minus the `key_id % 7` delete wave). Time
-    * travel supplies the per-version counts; the history itself is
-    * metadata-scale.
-    */
-  def describeHistory(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val path = Scratch.dir("vlake_hist")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 3
-    val t2 = maxSeq * 2 / 3
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path, // v1 MERGE
-      asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    dvUpsert(spark, path, // v2 MERGE_MOR
-      asChanges(staged.filter(col("sequence_number") > t1 &&
-        col("sequence_number") <= t2)),
-      Seq("key_id"), "sequence_number")
-    val delKeys = read(spark, path)
-      .filter(col("key_id") % 7 === 0).select(col("key_id"))
-      .localCheckpoint(true)
-    dvDelete(spark, path, delKeys, Seq("key_id")) // v3 DELETE
-    addConstraint(spark, path, // v4 ADD_CONSTRAINT (metadata-only)
-      "value_present", "value IS NOT NULL")
-    compactDvs(spark, path) // v5 OPTIMIZE
-    restore(spark, path, 1) // v6 RESTORE (by reference)
-    val counts = versions(spark, path)
-      .map(v => v -> read(spark, path, Some(v)).count()).toMap
-    history(spark, path).select(col("version"), col("operation"))
-      .as[(Int, String)].collect().toSeq
-      .map { case (v, op) => (v, op, counts(v)) }
-      .toDF("version", "operation", "n_live_rows")
-  }
-
-  val describeHistorySql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       cut AS (SELECT MAX(sequence_number) // 3 AS t1,
-                      MAX(sequence_number) * 2 // 3 AS t2 FROM stg),
-       r1 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cut c WHERE s.sequence_number <= c.t1),
-       c1 AS (SELECT COUNT(*) AS n FROM r1
-              WHERE rn = 1 AND operation <> 'DELETE'),
-       r2 AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s, cut c WHERE s.sequence_number <= c.t2),
-       v2vis AS (SELECT key_id FROM r2
-                 WHERE rn = 1 AND operation <> 'DELETE'),
-       c2 AS (SELECT COUNT(*) AS n FROM v2vis),
-       c3 AS (SELECT (SELECT n FROM c2) - COUNT(*) AS n
-              FROM v2vis WHERE key_id % 7 = 0)
-       SELECT * FROM (VALUES
-         (1, 'MERGE',          (SELECT n FROM c1)),
-         (2, 'MERGE_MOR',      (SELECT n FROM c2)),
-         (3, 'DELETE',         (SELECT n FROM c3)),
-         (4, 'ADD_CONSTRAINT', (SELECT n FROM c3)),
-         (5, 'OPTIMIZE',       (SELECT n FROM c3)),
-         (6, 'RESTORE',        (SELECT n FROM c1)))
-         AS t(version, operation, n_live_rows)
-       ORDER BY version"""
-
-  /** OPTIMIZE as a gate row: the morUpsert fixture (v1 copy-on-write,
-    * then three parity-split MOR batches) deliberately fragments the
-    * table — multiple small files and DV mappings per bucket — and
-    * [[optimizeSmallFiles]] must fold every bucket to exactly ONE
-    * clean file (engine-asserted from the manifest), drop all DVs,
-    * and leave the visible rows byte-identical (exceptAll both ways).
-    * The final state hash-matches the full-feed SCD1 oracle.
-    */
-  def optimizeBinpack(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_opt")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    val second = staged.filter(col("sequence_number") > t1)
-    (0 to 2).foreach { i =>
-      dvUpsert(spark, path,
-        asChanges(second.filter(pmod(col("sequence_number"), lit(3)) === i)),
-        Seq("key_id"), "sequence_number")
-    }
-    val mBefore = manifestEntries(spark, path, versions(spark, path).last)
-    val fragmented =
-      mBefore.data.groupBy(bucketOf).exists(_._2.size > 1) &&
-        mBefore.dv.nonEmpty
-    val before = read(spark, path).localCheckpoint(true)
-    optimizeSmallFiles(spark, path)
-    val mAfter = manifestEntries(spark, path, versions(spark, path).last)
-    val onePerBucket = mAfter.data.groupBy(bucketOf).forall(_._2.size == 1)
-    val after = read(spark, path)
-    val identical = before.exceptAll(after).isEmpty &&
-      after.exceptAll(before).isEmpty
-    after
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("was_fragmented", lit(fragmented))
-      .withColumn("one_file_per_bucket", lit(onePerBucket))
-      .withColumn("dv_free_after", lit(mAfter.dv.isEmpty))
-      .withColumn("rows_identical", lit(identical))
-  }
-
-  val optimizeBinpackSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS was_fragmented, true AS one_file_per_bucket,
-         true AS dv_free_after, true AS rows_identical
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** POINT LOOKUP as a gate row: over a 64-bucket table carrying both
-    * MOR appends and DVs, [[readKeys]] serves a sparse key set
-    * (`key_id % 11 = 0`) while scanning STRICTLY FEWER files than the
-    * snapshot holds (`scan_pruned`, computed from the same manifest
-    * arithmetic the reader uses). Rows hash-match the oracle's
-    * filtered SCD1 state — deletes honored, stale versions invisible.
-    */
-  def pointLookup(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_pt")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number", numBuckets = 64)
-    dvUpsert(spark, path,
-      asChanges(staged.filter(col("sequence_number") > t1)),
-      Seq("key_id"), "sequence_number")
-    val lookup = staged.select(col("key_id")).distinct()
-      .filter(col("key_id") % 11 === 0).localCheckpoint(true)
-    val m = manifestEntries(spark, path, versions(spark, path).last)
-    val nb = m.numBuckets(64)
-    val keyBuckets = lookup
-      .select(pmod(hash(col("key_id")), lit(nb)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val scanned = m.data.count(rel => keyBuckets.contains(bucketOf(rel)))
-    val pruned = scanned < m.data.size
-    readKeys(spark, path, lookup, Seq("key_id"))
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("scan_pruned", lit(pruned))
-  }
-
-  val pointLookupSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS scan_pruned
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE' AND key_id % 11 = 0
-       ORDER BY key_id"""
-
-  /** MANIFEST DELTA ENCODING as a gate row: half the change feed lands
-    * copy-on-write (v1, a full snapshot), the rest trickles in as
-    * three MOR batches (v2..v4), and metadata commits (constraint
-    * add/drop — realistic property churn, one validation job each at
-    * most) climb the version counter past the checkpoint (v5..v9).
-    * The engine asserts the metadata-write-scale claim directly on the
-    * physical log: every between-checkpoint version stored as a delta,
-    * the checkpoint version ([[ManifestCheckpointInterval]]) and v1
-    * stored full, the last delta's PHYSICAL size under half its
-    * resolved logical size (manifest writes are O(changed lines), not
-    * O(table files)), a mid-chain time travel resolving to exactly the
-    * SCD1 state of the feed prefix, and a vacuum past the checkpoint
-    * re-rooting the oldest kept delta as a full snapshot so every
-    * retained version still resolves — constraint props carried
-    * through the re-root. The converged read hash-matches the SCD1
-    * oracle.
-    */
-  def manifestDelta(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_mdelta")
-    // quarter of the key space: this gate proves the LOG ENCODING
-    // (nine commits crossing a checkpoint), not data volume — the
-    // full feed would spend its time re-scanning shards the encoding
-    // claims never touch
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-      .filter(pmod(col("key_id"), lit(4)) === 0)
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    val second = staged.filter(col("sequence_number") > t1)
-      .localCheckpoint(true)
-    (0 to 2).foreach { i => // versions 2..4: the trickle MOR commits
-      dvUpsert(spark, path,
-        asChanges(second.filter(pmod(col("sequence_number"), lit(3)) === i)),
-        Seq("key_id"), "sequence_number")
-    }
-    // metadata commits v5..v9: cross the checkpoint with property churn
-    addConstraint(spark, path, "ck1", "value IS NOT NULL") // v5
-    dropConstraint(spark, path, "ck1") // v6
-    addConstraint(spark, path, "ck2", "key_id IS NOT NULL") // v7
-    dropConstraint(spark, path, "ck2") // v8 — the checkpoint
-    addConstraint(spark, path, "ck3", "sequence_number IS NOT NULL") // v9
-    val vs = versions(spark, path)
-    def isDelta(v: Int): Boolean = rawManifestLines(spark, path, v)
-      .headOption.exists(_.startsWith(DeltaHeaderPrefix))
-    val K = ManifestCheckpointInterval
-    val encodedRight = vs.forall { v =>
-      if (v <= 1 || v % K == 0) !isDelta(v) else isDelta(v)
-    }
-    val lastDelta = vs.filter(v => v > 1 && v % K != 0).max
-    val changeScale = rawManifestLines(spark, path, lastDelta).length * 2 <
-      manifestLines(spark, path, lastDelta).length
-    // mid-chain time travel: v3 = v1 + trickle batches 0..1
-    val w = Window.partitionBy(col("key_id"))
-      .orderBy(col("sequence_number").desc)
-    val expectedV3 = staged
-      .filter(col("sequence_number") <= t1 ||
-        pmod(col("sequence_number"), lit(3)) <= 1)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("operation") =!= "DELETE")
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number"))
-    val gotV3 = read(spark, path, Some(3))
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number"))
-    // signed-multiset equality in ONE job (exceptAll both ways is two)
-    val travelExact = gotV3.withColumn("_sgn", lit(1))
-      .unionByName(expectedV3.withColumn("_sgn", lit(-1)))
-      .groupBy(col("key_id"), col("value"), col("props"),
-        col("sequence_number"))
-      .agg(sum(col("_sgn")).as("_d")).filter(col("_d") =!= 0).isEmpty
-    // vacuum past the checkpoint: floor lands on a DELTA version (6),
-    // which must be re-rooted to a full snapshot for the chain to
-    // survive its ancestors' deletion
-    vacuum(spark, path, retainLast = 4)
-    val kept = versions(spark, path)
-    val rerooted = kept == Seq(6, 7, 8, 9) && !isDelta(6) &&
-      kept.forall(v => manifestLines(spark, path, v).nonEmpty) &&
-      manifestEntries(spark, path, 9).props.contains("constraint.ck3")
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("delta_encoded_between_checkpoints", lit(encodedRight))
-      .withColumn("delta_write_is_change_scale", lit(changeScale))
-      .withColumn("mid_chain_travel_exact", lit(travelExact))
-      .withColumn("vacuum_rerooted_floor", lit(rerooted))
-  }
-
-  val manifestDeltaSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL
-           AND user_id % 4 = 0),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS delta_encoded_between_checkpoints,
-         true AS delta_write_is_change_scale,
-         true AS mid_chain_travel_exact,
-         true AS vacuum_rerooted_floor
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** DATA SKIPPING as a gate row: four equal key-range slices of
-    * orders land as one COW snapshot plus three MOR appends, so each
-    * commit's files hold exactly its slice — the arrival-order
-    * correlation a trickle-ingested table has naturally. A range read
-    * over the third slice must then prune to that commit's files: the
-    * engine asserts every data file carries stats, the candidate set
-    * is at most a third of the table's files, and the returned rows
-    * hash-match the oracle's plain range filter over the same source.
-    */
-  def rangePrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_range")
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
-    val q = maxKey / 4
-    upsert(spark, path, orders.filter(col("o_orderkey") <= q),
-      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
-    (2 to 4).foreach { i =>
-      val lo = (i - 1) * q
-      val hi = if (i == 4) maxKey else i.toLong * q
-      dvUpsert(spark, path,
-        orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
-        Seq("o_orderkey"), "o_orderkey")
-    }
-    val m = manifestEntries(spark, path, versions(spark, path).last)
-    val statsComplete = m.data.forall(m.stats.contains)
-    val lo = BigDecimal(2 * q + 1)
-    val hi = BigDecimal(3 * q)
-    val cand = rangeCandidates(spark, path, "o_orderkey", Some(lo), Some(hi))
-    val pruned = cand.nonEmpty && cand.size * 3 <= m.data.size
-    readRange(spark, path, "o_orderkey", Some(lo), Some(hi))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("stats_cover_all_files", lit(statsComplete))
-      .withColumn("scan_pruned", lit(pruned))
-  }
-
-  val rangePruneSql: String =
-    """SELECT o_orderkey, o_custkey, o_totalprice,
-         true AS stats_cover_all_files,
-         true AS scan_pruned
-       FROM orders
-       WHERE o_orderkey > 2 * (SELECT MAX(o_orderkey) // 4 FROM orders)
-         AND o_orderkey <= 3 * (SELECT MAX(o_orderkey) // 4 FROM orders)
-       ORDER BY o_orderkey"""
-
-  /** PREDICATE-EXTRACTED DATA SKIPPING as a gate row: two
-    * arrival-correlated key slices (COW + MOR append), then one read
-    * under a compound SQL WHERE clause. The engine must derive the
-    * o_orderkey bound from the Catalyst expression tree itself —
-    * nobody hands it a range — cut the candidate files to the second
-    * slice (asserted ≥2×), and the surviving rows must hash-match the
-    * oracle running the same WHERE clause verbatim.
-    */
-  def predicateSkip(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_pred")
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
-    val half = maxKey / 2
-    upsert(spark, path, orders.filter(col("o_orderkey") <= half),
-      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
-    val sliceOne = manifestEntries(spark, path, 1).data.toSet
-    dvUpsert(spark, path, orders.filter(col("o_orderkey") > half),
-      Seq("o_orderkey"), "o_orderkey")
-    val pred = s"o_orderkey > $half AND o_totalprice >= 1000.0"
-    val cand = predicateCandidates(spark, path, pred)
-    // the extracted bound must cut EVERY first-slice file from the scan
-    val pruned = cand.nonEmpty && cand.forall(!sliceOne.contains(_))
-    readWhere(spark, path, pred)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("scan_pruned", lit(pruned))
-  }
-
-  val predicateSkipSql: String =
-    """SELECT o_orderkey, o_custkey, o_totalprice, true AS scan_pruned
-       FROM orders
-       WHERE o_orderkey > (SELECT MAX(o_orderkey) // 2 FROM orders)
-         AND o_totalprice >= 1000.0
-       ORDER BY o_orderkey"""
-
-  /** COLUMN MAPPING as a gate row: half the change feed lands under
-    * the original schema, the column is renamed (metadata-only commit
-    * — engine-asserts identical data lines across the rename), and the
-    * rest of the feed trickles in SPEAKING THE NEW NAME via MOR
-    * upserts that resolve against the old files through the mapping.
-    * The converged read exposes the new logical name and hash-matches
-    * the SCD1 oracle with the column aliased; time travel BEFORE the
-    * rename still shows the old name (the mapping is versioned state).
-    */
-  def columnRename(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_rename")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-      .filter(pmod(col("key_id"), lit(2)) === 0)
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    val dataV1 = manifestEntries(spark, path, 1).data.toSet
-    renameColumn(spark, path, "value", "amount")
-    val v2 = manifestEntries(spark, path, 2)
-    val zeroMotion = v2.data.toSet == dataV1
-    val oldNameAtV1 = read(spark, path, Some(1)).columns.contains("value")
-    // the rest of the feed arrives SPEAKING THE NEW NAME
-    val second = staged.filter(col("sequence_number") > t1)
-      .withColumnRenamed("value", "amount")
-    (0 to 1).foreach { i =>
-      dvUpsert(spark, path,
-        asChanges(second.filter(pmod(col("sequence_number"), lit(2)) === i)),
-        Seq("key_id"), "sequence_number")
-    }
-    val renamed = history(spark, path).collect()
-      .exists(r => r.getString(1) == "RENAME_COLUMN")
-    read(spark, path)
-      .select(col("key_id"), col("amount"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("rename_zero_data_motion", lit(zeroMotion))
-      .withColumn("old_name_before_rename", lit(oldNameAtV1))
-      .withColumn("history_records_rename", lit(renamed))
-  }
-
-  val columnRenameSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL
-           AND user_id % 2 = 0),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value AS amount, props,
-         sequence_number AS last_sequence,
-         true AS rename_zero_data_motion,
-         true AS old_name_before_rename,
-         true AS history_records_rename
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** GENERATED COLUMNS as a gate row: half the feed lands before the
-    * definition exists, the definition commits as metadata, and the
-    * rest of the feed arrives WITHOUT the column — the writer computes
-    * it from the stored expression. A batch that supplies a
-    * contradicting value is rejected wholesale (engine-asserted: the
-    * version counter does not move). The converged read shows the
-    * honest retrofit semantic the oracle mirrors: keys whose current
-    * row predates the definition read NULL (schema-evolution
-    * backfill); keys rewritten since carry the computed value.
-    */
-  def generatedColumns(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_gen")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-      .filter(pmod(col("key_id"), lit(2)) === 0)
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    addGeneratedColumn(spark, path, "value_band",
-      "CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END")
-    val second = staged.filter(col("sequence_number") > t1)
-      .localCheckpoint(true)
-    (0 to 1).foreach { i => // writers OMIT the column — engine computes
-      dvUpsert(spark, path,
-        asChanges(second.filter(pmod(col("sequence_number"), lit(2)) === i)),
-        Seq("key_id"), "sequence_number")
-    }
-    // a contradicting supplied value is rejected wholesale
-    val before = versions(spark, path).last
-    val rejected =
-      try {
-        dvUpsert(spark, path,
-          asChanges(second.limit(5)).withColumn("value_band", lit("nope")),
-          Seq("key_id"), "sequence_number")
-        false
-      } catch { case _: ConstraintViolation => true }
-    val unmoved = versions(spark, path).last == before
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("value_band"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("contradiction_rejected", lit(rejected && unmoved))
-  }
-
-  val generatedColumnsSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL
-           AND user_id % 2 = 0),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value,
-         CASE WHEN sequence_number >
-             (SELECT MAX(sequence_number) FROM stg) // 2
-           THEN CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END
-           ELSE NULL END AS value_band,
-         sequence_number AS last_sequence,
-         true AS contradiction_rejected
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** TIMESTAMP AS OF as a gate row: three commits under an injected
-    * deterministic clock (1000/2000/3000); the read resolves by
-    * wall-clock to the last version at-or-before the target — the
-    * between-commit instant and the exact-stamp instant both land on
-    * v2, a pre-history instant is an error (engine-asserted).
-    */
-  def timeTravelTs(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_ts")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-      .filter(pmod(col("key_id"), lit(4)) === 0)
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val (t1, t2) = (maxSeq / 3, maxSeq * 2 / 3)
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    try {
-      var now = 0L
-      setClockOverride(path, Some(() => now))
-      now = 1000L
-      upsert(spark, path,
-        asChanges(staged.filter(col("sequence_number") <= t1)),
-        Seq("key_id"), "sequence_number")
-      now = 2000L
-      dvUpsert(spark, path,
-        asChanges(staged.filter(col("sequence_number") > t1 &&
-          col("sequence_number") <= t2)),
-        Seq("key_id"), "sequence_number")
-      now = 3000L
-      dvUpsert(spark, path,
-        asChanges(staged.filter(col("sequence_number") > t2)),
-        Seq("key_id"), "sequence_number")
-      val betweenIsV2 = versionAtTimestamp(spark, path, 2500L) == 2
-      val exactIsV2 = versionAtTimestamp(spark, path, 2000L) == 2
-      val preHistoryRejected =
-        try { versionAtTimestamp(spark, path, 999L); false }
-        catch { case _: IllegalArgumentException => true }
-      readAsOfTimestamp(spark, path, 2500L)
-        .select(col("key_id"), col("value"), col("props"),
-          col("sequence_number").as("last_sequence"))
-        .withColumn("between_resolves_v2", lit(betweenIsV2))
-        .withColumn("exact_stamp_resolves_v2", lit(exactIsV2))
-        .withColumn("pre_history_rejected", lit(preHistoryRejected))
-    } finally setClockOverride(path, None)
-  }
-
-  val timeTravelTsSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL
-           AND user_id % 4 = 0),
-       cut AS (
-         SELECT * FROM stg
-         WHERE sequence_number <=
-           (SELECT MAX(sequence_number) FROM stg) * 2 // 3),
-       ranked AS (
-         SELECT c.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM cut c)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS between_resolves_v2,
-         true AS exact_stamp_resolves_v2,
-         true AS pre_history_rejected
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** VACUUM DRY RUN as a gate row: a table whose history (COW + MOR +
-    * compaction) leaves dead files behind, a read-only plan at
-    * retention 1, then the real vacuum — the engine asserts the plan
-    * was EXACT both ways: every planned path is gone afterwards, and
-    * nothing outside the plan was touched (full before/after disk
-    * walk). The surviving tip hash-matches the SCD1 oracle.
-    */
-  def vacuumDryRun(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_dryrun")
-    val staged = graft.operators.Cdc.stage(graft.Tables.events(spark, sfDir))
-      .filter(pmod(col("key_id"), lit(4)) === 0)
-    val maxSeq = staged.agg(max(col("sequence_number"))).head().getLong(0)
-    val t1 = maxSeq / 2
-    def asChanges(df: DataFrame): DataFrame =
-      df.withColumn("_deleted", col("operation") === "DELETE")
-        .drop("operation")
-    upsert(spark, path, asChanges(staged.filter(col("sequence_number") <= t1)),
-      Seq("key_id"), "sequence_number")
-    dvUpsert(spark, path, asChanges(staged.filter(col("sequence_number") > t1)),
-      Seq("key_id"), "sequence_number")
-    compactDvs(spark, path) // leaves v1/v2's files dead at retention 1
-    val f = fs(spark)
-    def walk(dir: Path, prefix: String): Seq[String] =
-      if (!f.exists(dir)) Seq.empty
-      else f.listStatus(dir).toSeq.flatMap { s =>
-        val rel = if (prefix.isEmpty) s.getPath.getName
-          else s"$prefix/${s.getPath.getName}"
-        if (s.isDirectory) walk(s.getPath, rel) else Seq(rel)
-      }
-    val before = walk(new Path(path), "").toSet
-    val plan = vacuumPlan(spark, path, retainLast = 1)
-    val planPaths = plan.map(_._2).toSet
-    vacuum(spark, path, retainLast = 1)
-    val after = walk(new Path(path), "").toSet
-    val gone = before.diff(after)
-    // change_dir entries delete whole directories: expand against the
-    // before-walk to compare at file grain
-    val planned: Set[String] = planPaths.flatMap { p =>
-      if (p.startsWith(ChangesDir)) before.filter(_.startsWith(p + "/")) + p
-      else Set(p)
-    }.intersect(before)
-    val exact = gone == planned
-    read(spark, path)
-      .select(col("key_id"), col("value"), col("props"),
-        col("sequence_number").as("last_sequence"))
-      .withColumn("plan_executed_exactly", lit(exact))
-      .withColumn("plan_nonempty", lit(plan.nonEmpty))
-  }
-
-  val vacuumDryRunSql: String =
-    """WITH stg AS (
-         SELECT event_id AS sequence_number,
-           CASE WHEN event_type = 'signup' THEN 'INSERT'
-                WHEN event_type = 'error' THEN 'DELETE'
-                ELSE 'UPDATE' END AS operation,
-           user_id AS key_id, value, props
-         FROM events
-         WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-           AND event_type IS NOT NULL AND value IS NOT NULL
-           AND user_id % 4 = 0),
-       ranked AS (
-         SELECT s.*, row_number() OVER (PARTITION BY key_id
-           ORDER BY sequence_number DESC) AS rn
-         FROM stg s)
-       SELECT key_id, value, props, sequence_number AS last_sequence,
-         true AS plan_executed_exactly,
-         true AS plan_nonempty
-       FROM ranked
-       WHERE rn = 1 AND operation <> 'DELETE'
-       ORDER BY key_id"""
-
-  /** CLUSTER BY as a gate row: two interleaved even/odd key slices
-    * destroy arrival correlation (a narrow range read touches
-    * essentially every file — engine-asserted), then one
-    * [[optimizeCluster]] pass restores skipping power: the same range
-    * read now prunes to at most half the files (engine-asserted) and
-    * the rows hash-match the oracle's plain range filter.
-    */
-  def clusterBy(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_cluster")
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
-    val q8 = maxKey / 8
-    upsert(spark, path, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
-      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
-    dvUpsert(spark, path,
-      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
-      Seq("o_orderkey"), "o_orderkey")
-    val lo = BigDecimal(3 * q8 + 1)
-    val hi = BigDecimal(4 * q8)
-    val totalBefore = manifestEntries(spark, path,
-      versions(spark, path).last).data.size
-    val candBefore = rangeCandidates(spark, path, "o_orderkey",
-      Some(lo), Some(hi)).size
-    val noPruneBefore = candBefore * 2 > totalBefore
-    optimizeCluster(spark, path, "o_orderkey", slicesPerBucket = 4)
-    val totalAfter = manifestEntries(spark, path,
-      versions(spark, path).last).data.size
-    val candAfter = rangeCandidates(spark, path, "o_orderkey",
-      Some(lo), Some(hi)).size
-    val prunesAfter = candAfter * 2 <= totalAfter && candAfter > 0
-    readRange(spark, path, "o_orderkey", Some(lo), Some(hi))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("unclustered_no_prune", lit(noPruneBefore))
-      .withColumn("clustered_prunes", lit(prunesAfter))
-  }
-
-  val clusterBySql: String =
-    """SELECT o_orderkey, o_custkey, o_totalprice,
-         true AS unclustered_no_prune,
-         true AS clustered_prunes
-       FROM orders
-       WHERE o_orderkey > 3 * (SELECT MAX(o_orderkey) // 8 FROM orders)
-         AND o_orderkey <= 4 * (SELECT MAX(o_orderkey) // 8 FROM orders)
-       ORDER BY o_orderkey"""
-
-  /** CLUSTER BY AUTO as a gate row. Orders land key-interleaved (even
-    * keys COW, odd keys MOR — arrival correlates with nothing), then a
-    * TWO-workload history accrues: three bounded reads on `o_custkey`
-    * (the hot serving predicate) against one on `o_totalprice`.
-    * [[clusterByAuto]] must elect `o_custkey` from that history
-    * (`auto_chose_hot`), and the election must be OPTIMAL, not merely
-    * popular: both candidate columns are manually clustered on shallow
-    * clones sharing the exact same data files, and the auto table's
-    * post-OPTIMIZE candidate fraction for the hot band must match the
-    * best manual choice (`auto_matches_best` — equality with the
-    * same-column clone, ≤ every other). The band read hash-matches the
-    * oracle's plain filter.
-    */
-  def clusterByAutoGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Scratch.dir("vlake_autoclu")
-    val orders = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
-    val q8 = maxCust / 8
-    upsert(spark, path, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
-      Seq("o_orderkey"), "o_orderkey", numBuckets = 8)
-    dvUpsert(spark, path,
-      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
-      Seq("o_orderkey"), "o_orderkey")
-    // manual-baseline clones BEFORE the workload/optimize: same files
-    val candidateCols = Seq("o_custkey", "o_totalprice")
-    val clones = candidateCols.map { c =>
-      val dest = Scratch.dir(s"vlake_autoclu_m_${c.stripPrefix("o_")}")
-      cloneTable(spark, path, dest)
-      c -> dest
-    }
-    // the observed workload: custkey hot (3 bounded reads), price cold
-    readRange(spark, path, "o_custkey", Some(BigDecimal(1)),
-      Some(BigDecimal(q8))).count()
-    readWhere(spark, path,
-      s"o_custkey >= ${q8 + 1} AND o_custkey <= ${2 * q8}").count()
-    readWhere(spark, path, s"o_custkey > ${5 * q8}").count()
-    readWhere(spark, path, "o_totalprice <= 10000").count()
-    val (chosen, _) = clusterByAuto(spark, path)
-    val choseHot = chosen == "o_custkey"
-    // hot-band prune factor: auto vs every manual candidate
-    val lo = BigDecimal(3 * q8 + 1)
-    val hi = BigDecimal(4 * q8)
-    def candFrac(p: String): Double = {
-      val m = manifestEntries(spark, p, versions(spark, p).last)
-      rangeCandidates(spark, p, "o_custkey", Some(lo), Some(hi)).size
-        .toDouble / m.data.size
-    }
-    val manualFracs = clones.map { case (c, dest) =>
-      optimizeCluster(spark, dest, c, slicesPerBucket = 4)
-      c -> candFrac(dest)
-    }.toMap
-    val autoFrac = candFrac(path)
-    System.err.println(s"[autocluster] autoFrac=$autoFrac " +
-      s"manual=${manualFracs.toSeq.sortBy(_._1)} " +
-      s"files=${manifestEntries(spark, path,
-        versions(spark, path).last).data.size}")
-    // "matches best" within RANGE-SAMPLE NOISE: RangePartitioner seeds
-    // its reservoir sample from the RDD id (byteswap32(-rdd.id-1)),
-    // which depends on session history — so two optimizes of the SAME
-    // bytes land file boundaries a few files apart between sessions
-    // (measured: ±2-4 files on a ~40-file table). File-count equality
-    // is therefore a coin flip; the assertion instead pins what the
-    // election actually claims, with margins far wider than the noise
-    // and far narrower than the choice gap: the auto key prunes within
-    // 0.15 (absolute candidate fraction) of its manual twin, and at
-    // ≤60% of the wrong column's fraction (the wrong clone scans ~every
-    // file for the hot band — observed 1.0 vs ~0.3).
-    val matchesBest =
-      autoFrac <= manualFracs.values.min + 0.15 &&
-        autoFrac <= manualFracs("o_totalprice") * 0.6
-    readRange(spark, path, "o_custkey", Some(lo), Some(hi))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("auto_chose_hot", lit(choseHot))
-      .withColumn("auto_matches_best", lit(matchesBest))
-  }
-
-  val clusterByAutoSql: String =
-    """SELECT o_orderkey, o_custkey, o_totalprice,
-         true AS auto_chose_hot,
-         true AS auto_matches_best
-       FROM orders
-       WHERE o_custkey > 3 * (SELECT MAX(o_custkey) // 8 FROM orders)
-         AND o_custkey <= 4 * (SELECT MAX(o_custkey) // 8 FROM orders)
-       ORDER BY o_orderkey"""
+object VersionedLake
+    extends LakeCommitCore with LakeSchemaOps with LakeRowTracking
+    with LakeRefsChanges with LakeMaintenance with LakeGatesCore
+    with LakeGatesOps {
+
+  // ---- compat aliases: model types moved to LakeModel in the r16
+  // split; the VersionedLake.X paths remain the public surface -------------
+  type ConcurrentWriteConflict = LakeModel.ConcurrentWriteConflict
+  type ConstraintViolation = LakeModel.ConstraintViolation
+  type CommitResult = LakeModel.CommitResult
+  val CommitResult: LakeModel.CommitResult.type = LakeModel.CommitResult
+  type PendingCommit = LakeModel.PendingCommit
+  val PendingCommit: LakeModel.PendingCommit.type = LakeModel.PendingCommit
+  type TableManifest = LakeModel.TableManifest
+  val TableManifest: LakeModel.TableManifest.type = LakeModel.TableManifest
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_cluster_by" -> ((s, d) =>
