@@ -175,6 +175,23 @@ object GraphAnn {
   private[graft] def roundsFor(n: Long): Int =
     Rounds + log2ceil((n + AdaptPivot - 1L) / AdaptPivot)
 
+  /** Beam width (HNSW's efSearch) for a corpus of `n` vectors. Deeper
+    * rounds alone do NOT hold iid recall as n grows: the r16 extended
+    * scale sweep measured 0.69 → 0.49 → 0.29 at 16k/32k/64k with beam
+    * pinned at [[Beam]], and refining the EDGES (NN-descent) moved
+    * those numbers by less than a point — at fixed beam the search
+    * visits rounds·beam·degree ≈ 1.4k nodes whether the corpus is 2k
+    * or 64k, so the visited FRACTION collapses and near-tie density
+    * (which grows with n in the iid regime) drowns the frontier. The
+    * HNSW practice is ef growing with n at iid-like hardness: +4 per
+    * corpus doubling past [[AdaptPivot]], the same shape as the
+    * tables law — visited ≈ O(log² n), still independent of corpus
+    * size in absolute terms. Gate corpora keep [[Beam]] exactly (the
+    * oracle's unrolled beam CTEs depend on it).
+    */
+  private[graft] def beamFor(n: Long): Int =
+    Beam + 4 * log2ceil((n + AdaptPivot - 1L) / AdaptPivot)
+
   /** Blocked approximate M-NN graph plus [[LongLinks]] pseudo-random
     * long-range links over a [[baseOf]] frame. Since r14 the knn half
     * is LSH-BLOCKED (r13 verdict task 2): sign-LSH bucket assignment →
@@ -215,11 +232,82 @@ object GraphAnn {
         row_number().over(Window.orderBy(col("dst"))).cast("long") - 1)
   }
 
+  /** NN-descent refinement rounds for a corpus of `n` vectors. The
+    * occupancy-bounded LSH seed CANNOT hold iid edge recall on its
+    * own: planes grow ~log₂ n to keep buckets bounded, so the
+    * per-table collision probability of a typical iid nearest
+    * neighbor decays EXPONENTIALLY in planes while tables grow only
+    * linearly (+4 per doubling) — the exponential wins, and the r16
+    * extended scale bench measured exactly that (beam recall 0.69 at
+    * 16k vectors → 0.49 at 32k → 0.30 at 64k, through the floor).
+    * The standard distributed fix is NN-descent (Dong et al., WWW'11;
+    * the pynndescent/NGT build): the true k-NN graph is a fixed point
+    * of "my neighbor's neighbors are my candidates", so each round
+    * joins the current directed top-M with itself through the shared
+    * endpoint and re-refines by exact cosine — key-equality joins
+    * only, candidates ≤ n·(3m)² per round, converging in 2-3 rounds
+    * from any seed with signal. Zero rounds at or below
+    * [[AdaptPivot]]: gate corpora reproduce the pinned config (and
+    * its unrolled oracle SQL) bit-identically; one round at 4k, two
+    * at 8k, capped at [[DescentMaxRounds]] from 16k up — convergence
+    * depth is a property of the graph's fixed point, not of n.
+    */
+  val DescentMaxRounds = 3
+
+  private[graft] def descentRoundsFor(n: Long): Int =
+    math.min(DescentMaxRounds,
+      log2ceil((n + AdaptPivot - 1L) / AdaptPivot))
+
+  /** One NN-descent pass over a directed top-M edge frame: symmetrize
+    * (reverse edges capped at 2m per node — the bounded analogue of
+    * NN-descent's reverse-neighbor sampling, keeping a hub's
+    * candidate fan-out ≤ (3m)² instead of in-degree²), join the
+    * capped adjacency with itself through the shared midpoint, union
+    * the current edges, and keep the exact-cosine top-m per source.
+    * Each round's output is eagerly materialized: the round frame is
+    * referenced three times downstream (reverse + midpoint join +
+    * union), so a lazy chain would re-execute the whole build
+    * 3^rounds times (the beamSearch lesson).
+    */
+  private[graft] def nnDescent(base: DataFrame, knn0: DataFrame,
+      m: Int, rounds: Int): DataFrame = {
+    if (rounds <= 0) return knn0
+    val a = base.select(col("vec_id").as("src"), col("v").as("av"),
+      col("nrm").as("anrm"))
+    val b = base.select(col("vec_id").as("dst"), col("v").as("bv"),
+      col("nrm").as("bnrm"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    val rw = Window.partitionBy(col("src")).orderBy(col("dst"))
+    var knn = graft.Caching.materialize(knn0)
+    (1 to rounds).foreach { _ =>
+      val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") <= 2 * m).drop("rn")
+      val sym = knn.unionByName(rev).distinct()
+      val non = sym.select(col("src"), col("dst").as("mid"))
+        .join(sym.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val cands = knn.unionByName(non).distinct()
+      knn = graft.Caching.materialize(
+        cands.join(a, Seq("src")).join(b, Seq("dst"))
+          .select(col("src"), col("dst"),
+            Similarity.cosinePre(Similarity.dot(col("av"), col("bv")),
+              col("anrm"), col("bnrm")).as("cosine"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= m)
+          .select(col("src"), col("dst")))
+    }
+    knn
+  }
+
   private[graft] def buildEdges(base: DataFrame, m: Int = M,
       nOpt: Option[Long] = None): DataFrame = {
     val n = nOpt.getOrElse(base.count())
-    val knn = buildKnnBlocked(base, m, buildPlanesFor(n),
-      buildTablesFor(n))
+    val knn = nnDescent(base,
+      buildKnnBlocked(base, m, buildPlanesFor(n), buildTablesFor(n)),
+      m, descentRoundsFor(n))
     val ranked = rankedIds(base, n)
     val longe = base.select(col("vec_id").as("src"))
       .withColumn("seed",
@@ -363,7 +451,7 @@ object GraphAnn {
         val entries = probes.select(col("probe_id"),
           explode(sequence(lit(0L), lit(Entries - 1L))).as("node"))
         beamSearch(base, edges, probes, entries, k,
-          rounds = roundsFor(n))
+          beam = beamFor(n), rounds = roundsFor(n))
       }
     }
   }
@@ -465,7 +553,8 @@ object GraphAnn {
         val entries = probes.select(col("probe_id"),
           explode(sequence(lit(0L), lit(Entries - 1L))).as("node"))
         beamSearch(base, edges, probes, entries, k,
-          rounds = roundsFor(n), resultFilter = Some(allowed))
+          beam = beamFor(n), rounds = roundsFor(n),
+          resultFilter = Some(allowed))
       }
     }
   }
@@ -538,7 +627,9 @@ object GraphAnn {
           .collect().map(_.getLong(0))
         val entries = probes.select(col("probe_id"))
           .withColumn("node", explode(lit(entryIds)))
-        beamSearch(base, edges, probes, entries, m, InsertBeam,
+        // insert searches twice as wide as serving (InsertBeam =
+        // 2·Beam at gate scale), and the factor rides the adaptive law
+        beamSearch(base, edges, probes, entries, m, 2 * beamFor(n),
           rounds = roundsFor(n))
           .withColumnRenamed("probe_id", "new_id")
       }

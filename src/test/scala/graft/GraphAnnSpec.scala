@@ -139,6 +139,64 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(GraphAnn.roundsFor(8000L) == 6)
     assert(GraphAnn.buildTablesFor(16000L) == 24)
     assert(GraphAnn.roundsFor(16000L) == 7)
+    // beam (efSearch) rides the same law: pinned at gate Ns (the
+    // oracle's beam CTEs), +4 per doubling above — deeper rounds
+    // alone measured 0.69/0.49/0.29 at 16k/32k/64k in the r16 sweep
+    Seq(500L, 1600L, 2000L, 2048L).foreach { n =>
+      assert(GraphAnn.beamFor(n) == GraphAnn.Beam)
+    }
+    assert(GraphAnn.beamFor(4000L) == 12)
+    assert(GraphAnn.beamFor(8000L) == 16)
+    assert(GraphAnn.beamFor(64000L) == 28)
+  }
+
+  test("nn-descent rounds: zero at gate Ns, grows to the cap above") {
+    // zero refinement rounds at or below the pivot: gate corpora keep
+    // the pinned build (and its unrolled oracle SQL) bit-identical
+    Seq(500L, 1600L, 2000L, 2048L).foreach { n =>
+      assert(GraphAnn.descentRoundsFor(n) == 0)
+    }
+    // above the pivot the LSH seed's iid edge recall decays (planes
+    // grow ~log n, per-table collision decays exponentially in
+    // planes), so descent depth steps in and caps at the fixed-point
+    // convergence depth — not a function of n past 16k
+    assert(GraphAnn.descentRoundsFor(4000L) == 1)
+    assert(GraphAnn.descentRoundsFor(8000L) == 2)
+    assert(GraphAnn.descentRoundsFor(16000L) == GraphAnn.DescentMaxRounds)
+    assert(GraphAnn.descentRoundsFor(64000L) == GraphAnn.DescentMaxRounds)
+    assert(GraphAnn.descentRoundsFor(3000000000L) ==
+      GraphAnn.DescentMaxRounds)
+  }
+
+  test("nn-descent lifts blocked edge recall toward the exact knn") {
+    // seed the descent with a DEGRADED blocked build (planes widened
+    // past what 2k vectors occupancy-justify, tables cut to 4 — the
+    // large-corpus failure regime shrunk to gate scale) and measure
+    // directed-edge recall against the exact knn truth before/after:
+    // descent must recover most of what the weak seed lost
+    val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    base.persist()
+    try {
+      val truth = GraphAnn.buildEdgesExactKnn(base)
+        .select(col("src"), col("dst"))
+      // planes widened one past what 2k vectors occupancy-justify and
+      // tables cut to half — the large-corpus seed-degradation regime
+      // (exponentially decayed per-table collision, linearly fewer
+      // retries) shrunk to gate scale
+      val weak = GraphAnn.buildKnnBlocked(base, GraphAnn.M, 7, 6)
+      val refined = GraphAnn.nnDescent(base, weak,
+        GraphAnn.M, GraphAnn.DescentMaxRounds)
+      val total = truth.count().toDouble
+      val before = weak.intersect(truth).count() / total
+      val after = refined.intersect(truth).count() / total
+      info(f"edge recall: weak seed $before%.3f -> descent $after%.3f")
+      assert(after > before,
+        f"descent did not improve edge recall ($before%.3f -> $after%.3f)")
+      assert(after >= 0.6,
+        f"descent edge recall $after%.3f under 0.6 on the gate corpus")
+    } finally base.unpersist(blocking = false)
   }
 
   test("filtered search: every neighbor passes the filter, floor holds") {
