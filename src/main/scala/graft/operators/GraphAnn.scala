@@ -192,6 +192,28 @@ object GraphAnn {
   private[graft] def beamFor(n: Long): Int =
     Beam + 4 * log2ceil((n + AdaptPivot - 1L) / AdaptPivot)
 
+  /** Entry-point count for a corpus of `n` vectors. A single-layer
+    * NSW has no routing gradient on a FLAT inter-cluster landscape
+    * (iid-random cluster centers are all mutually ~orthogonal, so no
+    * frontier scores meaningfully closer to the probe's cluster than
+    * another): reaching the right one of K clusters through uniform
+    * long links is a coupon-collector, and the r16 constant-occupancy
+    * clustered sweep measured exactly that decay (1.0 → 0.967 →
+    * 0.832 at 16/64/256 centers). HNSW's answer is its hierarchy — a
+    * coarse sampled layer routes first; the single-layer analogue
+    * (Malkov's NSW multi-entry practice) seeds the beam from a
+    * deterministic O(√n) id sample scored once per probe: worst-case
+    * routing becomes a covered-sample problem (ids 0..E-1 hit every
+    * mod-partitioned cluster), the beam prunes to [[beamFor]]
+    * immediately, and structured landscapes still route through the
+    * graph. O(√n) per probe keeps serving sublinear; gate corpora
+    * keep [[Entries]] exactly (the oracle's entry CTE depends on it).
+    */
+  private[graft] def entriesFor(n: Long): Long =
+    if (n <= AdaptPivot) Entries.toLong
+    else math.max(Entries.toLong,
+      4L * math.ceil(math.sqrt(n.toDouble)).toLong)
+
   /** Blocked approximate M-NN graph plus [[LongLinks]] pseudo-random
     * long-range links over a [[baseOf]] frame. Since r14 the knn half
     * is LSH-BLOCKED (r13 verdict task 2): sign-LSH bucket assignment →
@@ -306,7 +328,8 @@ object GraphAnn {
       nOpt: Option[Long] = None): DataFrame = {
     val n = nOpt.getOrElse(base.count())
     val knn = nnDescent(base,
-      buildKnnBlocked(base, m, buildPlanesFor(n), buildTablesFor(n)),
+      buildKnnBlocked(base, m, buildPlanesFor(n), buildTablesFor(n),
+        dstCapFor(n)),
       m, descentRoundsFor(n))
     val ranked = rankedIds(base, n)
     val longe = base.select(col("vec_id").as("src"))
@@ -351,9 +374,29 @@ object GraphAnn {
     * symmetrization) — what GraphAnnSpec compares against
     * [[buildEdgesExactKnn]].
     */
+  /** Per-(table, bucket) cap on the candidate (dst) side of the
+    * blocked build, active only above [[AdaptPivot]]. The occupancy
+    * bound assumes iid-ish bucket balance; adversarially clustered
+    * data (a near-duplicate cluster larger than a bucket's fair
+    * share lands ENTIRELY in one bucket per table — all its sign
+    * patterns agree) makes candidate generation O(cluster²): the r16
+    * scale sweep measured the 64k near-dup fixture's build at 96s
+    * where iid took 31s. Capping the dst side at 4× the occupancy
+    * target — members chosen by a deterministic fnv1a64 rank over
+    * (table, bucket, id), identical in both engines — bounds the
+    * join at O(n·tables·cap) for ANY skew; every node still appears
+    * as src (keeps its candidate set), and NN-descent's
+    * neighbor-of-neighbor rounds recover the pairs the sample
+    * missed. None at gate Ns: the pinned build (and its oracle SQL)
+    * stays bit-identical.
+    */
+  private[graft] def dstCapFor(n: Long): Option[Int] =
+    if (n <= AdaptPivot) None else Some(4 * BuildBucketTarget.toInt)
+
   private[graft] def buildKnnBlocked(base: DataFrame,
       m: Int = M, planes: Int = BuildPlanes,
-      tables: Int = BuildTables): DataFrame = {
+      tables: Int = BuildTables,
+      dstCap: Option[Int] = None): DataFrame = {
     val dim = base.select(size(col("v"))).head().getInt(0)
     val bucketed = base.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
@@ -361,8 +404,20 @@ object GraphAnn {
           Similarity.lshBucket(col("v"), planes, t, dim)
             .as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    val dstSide = dstCap.fold(bucketed) { cap =>
+      val cw = Window.partitionBy(col("tbl"), col("bucket"))
+        .orderBy(col("hr"), col("vec_id"))
+      bucketed
+        .withColumn("hr", call_function("fnv1a64",
+          concat(col("tbl").cast("string"), lit(":"),
+            col("bucket").cast("string"), lit(":"),
+            col("vec_id").cast("string"))))
+        .withColumn("cr", row_number().over(cw))
+        .filter(col("cr") <= cap)
+        .select(col("vec_id"), col("tbl"), col("bucket"))
+    }
     val cand = bucketed
-      .join(bucketed.select(col("tbl"), col("bucket"),
+      .join(dstSide.select(col("tbl"), col("bucket"),
         col("vec_id").as("dst")), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("dst"))
       .select(col("vec_id").as("src"), col("dst"))
@@ -449,7 +504,7 @@ object GraphAnn {
           .select(col("vec_id").as("probe_id"), col("v").as("pv"),
             col("nrm").as("pnrm"))
         val entries = probes.select(col("probe_id"),
-          explode(sequence(lit(0L), lit(Entries - 1L))).as("node"))
+          explode(sequence(lit(0L), lit(entriesFor(n) - 1L))).as("node"))
         beamSearch(base, edges, probes, entries, k,
           beam = beamFor(n), rounds = roundsFor(n))
       }
@@ -551,7 +606,7 @@ object GraphAnn {
           .select(col("vec_id").as("probe_id"), col("v").as("pv"),
             col("nrm").as("pnrm"))
         val entries = probes.select(col("probe_id"),
-          explode(sequence(lit(0L), lit(Entries - 1L))).as("node"))
+          explode(sequence(lit(0L), lit(entriesFor(n) - 1L))).as("node"))
         beamSearch(base, edges, probes, entries, k,
           beam = beamFor(n), rounds = roundsFor(n),
           resultFilter = Some(allowed))

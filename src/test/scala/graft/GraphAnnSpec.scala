@@ -166,6 +166,23 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(GraphAnn.descentRoundsFor(64000L) == GraphAnn.DescentMaxRounds)
     assert(GraphAnn.descentRoundsFor(3000000000L) ==
       GraphAnn.DescentMaxRounds)
+    // skew guard: no dst-side bucket cap at gate Ns (pinned build and
+    // oracle bit-identical), 4x occupancy target above — bounds the
+    // candidate join at O(n·tables·cap) under ANY clustering
+    Seq(500L, 1600L, 2000L, 2048L).foreach { n =>
+      assert(GraphAnn.dstCapFor(n).isEmpty)
+    }
+    assert(GraphAnn.dstCapFor(4000L).contains(128))
+    assert(GraphAnn.dstCapFor(3000000000L).contains(128))
+    // entry seeding: pinned 4 at gate Ns, O(√n) deterministic sample
+    // above — the single-layer answer to a flat inter-cluster
+    // landscape (r16 measured routing decay 1.0/0.967/0.832 at
+    // 16/64/256 iid-random centers with 4 fixed entries)
+    Seq(500L, 1600L, 2000L, 2048L).foreach { n =>
+      assert(GraphAnn.entriesFor(n) == GraphAnn.Entries.toLong)
+    }
+    assert(GraphAnn.entriesFor(4000L) == 256L)
+    assert(GraphAnn.entriesFor(64000L) == 1012L)
   }
 
   test("nn-descent lifts blocked edge recall toward the exact knn") {
