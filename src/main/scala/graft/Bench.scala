@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Idle-protocol stamp: 1-min loadavg BEFORE any Spark work. The
+    // end-of-run `load` sample reads the bench's own draining
+    // 32-thread work (r16's otherwise-idle board run stamped 3.29 at
+    // exit after a 0.07 launch), so only this one certifies launch
+    // conditions.
+    val launchLoad = try Files.readString(Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
@@ -86,7 +93,7 @@ object Bench {
     // regeneration is visible in the artifact diff itself.
     val layout = Layout.json(spark, sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir","load":$load,"layout":$layout}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":$ord,"sf":"$sfDir","launch_load":$launchLoad,"load":$load,"layout":$layout}"""
     println(json)
     // Persist the artifact too: the driver's stdout tail-capture has
     // truncated the JSON two rounds running, so per-query history only

@@ -107,6 +107,13 @@ object ScaleBench {
     sizes.last.toDouble / sizes.head * slack
 
   def main(args: Array[String]): Unit = {
+    // 1-min loadavg BEFORE any Spark work: the idle-protocol number.
+    // The end-of-run `load` sample inevitably reads the run's OWN
+    // draining 32-thread work (r15's 9.69 was read as a protocol
+    // violation when it was mostly self-load); both are stamped so
+    // the artifact distinguishes launch contention from self-load.
+    val launchLoad = try Files.readString(Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -586,7 +593,8 @@ object ScaleBench {
     val load = try Files.readString(Paths.get("/proc/loadavg"))
       .split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
     val out =
-      s"""{"metric":"scale","families":$json,"load":$load}"""
+      s"""{"metric":"scale","families":$json,""" +
+        s""""launch_load":$launchLoad,"load":$load}"""
     println(out)
     // round-neutral default (the committed artifact name is set via
     // SPARK_GRAFT_SCALE_OUT — a literal r<N> default ships stale the
