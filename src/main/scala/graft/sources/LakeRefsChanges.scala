@@ -660,6 +660,10 @@ trait LakeRefsChanges { this: VersionedLake.type =>
     val base = vs.last
     val m = manifestEntries(spark, path, base)
     val buckets = m.numBuckets(16)
+    // computed once for both the constraint sweep and the staged write
+    // (same rationale as prepare's batch persist)
+    content.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     enforceConstraints(m, content)
     val (contentE, expectMeta) = applyExpectations(spark, path, m, content)
     val contentP = toPhysicalDf(applyGenerated(m, contentE), m)
@@ -699,6 +703,7 @@ trait LakeRefsChanges { this: VersionedLake.type =>
           else Seq.empty),
         adopted, op = "REPLACE", metaExtra = expectMeta,
         dropProps = if (isTracked(m)) Seq("rowid.hwm") else Nil))
+    } finally content.unpersist(blocking = false)
   }
 
   /** OPTIMIZE CLUSTER BY — rewrite the table's buckets RANGE-CLUSTERED

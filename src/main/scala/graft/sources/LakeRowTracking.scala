@@ -176,6 +176,15 @@ trait LakeRowTracking { this: VersionedLake.type =>
     // it, every later writer uses the stored value (a mismatched
     // per-call argument would silently break key→bucket pruning)
     val buckets = prior0.numBuckets(numBuckets)
+    // One write batch, up to three full computations before this
+    // change: the constraint sweep, the touched-bucket collect and the
+    // staged write each re-ran the caller's update subtree (often a
+    // join/aggregate — a MERGE feed). Persist the batch for the
+    // duration of the prepare so it is computed once (guide §1.2 "don't
+    // compute things you throw away"); released right after the staged
+    // write lands. Change-scale memory: the batch, never the table.
+    updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     enforceConstraints(prior0, updates)
     val (updatesE, expectMeta) =
       applyExpectations(spark, path, prior0, updates)
@@ -241,6 +250,7 @@ trait LakeRowTracking { this: VersionedLake.type =>
       adopted ++ statsAsLines(computeStats(spark, path, adopted)) ++
         propLines, adopted, metaExtra = expectMeta,
       dropProps = if (tracked) Seq("rowid.hwm") else Nil)
+    } finally updates.unpersist(blocking = false)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at

@@ -650,6 +650,47 @@ trait LakeSchemaOps { this: VersionedLake.type =>
     *
     * @param dv per-data-file sidecar mapping (the manifest's)
     */
+  /** Per-FILE footer schema, cached for the life of the process: lake
+    * data files are IMMUTABLE once adopted (writer-nonced names, never
+    * rewritten — vacuum deletes, never replaces), so a path's schema
+    * can never go stale. Prefers the Spark-serialized schema in the
+    * footer key-value metadata (exact logical types and field order —
+    * the same source Spark's own mergeSchema path reads) and falls
+    * back to converting the parquet MessageType for non-Spark files.
+    *
+    * Why (r16 optimization, guide §1/§6): every `mergeSchema=true`
+    * read launches a footer-merge SPARK JOB over all of the snapshot's
+    * files before the scan job — pure fixed overhead per read when the
+    * fileset is schema-homogeneous (the overwhelmingly common case),
+    * and an O(table-files) footer sweep per read at 100 TB. Reading
+    * footers ONCE per immutable file on the driver and handing the
+    * scan an explicit schema is the Delta/Iceberg posture (schema from
+    * metadata, not from a per-read file sweep).
+    */
+  private[sources] object FooterSchemas {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+    def of(spark: SparkSession, abs: String): StructType = {
+      if (cache.size > 65536) cache.clear() // bound driver memory
+      cache.computeIfAbsent(abs, { _ =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(abs), conf))
+        try {
+          val meta = reader.getFooter.getFileMetaData
+          Option(meta.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata"))
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[StructType])
+            .getOrElse(new org.apache.spark.sql.execution.datasources
+              .parquet.ParquetToSparkSchemaConverter()
+              .convert(meta.getSchema))
+        } finally reader.close()
+      })
+    }
+  }
+
   private[sources] def loadWithDv(spark: SparkSession, path: String,
       dataFiles: Seq[String], dv: Map[String, String],
       keepPos: Boolean = false,
@@ -661,7 +702,19 @@ trait LakeSchemaOps { this: VersionedLake.type =>
       // a widened table mixes physical encodings (old files narrow,
       // new files wide), which schema MERGE refuses — read through the
       // explicit widened schema instead (parquet readers upcast)
-      val rdr = if (widen.isEmpty) rdr0.option("mergeSchema", "true")
+      val rdr = if (widen.isEmpty) {
+        // schema-homogeneous fileset (the common case): hand the scan
+        // the cached footer schema (+ the gbucket partition directory
+        // column, appended last exactly where partition discovery puts
+        // it) and skip the per-read footer-merge Spark job outright.
+        // Heterogeneous filesets (post-evolution snapshots) keep the
+        // exact mergeSchema semantics they had before.
+        val schemas = files.map(r => FooterSchemas.of(spark, s"$path/$r"))
+        if (schemas.distinct.size == 1)
+          rdr0.schema(StructType(schemas.head.fields :+
+            StructField("gbucket", IntegerType, nullable = true)))
+        else rdr0.option("mergeSchema", "true")
+      }
         else rdr0.schema(widenedReadSchema(spark, path, files, widen))
       rdr.parquet(files.map(r => s"$path/$r"): _*)
         .withColumn("_rel", relCol)
