@@ -18,6 +18,14 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // canChangeCachedPlanOutputPartitioning stays at the Spark default
+    // (false) — a MEASURED r17 rejection, not an oversight: letting AQE
+    // re-partition cached plans by bytes coalesces every persisted
+    // frame of the iterative families to ~1 partition, which cuts tiny-
+    // task counts (ann_graph_topk 7.2s → 5.8s solo) but SERIALIZES the
+    // compute-heavy cached legs (same-conditions solo A/B:
+    // dedup_recall_bounds 7.4s → 22.8s, docs_pagerank 4.2s → 17.9s).
+    // Cached-frame parallelism is load-bearing for exact-truth legs.
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")

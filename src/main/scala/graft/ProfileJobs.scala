@@ -39,8 +39,18 @@ object ProfileJobs {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
+          // prefer the first graft.* frame of any stage's callsite —
+          // Spark SQL actions all surface as withThreadLocalCaptured
+          // lambdas, which says nothing about WHICH operator ran
+          val graftFrame = e.stageInfos.iterator
+            .flatMap(_.details.linesIterator)
+            .map(_.trim)
+            .find(l => l.startsWith("graft.") &&
+              !l.startsWith("graft.ProfileJobs"))
           val d = Option(e.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(graftFrame.map(f =>
+              f + " [" + e.stageInfos.map(_.numTasks).sum + " tasks]"))
             .orElse(e.stageInfos.lastOption.map(s =>
               s.name + " [" + e.stageInfos.map(_.numTasks).sum + " tasks]"))
             .getOrElse("")

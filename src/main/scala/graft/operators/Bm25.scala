@@ -61,10 +61,16 @@ object Bm25 {
       val avgLen = totalToks.toDouble / nDocs.toDouble
       val dfcf = tf.groupBy(col("tok")).agg(
         count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      // top-QTerms via orderBy+limit (TakeOrderedAndProject — per-
+      // partition heads merged on the driver), then the rank window
+      // runs over ≤ QTerms rows: the vocab is corpus-vocabulary-sized,
+      // and the previous global row_number window moved ALL of it
+      // through one partition (r17, guide §2; same pattern as the
+      // doc top-k below). Bit-identical: same total order, same set.
       val w = Window.orderBy(col("cf").desc, col("tok"))
       val qt = dfcf.filter(col("df") * 4 <= lit(nDocs))
+        .orderBy(col("cf").desc, col("tok")).limit(QTerms)
         .withColumn("qrank", row_number().over(w))
-        .filter(col("qrank") <= QTerms)
         .select(col("tok"), col("df"), col("qrank"))
       val tfD = col("tf").cast("double")
       val dfD = col("df").cast("double")

@@ -134,9 +134,9 @@ object Bq {
     val out = bqRerank(emb)
     val truth = Similarity.bruteForceTopK(emb, K)
       .select(col("probe_id"), col("neighbor_id"))
-    val hits = out.select(col("probe_id"), col("neighbor_id"))
-      .intersect(truth).count()
-    val total = truth.count()
+    // one job instead of two executions of the brute-force truth (r17)
+    val (hits, total) = graft.Dist.hitsAndTotal(
+      out.select(col("probe_id"), col("neighbor_id")), truth)
     val recall = if (total == 0) 1.0 else hits.toDouble / total
     System.err.println(
       f"[ann_bq_rerank] recall@$K=$recall%.4f ($hits/$total) floor=$RecallFloor")
@@ -295,9 +295,9 @@ object Bq {
     val out = bqIvfTopK(emb)
     val truth = Similarity.bruteForceTopK(emb, K)
       .select(col("probe_id"), col("neighbor_id"))
-    val hits = out.select(col("probe_id"), col("neighbor_id"))
-      .intersect(truth).count()
-    val total = truth.count()
+    // one job instead of two executions of the brute-force truth (r17)
+    val (hits, total) = graft.Dist.hitsAndTotal(
+      out.select(col("probe_id"), col("neighbor_id")), truth)
     val recall = if (total == 0) 1.0 else hits.toDouble / total
     System.err.println(
       f"[ann_bq_ivf] recall@$K=$recall%.4f ($hits/$total) floor=$IvfRecallFloor")

@@ -520,9 +520,10 @@ object GraphAnn {
   private def recallOf(out: DataFrame, emb: DataFrame, k: Int): Double = {
     val truth = Similarity.bruteForceTopK(emb, k)
       .select(col("probe_id"), col("neighbor_id"))
-    val hits = out.select(col("probe_id"), col("neighbor_id"))
-      .intersect(truth).count()
-    val total = truth.count()
+    // one job: intersect().count() + truth.count() re-executed the
+    // exact brute-force subtree twice (r17, guide §1.2)
+    val (hits, total) = graft.Dist.hitsAndTotal(
+      out.select(col("probe_id"), col("neighbor_id")), truth)
     if (total == 0) 1.0 else hits.toDouble / total
   }
 
@@ -622,9 +623,9 @@ object GraphAnn {
     val out = graphTopKFiltered(docs, emb)
     val truth = graft.operators.Retrieval.filteredTopK(docs, emb)
       .select(col("probe_id"), col("neighbor_id"))
-    val hits = out.select(col("probe_id"), col("neighbor_id"))
-      .intersect(truth).count()
-    val total = truth.count()
+    // one job instead of two executions of the exact filtered truth
+    val (hits, total) = graft.Dist.hitsAndTotal(
+      out.select(col("probe_id"), col("neighbor_id")), truth)
     val recall = if (total == 0) 1.0 else hits.toDouble / total
     System.err.println(f"[ann_graph_filtered] filtered recall@$K=" +
       f"$recall%.3f ($hits/$total) floor=$FilteredRecallFloor")
@@ -711,9 +712,9 @@ object GraphAnn {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= M)
       .select(col("new_id"), col("neighbor_id"))
-    val hits = out.select(col("new_id"), col("neighbor_id"))
-      .intersect(truth).count()
-    val total = truth.count()
+    // one job instead of two executions of the exact M-NN truth
+    val (hits, total) = graft.Dist.hitsAndTotal(
+      out.select(col("new_id"), col("neighbor_id")), truth)
     val recall = if (total == 0) 1.0 else hits.toDouble / total
     System.err.println(f"[ann_graph_incremental] wiring recall@$M=" +
       f"$recall%.3f ($hits/$total) floor=$InsertRecallFloor")

@@ -99,6 +99,23 @@ object Insights {
     * sketch, no global sort) and the scores from a broadcast range
     * lookup; exact ntile is used here for the oracle-exact contract.
     */
+  /** Input-size pivot for the rank/ntile passes: below it the
+    * single-partition window is cheaper than three distributed rank
+    * passes (each pays a range-partition sample + shuffle + counts
+    * job); above it the global window serializes customer-cardinality
+    * data through one task — the r16-verdict 100 TB scale-killer. The
+    * switch reads the OPTIMIZER'S file-size estimate (no job), and
+    * both forms are bit-identical (DistSpec pins globalNtile ≡
+    * ntile-over-global-window on per-row-unique orders — these orders
+    * all tie-break on customer_id/s_suppkey), so the pivot is pure
+    * cost policy, never semantics — the [[graft.operators.GraphAnn]]
+    * RankDistThreshold discipline.
+    */
+  private val WindowBytesPivot = 512L * 1024 * 1024
+
+  private def inputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   def customerRfm(orders: DataFrame): DataFrame = {
     val per = orders
       .groupBy(col("o_custkey").as("customer_id"))
@@ -107,13 +124,27 @@ object Insights {
           .cast("int").as("recency_days"),
         count(lit(1)).as("frequency"),
         dsum(col("o_totalprice")).as("monetary"))
-    val r = Window.orderBy(col("recency_days").desc, col("customer_id"))
-    val f = Window.orderBy(col("frequency").asc, col("customer_id"))
-    val m = Window.orderBy(col("monetary").asc, col("customer_id"))
-    per
-      .withColumn("r_score", ntile(4).over(r))
-      .withColumn("f_score", ntile(4).over(f))
-      .withColumn("m_score", ntile(4).over(m))
+    val scored =
+      if (inputBytes(orders) > WindowBytesPivot) {
+        // distributed quartiles: three global rank passes, no
+        // single-partition window anywhere (guide §2; r16 verdict 6)
+        val p = 32
+        val s1 = graft.Dist.globalNtile(per,
+          Seq(col("recency_days").desc, col("customer_id")), 4, p, "r_score")
+        val s2 = graft.Dist.globalNtile(s1,
+          Seq(col("frequency").asc, col("customer_id")), 4, p, "f_score")
+        graft.Dist.globalNtile(s2,
+          Seq(col("monetary").asc, col("customer_id")), 4, p, "m_score")
+      } else {
+        val r = Window.orderBy(col("recency_days").desc, col("customer_id"))
+        val f = Window.orderBy(col("frequency").asc, col("customer_id"))
+        val m = Window.orderBy(col("monetary").asc, col("customer_id"))
+        per
+          .withColumn("r_score", ntile(4).over(r))
+          .withColumn("f_score", ntile(4).over(f))
+          .withColumn("m_score", ntile(4).over(m))
+      }
+    scored
       .withColumn("segment",
         when(col("r_score") === 4 && col("f_score") === 4 &&
           col("m_score") === 4, "champion")
@@ -462,14 +493,29 @@ object Insights {
       .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("revenue"))
-    val byRev = Window.orderBy(col("revenue").desc, col("s_suppkey"))
-    val all = Window.partitionBy()
-    rev
+    val joined = rev
       .join(supplier.select(col("s_suppkey"), col("s_name")), Seq("s_suppkey"))
-      .withColumn("rnk", row_number().over(byRev))
-      .withColumn("cum", sum(col("revenue")).over(
-        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("revenue")).over(all))
+    val order = Seq(col("revenue").desc, col("s_suppkey"))
+    val ranked =
+      if (inputBytes(lineitem) > WindowBytesPivot) {
+        // distributed rank + running sum: range partition on the rank
+        // order, per-partition prefix sums + driver offsets — no
+        // single-partition window over supplier-cardinality data
+        // (guide §2; r16 verdict 6). Decimal-exact; bit-identical to
+        // the window form (DistSpec).
+        graft.Dist.globalRunningSum(joined, order, col("revenue"), 32,
+            "_rnk_l", "cum", "total")
+          .withColumn("rnk", col("_rnk_l").cast("int")).drop("_rnk_l")
+      } else {
+        val byRev = Window.orderBy(order: _*)
+        val all = Window.partitionBy()
+        joined
+          .withColumn("rnk", row_number().over(byRev))
+          .withColumn("cum", sum(col("revenue")).over(
+            byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("revenue")).over(all))
+      }
+    ranked
       .withColumn("in_top80",
         col("cum") * lit(5) <= col("total") * lit(4))
       .select(col("rnk"), col("s_suppkey"), col("s_name"),

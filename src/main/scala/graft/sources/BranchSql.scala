@@ -105,8 +105,9 @@ object BranchSql {
       s"SELECT ${cols.mkString(", ")} FROM $t VERSION AS OF 'audit'")
     val viaEngine = VersionedLake.read(spark, bp)
       .select(cols.map(col): _*)
+    // one-job signed-multiset equality (≡ exceptAll both ways — r17)
     def same(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      graft.Dist.multisetEqual(a, b)
     val readsAgree = same(viaIdent, viaAsOf) && same(viaIdent, viaEngine)
     // refs: engine-derived truth, pre- and post-publish
     def refsMap(): Map[String, (String, Int, Option[Int])] =

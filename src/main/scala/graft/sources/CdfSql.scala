@@ -148,8 +148,7 @@ object CdfSql {
       Seq("key_id"), "sequence_number", Seq("value", "props"))
       .select(col("key_id"), col("_change_type"), col("value"),
         col("props"), col("_commit_sequence"))
-    val tvfMatches =
-      tvf.exceptAll(api).isEmpty && api.exceptAll(tvf).isEmpty
+    val tvfMatches = graft.Dist.multisetEqual(tvf, api)
     // half 2: named streaming read resumes incrementally
     val (resumedOnlyNew, sawAllVersions) = streamResumeProbe(spark, sfDir)
     tvf.withColumn("tvf_matches_api", lit(tvfMatches))

@@ -218,6 +218,11 @@ trait LakeCommitCore { this: VersionedLake.type =>
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(s"$path/$rel"), conf))
       try {
+        // this footer is open anyway — warm the read path's schema
+        // cache so a freshly adopted file is never re-opened just for
+        // its schema (r17; the schema-from-commit-metadata posture)
+        FooterSchemas.put(s"$path/$rel", FooterSchemas.fromFooter(spark,
+          reader.getFooter.getFileMetaData))
         // per-column accumulated (min, max); a column survives only if
         // EVERY row group carries stats for it (a gap would make the
         // recorded range a lie about uncovered rows)

@@ -541,8 +541,7 @@ trait LakeGatesCore { this: VersionedLake.type =>
     val before = read(spark, path).localCheckpoint(true)
     compactDvs(spark, path)
     val after = read(spark, path)
-    val identical = before.exceptAll(after).isEmpty &&
-      after.exceptAll(before).isEmpty
+    val identical = graft.Dist.multisetEqual(before, after)
     val dvFree =
       manifestEntries(spark, path, versions(spark, path).last).dv.isEmpty
     after
@@ -694,7 +693,7 @@ trait LakeGatesCore { this: VersionedLake.type =>
       .filter(idsB("row_id") =!= idsC("row_id")).isEmpty
     optimizeSmallFiles(spark, path)
     val idsD = ids()
-    val stableOpt = idsC.exceptAll(idsD).isEmpty && idsD.exceptAll(idsC).isEmpty
+    val stableOpt = graft.Dist.multisetEqual(idsC, idsD)
     val distinctIds =
       idsD.count() == idsD.select(col("row_id")).distinct().count()
     val hwmMonotone = hwmNow() >= hwmA

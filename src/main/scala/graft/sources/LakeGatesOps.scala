@@ -433,8 +433,7 @@ trait LakeGatesOps { this: VersionedLake.type =>
     val mAfter = manifestEntries(spark, path, versions(spark, path).last)
     val onePerBucket = mAfter.data.groupBy(bucketOf).forall(_._2.size == 1)
     val after = read(spark, path)
-    val identical = before.exceptAll(after).isEmpty &&
-      after.exceptAll(before).isEmpty
+    val identical = graft.Dist.multisetEqual(before, after)
     after
       .select(col("key_id"), col("value"), col("props"),
         col("sequence_number").as("last_sequence"))
@@ -555,10 +554,20 @@ trait LakeGatesOps { this: VersionedLake.type =>
       Seq("key_id"), "sequence_number")
     val second = staged.filter(col("sequence_number") > t1)
       .localCheckpoint(true)
-    (0 to 2).foreach { i => // versions 2..4: the trickle MOR commits
+    // trickle MOR commits — record each batch's ACTUAL landed tip: a
+    // regenerated small-SF feed can make a batch empty (or fully
+    // rejected), in which case dvUpsert correctly commits NOTHING and
+    // every later version number shifts. The r17 sf0.001 regeneration
+    // hit exactly that: batch 1 was a no-op, the hard-coded
+    // `Some(3)` time-travel read landed on batch 2's commit, and
+    // `mid_chain_travel_exact` + `vacuum_rerooted_floor` flipped while
+    // the engine was right. (Inherited-state fix, present at the
+    // round-17 starting HEAD.)
+    val batchTip = (0 to 2).map { i =>
       dvUpsert(spark, path,
         asChanges(second.filter(pmod(col("sequence_number"), lit(3)) === i)),
         Seq("key_id"), "sequence_number")
+      versions(spark, path).last
     }
     // metadata commits v5..v9: cross the checkpoint with property churn
     addConstraint(spark, path, "ck1", "value IS NOT NULL") // v5
@@ -576,7 +585,7 @@ trait LakeGatesOps { this: VersionedLake.type =>
     val lastDelta = vs.filter(v => v > 1 && v % K != 0).max
     val changeScale = rawManifestLines(spark, path, lastDelta).length * 2 <
       manifestLines(spark, path, lastDelta).length
-    // mid-chain time travel: v3 = v1 + trickle batches 0..1
+    // mid-chain time travel: the tip after batch 1 = v1 + batches 0..1
     val w = Window.partitionBy(col("key_id"))
       .orderBy(col("sequence_number").desc)
     val expectedV3 = staged
@@ -586,7 +595,7 @@ trait LakeGatesOps { this: VersionedLake.type =>
       .filter(col("_rn") === 1 && col("operation") =!= "DELETE")
       .select(col("key_id"), col("value"), col("props"),
         col("sequence_number"))
-    val gotV3 = read(spark, path, Some(3))
+    val gotV3 = read(spark, path, Some(batchTip(1)))
       .select(col("key_id"), col("value"), col("props"),
         col("sequence_number"))
     // signed-multiset equality in ONE job (exceptAll both ways is two)
@@ -598,11 +607,15 @@ trait LakeGatesOps { this: VersionedLake.type =>
     // vacuum past the checkpoint: floor lands on a DELTA version (6),
     // which must be re-rooted to a full snapshot for the chain to
     // survive its ancestors' deletion
+    // expected survivors derive from the ACTUAL committed chain (a
+    // no-op trickle batch shifts every number): the last 4 versions
+    val expectKept = versions(spark, path).takeRight(4)
     vacuum(spark, path, retainLast = 4)
     val kept = versions(spark, path)
-    val rerooted = kept == Seq(6, 7, 8, 9) && !isDelta(6) &&
+    val rerooted = kept == expectKept && !isDelta(kept.head) &&
       kept.forall(v => manifestLines(spark, path, v).nonEmpty) &&
-      manifestEntries(spark, path, 9).props.contains("constraint.ck3")
+      manifestEntries(spark, path, kept.last).props
+        .contains("constraint.ck3")
     read(spark, path)
       .select(col("key_id"), col("value"), col("props"),
         col("sequence_number").as("last_sequence"))

@@ -662,7 +662,12 @@ trait LakeRefsChanges { this: VersionedLake.type =>
     val buckets = m.numBuckets(16)
     // computed once for both the constraint sweep and the staged write
     // (same rationale as prepare's batch persist)
-    content.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only persist (and later release) when the caller has not (r16
+    // ADVICE: unconditional unpersist drops a caller-owned cache)
+    val wePersist =
+      content.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (wePersist)
+      content.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     enforceConstraints(m, content)
     val (contentE, expectMeta) = applyExpectations(spark, path, m, content)
@@ -703,7 +708,7 @@ trait LakeRefsChanges { this: VersionedLake.type =>
           else Seq.empty),
         adopted, op = "REPLACE", metaExtra = expectMeta,
         dropProps = if (isTracked(m)) Seq("rowid.hwm") else Nil))
-    } finally content.unpersist(blocking = false)
+    } finally if (wePersist) content.unpersist(blocking = false)
   }
 
   /** OPTIMIZE CLUSTER BY — rewrite the table's buckets RANGE-CLUSTERED

@@ -183,7 +183,13 @@ trait LakeRowTracking { this: VersionedLake.type =>
     // duration of the prepare so it is computed once (guide §1.2 "don't
     // compute things you throw away"); released right after the staged
     // write lands. Change-scale memory: the batch, never the table.
-    updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guard: only persist (and later release) when the CALLER has not —
+    // unpersisting a frame the caller cached would silently drop its
+    // cache for the rest of its own run (r16 ADVICE)
+    val wePersist =
+      updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (wePersist)
+      updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     enforceConstraints(prior0, updates)
     val (updatesE, expectMeta) =
@@ -235,7 +241,17 @@ trait LakeRowTracking { this: VersionedLake.type =>
     // writers can collide on a physical name
     val wid = nonce()
     val stage = path + s"_stage_$wid"
-    merged.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    // r17 optimization (guide §2.4/§6): the merge window leaves `merged`
+    // hash-partitioned by KEY, so every task holds rows of every bucket
+    // and the partitionBy write fans out to (tasks × buckets) files —
+    // ProfileJobs measured a 4-commit, 10k-row table at 160 data files,
+    // with reads scheduling 100+ tasks and commit-time stats/adoption/
+    // changelog paying per file. One bucket-keyed exchange of the
+    // (change + touched-bucket)-scale batch makes each bucket's rewrite
+    // land as ONE file — file counts derive from the bucket layout, not
+    // from the core count, at any scale.
+    merged.repartition(col("gbucket"))
+      .write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
     val adopted = adoptStaged(spark, path, stage, wid)
     // ourLines = the touched buckets' complete new representation: the
     // adopted files, no DV lines (the rewrite materialized deletes).
@@ -250,7 +266,7 @@ trait LakeRowTracking { this: VersionedLake.type =>
       adopted ++ statsAsLines(computeStats(spark, path, adopted)) ++
         propLines, adopted, metaExtra = expectMeta,
       dropProps = if (tracked) Seq("rowid.hwm") else Nil)
-    } finally updates.unpersist(blocking = false)
+    } finally if (wePersist) updates.unpersist(blocking = false)
   }
 
   /** Phase 2: the optimistic commit loop. Try the CAS at
@@ -800,10 +816,15 @@ trait LakeRowTracking { this: VersionedLake.type =>
       .join(accepted.select(keyCols2.map(col): _*) , keyCols2, "left_semi")
       .select(col("_rel").as("file_rel"), col("_pos").as("pos"))
     val dvOut = writeDvSidecar(spark, path, hits, m)
-    // append the winners (deletes as tombstone rows) as NEW files
+    // append the winners (deletes as tombstone rows) as NEW files —
+    // bucket-keyed exchange first, so a trickle append lands ONE file
+    // per touched bucket instead of (tasks × buckets) (r17, guide §6:
+    // MOR appends compound over commits, so per-append file count is
+    // the read path's long-run file count)
     val wid = nonce()
     val stage = path + s"_stage_$wid"
-    accepted.write.partitionBy("gbucket").mode(SaveMode.Overwrite)
+    accepted.repartition(col("gbucket"))
+      .write.partitionBy("gbucket").mode(SaveMode.Overwrite)
       .parquet(stage)
     val appended = adoptStaged(spark, path, stage, wid)
     if (dvOut.isEmpty && appended.isEmpty) return CommitResult(base, 0)
@@ -844,7 +865,11 @@ trait LakeRowTracking { this: VersionedLake.type =>
     val df = loadWithDv(spark, path, dvFiles, m.dv, widen = widenMap(m))
     val wid = nonce()
     val stage = path + s"_stage_$wid"
-    df.write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
+    // bucket-keyed exchange: OPTIMIZE actually compacts each touched
+    // bucket to one file (the per-input-file scan partitioning would
+    // otherwise rewrite N files into N files — r17, guide §6)
+    df.repartition(col("gbucket"))
+      .write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
     val adopted = adoptStaged(spark, path, stage, wid)
     val carriedStats = m.stats.view
       .filterKeys(cleanCarried.toSet).toMap

@@ -668,26 +668,53 @@ trait LakeSchemaOps { this: VersionedLake.type =>
     * metadata, not from a per-read file sweep).
     */
   private[sources] object FooterSchemas {
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+    private val MaxEntries = 65536
+    // access-ordered LRU, not clear-the-world: a working set larger
+    // than the bound must evict the COLDEST entry, never dump the whole
+    // cache and re-read every footer sequentially (r16 ADVICE)
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, StructType](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, StructType]): Boolean =
+          size() > MaxEntries
+      })
+
+    /** Spark schema of one parquet footer — the same source Spark's
+      * mergeSchema path reads; the MessageType fallback converts under
+      * the SESSION conf so foreign-file typing (binaryAsString,
+      * int96AsTimestamp) matches Spark's own inference (r16 ADVICE).
+      */
+    private[sources] def fromFooter(spark: SparkSession,
+        meta: org.apache.parquet.hadoop.metadata.FileMetaData)
+        : StructType =
+      Option(meta.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+        .getOrElse(new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetToSparkSchemaConverter(
+            spark.sessionState.conf)
+          .convert(meta.getSchema))
+
+    /** Warm the cache from a footer some commit-time pass (computeStats)
+      * already has open — adopted files are never re-opened on the read
+      * path (r16 VERDICT: schema-from-metadata at commit time).
+      */
+    def put(abs: String, s: StructType): Unit = { cache.put(abs, s); () }
+
     def of(spark: SparkSession, abs: String): StructType = {
-      if (cache.size > 65536) cache.clear() // bound driver memory
-      cache.computeIfAbsent(abs, { _ =>
+      val got = cache.get(abs)
+      if (got != null) got
+      else {
         val conf = spark.sparkContext.hadoopConfiguration
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new Path(abs), conf))
-        try {
-          val meta = reader.getFooter.getFileMetaData
-          Option(meta.getKeyValueMetaData
-            .get("org.apache.spark.sql.parquet.row.metadata"))
-            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-              .asInstanceOf[StructType])
-            .getOrElse(new org.apache.spark.sql.execution.datasources
-              .parquet.ParquetToSparkSchemaConverter()
-              .convert(meta.getSchema))
-        } finally reader.close()
-      })
+        val s = try fromFooter(spark, reader.getFooter.getFileMetaData)
+          finally reader.close()
+        cache.put(abs, s)
+        s
+      }
     }
   }
 

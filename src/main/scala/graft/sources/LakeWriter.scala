@@ -97,7 +97,11 @@ object LakeWriter {
     }
     if (!exists) {
       val tmp = path + "_staged"
-      merge(tagged).write.partitionBy("gbucket")
+      // bucket-keyed exchange before the write: the merge window leaves
+      // rows hash-partitioned by KEY, so every task would otherwise
+      // write a file into every bucket — (tasks × buckets) files per
+      // merge, with reads and swaps paying per file (r17, guide §2.4/§6)
+      merge(tagged).repartition(col("gbucket")).write.partitionBy("gbucket")
         .mode(SaveMode.Overwrite).parquet(tmp)
       swapIn(fs, path, tmp)
     } else {
@@ -116,6 +120,7 @@ object LakeWriter {
       val stage = path + "_stage"
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       merge(withDel.unionByName(tagged, allowMissingColumns = true))
+        .repartition(col("gbucket"))
         .write.partitionBy("gbucket").mode(SaveMode.Overwrite).parquet(stage)
       swapBuckets(fs, path, stage, touched)
     }

@@ -1278,9 +1278,7 @@ object SqlCatalog {
          FROM ctas_feed_all""")
     val rtasOneCommit = VersionedLake.versions(spark, path) == Seq(1, 2)
     val v1After = VersionedLake.read(spark, path, Some(1))
-    val historyPreserved =
-      v1After.exceptAll(v1Snapshot).isEmpty &&
-        v1Snapshot.exceptAll(v1After).isEmpty
+    val historyPreserved = graft.Dist.multisetEqual(v1After, v1Snapshot)
     spark.sql(s"""SELECT key_id, value, props,
         sequence_number AS last_sequence FROM $t""")
       .withColumn("ctas_committed_v1", lit(ctasV1))
@@ -1364,8 +1362,7 @@ object SqlCatalog {
       sum(when(col("dv_row_count") > 0, 1L).otherwise(0L))
         .as("dv_file_count"))
     val parts = spark.table(s"$t.partitions")
-    val partitionsMatch =
-      fromFiles.exceptAll(parts).isEmpty && parts.exceptAll(fromFiles).isEmpty
+    val partitionsMatch = graft.Dist.multisetEqual(fromFiles, parts)
     val snapRows = snaps.orderBy(col("version")).collect()
     val folded = snapRows.map(r =>
       r.getAs[Long]("files_added") - r.getAs[Long]("files_removed")).sum
@@ -1476,9 +1473,7 @@ object SqlCatalog {
       .select(col("key_id"), col("props"), col("sequence_number"))
     val actualQuar = quarantine
       .select(col("key_id"), col("props"), col("sequence_number"))
-    val quarantineMatch =
-      expectedQuar.exceptAll(actualQuar).isEmpty &&
-        actualQuar.exceptAll(expectedQuar).isEmpty
+    val quarantineMatch = graft.Dist.multisetEqual(expectedQuar, actualQuar)
     // FAIL UPDATE: a batch breaking the CHECK half rejects wholesale
     val before = VersionedLake.versions(spark, path)
     staged.filter(col("sequence_number") > t2 &&
@@ -1814,8 +1809,7 @@ object SqlCatalog {
       .filter(col("row_id") <= hwmA).isEmpty
     spark.sql(s"CALL $CatalogName.system.optimize('$short')")
     val idsC = spark.sql(s"SELECT key_id, row_id FROM $t.rows")
-    val surviveOpt =
-      idsB.exceptAll(idsC).isEmpty && idsC.exceptAll(idsB).isEmpty
+    val surviveOpt = graft.Dist.multisetEqual(idsB, idsC)
     spark.sql(s"""SELECT key_id, value, props,
         sequence_number AS last_sequence FROM $t""")
       .withColumn("tracking_enabled", lit(enabled))

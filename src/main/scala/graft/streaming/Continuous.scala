@@ -248,10 +248,14 @@ object Continuous {
       .withColumn("value_band", floor(col("value")))
     val got = VersionedLake.read(spark, silver)
       .select(truth.columns.map(col): _*)
-    val missing = truth.exceptAll(got).count()
-    val extra = got.exceptAll(truth).count()
-    if (missing != 0 || extra != 0) throw new IllegalStateException(
-      s"silver diverged from batch recompute: missing=$missing extra=$extra")
+    // fast path: ONE signed-multiset job; the two-count forensics only
+    // run when the assertion is about to throw anyway (r17)
+    if (!graft.Dist.multisetEqual(truth, got)) {
+      val missing = truth.exceptAll(got).count()
+      val extra = got.exceptAll(truth).count()
+      throw new IllegalStateException(
+        s"silver diverged from batch recompute: missing=$missing extra=$extra")
+    }
 
     spark.sql(s"SELECT * FROM event_log('$pipeline')")
   }
@@ -476,12 +480,14 @@ object Continuous {
     val scd1 = graft.operators.Cdc
       .scd1Current(graft.Tables.events(spark, dir))
       .withColumnRenamed("last_sequence", "sequence_number")
-    def assertSame(tag: String, truth: DataFrame, got: DataFrame): Unit = {
-      val missing = truth.exceptAll(got).count()
-      val extra = got.exceptAll(truth).count()
-      if (missing != 0 || extra != 0) throw new IllegalStateException(
-        s"$tag diverged from batch recompute: missing=$missing extra=$extra")
-    }
+    def assertSame(tag: String, truth: DataFrame, got: DataFrame): Unit =
+      // one signed-multiset job; two-count forensics only on failure
+      if (!graft.Dist.multisetEqual(truth, got)) {
+        val missing = truth.exceptAll(got).count()
+        val extra = got.exceptAll(truth).count()
+        throw new IllegalStateException(
+          s"$tag diverged from batch recompute: missing=$missing extra=$extra")
+      }
     assertSame("silver_events",
       scd1.withColumn("value_band", floor(col("value"))),
       VersionedLake.read(spark, silverE)

@@ -27,6 +27,63 @@ class DistSpec extends AnyFunSuite {
       tinySlow.exceptAll(tinyFast).isEmpty)
   }
 
+  test("globalNtile == ntile over the one-partition window") {
+    // every (n mod k) residue, n < k, and a skewed multi-col order —
+    // the r17 customer_rfm distributed-quartile equivalence
+    val order = Seq(col("a"), col("b"), col("k"))
+    for (n <- Seq(3L, 4L, 5L, 997L, 1000L); k <- Seq(4, 7)) {
+      val rows = (1L to n).map(i => (i % 5, i * 31 % 1009, s"k$i"))
+      val df = rows.toDF("a", "b", "k").repartition(7)
+      val slow = df.withColumn("q",
+        ntile(k).over(Window.orderBy(order: _*)))
+      val fast = Dist.globalNtile(df, order, k, 16, "q")
+      assert(Dist.multisetEqual(fast, slow), s"ntile($k) over n=$n")
+    }
+  }
+
+  test("globalRunningSum == running-sum window, decimal-exact") {
+    // the r17 supplier_pareto distributed form: rank + running decimal
+    // sum + grand total, bit-identical to the single-partition window
+    import org.apache.spark.sql.types.DecimalType
+    val rows = (1L to 503L).map(i =>
+      (i, BigDecimal(i * 7919 % 100000) / 100))
+    val df = rows.toDF("k", "v0")
+      .withColumn("v", col("v0").cast(DecimalType(28, 4))).drop("v0")
+      .repartition(11)
+    val order = Seq(col("v").desc, col("k"))
+    val byV = Window.orderBy(order: _*)
+    val slow = df
+      .withColumn("rnk", row_number().over(byV).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("v")).over(Window.partitionBy()))
+    val fast = Dist.globalRunningSum(df, order, col("v"), 16,
+      "rnk", "cum", "total")
+    // data types must match exactly (the decimal window-sum result
+    // type); nullability may differ on the total literal — the gate's
+    // FINAL schema is pinned in InsightsSpec instead
+    assert(slow.schema.map(f => (f.name, f.dataType)) ==
+      fast.schema.map(f => (f.name, f.dataType)),
+      s"schema drift: ${slow.schema} vs ${fast.schema}")
+    assert(Dist.multisetEqual(fast, slow))
+  }
+
+  test("multisetEqual == exceptAll both ways") {
+    val a = Seq((1, "x"), (1, "x"), (2, "y")).toDF("n", "s")
+    val b = Seq((1, "x"), (2, "y"), (1, "x")).toDF("n", "s")
+    val c = Seq((1, "x"), (2, "y")).toDF("n", "s") // multiplicity differs
+    assert(Dist.multisetEqual(a, b))
+    assert(!Dist.multisetEqual(a, c) && !Dist.multisetEqual(c, a))
+  }
+
+  test("hitsAndTotal == intersect().count() + truth.count()") {
+    val out = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("p", "n")
+    val truth = Seq((1L, 10L), (2L, 10L), (2L, 12L)).toDF("p", "n")
+    val (h, t) = Dist.hitsAndTotal(out, truth)
+    assert(h == out.intersect(truth).count() && t == truth.count())
+    assert(h == 2L && t == 3L)
+  }
+
   test("lake fresh-id allocation is threshold-independent") {
     // the adaptive switch in assignFreshRowIds is pure cost policy:
     // drive one upsert through each branch and prove the SAME ids land

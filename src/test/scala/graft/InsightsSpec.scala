@@ -39,6 +39,53 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm distributed quartiles ≡ the window form (r17 pivot)") {
+    // the customerRfm WindowBytesPivot switch is pure cost policy: the
+    // distributed composition (three chained globalNtile passes, the
+    // >512MB branch) must emit exactly the window form's rows
+    val out = Insights.customerRfm(Tables.orders(spark, sf)) // window path
+    val per = out.select(col("customer_id"), col("recency_days"),
+      col("frequency"), col("monetary"))
+    val s1 = Dist.globalNtile(per,
+      Seq(col("recency_days").desc, col("customer_id")), 4, 32, "r_score")
+    val s2 = Dist.globalNtile(s1,
+      Seq(col("frequency").asc, col("customer_id")), 4, 32, "f_score")
+    val dist = Dist.globalNtile(s2,
+      Seq(col("monetary").asc, col("customer_id")), 4, 32, "m_score")
+    assert(Dist.multisetEqual(
+      out.select(col("customer_id"), col("r_score"), col("f_score"),
+        col("m_score")),
+      dist.select(col("customer_id"), col("r_score"), col("f_score"),
+        col("m_score"))))
+  }
+
+  test("pareto distributed running sum ≡ the window form (r17 pivot)") {
+    val out = Insights.supplierPareto(Tables.lineitem(spark, sf),
+      Tables.supplier(spark, sf)) // window path at test scale
+    // rebuild the distributed branch's (rnk, cum_share, in_top80) and
+    // compare the full emitted frame
+    import org.apache.spark.sql.types.DecimalType
+    val rev = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("revenue"))
+      .join(Tables.supplier(spark, sf)
+        .select(col("s_suppkey"), col("s_name")), Seq("s_suppkey"))
+    val dist = Dist.globalRunningSum(rev,
+        Seq(col("revenue").desc, col("s_suppkey")), col("revenue"), 32,
+        "_rnk_l", "cum", "total")
+      .withColumn("rnk", col("_rnk_l").cast("int"))
+      .withColumn("in_top80", col("cum") * lit(5) <= col("total") * lit(4))
+      .select(col("rnk"), col("s_suppkey"), col("s_name"),
+        col("revenue").cast("double").as("revenue"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        col("in_top80"))
+    assert(out.schema == dist.schema,
+      s"emitted schema drift: ${out.schema} vs ${dist.schema}")
+    assert(Dist.multisetEqual(out, dist))
+  }
+
   test("table profile matches direct aggregates for a spot column") {
     val prof = Insights.tableProfile(Tables.orders(spark, sf))
       .collect().map(r => r.getAs[String]("column_name") -> r).toMap
