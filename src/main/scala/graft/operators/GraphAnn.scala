@@ -93,10 +93,28 @@ object GraphAnn {
   private def asDouble(emb: Column): Column =
     transform(emb, x => x.cast("double"))
 
+  /** Partition count for the CACHED corpus frame, derived from the
+    * input's byte size (optimizer file stats — no job), not from the
+    * session's shuffle parallelism (r17, guide §2 "scale-adaptive
+    * partitioning"): the cached frame's partitioning is pinned for the
+    * whole gate (AQE cannot re-partition cached plans), and every beam
+    * round and refinement join schedules one task per cached
+    * partition. At core-count partitioning a 2000-vector corpus paid
+    * 33-task scans in every one of ~70 jobs — the r16 scaling block's
+    * "slower at 32 cores than 8" signature. Floor 8 keeps the build's
+    * exact-cosine refinement parallel at gate scale; ~32 MB per
+    * partition above it keeps 100 TB corpora at healthy task sizes.
+    */
+  private def basePartsFor(emb: DataFrame): Int = {
+    val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (bytes / BigInt(32L * 1024 * 1024)).toLong
+    math.max(8L, math.min(target, 200000L)).toInt
+  }
+
   private def baseOf(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-      .repartition(col("vec_id"))
+      .repartition(basePartsFor(emb), col("vec_id"))
 
   /** Sign-LSH blocking config for the graph BUILD: [[BuildTables]]
     * independent tables of [[BuildPlanes]] hyperplane bits each
